@@ -1,13 +1,264 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cdc.Changelog
+import graft.ops.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  private def changelog(s: SparkSession, dir: String): DataFrame =
+    Changelog.fromEvents(Tables.events(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2a CDC core
+    "cdc_changelog" -> ((s, d) => changelog(s, d).orderBy("seq")),
+    "cdc_fts_route" -> ((s, d) => Changelog.ftsRoute(changelog(s, d)).orderBy("seq")),
+    "cdc_geo_route" -> ((s, d) => Changelog.geoRoute(changelog(s, d)).orderBy("seq")),
+    "cdc_binary_route" -> ((s, d) => Changelog.binaryRoute(changelog(s, d)).orderBy("seq")),
+    "cdc_latest_state" -> ((s, d) => Changelog.latestState(changelog(s, d)).orderBy("doc_id")),
+    "cdc_field_state" -> ((s, d) => Changelog.fieldState(changelog(s, d)).orderBy("doc_id", "field_path")),
+    "cdc_scd2" -> ((s, d) => Changelog.scd2(changelog(s, d)).orderBy("doc_id", "field_path", "valid_from")),
+    "cdc_op_counts" -> ((s, d) => Changelog.opCounts(changelog(s, d)).orderBy("op")),
+    "cdc_field_freq" -> ((s, d) => Changelog.fieldFreq(changelog(s, d)).orderBy("field_path")),
+    // §2b relational
+    "q1_agg" -> Relational.q1Agg _,
+    "q2_join_agg" -> Relational.q2JoinAgg _,
+    "q3_multijoin" -> Relational.q3MultiJoin _,
+    "q4_semijoin" -> Relational.q4SemiJoin _,
+    "q5_antijoin" -> Relational.q5AntiJoin _,
+    "q6_window" -> Relational.q6Window _,
+    "q7_distinct" -> Relational.q7Distinct _,
+    "q8_topn_group" -> Relational.q8TopNGroup _,
+    "q9_rollup" -> Relational.q9Rollup _,
+    "q10_case_pivot" -> Relational.q10CasePivot _,
+    "q11_union_set" -> Relational.q11UnionSet _,
+    "q12_subquery" -> Relational.q12Subquery _,
+    "q13_json" -> Relational.q13Json _,
+    "q14_timebucket" -> Relational.q14TimeBucket _,
+    "q15_asof" -> Relational.q15AsOf _,
+    "q16_sessionize" -> Relational.q16Sessionize _,
+  )
+
+  /** Shared oracle CTE: the deterministic events→changelog mapping
+    * (mirror of [[graft.cdc.Changelog.fromEvents]]).
+    */
+  private val clCte: String =
+    """WITH changelog AS (
+      |  SELECT 'user' || CAST(user_id AS VARCHAR) AS doc_id,
+      |         event_id AS seq, epoch_us(ts) AS ts_us,
+      |         CASE event_type WHEN 'signup' THEN 'RECORD_INSERT'
+      |                         WHEN 'error' THEN 'RECORD_DELETE'
+      |                         ELSE 'RECORD_UPDATE' END AS op,
+      |         CASE event_type WHEN 'click' THEN 'firstName'
+      |                         WHEN 'view' THEN 'lastName'
+      |                         WHEN 'purchase' THEN 'address'
+      |                         ELSE '' END AS field_path,
+      |         props AS payload, value AS amount
+      |  FROM events)
+      |""".stripMargin
+
+  /** DuckDB-runnable oracle per query (same column names, same
+    * rounding, explicit ORDER BY).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "cdc_changelog" -> (clCte + "SELECT * FROM changelog ORDER BY seq"),
+    "cdc_fts_route" -> (clCte +
+      """SELECT doc_id AS _id, seq, op AS operation, 'json' AS type, field_path, payload
+        |FROM changelog
+        |WHERE op = 'RECORD_DELETE' OR op = 'RECORD_INSERT'
+        |   OR field_path IN ('firstName','lastName')
+        |ORDER BY seq""".stripMargin),
+    "cdc_geo_route" -> (clCte +
+      """SELECT doc_id AS _id, seq, op AS operation, payload AS address
+        |FROM changelog
+        |WHERE (op = 'RECORD_INSERT' OR field_path = 'address')
+        |  AND op <> 'RECORD_DELETE'
+        |ORDER BY seq""".stripMargin),
+    "cdc_binary_route" -> (clCte +
+      """SELECT doc_id AS _id, seq, op AS operation, 'binary' AS type,
+        |       'default.' || field_path AS field_path,
+        |       decode(encode(payload)) AS value
+        |FROM changelog
+        |WHERE field_path IN ('firstName','lastName') AND op <> 'RECORD_DELETE'
+        |ORDER BY seq""".stripMargin),
+    "cdc_latest_state" -> (clCte +
+      """, ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_changes
+        |  FROM changelog)
+        |SELECT doc_id, seq AS last_seq, op AS last_op,
+        |       field_path AS last_field, payload AS last_payload, n_changes
+        |FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'
+        |ORDER BY doc_id""".stripMargin),
+    "cdc_field_state" -> (clCte +
+      """, ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |  FROM changelog),
+        |alive AS (
+        |  SELECT doc_id FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'),
+        |fr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, field_path ORDER BY seq DESC) AS rnf
+        |  FROM changelog WHERE field_path <> '')
+        |SELECT fr.doc_id, fr.field_path, fr.payload AS value, fr.seq AS as_of_seq
+        |FROM fr JOIN alive ON fr.doc_id = alive.doc_id
+        |WHERE fr.rnf = 1
+        |ORDER BY fr.doc_id, fr.field_path""".stripMargin),
+    "cdc_scd2" -> (clCte +
+      """SELECT doc_id, field_path, payload AS value, seq AS valid_from,
+        |       lead(seq) OVER w AS valid_to,
+        |       (lead(seq) OVER w IS NULL) AS is_current
+        |FROM changelog WHERE field_path <> ''
+        |WINDOW w AS (PARTITION BY doc_id, field_path ORDER BY seq)
+        |ORDER BY doc_id, field_path, valid_from""".stripMargin),
+    "cdc_op_counts" -> (clCte +
+      """SELECT op, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+        |       round(sum(amount), 2) AS total_amount
+        |FROM changelog GROUP BY op ORDER BY op""".stripMargin),
+    "cdc_field_freq" -> (clCte +
+      """SELECT field_path, count(*) AS n_changes,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       round(avg(amount), 4) AS avg_amount
+        |FROM changelog WHERE field_path <> ''
+        |GROUP BY field_path ORDER BY field_path""".stripMargin),
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_revenue,
+        |       round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q3_multijoin" ->
+      """SELECT l_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q5_antijoin" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q6_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+        |  SELECT l_suppkey,
+        |         row_number() OVER w AS rn,
+        |         l_orderkey, l_linenumber,
+        |         round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) t WHERE rn <= 5
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q7_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q8_topn_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |         o_orderkey, o_totalprice
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q9_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q10_case_pivot" ->
+      """SELECT o_orderstatus,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END), 2) AS urgent_rev,
+        |       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice ELSE 0.0 END), 2) AS high_rev,
+        |       round(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN o_totalprice ELSE 0.0 END), 2) AS other_rev
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q11_union_set" ->
+      """WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+        |     recent AS (SELECT o_orderkey FROM orders
+        |                WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'),
+        |     tagged AS (
+        |       SELECT o_orderkey, 'both' AS tag FROM (SELECT * FROM big INTERSECT SELECT * FROM recent)
+        |       UNION ALL
+        |       SELECT o_orderkey, 'big_only' AS tag FROM (SELECT * FROM big EXCEPT SELECT * FROM recent)
+        |       UNION ALL
+        |       SELECT o_orderkey, 'recent_only' AS tag FROM (SELECT * FROM recent EXCEPT SELECT * FROM big))
+        |SELECT tag, count(*) AS n FROM tagged GROUP BY tag ORDER BY tag""".stripMargin,
+    "q12_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n_above_avg,
+        |       round(min(o_totalprice), 2) AS min_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q13_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q14_timebucket" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, count(*) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q15_asof" ->
+      """SELECT user_id, event_id AS last_event, round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                                   ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE event_type = 'purchase') t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q16_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, value,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |         round(sum(value), 2) AS session_value
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       max(n_events) AS max_session_events,
+        |       round(sum(session_value), 2) AS total_value
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
 }

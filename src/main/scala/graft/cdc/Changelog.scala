@@ -1,0 +1,160 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC changelog model and operators.
+  *
+  * Re-expresses the reference's change-data-capture surface
+  * (mapr-db-cdc-sample: `FtsAndGeoServiceJSONWithCDC.java`,
+  * `FtsAndGeoServiceBinaryWithCDC.java`) Spark-first. A changelog is a
+  * DataFrame of typed change records:
+  *
+  * {{{
+  *   doc_id     string   document key  (ChangeDataRecord.getId)
+  *   seq        long     change sequence, total order per doc
+  *   ts_us      long     event time, epoch microseconds
+  *   op         string   RECORD_INSERT | RECORD_UPDATE | RECORD_DELETE
+  *                       (ChangeDataRecordType)
+  *   field_path string   changed field ("" = whole-document insert,
+  *                       mirroring the empty FieldPath on inserts —
+  *                       FtsAndGeoServiceJSONWithCDC.java:124-148)
+  *   payload    string   new value, JSON-encoded (ChangeNode value)
+  *   amount     double   numeric change metric
+  * }}}
+  *
+  * The synthetic `events` table acts as the changelog source; the
+  * mapping is deterministic so a SQL oracle can reproduce it exactly.
+  * All operators are plain Catalyst plans: filters push to the scan,
+  * window ops shuffle once on doc_id, aggregations are partial-agg
+  * friendly. At 100 TB the changelog would arrive partitioned by
+  * doc_id (stream shards); nothing here assumes a single partition.
+  */
+object Changelog {
+
+  val Insert = "RECORD_INSERT"
+  val Update = "RECORD_UPDATE"
+  val Delete = "RECORD_DELETE"
+
+  /** events → typed change records. Narrow projection: the scan reads
+    * only the six source columns; the CASE maps are codegen'd.
+    */
+  def fromEvents(events: DataFrame): DataFrame =
+    events.select(
+      concat(lit("user"), col("user_id").cast("string")).as("doc_id"),
+      col("event_id").as("seq"),
+      unix_micros(col("ts")).as("ts_us"),
+      when(col("event_type") === "signup", Insert)
+        .when(col("event_type") === "error", Delete)
+        .otherwise(Update).as("op"),
+      when(col("event_type") === "click", "firstName")
+        .when(col("event_type") === "view", "lastName")
+        .when(col("event_type") === "purchase", "address")
+        .otherwise("").as("field_path"),
+      col("props").as("payload"),
+      col("value").as("amount"))
+
+  /** Reference FTS routing (FtsAndGeoServiceJSONWithCDC.java:95-188):
+    * whole-doc inserts, name-field updates, and delete tombstones are
+    * published to the fts_service topic. Pure filter — pushes down.
+    */
+  def ftsRoute(changelog: DataFrame): DataFrame =
+    changelog.filter(
+      col("op") === Delete || col("op") === Insert ||
+        col("field_path").isin("firstName", "lastName"))
+      .select(col("doc_id").as("_id"), col("seq"), col("op").as("operation"),
+        lit("json").as("type"), col("field_path"), col("payload"))
+
+  /** Reference geo routing (address changes only; deletes are not
+    * forwarded to the geo service — java:109-161,179-186).
+    */
+  def geoRoute(changelog: DataFrame): DataFrame =
+    changelog.filter(
+      (col("op") === Insert || col("field_path") === "address") &&
+        col("op") =!= Delete)
+      .select(col("doc_id").as("_id"), col("seq"), col("op").as("operation"),
+        col("payload").as("address"))
+
+  /** Binary-table variant (FtsAndGeoServiceBinaryWithCDC.java): field
+    * paths carry the column family (`default.firstName`), values are
+    * bytes decoded back to strings (Bytes.toString equivalent). Only
+    * the two watched columns are routed.
+    */
+  def binaryRoute(changelog: DataFrame): DataFrame =
+    changelog
+      .filter(col("field_path").isin("firstName", "lastName") &&
+        col("op") =!= Delete)
+      .select(
+        col("doc_id").as("_id"), col("seq"),
+        col("op").as("operation"), lit("binary").as("type"),
+        concat(lit("default."), col("field_path")).as("field_path"),
+        // bytes round-trip: payload → UTF-8 bytes (ChangeNode.getBinary)
+        // → string (Bytes.toString)
+        decode(encode(col("payload"), "UTF-8"), "UTF-8").as("value"))
+
+  private def latestPerDoc(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("doc_id")))
+  }
+
+  /** Last-writer-wins materialization of current per-document state:
+    * the "save it back into MapR-DB" half of the reference's loop.
+    * Docs whose latest record is a tombstone are dropped. One shuffle
+    * on doc_id; at scale this is the standard CDC-compaction shape.
+    */
+  def latestState(changelog: DataFrame): DataFrame =
+    latestPerDoc(changelog)
+      .filter(col("rn") === 1 && col("op") =!= Delete)
+      .select(col("doc_id"), col("seq").as("last_seq"),
+        col("op").as("last_op"), col("field_path").as("last_field"),
+        col("payload").as("last_payload"), col("n_changes"))
+
+  /** Field-level last-writer-wins: latest value per (doc_id,
+    * field_path), for documents still alive (latest op ≠ delete).
+    */
+  def fieldState(changelog: DataFrame): DataFrame = {
+    val alive = latestPerDoc(changelog)
+      .filter(col("rn") === 1 && col("op") =!= Delete)
+      .select("doc_id")
+    val wf = Window.partitionBy("doc_id", "field_path").orderBy(col("seq").desc)
+    changelog
+      .filter(col("field_path") =!= "")
+      .withColumn("rnf", row_number().over(wf))
+      .filter(col("rnf") === 1)
+      // broadcast-sized at test SF; at scale both sides hash on doc_id
+      .join(alive, "doc_id")
+      .select(col("doc_id"), col("field_path"),
+        col("payload").as("value"), col("seq").as("as_of_seq"))
+  }
+
+  /** Type-2 history: each field change gets a validity interval
+    * [seq, next change's seq); the current version is open-ended.
+    */
+  def scd2(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id", "field_path").orderBy(col("seq"))
+    changelog
+      .filter(col("field_path") =!= "")
+      .select(col("doc_id"), col("field_path"), col("payload").as("value"),
+        col("seq").as("valid_from"),
+        lead(col("seq"), 1).over(w).as("valid_to"),
+        (lead(col("seq"), 1).over(w).isNull).as("is_current"))
+  }
+
+  /** Changelog audit: operation counts + amount totals per op type. */
+  def opCounts(changelog: DataFrame): DataFrame =
+    changelog.groupBy("op")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        round(sum(col("amount")), 2).as("total_amount"))
+
+  /** Hot-field detection: change frequency per field path. */
+  def fieldFreq(changelog: DataFrame): DataFrame =
+    changelog.filter(col("field_path") =!= "")
+      .groupBy("field_path")
+      .agg(count(lit(1)).as("n_changes"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        round(avg(col("amount")), 4).as("avg_amount"))
+}

@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch relational layer: the OLAP substrate under the CDC surface.
+  *
+  * Every query is a declarative Catalyst plan — filters reach the
+  * parquet scan, dimension joins are explicitly broadcast, aggregates
+  * are algebraic (map-side partial), top-N is TakeOrderedAndProject,
+  * window functions partition on high-cardinality keys. All floating
+  * outputs are rounded (2dp money, 4dp ratios) so results are stable
+  * against reorder at any parallelism — which is also what lets the
+  * DuckDB oracle hash-match them.
+  */
+object Relational {
+
+  /** Q1 shape: scan + filter + groupBy agg over the fact table. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast dim join + agg: revenue per market segment. */
+  def q2JoinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_revenue"),
+        round(avg("o_totalprice"), 4).as("avg_price"))
+      .orderBy("c_mktsegment")
+
+  /** 3-way join + global top-N (TakeOrderedAndProject, no full sort). */
+  def q3MultiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** EXISTS as left-semi: orders having a late-shipped line item. */
+  def q4SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey")
+    Tables.orders(s, dir)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** NOT EXISTS as left-anti: customers with no urgent orders. */
+  def q5AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+
+  /** Window functions: rank + running sum per supplier. */
+  def q6Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .filter(col("rn") <= 5)
+      .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** Exact + approximate distinct counting. The approx variant is the
+    * 100 TB path (HLL, no shuffle of raw keys); exact is the oracle.
+    */
+  def q7Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
+  /** Per-group top-N via row_number (shuffles once on the group key). */
+  def q8TopNGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** Hierarchical aggregation via rollup (status → priority). */
+  def q9Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Conditional aggregation (pivot as sum(case)) — one scan pass. */
+  def q10CasePivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(sum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).otherwise(0.0)), 2).as("urgent_rev"),
+        round(sum(when(col("o_orderpriority") === "2-HIGH", col("o_totalprice")).otherwise(0.0)), 2).as("high_rev"),
+        round(sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), col("o_totalprice")).otherwise(0.0)), 2).as("other_rev"))
+      .orderBy("o_orderstatus")
+
+  /** Set operations: high-value vs recent orderkeys. */
+  def q11UnionSet(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val big = o.filter(col("o_totalprice") > 400000).select("o_orderkey")
+    val recent = o.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")).select("o_orderkey")
+    val both = big.intersect(recent).withColumn("tag", lit("both"))
+    val bigOnly = big.except(recent).withColumn("tag", lit("big_only"))
+    val recentOnly = recent.except(big).withColumn("tag", lit("recent_only"))
+    both.union(bigOnly).union(recentOnly)
+      .groupBy("tag").agg(count(lit(1)).as("n"))
+      .orderBy("tag")
+  }
+
+  /** Scalar-subquery shape: orders above the global average price.
+    * The scalar agg is computed once and broadcast into the filter.
+    */
+  def q12Subquery(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(avg("o_totalprice").as("ap"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_above_avg"),
+        round(min("o_totalprice"), 2).as("min_above"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** JSON extraction from the events payload (schema-on-read). */
+  def q13Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Time bucketing: daily event rollup. */
+  def q14TimeBucket(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("day", "event_type")
+
+  /** As-of/latest-per-key: each user's latest purchase amount. */
+  def q15AsOf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** Gap-based sessionization: a >30min silence starts a new session.
+    * lag + cumulative-sum over a per-user window — one shuffle.
+    */
+  def q16Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wo))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+    sessions
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        round(sum("session_value"), 2).as("total_value"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
+
+/** Spark 4.x moved `Column` off a direct `Expression` wrapper (it now
+  * holds a connect-compatible `ColumnNode`). Library code that defines
+  * custom Catalyst expressions needs the two conversions below; they
+  * live in `org.apache.spark.sql` to satisfy `private[sql]` access.
+  */
+object GraftBridge {
+  /** Wrap a Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = Column(ExpressionColumnNode(e))
+
+  /** Extract the Catalyst expression backing a Column (classic mode). */
+  def expression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+}
