@@ -2,8 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions.col
+
 import graft.cdc.Changelog
+import graft.dedup.Dedup
+import graft.mm.Multimodal
 import graft.ops.Relational
+import graft.sim.Similarity
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -44,6 +50,33 @@ object SparkEntry {
     "q14_timebucket" -> Relational.q14TimeBucket _,
     "q15_asof" -> Relational.q15AsOf _,
     "q16_sessionize" -> Relational.q16Sessionize _,
+    // §2e text analysis
+    "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d)).orderBy("source")),
+    "text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_md5_64").orderBy("doc_id")),
+    "text_fingerprint_roll" -> ((s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_roll").orderBy("doc_id")),
+    // §2c dedup
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), 0.5, col("doc_id") < 300).orderBy("doc_a", "doc_b")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), 3).orderBy("doc_a", "doc_b")),
+    "dedup_embed" -> ((s, d) =>
+      Dedup.embedNearDup(Tables.embeddings(s, d), 0.3, col("vec_id") % 5 === 0).orderBy("vec_a", "vec_b")),
+    // §2d similarity search
+    "sim_brute_topk" -> ((s, d) =>
+      Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    "sim_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    "sim_ivf" -> ((s, d) =>
+      Similarity.annIvf(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    // §2f multimodal
+    "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
   )
 
   /** Shared oracle CTE: the deterministic events→changelog mapping
@@ -260,5 +293,102 @@ object SparkEntry {
         |       max(n_events) AS max_session_events,
         |       round(sum(session_value), 2) AS total_value
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        |       CAST(length(text) AS BIGINT) AS text_len,
+        |       round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+        |       round(CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+        |       round(CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(toks), 4) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS s_en,
+        |        len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS s_de,
+        |        len(list_filter(toks, x -> x IN ('le','la','et','les','un'))) AS s_fr,
+        |        len(list_filter(toks, x -> x IN ('el','los','y','una','que'))) AS s_es
+        |      FROM t),
+        |p AS (SELECT lang,
+        |        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+        |             WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+        |             WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+        |             WHEN s_es > 0 THEN 'es'
+        |             ELSE 'und' END AS pred_lang
+        |      FROM s)
+        |SELECT lang, pred_lang, count(*) AS n FROM p
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM documents),
+        |q AS (SELECT source,
+        |        round(CAST(least(len(toks), 64) AS DOUBLE) / 64 * 0.4 +
+        |              CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.3 +
+        |              (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(toks)) * 0.3,
+        |              4) AS quality
+        |      FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |       round(avg(quality), 4) AS avg_quality,
+        |       round(min(quality), 4) AS min_quality,
+        |       round(max(quality), 4) AS max_quality
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, substring(md5(text), 1, 16) AS fp_md5_64
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |              FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+        |                               for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+        |      FROM common
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embed" ->
+      """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |             FROM embeddings WHERE vec_id % 5 = 0),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |      FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+        |SELECT * FROM p WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_brute_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q_id, e.vec_id,
+        |             round(list_cosine_similarity(q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |           FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |           FROM scored)
+        |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "mm_pipeline" ->
+      """WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |             WHEN doc_id % 3 = 1 THEN 'audio'
+        |             ELSE 'video' END AS media_type,
+        |        CAST(octet_length(payload) AS BIGINT) AS payload_len,
+        |        CASE WHEN octet_length(payload) = 0 THEN -1
+        |             ELSE ascii(substring(text, 1, 1)) END AS first_byte,
+        |        CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT) AS bsum
+        |      FROM b)
+        |SELECT doc_id, media_type, payload_len, first_byte,
+        |       CAST(bsum % 997 AS BIGINT) AS checksum,
+        |       CAST(bsum * 10000 // payload_len AS DOUBLE) / 10000 AS mean_byte
+        |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

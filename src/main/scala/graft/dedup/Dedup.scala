@@ -1,0 +1,148 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.{minhash_sig, simhash64, cosine_sim}
+import graft.text.TextAnalysis.tokens
+
+/** Deduplication operators for the training-data pipeline.
+  *
+  * Scale posture: nothing here is all-pairs over the full corpus.
+  * Candidate generation is always an equi-join on a hash key
+  * (shingle, MinHash band, SimHash chunk, LSH bucket) so the shuffle
+  * is keyed and partial-aggregated; exact all-pairs variants exist
+  * only over explicitly bounded probe subsets as oracles for the
+  * approximate paths.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct) as an array column. Guarded
+    * for short docs (Spark's `sequence(1, n)` counts *down* when
+    * n < 1, so the guard is required, not cosmetic).
+    */
+  def shingleArray(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exploded (doc_id, shingle) pairs — the scalable building block:
+    * downstream similarity joins are equi-joins on `shingle`.
+    */
+  def shingles(documents: DataFrame, n: Int = 3): DataFrame =
+    documents.select(col("doc_id"),
+      explode(shingleArray(col("text"), n)).as("shingle"))
+
+  /** Exact dedup: group identical texts by content hash, keep the
+    * lowest doc_id. Output is the deduplicated keeper set with
+    * multiplicity — one map-side-combined shuffle on the hash.
+    */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard similarity via shingle inverted index:
+    * explode → self-equi-join on shingle → per-pair intersection
+    * count → |A∩B| / (|A|+|B|−|A∩B|). No cross join anywhere; cost
+    * is bounded by shingle collision counts. `docFilter` bounds the
+    * probe subset where an exact answer is wanted (oracle / small
+    * corpus); pass `lit(true)` to run corpus-wide.
+    */
+  def ngramJaccard(documents: DataFrame, tau: Double, docFilter: Column,
+                   n: Int = 3): DataFrame = {
+    val docs = documents.filter(docFilter)
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** MinHash + LSH banding: k-wide signature in one pass (custom
+    * Catalyst expression), split into `bands` bands, bucket-join on
+    * (band index, band hash) — the 100 TB-shaped near-dup path: the
+    * only shuffle keys are band hashes. Candidates are then verified
+    * with the true Jaccard of their shingle sets (per-pair array
+    * intersection — no second join tree).
+    */
+  def minhashLsh(documents: DataFrame, tau: Double, k: Int = 64,
+                 bands: Int = 16): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val withSig = documents.select(col("doc_id"),
+      shingleArray(col("text")).as("sh"),
+      minhash_sig(shingleArray(col("text")), k).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
+  /** SimHash near-dup: 64-bit signature, banded into four 16-bit
+    * chunks — any pair within hamming distance 3 must agree on at
+    * least one chunk (pigeonhole), so the bucket join on chunk value
+    * is lossless for the verify filter `bit_count(xor) <= 3`.
+    */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk banding guarantees recall only for hamming <= 3")
+    val sigs = documents.select(col("doc_id"),
+      simhash64(tokens(col("text"))).as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup over a bounded probe subset (exact
+    * all-pairs — the oracle for [[graft.sim.Similarity.annLsh]];
+    * corpus-wide near-dup at scale goes through LSH buckets instead).
+    */
+  def embedNearDup(embeddings: DataFrame, tau: Double,
+                   docFilter: Column): DataFrame = {
+    val sub = embeddings.filter(docFilter)
+      .select(col("vec_id"), col("embedding"))
+    sub.as("a")
+      .join(sub.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine_sim(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

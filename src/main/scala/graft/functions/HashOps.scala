@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the custom Catalyst expressions. Each is a
+  * single static call from generated code — no virtual dispatch, no
+  * boxing — so the expressions stay inside whole-stage codegen.
+  *
+  * All hashes are self-contained (FNV-1a base + xorshift-multiply
+  * mixing) and seed-deterministic: results are reproducible across
+  * partitions, executors, and runs, which dedup banding requires.
+  */
+object HashOps {
+
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime  = 0x100000001b3L
+  final val Mix1 = 0xff51afd7ed558ccdL
+  final val Mix2 = 0xc4ceb9fe1a85ec53L
+
+  /** FNV-1a over UTF-8 bytes, then a murmur-style finalizer. */
+  def hash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= FnvPrime
+      i += 1
+    }
+    fmix(h)
+  }
+
+  def fmix(v: Long): Long = {
+    var h = v
+    h ^= h >>> 33; h *= Mix1
+    h ^= h >>> 33; h *= Mix2
+    h ^ (h >>> 33)
+  }
+
+  /** Per-seed rehash: cheap enough to derive k MinHash functions from
+    * one base hash (standard one-permutation-family trick).
+    */
+  def reseed(h: Long, seed: Int): Long = fmix(h ^ (0x9e3779b97f4a7c15L * (seed + 1)))
+
+  /** MinHash signature: k minimums in one pass over the shingle set. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val base = hash64(shingles.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = reseed(base, j)
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+
+  /** 64-bit SimHash: per-token hash votes on each bit position. */
+  def simhash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hash64(tokens.getUTF8String(i))
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Polynomial rolling hash (base 31, mod 2^61-1) over UTF-8 bytes —
+    * the classic Rabin-Karp document fingerprint.
+    */
+  def rollingHash(s: UTF8String): Long = {
+    val Mod = (1L << 61) - 1
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      // h = (h * 31 + b) mod 2^61-1; 128-bit-safe via Math.multiplyHigh
+      val lo = h * 31
+      val hi = Math.multiplyHigh(h, 31L)
+      var acc = (lo & Mod) + ((hi << 3) | (lo >>> 61)) + (bytes(i) & 0xffL)
+      if (acc >= Mod) acc -= Mod
+      h = acc
+      i += 1
+    }
+    h
+  }
+
+  /** Cosine similarity of two float vectors, accumulated in double
+    * left-to-right (bit-compatible with a sequential SQL loop).
+    */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH signature: bit p = sign(v · u_p) where
+    * u_p is a deterministic pseudo-random plane derived from fmix —
+    * no stored plane matrix, any executor regenerates it on the fly.
+    */
+  def lshSignature(v: ArrayData, planes: Int, table: Int): Long = {
+    val dim = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        // uniform in [-1, 1) from the (table, p, j) cell hash
+        val u = (fmix((table.toLong * 64 + p) * 1000003L + j) >>> 11).toDouble /
+          (1L << 52).toDouble * 2.0 - 1.0
+        s += v.getFloat(j).toDouble * u
+        j += 1
+      }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Dot product of two float vectors (IVF / pre-normalized path). */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+}

@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the dedup / similarity hot paths.
+  *
+  * Each `doGenCode` emits a single static call into [[HashOps]], so
+  * projections using these stay inside whole-stage codegen (no UDF
+  * serialization, no boxing of the array arguments).
+  */
+object expressions {
+  private val ops = classOf[HashOps.type].getName.stripSuffix("$") + ".MODULE$"
+
+  /** minhash_sig(shingles, k): one-pass k-wide MinHash signature. */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.minhash(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.minhash($c, $k)")
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** simhash64(tokens): 64-bit SimHash of a token array. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashOps.simhash(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.simhash($c)")
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** rolling_hash64(text): Rabin-Karp polynomial fingerprint. */
+  case class RollingHash64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashOps.rollingHash(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.rollingHash($c)")
+    override protected def withNewChildInternal(c: Expression): RollingHash64 = copy(child = c)
+    override def prettyName: String = "rolling_hash64"
+  }
+
+  /** cosine_sim(a, b) over float vectors, double accumulation. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$ops.cosineFF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+      copy(left = l, right = r)
+    override def prettyName: String = "cosine_sim"
+  }
+
+  /** dot_ff(a, b): plain dot product (pre-normalized vectors). */
+  case class DotFF(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$ops.dotFF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFF =
+      copy(left = l, right = r)
+    override def prettyName: String = "dot_ff"
+  }
+
+  /** lsh_sig(vec, planes, table): random-hyperplane signature bits
+    * for one hash table of a multi-table LSH index.
+    */
+  case class LshSig(child: Expression, planes: Int, table: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      HashOps.lshSignature(v.asInstanceOf[ArrayData], planes, table)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.lshSignature($c, $planes, $table)")
+    override protected def withNewChildInternal(c: Expression): LshSig = copy(child = c)
+    override def prettyName: String = "lsh_sig"
+  }
+
+  // ---- Column-level API ----
+  def minhash_sig(c: Column, k: Int): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
+  def simhash64(c: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(c)))
+  def rolling_hash64(c: Column): Column =
+    GraftBridge.column(RollingHash64(GraftBridge.expression(c)))
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def dot_ff(a: Column, b: Column): Column =
+    GraftBridge.column(DotFF(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def lsh_sig(c: Column, planes: Int, table: Int): Column =
+    GraftBridge.column(LshSig(GraftBridge.expression(c), planes, table))
+}

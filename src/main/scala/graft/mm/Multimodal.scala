@@ -1,0 +1,84 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads with typed
+  * metadata, processed partition-wise in fixed-size batches — the
+  * shape a decode / feature-extraction / model-inference stage has
+  * at scale (one batch = one accelerator call).
+  *
+  * The decode kernel itself is STUBBED (no image/audio libraries in
+  * this container): [[StubKernel.decodeBatch]] is a deterministic
+  * stand-in computing byte statistics. Everything around it — the
+  * schema, the binary column, the batch iteration, the partition
+  * boundaries — is real and tested.
+  */
+object Multimodal {
+
+  /** A media row: binary payload + typed metadata. */
+  case class MediaRow(doc_id: Long, media_type: String,
+                      payload: Array[Byte], width: Int, height: Int)
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(doc_id: Long, media_type: String,
+                           payload_len: Long, first_byte: Int,
+                           checksum: Long, mean_byte: Double)
+
+  /** Deterministic stand-in for the real decoder. Takes a whole
+    * batch (the accelerator-call shape) and returns one feature row
+    * per payload. Swap this object to integrate a real decoder.
+    */
+  object StubKernel {
+    val BatchSize = 64
+    def decodeBatch(batch: Seq[MediaRow]): Seq[MediaFeatures] =
+      batch.map { m =>
+        val bytes = m.payload
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        MediaFeatures(
+          doc_id = m.doc_id,
+          media_type = m.media_type,
+          payload_len = bytes.length.toLong,
+          first_byte = if (bytes.isEmpty) -1 else bytes(0) & 0xff,
+          checksum = sum % 997,
+          // integer floor at 4dp: avoids double-rounding-mode drift
+          // between engines when results are compared
+          mean_byte = if (bytes.isEmpty) 0.0
+            else (sum * 10000L / bytes.length).toDouble / 10000.0)
+      }
+  }
+
+  /** Build the media table from `documents`: the UTF-8 bytes of the
+    * text stand in for an encoded image; metadata is derived
+    * deterministically. At scale this is a parquet table with a
+    * large binary column — exactly this schema.
+    */
+  def attach(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      (when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video")).as("media_type"),
+      encode(col("text"), "UTF-8").as("payload"),
+      (col("doc_id") % 64 + 32).cast("int").as("width"),
+      (col("doc_id") % 48 + 24).cast("int").as("height"))
+
+  /** Partition-wise batched decode: each partition's rows are
+    * grouped into [[StubKernel.BatchSize]] batches and pushed through
+    * the kernel. `mapPartitions` (not a per-row UDF) so the batch
+    * boundary — the expensive accelerator round-trip at scale — is
+    * explicit and amortized.
+    */
+  def features(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(StubKernel.BatchSize).flatMap(StubKernel.decodeBatch)
+    }
+  }
+
+  /** Feature extraction as a DataFrame op for the driver contract. */
+  def featureFrame(spark: SparkSession, documents: DataFrame): DataFrame =
+    features(attach(documents))(spark).toDF()
+}

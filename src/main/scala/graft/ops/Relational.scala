@@ -82,7 +82,7 @@ object Relational {
   def q6Window(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey").orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
     Tables.lineitem(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_qty",
         round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
       .filter(col("rn") <= 5)
@@ -107,7 +107,7 @@ object Relational {
     val w = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, dir)
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
       .orderBy("o_orderpriority", "rk")

@@ -1,0 +1,112 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.{cosine_sim, lsh_sig}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers: brute-force (exact baseline — broadcast the query
+  * set, never the corpus), random-hyperplane LSH (bucketed candidate
+  * generation), and IVF (coarse quantizer cells with multi-probe).
+  * At 100 TB the corpus side always streams; only query vectors,
+  * centroids, and bucket keys move.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine for a bounded query subset. The query
+    * side is broadcast (small by construction); the corpus is
+    * scanned once; ranking shuffles only (query, cosine) pairs.
+    */
+  def bruteTopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Multi-table LSH ANN: `tables` independent random-hyperplane
+    * hash tables of `planes` bits each (signatures regenerated
+    * deterministically on any executor — no plane matrix to ship).
+    * A pair collides if it lands in the same bucket of ANY table —
+    * with 1-bit multi-probe on the query side — then exact cosine
+    * rerank inside the candidate set. The corpus-side cost is L
+    * signature rows per vector; the only shuffle key is (table,
+    * bucket), which is how this survives a 100 TB corpus.
+    */
+  def annLsh(embeddings: DataFrame, queryFilter: Column, k: Int,
+             planes: Int = 10, tables: Int = 8): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    // L signatures per corpus vector: (table, sig)
+    val corpus = base.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t =>
+        lsh_sig(col("embedding"), planes, t)): _*)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "sig")
+    // query probes: per table, exact signature + every 1-bit flip
+    val probed = base.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        posexplode(array((0 until tables).flatMap { t =>
+          val s = lsh_sig(col("embedding"), planes, t)
+          s +: (0 until planes).map(b => s.bitwiseXOR(lit(1L << b)))
+        }: _*)))
+      .select(col("q_id"), col("q_emb"),
+        (col("pos") / (planes + 1)).cast("int").as("table"),
+        col("col").as("probe_sig"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probed),
+        corpus("table") === probed("table") && col("sig") === col("probe_sig") &&
+          col("vec_id") =!= col("q_id"))
+      .dropDuplicates("q_id", "vec_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** IVF-style ANN: a deterministic subsample of the corpus acts as
+    * the coarse quantizer (at scale: k-means centroids, same shape).
+    * Every vector is assigned to its nearest centroid (broadcast
+    * argmax — one corpus scan); queries probe their `nProbe` nearest
+    * cells and rerank exactly within them.
+    */
+  def annIvf(embeddings: DataFrame, queryFilter: Column, k: Int,
+             centroidStride: Long = 50L, nProbe: Int = 2): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select("vec_id", "embedding", "cell_id")
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("cell_id"))
+    val queryCells = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell_id"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("c_cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select("q_id", "q_emb", "cell_id")
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(queryCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+}

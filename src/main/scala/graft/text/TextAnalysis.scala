@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.rolling_hash64
+
+/** Text-analysis operators for the training-data pipeline, over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All per-document ops are narrow (no shuffle): a single projection
+  * pass that stays in whole-stage codegen. Aggregations on top are
+  * algebraic. Every formula is mirrored exactly in the DuckDB oracle
+  * (same token definition, same rounding), so results hash-match.
+  */
+object TextAnalysis {
+
+  /** Token definition shared with the oracle: trim, split on single
+    * space. (The synthetic corpus is single-space separated with a
+    * trailing blank; trim keeps Spark and DuckDB in lockstep.)
+    */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  val EnStop: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  val DeStop: Seq[String] = Seq("der", "die", "und", "das", "ein")
+  val FrStop: Seq[String] = Seq("le", "la", "et", "les", "un")
+  val EsStop: Seq[String] = Seq("el", "los", "y", "una", "que")
+
+  private def countIn(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Per-document statistics: token counts, length moments,
+    * punctuation and stopword ratios.
+    */
+  def stats(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      length(col("text")).cast("long").as("text_len"),
+      round(length(concat_ws("", toks)).cast("double") / size(toks), 4).as("avg_token_len"),
+      round(length(regexp_replace(col("text"), "[^.,!?;:]", "")).cast("double") /
+        length(col("text")), 4).as("punct_ratio"),
+      round(countIn(toks, EnStop).cast("double") / size(toks), 4).as("stopword_ratio"))
+  }
+
+  /** N-gram-heuristic language ID: score each language's marker-word
+    * set against the token stream; argmax with fixed priority order.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = documents.select(
+      col("doc_id"), col("lang"),
+      countIn(toks, EnStop).as("s_en"),
+      countIn(toks, DeStop).as("s_de"),
+      countIn(toks, FrStop).as("s_fr"),
+      countIn(toks, EsStop).as("s_es"))
+    scored.select(
+      col("doc_id"), col("lang"),
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+        col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+        .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+          col("s_de") > 0, "de")
+        .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und").as("pred_lang"))
+  }
+
+  /** Language-ID accuracy rollup against the labeled `lang` column. */
+  def langIdEval(documents: DataFrame): DataFrame =
+    langId(documents)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+
+  /** Composite quality score in [0,1]:
+    * 0.4·min(tokens,64)/64 + 0.3·distinct-ratio + 0.3·(1−stopword-ratio).
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents.select(
+      col("doc_id"), col("source"),
+      round(
+        least(size(toks), lit(64)).cast("double") / 64 * 0.4 +
+          size(array_distinct(toks)).cast("double") / size(toks) * 0.3 +
+          (lit(1.0) - countIn(toks, EnStop).cast("double") / size(toks)) * 0.3,
+        4).as("quality"))
+  }
+
+  /** Per-source quality rollup (corpus triage at scale: one shuffle
+    * on the low-cardinality source key, partial aggs map-side).
+    */
+  def qualityBySource(documents: DataFrame): DataFrame =
+    qualityScore(documents)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("quality"), 4).as("avg_quality"),
+        round(min("quality"), 4).as("min_quality"),
+        round(max("quality"), 4).as("max_quality"))
+
+  /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-
+    * checkable) plus the Rabin-Karp rolling hash from the custom
+    * Catalyst expression (the scale-path fingerprint).
+    */
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      substring(md5(col("text")), 1, 16).as("fp_md5_64"),
+      rolling_hash64(col("text")).as("fp_roll"))
+}
