@@ -15,7 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization, no boxing of the array arguments).
   */
 object expressions {
-  private val ops = classOf[HashOps.type].getName.stripSuffix("$") + ".MODULE$"
+  // static forwarders on the companion-less object's plain class —
+  // callable from janino-generated code as ordinary static methods
+  private val ops = "graft.functions.HashOps"
 
   /** minhash_sig(shingles, k): one-pass k-wide MinHash signature. */
   case class MinHashSig(child: Expression, k: Int)

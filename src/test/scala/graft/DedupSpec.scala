@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+      (3L, "the quick brown fox leaps over the lazy dog"),      // near dup of 1
+      (4L, "completely different words appear in this sentence here"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest doc_id with multiplicity") {
+    val out = Dedup.exact(corpus).collect()
+    assert(out.length == 4) // 5 docs, one exact dup pair
+    val dupGroup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_doc_id") == 1L)
+  }
+
+  test("ngram jaccard finds exact and near duplicates, skips short docs") {
+    val pairs = Dedup.ngramJaccard(corpus, 0.4, lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.exists { case (a, b, j) => a == 1 && b == 2 && j == 1.0 })
+    assert(pairs.exists { case (a, b, _) => a == 1 && b == 3 })
+    assert(!pairs.exists { case (a, b, _) => a == 5 || b == 5 })
+  }
+
+  test("minhash LSH surfaces the same near-dups as exact jaccard") {
+    // default 16x4 banding targets J~0.5+; for the planted J=0.4 pair
+    // use 32 bands of 2 rows (detection threshold ~0.18)
+    val lsh = Dedup.minhashLsh(corpus, 0.4, k = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((1L, 2L)))
+    assert(lsh.contains((1L, 3L)))
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val out = Dedup.simhashPairs(corpus, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
+  }
+
+  test("embedding near-dup finds planted close pair") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // planted near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embedNearDup(vecs, 0.95, lit(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.HashOps
+import graft.functions.expressions._
+
+class ExpressionsSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def strArray(xs: String*): ArrayData =
+    ArrayData.toArrayData(xs.toArray.map(UTF8String.fromString))
+
+  test("hash64 is deterministic and spread") {
+    val h1 = HashOps.hash64(UTF8String.fromString("spark"))
+    val h2 = HashOps.hash64(UTF8String.fromString("spark"))
+    val h3 = HashOps.hash64(UTF8String.fromString("sparl"))
+    assert(h1 == h2)
+    assert(h1 != h3)
+  }
+
+  test("minhash estimates jaccard") {
+    // two 200-element sets sharing 100 elements: true J = 100/300
+    val a = strArray((0 until 200).map(i => s"x$i"): _*)
+    val b = strArray((100 until 300).map(i => s"x$i"): _*)
+    val k = 128
+    val sa = HashOps.minhash(a, k).toLongArray()
+    val sb = HashOps.minhash(b, k).toLongArray()
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est")
+  }
+
+  test("simhash: identical token sets collide, disjoint sets don't") {
+    val a = strArray("alpha", "beta", "gamma", "delta")
+    val b = strArray("alpha", "beta", "gamma", "delta")
+    val c = strArray("epsilon", "zeta", "eta", "theta")
+    assert(HashOps.simhash(a) == HashOps.simhash(b))
+    assert(HashOps.simhash(a) != HashOps.simhash(c))
+  }
+
+  test("rolling hash: order-sensitive fingerprint") {
+    val h = (s: String) => HashOps.rollingHash(UTF8String.fromString(s))
+    assert(h("abc") == h("abc"))
+    assert(h("abc") != h("acb"))
+    assert(h("") == 0L)
+  }
+
+  test("cosine kernel matches manual computation") {
+    val a = ArrayData.toArrayData(Array(1.0f, 0.0f, 2.0f))
+    val b = ArrayData.toArrayData(Array(0.5f, 1.0f, 2.0f))
+    val exp = (1.0 * 0.5 + 2.0 * 2.0) /
+      (math.sqrt(1 + 4) * math.sqrt(0.25 + 1 + 4))
+    assert(math.abs(HashOps.cosineFF(a, b) - exp) < 1e-12)
+    assert(HashOps.cosineFF(a, a) > 1.0 - 1e-12)
+  }
+
+  test("expressions run inside dataframe plans (codegen path)") {
+    import spark.implicits._
+    val df = Seq(("a b c a", Array(1.0f, 2.0f)), ("d e f g", Array(2.0f, 4.0f)))
+      .toDF("text", "vec")
+    val out = df.select(
+      rolling_hash64(col("text")).as("rh"),
+      simhash64(split(col("text"), " ")).as("sh"),
+      minhash_sig(split(col("text"), " "), 16).as("mh"),
+      cosine_sim(col("vec"), col("vec")).as("self_cos"),
+      lsh_sig(col("vec"), 8, 0).as("lsh")).collect()
+    assert(out.length == 2)
+    assert(out.forall(r => math.abs(r.getAs[Double]("self_cos") - 1.0) < 1e-12))
+    assert(out.forall(r => r.getAs[Seq[Long]]("mh").length == 16))
+    // codegen result equals interpreted kernel result
+    assert(out(0).getAs[Long]("rh") ==
+      HashOps.rollingHash(UTF8String.fromString("a b c a")))
+    // parallel vectors share every hyperplane side
+    assert(out(0).getAs[Long]("lsh") == out(1).getAs[Long]("lsh"))
+  }
+}

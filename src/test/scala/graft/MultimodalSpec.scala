@@ -1,0 +1,37 @@
+package graft
+
+import graft.mm.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("media table: binary payload with typed metadata") {
+    val media = Multimodal.attach(Tables.documents(spark, sf))
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    assert(schema("media_type").dataType.typeName == "string")
+    val row = media.filter("doc_id = 3").collect()(0)
+    assert(row.getAs[String]("media_type") == "image")
+    assert(row.getAs[Array[Byte]]("payload").nonEmpty)
+  }
+
+  test("batched decode produces deterministic features") {
+    val feats = Multimodal.featureFrame(spark, Tables.documents(spark, sf))
+    val rows = feats.collect()
+    assert(rows.length == 500)
+    val r = feats.filter("doc_id = 0").collect()(0)
+    // doc 0 text starts with "the ..." → first byte 't' = 116
+    assert(r.getAs[Int]("first_byte") == 116)
+    assert(r.getAs[Long]("payload_len") > 0)
+    assert(r.getAs[Long]("checksum") >= 0 && r.getAs[Long]("checksum") < 997)
+    // mean byte of ascii text is within byte range
+    assert(r.getAs[Double]("mean_byte") > 32 && r.getAs[Double]("mean_byte") < 127)
+  }
+
+  test("batch kernel sees full batches up to BatchSize") {
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val rows = (0 until 150).map(i =>
+      Multimodal.MediaRow(i.toLong, "image", Array[Byte](1, 2, 3), 4, 4))
+    rows.grouped(Multimodal.StubKernel.BatchSize).foreach(b => sizes += b.size)
+    assert(sizes.toSeq == Seq(64, 64, 22))
+  }
+}

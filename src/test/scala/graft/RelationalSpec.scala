@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.Relational
+import graft.text.TextAnalysis
+
+class RelationalSpec extends SparkSpec {
+
+  test("flagship q1 aggregates are sane") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 9) // |returnflag| x |linestatus|
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("avg_disc") >= 0 && r.getAs[Double]("avg_disc") <= 0.1)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("topn returns exactly n rows ordered by revenue") {
+    val rows = Relational.q3MultiJoin(spark, sf).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("sessionization: every user has at least one session") {
+    val rows = Relational.q16Sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") >= 1)
+      assert(r.getAs[Long]("max_session_events") >= 1)
+    }
+  }
+
+  test("language id predicts a language for every doc") {
+    val rows = TextAnalysis.langId(Tables.documents(spark, sf)).collect()
+    assert(rows.length == 500)
+    val langs = rows.map(_.getAs[String]("pred_lang")).toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "und")))
+  }
+
+  test("quality score stays in [0, 1]") {
+    val rows = TextAnalysis.qualityScore(Tables.documents(spark, sf)).collect()
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sim.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embeddings = Tables.embeddings(spark, sf)
+
+  test("brute-force topk: k rows per query, self excluded, ranks dense") {
+    val out = Similarity.bruteTopK(embeddings, col("vec_id") < 3, 5).collect()
+    assert(out.length == 15)
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(!rows.exists(r => r.getAs[Long]("vec_id") == r.getAs[Long]("q_id")))
+      // ranking is by descending cosine
+      val sorted = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN finds a planted near-duplicate at rank 1") {
+    import spark.implicits._
+    val base = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    }
+    // vec 100 = tiny perturbation of vec 7
+    val planted = (100L, base(7)._2.map(x => x + 0.001f))
+    val vecs = (base :+ planted).toDF("vec_id", "embedding")
+    val out = Similarity.annLsh(vecs, col("vec_id") === 100L, 3)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("vec_id") == 7L)
+    assert(out.head.getAs[Double]("cos") > 0.999)
+  }
+
+  test("IVF ANN returns k ranked candidates per query") {
+    val out = Similarity.annIvf(embeddings, col("vec_id") < 3, 5,
+      centroidStride = 50L, nProbe = 2).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach(rows => assert(rows.length == 5))
+  }
+
+  test("IVF recall overlaps brute force meaningfully") {
+    val brute = Similarity.bruteTopK(embeddings, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.annIvf(embeddings, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert((brute intersect ivf).size >= 10, s"overlap ${(brute intersect ivf).size}/50")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.cdc.Changelog
+import graft.streaming.{CdcStreams, ChangeRecord, DocState}
+
+case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+class StreamingSpec extends SparkSpec {
+
+  private def ev(id: Long, user: Long, typ: String, minute: Int): EventRow =
+    EventRow(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, typ,
+      id * 1.5, s"""{"k": $id}""")
+
+  // two micro-batches; user2 gets deleted in batch 2, user3 arrives late
+  private val batch1 = Seq(
+    ev(0, 1, "signup", 0), ev(1, 1, "click", 1), ev(2, 2, "signup", 2),
+    ev(4, 3, "signup", 4), ev(6, 3, "view", 6))
+  private val batch2 = Seq(
+    ev(3, 2, "purchase", 3), ev(7, 2, "error", 7),
+    ev(5, 3, "click", 5)) // seq 5 < already-seen seq 6: late arrival
+
+  private def allEvents = batch1 ++ batch2
+
+  test("streaming latest-state converges to the batch operator") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val states = CdcStreams.latestState(
+      CdcStreams.changelog(input.toDF()))
+    val q = states.writeStream.format("memory").queryName("lws")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    // final streaming state: last emission per doc, minus tombstones
+    val emitted = spark.table("lws").as[DocState].collect()
+    val finalState = emitted.groupBy(_.doc_id).map(_._2.maxBy(_.n_changes))
+      .filter(_.last_op != Changelog.Delete)
+      .map(s => (s.doc_id, s.last_seq, s.last_op, s.last_field, s.n_changes))
+      .toSet
+
+    val batch = Changelog.latestState(
+      Changelog.fromEvents(allEvents.toDF())).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[String]("last_op"), r.getAs[String]("last_field"),
+        r.getAs[Long]("n_changes"))).toSet
+
+    assert(finalState == batch)
+    // user2 ended deleted: present in emissions as tombstone, absent from state
+    assert(emitted.exists(s => s.doc_id == "user2" && s.last_op == Changelog.Delete))
+    assert(!finalState.exists(_._1 == "user2"))
+    // late event for user3 did not regress last_seq
+    assert(finalState.exists(t => t._1 == "user3" && t._2 == 6L))
+  }
+
+  test("stateless routes produce identical rows streaming and batch") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val fts = CdcStreams.ftsRoute(CdcStreams.changelog(input.toDF()).toDF())
+    val q = fts.writeStream.format("memory").queryName("fts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1); input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("fts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val batch = Changelog.ftsRoute(Changelog.fromEvents(allEvents.toDF()))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("windowed op counts with watermark aggregate by event time") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val counts = CdcStreams.windowedOpCounts(CdcStreams.changelog(input.toDF()))
+    val q = counts.writeStream.format("memory").queryName("opc")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(allEvents); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("opc").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n")).sum
+    assert(total == allEvents.size)
+  }
+}
