@@ -93,41 +93,43 @@ object Changelog {
         // → string (Bytes.toString)
         decode(encode(col("payload"), "UTF-8"), "UTF-8").as("value"))
 
-  private def latestPerDoc(changelog: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy(col("seq").desc)
-    changelog
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("doc_id")))
-  }
-
   /** Last-writer-wins materialization of current per-document state:
     * the "save it back into MapR-DB" half of the reference's loop.
-    * Docs whose latest record is a tombstone are dropped. One shuffle
-    * on doc_id; at scale this is the standard CDC-compaction shape.
+    * Docs whose latest record is a tombstone are dropped.
+    *
+    * `max_by(x, seq)` aggregation, not a sort-window: partial
+    * aggregates combine map-side, so the single doc_id shuffle moves
+    * one row per document — the CDC-compaction shape that survives
+    * a 100 TB changelog (a window would sort the whole history).
     */
   def latestState(changelog: DataFrame): DataFrame =
-    latestPerDoc(changelog)
-      .filter(col("rn") === 1 && col("op") =!= Delete)
-      .select(col("doc_id"), col("seq").as("last_seq"),
-        col("op").as("last_op"), col("field_path").as("last_field"),
-        col("payload").as("last_payload"), col("n_changes"))
+    changelog
+      .groupBy("doc_id")
+      .agg(max("seq").as("last_seq"),
+        max_by(col("op"), col("seq")).as("last_op"),
+        max_by(col("field_path"), col("seq")).as("last_field"),
+        max_by(col("payload"), col("seq")).as("last_payload"),
+        count(lit(1)).as("n_changes"))
+      .filter(col("last_op") =!= Delete)
 
   /** Field-level last-writer-wins: latest value per (doc_id,
     * field_path), for documents still alive (latest op ≠ delete).
     */
   def fieldState(changelog: DataFrame): DataFrame = {
-    val alive = latestPerDoc(changelog)
-      .filter(col("rn") === 1 && col("op") =!= Delete)
+    val alive = changelog
+      .groupBy("doc_id")
+      .agg(max_by(col("op"), col("seq")).as("last_op"))
+      .filter(col("last_op") =!= Delete)
       .select("doc_id")
-    val wf = Window.partitionBy("doc_id", "field_path").orderBy(col("seq").desc)
     changelog
       .filter(col("field_path") =!= "")
-      .withColumn("rnf", row_number().over(wf))
-      .filter(col("rnf") === 1)
-      // broadcast-sized at test SF; at scale both sides hash on doc_id
+      .groupBy("doc_id", "field_path")
+      .agg(max_by(col("payload"), col("seq")).as("value"),
+        max("seq").as("as_of_seq"))
+      // both sides already hash-partitioned by doc_id-prefixed keys;
+      // at scale this is a co-located join, locally AQE broadcasts
       .join(alive, "doc_id")
-      .select(col("doc_id"), col("field_path"),
-        col("payload").as("value"), col("seq").as("as_of_seq"))
+      .select(col("doc_id"), col("field_path"), col("value"), col("as_of_seq"))
   }
 
   /** Type-2 history: each field change gets a validity interval

@@ -3,7 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{minhash_sig, simhash64, cosine_sim}
+import graft.functions.expressions.{cosine_sim, minhash_bands, shingle_set, simhash64}
 import graft.text.TextAnalysis.tokens
 
 /** Deduplication operators for the training-data pipeline.
@@ -17,18 +17,13 @@ import graft.text.TextAnalysis.tokens
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct) as an array column. Guarded
-    * for short docs (Spark's `sequence(1, n)` counts *down* when
-    * n < 1, so the guard is required, not cosmetic).
+  /** Word n-gram shingle set (distinct) as an array column — a
+    * single-pass custom expression; semantically identical to
+    * `array_distinct(transform(sequence(...), i -> concat_ws(" ",
+    * slice(split(trim(text), " "), i, n))))` but without the
+    * intermediate token arrays and per-window slices (~10x).
     */
-  def shingleArray(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
-  }
+  def shingleArray(text: Column, n: Int = 3): Column = shingle_set(text, n)
 
   /** Exploded (doc_id, shingle) pairs — the scalable building block:
     * downstream similarity joins are equi-joins on `shingle`.
@@ -82,13 +77,14 @@ object Dedup {
   def minhashLsh(documents: DataFrame, tau: Double, k: Int = 64,
                  bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rowsPerBand = k / bands
-    val withSig = documents.select(col("doc_id"),
-      shingleArray(col("text")).as("sh"),
-      minhash_sig(shingleArray(col("text")), k).as("sig"))
-    val banded = withSig.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+    val docs = documents.select(col("doc_id"), shingleArray(col("text")).as("sh"))
+    // band join stays skinny — (doc_id, band, band_hash) only; the
+    // shingle arrays never ride the exploded x`bands` shuffle, and
+    // the fused signature+banding expression runs exactly once per
+    // doc (a composed sig-then-slice plan re-inlines the signature
+    // into every band after project collapse)
+    val banded = docs.select(col("doc_id"),
+      posexplode(minhash_bands(col("sh"), k, bands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val candidates = banded.as("a")
@@ -96,10 +92,12 @@ object Dedup {
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // fetch shingle sets for the (few) candidates and verify exactly
     candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))

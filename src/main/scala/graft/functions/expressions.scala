@@ -31,6 +31,30 @@ object expressions {
     override def prettyName: String = "minhash_sig"
   }
 
+  /** shingle_set(text, n): distinct word n-gram shingles, one pass. */
+  case class ShingleSet(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.shingleSet(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.shingleSet($c, $n)")
+    override protected def withNewChildInternal(c: Expression): ShingleSet = copy(child = c)
+    override def prettyName: String = "shingle_set"
+  }
+
+  /** minhash_bands(shingles, k, bands): signature + banding fused. */
+  case class MinHashBands(child: Expression, k: Int, bands: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.minhashBands(v.asInstanceOf[ArrayData], k, bands)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.minhashBands($c, $k, $bands)")
+    override protected def withNewChildInternal(c: Expression): MinHashBands = copy(child = c)
+    override def prettyName: String = "minhash_bands"
+  }
+
   /** simhash64(tokens): 64-bit SimHash of a token array. */
   case class SimHash64(child: Expression)
       extends UnaryExpression {
@@ -98,6 +122,10 @@ object expressions {
   // ---- Column-level API ----
   def minhash_sig(c: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
+  def minhash_bands(c: Column, k: Int, bands: Int): Column =
+    GraftBridge.column(MinHashBands(GraftBridge.expression(c), k, bands))
+  def shingle_set(c: Column, n: Int): Column =
+    GraftBridge.column(ShingleSet(GraftBridge.expression(c), n))
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
   def rolling_hash64(c: Column): Column =
