@@ -41,6 +41,7 @@ object SparkEntry {
     "q5_antijoin" -> Relational.q5AntiJoin _,
     "q6_window" -> Relational.q6Window _,
     "q7_distinct" -> Relational.q7Distinct _,
+    "q7_approx_distinct" -> Relational.q7ApproxDistinct _,
     "q8_topn_group" -> Relational.q8TopNGroup _,
     "q9_rollup" -> Relational.q9Rollup _,
     "q10_case_pivot" -> Relational.q10CasePivot _,

@@ -102,6 +102,20 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("l_returnflag")
 
+  /** Approximate distinct counting (HLL++): the 100 TB path — raw
+    * keys never cross the shuffle, only fixed-size sketches do.
+    * [[q7Distinct]] is its exact oracle; no SQL oracle here because
+    * HLL estimates are implementation-specific.
+    */
+  def q7ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("n_orders_approx"),
+        approx_count_distinct(col("l_partkey")).as("n_parts_approx"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
   /** Per-group top-N via row_number (shuffles once on the group key). */
   def q8TopNGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
