@@ -26,6 +26,7 @@ object SparkEntry {
     // §2a CDC core
     "cdc_changelog" -> ((s, d) => changelog(s, d).orderBy("seq")),
     "cdc_fts_route" -> ((s, d) => Changelog.ftsRoute(changelog(s, d)).orderBy("seq")),
+    "cdc_fts_messages" -> ((s, d) => Changelog.ftsMessages(changelog(s, d)).orderBy("seq")),
     "cdc_geo_route" -> ((s, d) => Changelog.geoRoute(changelog(s, d)).orderBy("seq")),
     "cdc_binary_route" -> ((s, d) => Changelog.binaryRoute(changelog(s, d)).orderBy("seq")),
     "cdc_latest_state" -> ((s, d) => Changelog.latestState(changelog(s, d)).orderBy("doc_id")),
@@ -105,6 +106,17 @@ object SparkEntry {
     "cdc_changelog" -> (clCte + "SELECT * FROM changelog ORDER BY seq"),
     "cdc_fts_route" -> (clCte +
       """SELECT doc_id AS _id, seq, op AS operation, 'json' AS type, field_path, payload
+        |FROM changelog
+        |WHERE op = 'RECORD_DELETE' OR op = 'RECORD_INSERT'
+        |   OR field_path IN ('firstName','lastName')
+        |ORDER BY seq""".stripMargin),
+    "cdc_fts_messages" -> (clCte +
+      """SELECT doc_id AS _id, seq,
+        |  CASE WHEN op = 'RECORD_DELETE'
+        |       THEN CAST(json_object('_id', doc_id, 'operation', op) AS VARCHAR)
+        |       ELSE CAST(json_object('_id', doc_id, 'operation', op,
+        |                 'type', 'json', 'field_path', field_path,
+        |                 'payload', payload) AS VARCHAR) END AS message
         |FROM changelog
         |WHERE op = 'RECORD_DELETE' OR op = 'RECORD_INSERT'
         |   OR field_path IN ('firstName','lastName')

@@ -93,6 +93,20 @@ object Changelog {
         // → string (Bytes.toString)
         decode(encode(col("payload"), "UTF-8"), "UTF-8").as("value"))
 
+  /** FTS messages in the reference's wire format
+    * (FtsAndGeoServiceJSONWithCDC.java:99-207): deletes are bare
+    * `{"_id","operation"}` tombstones; inserts/updates carry type and
+    * the changed field. One conditional JSON projection — stateless,
+    * streaming-safe.
+    */
+  def ftsMessages(changelog: DataFrame): DataFrame =
+    ftsRoute(changelog).select(col("_id"), col("seq"),
+      when(col("operation") === Delete,
+        to_json(struct(col("_id"), col("operation"))))
+        .otherwise(to_json(struct(col("_id"), col("operation"), col("type"),
+          col("field_path"), col("payload"))))
+        .as("message"))
+
   /** Last-writer-wins materialization of current per-document state:
     * the "save it back into MapR-DB" half of the reference's loop.
     * Docs whose latest record is a tombstone are dropped.

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("bucketed tables join without a shuffle exchange") {
+    // force SMJ: a broadcast join would insert a BroadcastExchange and
+    // hide the property under test (bucketed scans satisfying the
+    // join's required hash distribution)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try bucketedJoinBody()
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    // a previously-failed run can leave the managed-table dir behind
+    // without a catalog entry; clear both
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft-test-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    val orders = Tables.orders(spark, sf)
+    val lineitem = Tables.lineitem(spark, sf)
+    Layout.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Layout.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), "o_orderkey")
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan
+    val exchanges = collectWithSubqueries(plan) { case e: Exchange => e }
+    // the join itself is exchange-free; only the final low-cardinality
+    // aggregation may shuffle
+    assert(exchanges.size <= 1, s"unexpected exchanges:\n$plan")
+
+    // same join on the raw (unbucketed) parquet shuffles both sides
+    val raw = lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+      .join(orders, "o_orderkey")
+      .groupBy("o_orderstatus").agg(sum("l_quantity").as("q"))
+    raw.collect()
+    val rawExchanges = collectWithSubqueries(
+      raw.queryExecution.executedPlan) { case e: Exchange => e }
+    assert(rawExchanges.size > exchanges.size)
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val customer = Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .select(col("o_custkey"), col("c_mktsegment"))
+    val plain = orders.join(customer, "o_custkey")
+      .collect().map(_.toSeq).toSet
+    val salted = Layout.saltedJoin(orders, customer, "o_custkey", salt = 8)
+      .select("o_custkey", "o_orderkey", "c_mktsegment")
+      .collect().map(_.toSeq).toSet
+    val plainReordered = orders.join(customer, "o_custkey")
+      .select("o_custkey", "o_orderkey", "c_mktsegment")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plainReordered && salted.nonEmpty)
+    assert(plain.nonEmpty)
+  }
+}
