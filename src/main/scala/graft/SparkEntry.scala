@@ -56,6 +56,7 @@ object SparkEntry {
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
     "text_quality" -> ((s, d) => TextAnalysis.qualityBySource(Tables.documents(s, d)).orderBy("source")),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_md5_64").orderBy("doc_id")),
     "text_fingerprint_roll" -> ((s, d) =>
@@ -346,6 +347,13 @@ object SparkEntry {
         |       round(min(quality), 4) AS min_quality,
         |       round(max(quality), 4) AS max_quality
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |       round(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE) /
+        |             len(string_split(trim(text), ' ')), 4) AS tokens_per_word
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp_md5_64
         |FROM documents ORDER BY doc_id""".stripMargin,

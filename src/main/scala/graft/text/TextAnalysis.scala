@@ -100,6 +100,22 @@ object TextAnalysis {
         round(min("quality"), 4).as("min_quality"),
         round(max("quality"), 4).as("max_quality"))
 
+  /** Tokenizer comparison: whitespace tokens vs a BPE-style
+    * pre-tokenization regex (word pieces / digit runs / punctuation
+    * as separate tokens — the usual LLM pre-tokenizer shape). Both
+    * are single-pass codegen'd regexes; the ratio estimates
+    * tokens-per-word for corpus budgeting.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val ws = tokens(col("text"))
+    val bpe = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+    documents.select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_ws_tokens"),
+      size(bpe).cast("long").as("n_bpe_tokens"),
+      round(size(bpe).cast("double") / size(ws), 4).as("tokens_per_word"))
+  }
+
   /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-
     * checkable) plus the Rabin-Karp rolling hash from the custom
     * Catalyst expression (the scale-path fingerprint).
