@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // runtime bloom-filter pruning: selective join sides seed a
+      // bloom filter pushed into the probe-side scan (big at 100 TB)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = builder().getOrCreate()

@@ -43,6 +43,7 @@ object SparkEntry {
     "q6_window" -> Relational.q6Window _,
     "q7_distinct" -> Relational.q7Distinct _,
     "q7_approx_distinct" -> Relational.q7ApproxDistinct _,
+    "q7_hll_sketch" -> Relational.q7HllSketch _,
     "q8_topn_group" -> Relational.q8TopNGroup _,
     "q9_rollup" -> Relational.q9Rollup _,
     "q10_case_pivot" -> Relational.q10CasePivot _,
@@ -52,6 +53,9 @@ object SparkEntry {
     "q14_timebucket" -> Relational.q14TimeBucket _,
     "q15_asof" -> Relational.q15AsOf _,
     "q16_sessionize" -> Relational.q16Sessionize _,
+    "q17_quantiles" -> Relational.q17Quantiles _,
+    "q17_approx_quantiles" -> Relational.q17ApproxQuantiles _,
+    "q18_asof_join" -> Relational.q18AsofAttribution _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -347,6 +351,28 @@ object SparkEntry {
         |       round(min(quality), 4) AS min_quality,
         |       round(max(quality), 4) AS max_quality
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "q17_quantiles" ->
+      """SELECT o_orderstatus,
+        |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+        |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+        |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q18_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |           OVER w AS click_id,
+        |         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |           OVER w AS click_ts_us
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id AS purchase_id, user_id, click_id,
+        |       epoch_us(ts) - click_ts_us AS gap_us
+        |FROM tagged WHERE event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

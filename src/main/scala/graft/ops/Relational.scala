@@ -116,6 +116,19 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("l_returnflag")
 
+  /** Full sketch lifecycle (DataSketches HLL): build per-group
+    * sketches, merge them, estimate. At 100 TB the sketches are the
+    * only thing crossing executors — this is the shape of distinct
+    * counting over partitioned ingestion. Rows-only check.
+    */
+  def q7HllSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(expr("hll_sketch_agg(l_orderkey)").as("sk"))
+      .groupBy("l_returnflag")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_orders_est"))
+      .orderBy("l_returnflag")
+
   /** Per-group top-N via row_number (shuffles once on the group key). */
   def q8TopNGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_orderpriority")
@@ -200,6 +213,54 @@ object Relational {
       .select(col("user_id"), col("event_id").as("last_event"),
         round(col("value"), 2).as("last_value"))
       .orderBy("user_id")
+  }
+
+  /** Exact linear-interpolation percentiles per group (the oracle
+    * for the sketch path below).
+    */
+  def q17Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Sketch-based quantiles (GK / approx_percentile): the 100 TB
+    * path — bounded-size sketches merge instead of sorting raw
+    * values. Rows-only check (sketch estimates are impl-specific).
+    */
+  def q17ApproxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000)").as("pcts"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** As-of (attribution) join done the scalable way: instead of a
+    * per-key range join (which explodes on hot keys), tag the union
+    * stream and carry the most recent click forward with an
+    * ignore-nulls running `last` — one shuffle, one sort, zero join.
+    * Each purchase gets the latest click at-or-before its timestamp.
+    */
+  def q18AsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_ts_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"),
+        (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
+      .orderBy("purchase_id")
   }
 
   /** Gap-based sessionization: a >30min silence starts a new session.

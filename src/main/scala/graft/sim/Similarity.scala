@@ -73,17 +73,46 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
-  /** IVF-style ANN: a deterministic subsample of the corpus acts as
-    * the coarse quantizer (at scale: k-means centroids, same shape).
+  /** Lloyd's k-means refinement of a centroid set, as DataFrame ops:
+    * each iteration assigns every vector to its nearest centroid
+    * (broadcast argmax — one corpus scan) and recomputes cell means
+    * (map-side-combinable per-dimension aggregation). The driver loop
+    * is over `iters` (small); data never leaves executors. Returns
+    * (cell_id, c_emb) with contiguous ids.
+    */
+  def kmeansCentroids(corpus: DataFrame, init: DataFrame, iters: Int,
+                      dim: Int): DataFrame = {
+    var centroids = init.select(col("cell_id"), col("c_emb"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
+      val assigned = corpus.join(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cell_id"),
+          cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
+        .withColumn("arn", row_number().over(wAssign))
+        .filter(col("arn") === 1)
+      centroids = assigned
+        .groupBy("cell_id")
+        .agg(array((0 until dim).map(j =>
+          avg(col("embedding").getItem(j)).cast("float")): _*).as("c_emb"))
+    }
+    centroids
+  }
+
+  /** IVF-style ANN: coarse quantizer cells (a deterministic corpus
+    * subsample, optionally Lloyd-refined via [[kmeansCentroids]]).
     * Every vector is assigned to its nearest centroid (broadcast
     * argmax — one corpus scan); queries probe their `nProbe` nearest
     * cells and rerank exactly within them.
     */
   def annIvf(embeddings: DataFrame, queryFilter: Column, k: Int,
-             centroidStride: Long = 50L, nProbe: Int = 2): DataFrame = {
+             centroidStride: Long = 50L, nProbe: Int = 2,
+             kmeansIters: Int = 0, dim: Int = 64): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
-    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
+    val seed = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val centroids =
+      if (kmeansIters > 0) kmeansCentroids(corpus, seed, kmeansIters, dim)
+      else seed
     val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
     val assigned = corpus.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell_id"),

@@ -72,6 +72,32 @@ object CdcStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(mergeGroup)
   }
 
+  /** Stream-stream attribution join: purchases (address updates in
+    * CDC terms) joined to the clicks that preceded them within
+    * `windowSec`, both sides watermarked so join state is bounded —
+    * the streaming analogue of the batch as-of attribution
+    * ([[graft.ops.Relational.q18AsofAttribution]]). Spark keeps
+    * click state only `windowSec` + watermark past the event time.
+    */
+  def attributionJoin(cl: Dataset[ChangeRecord], windowSec: Long = 3600,
+                      watermark: String = "10 minutes"): DataFrame = {
+    val base = cl.withColumn("ts", timestamp_micros(col("ts_us")))
+    val clicks = base.filter(col("field_path") === "firstName")
+      .select(col("doc_id").as("c_doc"), col("seq").as("click_seq"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = base.filter(col("field_path") === "address")
+      .select(col("doc_id").as("p_doc"), col("seq").as("purchase_seq"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(clicks,
+      col("p_doc") === col("c_doc") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("p_doc").as("doc_id"), col("purchase_seq"),
+        col("click_seq"), col("purchase_ts"), col("click_ts"))
+  }
+
   /** Event-time windowed changelog audit with a watermark: op mix
     * per hour, tolerating 10 minutes of disorder. The streaming
     * twin of [[Changelog.opCounts]].

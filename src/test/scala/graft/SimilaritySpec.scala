@@ -45,6 +45,14 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach(rows => assert(rows.length == 5))
   }
 
+  test("IVF with Lloyd-refined centroids still returns full top-k") {
+    val out = Similarity.annIvf(embeddings, col("vec_id") < 3, 5,
+      centroidStride = 50L, nProbe = 2, kmeansIters = 2, dim = 64).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach(rows => assert(rows.length == 5))
+  }
+
   test("IVF recall overlaps brute force meaningfully") {
     val brute = Similarity.bruteTopK(embeddings, col("vec_id") < 10, 5)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet

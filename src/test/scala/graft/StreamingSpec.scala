@@ -81,6 +81,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream attribution join pairs purchases with prior clicks") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val joined = CdcStreams.attributionJoin(
+      CdcStreams.changelog(input.toDF()), windowSec = 3600)
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user5: click at :10, purchases at :20 (in window) and a
+      // click from another user that must not match
+      input.addData(Seq(
+        ev(10, 5, "click", 10), ev(11, 6, "click", 11),
+        ev(12, 5, "purchase", 20)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attr").collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("purchase_seq") == 12L)
+    assert(rows(0).getAs[Long]("click_seq") == 10L)
+  }
+
   test("windowed op counts with watermark aggregate by event time") {
     import spark.implicits._
     implicit val s = spark
