@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.col
 import graft.cdc.Changelog
 import graft.dedup.Dedup
 import graft.mm.Multimodal
-import graft.ops.Relational
+import graft.ops.{Relational, Sampling}
 import graft.sim.Similarity
 import graft.text.TextAnalysis
 
@@ -63,6 +63,8 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id")),
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_md5_64").orderBy("doc_id")),
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d), 10).orderBy(col("cnt").desc, col("token"))),
+    "text_split" -> ((s, d) => Sampling.splitAudit(Tables.documents(s, d)).orderBy("source", "split")),
     "text_fingerprint_roll" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_roll").orderBy("doc_id")),
     // §2c dedup
@@ -380,6 +382,17 @@ object SparkEntry {
         |       round(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE) /
         |             len(string_split(trim(text), ' ')), 4) AS tokens_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """SELECT tok AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    "text_split" ->
+      """SELECT source,
+        |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |                 IN ('0','1','2','3') THEN 'val' ELSE 'train' END AS split,
+        |       count(*) AS n_docs,
+        |       round(avg(length(text)), 4) AS avg_len
+        |FROM documents GROUP BY source, split ORDER BY source, split""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp_md5_64
         |FROM documents ORDER BY doc_id""".stripMargin,

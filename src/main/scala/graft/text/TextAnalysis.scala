@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.FreqItemsAgg.freq_items
 import graft.functions.expressions.rolling_hash64
 
 /** Text-analysis operators for the training-data pipeline, over the
@@ -99,6 +100,19 @@ object TextAnalysis {
         round(avg("quality"), 4).as("avg_quality"),
         round(min("quality"), 4).as("min_quality"),
         round(max("quality"), 4).as("max_quality"))
+
+  /** Corpus vocabulary heavy-hitters via the Misra-Gries typed
+    * imperative aggregate ([[graft.functions.FreqItemsAgg]]): only
+    * fixed-size counter buffers cross the shuffle. With capacity
+    * above the true vocab size the result is exact — which is what
+    * the SQL oracle checks.
+    */
+  def vocabTopK(documents: DataFrame, k: Int = 10): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(freq_items(col("tok"), k).as("top"))
+      .select(explode(col("top")).as("kv"))
+      .select(col("kv.token").as("token"), col("kv.cnt").as("cnt"))
 
   /** Tokenizer comparison: whitespace tokens vs a BPE-style
     * pre-tokenization regex (word pieces / digit runs / punctuation
