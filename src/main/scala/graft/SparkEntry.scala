@@ -45,6 +45,7 @@ object SparkEntry {
     "q7_approx_distinct" -> Relational.q7ApproxDistinct _,
     "q7_hll_sketch" -> Relational.q7HllSketch _,
     "q8_topn_group" -> Relational.q8TopNGroup _,
+    "q8_topn_native" -> Relational.q8TopNNative _,
     "q9_rollup" -> Relational.q9Rollup _,
     "q10_case_pivot" -> Relational.q10CasePivot _,
     "q11_union_set" -> Relational.q11UnionSet _,
@@ -241,6 +242,14 @@ object SparkEntry {
         |       count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q8_topn_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |         o_orderkey, o_totalprice
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q8_topn_native" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority,
         |         row_number() OVER (PARTITION BY o_orderpriority

@@ -140,6 +140,24 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Same result as [[q8TopNGroup]] through the native
+    * [[graft.plans.TopKPerKey]] operator (bounded heaps, no full
+    * sort); the rank column is recovered with a window over the
+    * already-k-bounded output. Shares q8's oracle.
+    */
+  def q8TopNNative(s: SparkSession, dir: String): DataFrame = {
+    val topped = graft.plans.TopK.perKey(
+      Tables.orders(s, dir),
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    topped
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** Hierarchical aggregation via rollup (status → priority). */
   def q9Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
