@@ -65,6 +65,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_md5_64").orderBy("doc_id")),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d), 10).orderBy(col("cnt").desc, col("token"))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     "text_split" -> ((s, d) => Sampling.splitAudit(Tables.documents(s, d)).orderBy("source", "split")),
     "text_fingerprint_roll" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_roll").orderBy("doc_id")),
@@ -395,6 +397,25 @@ object SparkEntry {
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    "text_repetition" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                 for i in range(1, len(toks))]) AS bg
+        |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+        |  WHERE len(toks) >= 2),
+        |counts AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id, max(c) AS top_bigram_count,
+        |       round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS repetition_ratio
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_pack" ->
+      """SELECT doc_id, source,
+        |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+        |       CAST((sum(len(string_split(trim(text), ' ')))
+        |               OVER (PARTITION BY source ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             - len(string_split(trim(text), ' '))) // 512 AS BIGINT) AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_split" ->
       """SELECT source,
         |       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.FreqItemsAgg.freq_items
@@ -128,6 +129,46 @@ object TextAnalysis {
       size(ws).cast("long").as("n_ws_tokens"),
       size(bpe).cast("long").as("n_bpe_tokens"),
       round(size(bpe).cast("double") / size(ws), 4).as("tokens_per_word"))
+  }
+
+  /** Repetition score — the classic "repeated n-gram" quality
+    * signal: frequency of the most common word bigram over total
+    * bigrams. High values flag boilerplate / degenerate generations.
+    * One explode + one grouped max — no per-doc UDF state.
+    */
+  def repetition(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    // non-distinct bigram stream (sequence counts DOWN when size < 2,
+    // hence the guard)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    documents.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram_count"),
+        sum("c").as("n_bigrams"))
+      .select(col("doc_id"), col("top_bigram_count"),
+        round(col("top_bigram_count").cast("double") / col("n_bigrams"), 4)
+          .as("repetition_ratio"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs
+    * (the "concat documents into 2048-token training rows" step),
+    * deterministically — running token count per source stream,
+    * pack = exclusive-prefix-sum ÷ budget. A window cumsum, not a
+    * sequential packer: reproducible and shuffle-once.
+    */
+  def packSequences(documents: DataFrame, budget: Int = 512): DataFrame = {
+    val toks = tokens(col("text"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    documents
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
   }
 
   /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-
