@@ -74,6 +74,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5, col("doc_id") < 300).orderBy("doc_a", "doc_b")),
+    "dedup_keepers" -> ((s, d) => Dedup.exactKeepers(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_keepers_near" -> ((s, d) => Dedup.nearDupKeepers(Tables.documents(s, d), 0.9).orderBy("doc_id")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) =>
@@ -447,6 +449,11 @@ object SparkEntry {
         |      JOIN sizes sa ON doc_a = sa.doc_id
         |      JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_keepers" ->
+      """SELECT doc_id,
+        |       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,
+        |       doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_kept
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_embed" ->
       """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |             FROM embeddings WHERE vec_id % 5 = 0),

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.{cosine_sim, minhash_bands, shingle_set, simhash64}
@@ -127,6 +128,48 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact-duplicate keeper assignment: every doc mapped to the
+    * lowest doc_id sharing its content hash. The "drop duplicates,
+    * keep one" endgame as a doc-level mapping — output is linear in
+    * corpus size, unlike pair enumeration (which is quadratic in
+    * duplicate-group size; see the 20x-duplicated stress note in
+    * SURVEY §7).
+    */
+  def exactKeepers(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    documents.select(col("doc_id"),
+      min("doc_id").over(w).as("keep_doc_id"))
+      .withColumn("is_kept", (col("doc_id") === col("keep_doc_id")))
+  }
+
+  /** Near-duplicate keeper assignment: LSH candidate pairs become
+    * edges; representatives are found by min-id label propagation.
+    * Duplicate sets from banding are (near-)cliques, so `iters`=2
+    * converges for them; chains longer than `iters` hops keep
+    * distinct keepers (conservative — never over-merges beyond the
+    * verified pairs). Each iteration is one keyed join — the
+    * standard large-scale connected-components shape.
+    */
+  def nearDupKeepers(documents: DataFrame, tau: Double, iters: Int = 2,
+                     k: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = minhashLsh(documents, tau, k, bands).select("doc_a", "doc_b")
+    // undirected edges, both directions
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = documents.select(col("doc_id"), col("doc_id").as("keep_doc_id"))
+    for (_ <- 0 until iters) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min("keep_doc_id").as("nbr_min"))
+      labels = labels.as("l")
+        .join(neighborMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keep_doc_id"), coalesce(col("nbr_min"), col("keep_doc_id")))
+            .as("keep_doc_id"))
+    }
+    labels.withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
   }
 
   /** Embedding-cosine near-dup over a bounded probe subset (exact

@@ -47,6 +47,18 @@ class DedupSpec extends SparkSpec {
     assert(out.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
   }
 
+  test("keeper assignment maps every dup to the group minimum") {
+    val exact = Dedup.exactKeepers(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exact(1L) == 1L && exact(2L) == 1L) // exact dup group
+    assert(exact(3L) == 3L && exact(4L) == 4L) // unique texts keep themselves
+    val near = Dedup.nearDupKeepers(corpus, 0.4, iters = 2, k = 64, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 1,2 exact dups and 3 near-dup of 1: all collapse onto 1
+    assert(near(1L) == 1L && near(2L) == 1L && near(3L) == 1L)
+    assert(near(4L) == 4L && near(5L) == 5L)
+  }
+
   test("embedding near-dup finds planted close pair") {
     import spark.implicits._
     val vecs = Seq(
