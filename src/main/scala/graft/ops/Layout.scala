@@ -25,6 +25,15 @@ object Layout {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Persist a frame partitioned by a derived date column: scans
+    * with a date predicate prune whole directories (the dominant
+    * cost lever for time-series facts at 100 TB). The partition
+    * column must be low-cardinality — days, not timestamps.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("day", date_trunc("day", col(tsCol)).cast("date"))
+      .write.partitionBy("day").mode("overwrite").parquet(path)
+
   /** Skew-safe equi-join: the skewed (big) side gets a deterministic
     * pseudo-random salt in [0, salt); the small side is replicated
     * `salt` times; the join key becomes (key, salt), splitting each

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.cdc.Changelog
+
+/** Versioned parquet state table fed by a streaming changelog — the
+  * "save the enriched document back into MapR-DB" half of the
+  * reference's loop (README.md:24-28), without a mutable store:
+  * every micro-batch merges its last-writer-wins summary into the
+  * previous snapshot and writes a new `v=<epoch>` directory (a
+  * mini-LSM; readers always see a complete consistent version).
+  * Tombstones are retained in the table (consumers filter on
+  * `last_op`), so a delete followed by a re-insert replays correctly.
+  */
+object StateTable {
+
+  private val VersionPrefix = "v="
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(VersionPrefix))
+      .map(_.getName.stripPrefix(VersionPrefix).toLong)
+      .maxOption
+  }
+
+  /** Current snapshot (tombstones included); empty frame if none. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    latestVersion(spark, dir) match {
+      case Some(v) => spark.read.parquet(s"$dir/$VersionPrefix$v")
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id STRING, last_seq BIGINT, last_op STRING, " +
+              "last_field STRING, last_payload STRING, n_changes BIGINT"))
+    }
+
+  /** Live documents of the current snapshot. */
+  def readLive(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir).filter(col("last_op") =!= Changelog.Delete)
+
+  private def summarize(batch: DataFrame): DataFrame =
+    batch.groupBy("doc_id")
+      .agg(max("seq").as("last_seq"),
+        max_by(col("op"), col("seq")).as("last_op"),
+        max_by(col("field_path"), col("seq")).as("last_field"),
+        max_by(col("payload"), col("seq")).as("last_payload"),
+        count(lit(1)).as("n_changes"))
+
+  /** Merge a batch summary into the previous snapshot: later seq
+    * wins field-wise, change counts accumulate.
+    */
+  private[streaming] def merge(prev: DataFrame, update: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), col("last_seq").as("p_seq"),
+      col("last_op").as("p_op"), col("last_field").as("p_field"),
+      col("last_payload").as("p_payload"), col("n_changes").as("p_n"))
+    val u = update.select(col("doc_id"), col("last_seq").as("u_seq"),
+      col("last_op").as("u_op"), col("last_field").as("u_field"),
+      col("last_payload").as("u_payload"), col("n_changes").as("u_n"))
+    p.join(u, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        greatest(col("p_seq"), col("u_seq")).as("last_seq"),
+        when(col("u_seq").isNull || col("p_seq") > col("u_seq"), col("p_op"))
+          .otherwise(col("u_op")).as("last_op"),
+        when(col("u_seq").isNull || col("p_seq") > col("u_seq"), col("p_field"))
+          .otherwise(col("u_field")).as("last_field"),
+        when(col("u_seq").isNull || col("p_seq") > col("u_seq"), col("p_payload"))
+          .otherwise(col("u_payload")).as("last_payload"),
+        (coalesce(col("p_n"), lit(0L)) + coalesce(col("u_n"), lit(0L))).as("n_changes"))
+  }
+
+  /** Attach the compaction sink to a changelog stream. */
+  def compactionSink(cl: Dataset[ChangeRecord], stateDir: String,
+                     checkpointDir: String): StreamingQuery =
+    cl.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[ChangeRecord], batchId: Long) =>
+        val spark = batch.sparkSession
+        // the full-outer merge leaves the result hash-partitioned on
+        // doc_id — written as-is (no coalesce: snapshot writes must
+        // scale with the corpus, not a single writer)
+        val merged = merge(read(spark, stateDir), summarize(batch.toDF()))
+        merged.write.mode(SaveMode.Overwrite)
+          .parquet(s"$stateDir/$VersionPrefix$batchId")
+      }
+      .start()
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.cdc.Changelog
+import graft.ops.Layout
+import graft.streaming.{CdcStreams, StateTable}
+
+class StateTableSpec extends SparkSpec {
+
+  private def ev(id: Long, user: Long, typ: String, minute: Int): EventRow =
+    EventRow(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+      user, typ, id * 1.5, s"""{"k": $id}""")
+
+  test("compaction sink converges to the batch LWW state across versions") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-state").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val batch1 = Seq(ev(0, 1, "signup", 0), ev(1, 1, "click", 1),
+      ev(2, 2, "signup", 2), ev(4, 3, "signup", 4))
+    val batch2 = Seq(ev(3, 2, "purchase", 3), ev(7, 2, "error", 7),
+      ev(5, 3, "click", 5))
+
+    val input = MemoryStream[EventRow]
+    val q = StateTable.compactionSink(
+      CdcStreams.changelog(input.toDF()), dir, ckpt)
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    // two snapshot versions exist; the latest equals batch semantics
+    assert(StateTable.latestVersion(spark, dir).exists(_ >= 1L))
+    val live = StateTable.readLive(spark, dir).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_changes"))).toSet
+    val batch = Changelog.latestState(
+      Changelog.fromEvents((batch1 ++ batch2).toDF())).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_changes"))).toSet
+    assert(live == batch)
+    // deleted doc is present as a tombstone in the full table
+    assert(StateTable.read(spark, dir).collect()
+      .exists(r => r.getAs[String]("doc_id") == "user2" &&
+        r.getAs[String]("last_op") == Changelog.Delete))
+  }
+
+  test("day-partitioned writes prune partitions under a date filter") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    Layout.writePartitionedByDay(Tables.events(spark, sf), "ts", dir)
+    val read = spark.read.parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("day") === "2024-01-03")
+    val planStr = read.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"))
+    assert(read.count() > 0)
+    // pruned scan reads a single day directory
+    val scanned = read.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    read.collect()
+    scanned.foreach(m => assert(m.value >= 1))
+  }
+}
