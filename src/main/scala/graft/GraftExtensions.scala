@@ -35,6 +35,7 @@ object GraftExtensions {
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "shingle_set" -> (args => ShingleSet(args(0), intArg("shingle_set", args(1)))),
+    "shingle_list" -> (args => ShingleList(args(0), intArg("shingle_list", args(1)))),
     "minhash_sig" -> (args => MinHashSig(args(0), intArg("minhash_sig", args(1)))),
     "minhash_bands" -> (args => MinHashBands(args(0),
       intArg("minhash_bands", args(1)), intArg("minhash_bands", args(2)))),

@@ -97,6 +97,34 @@ object HashOps {
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
   }
 
+  /** Non-distinct variant of [[shingleSet]]: every window in stream
+    * order (needed when downstream counts occurrences, e.g. the
+    * repeated-bigram quality signal).
+    */
+  def shingleList(text: UTF8String, n: Int): ArrayData = {
+    val t = text.trim()
+    val bytes = t.getBytes
+    if (bytes.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val starts = new java.util.ArrayList[Integer]()
+    starts.add(0)
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts.add(i + 1)
+      i += 1
+    }
+    val nTok = starts.size()
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) {
+      val from = starts.get(w)
+      val to = if (w + n < nTok) starts.get(w + n) - 2 else bytes.length - 1
+      out(w) = UTF8String.fromBytes(bytes, from, to - from + 1)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature folded into LSH band hashes in one pass:
     * returns `bands` longs, band b = mix of signature rows
     * [b*rowsPerBand, (b+1)*rowsPerBand). Avoids materializing (or

@@ -43,6 +43,18 @@ object expressions {
     override def prettyName: String = "shingle_set"
   }
 
+  /** shingle_list(text, n): all word n-grams, duplicates kept. */
+  case class ShingleList(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.shingleList(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.shingleList($c, $n)")
+    override protected def withNewChildInternal(c: Expression): ShingleList = copy(child = c)
+    override def prettyName: String = "shingle_list"
+  }
+
   /** minhash_bands(shingles, k, bands): signature + banding fused. */
   case class MinHashBands(child: Expression, k: Int, bands: Int)
       extends UnaryExpression {
@@ -126,6 +138,8 @@ object expressions {
     GraftBridge.column(MinHashBands(GraftBridge.expression(c), k, bands))
   def shingle_set(c: Column, n: Int): Column =
     GraftBridge.column(ShingleSet(GraftBridge.expression(c), n))
+  def shingle_list(c: Column, n: Int): Column =
+    GraftBridge.column(ShingleList(GraftBridge.expression(c), n))
   def simhash64(c: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
   def rolling_hash64(c: Column): Column =

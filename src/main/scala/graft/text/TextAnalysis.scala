@@ -137,13 +137,9 @@ object TextAnalysis {
     * One explode + one grouped max — no per-doc UDF state.
     */
   def repetition(documents: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    // non-distinct bigram stream (sequence counts DOWN when size < 2,
-    // hence the guard)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", slice(toks, i, lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    // non-distinct one-pass bigram kernel (the compositional
+    // transform+slice chain costs ~2s/evaluation at sf0.1)
+    val bigrams = graft.functions.expressions.shingle_list(col("text"), 2)
     documents.select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")

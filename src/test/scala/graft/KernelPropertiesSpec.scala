@@ -39,6 +39,25 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("shingle_list equals the compositional non-distinct definition") {
+    import spark.implicits._
+    val texts = (1 to 200).flatMap(_ => textGen.sample).distinct
+    val df = texts.toDF("text")
+    val toks = split(trim(col("text")), " ")
+    val reference =
+      when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2)))))
+        .otherwise(array().cast("array<string>"))
+    val rows = df.select(col("text"),
+      graft.functions.expressions.shingle_list(col("text"), 2).as("fast"),
+      reference.as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1).toList == r.getSeq[String](2).toList,
+        s"text=${r.getString(0).replace(" ", "␣")}")
+    }
+  }
+
   test("rolling hash matches a BigInt reference implementation") {
     val mod = BigInt(2).pow(61) - 1
     val samples = (1 to 300).flatMap(_ => Gen.asciiPrintableStr.sample) ++
