@@ -72,6 +72,19 @@ object CdcStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(mergeGroup)
   }
 
+  /** Stream-static enrichment: each change record joined to a
+    * static dimension on the user key — the "look up the customer
+    * profile for this CDC event" step. The dimension is broadcast
+    * per micro-batch (re-read each batch, so slowly-changing dims
+    * refresh without restarting the stream).
+    */
+  def enrich(cl: Dataset[ChangeRecord], dim: DataFrame,
+             dimKey: String): DataFrame =
+    cl.withColumn("user_key",
+        regexp_replace(col("doc_id"), "^user", "").cast("long"))
+      .join(broadcast(dim), col("user_key") === col(dimKey), "left")
+      .drop("user_key")
+
   /** Stream-stream attribution join: purchases (address updates in
     * CDC terms) joined to the clicks that preceded them within
     * `windowSec`, both sides watermarked so join state is bounded —

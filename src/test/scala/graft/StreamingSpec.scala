@@ -104,6 +104,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getAs[Long]("click_seq") == 10L)
   }
 
+  test("stream-static enrichment joins the customer dimension") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[EventRow]
+    val enriched = CdcStreams.enrich(
+      CdcStreams.changelog(input.toDF()), dim, "c_custkey")
+    val q = enriched.writeStream.format("memory").queryName("enr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(ev(0, 1, "click", 0), ev(1, 2, "view", 1),
+        ev(2, 99, "click", 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enr").collect()
+      .map(r => (r.getAs[String]("doc_id"), Option(r.getAs[String]("c_mktsegment"))))
+      .toSet
+    assert(rows == Set(("user1", Some("BUILDING")), ("user2", Some("MACHINERY")),
+      ("user99", None))) // unmatched key survives the left join
+  }
+
   test("windowed op counts with watermark aggregate by event time") {
     import spark.implicits._
     implicit val s = spark
