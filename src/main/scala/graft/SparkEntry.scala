@@ -141,10 +141,12 @@ object SparkEntry {
         |ORDER BY seq""".stripMargin),
     "cdc_binary_route" -> (clCte +
       """SELECT doc_id AS _id, seq, op AS operation, 'binary' AS type,
-        |       'default.' || field_path AS field_path,
-        |       decode(encode(payload)) AS value
+        |       CASE WHEN op = 'RECORD_DELETE' THEN NULL
+        |            ELSE 'default.' || field_path END AS field_path,
+        |       CASE WHEN op = 'RECORD_DELETE' THEN NULL
+        |            ELSE decode(encode(payload)) END AS value
         |FROM changelog
-        |WHERE field_path IN ('firstName','lastName') AND op <> 'RECORD_DELETE'
+        |WHERE field_path IN ('firstName','lastName') OR op = 'RECORD_DELETE'
         |ORDER BY seq""".stripMargin),
     "cdc_latest_state" -> (clCte +
       """, ranked AS (

@@ -79,19 +79,22 @@ object Changelog {
   /** Binary-table variant (FtsAndGeoServiceBinaryWithCDC.java): field
     * paths carry the column family (`default.firstName`), values are
     * bytes decoded back to strings (Bytes.toString equivalent). Only
-    * the two watched columns are routed.
+    * the two watched columns are routed — plus delete tombstones,
+    * which the reference forwards with no fields (java:deleteDocument).
     */
   def binaryRoute(changelog: DataFrame): DataFrame =
     changelog
-      .filter(col("field_path").isin("firstName", "lastName") &&
-        col("op") =!= Delete)
+      .filter(col("field_path").isin("firstName", "lastName") ||
+        col("op") === Delete)
       .select(
         col("doc_id").as("_id"), col("seq"),
         col("op").as("operation"), lit("binary").as("type"),
-        concat(lit("default."), col("field_path")).as("field_path"),
+        when(col("op") === Delete, lit(null).cast("string"))
+          .otherwise(concat(lit("default."), col("field_path"))).as("field_path"),
         // bytes round-trip: payload → UTF-8 bytes (ChangeNode.getBinary)
         // → string (Bytes.toString)
-        decode(encode(col("payload"), "UTF-8"), "UTF-8").as("value"))
+        when(col("op") === Delete, lit(null).cast("string"))
+          .otherwise(decode(encode(col("payload"), "UTF-8"), "UTF-8")).as("value"))
 
   /** FTS messages in the reference's wire format
     * (FtsAndGeoServiceJSONWithCDC.java:99-207): deletes are bare
