@@ -105,18 +105,24 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
-  /** SimHash near-dup: 64-bit signature, banded into four 16-bit
-    * chunks — any pair within hamming distance 3 must agree on at
-    * least one chunk (pigeonhole), so the bucket join on chunk value
-    * is lossless for the verify filter `bit_count(xor) <= 3`.
+  /** SimHash near-dup: 64-bit signature banded into `maxHamming+1`
+    * chunks — a pair within the hamming radius must agree on at
+    * least one chunk (pigeonhole), so the bucket join on (chunk,
+    * value) is lossless for the verify filter `bit_count(xor) <= h`.
     */
   def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < 4, "4-chunk banding guarantees recall only for hamming <= 3")
+    require(maxHamming >= 0 && maxHamming < 32,
+      "need at least 2 bits per chunk over a 64-bit signature")
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks // remainder bits join the last chunk
     val sigs = documents.select(col("doc_id"),
       simhash64(tokens(col("text"))).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      posexplode(array((0 until nChunks).map { c =>
+        val hi = if (c == nChunks - 1) 64 else (c + 1) * width
+        val mask = if (hi - c * width == 64) -1L else (1L << (hi - c * width)) - 1
+        shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
+      }: _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
     chunked.as("a")

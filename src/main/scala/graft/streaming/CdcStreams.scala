@@ -72,6 +72,17 @@ object CdcStreams {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(mergeGroup)
   }
 
+  /** Incremental view maintenance: per-document running totals kept
+    * live as changes arrive (update mode — each batch emits only the
+    * documents it touched). The streaming twin of a batch
+    * `groupBy(doc_id).agg(...)`; state is one row per live key.
+    */
+  def liveTotals(cl: Dataset[ChangeRecord]): DataFrame =
+    cl.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_changes"),
+        round(sum(col("amount")), 2).as("total_amount"),
+        max(col("seq")).as("last_seq"))
+
   /** Stream-static enrichment: each change record joined to a
     * static dimension on the user key — the "look up the customer
     * profile for this CDC event" step. The dimension is broadcast

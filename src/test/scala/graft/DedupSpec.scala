@@ -47,6 +47,25 @@ class DedupSpec extends SparkSpec {
     assert(out.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
   }
 
+  test("simhash banding is lossless at a wider hamming radius") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val sig = (s: String) => graft.functions.HashOps.simhash(
+      ArrayData.toArrayData(s.split(" ").map(UTF8String.fromString)))
+    val trueHamming = java.lang.Long.bitCount(
+      sig("the quick brown fox jumps over the lazy dog") ^
+        sig("the quick brown fox leaps over the lazy dog"))
+    val radius = 15 // 16 chunks of 4 bits
+    val out = Dedup.simhashPairs(corpus, radius)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    if (trueHamming <= radius)
+      assert(out.exists { case (a, b, h) => a == 1 && b == 3 && h == trueHamming })
+    // radius-0 still returns only the exact-signature pair
+    val strict = Dedup.simhashPairs(corpus, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(strict == List((1L, 2L)))
+  }
+
   test("keeper assignment maps every dup to the group minimum") {
     val exact = Dedup.exactKeepers(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -127,6 +127,35 @@ class StreamingSpec extends SparkSpec {
       ("user99", None))) // unmatched key survives the left join
   }
 
+  test("live totals converge to the batch aggregate") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val q = CdcStreams.liveTotals(CdcStreams.changelog(input.toDF()))
+      .writeStream.format("memory").queryName("ltot")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a doc's row each time it changes: keep last
+    val live = spark.table("ltot").collect()
+      .map(r => (r.getAs[String]("doc_id"),
+        (r.getAs[Long]("n_changes"), r.getAs[Double]("total_amount"))))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).maxBy(_._1)) }
+    val batch = graft.cdc.Changelog.fromEvents(allEvents.toDF())
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.sum("amount"), 2).as("t"))
+      .collect()
+      .map(r => (r.getAs[String]("doc_id"),
+        (r.getAs[Long]("n"), r.getAs[Double]("t")))).toMap
+    assert(live.toMap == batch)
+  }
+
   test("windowed op counts with watermark aggregate by event time") {
     import spark.implicits._
     implicit val s = spark
