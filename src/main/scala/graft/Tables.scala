@@ -26,6 +26,9 @@ object Tables {
     * every micro-precision engine sees the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    // runtime-settable; makes the reader independent of how the
+    // session was built (driver harnesses may not know about it)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
