@@ -32,10 +32,14 @@ object Relational {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Broadcast dim join + agg: revenue per market segment. */
+  /** Dim join + agg: revenue per market segment. No broadcast hint:
+    * customer scales with SF (unlike nation/region), so the build
+    * side must stay a planner/AQE decision — locally it broadcasts
+    * anyway, at 100 TB it becomes a shuffle join on the key.
+    */
   def q2JoinAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
@@ -44,11 +48,13 @@ object Relational {
         round(avg("o_totalprice"), 4).as("avg_price"))
       .orderBy("c_mktsegment")
 
-  /** 3-way join + global top-N (TakeOrderedAndProject, no full sort). */
+  /** 3-way join + global top-N (TakeOrderedAndProject, no full sort).
+    * Join strategy left to the planner — all three tables scale.
+    */
   def q3MultiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .filter(col("c_mktsegment") === "BUILDING")
       .groupBy("l_orderkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

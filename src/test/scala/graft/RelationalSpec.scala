@@ -31,6 +31,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles stay close to the exact percentiles") {
+    val exact = Relational.q17Quantiles(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("p50")).toMap
+    val approx = Relational.q17ApproxQuantiles(spark, sf).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        r.getSeq[Double](1)(1)).toMap // pcts = [p25, p50, p90]
+    exact.foreach { case (k, p50) =>
+      assert(math.abs(approx(k) - p50) / p50 < 0.05,
+        s"$k: approx ${approx(k)} vs exact $p50")
+    }
+  }
+
   test("language id predicts a language for every doc") {
     val rows = TextAnalysis.langId(Tables.documents(spark, sf)).collect()
     assert(rows.length == 500)
