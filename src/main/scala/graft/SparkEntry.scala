@@ -126,9 +126,15 @@ object SparkEntry {
       """SELECT doc_id AS _id, seq,
         |  CASE WHEN op = 'RECORD_DELETE'
         |       THEN CAST(json_object('_id', doc_id, 'operation', op) AS VARCHAR)
+        |       WHEN op = 'RECORD_INSERT'
+        |       THEN CAST(json_object('_id', doc_id, 'operation', op,
+        |                 'type', 'json',
+        |                 'fields_to_index', json_object('firstName', payload,
+        |                                                'lastName', payload)) AS VARCHAR)
         |       ELSE CAST(json_object('_id', doc_id, 'operation', op,
-        |                 'type', 'json', 'field_path', field_path,
-        |                 'payload', payload) AS VARCHAR) END AS message
+        |                 'type', 'json',
+        |                 'fields_to_index', json_object(field_path, payload)) AS VARCHAR)
+        |       END AS message
         |FROM changelog
         |WHERE op = 'RECORD_DELETE' OR op = 'RECORD_INSERT'
         |   OR field_path IN ('firstName','lastName')

@@ -98,16 +98,22 @@ object Changelog {
 
   /** FTS messages in the reference's wire format
     * (FtsAndGeoServiceJSONWithCDC.java:99-207): deletes are bare
-    * `{"_id","operation"}` tombstones; inserts/updates carry type and
-    * the changed field. One conditional JSON projection — stateless,
-    * streaming-safe.
+    * `{"_id","operation"}` tombstones; whole-doc inserts carry a
+    * `fields_to_index` object with every watched name field
+    * (java:126-147); updates carry only the changed field, keyed by
+    * its path (java:149-161). One conditional JSON projection —
+    * stateless, streaming-safe.
     */
   def ftsMessages(changelog: DataFrame): DataFrame =
     ftsRoute(changelog).select(col("_id"), col("seq"),
       when(col("operation") === Delete,
         to_json(struct(col("_id"), col("operation"))))
+        .when(col("operation") === Insert,
+          to_json(struct(col("_id"), col("operation"), col("type"),
+            map(lit("firstName"), col("payload"),
+              lit("lastName"), col("payload")).as("fields_to_index"))))
         .otherwise(to_json(struct(col("_id"), col("operation"), col("type"),
-          col("field_path"), col("payload"))))
+          map(col("field_path"), col("payload")).as("fields_to_index"))))
         .as("message"))
 
   /** Last-writer-wins materialization of current per-document state:
