@@ -61,6 +61,30 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rawExchanges.size > exchanges.size)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // thresholds tuned down so the tiny local tables qualify; on a
+    // cluster the defaults (10MB creation / 10GB application) apply
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 500000)
+      val j = li.join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      j.collect()
+      assert(j.queryExecution.executedPlan.toString.toLowerCase.contains("bloom"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
     val customer = Tables.customer(spark, sf)
