@@ -71,30 +71,14 @@ object HashOps {
     * no intermediate token arrays, no per-window array slices.
     */
   def shingleSet(text: UTF8String, n: Int): ArrayData = {
-    val t = text.trim()
-    val bytes = t.getBytes
-    if (bytes.isEmpty) return new GenericArrayData(Array.empty[Any])
-    // token start offsets (split on single space, empties included)
-    val starts = new java.util.ArrayList[Integer]()
-    starts.add(0)
+    val all = shingleList(text, n)
+    val out = new java.util.LinkedHashSet[Any]()
     var i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') starts.add(i + 1)
+    while (i < all.numElements()) {
+      out.add(all.getUTF8String(i))
       i += 1
     }
-    val nTok = starts.size()
-    if (nTok < n) return new GenericArrayData(Array.empty[Any])
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    var w = 0
-    while (w <= nTok - n) {
-      val from = starts.get(w)
-      val to = if (w + n < nTok) starts.get(w + n) - 2 else bytes.length - 1
-      // shingle = bytes[from..to] inclusive — windows of single-space-
-      // joined tokens are contiguous byte ranges of the trimmed text
-      out.add(UTF8String.fromBytes(bytes, from, to - from + 1))
-      w += 1
-    }
-    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    new GenericArrayData(out.toArray)
   }
 
   /** Non-distinct variant of [[shingleSet]]: every window in stream
