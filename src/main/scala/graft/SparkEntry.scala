@@ -28,6 +28,7 @@ object SparkEntry {
     "cdc_fts_route" -> ((s, d) => Changelog.ftsRoute(changelog(s, d)).orderBy("seq")),
     "cdc_fts_messages" -> ((s, d) => Changelog.ftsMessages(changelog(s, d)).orderBy("seq")),
     "cdc_geo_route" -> ((s, d) => Changelog.geoRoute(changelog(s, d)).orderBy("seq")),
+    "cdc_geo_messages" -> ((s, d) => Changelog.geoMessages(changelog(s, d)).orderBy("seq")),
     "cdc_binary_route" -> ((s, d) => Changelog.binaryRoute(changelog(s, d)).orderBy("seq")),
     "cdc_latest_state" -> ((s, d) => Changelog.latestState(changelog(s, d)).orderBy("doc_id")),
     "cdc_field_state" -> ((s, d) => Changelog.fieldState(changelog(s, d)).orderBy("doc_id", "field_path")),
@@ -141,6 +142,14 @@ object SparkEntry {
         |ORDER BY seq""".stripMargin),
     "cdc_geo_route" -> (clCte +
       """SELECT doc_id AS _id, seq, op AS operation, payload AS address
+        |FROM changelog
+        |WHERE (op = 'RECORD_INSERT' OR field_path = 'address')
+        |  AND op <> 'RECORD_DELETE'
+        |ORDER BY seq""".stripMargin),
+    "cdc_geo_messages" -> (clCte +
+      """SELECT doc_id AS _id, seq,
+        |       CAST(json_object('_id', doc_id, 'operation', op,
+        |                        'address', payload) AS VARCHAR) AS message
         |FROM changelog
         |WHERE (op = 'RECORD_INSERT' OR field_path = 'address')
         |  AND op <> 'RECORD_DELETE'

@@ -116,6 +116,16 @@ object Changelog {
           map(col("field_path"), col("payload")).as("fields_to_index"))))
         .as("message"))
 
+  /** Geo messages in the reference's wire format
+    * (FtsAndGeoServiceJSONWithCDC.java:109-114,179-186):
+    * `{"_id","operation","address":...}` for inserts and address
+    * updates; deletes are never forwarded to the geo service.
+    */
+  def geoMessages(changelog: DataFrame): DataFrame =
+    geoRoute(changelog).select(col("_id"), col("seq"),
+      to_json(struct(col("_id"), col("operation"),
+        col("address"))).as("message"))
+
   /** Last-writer-wins materialization of current per-document state:
     * the "save it back into MapR-DB" half of the reference's loop.
     * Docs whose latest record is a tombstone are dropped.
