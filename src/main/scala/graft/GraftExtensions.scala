@@ -33,17 +33,35 @@ object GraftExtensions {
       s"$name expects a literal integer argument, got $other")
   }
 
+  /** Wrap a builder with an arity check so a wrong-arg-count SQL call
+    * fails with the expected signature instead of an index error.
+    */
+  private def fn(name: String, signature: String)(
+      build: Seq[Expression] => Expression): (String, Seq[Expression] => Expression) = {
+    val arity = signature.count(_ == ',') + (if (signature.isEmpty) 0 else 1)
+    name -> { args =>
+      if (args.length != arity)
+        throw new IllegalArgumentException(
+          s"[WRONG_NUM_ARGS] $name requires $arity argument(s): " +
+            s"$name($signature); got ${args.length}")
+      build(args)
+    }
+  }
+
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "shingle_set" -> (args => ShingleSet(args(0), intArg("shingle_set", args(1)))),
-    "shingle_list" -> (args => ShingleList(args(0), intArg("shingle_list", args(1)))),
-    "minhash_sig" -> (args => MinHashSig(args(0), intArg("minhash_sig", args(1)))),
-    "minhash_bands" -> (args => MinHashBands(args(0),
+    fn("shingle_set", "tokens, n")(args =>
+      ShingleSet(args(0), intArg("shingle_set", args(1)))),
+    fn("shingle_list", "tokens, n")(args =>
+      ShingleList(args(0), intArg("shingle_list", args(1)))),
+    fn("minhash_sig", "shingles, k")(args =>
+      MinHashSig(args(0), intArg("minhash_sig", args(1)))),
+    fn("minhash_bands", "shingles, bands, rows")(args => MinHashBands(args(0),
       intArg("minhash_bands", args(1)), intArg("minhash_bands", args(2)))),
-    "simhash64" -> (args => SimHash64(args(0))),
-    "rolling_hash64" -> (args => RollingHash64(args(0))),
-    "cosine_sim" -> (args => CosineSim(args(0), args(1))),
-    "dot_ff" -> (args => DotFF(args(0), args(1))),
-    "lsh_sig" -> (args => LshSig(args(0),
+    fn("simhash64", "tokens")(args => SimHash64(args(0))),
+    fn("rolling_hash64", "text")(args => RollingHash64(args(0))),
+    fn("cosine_sim", "vec_a, vec_b")(args => CosineSim(args(0), args(1))),
+    fn("dot_ff", "vec_a, vec_b")(args => DotFF(args(0), args(1))),
+    fn("lsh_sig", "vec, planes, table")(args => LshSig(args(0),
       intArg("lsh_sig", args(1)), intArg("lsh_sig", args(2)))),
   )
 

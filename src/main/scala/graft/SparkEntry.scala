@@ -489,20 +489,27 @@ object SparkEntry {
         |           FROM scored)
         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // byte-based (hex-nibble) oracle: sums the UTF-8 payload BYTES like
+    // StubKernel does, so parity holds for non-ASCII text and empty docs
     "mm_pipeline" ->
-      """WITH b AS (SELECT doc_id, text, encode(text) AS payload FROM documents),
-        |f AS (SELECT doc_id,
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+        |           FROM documents),
+        |f AS (SELECT doc_id, payload_len,
         |        CASE WHEN doc_id % 3 = 0 THEN 'image'
         |             WHEN doc_id % 3 = 1 THEN 'audio'
         |             ELSE 'video' END AS media_type,
-        |        CAST(octet_length(payload) AS BIGINT) AS payload_len,
-        |        CASE WHEN octet_length(payload) = 0 THEN -1
-        |             ELSE ascii(substring(text, 1, 1)) END AS first_byte,
-        |        CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT) AS bsum
-        |      FROM b)
+        |        CAST(coalesce(list_sum(list_transform(range(1, CAST(payload_len AS INT) + 1),
+        |          i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+        |             + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1))), 0) AS BIGINT) AS bsum,
+        |        CAST(CASE WHEN payload_len = 0 THEN -1
+        |             ELSE (strpos('0123456789ABCDEF', substring(hx, 1, 1)) - 1) * 16
+        |                + (strpos('0123456789ABCDEF', substring(hx, 2, 1)) - 1) END AS INTEGER) AS first_byte
+        |      FROM h)
         |SELECT doc_id, media_type, payload_len, first_byte,
         |       CAST(bsum % 997 AS BIGINT) AS checksum,
-        |       CAST(bsum * 10000 // payload_len AS DOUBLE) / 10000 AS mean_byte
+        |       CASE WHEN payload_len = 0 THEN 0.0
+        |            ELSE CAST(bsum * 10000 // payload_len AS DOUBLE) / 10000 END AS mean_byte
         |FROM f ORDER BY doc_id""".stripMargin,
   )
 }

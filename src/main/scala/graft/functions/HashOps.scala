@@ -213,6 +213,13 @@ object HashOps {
     * u_p is a deterministic pseudo-random plane derived from fmix —
     * no stored plane matrix, any executor regenerates it on the fly.
     */
+  /** Plane coefficient u_{table,p,j}, uniform in [-1, 1): >>>11
+    * leaves 53 random bits, /2^53 gives [0,1), *2-1 maps to [-1,1).
+    */
+  def planeCoef(table: Int, p: Int, j: Int): Double =
+    (fmix((table.toLong * 64 + p) * 1000003L + j) >>> 11).toDouble /
+      (1L << 53).toDouble * 2.0 - 1.0
+
   def lshSignature(v: ArrayData, planes: Int, table: Int): Long = {
     val dim = v.numElements()
     var sig = 0L
@@ -221,10 +228,7 @@ object HashOps {
       var s = 0.0
       var j = 0
       while (j < dim) {
-        // uniform in [-1, 1) from the (table, p, j) cell hash
-        val u = (fmix((table.toLong * 64 + p) * 1000003L + j) >>> 11).toDouble /
-          (1L << 52).toDouble * 2.0 - 1.0
-        s += v.getFloat(j).toDouble * u
+        s += v.getFloat(j).toDouble * planeCoef(table, p, j)
         j += 1
       }
       if (s > 0) sig |= (1L << p)

@@ -262,6 +262,13 @@ object Relational {
       .agg(
         expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 1000)").as("pcts"),
         count(lit(1)).as("n"))
+      // flattened to scalar columns: the driver's rows-only check
+      // sorts the frame, which array columns would break
+      .select(col("o_orderstatus"),
+        round(col("pcts").getItem(0), 2).as("p25_approx"),
+        round(col("pcts").getItem(1), 2).as("p50_approx"),
+        round(col("pcts").getItem(2), 2).as("p90_approx"),
+        col("n"))
       .orderBy("o_orderstatus")
 
   /** As-of (attribution) join done the scalable way: instead of a

@@ -10,34 +10,54 @@ import graft.cdc.Changelog
   * "save the enriched document back into MapR-DB" half of the
   * reference's loop (README.md:24-28), without a mutable store:
   * every micro-batch merges its last-writer-wins summary into the
-  * previous snapshot and writes a new `v=<epoch>` directory (a
+  * previous snapshot and writes a new `v=<batchId>` directory (a
   * mini-LSM; readers always see a complete consistent version).
   * Tombstones are retained in the table (consumers filter on
   * `last_op`), so a delete followed by a re-insert replays correctly.
+  *
+  * Replay safety: batch N always merges into the highest version
+  * strictly below N — if the sink wrote `v=N` but the checkpoint
+  * commit failed, the re-run rebuilds `v=N` from the same base
+  * instead of double-counting its own output. Versions are published
+  * by atomic rename of a hidden staging directory, so a concurrent
+  * reader can never list a half-written snapshot.
   */
 object StateTable {
 
   private val VersionPrefix = "v="
 
-  def latestVersion(spark: SparkSession, dir: String): Option[Long] = {
+  private def versions(dir: String): Seq[Long] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
       .filter(f => f.isDirectory && f.getName.startsWith(VersionPrefix))
       .map(_.getName.stripPrefix(VersionPrefix).toLong)
-      .maxOption
   }
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(dir).maxOption
+
+  /** Highest committed version strictly below `maxExclusive` — the
+    * replay-safe merge base for micro-batch `maxExclusive`.
+    */
+  private[streaming] def versionBefore(dir: String, maxExclusive: Long): Option[Long] =
+    versions(dir).filter(_ < maxExclusive).maxOption
+
+  private def emptySnapshot(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id STRING, last_seq BIGINT, last_op STRING, " +
+          "last_field STRING, last_payload STRING, n_changes BIGINT"))
+
+  private def readVersion(spark: SparkSession, dir: String, v: Option[Long]): DataFrame =
+    v match {
+      case Some(n) => spark.read.parquet(s"$dir/$VersionPrefix$n")
+      case None    => emptySnapshot(spark)
+    }
 
   /** Current snapshot (tombstones included); empty frame if none. */
   def read(spark: SparkSession, dir: String): DataFrame =
-    latestVersion(spark, dir) match {
-      case Some(v) => spark.read.parquet(s"$dir/$VersionPrefix$v")
-      case None =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id STRING, last_seq BIGINT, last_op STRING, " +
-              "last_field STRING, last_payload STRING, n_changes BIGINT"))
-    }
+    readVersion(spark, dir, latestVersion(spark, dir))
 
   /** Live documents of the current snapshot. */
   def readLive(spark: SparkSession, dir: String): DataFrame =
@@ -73,19 +93,39 @@ object StateTable {
         (coalesce(col("p_n"), lit(0L)) + coalesce(col("u_n"), lit(0L))).as("n_changes"))
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Idempotent merge-and-publish of one micro-batch (also usable
+    * directly from a caller-owned `foreachBatch`).
+    */
+  def commitBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prev = readVersion(spark, stateDir, versionBefore(stateDir, batchId))
+    // the full-outer merge leaves the result hash-partitioned on
+    // doc_id — written as-is (no coalesce: snapshot writes must
+    // scale with the corpus, not a single writer)
+    val merged = merge(prev, summarize(batch))
+    val staging = new java.io.File(stateDir, s".staging-$batchId")
+    val target = new java.io.File(stateDir, s"$VersionPrefix$batchId")
+    deleteRecursively(staging)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
+    // a leftover v=batchId from a crashed attempt is replaced by the
+    // identical recomputation (same base, deterministic merge)
+    deleteRecursively(target)
+    if (!staging.renameTo(target))
+      throw new java.io.IOException(s"cannot publish $staging -> $target")
+  }
+
   /** Attach the compaction sink to a changelog stream. */
   def compactionSink(cl: Dataset[ChangeRecord], stateDir: String,
                      checkpointDir: String): StreamingQuery =
     cl.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[ChangeRecord], batchId: Long) =>
-        val spark = batch.sparkSession
-        // the full-outer merge leaves the result hash-partitioned on
-        // doc_id — written as-is (no coalesce: snapshot writes must
-        // scale with the corpus, not a single writer)
-        val merged = merge(read(spark, stateDir), summarize(batch.toDF()))
-        merged.write.mode(SaveMode.Overwrite)
-          .parquet(s"$stateDir/$VersionPrefix$batchId")
+        commitBatch(batch.toDF(), batchId, stateDir)
       }
       .start()
 }

@@ -39,4 +39,16 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("literal integer"))
   }
+
+  test("wrong-arity SQL calls fail with the expected signature") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT simhash64()").collect()
+    }
+    assert(e.getMessage.contains("simhash64(tokens)"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT shingle_set('x')").collect()
+    }
+    assert(e2.getMessage.contains("shingle_set(tokens, n)"), e2.getMessage)
+  }
 }

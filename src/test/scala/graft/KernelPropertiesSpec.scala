@@ -70,6 +70,20 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("LSH plane coefficients are uniform in [-1, 1)") {
+    val coefs = for {
+      table <- 0 until 8; p <- 0 until 16; j <- 0 until 64
+    } yield graft.functions.HashOps.planeCoef(table, p, j)
+    assert(coefs.forall(c => c >= -1.0 && c < 1.0),
+      s"out of range: ${coefs.filterNot(c => c >= -1.0 && c < 1.0).take(3)}")
+    val mean = coefs.sum / coefs.size
+    val variance = coefs.map(c => (c - mean) * (c - mean)).sum / coefs.size
+    // uniform[-1,1): mean 0, variance 1/3 — wide tolerances, this is
+    // a bias check (the old kernel spanned [-1,3) with mean +1)
+    assert(math.abs(mean) < 0.05, s"biased planes: mean=$mean")
+    assert(math.abs(variance - 1.0 / 3.0) < 0.05, s"variance=$variance")
+  }
+
   test("minhash band count and determinism across evaluations") {
     import spark.implicits._
     val df = (1 to 50).flatMap(_ => textGen.sample).distinct.toDF("text")

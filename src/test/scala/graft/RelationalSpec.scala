@@ -36,7 +36,7 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("p50")).toMap
     val approx = Relational.q17ApproxQuantiles(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderstatus") ->
-        r.getSeq[Double](1)(1)).toMap // pcts = [p25, p50, p90]
+        r.getAs[Double]("p50_approx")).toMap
     exact.foreach { case (k, p50) =>
       assert(math.abs(approx(k) - p50) / p50 < 0.05,
         s"$k: approx ${approx(k)} vs exact $p50")

@@ -49,6 +49,28 @@ class StateTableSpec extends SparkSpec {
         r.getAs[String]("last_op") == Changelog.Delete))
   }
 
+  test("replayed micro-batch commit is idempotent (no double counting)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replay").toString
+    val b0 = Changelog.fromEvents(Seq(ev(0, 1, "signup", 0), ev(1, 1, "click", 1)).toDF())
+    val b1 = Changelog.fromEvents(Seq(ev(2, 1, "view", 2)).toDF())
+    StateTable.commitBatch(b0, 0L, dir)
+    StateTable.commitBatch(b1, 1L, dir)
+    val once = StateTable.read(spark, dir).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_changes"))).toSet
+    // failure after v=1 was written but before the checkpoint commit:
+    // the sink replays batch 1 — the state must not change
+    StateTable.commitBatch(b1, 1L, dir)
+    val twice = StateTable.read(spark, dir).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_changes"))).toSet
+    assert(once == twice)
+    assert(once == Set(("user1", 2L, 3L)))
+    // no staging directories survive a publish
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
+  }
+
   test("day-partitioned writes prune partitions under a date filter") {
     val dir = Files.createTempDirectory("graft-part").toString
     Layout.writePartitionedByDay(Tables.events(spark, sf), "ts", dir)
