@@ -35,6 +35,8 @@ object SparkEntry {
     "cdc_scd2" -> ((s, d) => Changelog.scd2(changelog(s, d)).orderBy("doc_id", "field_path", "valid_from")),
     "cdc_op_counts" -> ((s, d) => Changelog.opCounts(changelog(s, d)).orderBy("op")),
     "cdc_field_freq" -> ((s, d) => Changelog.fieldFreq(changelog(s, d)).orderBy("field_path")),
+    "cdc_window_counts" -> ((s, d) =>
+      Changelog.windowCounts(changelog(s, d)).orderBy("window_start_us", "op")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -58,6 +60,8 @@ object SparkEntry {
     "q17_quantiles" -> Relational.q17Quantiles _,
     "q17_approx_quantiles" -> Relational.q17ApproxQuantiles _,
     "q18_asof_join" -> Relational.q18AsofAttribution _,
+    "q19_range_window" -> Relational.q19RangeWindow _,
+    "q20_grouping_sets" -> Relational.q20GroupingSets _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -71,6 +75,14 @@ object SparkEntry {
     "text_split" -> ((s, d) => Sampling.splitAudit(Tables.documents(s, d)).orderBy("source", "split")),
     "text_fingerprint_roll" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_roll").orderBy("doc_id")),
+    "text_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilterBySource(Tables.documents(s, d)).orderBy("source")),
+    "text_contamination" -> ((s, d) =>
+      TextAnalysis.contamination(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")),
+    "sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSampleAudit(Tables.documents(s, d)).orderBy("source")),
     // §2c dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -90,6 +102,7 @@ object SparkEntry {
       Similarity.annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    "emb_stats" -> ((s, d) => Similarity.embStats(Tables.embeddings(s, d)).orderBy("label")),
     // §2f multimodal
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
   )
@@ -202,6 +215,10 @@ object SparkEntry {
         |       round(avg(amount), 4) AS avg_amount
         |FROM changelog WHERE field_path <> ''
         |GROUP BY field_path ORDER BY field_path""".stripMargin),
+    "cdc_window_counts" -> (clCte +
+      """SELECT epoch_us(date_trunc('hour', make_timestamp(ts_us))) AS window_start_us,
+        |       op, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM changelog GROUP BY 1, 2 ORDER BY window_start_us, op""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
@@ -405,6 +422,90 @@ object SparkEntry {
         |       epoch_us(ts) - click_ts_us AS gap_us
         |FROM tagged WHERE event_type = 'purchase'
         |ORDER BY purchase_id""".stripMargin,
+    "q19_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |       count(*) OVER w AS n_30d,
+        |       round(sum(o_totalprice) OVER w, 2) AS rev_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q20_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority))
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "text_quality_filter" ->
+      """WITH t AS (SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
+        |f AS (SELECT source,
+        |        len(toks) < 20 AS too_short,
+        |        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) < 0.4 AS low_diversity,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |          / len(toks) > 0.1 AS stopword_heavy
+        |      FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |       count(*) FILTER (WHERE too_short) AS n_short,
+        |       count(*) FILTER (WHERE low_diversity) AS n_low_diversity,
+        |       count(*) FILTER (WHERE stopword_heavy) AS n_stopword_heavy,
+        |       count(*) FILTER (WHERE NOT too_short AND NOT low_diversity
+        |                          AND NOT stopword_heavy) AS n_pass
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "text_contamination" ->
+      """WITH docs AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+        |              FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+        |                               for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+        |hits AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+        |         FROM sh s JOIN bench b USING (shingle)
+        |         WHERE s.source <> 'src0' GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |       coalesce(h.n_shared, 0) AS n_shared,
+        |       coalesce(h.n_shared, 0) >= 5 AS contaminated
+        |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |bg AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                              for i in range(1, len(toks))]) AS bg
+        |       FROM docs WHERE len(toks) >= 2),
+        |bgc AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+        |unic AS (SELECT tok, count(*) AS c_uni
+        |         FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY tok)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |       round(avg(ln(CAST(c_bg AS DOUBLE) / c_uni)), 4) AS avg_logp
+        |FROM bg b
+        |JOIN bgc USING (bg)
+        |JOIN unic ON string_split(b.bg, ' ')[1] = unic.tok
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH s AS (SELECT source,
+        |             strpos('0123456789abcdef',
+        |                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib,
+        |             CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+        |                  ELSE 2 END AS rate16
+        |           FROM documents)
+        |SELECT source, count(*) AS n_total,
+        |       count(*) FILTER (WHERE nib < rate16) AS n_kept,
+        |       round(CAST(count(*) FILTER (WHERE nib < rate16) AS DOUBLE)
+        |             / count(*), 4) AS kept_frac
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "emb_stats" ->
+      """WITH e AS (SELECT label, CAST(len(embedding) AS BIGINT) AS dim,
+        |             round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                                x -> x * x))), 6) AS norm
+        |           FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, max(dim) AS dim,
+        |       round(avg(norm), 4) AS avg_norm,
+        |       round(min(norm), 4) AS min_norm,
+        |       round(max(norm), 4) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

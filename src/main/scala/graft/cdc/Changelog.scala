@@ -192,4 +192,18 @@ object Changelog {
       .agg(count(lit(1)).as("n_changes"),
         countDistinct(col("doc_id")).as("n_docs"),
         round(avg(col("amount")), 4).as("avg_amount"))
+
+  /** Tumbling-window change rates: ops per (hour, op type) — the
+    * batch twin of the streaming watermarked windowed counts in
+    * [[graft.streaming.CdcStreams]]. Window start emitted as epoch
+    * micros (raw-time convention shared with the oracle).
+    */
+  def windowCounts(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(
+        unix_micros(date_trunc("hour", timestamp_micros(col("ts_us"))))
+          .as("window_start_us"),
+        col("op"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("n_docs"))
 }

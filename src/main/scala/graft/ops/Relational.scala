@@ -294,6 +294,40 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Range-frame window: per customer, order count and revenue in
+    * the 30 days up to each order (trailing-window feature
+    * engineering). RANGE frame over epoch seconds — per-customer
+    * partitions keep the sort local to each key, so the single
+    * shuffle is on a high-cardinality column.
+    */
+  def q19RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_epoch"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(s, dir)
+      // NTZ → epoch seconds via a UTC-session timestamp hop (matches
+      // DuckDB's epoch() on the naive timestamp)
+      .withColumn("o_epoch", col("o_orderdate").cast("timestamp").cast("long"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        count(lit(1)).over(w).as("n_30d"),
+        round(sum("o_totalprice").over(w), 2).as("rev_30d"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Explicit GROUPING SETS (finer than rollup: the two single-key
+    * marginals without the grand total) + grouping_id disambiguation.
+    */
+  def q20GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Gap-based sessionization: a >30min silence starts a new session.
     * lag + cumulative-sum over a per-user window — one shuffle.
     */

@@ -31,4 +31,30 @@ object Sampling {
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"),
         round(avg(length(col("text"))), 4).as("avg_len"))
+
+  /** Per-stratum sampling rates in sixteenths of the md5 hex space:
+    * e.g. rate 8 keeps docs whose first hash nibble is 0-7 (50%).
+    * Nibble thresholds (not float compares) keep the keep-set an
+    * exact deterministic function of the key on every engine.
+    */
+  def stratumNibble(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 1), 16, 10).cast("int")
+
+  /** Stratified downsampling audit: up-weight one source, thin the
+    * rest (the corpus-mixing step of a training pipeline). Pure
+    * per-row hash filter — no sampling state, no shuffle beyond the
+    * audit aggregation, identical keep-set at any parallelism.
+    */
+  def stratifiedSampleAudit(documents: DataFrame): DataFrame = {
+    val rate16 = when(col("source") === "src0", 8)
+      .when(col("source") === "src1", 4)
+      .otherwise(2)
+    documents
+      .withColumn("kept", stratumNibble(col("doc_id")) < rate16)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("kept"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("kept_frac"))
+  }
 }

@@ -73,6 +73,26 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** Per-label embedding statistics: count, dimensionality, L2-norm
+    * moments. Norms are computed with a sequential left-fold
+    * `aggregate` (bit-compatible with the oracle's list_sum), rounded
+    * per row before the per-label average. One scan, one
+    * low-cardinality shuffle of partial aggregates.
+    */
+  def embStats(embeddings: DataFrame): DataFrame = {
+    val norm = round(sqrt(aggregate(col("embedding"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))), 6)
+    embeddings
+      .select(col("label"), size(col("embedding")).cast("long").as("dim"),
+        norm.as("norm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        max("dim").as("dim"),
+        round(avg("norm"), 4).as("avg_norm"),
+        round(min("norm"), 4).as("min_norm"),
+        round(max("norm"), 4).as("max_norm"))
+  }
+
   /** Lloyd's k-means refinement of a centroid set, as DataFrame ops:
     * each iteration assigns every vector to its nearest centroid
     * (broadcast argmax — one corpus scan) and recomputes cell means

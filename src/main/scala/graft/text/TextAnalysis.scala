@@ -176,4 +176,81 @@ object TextAnalysis {
       col("doc_id"),
       substring(md5(col("text")), 1, 16).as("fp_md5_64"),
       rolling_hash64(col("text")).as("fp_roll"))
+
+  /** Gopher-style rule-based quality filter: per-document boolean
+    * flags (too short / low lexical diversity / stopword-heavy), then
+    * a per-source pass-rate rollup. Thresholds sit inside the
+    * synthetic corpus' observed ranges so each rule actually fires.
+    * Scan-only per-doc pass + one low-cardinality shuffle.
+    */
+  def qualityFilterBySource(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val flagged = documents.select(
+      col("source"),
+      (size(toks) < 20).as("too_short"),
+      (size(array_distinct(toks)).cast("double") / size(toks) < 0.4)
+        .as("low_diversity"),
+      (countIn(toks, EnStop).cast("double") / size(toks) > 0.1)
+        .as("stopword_heavy"))
+    flagged
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("too_short"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("low_diversity"), 1L).otherwise(0L)).as("n_low_diversity"),
+        sum(when(col("stopword_heavy"), 1L).otherwise(0L)).as("n_stopword_heavy"),
+        sum(when(!col("too_short") && !col("low_diversity") &&
+          !col("stopword_heavy"), 1L).otherwise(0L)).as("n_pass"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing
+    * ≥ `minShared` distinct word n-grams with a benchmark corpus
+    * (here: `source = benchSource` stands in for the eval set).
+    * Candidate generation is an inverted-index equi-join on the
+    * shingle — the same no-cross-join shape as the dedup operators,
+    * so it scales as shuffle joins at 100 TB (the benchmark side is
+    * tiny in practice and broadcasts, but that's left to the
+    * planner).
+    */
+  def contamination(documents: DataFrame, benchSource: String = "src0",
+                    minShared: Int = 5): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleArray(col("text"))
+    val bench = documents.filter(col("source") === benchSource)
+      .select(explode(sh).as("shingle")).distinct()
+    val train = documents.filter(col("source") =!= benchSource)
+    val hits = train.select(col("doc_id"), explode(sh).as("shingle"))
+      .join(bench, "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+    train.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  /** Count-based bigram language-model scoring (the KenLM-ish
+    * quality signal shape): corpus-level unigram/bigram counts, each
+    * document scored by the mean log conditional probability of its
+    * bigrams. Two corpus aggregations + two equi-joins — everything
+    * is keyed, partial-agg friendly, and free of per-doc state, so
+    * the same plan runs at corpus scale (the count tables ARE the
+    * model; they shuffle once and join hash-to-hash).
+    */
+  def bigramLmScore(documents: DataFrame): DataFrame = {
+    val bigrams = graft.functions.expressions.shingle_list(col("text"), 2)
+    val docBg = documents
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+    val bgCounts = docBg.groupBy("bg").agg(count(lit(1)).as("c_bg"))
+    val uniCounts = documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_uni"))
+    docBg
+      .join(bgCounts, "bg")
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(uniCounts, col("w1") === col("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c_bg").cast("double") / col("c_uni"))), 4)
+          .as("avg_logp"))
+  }
 }

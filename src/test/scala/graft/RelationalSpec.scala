@@ -43,6 +43,40 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("range window counts include the current row and only look back") {
+    val rows = Relational.q19RangeWindow(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_30d") >= 1))
+  }
+
+  test("grouping sets emit the three declared granularities") {
+    val rows = Relational.q20GroupingSets(spark, sf).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 2L)) // (status,prio), (status,·), (·,prio)
+    // marginals each re-aggregate the full table
+    val total = rows.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n")).sum
+    assert(rows.filter(_.getAs[Long]("gid") == 1L).map(_.getAs[Long]("n")).sum == total)
+    assert(rows.filter(_.getAs[Long]("gid") == 2L).map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("contamination excludes the benchmark source and scores are consistent") {
+    val rows = TextAnalysis.contamination(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("source") != "src0")
+      val shared = r.getAs[Long]("n_shared")
+      assert(shared >= 0)
+      assert(r.getAs[Boolean]("contaminated") == (shared >= 5))
+    }
+  }
+
+  test("bigram LM log-probabilities are non-positive") {
+    val rows = TextAnalysis.bigramLmScore(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    // c(w1 w2) <= c(w1) always, so every log term (and the mean) is <= 0
+    rows.foreach(r => assert(r.getAs[Double]("avg_logp") <= 0.0))
+  }
+
   test("language id predicts a language for every doc") {
     val rows = TextAnalysis.langId(Tables.documents(spark, sf)).collect()
     assert(rows.length == 500)

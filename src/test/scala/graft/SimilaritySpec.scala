@@ -60,4 +60,15 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     assert((brute intersect ivf).size >= 10, s"overlap ${(brute intersect ivf).size}/50")
   }
+
+  test("embedding stats report full dimensionality and positive norms") {
+    val rows = Similarity.embStats(embeddings).collect()
+    assert(rows.map(_.getAs[Int]("label")).toSet == (0 until 10).toSet)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64L)
+      assert(r.getAs[Double]("min_norm") > 0.0)
+      assert(r.getAs[Double]("avg_norm") >= r.getAs[Double]("min_norm"))
+      assert(r.getAs[Double]("max_norm") >= r.getAs[Double]("avg_norm"))
+    }
+  }
 }
