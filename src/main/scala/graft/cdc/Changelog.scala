@@ -147,21 +147,30 @@ object Changelog {
 
   /** Field-level last-writer-wins: latest value per (doc_id,
     * field_path), for documents still alive (latest op ≠ delete).
+    *
+    * Single changelog scan: one (doc_id, field_path) partial
+    * aggregation compacts the history map-side; doc-level liveness
+    * is then derived FROM that compact state (the doc's overall
+    * latest op is the op of its latest field row — seq is a total
+    * order per doc, and "" rows carry inserts/deletes), so the raw
+    * changelog is never read or shuffled twice. Everything after the
+    * first aggregation operates on ~|docs|·|fields| rows.
     */
   def fieldState(changelog: DataFrame): DataFrame = {
-    val alive = changelog
-      .groupBy("doc_id")
-      .agg(max_by(col("op"), col("seq")).as("last_op"))
-      .filter(col("last_op") =!= Delete)
-      .select("doc_id")
-    changelog
-      .filter(col("field_path") =!= "")
+    val perField = changelog
       .groupBy("doc_id", "field_path")
-      .agg(max_by(col("payload"), col("seq")).as("value"),
-        max("seq").as("as_of_seq"))
-      // both sides already hash-partitioned by doc_id-prefixed keys;
-      // at scale this is a co-located join, locally AQE broadcasts
-      .join(alive, "doc_id")
+      .agg(max("seq").as("as_of_seq"),
+        max_by(col("payload"), col("seq")).as("value"),
+        max_by(col("op"), col("seq")).as("f_op"))
+    // liveness via a window over the compact frame (not a second
+    // changelog aggregation — a filter pushed through one branch of a
+    // self-join would fork the plan and scan the changelog twice):
+    // the doc's overall latest op is the op of its latest field row,
+    // "" rows carrying inserts/deletes
+    val w = Window.partitionBy("doc_id")
+    perField
+      .withColumn("last_op", max_by(col("f_op"), col("as_of_seq")).over(w))
+      .filter(col("last_op") =!= Delete && col("field_path") =!= "")
       .select(col("doc_id"), col("field_path"), col("value"), col("as_of_seq"))
   }
 

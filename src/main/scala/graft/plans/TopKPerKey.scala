@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Native per-key top-k: the whole-operator tier of the engine's
@@ -30,12 +30,21 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     copy(child = c)
 }
 
+/** Physical per-key top-k. Planned in two levels like an aggregate:
+  * a `partial` instance runs map-side on whatever partitioning the
+  * child has (bounding the exchange to ≤ k rows per key per input
+  * partition — the difference between shuffling a 100 TB fact table
+  * and shuffling k·|keys| rows), then the final instance heaps the
+  * survivors after the hash exchange. Correct because top-k of a
+  * union is the top-k of per-part top-k's.
+  */
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          child: SparkPlan) extends UnaryExecNode {
+                          child: SparkPlan, partial: Boolean = false)
+    extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (partial) UnspecifiedDistribution else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k
@@ -78,7 +87,8 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }

@@ -16,14 +16,17 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(native == window && native.nonEmpty)
   }
 
-  test("the plan contains the custom exec node, clustered on the key") {
+  test("the plan is two-level: map-side partial heap below the exchange") {
     val df = TopK.perKey(Tables.orders(spark, sf), Seq("o_orderpriority"),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
     df.collect()
     val execs = collectWithSubqueries(df.queryExecution.executedPlan) {
       case t: TopKPerKeyExec => t
     }
-    assert(execs.size == 1)
+    assert(execs.map(_.partial).sorted == Seq(false, true))
+    // the exchange sits between the two levels, not below the partial
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("Exchange"))
   }
 
   test("keys with fewer than k rows emit all their rows") {
