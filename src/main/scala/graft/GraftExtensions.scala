@@ -61,6 +61,7 @@ object GraftExtensions {
     fn("rolling_hash64", "text")(args => RollingHash64(args(0))),
     fn("cosine_sim", "vec_a, vec_b")(args => CosineSim(args(0), args(1))),
     fn("dot_ff", "vec_a, vec_b")(args => DotFF(args(0), args(1))),
+    fn("l2_sq", "vec_a, vec_b")(args => L2Sq(args(0), args(1))),
     fn("lsh_sig", "vec, planes, table")(args => LshSig(args(0),
       intArg("lsh_sig", args(1)), intArg("lsh_sig", args(2)))),
   )

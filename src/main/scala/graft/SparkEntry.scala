@@ -103,6 +103,8 @@ object SparkEntry {
     "sim_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "emb_stats" -> ((s, d) => Similarity.embStats(Tables.embeddings(s, d)).orderBy("label")),
+    "sim_pq" -> ((s, d) =>
+      Similarity.annPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     // §2f multimodal
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
   )

@@ -237,6 +237,21 @@ object HashOps {
     sig
   }
 
+  /** Squared L2 distance of two float vectors, accumulated in double
+    * left-to-right (PQ encode / LUT kernel).
+    */
+  def l2sqFF(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Dot product of two float vectors (IVF / pre-normalized path). */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

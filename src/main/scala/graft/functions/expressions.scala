@@ -116,6 +116,19 @@ object expressions {
     override def prettyName: String = "dot_ff"
   }
 
+  /** l2_sq(a, b): squared Euclidean distance (PQ encode/LUT kernel). */
+  case class L2Sq(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.l2sqFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$ops.l2sqFF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2Sq =
+      copy(left = l, right = r)
+    override def prettyName: String = "l2_sq"
+  }
+
   /** lsh_sig(vec, planes, table): random-hyperplane signature bits
     * for one hash table of a multi-table LSH index.
     */
@@ -147,6 +160,8 @@ object expressions {
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot_ff(a: Column, b: Column): Column =
     GraftBridge.column(DotFF(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def l2_sq(a: Column, b: Column): Column =
+    GraftBridge.column(L2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
   def lsh_sig(c: Column, planes: Int, table: Int): Column =
     GraftBridge.column(LshSig(GraftBridge.expression(c), planes, table))
 }

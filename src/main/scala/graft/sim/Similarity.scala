@@ -93,6 +93,85 @@ object Similarity {
         round(max("norm"), 4).as("max_norm"))
   }
 
+  private def subvectors(v: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(s => slice(v, s * sub + 1, sub)): _*)
+
+  /** Product-quantization ANN — the compressed-corpus scale path:
+    * each vector is encoded as `m` small codes against per-subspace
+    * codebooks (built from a deterministic stride sample), queries
+    * score the whole corpus through a per-query lookup table
+    * (asymmetric distance), and only the top candidates are reranked
+    * exactly. At 100 TB the wins compound: the codebook and LUTs are
+    * bounded-by-construction broadcasts, encoding is one scan whose
+    * argmin is a map-side `min_by` partial aggregation (never a
+    * window over the exploded corpus), ADC scoring moves only
+    * (q_id, vec_id, partial-sum) rows, and candidate selection is
+    * the native [[graft.plans.TopKPerKey]] operator with its partial
+    * heaps — full vectors are touched again only for the final
+    * bounded rerank.
+    */
+  def annPq(embeddings: DataFrame, queryFilter: Column, k: Int,
+            m: Int = 8, dim: Int = 64, codebookStride: Long = 50L,
+            nCodes: Int = 16, nCandidates: Int = 50): DataFrame = {
+    val sub = dim / m
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    // per-subspace codebooks from the stride sample, capped at
+    // `nCodes` entries: codebook size is a model parameter — it must
+    // NOT grow with the corpus, or encode cost scales superlinearly.
+    // Code ids are the sample's rank within the subspace.
+    val wCode = Window.partitionBy("s").orderBy("cb_vec")
+    val codebook = corpus.filter(col("vec_id") % codebookStride === 0)
+      .select(col("vec_id").as("cb_vec"),
+        posexplode(subvectors(col("embedding"), m, sub)))
+      .select(col("cb_vec"), col("pos").as("s"), col("col").as("c_sub"))
+      .withColumn("code", row_number().over(wCode))
+      .filter(col("code") <= nCodes)
+      .select("s", "code", "c_sub")
+    // encode: nearest code per (vector, subspace) — broadcast the
+    // codebook, reduce with a hash-aggregable min_by (ties break to
+    // the smaller code)
+    def encode(vecs: DataFrame, idCol: String): DataFrame =
+      vecs
+        .select(col(idCol), posexplode(subvectors(col("embedding"), m, sub)))
+        .select(col(idCol), col("pos").as("s"), col("col").as("v_sub"))
+        .join(broadcast(codebook), "s")
+        .select(col(idCol), col("s"), col("code"),
+          graft.functions.expressions.l2_sq(col("v_sub"), col("c_sub")).as("d"))
+        .groupBy(idCol, "s")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          min("d").as("d"))
+    val encoded = encode(corpus, "vec_id").select("vec_id", "s", "code")
+    val queries = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // per-query LUT: distance from the query subvector to EVERY code
+    val lut = queries
+      .select(col("q_id"), posexplode(subvectors(col("q_emb"), m, sub)))
+      .select(col("q_id"), col("pos").as("s"), col("col").as("q_sub"))
+      .join(broadcast(codebook), "s")
+      .select(col("q_id"), col("s"), col("code"),
+        graft.functions.expressions.l2_sq(col("q_sub"), col("c_sub")).as("d"))
+    // ADC scan: Σ_s LUT[s, code(v,s)] — codes join the LUT, vectors stay home
+    val scored = encoded
+      .join(broadcast(lut), Seq("s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d").as("adist"), count(lit(1)).as("n_sub"))
+      .filter(col("n_sub") === m) // guard: all m subspaces contributed
+    val candidates = graft.plans.TopK.perKey(
+      scored.select("q_id", "vec_id", "adist"),
+      Seq("q_id"), Seq(col("adist").asc, col("vec_id").asc), nCandidates)
+    // exact rerank of the bounded candidate set
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    candidates
+      .join(corpus, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
   /** Lloyd's k-means refinement of a centroid set, as DataFrame ops:
     * each iteration assigns every vector to its nearest centroid
     * (broadcast argmax — one corpus scan) and recomputes cell means

@@ -134,4 +134,35 @@ object CdcStreams {
         round(sum(col("amount")), 2).as("total_amount"))
       .select(col("window.start").as("win_start"), col("op"), col("n"),
         col("total_amount"))
+
+  /** Effectively-once ingestion over an at-least-once transport:
+    * duplicate deliveries of the same (doc_id, seq) are dropped as
+    * long as they arrive within the watermark, and the dedup state
+    * is evicted afterwards — bounded state, unlike a plain
+    * `dropDuplicates` which retains every key forever. The reference
+    * consumer gets this from MapR-DB's changelog guarantees; on a
+    * raw event transport it has to be an operator.
+    */
+  def dedupStream(cl: Dataset[ChangeRecord],
+                  watermark: String = "10 minutes"): DataFrame =
+    cl.withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("doc_id", "seq")
+
+  /** Native event-time session windows: per-document activity
+    * sessions closed by `gap` of silence — the streaming twin of the
+    * batch gap-sessionization ([[graft.ops.Relational.q16Sessionize]]),
+    * via `session_window` (state merges adjacent windows and the
+    * watermark finalizes them, so only open sessions occupy state).
+    */
+  def sessionWindows(cl: Dataset[ChangeRecord], gap: String = "30 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    cl.withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("doc_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("amount")), 2).as("session_value"))
+      .select(col("doc_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"),
+        col("session_value"))
 }

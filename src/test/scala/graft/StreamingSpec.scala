@@ -156,6 +156,46 @@ class StreamingSpec extends SparkSpec {
     assert(live.toMap == batch)
   }
 
+  test("watermarked dedup drops duplicate deliveries across batches") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val deduped = CdcStreams.dedupStream(CdcStreams.changelog(input.toDF()))
+    val q = deduped.writeStream.format("memory").queryName("ddp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      // redeliver batch1 (at-least-once transport) plus new records
+      input.addData(batch1 ++ batch2); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ddp").collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("seq")))
+    assert(rows.length == rows.distinct.length)
+    assert(rows.toSet == allEvents.map(e => (s"user${e.user_id}", e.event_id)).toSet)
+  }
+
+  test("session windows close on gap and match per-doc event counts") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val sess = CdcStreams.sessionWindows(
+      CdcStreams.changelog(input.toDF()), gap = "5 minutes")
+    val q = sess.writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // user7: bursts at :00-:02 and :30-:31 → two sessions
+      input.addData(Seq(ev(20, 7, "click", 0), ev(21, 7, "view", 2),
+        ev(22, 7, "click", 30), ev(23, 7, "view", 31)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess").collect()
+      .filter(_.getAs[String]("doc_id") == "user7")
+      .map(r => r.getAs[Long]("n_events"))
+    assert(rows.sorted.toSeq == Seq(2L, 2L))
+  }
+
   test("windowed op counts with watermark aggregate by event time") {
     import spark.implicits._
     implicit val s = spark
