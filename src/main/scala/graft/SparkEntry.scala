@@ -62,6 +62,9 @@ object SparkEntry {
     "q18_asof_join" -> Relational.q18AsofAttribution _,
     "q19_range_window" -> Relational.q19RangeWindow _,
     "q20_grouping_sets" -> Relational.q20GroupingSets _,
+    "q21_pivot" -> Relational.q21Pivot _,
+    "q22_full_outer" -> Relational.q22FullOuter _,
+    "q23_window_ranks" -> Relational.q23WindowRanks _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -107,6 +110,8 @@ object SparkEntry {
       Similarity.annPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     // §2f multimodal
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
+    "mm_frames" -> ((s, d) =>
+      Multimodal.frameSample(Tables.documents(s, d)).orderBy("doc_id", "frame_idx")),
   )
 
   /** Shared oracle CTE: the deterministic events→changelog mapping
@@ -440,6 +445,50 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q21_pivot" ->
+      """SELECT o_orderstatus,
+        |       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p_urgent,
+        |       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS p_high,
+        |       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS p_medium,
+        |       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS p_notspec,
+        |       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS p_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q22_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nation_key, count(*) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS s_key, count(*) AS n_supp
+        |      FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+        |SELECT coalesce(nation_key, s_key) AS nation_key,
+        |       coalesce(n_cust, 0) AS n_cust,
+        |       coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON nation_key = s_key
+        |ORDER BY nation_key""".stripMargin,
+    "q23_window_ranks" ->
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         rank() OVER w AS rk,
+        |         dense_rank() OVER w AS drk,
+        |         round(percent_rank() OVER w, 6) AS prk,
+        |         round(cume_dist() OVER w, 6) AS cd,
+        |         ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice DESC, o_orderkey)
+        |) t WHERE rk <= 10 ORDER BY o_orderpriority, rk""".stripMargin,
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS payload_len
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, payload_len,
+        |        payload_len % 8 + 1 AS n_frames
+        |      FROM v)
+        |SELECT doc_id, n_frames,
+        |       unnest(generate_series(0, n_frames - 1)) AS frame_idx,
+        |       unnest(generate_series(0, n_frames - 1)) * (payload_len // n_frames) AS frame_off,
+        |       substring(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |                     CAST(unnest(generate_series(0, n_frames - 1)) AS VARCHAR)),
+        |                 1, 16) AS frame_fp
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "text_quality_filter" ->
       """WITH t AS (SELECT source, string_split(trim(text), ' ') AS toks FROM documents),
         |f AS (SELECT source,

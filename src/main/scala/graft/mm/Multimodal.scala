@@ -81,4 +81,25 @@ object Multimodal {
   /** Feature extraction as a DataFrame op for the driver contract. */
   def featureFrame(spark: SparkSession, documents: DataFrame): DataFrame =
     features(attach(documents))(spark).toDF()
+
+  /** Frame sampling for video payloads: each video row explodes into
+    * a deterministic frame index (count and byte offsets derived from
+    * payload length — the stand-in for container metadata), with a
+    * per-frame fingerprint. The explode is the real plumbing — at
+    * scale this is the row-multiplying stage in front of a frame
+    * decoder, and it parallelizes per input row with no shuffle.
+    */
+  def frameSample(documents: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val media = attach(documents)
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"), length(col("payload")).cast("long").as("payload_len"))
+      .withColumn("n_frames", (col("payload_len") % maxFrames + 1).cast("long"))
+      .select(col("doc_id"), col("payload_len"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)))
+      .select(col("doc_id"), col("n_frames"),
+        col("col").as("frame_idx"),
+        (col("col") * expr("payload_len div n_frames")).as("frame_off"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("col").cast("string"))), 1, 16).as("frame_fp"))
+  }
 }

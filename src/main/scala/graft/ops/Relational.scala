@@ -328,6 +328,62 @@ object Relational {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Native pivot: revenue matrix status × priority. Explicit value
+    * list (the 100 TB rule for pivot — never let Spark collect
+    * distinct pivot values from a huge fact table) with
+    * parquet-safe output aliases.
+    */
+  def q21Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(round(sum("o_totalprice"), 2))
+      .select(col("o_orderstatus"),
+        col("1-URGENT").as("p_urgent"), col("2-HIGH").as("p_high"),
+        col("3-MEDIUM").as("p_medium"),
+        col("4-NOT SPECIFIED").as("p_notspec"), col("5-LOW").as("p_low"))
+      .orderBy("o_orderstatus")
+
+  /** Full-outer join: per-nation customer base vs high-balance
+    * supplier base — both sides pre-aggregated to one row per key
+    * BEFORE the join (join inputs sized by |nations|, not table
+    * rows), unmatched sides surfaced as zero counts.
+    */
+  def q22FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nation_key"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 5000)
+      .groupBy(col("s_nationkey").as("s_key"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nation_key") === col("s_key"), "full_outer")
+      .select(coalesce(col("nation_key"), col("s_key")).as("nation_key"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nation_key")
+  }
+
+  /** Rank-family window functions in one pass: rank, dense_rank,
+    * percent_rank, cume_dist, ntile — all share one window (one
+    * shuffle + sort per partition key). Unique-keyed ordering keeps
+    * ntile deterministic.
+    */
+  def q23WindowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        round(percent_rank().over(w), 6).as("prk"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("rk") <= 10)
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** Gap-based sessionization: a >30min silence starts a new session.
     * lag + cumulative-sum over a per-user window — one shuffle.
     */

@@ -34,4 +34,17 @@ class MultimodalSpec extends SparkSpec {
     rows.grouped(Multimodal.StubKernel.BatchSize).foreach(b => sizes += b.size)
     assert(sizes.toSeq == Seq(64, 64, 22))
   }
+
+  test("frame sampling emits n_frames rows per video with in-bounds offsets") {
+    val frames = Multimodal.frameSample(Tables.documents(spark, sf)).collect()
+    assert(frames.nonEmpty)
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, rows) =>
+      assert(doc % 3 == 2) // videos only
+      val n = rows.head.getAs[Long]("n_frames")
+      assert(rows.length == n)
+      assert(rows.map(_.getAs[Long]("frame_idx")).sorted.toSeq == (0L until n))
+      assert(rows.map(_.getAs[String]("frame_fp")).distinct.length == rows.length)
+    }
+  }
 }
