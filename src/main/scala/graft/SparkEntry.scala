@@ -37,6 +37,8 @@ object SparkEntry {
     "cdc_field_freq" -> ((s, d) => Changelog.fieldFreq(changelog(s, d)).orderBy("field_path")),
     "cdc_window_counts" -> ((s, d) =>
       Changelog.windowCounts(changelog(s, d)).orderBy("window_start_us", "op")),
+    "cdc_state_asof" -> ((s, d) =>
+      Changelog.stateAsOf(changelog(s, d), 5000L).orderBy("doc_id")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -226,6 +228,15 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', make_timestamp(ts_us))) AS window_start_us,
         |       op, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM changelog GROUP BY 1, 2 ORDER BY window_start_us, op""".stripMargin),
+    "cdc_state_asof" -> (clCte +
+      """, ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+        |         count(*) OVER (PARTITION BY doc_id) AS n_changes
+        |  FROM changelog WHERE seq <= 5000)
+        |SELECT doc_id, seq AS last_seq, op AS last_op,
+        |       field_path AS last_field, payload AS last_payload, n_changes
+        |FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'
+        |ORDER BY doc_id""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
@@ -597,6 +608,20 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, substring(md5(text), 1, 16) AS fp_md5_64
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Rabin-Karp fold (h*31+byte mod 2^61-1) replayed over the UTF-8
+    // bytes in 128-bit arithmetic — exact oracle for the custom
+    // RollingHash64 expression
+    "text_fingerprint_roll" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, list_transform(range(1, n + 1),
+        |        i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bytes
+        |      FROM h)
+        |SELECT doc_id,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
+        |              (acc, x) -> (acc * 31 + x) % 2305843009213693951) AS BIGINT) AS fp_roll
+        |FROM b ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies

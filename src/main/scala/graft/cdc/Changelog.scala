@@ -202,6 +202,13 @@ object Changelog {
         countDistinct(col("doc_id")).as("n_docs"),
         round(avg(col("amount")), 4).as("avg_amount"))
 
+  /** Point-in-time state: the document table as it stood at sequence
+    * `asOfSeq` — time travel over the changelog, by construction
+    * (replay is a filter; every historical state is derivable).
+    */
+  def stateAsOf(changelog: DataFrame, asOfSeq: Long): DataFrame =
+    latestState(changelog.filter(col("seq") <= asOfSeq))
+
   /** Tumbling-window change rates: ops per (hour, op type) — the
     * batch twin of the streaming watermarked windowed counts in
     * [[graft.streaming.CdcStreams]]. Window start emitted as epoch
