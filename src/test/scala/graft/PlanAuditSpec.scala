@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+import graft.cdc.Changelog
+import graft.ops.Relational
+import graft.text.TextAnalysis
+
+/** Assertions over executed plans: the properties that make these
+  * operators survive a 100 TB input are pinned here so a regression
+  * (lost pushdown, a forked scan, an accidental cartesian) fails a
+  * spec instead of silently shipping.
+  */
+class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private def executed(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  // node-level count (AQE's toString prints initial AND final plans,
+  // so string counting double-counts)
+  private def countScans(df: DataFrame): Int = {
+    df.collect()
+    collectWithSubqueries(df.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size
+  }
+
+  private def countIn(plan: String, token: String): Int =
+    plan.linesIterator.count(_.contains(token))
+
+  test("q1 pushes the date filter into the parquet scan and prunes columns") {
+    val plan = executed(Relational.q1Agg(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$plan")
+    // 6 referenced columns of lineitem's 11 reach the reader
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_partkey") && !read.contains("l_suppkey"), read)
+  }
+
+  test("multijoin broadcasts and never falls back to cartesian shapes") {
+    val plan = executed(Relational.q3MultiJoin(spark, sf))
+    assert(countIn(plan, "BroadcastHashJoin") >= 1)
+    assert(countIn(plan, "CartesianProduct") == 0)
+    assert(countIn(plan, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("field-state reads the changelog exactly once") {
+    val cl = Changelog.fromEvents(Tables.events(spark, sf))
+    assert(countScans(Changelog.fieldState(cl)) == 1)
+  }
+
+  test("range window is one scan and shuffles only on the partition key") {
+    val df = Relational.q19RangeWindow(spark, sf)
+    assert(countScans(df) == 1)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(o_custkey"))
+  }
+
+  test("contamination's candidate generation is an equi-join, never all-pairs") {
+    val plan = executed(TextAnalysis.contamination(Tables.documents(spark, sf)))
+    assert(countIn(plan, "CartesianProduct") == 0)
+    assert(countIn(plan, "BroadcastNestedLoopJoin") == 0)
+  }
+
+  test("brute-force top-k builds the bounded query side, not the corpus") {
+    val df = graft.sim.Similarity.bruteTopK(
+      Tables.embeddings(spark, sf), org.apache.spark.sql.functions.col("vec_id") < 3, 5)
+    val plan = executed(df)
+    // intended nested-loop: corpus streams, broadcast side is the
+    // 3-row query set
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(2000))
+  }
+}
