@@ -36,14 +36,17 @@ object Bench {
         catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    // failed queries get a negative time so they can't read as fast
+    // failed queries get a negative time so they can't read as fast;
+    // the headline total sums SUCCESSFUL queries only (consistent with
+    // sum(max(t, 0)) over the entries — a broken run never inflates or
+    // masquerades as a healthy total)
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isDefined) -v else v)
     }.mkString("{", ",", "}")
     val errors = results.flatMap(_._3).map(m =>
-      "\"" + m.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300) + "\"")
+      "\"" + m.replaceAll("[\\x00-\\x1F\"\\\\]", " ").take(300) + "\"")
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,9 +49,9 @@ object GraftExtensions {
   }
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    fn("shingle_set", "tokens, n")(args =>
+    fn("shingle_set", "text, n")(args =>
       ShingleSet(args(0), intArg("shingle_set", args(1)))),
-    fn("shingle_list", "tokens, n")(args =>
+    fn("shingle_list", "text, n")(args =>
       ShingleList(args(0), intArg("shingle_list", args(1)))),
     fn("minhash_sig", "shingles, k")(args =>
       MinHashSig(args(0), intArg("minhash_sig", args(1)))),

@@ -209,10 +209,6 @@ object HashOps {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Random-hyperplane LSH signature: bit p = sign(v · u_p) where
-    * u_p is a deterministic pseudo-random plane derived from fmix —
-    * no stored plane matrix, any executor regenerates it on the fly.
-    */
   /** Plane coefficient u_{table,p,j}, uniform in [-1, 1): >>>11
     * leaves 53 random bits, /2^53 gives [0,1), *2-1 maps to [-1,1).
     */
@@ -220,6 +216,10 @@ object HashOps {
     (fmix((table.toLong * 64 + p) * 1000003L + j) >>> 11).toDouble /
       (1L << 53).toDouble * 2.0 - 1.0
 
+  /** Random-hyperplane LSH signature: bit p = sign(v · u_p) where
+    * u_p is a deterministic pseudo-random plane derived from fmix —
+    * no stored plane matrix, any executor regenerates it on the fly.
+    */
   def lshSignature(v: ArrayData, planes: Int, table: Int): Long = {
     val dim = v.numElements()
     var sig = 0L

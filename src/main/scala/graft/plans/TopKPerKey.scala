@@ -51,37 +51,56 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val schema = child.output
     val keyExprs = keys
     val sortOrder = order
+    val keyCap = if (partial) TopKPerKeyExec.PartialMaxKeys else Int.MaxValue
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val ordering = RowOrdering.create(sortOrder, schema)
       // heap head = currently-worst retained row (reverse ordering)
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // Streaming pass: rows whose key can't get a heap (partial pass
+      // over near-unique keys would otherwise pin the whole split in
+      // memory) are emitted immediately — forwarding extra rows is
+      // always sound, the post-exchange final instance re-filters.
+      val passThrough: Iterator[InternalRow] = iter.filter { row =>
         val key = keyProj(row)
         var heap = heaps.get(key)
-        if (heap == null) {
+        if (heap == null && heaps.size() < keyCap) {
           heap = new java.util.PriorityQueue[InternalRow](kLocal, ordering.reverse)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll(); heap.add(row.copy())
+        if (heap == null) true // cap reached for a new key: forward as-is
+        else {
+          if (heap.size < kLocal) heap.add(row.copy())
+          else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy())
+          }
+          false
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values.forEach { h =>
-        val rows = new Array[InternalRow](h.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = h.poll(); i -= 1 } // drain worst-first
-        out ++= rows
+      def drain(): Iterator[InternalRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values.forEach { h =>
+          val rows = new Array[InternalRow](h.size)
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = h.poll(); i -= 1 } // drain worst-first
+          out ++= rows
+        }
+        out.iterator
       }
-      out.iterator
+      passThrough ++ drain()
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+}
+
+object TopKPerKeyExec {
+  /** Per-partition distinct-key budget of the partial pass: above
+    * this, new keys stream through un-heaped (memory stays bounded at
+    * cap·k rows regardless of key cardinality).
+    */
+  val PartialMaxKeys: Int = 1 << 17
 }
 
 object TopKStrategy extends SparkStrategy {

@@ -138,9 +138,8 @@ object Similarity {
         .select(col(idCol), col("s"), col("code"),
           graft.functions.expressions.l2_sq(col("v_sub"), col("c_sub")).as("d"))
         .groupBy(idCol, "s")
-        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
-          min("d").as("d"))
-    val encoded = encode(corpus, "vec_id").select("vec_id", "s", "code")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    val encoded = encode(corpus, "vec_id")
     val queries = corpus.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     // per-query LUT: distance from the query subvector to EVERY code

@@ -102,6 +102,14 @@ object StateTable {
     * directly from a caller-owned `foreachBatch`).
     */
   def commitBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
+    val target = new java.io.File(stateDir, s"$VersionPrefix$batchId")
+    // replay after the publish but before the checkpoint commit: the
+    // rename is atomic, so an existing v=batchId IS the complete,
+    // deterministic recomputation of this batch (same merge base —
+    // versions below batchId are immutable). Never un-publish it:
+    // deleting would open a window where a concurrent reader sees the
+    // version vanish.
+    if (target.isDirectory) return
     val spark = batch.sparkSession
     val prev = readVersion(spark, stateDir, versionBefore(stateDir, batchId))
     // the full-outer merge leaves the result hash-partitioned on
@@ -109,12 +117,8 @@ object StateTable {
     // scale with the corpus, not a single writer)
     val merged = merge(prev, summarize(batch))
     val staging = new java.io.File(stateDir, s".staging-$batchId")
-    val target = new java.io.File(stateDir, s"$VersionPrefix$batchId")
     deleteRecursively(staging)
     merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
-    // a leftover v=batchId from a crashed attempt is replaced by the
-    // identical recomputation (same base, deterministic merge)
-    deleteRecursively(target)
     if (!staging.renameTo(target))
       throw new java.io.IOException(s"cannot publish $staging -> $target")
   }

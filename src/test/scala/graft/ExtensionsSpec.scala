@@ -49,6 +49,6 @@ class ExtensionsSpec extends SparkSpec {
     val e2 = intercept[Exception] {
       spark.sql("SELECT shingle_set('x')").collect()
     }
-    assert(e2.getMessage.contains("shingle_set(tokens, n)"), e2.getMessage)
+    assert(e2.getMessage.contains("shingle_set(text, n)"), e2.getMessage)
   }
 }

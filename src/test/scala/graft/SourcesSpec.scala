@@ -18,17 +18,21 @@ class SourcesSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
-  test("malformed lines are quarantined, not silently dropped") {
+  test("malformed and incomplete lines are quarantined, not silently dropped") {
     val dir = Files.createTempDirectory("graft-badjson")
     val good = """{"doc_id":"user1","seq":1,"ts_us":1000,"op":"RECORD_INSERT","field_path":"","payload":"{}","amount":1.5}"""
     val bad = """{"doc_id":"user2","seq":NOT_JSON"""
+    // parses fine but lacks required key fields (doc_id/seq/ts_us)
+    val incomplete = """{"op":"RECORD_INSERT","payload":"{}"}"""
     Files.write(Paths.get(dir.toString, "part-0.json"),
-      s"$good\n$bad\n".getBytes("UTF-8"))
+      s"$good\n$bad\n$incomplete\n".getBytes("UTF-8"))
     val ok = ChangelogSource.fromJsonLines(spark, dir.toString).collect()
     assert(ok.length == 1 && ok(0).getAs[String]("doc_id") == "user1")
-    val quarantined = ChangelogSource.quarantine(spark, dir.toString).collect()
-    assert(quarantined.length == 1)
-    assert(quarantined(0).getAs[String]("raw_line").contains("NOT_JSON"))
+    val quarantined = ChangelogSource.quarantine(spark, dir.toString)
+      .collect().map(_.getAs[String]("raw_line"))
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("NOT_JSON")))
+    assert(quarantined.exists(l => l.contains("RECORD_INSERT") && !l.contains("doc_id")))
   }
 
   test("streaming read of the same layout feeds the routing operators") {

@@ -29,6 +29,21 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(planStr.contains("Exchange"))
   }
 
+  test("near-unique keys beyond the partial cap still produce exact results") {
+    import spark.implicits._
+    // 2× the partial key budget, one or two rows per key: the partial
+    // pass must overflow into pass-through without losing rows
+    val n = graft.plans.TopKPerKeyExec.PartialMaxKeys * 2
+    val df = spark.range(n).select(
+      (col("id") % (n / 2)).as("k"), col("id").as("v"))
+    val out = TopK.perKey(df, Seq("k"), Seq(col("v").desc), 1)
+    assert(out.count() == n / 2)
+    // spot-check: every surviving row is the max v of its key (v = k or k + n/2)
+    val sample = out.filter(col("k") < 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 100L).forall(k => sample(k) == k + n / 2))
+  }
+
   test("keys with fewer than k rows emit all their rows") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
