@@ -88,6 +88,10 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSampleAudit(Tables.documents(s, d)).orderBy("source")),
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
+    "text_pipeline" -> ((s, d) =>
+      TextAnalysis.curationManifest(Tables.documents(s, d)).orderBy("source", "split")),
     // §2c dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -546,6 +550,41 @@ object SparkEntry {
         |JOIN bgc USING (bg)
         |JOIN unic ON string_split(b.bg, ' ')[1] = unic.tok
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS dfc FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, token,
+        |             round(tf * (ln((n_docs + 1.0) / (dfc + 1.0)) + 1.0), 4) AS tfidf
+        |           FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY tfidf DESC, token) AS rk
+        |      FROM scored)
+        |SELECT doc_id, rk, token, tfidf FROM r WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "text_pipeline" ->
+      """WITH kept AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT doc_id, source, text,
+        |           min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id
+        |    FROM documents) WHERE doc_id = keep_doc_id),
+        |t AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks FROM kept),
+        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens FROM t
+        |      WHERE len(toks) >= 20
+        |        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.4
+        |        AND CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |            / len(toks) <= 0.1),
+        |s AS (SELECT source,
+        |        CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |                  IN ('0','1','2','3') THEN 'val' ELSE 'train' END AS split,
+        |        n_tokens
+        |      FROM q)
+        |SELECT source, split, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |       round(avg(n_tokens), 4) AS avg_tokens
+        |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
     "sample_stratified" ->
       """WITH s AS (SELECT source,
         |             strpos('0123456789abcdef',

@@ -228,6 +228,60 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** TF-IDF top terms per document (smooth idf = ln((N+1)/(df+1))+1).
+    * Corpus stats are two keyed aggregations; the document count
+    * broadcasts like a scalar subquery; per-doc top-k runs through
+    * the native [[graft.plans.TopKPerKey]] operator (bounded heaps,
+    * no full per-doc sort), with the rank recovered on the k-bounded
+    * output.
+    */
+  def tfIdfTopTerms(documents: DataFrame, k: Int = 3): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("dfc"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "token")
+      .join(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * (log((col("n_docs") + 1.0) / (col("dfc") + 1.0)) + 1.0), 4)
+          .as("tfidf"))
+    val topped = graft.plans.TopK.perKey(scored, Seq("doc_id"),
+      Seq(col("tfidf").desc, col("token").asc), k)
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+    topped
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select("doc_id", "rk", "token", "tfidf")
+  }
+
+  /** End-to-end corpus curation: exact-dedup keepers → rule-based
+    * quality filter → deterministic split assignment → per
+    * (source, split) manifest. The composition story: every stage is
+    * one of the engine's operators, chained as plain DataFrame
+    * transforms — the whole pipeline is a single Catalyst plan (the
+    * dedup window, the filter, and the split hash all run in one
+    * scan + one doc_id-keyed window shuffle before the final
+    * aggregation).
+    */
+  def curationManifest(documents: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val wDup = Window.partitionBy(md5(col("text")))
+    documents
+      .withColumn("keep_doc_id", min("doc_id").over(wDup))
+      .filter(col("doc_id") === col("keep_doc_id")) // exact-dup keepers
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") >= 20 &&
+        size(array_distinct(toks)).cast("double") / size(toks) >= 0.4 &&
+        countIn(toks, EnStop).cast("double") / size(toks) <= 0.1) // quality rules
+      .withColumn("split", graft.ops.Sampling.hashSplit(col("doc_id")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        round(avg("n_tokens"), 4).as("avg_tokens"))
+  }
+
   /** Count-based bigram language-model scoring (the KenLM-ish
     * quality signal shape): corpus-level unigram/bigram counts, each
     * document scored by the mean log conditional probability of its
