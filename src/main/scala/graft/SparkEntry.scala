@@ -67,6 +67,7 @@ object SparkEntry {
     "q21_pivot" -> Relational.q21Pivot _,
     "q22_full_outer" -> Relational.q22FullOuter _,
     "q23_window_ranks" -> Relational.q23WindowRanks _,
+    "q25_salted_join" -> Relational.q25SaltedJoin _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -460,6 +461,11 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q25_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q21_pivot" ->
       """SELECT o_orderstatus,
         |       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS p_urgent,

@@ -384,6 +384,23 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** The skew-safe join in the driver-checked surface: fact × dim
+    * through [[Layout.saltedJoin]] (salt 8). Row-identical to the
+    * plain join — salting only changes the shuffle distribution — so
+    * the plain-join SQL is its oracle.
+    */
+  def q25SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val small = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    Layout.saltedJoin(big, small, "custkey", salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Gap-based sessionization: a >30min silence starts a new session.
     * lag + cumulative-sum over a per-user window — one shuffle.
     */

@@ -5,16 +5,18 @@ import org.apache.spark.sql.streaming.OutputMode
 
 import graft.{GraftSession, Tables}
 
-/** End-to-end streaming pipeline over a file source — the runnable
-  * equivalent of the reference's consumer process: a directory of
-  * event files is tailed as a stream, typed into change records,
-  * routed to FTS/geo "topics" (parquet sinks here; Kafka-compatible
-  * sinks are a one-line swap), and materialized into per-document
-  * state.
+/** End-to-end streaming pipeline over the JSON wire format — the
+  * runnable equivalent of the reference's consumer process: a
+  * directory of JSON-line change messages is tailed as a stream
+  * (via [[graft.sources.ChangelogSource]], the stand-in for the
+  * topic), routed to FTS/geo "topics" (parquet sinks here;
+  * Kafka-compatible sinks are a one-line swap), and materialized
+  * into per-document state.
   *
   * Usage: runMain graft.streaming.StreamDemo <sfDir> <outDir>
-  * (Batch-seeds the input dir from <sfDir>/events.parquet, runs each
-  * stream to completion on the available data, prints row counts.)
+  * (Seeds the input dir as wire-format JSON from <sfDir>/events
+  * .parquet, runs each stream to completion on the available data,
+  * prints row counts.)
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
@@ -24,11 +26,12 @@ object StreamDemo {
     import spark.implicits._
 
     val inDir = s"$outDir/in"
-    Tables.events(spark, sfDir).write.mode("overwrite").parquet(inDir)
-    val schema = spark.read.parquet(inDir).schema
+    graft.sources.ChangelogSource.toJsonLines(
+      graft.cdc.Changelog.fromEvents(Tables.events(spark, sfDir)))
+      .write.mode("overwrite").text(inDir)
 
-    val events = spark.readStream.schema(schema).parquet(inDir)
-    val cl = CdcStreams.changelog(events)
+    val cl = graft.sources.ChangelogSource.streamJsonLines(spark, inDir)
+      .as[ChangeRecord]
 
     val fts = CdcStreams.ftsRoute(cl.toDF()).writeStream
       .format("parquet").option("path", s"$outDir/fts_service")
