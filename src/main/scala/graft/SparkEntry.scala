@@ -39,6 +39,9 @@ object SparkEntry {
       Changelog.windowCounts(changelog(s, d)).orderBy("window_start_us", "op")),
     "cdc_state_asof" -> ((s, d) =>
       Changelog.stateAsOf(changelog(s, d), 5000L).orderBy("doc_id")),
+    "cdc_enrich" -> ((s, d) =>
+      Changelog.enrichBySegment(changelog(s, d), Tables.customer(s, d))
+        .orderBy(col("c_mktsegment").asc_nulls_first)),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -233,6 +236,15 @@ object SparkEntry {
       """SELECT epoch_us(date_trunc('hour', make_timestamp(ts_us))) AS window_start_us,
         |       op, count(*) AS n, count(DISTINCT doc_id) AS n_docs
         |FROM changelog GROUP BY 1, 2 ORDER BY window_start_us, op""".stripMargin),
+    "cdc_enrich" -> (clCte +
+      """SELECT c_mktsegment, count(*) AS n_changes,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       round(sum(amount), 2) AS total_amount
+        |FROM changelog
+        |LEFT JOIN customer
+        |  ON CAST(replace(doc_id, 'user', '') AS BIGINT) = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment NULLS FIRST""".stripMargin),
     "cdc_state_asof" -> (clCte +
       """, ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,

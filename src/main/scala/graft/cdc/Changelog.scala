@@ -202,6 +202,23 @@ object Changelog {
         countDistinct(col("doc_id")).as("n_docs"),
         round(avg(col("amount")), 4).as("avg_amount"))
 
+  /** Batch dimension enrichment: change volume per customer segment —
+    * the changelog joined to the customer dimension on the embedded
+    * user key (batch twin of the streaming `CdcStreams.enrich`).
+    * Left join: changes without a profile are kept and reported
+    * under a null segment, because CDC audits must not drop rows.
+    */
+  def enrichBySegment(changelog: DataFrame, customer: DataFrame): DataFrame =
+    changelog
+      .withColumn("user_key",
+        regexp_replace(col("doc_id"), "^user", "").cast("long"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_key") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_changes"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        round(sum(col("amount")), 2).as("total_amount"))
+
   /** Point-in-time state: the document table as it stood at sequence
     * `asOfSeq` — time travel over the changelog, by construction
     * (replay is a filter; every historical state is derivable).
