@@ -34,6 +34,45 @@ object Layout {
     df.withColumn("day", date_trunc("day", col(tsCol)).cast("date"))
       .write.partitionBy("day").mode("overwrite").parquet(path)
 
+  /** Morton (Z-order) key: bit-interleave of two 16-bit normalized
+    * dimensions — a space-filling curve, so rows close in the key are
+    * close in BOTH dimensions. Built from shift/mask column ops only
+    * (stays in codegen).
+    */
+  private def morton16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      (shiftleft(shiftrightunsigned(x, i).bitwiseAND(1), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(1), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  private def scale16(c: Column, cMin: Column, cMax: Column): Column =
+    when(cMax === cMin, 0)
+      .otherwise(((c - cMin) / (cMax - cMin) * 65535.0).cast("int"))
+
+  /** Z-ordered write: sort the frame along a Morton curve over two
+    * numeric columns before writing, so each output file covers a
+    * NARROW range of both dimensions and parquet min/max stats prune
+    * scans filtered on either (or both) — multi-dimensional data
+    * skipping, where a linear sort only skips on its leading column.
+    * Normalization bounds come from one aggregate pass, broadcast
+    * like a scalar subquery; the range partitioning + in-partition
+    * sort is the same machinery a cluster-scale OPTIMIZE would use.
+    */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
+                    numFiles: Int): Unit = {
+    val bounds = df.agg(
+      min(col(c1)).cast("double").as("min1"), max(col(c1)).cast("double").as("max1"),
+      min(col(c2)).cast("double").as("min2"), max(col(c2)).cast("double").as("max2"))
+    df.join(broadcast(bounds))
+      .withColumn("__z", morton16(
+        scale16(col(c1).cast("double"), col("min1"), col("max1")),
+        scale16(col(c2).cast("double"), col("min2"), col("max2"))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "min1", "max1", "min2", "max2")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Skew-safe equi-join: the skewed (big) side gets a deterministic
     * pseudo-random salt in [0, salt); the small side is replicated
     * `salt` times; the join key becomes (key, salt), splitting each

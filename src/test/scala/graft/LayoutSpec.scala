@@ -101,4 +101,39 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(salted == plainReordered && salted.nonEmpty)
     assert(plain.nonEmpty)
   }
+
+  test("z-ordered files are narrow in BOTH dimensions; linear sort is not") {
+    import java.nio.file.Files
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val zDir = Files.createTempDirectory("graft-zorder").toString
+    val linDir = Files.createTempDirectory("graft-linear").toString
+    val nFiles = 16
+    Layout.writeZOrdered(orders, "o_custkey", "o_totalprice", zDir, nFiles)
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(linDir)
+
+    // mean per-file value spread of the SECOND dimension, as a share
+    // of its global range: near 1.0 for the linear sort (each file
+    // spans everything), well below for the z-order
+    def spread2(dir: String): Double = {
+      val global = orders.agg(
+        (max("o_totalprice") - min("o_totalprice")).cast("double")).collect()(0).getDouble(0)
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath)
+      val spreads = files.map { f =>
+        val r = spark.read.parquet(f).agg(
+          (max("o_totalprice") - min("o_totalprice")).cast("double")).collect()(0)
+        r.getDouble(0) / global
+      }
+      spreads.sum / spreads.length
+    }
+    val zs = spread2(zDir)
+    val ls = spread2(linDir)
+    assert(ls > 0.8, s"linear files should span ~the full price range, got $ls")
+    assert(zs < 0.5 * ls, s"z-order files not narrower: z=$zs linear=$ls")
+    // round trip preserves rows
+    assert(spark.read.parquet(zDir).count() == orders.count())
+  }
 }
