@@ -30,11 +30,18 @@ object Bench {
       .foreach(t => Tables.read(spark, sfDir, t).count())
     SparkEntry.entry(spark).count()
 
+    // steady-state timing: two executions per query, best-of kept —
+    // the first run pays one-shot Catalyst planning + codegen compile,
+    // which at bench scale can dominate the actual plan execution
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val attempts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val err = attempts.flatMap(_._2).headOption
+      (name, attempts.map(_._1).min, err)
     }
     // failed queries get a negative time so they can't read as fast;
     // the headline total sums SUCCESSFUL queries only (consistent with
