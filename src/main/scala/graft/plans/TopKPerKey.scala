@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RepartitionByExpression, UnaryNode}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
@@ -93,6 +94,21 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
     copy(child = c)
+}
+
+/** Optimizer rule (the `injectOptimizerRule` tier): a user
+  * `repartition(keys)` directly under a TopKPerKey on the same keys
+  * is redundant — the exec's required distribution inserts its own
+  * exchange, so the plan would shuffle twice. Collapse it.
+  */
+object CollapseRepartitionIntoTopK extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case t @ TopKPerKey(keys, _, _,
+        r @ RepartitionByExpression(exprs, child, _, _))
+        if exprs.length == keys.length &&
+          exprs.map(_.canonicalized) == keys.map(_.canonicalized) =>
+      t.copy(child = child)
+  }
 }
 
 object TopKPerKeyExec {

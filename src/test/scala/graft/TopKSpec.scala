@@ -44,6 +44,23 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert((0L until 100L).forall(k => sample(k) == k + n / 2))
   }
 
+  test("redundant repartition under top-k is collapsed to one exchange") {
+    val base = Tables.orders(spark, sf)
+    val df = TopK.perKey(base.repartition(col("o_orderpriority")),
+      Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    df.collect()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, df.queryExecution.executedPlan.toString.take(1500))
+    // and the result is identical to the un-repartitioned operator
+    val plain = TopK.perKey(base, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == plain)
+  }
+
   test("keys with fewer than k rows emit all their rows") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 9)).toDF("k", "v")
