@@ -79,6 +79,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprints(Tables.documents(s, d)).select("doc_id", "fp_md5_64").orderBy("doc_id")),
     "text_vocab" -> ((s, d) => TextAnalysis.vocabTopK(Tables.documents(s, d), 10).orderBy(col("cnt").desc, col("token"))),
+    "text_vocab_sketch" -> ((s, d) =>
+      TextAnalysis.vocabTopKSketch(Tables.documents(s, d), 10).orderBy(col("cnt").desc, col("token"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     "text_split" -> ((s, d) => Sampling.splitAudit(Tables.documents(s, d)).orderBy("source", "split")),
@@ -633,6 +635,12 @@ object SparkEntry {
         |             len(string_split(trim(text), ' ')), 4) AS tokens_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_vocab" ->
+      """SELECT tok AS token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    // exact while maxTracked exceeds the true vocabulary — same oracle
+    // as the Misra-Gries path
+    "text_vocab_sketch" ->
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,

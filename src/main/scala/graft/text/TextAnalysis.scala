@@ -115,6 +115,25 @@ object TextAnalysis {
       .select(explode(col("top")).as("kv"))
       .select(col("kv.token").as("token"), col("kv.cnt").as("cnt"))
 
+  /** Vocabulary heavy-hitters via Spark's native `approx_top_k`
+    * frequent-items sketch — the built-in twin of [[vocabTopK]]'s
+    * custom Misra-Gries aggregate. With the tracked-item budget above
+    * the true vocabulary size the counts are exact, so both share
+    * one SQL oracle; under the budget it degrades gracefully like
+    * any frequent-items sketch.
+    */
+  def vocabTopKSketch(documents: DataFrame, k: Int = 10,
+                      maxTracked: Int = 10000): DataFrame =
+    documents
+      .select(explode(tokens(col("text"))).as("tok"))
+      // overfetch: the sketch breaks count ties arbitrarily, so pull
+      // a margin past k and re-rank with a deterministic tiebreaker
+      .agg(expr(s"approx_top_k(tok, ${k + 50}, $maxTracked)").as("top"))
+      .select(explode(col("top")).as("kv"))
+      .select(col("kv.item").as("token"), col("kv.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+
   /** Tokenizer comparison: whitespace tokens vs a BPE-style
     * pre-tokenization regex (word pieces / digit runs / punctuation
     * as separate tokens — the usual LLM pre-tokenizer shape). Both
