@@ -70,6 +70,7 @@ object SparkEntry {
     "q21_pivot" -> Relational.q21Pivot _,
     "q22_full_outer" -> Relational.q22FullOuter _,
     "q23_window_ranks" -> Relational.q23WindowRanks _,
+    "q24_sql_exists" -> Relational.q24SqlExists _,
     "q25_salted_join" -> Relational.q25SaltedJoin _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
@@ -475,6 +476,15 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |                        (o_orderstatus), (o_orderpriority))
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q24_sql_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q25_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |       round(sum(o_totalprice), 2) AS total_revenue

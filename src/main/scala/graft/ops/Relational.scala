@@ -384,6 +384,24 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Correlated EXISTS through the SQL front end (the engine's other
+    * entry surface): Catalyst rewrites the subquery to the same
+    * left-semi join the DataFrame formulation (q4) plans by hand.
+    */
+  def q24SqlExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM g_orders o
+        |WHERE EXISTS (SELECT 1 FROM g_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** The skew-safe join in the driver-checked surface: fact × dim
     * through [[Layout.saltedJoin]] (salt 8). Row-identical to the
     * plain join — salting only changes the shuffle distribution — so
