@@ -15,6 +15,10 @@ run / fork := true
 // round driver parses Bench's single JSON line from stdout, and sbt's
 // default logger would prefix it with "[info] "
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and sbt's "[success] Total time: Ns" trailer would land AFTER the
+// JSON line, so a parser that reads the last stdout line gets garbage
+// (BENCH_r01/r02 both recorded "parsed": null for exactly this reason)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

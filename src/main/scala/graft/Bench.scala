@@ -40,20 +40,25 @@ object Bench {
           catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      // a query is failed only if ALL attempts fail — a transient flake
+      // on one of the two runs still yields a valid best-of time, and
+      // its error is surfaced in the errors array without negating it
+      val ok = attempts.collect { case (t, None) => t }
       val err = attempts.flatMap(_._2).headOption
-      (name, attempts.map(_._1).min, err)
+      (name, if (ok.nonEmpty) ok.min else -attempts.map(_._1).min,
+        err, ok.isEmpty)
     }
-    // failed queries get a negative time so they can't read as fast;
-    // the headline total sums SUCCESSFUL queries only (consistent with
-    // sum(max(t, 0)) over the entries — a broken run never inflates or
-    // masquerades as a healthy total)
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isDefined) -v else v)
+    // fully-failed queries get a negative time so they can't read as
+    // fast; the headline total sums SUCCESSFUL queries only (consistent
+    // with sum(max(t, 0)) over the entries — a broken run never
+    // inflates or masquerades as a healthy total)
+    val qs = results.map { case (k, v, _, _) =>
+      "\"" + k + "\":" + v
     }.mkString("{", ",", "}")
     val errors = results.flatMap(_._3).map(m =>
       "\"" + m.replaceAll("[\\x00-\\x1F\"\\\\]", " ").take(300) + "\"")
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, false) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
