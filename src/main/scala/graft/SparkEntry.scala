@@ -245,7 +245,8 @@ object SparkEntry {
         |       round(sum(amount), 2) AS total_amount
         |FROM changelog
         |LEFT JOIN customer
-        |  ON CAST(replace(doc_id, 'user', '') AS BIGINT) = c_custkey
+        |  ON (CASE WHEN regexp_matches(doc_id, '^user[0-9]+$')
+        |        THEN CAST(substring(doc_id, 5) AS BIGINT) END) = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment NULLS FIRST""".stripMargin),
     "cdc_state_asof" -> (clCte +

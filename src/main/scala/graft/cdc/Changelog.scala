@@ -210,8 +210,12 @@ object Changelog {
     */
   def enrichBySegment(changelog: DataFrame, customer: DataFrame): DataFrame =
     changelog
+      // extract digits explicitly: a doc_id that isn't 'user<digits>'
+      // yields a null key (joins nothing, lands in the null segment)
+      // on BOTH engines, instead of leaning on cast-garbage semantics
       .withColumn("user_key",
-        regexp_replace(col("doc_id"), "^user", "").cast("long"))
+        when(col("doc_id").rlike("^user[0-9]+$"),
+          substring(col("doc_id"), 5, Int.MaxValue).cast("long")))
       .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("user_key") === col("c_custkey"), "left")
       .groupBy("c_mktsegment")

@@ -41,13 +41,16 @@ object Layout {
     */
   private def morton16(x: Column, y: Column): Column =
     (0 until 16).map { i =>
-      (shiftleft(shiftrightunsigned(x, i).bitwiseAND(1), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(1), 2 * i))
+      (shiftleft(shiftrightunsigned(x, i).bitwiseAND(1L), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftrightunsigned(y, i).bitwiseAND(1L), 2 * i))
     }.reduce(_ bitwiseOR _)
 
+  // 64-bit lanes: bit 15 of the x dimension lands at bit 31 of the
+  // interleave, which in a 32-bit Int would be the sign bit — negative
+  // keys would split the Z-curve ordering at the x midpoint
   private def scale16(c: Column, cMin: Column, cMax: Column): Column =
-    when(cMax === cMin, 0)
-      .otherwise(((c - cMin) / (cMax - cMin) * 65535.0).cast("int"))
+    when(cMax === cMin, 0L)
+      .otherwise(((c - cMin) / (cMax - cMin) * 65535.0).cast("bigint"))
 
   /** Z-ordered write: sort the frame along a Morton curve over two
     * numeric columns before writing, so each output file covers a

@@ -104,8 +104,12 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object CollapseRepartitionIntoTopK extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case t @ TopKPerKey(keys, _, _,
-        r @ RepartitionByExpression(exprs, child, _, _))
-        if exprs.length == keys.length &&
+        r @ RepartitionByExpression(exprs, child, optNumPartitions, _))
+        // an explicit repartition(n, keys) is a tuning knob the user
+        // chose — only collapse the count-less form, whose sole effect
+        // is the distribution the exec's own exchange already provides
+        if optNumPartitions.isEmpty &&
+          exprs.length == keys.length &&
           exprs.map(_.canonicalized) == keys.map(_.canonicalized) =>
       t.copy(child = child)
   }

@@ -32,6 +32,28 @@ class FreqItemsSpec extends SparkSpec {
     assert(top.head._2 <= 500 && top.head._2 >= 500 - 800 / 8)
   }
 
+  test("sketch vocab oracle-parity preconditions hold at the largest SF") {
+    // vocabTopKSketch shares the exact-count SQL oracle; that holds
+    // only while (a) the true vocabulary fits the tracked budget (the
+    // sketch is then exact) and (b) every token tied at the top-k
+    // count boundary fits the k+50 overfetch (approx_top_k breaks
+    // ties arbitrarily; the deterministic re-rank can only repair
+    // ties it can see). Pin both at the biggest SF the driver runs.
+    import graft.text.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count()
+    val vocab = counts.count()
+    assert(vocab < 10000, s"vocab $vocab outgrew maxTracked=10000")
+    val k = 10
+    val kth = counts.orderBy(col("count").desc, col("tok"))
+      .limit(k).collect().map(_.getLong(1)).min
+    val atOrAbove = counts.filter(col("count") >= kth).count()
+    assert(atOrAbove <= k + 50,
+      s"$atOrAbove tokens at/above the rank-$k count $kth exceed the k+50 overfetch")
+  }
+
   test("hash split is deterministic and ~25% val") {
     val docs = Tables.documents(spark, sf)
     val a = Sampling.splitAudit(docs).collect()
