@@ -42,6 +42,12 @@ object SparkEntry {
     "cdc_enrich" -> ((s, d) =>
       Changelog.enrichBySegment(changelog(s, d), Tables.customer(s, d))
         .orderBy(col("c_mktsegment").asc_nulls_first)),
+    "cdc_compact" -> ((s, d) =>
+      Changelog.compactMergeDemo(changelog(s, d)).orderBy("doc_id")),
+    "events_funnel" -> ((s, d) =>
+      graft.ops.Events.funnel(Tables.events(s, d)).orderBy("stage_idx")),
+    "events_retention" -> ((s, d) =>
+      graft.ops.Events.retention(Tables.events(s, d)).orderBy("cohort_week", "week_offset")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -99,6 +105,8 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
       TextAnalysis.curationManifest(Tables.documents(s, d)).orderBy("source", "split")),
+    "text_entropy" -> ((s, d) =>
+      TextAnalysis.entropyStats(Tables.documents(s, d)).orderBy("doc_id")),
     // §2c dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -119,6 +127,8 @@ object SparkEntry {
     "sim_ivf" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "emb_stats" -> ((s, d) => Similarity.embStats(Tables.embeddings(s, d)).orderBy("label")),
+    "sim_knn_graph" -> ((s, d) =>
+      Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
     "sim_pq" -> ((s, d) =>
       Similarity.annPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     // §2f multimodal
@@ -144,6 +154,16 @@ object SparkEntry {
       |         props AS payload, value AS amount
       |  FROM events)
       |""".stripMargin
+
+  private val latestStateSql: String =
+    """, ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+      |         count(*) OVER (PARTITION BY doc_id) AS n_changes
+      |  FROM changelog)
+      |SELECT doc_id, seq AS last_seq, op AS last_op,
+      |       field_path AS last_field, payload AS last_payload, n_changes
+      |FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'
+      |ORDER BY doc_id""".stripMargin
 
   /** DuckDB-runnable oracle per query (same column names, same
     * rounding, explicit ORDER BY).
@@ -196,15 +216,49 @@ object SparkEntry {
         |FROM changelog
         |WHERE field_path IN ('firstName','lastName') OR op = 'RECORD_DELETE'
         |ORDER BY seq""".stripMargin),
-    "cdc_latest_state" -> (clCte +
-      """, ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
-        |         count(*) OVER (PARTITION BY doc_id) AS n_changes
-        |  FROM changelog)
-        |SELECT doc_id, seq AS last_seq, op AS last_op,
-        |       field_path AS last_field, payload AS last_payload, n_changes
-        |FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'
-        |ORDER BY doc_id""".stripMargin),
+    "cdc_latest_state" -> (clCte + latestStateSql),
+    // the compact-then-merge plan must be replay-equivalent, so its
+    // oracle IS the full-replay latest-state query
+    "cdc_compact" -> (clCte + latestStateSql),
+    "events_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS saw_signup
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND saw_signup IS NOT NULL THEN ts END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS saw_click
+        |  FROM s1),
+        |agg AS (
+        |  SELECT count(DISTINCT CASE WHEN event_type = 'signup' THEN user_id END) AS n_signup,
+        |         count(DISTINCT CASE WHEN event_type = 'click'
+        |                              AND saw_signup IS NOT NULL THEN user_id END) AS n_click,
+        |         count(DISTINCT CASE WHEN event_type = 'purchase'
+        |                              AND saw_click IS NOT NULL THEN user_id END) AS n_purchase
+        |  FROM s2)
+        |SELECT stage_idx, stage, n_users, conv_rate FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+        |         n_signup AS n_users, CAST(1.0 AS DOUBLE) AS conv_rate FROM agg
+        |  UNION ALL
+        |  SELECT 2, 'click', n_click,
+        |         round(CAST(n_click AS DOUBLE) / nullif(n_signup, 0), 4) FROM agg
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n_purchase,
+        |         round(CAST(n_purchase AS DOUBLE) / nullif(n_click, 0), 4) FROM agg)
+        |ORDER BY stage_idx""".stripMargin,
+    "events_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id)
+        |SELECT cohort_week,
+        |       CAST((CAST(date_trunc('week', e.ts) AS DATE) - cohort_week) // 7 AS BIGINT)
+        |         AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cdc_field_state" -> (clCte +
       """, ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
@@ -777,6 +831,32 @@ object SparkEntry {
         |        round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
         |      FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
         |SELECT * FROM p WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+    // ordered-list entropy: DuckDB sums the per-byte terms ascending
+    // (list(... ORDER BY byte) + list_sum), mirroring the kernel's
+    // ascending-bin accumulation so the 4dp rounding sees the same sum
+    "text_entropy" ->
+      """WITH h AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |                  octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, n, unnest(list_transform(range(1, n + 1),
+        |        i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1))) AS byte
+        |      FROM h),
+        |c AS (SELECT doc_id, n, byte, count(*) AS cnt FROM b GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+        |       round(-list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY byte),
+        |               x -> x / n * log2(x / n))), 4) AS entropy
+        |FROM c GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "sim_knn_graph" ->
+      """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |             FROM embeddings WHERE vec_id % 7 = 0),
+        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+        |           FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+        |ranked AS (SELECT src, dst, cos,
+        |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+        |           FROM scored)
+        |SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

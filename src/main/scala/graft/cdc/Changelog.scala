@@ -136,14 +136,66 @@ object Changelog {
     * a 100 TB changelog (a window would sort the whole history).
     */
   def latestState(changelog: DataFrame): DataFrame =
-    changelog
-      .groupBy("doc_id")
+    liveState(compactState(changelog))
+
+  /** Weighted LWW compaction: each input row carries `__w`, the
+    * number of raw changes it already stands for (1 for a raw record,
+    * its accumulated count for a compacted row), so change counts
+    * survive re-compaction.
+    */
+  private def compactWeighted(cl: DataFrame): DataFrame =
+    cl.groupBy("doc_id")
       .agg(max("seq").as("last_seq"),
         max_by(col("op"), col("seq")).as("last_op"),
         max_by(col("field_path"), col("seq")).as("last_field"),
         max_by(col("payload"), col("seq")).as("last_payload"),
-        count(lit(1)).as("n_changes"))
-      .filter(col("last_op") =!= Delete)
+        sum(col("__w")).as("n_changes"))
+
+  /** Compacted per-doc state INCLUDING tombstones — the mergeable
+    * snapshot format. Deleted docs stay as tombstone rows: a later
+    * [[mergeState]] needs the tombstone's seq to beat stale updates,
+    * and the running change count to stay replay-accurate. This is
+    * what a 100 TB deployment persists between delta merges (the
+    * reference's "save it back into the DB" loop, README.md:24-28,
+    * as an associative operator instead of point writes).
+    */
+  def compactState(changelog: DataFrame): DataFrame =
+    compactWeighted(changelog.withColumn("__w", lit(1L)))
+
+  /** Incremental view maintenance: fold a changelog delta into a
+    * compacted base snapshot. Associative and replay-equivalent by
+    * construction — `merge(compact(a), b) == compact(a ∪ b)` — so
+    * state at 100 TB is maintained by merging bounded deltas, never
+    * by replaying history. The base re-enters as weighted
+    * pseudo-changes; one hash aggregation on doc_id does the rest.
+    */
+  def mergeState(base: DataFrame, delta: DataFrame): DataFrame =
+    compactWeighted(
+      base.select(col("doc_id"), col("last_seq").as("seq"),
+        col("last_op").as("op"), col("last_field").as("field_path"),
+        col("last_payload").as("payload"), col("n_changes").as("__w"))
+        .unionByName(
+          delta.select(col("doc_id"), col("seq"), col("op"),
+            col("field_path"), col("payload"))
+            .withColumn("__w", lit(1L))))
+
+  /** Drop tombstones from a compacted state: the queryable view. */
+  def liveState(state: DataFrame): DataFrame =
+    state.filter(col("last_op") =!= Delete)
+
+  /** Compact-merge demo plan: split the changelog at its seq
+    * midpoint (computed in-plan, broadcast like a scalar subquery),
+    * compact the old half, merge the new half in, and read the live
+    * view — which must equal [[latestState]] of the full log (its
+    * oracle). The shape a real deployment runs every micro-batch.
+    */
+  def compactMergeDemo(changelog: DataFrame): DataFrame = {
+    val bound = changelog.agg(expr("max(seq) div 2").as("__split"))
+    val withB = changelog.join(broadcast(bound))
+    val base = compactState(withB.filter(col("seq") <= col("__split")).drop("__split"))
+    val delta = withB.filter(col("seq") > col("__split")).drop("__split")
+    liveState(mergeState(base, delta))
+  }
 
   /** Field-level last-writer-wins: latest value per (doc_id,
     * field_path), for documents still alive (latest op ≠ delete).

@@ -172,6 +172,30 @@ object HashOps {
     out
   }
 
+  /** Shannon entropy (bits per byte) of the UTF-8 byte distribution:
+    * one histogram pass, ascending-bin summation (deterministic float
+    * order, which the 4-decimal oracle rounding relies on).
+    */
+  def byteEntropy(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 0.0
+    val hist = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
+    val n = bytes.length.toDouble
+    val ln2 = Math.log(2.0)
+    var e = 0.0
+    var b = 0
+    while (b < 256) {
+      if (hist(b) > 0) {
+        val p = hist(b) / n
+        e -= p * (Math.log(p) / ln2)
+      }
+      b += 1
+    }
+    e
+  }
+
   /** Polynomial rolling hash (base 31, mod 2^61-1) over UTF-8 bytes —
     * the classic Rabin-Karp document fingerprint.
     */

@@ -90,6 +90,20 @@ object expressions {
     override def prettyName: String = "rolling_hash64"
   }
 
+  /** byte_entropy(text): Shannon entropy (bits/byte) of the UTF-8
+    * byte distribution — single-pass 256-bin histogram, no explode.
+    */
+  case class ByteEntropy(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      HashOps.byteEntropy(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.byteEntropy($c)")
+    override protected def withNewChildInternal(c: Expression): ByteEntropy = copy(child = c)
+    override def prettyName: String = "byte_entropy"
+  }
+
   /** cosine_sim(a, b) over float vectors, double accumulation. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -156,6 +170,8 @@ object expressions {
     GraftBridge.column(SimHash64(GraftBridge.expression(c)))
   def rolling_hash64(c: Column): Column =
     GraftBridge.column(RollingHash64(GraftBridge.expression(c)))
+  def byte_entropy(c: Column): Column =
+    GraftBridge.column(ByteEntropy(GraftBridge.expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot_ff(a: Column, b: Column): Column =

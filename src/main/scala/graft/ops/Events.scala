@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` fact table: ordered
+  * funnels and cohort retention — the product-analytics twins of the
+  * CDC surface (the reference's changelog is an event stream; these
+  * are the questions a consumer asks of it — mapr-db-cdc-sample
+  * README.md:24-28's "process the stream" loop).
+  *
+  * Both operators shuffle once on `user_id` (high-cardinality key):
+  * the funnel runs its stage windows inside one partitioning pass,
+  * retention is two partial-agg-friendly aggregations joined on the
+  * user key. Nothing is ordered globally — at 100 TB the per-user
+  * partitions re-size with the cluster, not the data.
+  */
+object Events {
+
+  /** Ordered conversion funnel signup → click → purchase: a stage
+    * counts a user only if some event of the previous stage strictly
+    * precedes it in (ts, event_id) order. Running conditional minima
+    * over the per-user window mark stage eligibility row-by-row, so
+    * the whole funnel is ONE shuffle on user_id — both stage windows
+    * share the same partitioning and sort, and Catalyst plans them in
+    * a single Window chain without a second exchange.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val precededBy = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("saw_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(precededBy))
+      .withColumn("saw_click",
+        min(when(col("event_type") === "click" && col("saw_signup").isNotNull,
+          col("ts"))).over(precededBy))
+    staged.agg(
+      countDistinct(when(col("event_type") === "signup", col("user_id")))
+        .as("n_signup"),
+      countDistinct(when(col("event_type") === "click" &&
+        col("saw_signup").isNotNull, col("user_id"))).as("n_click"),
+      countDistinct(when(col("event_type") === "purchase" &&
+        col("saw_click").isNotNull, col("user_id"))).as("n_purchase"))
+      .selectExpr(
+        """stack(3,
+          |  1L, 'signup',   n_signup,   cast(1.0 as double),
+          |  2L, 'click',    n_click,    round(n_click   / nullif(n_signup, 0), 4),
+          |  3L, 'purchase', n_purchase, round(n_purchase / nullif(n_click, 0), 4)
+          |) as (stage_idx, stage, n_users, conv_rate)""".stripMargin)
+  }
+
+  /** Weekly cohort retention: users are cohorted by the week of their
+    * first signup; every event then lands in a (cohort_week,
+    * week_offset) cell counting distinct active users. Negative
+    * offsets (activity before signup) are kept — retention audits
+    * must not silently drop them. Week arithmetic stays integral:
+    * both week starts are Monday-truncated dates, so the day delta is
+    * an exact multiple of 7.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val cohorts = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    events.join(cohorts, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        expr("datediff(cast(date_trunc('week', ts) as date), cohort_week) div 7")
+          .cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+}

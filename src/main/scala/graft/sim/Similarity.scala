@@ -33,6 +33,29 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** k-nearest-neighbor graph over a bounded node subset: every node
+    * gets edges to its k most-cosine-similar peers. Selection runs
+    * through the native [[graft.plans.TopK]] operator — bounded
+    * per-key heaps, no rank column, no full sort — so the graph
+    * build is the heap cost, not a window sort. The exact all-pairs
+    * form is the oracle for LSH/IVF candidate-edge variants; at
+    * 100 TB the same plan runs per LSH bucket instead of per subset.
+    */
+  def knnGraph(embeddings: DataFrame, nodeFilter: Column, k: Int): DataFrame = {
+    val nodes = embeddings.filter(nodeFilter)
+      .select(col("vec_id"), col("embedding"))
+    val scored = nodes
+      .join(broadcast(nodes.select(col("vec_id").as("dst"),
+        col("embedding").as("dst_emb"))), col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst"),
+        round(cosine_sim(col("embedding"), col("dst_emb")), 6).as("cos"))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    graft.plans.TopK.perKey(scored, Seq("src"),
+        Seq(col("cos").desc, col("dst").asc), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("src", "rank", "dst", "cos")
+  }
+
   /** Multi-table LSH ANN: `tables` independent random-hyperplane
     * hash tables of `planes` bits each (signatures regenerated
     * deterministically on any executor — no plane matrix to ship).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.FreqItemsAgg.freq_items
-import graft.functions.expressions.rolling_hash64
+import graft.functions.expressions.{byte_entropy, rolling_hash64}
 
 /** Text-analysis operators for the training-data pipeline, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
@@ -48,6 +48,17 @@ object TextAnalysis {
         length(col("text")), 4).as("punct_ratio"),
       round(countIn(toks, EnStop).cast("double") / size(toks), 4).as("stopword_ratio"))
   }
+
+  /** Byte-distribution Shannon entropy per document — the classic
+    * low-quality/garbage detector (boilerplate and encoded blobs sit
+    * far from natural-language ~4.2 bits/byte). One codegen'd
+    * histogram pass per row ([[graft.functions.expressions.ByteEntropy]]);
+    * no explode, no shuffle — a map-only scan at any corpus size.
+    */
+  def entropyStats(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      round(byte_entropy(col("text")), 4).as("entropy"))
 
   /** N-gram-heuristic language ID: score each language's marker-word
     * set against the token stream; argmax with fixed priority order.

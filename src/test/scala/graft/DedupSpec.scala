@@ -43,7 +43,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash pairs: identical docs at hamming 0") {
     val out = Dedup.simhashPairs(corpus, 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
   }
 
@@ -57,7 +57,7 @@ class DedupSpec extends SparkSpec {
         sig("the quick brown fox leaps over the lazy dog"))
     val radius = 15 // 16 chunks of 4 bits
     val out = Dedup.simhashPairs(corpus, radius)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     if (trueHamming <= radius)
       assert(out.exists { case (a, b, h) => a == 1 && b == 3 && h == trueHamming })
     // radius-0 still returns only the exact-signature pair

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Events
+
+class EventsSpec extends SparkSpec {
+
+  private def ev(rows: (Long, Long, Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "secs", "user_id", "event_type")
+      .select(col("event_id"), col("secs").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"))
+  }
+
+  test("funnel only counts stages in event order") {
+    // user 1: full ordered funnel; user 2: click BEFORE signup (click
+    // must not count); user 3: purchase before any click (no purchase)
+    val events = ev(
+      (1L, 10L, 1L, "signup"), (2L, 20L, 1L, "click"), (3L, 30L, 1L, "purchase"),
+      (4L, 10L, 2L, "click"), (5L, 20L, 2L, "signup"),
+      (6L, 10L, 3L, "signup"), (7L, 20L, 3L, "purchase"))
+    val rows = Events.funnel(events).orderBy("stage_idx")
+      .collect().map(r => (r.getString(1), r.getLong(2))).toList
+    assert(rows == List(("signup", 3L), ("click", 1L), ("purchase", 1L)))
+  }
+
+  test("funnel breaks timestamp ties by event_id") {
+    // same-second signup then click: event_id order decides
+    val ok = ev((1L, 10L, 1L, "signup"), (2L, 10L, 1L, "click"))
+    val ko = ev((2L, 10L, 1L, "signup"), (1L, 10L, 1L, "click"))
+    def clicks(df: org.apache.spark.sql.DataFrame): Long =
+      Events.funnel(df).filter(col("stage") === "click").head().getLong(2)
+    assert(clicks(ok) == 1L)
+    assert(clicks(ko) == 0L)
+  }
+
+  test("retention cohorts by signup week, keeps negative offsets") {
+    // 2024-01-01 is a Monday. user 1 signs up week 0, active week 1;
+    // user 2 has pre-signup activity (negative offset must survive)
+    val base = 1704067200L // 2024-01-01 00:00 UTC
+    val events = ev(
+      (1L, base, 1L, "signup"), (2L, base + 8 * 86400, 1L, "click"),
+      (3L, base + 7 * 86400, 2L, "signup"), (4L, base, 2L, "view"))
+    val rows = Events.retention(events).orderBy("cohort_week", "week_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toList
+    assert(rows == List(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", -1L, 1L), ("2024-01-08", 0L, 1L)))
+  }
+
+  test("funnel stage counts are monotone non-increasing on real data") {
+    val counts = Events.funnel(Tables.events(spark, sf)).orderBy("stage_idx")
+      .collect().map(_.getLong(2))
+    assert(counts.length == 3)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2))
+  }
+}

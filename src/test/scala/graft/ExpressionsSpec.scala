@@ -31,6 +31,19 @@ class ExpressionsSpec extends SparkSpec {
     assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est")
   }
 
+  test("byteEntropy matches closed-form values") {
+    def e(s: String): Double = HashOps.byteEntropy(UTF8String.fromString(s))
+    assert(e("") == 0.0)
+    assert(e("aaaa") == 0.0)
+    assert(math.abs(e("abab") - 1.0) < 1e-12)            // 2 symbols, uniform
+    assert(math.abs(e("abcdabcd") - 2.0) < 1e-12)        // 4 symbols, uniform
+    // 3:1 mix: -(3/4)log2(3/4) - (1/4)log2(1/4)
+    val expected = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25)) / math.log(2)
+    assert(math.abs(e("aaab") - expected) < 1e-12)
+    // multi-byte UTF-8 counts bytes, not chars: 'é' = 2 bytes, both unique
+    assert(e("é") == 1.0)
+  }
+
   test("simhash: identical token sets collide, disjoint sets don't") {
     val a = strArray("alpha", "beta", "gamma", "delta")
     val b = strArray("alpha", "beta", "gamma", "delta")

@@ -22,6 +22,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn graph: symmetric scoring, k out-edges per node, no self-loops") {
+    val k = 3
+    val g = Similarity.knnGraph(embeddings, col("vec_id") % 7 === 0, k).collect()
+    val nodes = g.map(_.getAs[Long]("src")).distinct
+    assert(nodes.nonEmpty && g.length == nodes.length * k)
+    assert(!g.exists(r => r.getAs[Long]("src") == r.getAs[Long]("dst")))
+    // cosine is symmetric: edge (a,b) scores identically to (b,a)
+    val score = g.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) ->
+      r.getAs[Double]("cos")).toMap
+    score.foreach { case ((a, b), c) =>
+      score.get((b, a)).foreach(rc => assert(rc == c)) }
+  }
+
   test("LSH ANN finds a planted near-duplicate at rank 1") {
     import spark.implicits._
     val base = (0 until 50).map { i =>
