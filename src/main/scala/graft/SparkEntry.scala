@@ -131,6 +131,8 @@ object SparkEntry {
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
     "sim_pq" -> ((s, d) =>
       Similarity.annPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    "sim_ivfpq" -> ((s, d) =>
+      Similarity.annIvfPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     // §2f multimodal
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>

@@ -172,6 +172,15 @@ object HashOps {
     out
   }
 
+  /** Elementwise float-vector subtraction (IVF-PQ residuals). */
+  def subFF(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i) - b.getFloat(i); i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Shannon entropy (bits per byte) of the UTF-8 byte distribution:
     * one histogram pass, ascending-bin summation (deterministic float
     * order, which the 4-decimal oracle rounding relies on).

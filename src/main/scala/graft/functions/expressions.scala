@@ -143,6 +143,19 @@ object expressions {
     override def prettyName: String = "l2_sq"
   }
 
+  /** vec_sub(a, b): elementwise float subtraction (PQ residuals). */
+  case class VecSubFF(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.subFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$ops.subFF($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSubFF =
+      copy(left = l, right = r)
+    override def prettyName: String = "vec_sub"
+  }
+
   /** lsh_sig(vec, planes, table): random-hyperplane signature bits
     * for one hash table of a multi-table LSH index.
     */
@@ -180,4 +193,6 @@ object expressions {
     GraftBridge.column(L2Sq(GraftBridge.expression(a), GraftBridge.expression(b)))
   def lsh_sig(c: Column, planes: Int, table: Int): Column =
     GraftBridge.column(LshSig(GraftBridge.expression(c), planes, table))
+  def vec_sub(a: Column, b: Column): Column =
+    GraftBridge.column(VecSubFF(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -194,6 +194,95 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** IVF-PQ composition — the full billion-scale ANN shape: coarse
+    * quantizer cells bound the search space (queries touch `nProbe`
+    * cells, not the corpus), and within each cell vectors are PQ
+    * codes of their RESIDUAL (vector − centroid), which quantizes a
+    * far tighter distribution than raw PQ. Per-cell codebooks are
+    * bounded by construction (cells × m × nCodes rows — a broadcast,
+    * never a shuffle); encoding is one corpus scan with a map-side
+    * `min_by` argmin; ADC scoring moves only (q, vec, partial-sum)
+    * rows inside probed cells; candidate selection runs the native
+    * TopKPerKey heaps; only `nCandidates` rows per query are ever
+    * reranked against real vectors.
+    */
+  def annIvfPq(embeddings: DataFrame, queryFilter: Column, k: Int,
+               centroidStride: Long = 50L, nProbe: Int = 2,
+               m: Int = 8, dim: Int = 64, codeStride: Long = 5L,
+               nCodes: Int = 16, nCandidates: Int = 50): DataFrame = {
+    val sub = dim / m
+    val vsub = graft.functions.expressions.vec_sub _
+    val l2 = graft.functions.expressions.l2_sq _
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    // coarse assignment + residual (one scan, broadcast argmax)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
+    val assigned = corpus.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"), col("c_emb"),
+        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("cell_id"),
+        vsub(col("embedding"), col("c_emb")).as("residual"))
+    // per-cell residual codebooks from a deterministic stride sample
+    val wCode = Window.partitionBy("cell_id", "s").orderBy("cb_vec")
+    val codebook = assigned.filter(col("vec_id") % codeStride === 0)
+      .select(col("vec_id").as("cb_vec"), col("cell_id"),
+        posexplode(subvectors(col("residual"), m, sub)))
+      .select(col("cb_vec"), col("cell_id"), col("pos").as("s"), col("col").as("c_sub"))
+      .withColumn("code", row_number().over(wCode))
+      .filter(col("code") <= nCodes)
+      .select("cell_id", "s", "code", "c_sub")
+    // encode: nearest residual code per (vector, subspace)
+    val encoded = assigned
+      .select(col("vec_id"), col("cell_id"),
+        posexplode(subvectors(col("residual"), m, sub)))
+      .select(col("vec_id"), col("cell_id"), col("pos").as("s"), col("col").as("v_sub"))
+      .join(broadcast(codebook), Seq("cell_id", "s"))
+      .select(col("vec_id"), col("cell_id"), col("s"), col("code"),
+        l2(col("v_sub"), col("c_sub")).as("d"))
+      .groupBy("vec_id", "cell_id", "s")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    // queries probe nProbe cells; LUT per probed cell over the
+    // query's residual IN THAT CELL (asymmetric distance)
+    val queries = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("cell_id"))
+    val probed = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("q_emb"), col("cell_id"), col("c_emb"),
+        cosine_sim(col("q_emb"), col("c_emb")).as("c_cos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("q_id"), col("cell_id"),
+        vsub(col("q_emb"), col("c_emb")).as("q_res"))
+    val lut = probed
+      .select(col("q_id"), col("cell_id"),
+        posexplode(subvectors(col("q_res"), m, sub)))
+      .select(col("q_id"), col("cell_id"), col("pos").as("s"), col("col").as("q_sub"))
+      .join(broadcast(codebook), Seq("cell_id", "s"))
+      .select(col("q_id"), col("cell_id"), col("s"), col("code"),
+        l2(col("q_sub"), col("c_sub")).as("d"))
+    // ADC inside probed cells: Σ_s LUT[cell, s, code(v, s)]
+    val scored = encoded
+      .join(broadcast(lut), Seq("cell_id", "s", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("d").as("adist"), count(lit(1)).as("n_sub"))
+      .filter(col("n_sub") === m)
+      .select("q_id", "vec_id", "adist")
+    val cands = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("adist").asc, col("vec_id").asc), nCandidates)
+    // exact rerank of the surviving candidates only
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    cands.join(corpus, "vec_id").join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
   /** Lloyd's k-means refinement of a centroid set, as DataFrame ops:
     * each iteration assigns every vector to its nearest centroid
     * (broadcast argmax — one corpus scan) and recomputes cell means

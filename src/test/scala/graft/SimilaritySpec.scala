@@ -85,6 +85,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ ANN returns full top-k with meaningful brute-force recall") {
+    val out = Similarity.annIvfPq(embeddings, col("vec_id") < 10, 5).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach(rows => assert(rows.length == 5))
+    val brute = Similarity.bruteTopK(embeddings, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivfpq = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert((brute intersect ivfpq).size >= 10, s"overlap ${(brute intersect ivfpq).size}/50")
+  }
+
   test("PQ ANN returns full top-k with meaningful brute-force recall") {
     val out = Similarity.annPq(embeddings, col("vec_id") < 10, 5).collect()
     val byQ = out.groupBy(_.getAs[Long]("q_id"))
