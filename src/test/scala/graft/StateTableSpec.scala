@@ -49,6 +49,37 @@ class StateTableSpec extends SparkSpec {
         r.getAs[String]("last_op") == Changelog.Delete))
   }
 
+  test("stateful compaction survives kill + restart from checkpoint") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-state-restart").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt-restart").toString
+    val batch1 = Seq(ev(0, 1, "signup", 0), ev(1, 1, "click", 1),
+      ev(2, 2, "signup", 2), ev(4, 3, "signup", 4))
+    val batch2 = Seq(ev(3, 2, "purchase", 3), ev(7, 2, "error", 7),
+      ev(5, 3, "click", 5))
+    val input = MemoryStream[EventRow]
+    def start() = StateTable.compactionSink(
+      CdcStreams.changelog(input.toDF()), dir, ckpt)
+    val q1 = start()
+    try { input.addData(batch1); q1.processAllAvailable() } finally q1.stop()
+    // restart: the flatMapGroupsWithState store must be restored from
+    // the checkpoint, so the delta folds onto batch1's state
+    input.addData(batch2)
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val live = StateTable.readLive(spark, dir).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_changes"))).toSet
+    val batch = Changelog.latestState(
+      Changelog.fromEvents((batch1 ++ batch2).toDF())).collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_changes"))).toSet
+    assert(live == batch)
+  }
+
   test("replayed micro-batch commit is idempotent (no double counting)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-replay").toString
