@@ -25,13 +25,16 @@ import graft.cdc.Changelog
 object StateTable {
 
   private val VersionPrefix = "v="
+  private val ZPrefix = "z="
 
-  private def versions(dir: String): Seq[Long] = {
+  private def listDirs(dir: String, prefix: String): Seq[Long] = {
     val d = new java.io.File(dir)
     Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(VersionPrefix))
-      .map(_.getName.stripPrefix(VersionPrefix).toLong)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .map(_.getName.stripPrefix(prefix).toLong)
   }
+
+  private def versions(dir: String): Seq[Long] = listDirs(dir, VersionPrefix)
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(dir).maxOption
@@ -51,6 +54,10 @@ object StateTable {
 
   private def readVersion(spark: SparkSession, dir: String, v: Option[Long]): DataFrame =
     v match {
+      // prefer the Z-ordered rewrite when one exists for exactly this
+      // version — content-identical, just clustered for data skipping
+      case Some(n) if new java.io.File(dir, s"$ZPrefix$n").isDirectory =>
+        spark.read.parquet(s"$dir/$ZPrefix$n")
       case Some(n) => spark.read.parquet(s"$dir/$VersionPrefix$n")
       case None    => emptySnapshot(spark)
     }
@@ -121,6 +128,49 @@ object StateTable {
     merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
     if (!staging.renameTo(target))
       throw new java.io.IOException(s"cannot publish $staging -> $target")
+  }
+
+  /** Z-order OPTIMIZE of the current snapshot: rewrite the latest
+    * version clustered along a Morton curve over (`c1`, `c2`) so
+    * point/range reads prune files in both dimensions. Published
+    * under `z=<version>` by atomic rename — a parallel namespace, so
+    * it can NEVER collide with a future micro-batch's `v=<batchId>`
+    * (publishing it as a higher v would either shadow later batches
+    * or be silently skipped by replay detection). Readers prefer
+    * `z=N` only while `N` is still the latest version; once the
+    * stream publishes `v=N+1`, the rewrite goes stale and is
+    * reclaimed by [[vacuum]]. Returns the optimized version.
+    */
+  def optimize(spark: SparkSession, dir: String, c1: String, c2: String,
+               numFiles: Int): Option[Long] =
+    latestVersion(spark, dir).map { n =>
+      val target = new java.io.File(dir, s"$ZPrefix$n")
+      if (!target.isDirectory) {
+        val staging = new java.io.File(dir, s".staging-z-$n")
+        deleteRecursively(staging)
+        graft.ops.Layout.writeZOrdered(
+          spark.read.parquet(s"$dir/$VersionPrefix$n"), c1, c2,
+          staging.getPath, numFiles)
+        if (!staging.renameTo(target))
+          throw new java.io.IOException(s"cannot publish $staging -> $target")
+      }
+      n
+    }
+
+  /** Reclaim history: drop snapshot versions older than the newest
+    * `keep` (vacuum keeps at least the latest) and any Z-rewrite of a
+    * dropped or superseded version. Safe under the merge protocol —
+    * batch N only ever reads the highest version below N, which
+    * vacuum always retains.
+    */
+  def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {
+    val vs = versions(dir).sorted.reverse
+    val kept = vs.take(math.max(keep, 1)).toSet
+    vs.filterNot(kept)
+      .foreach(n => deleteRecursively(new java.io.File(dir, s"$VersionPrefix$n")))
+    val latest = vs.headOption
+    listDirs(dir, ZPrefix).filterNot(latest.contains)
+      .foreach(n => deleteRecursively(new java.io.File(dir, s"$ZPrefix$n")))
   }
 
   /** Attach the compaction sink to a changelog stream. */

@@ -102,6 +102,33 @@ class StateTableSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
   }
 
+  test("z-order optimize preserves content; vacuum reclaims history") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-zopt").toString
+    val b0 = Changelog.fromEvents(
+      (0 to 40).map(i => ev(i, i % 7, if (i < 7) "signup" else "view", i % 50)).toDF())
+    val b1 = Changelog.fromEvents(Seq(ev(60, 1, "purchase", 55)).toDF())
+    StateTable.commitBatch(b0, 0L, dir)
+    StateTable.commitBatch(b1, 1L, dir)
+    def snap() = StateTable.read(spark, dir).collect()
+      .map(_.mkString("|")).toSet
+    val before = snap()
+    assert(StateTable.optimize(spark, dir, "last_seq", "n_changes", 2).contains(1L))
+    assert(new java.io.File(dir, "z=1").isDirectory)
+    assert(snap() == before) // the rewrite is content-identical
+    // a later batch supersedes the rewrite: readers follow v=2
+    val b2 = Changelog.fromEvents(Seq(ev(70, 2, "view", 58)).toDF())
+    StateTable.commitBatch(b2, 2L, dir)
+    assert(StateTable.read(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === "user2")
+      .head().getAs[Long]("last_seq") == 70L)
+    StateTable.vacuum(spark, dir, keep = 1)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("v=2") && !names.contains("v=0") &&
+      !names.contains("v=1") && !names.contains("z=1"))
+    assert(snap().nonEmpty) // still readable after vacuum
+  }
+
   test("day-partitioned writes prune partitions under a date filter") {
     val dir = Files.createTempDirectory("graft-part").toString
     Layout.writePartitionedByDay(Tables.events(spark, sf), "ts", dir)
