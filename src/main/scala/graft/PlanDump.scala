@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump a normalized physical plan per query into `plans/` — a
+  * reviewable, diffable record of HOW each operator executes (join
+  * strategies, exchanges, pushed filters, codegen spans). Expression
+  * ids, plan ids, and file paths are scrubbed so diffs across rounds
+  * show plan-shape changes, not run noise. AQE is disabled in this
+  * session so the snapshots record the static planning decisions.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "plans"
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Files.write(Paths.get(outDir, s"$name.txt"),
+        normalize(plan).getBytes("UTF-8"))
+      println(s"dumped $name")
+    }
+    spark.stop()
+  }
+
+  /** Scrub run-dependent tokens so snapshots diff cleanly. */
+  def normalize(plan: String): String = plan
+    .replaceAll("#\\d+L?", "#x")
+    .replaceAll("plan_id=\\d+", "plan_id=x")
+    .replaceAll("file:[^\\s\\],)]*", "PATH")
+    .replaceAll("\\[id=#x\\]", "")
+    .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+}
