@@ -165,12 +165,15 @@ object Dedup {
     val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
     var labels = documents.select(col("doc_id"), col("doc_id").as("keep_doc_id"))
     for (_ <- 0 until iters) {
+      // shuffled-hash hints: label propagation re-joins every round,
+      // and a sort-merge would re-sort both sides each iteration —
+      // hash exchanges on doc_id are all the distribution it needs
       val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
+        .join(labels.hint("shuffle_hash"), edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(min("keep_doc_id").as("nbr_min"))
       labels = labels.as("l")
-        .join(neighborMin.as("n"), Seq("doc_id"), "left")
+        .join(neighborMin.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("keep_doc_id"), coalesce(col("nbr_min"), col("keep_doc_id")))
             .as("keep_doc_id"))

@@ -358,7 +358,9 @@ object Relational {
       .filter(col("s_acctbal") > 5000)
       .groupBy(col("s_nationkey").as("s_key"))
       .agg(count(lit(1)).as("n_supp"))
-    c.join(sup, col("nation_key") === col("s_key"), "full_outer")
+    // full outer can't broadcast; hint shuffled-hash so neither
+    // pre-aggregated side pays a per-partition sort (pure SMJ avoided)
+    c.join(sup.hint("shuffle_hash"), col("nation_key") === col("s_key"), "full_outer")
       .select(coalesce(col("nation_key"), col("s_key")).as("nation_key"),
         coalesce(col("n_cust"), lit(0L)).as("n_cust"),
         coalesce(col("n_supp"), lit(0L)).as("n_supp"))
