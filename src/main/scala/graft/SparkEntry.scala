@@ -78,6 +78,7 @@ object SparkEntry {
     "q23_window_ranks" -> Relational.q23WindowRanks _,
     "q24_sql_exists" -> Relational.q24SqlExists _,
     "q25_salted_join" -> Relational.q25SaltedJoin _,
+    "q26_recursive" -> Relational.q26Recursive _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -775,6 +776,22 @@ object SparkEntry {
         |      JOIN sizes sa ON doc_a = sa.doc_id
         |      JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "q26_recursive" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT src, dst FROM (
+        |    SELECT lag(doc_id) OVER (PARTITION BY
+        |             (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
+        |           + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1)
+        |           ORDER BY doc_id) AS src,
+        |           doc_id AS dst
+        |    FROM documents) WHERE src IS NOT NULL),
+        |reach(root_id, doc_id, depth) AS (
+        |  SELECT src, src, CAST(0 AS BIGINT) FROM chain
+        |  WHERE src NOT IN (SELECT dst FROM chain)
+        |  UNION ALL
+        |  SELECT r.root_id, c.dst, r.depth + 1
+        |  FROM reach r JOIN chain c ON c.src = r.doc_id)
+        |SELECT root_id, doc_id, depth FROM reach ORDER BY doc_id""".stripMargin,
     // exact HUGEINT replay of the 64-bit SimHash pipeline: FNV-1a fold
     // over UTF-8 bytes (prime 2^40+435 split keeps products < 2^74),
     // murmur fmix via 32-bit limb multiplies mod 2^64, per-bit votes,

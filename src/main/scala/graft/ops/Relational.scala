@@ -404,6 +404,37 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Recursive CTE through the SQL front end (Spark 4 `WITH
+    * RECURSIVE`): documents chain into per-hash-bucket linked lists
+    * (`lag` over the bucket), and the recursion walks every chain
+    * from its root — an iterative-fixpoint plan shape (graph
+    * traversal / lineage walk) the other 25 relational queries can't
+    * express. Buckets are md5-derived, so depth is corpus/256 —
+    * bounded and identical in the DuckDB oracle's recursion.
+    */
+  def q26Recursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("g_documents")
+    // recursion depth = largest hash bucket (corpus/256); the default
+    // level limit of 100 would cap out somewhere past sf0.1
+    s.sql("SET spark.sql.cteRecursionLevelLimit=100000")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT src, dst FROM (
+        |    SELECT lag(doc_id) OVER (PARTITION BY conv(substring(md5(text), 1, 2), 16, 10)
+        |                             ORDER BY doc_id) AS src,
+        |           doc_id AS dst
+        |    FROM g_documents) WHERE src IS NOT NULL),
+        |reach(root_id, doc_id, depth) AS (
+        |  -- anchors: chain heads (a src that is nobody's dst) — the
+        |  -- per-bucket minimum, since chains are built in doc_id order
+        |  SELECT src, src, CAST(0 AS BIGINT) FROM chain
+        |  WHERE src NOT IN (SELECT dst FROM chain)
+        |  UNION ALL
+        |  SELECT r.root_id, c.dst, r.depth + 1
+        |  FROM reach r JOIN chain c ON c.src = r.doc_id)
+        |SELECT root_id, doc_id, depth FROM reach ORDER BY doc_id""".stripMargin)
+  }
+
   /** The skew-safe join in the driver-checked surface: fact × dim
     * through [[Layout.saltedJoin]] (salt 8). Row-identical to the
     * plain join — salting only changes the shuffle distribution — so

@@ -91,4 +91,16 @@ class RelationalSpec extends SparkSpec {
       assert(q >= 0.0 && q <= 1.0)
     }
   }
+
+  test("recursive chain walk: roots self-rooted at depth 0, chains descend from them") {
+    val rows = Relational.q26Recursive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (root, doc, depth) =>
+      if (depth == 0L) assert(root == doc)
+      else assert(root < doc && depth > 0)
+    }
+    // each doc reached exactly once (chains are disjoint linked lists)
+    assert(rows.map(_._2).distinct.length == rows.length)
+  }
 }
