@@ -108,6 +108,8 @@ object SparkEntry {
       TextAnalysis.curationManifest(Tables.documents(s, d)).orderBy("source", "split")),
     "text_entropy" -> ((s, d) =>
       TextAnalysis.entropyStats(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_patterns" -> ((s, d) =>
+      TextAnalysis.patternScan(Tables.documents(s, d)).orderBy("doc_id")),
     // §2c dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -865,6 +867,13 @@ object SparkEntry {
         |       round(-list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY byte),
         |               x -> x / n * log2(x / n))), 4) AS entropy
         |FROM c GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    "text_patterns" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        |       CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |       CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS redacted_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "sim_knn_graph" ->
       """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |             FROM embeddings WHERE vec_id % 7 = 0),

@@ -60,6 +60,25 @@ object TextAnalysis {
       octet_length(col("text")).cast("long").as("n_bytes"),
       round(byte_entropy(col("text")), 4).as("entropy"))
 
+  /** Pattern scan — the pre-redaction pass of a PII/quality sweep:
+    * counts of digit runs, capitalized tokens, and email-shaped
+    * spans per document, plus the redacted length (digits stripped).
+    * All single-pass codegen'd regex ops on the scan; map-only at
+    * any corpus size. Patterns stay in the character-class subset
+    * where Java regex and RE2 agree, so the oracle is exact.
+    */
+  def patternScan(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .cast("long").as("n_digit_runs"),
+      size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0)))
+        .cast("long").as("n_capitalized"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+"), lit(0)))
+        .cast("long").as("n_emails"),
+      length(regexp_replace(col("text"), "[0-9]", "")).cast("long")
+        .as("redacted_len"))
+
   /** N-gram-heuristic language ID: score each language's marker-word
     * set against the token stream; argmax with fixed priority order.
     */

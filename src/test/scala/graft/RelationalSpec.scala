@@ -92,6 +92,18 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("pattern scan counts digit runs, capitalized words, emails") {
+    import spark.implicits._
+    val doc = Seq((1L, "Call Bob at 555 1234 or mail bob99@mail.com now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.patternScan(doc).head()
+    assert(r.getAs[Long]("n_digit_runs") == 3L)    // 555, 1234, 99
+    assert(r.getAs[Long]("n_capitalized") == 2L)   // Call, Bob
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("redacted_len") ==
+      "Call Bob at 555 1234 or mail bob99@mail.com now".count(!_.isDigit))
+  }
+
   test("recursive chain walk: roots self-rooted at depth 0, chains descend from them") {
     val rows = Relational.q26Recursive(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
