@@ -92,7 +92,8 @@ object CdcStreams {
   def enrich(cl: Dataset[ChangeRecord], dim: DataFrame,
              dimKey: String): DataFrame =
     cl.withColumn("user_key",
-        regexp_replace(col("doc_id"), "^user", "").cast("long"))
+        when(col("doc_id").rlike("^user[0-9]+$"),
+          substring(col("doc_id"), 5, Int.MaxValue).cast("long")))
       .join(broadcast(dim), col("user_key") === col(dimKey), "left")
       .drop("user_key")
 

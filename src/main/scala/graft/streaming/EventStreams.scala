@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user funnel progression carried in the state store: the
+  * earliest (ts_us, event_id) key of each qualified stage.
+  * `Long.MaxValue` marks a stage not yet reached.
+  */
+case class FunnelProgress(user_id: Long,
+                          s_ts: Long, s_id: Long,
+                          c_ts: Long, c_id: Long,
+                          purchased: Boolean)
+
+/** Streaming twin of [[graft.ops.Events.funnel]]: per-user ordered
+  * stage progression (signup → click → purchase) as keyed state,
+  * emitted on change. Within a micro-batch events fold in event-time
+  * order; across batches qualification is monotone (a stage, once
+  * reached, never un-reaches), so the stream converges to the batch
+  * funnel whenever stage-relevant events arrive in event-time order
+  * across batches — the same in-order-source assumption the batch
+  * operator's strict (ts, event_id) precedence encodes. State is one
+  * fixed-size row per user: bounded, shardable on user_id.
+  */
+object EventStreams {
+
+  private def before(aTs: Long, aId: Long, bTs: Long, bId: Long): Boolean =
+    aTs < bTs || (aTs == bTs && aId < bId)
+
+  private def foldGroup(userId: Long, rows: Iterator[(Long, Long, Long, String)],
+                        state: GroupState[FunnelProgress]): Iterator[FunnelProgress] = {
+    var st = state.getOption.getOrElse(
+      FunnelProgress(userId, Long.MaxValue, Long.MaxValue,
+        Long.MaxValue, Long.MaxValue, purchased = false))
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+    var changed = false
+    sorted.foreach { case (_, ts, id, typ) =>
+      typ match {
+        case "signup" if before(ts, id, st.s_ts, st.s_id) =>
+          st = st.copy(s_ts = ts, s_id = id); changed = true
+        case "click" if before(st.s_ts, st.s_id, ts, id) &&
+            before(ts, id, st.c_ts, st.c_id) =>
+          st = st.copy(c_ts = ts, c_id = id); changed = true
+        case "purchase" if !st.purchased && before(st.c_ts, st.c_id, ts, id) =>
+          st = st.copy(purchased = true); changed = true
+        case _ =>
+      }
+    }
+    if (changed) { state.update(st); Iterator.single(st) } else Iterator.empty
+  }
+
+  /** events stream → per-user funnel state updates. */
+  def funnelState(events: DataFrame)(implicit spark: SparkSession): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
+  }
+}

@@ -81,6 +81,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming funnel state converges to the batch funnel") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    // user1: full chain split across batches; user2: click BEFORE
+    // signup (must never qualify); user3: purchase without click
+    val b1 = Seq(ev(0, 1, "signup", 0), ev(1, 2, "click", 1),
+      ev(2, 2, "signup", 2), ev(6, 3, "signup", 6))
+    val b2 = Seq(ev(3, 1, "click", 3), ev(5, 1, "purchase", 5),
+      ev(7, 3, "purchase", 7))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.funnelState(input.toDF())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def score(p: graft.streaming.FunnelProgress): Int =
+      (if (p.purchased) 4 else 0) + (if (p.c_ts != Long.MaxValue) 2 else 0) +
+        (if (p.s_ts != Long.MaxValue) 1 else 0)
+    val fin = spark.table("funnel").as[graft.streaming.FunnelProgress]
+      .collect().groupBy(_.user_id).map(_._2.maxBy(score))
+    val nSignup = fin.count(_.s_ts != Long.MaxValue)
+    val nClick = fin.count(_.c_ts != Long.MaxValue)
+    val nPurchase = fin.count(_.purchased)
+
+    val batch = graft.ops.Events.funnel((b1 ++ b2).toDF()).orderBy("stage_idx")
+      .collect().map(_.getAs[Long]("n_users"))
+    assert(Seq(nSignup.toLong, nClick.toLong, nPurchase.toLong) == batch.toSeq)
+    assert(nSignup == 3 && nClick == 1 && nPurchase == 1)
+  }
+
   test("kill + restart from checkpoint emits each routed row exactly once") {
     import spark.implicits._
     implicit val s = spark
