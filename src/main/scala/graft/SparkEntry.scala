@@ -44,6 +44,8 @@ object SparkEntry {
         .orderBy(col("c_mktsegment").asc_nulls_first)),
     "cdc_compact" -> ((s, d) =>
       Changelog.compactMergeDemo(changelog(s, d)).orderBy("doc_id")),
+    "cdc_schema_keys" -> ((s, d) =>
+      Changelog.schemaKeys(changelog(s, d)).orderBy("op", "key")),
     "events_funnel" -> ((s, d) =>
       graft.ops.Events.funnel(Tables.events(s, d)).orderBy("stage_idx")),
     "events_retention" -> ((s, d) =>
@@ -79,6 +81,7 @@ object SparkEntry {
     "q24_sql_exists" -> Relational.q24SqlExists _,
     "q25_salted_join" -> Relational.q25SaltedJoin _,
     "q26_recursive" -> Relational.q26Recursive _,
+    "q27_value_windows" -> Relational.q27ValueWindows _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -778,6 +781,22 @@ object SparkEntry {
         |      JOIN sizes sa ON doc_a = sa.doc_id
         |      JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "cdc_schema_keys" -> (clCte +
+      """SELECT op, key, count(*) AS n FROM (
+        |  SELECT op, unnest(json_keys(payload)) AS key FROM changelog)
+        |GROUP BY 1, 2 ORDER BY op, key""".stripMargin),
+    "q27_value_windows" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       lag(o_totalprice, 1) OVER w AS prev_price,
+        |       lead(o_totalprice, 1) OVER w AS next_price,
+        |       first_value(o_orderdate) OVER wf AS first_date,
+        |       last_value(o_orderdate) OVER wf AS last_date,
+        |       nth_value(o_totalprice, 2) OVER wf AS second_price
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q26_recursive" ->
       """WITH RECURSIVE chain AS (
         |  SELECT src, dst FROM (

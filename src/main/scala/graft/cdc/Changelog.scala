@@ -246,6 +246,18 @@ object Changelog {
         countDistinct(col("doc_id")).as("n_docs"),
         round(sum(col("amount")), 2).as("total_amount"))
 
+  /** Schema-drift audit: payload JSON key histogram per operation —
+    * which fields actually appear in the wire payloads, per op type.
+    * The detector that catches a producer quietly adding/renaming a
+    * field. One explode of the (small) key arrays; aggregation is
+    * partial map-side.
+    */
+  def schemaKeys(changelog: DataFrame): DataFrame =
+    changelog
+      .select(col("op"), explode(json_object_keys(col("payload"))).as("key"))
+      .groupBy("op", "key")
+      .agg(count(lit(1)).as("n"))
+
   /** Hot-field detection: change frequency per field path. */
   def fieldFreq(changelog: DataFrame): DataFrame =
     changelog.filter(col("field_path") =!= "")

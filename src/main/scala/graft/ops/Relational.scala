@@ -386,6 +386,25 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** Value windows: lag / lead / first / last / nth over one frame
+    * spec in a single Window pass (one shuffle on the partition key,
+    * one in-partition sort serves all five) — the navigation-function
+    * complement of q23's rank family.
+    */
+  def q27ValueWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_orderdate")).over(wFull).as("first_date"),
+        last(col("o_orderdate")).over(wFull).as("last_date"),
+        nth_value(col("o_totalprice"), 2).over(wFull).as("second_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Correlated EXISTS through the SQL front end (the engine's other
     * entry surface): Catalyst rewrites the subquery to the same
     * left-semi join the DataFrame formulation (q4) plans by hand.
