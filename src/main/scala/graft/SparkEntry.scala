@@ -143,6 +143,8 @@ object SparkEntry {
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
       Multimodal.frameSample(Tables.documents(s, d)).orderBy("doc_id", "frame_idx")),
+    "mm_shards" -> ((s, d) =>
+      Multimodal.shardPlan(Tables.documents(s, d)).orderBy("doc_id")),
   )
 
   /** Shared oracle CTE: the deterministic events→changelog mapping
@@ -937,5 +939,17 @@ object SparkEntry {
         |       CASE WHEN payload_len = 0 THEN 0.0
         |            ELSE CAST(bsum * 10000 // payload_len AS DOUBLE) / 10000 END AS mean_byte
         |FROM f ORDER BY doc_id""".stripMargin,
+    "mm_shards" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT doc_id, media_type, n_bytes,
+        |       CAST((sum(n_bytes) OVER (PARTITION BY media_type ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |             - n_bytes) // 4096 AS BIGINT) AS shard_id
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -65,6 +65,25 @@ object Multimodal {
       (col("doc_id") % 64 + 32).cast("int").as("width"),
       (col("doc_id") % 48 + 24).cast("int").as("height"))
 
+  /** Decode-shard planning: pack payloads into byte-budgeted shards
+    * per media type (prefix-sum bucketing over the deterministic
+    * doc order) — the batch-shaping step in front of a decode fleet,
+    * where each shard is one bounded-bytes accelerator work unit.
+    * One window pass per media_type partition; no payload bytes move,
+    * only lengths.
+    */
+  def shardPlan(documents: DataFrame, budgetBytes: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_type").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    attach(documents)
+      .select(col("doc_id"), col("media_type"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("cum", sum("n_bytes").over(w))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        ((col("cum") - col("n_bytes")) / budgetBytes).cast("long").as("shard_id"))
+  }
+
   /** Partition-wise batched decode: each partition's rows are
     * grouped into [[StubKernel.BatchSize]] batches and pushed through
     * the kernel. `mapPartitions` (not a per-row UDF) so the batch
