@@ -802,10 +802,8 @@ object SparkEntry {
     "q26_recursive" ->
       """WITH RECURSIVE chain AS (
         |  SELECT src, dst FROM (
-        |    SELECT lag(doc_id) OVER (PARTITION BY
-        |             (strpos('0123456789abcdef', substring(md5(text), 1, 1)) - 1) * 16
-        |           + (strpos('0123456789abcdef', substring(md5(text), 2, 1)) - 1)
-        |           ORDER BY doc_id) AS src,
+        |    SELECT lag(doc_id) OVER (PARTITION BY doc_id // 4
+        |                             ORDER BY doc_id) AS src,
         |           doc_id AS dst
         |    FROM documents) WHERE src IS NOT NULL),
         |reach(root_id, doc_id, depth) AS (

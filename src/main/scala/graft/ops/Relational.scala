@@ -424,22 +424,22 @@ object Relational {
   }
 
   /** Recursive CTE through the SQL front end (Spark 4 `WITH
-    * RECURSIVE`): documents chain into per-hash-bucket linked lists
-    * (`lag` over the bucket), and the recursion walks every chain
-    * from its root — an iterative-fixpoint plan shape (graph
-    * traversal / lineage walk) the other 25 relational queries can't
-    * express. Buckets are md5-derived, so depth is corpus/256 —
-    * bounded and identical in the DuckDB oracle's recursion.
+    * RECURSIVE`): documents chain into per-block linked lists
+    * (`lag` over fixed-size doc_id blocks), and the recursion walks
+    * every chain from its root — an iterative-fixpoint plan shape
+    * (graph traversal / lineage walk) the other 25 relational
+    * queries can't express. Block size 4 fixes the recursion DEPTH
+    * as a constant at every scale factor — each level walks every
+    * chain one hop in parallel, so corpus growth widens levels, it
+    * does not add them (recursion depth is the one thing that must
+    * NOT scale with data).
     */
   def q26Recursive(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir).createOrReplaceTempView("g_documents")
-    // recursion depth = largest hash bucket (corpus/256); the default
-    // level limit of 100 would cap out somewhere past sf0.1
-    s.sql("SET spark.sql.cteRecursionLevelLimit=100000")
     s.sql(
       """WITH RECURSIVE chain AS (
         |  SELECT src, dst FROM (
-        |    SELECT lag(doc_id) OVER (PARTITION BY conv(substring(md5(text), 1, 2), 16, 10)
+        |    SELECT lag(doc_id) OVER (PARTITION BY doc_id div 4
         |                             ORDER BY doc_id) AS src,
         |           doc_id AS dst
         |    FROM g_documents) WHERE src IS NOT NULL),
