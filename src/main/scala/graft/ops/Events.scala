@@ -37,13 +37,21 @@ object Events {
       .withColumn("saw_click",
         min(when(col("event_type") === "click" && col("saw_signup").isNotNull,
           col("ts"))).over(precededBy))
-    staged.agg(
-      countDistinct(when(col("event_type") === "signup", col("user_id")))
-        .as("n_signup"),
-      countDistinct(when(col("event_type") === "click" &&
-        col("saw_signup").isNotNull, col("user_id"))).as("n_click"),
-      countDistinct(when(col("event_type") === "purchase" &&
-        col("saw_click").isNotNull, col("user_id"))).as("n_purchase"))
+    // per-user stage flags first: this aggregation reuses the window's
+    // user_id partitioning (no second full-data exchange), and the
+    // distinct-user counts become a tiny global sum — where a direct
+    // multi-countDistinct would plan an Expand plus per-distinct
+    // exchanges over the whole event stream
+    staged
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("f_signup"),
+        max(when(col("event_type") === "click" &&
+          col("saw_signup").isNotNull, 1L).otherwise(0L)).as("f_click"),
+        max(when(col("event_type") === "purchase" &&
+          col("saw_click").isNotNull, 1L).otherwise(0L)).as("f_purchase"))
+      .agg(sum("f_signup").as("n_signup"), sum("f_click").as("n_click"),
+        sum("f_purchase").as("n_purchase"))
       .selectExpr(
         """stack(3,
           |  1L, 'signup',   n_signup,   cast(1.0 as double),

@@ -65,6 +65,38 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(countIn(plan, "BroadcastNestedLoopJoin") == 0)
   }
 
+  test("entropy and pattern scans are map-only: one scan, zero exchanges") {
+    for (df <- Seq(TextAnalysis.entropyStats(Tables.documents(spark, sf)),
+        TextAnalysis.patternScan(Tables.documents(spark, sf)))) {
+      assert(countScans(df) == 1)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(countIn(plan, "Exchange") == 0, plan.take(1500))
+    }
+  }
+
+  test("funnel runs both stage windows inside one user_id shuffle") {
+    val df = graft.ops.Events.funnel(Tables.events(spark, sf))
+    df.collect()
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // one shuffle for the windows + flag aggregation, one
+    // single-partition exchange for the final global sum — nothing
+    // per-stage, no distinct-expand machinery
+    assert(countScans(df) == 1)
+    val parts = exchanges.map(_.outputPartitioning.toString)
+    assert(parts.count(_.contains("user_id")) == 1 && parts.length == 2,
+      parts.mkString("\n"))
+  }
+
+  test("knn graph broadcasts nodes and selects through the native TopKPerKey") {
+    val df = graft.sim.Similarity.knnGraph(
+      Tables.embeddings(spark, sf), org.apache.spark.sql.functions.col("vec_id") % 7 === 0, 3)
+    val plan = executed(df)
+    assert(plan.contains("TopKPerKey"), plan.take(1500))
+    assert(countIn(plan, "CartesianProduct") == 0)
+  }
+
   test("brute-force top-k builds the bounded query side, not the corpus") {
     val df = graft.sim.Similarity.bruteTopK(
       Tables.embeddings(spark, sf), org.apache.spark.sql.functions.col("vec_id") < 3, 5)
