@@ -101,6 +101,8 @@ object SparkEntry {
       TextAnalysis.qualityFilterBySource(Tables.documents(s, d)).orderBy("source")),
     "text_contamination" -> ((s, d) =>
       TextAnalysis.contamination(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_contamination_bloom" -> ((s, d) =>
+      TextAnalysis.contaminationBloom(Tables.documents(s, d)).orderBy("doc_id")),
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")),
     "sample_stratified" -> ((s, d) =>
@@ -164,6 +166,24 @@ object SparkEntry {
       |         props AS payload, value AS amount
       |  FROM events)
       |""".stripMargin
+
+  private val contaminationSql: String =
+    """WITH docs AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+      |              FROM documents),
+      |sh AS (SELECT doc_id, source,
+      |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+      |                               for i in range(1, len(toks) - 1)])) AS shingle
+      |       FROM docs WHERE len(toks) >= 3),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      |hits AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+      |         FROM sh s JOIN bench b USING (shingle)
+      |         WHERE s.source <> 'src0' GROUP BY 1)
+      |SELECT d.doc_id, d.source,
+      |       coalesce(h.n_shared, 0) AS n_shared,
+      |       coalesce(h.n_shared, 0) >= 5 AS contaminated
+      |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
+      |LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   private val latestStateSql: String =
     """, ranked AS (
@@ -614,23 +634,10 @@ object SparkEntry {
         |       count(*) FILTER (WHERE NOT too_short AND NOT low_diversity
         |                          AND NOT stopword_heavy) AS n_pass
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
-    "text_contamination" ->
-      """WITH docs AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
-        |              FROM documents),
-        |sh AS (SELECT doc_id, source,
-        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
-        |                               for i in range(1, len(toks) - 1)])) AS shingle
-        |       FROM docs WHERE len(toks) >= 3),
-        |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
-        |hits AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
-        |         FROM sh s JOIN bench b USING (shingle)
-        |         WHERE s.source <> 'src0' GROUP BY 1)
-        |SELECT d.doc_id, d.source,
-        |       coalesce(h.n_shared, 0) AS n_shared,
-        |       coalesce(h.n_shared, 0) >= 5 AS contaminated
-        |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
-        |LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+    "text_contamination" -> contaminationSql,
+    // the bloom prefilter is semantically transparent (no false
+    // negatives; exact verify kills false positives) — same oracle
+    "text_contamination_bloom" -> contaminationSql,
     "text_bigram_lm" ->
       """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |bg AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i + 1), ' ')

@@ -277,6 +277,40 @@ object TextAnalysis {
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — output-identical to
+    * [[contamination]] (blooms have no false negatives and the exact
+    * shingle join re-verifies every surviving candidate, so false
+    * positives wash out; it shares the same SQL oracle), but the
+    * expensive exact join only sees documents whose shingles MIGHT
+    * overlap the benchmark. At 100 TB that's the difference between
+    * shuffling the whole training corpus's shingles and shuffling a
+    * few percent: the bloom is a bounded broadcast (≈1.2 bytes per
+    * benchmark shingle at 3% fpp) probed map-side on the scan. The
+    * probe is a driver-built sketch + broadcast, the one place a
+    * bounded driver action is the right scale tool.
+    */
+  def contaminationBloom(documents: DataFrame, benchSource: String = "src0",
+                         minShared: Int = 5, fpp: Double = 0.03): DataFrame = {
+    val sh = graft.dedup.Dedup.shingleArray(col("text"))
+    val bench = documents.filter(col("source") === benchSource)
+      .select(explode(sh).as("shingle")).distinct()
+    val bloom = bench.stat.bloomFilter("shingle", math.max(bench.count(), 1L), fpp)
+    val bc = documents.sparkSession.sparkContext.broadcast(bloom)
+    val mightHit = udf((shingles: Seq[String]) =>
+      shingles != null && shingles.exists(bc.value.mightContainString))
+    val train = documents.filter(col("source") =!= benchSource)
+    val hits = train.filter(mightHit(sh))
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .join(bench, "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("shingle")).as("n_shared"))
+    train.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   /** TF-IDF top terms per document (smooth idf = ln((N+1)/(df+1))+1).
     * Corpus stats are two keyed aggregations; the document count
     * broadcasts like a scalar subquery; per-doc top-k runs through

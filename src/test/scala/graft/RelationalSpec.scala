@@ -92,6 +92,15 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bloom-prefiltered contamination equals the exact operator") {
+    val docs = Tables.documents(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    val exact = canon(TextAnalysis.contamination(docs))
+    val bloomed = canon(TextAnalysis.contaminationBloom(docs))
+    assert(bloomed == exact && exact.nonEmpty)
+  }
+
   test("pattern scan counts digit runs, capitalized words, emails") {
     import spark.implicits._
     val doc = Seq((1L, "Call Bob at 555 1234 or mail bob99@mail.com now"))
