@@ -13,6 +13,20 @@ case class FunnelProgress(user_id: Long,
                           c_ts: Long, c_id: Long,
                           purchased: Boolean)
 
+/** Per-user retention state: the cohort week (epoch day of its
+  * Monday, `Long.MinValue` while no signup seen) plus every activity
+  * week already observed — bounded by the number of distinct weeks,
+  * not events.
+  */
+case class RetentionState(cohortDay: Long, weeks: Seq[Long])
+
+/** One (user, activity-week) cell emission. `week_day` is the
+  * absolute week for downstream dedup; (cohort_week, week_offset)
+  * aggregate to the batch retention matrix.
+  */
+case class RetentionHit(user_id: Long, cohort_week: java.sql.Date,
+                        week_offset: Long, week_day: Long)
+
 /** Streaming twin of [[graft.ops.Events.funnel]]: per-user ordered
   * stage progression (signup → click → purchase) as keyed state,
   * emitted on change. Within a micro-batch events fold in event-time
@@ -48,6 +62,50 @@ object EventStreams {
       }
     }
     if (changed) { state.update(st); Iterator.single(st) } else Iterator.empty
+  }
+
+  private def weekDay(tsUs: Long): Long =
+    java.time.LocalDate.ofEpochDay(Math.floorDiv(tsUs, 86_400_000_000L))
+      .`with`(java.time.temporal.TemporalAdjusters.previousOrSame(
+        java.time.DayOfWeek.MONDAY))
+      .toEpochDay
+
+  private def foldRetention(userId: Long, rows: Iterator[(Long, Long, String)],
+                            state: GroupState[RetentionState]): Iterator[RetentionHit] = {
+    val st = state.getOption.getOrElse(RetentionState(Long.MinValue, Seq.empty))
+    val evs = rows.toSeq
+    val sigWeeks = evs.filter(_._3 == "signup").map(e => weekDay(e._2))
+    val cohort = (sigWeeks ++
+      (if (st.cohortDay != Long.MinValue) Seq(st.cohortDay) else Nil))
+      .minOption.getOrElse(Long.MinValue)
+    val allWeeks = (st.weeks ++ evs.map(e => weekDay(e._2))).distinct.sorted
+    // pre-cohort weeks buffer in state until a signup fixes the
+    // cohort; an earlier late signup re-bases every offset (update
+    // emissions supersede, keyed by absolute week)
+    val toEmit =
+      if (cohort == Long.MinValue) Seq.empty
+      else if (cohort != st.cohortDay) allWeeks
+      else allWeeks.filterNot(st.weeks.contains)
+    state.update(RetentionState(cohort, allWeeks))
+    toEmit.iterator.map(w => RetentionHit(userId,
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(cohort)),
+      (w - cohort) / 7, w))
+  }
+
+  /** events stream → per-user (cohort, activity-week) cells, the
+    * incremental retention matrix: group the emissions by
+    * (cohort_week, week_offset) and count users to recover
+    * [[graft.ops.Events.retention]]. Converges on in-order sources;
+    * late earlier signups re-base a user's offsets via superseding
+    * update emissions.
+    */
+  def retentionState(events: DataFrame)(implicit spark: SparkSession): Dataset[RetentionHit] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldRetention)
   }
 
   /** events stream → per-user funnel state updates. */

@@ -115,6 +115,43 @@ class StreamingSpec extends SparkSpec {
     assert(nSignup == 3 && nClick == 1 && nPurchase == 1)
   }
 
+  test("streaming retention cells aggregate to the batch matrix") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val base = 1704067200L // 2024-01-01 (Monday) 00:00 UTC
+    def evAt(id: Long, user: Long, typ: String, day: Int): EventRow =
+      EventRow(id, new Timestamp((base + day * 86400L) * 1000L), user, typ,
+        0.0, "{}")
+    // user1: signup wk0, active wk1; user2: pre-signup activity
+    // (negative offset must appear once the cohort is known);
+    // user3: never signs up (must not appear)
+    val b1 = Seq(evAt(0, 1, "signup", 0), evAt(1, 2, "view", 0),
+      evAt(2, 3, "view", 1))
+    val b2 = Seq(evAt(3, 1, "click", 8), evAt(4, 2, "signup", 7))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.retentionState(input.toDF())
+      .writeStream.format("memory").queryName("retention")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // last emission per (user, absolute week) is the settled cell
+    val cells = spark.table("retention")
+      .as[graft.streaming.RetentionHit].collect().zipWithIndex
+      .groupBy(h => (h._1.user_id, h._1.week_day))
+      .map(_._2.maxBy(_._2)._1)
+    val streamed = cells.groupBy(h => (h.cohort_week.toString, h.week_offset))
+      .map { case (k, v) => (k._1, k._2, v.map(_.user_id).toSet.size.toLong) }
+      .toSet
+    val batch = graft.ops.Events.retention((b1 ++ b2).toDF())
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(_._2 == -1L)) // user2's pre-signup week
+  }
+
   test("kill + restart from checkpoint emits each routed row exactly once") {
     import spark.implicits._
     implicit val s = spark
