@@ -162,6 +162,11 @@ object Changelog {
   def compactState(changelog: DataFrame): DataFrame =
     compactWeighted(changelog.withColumn("__w", lit(1L)))
 
+  private def asWeighted(state: DataFrame): DataFrame =
+    state.select(col("doc_id"), col("last_seq").as("seq"),
+      col("last_op").as("op"), col("last_field").as("field_path"),
+      col("last_payload").as("payload"), col("n_changes").as("__w"))
+
   /** Incremental view maintenance: fold a changelog delta into a
     * compacted base snapshot. Associative and replay-equivalent by
     * construction — `merge(compact(a), b) == compact(a ∪ b)` — so
@@ -171,13 +176,18 @@ object Changelog {
     */
   def mergeState(base: DataFrame, delta: DataFrame): DataFrame =
     compactWeighted(
-      base.select(col("doc_id"), col("last_seq").as("seq"),
-        col("last_op").as("op"), col("last_field").as("field_path"),
-        col("last_payload").as("payload"), col("n_changes").as("__w"))
-        .unionByName(
-          delta.select(col("doc_id"), col("seq"), col("op"),
-            col("field_path"), col("payload"))
-            .withColumn("__w", lit(1L))))
+      asWeighted(base).unionByName(
+        delta.select(col("doc_id"), col("seq"), col("op"),
+          col("field_path"), col("payload"))
+          .withColumn("__w", lit(1L))))
+
+  /** Merge two compacted states (compaction is a monoid: snapshots
+    * merge with snapshots, not just with raw deltas — what a
+    * tree-shaped 1000-executor compaction of many partial snapshots
+    * relies on).
+    */
+  def mergeCompacted(a: DataFrame, b: DataFrame): DataFrame =
+    compactWeighted(asWeighted(a).unionByName(asWeighted(b)))
 
   /** Drop tombstones from a compacted state: the queryable view. */
   def liveState(state: DataFrame): DataFrame =
@@ -185,16 +195,27 @@ object Changelog {
 
   /** Compact-merge demo plan: split the changelog at its seq
     * midpoint (computed in-plan, broadcast like a scalar subquery),
-    * compact the old half, merge the new half in, and read the live
-    * view — which must equal [[latestState]] of the full log (its
-    * oracle). The shape a real deployment runs every micro-batch.
+    * compact BOTH halves in one scan — grouping on (doc_id, half)
+    * costs the same shuffle as one compaction — then merge the two
+    * compacted snapshots. Must equal [[latestState]] of the full log
+    * (its oracle). The shape a real deployment runs every
+    * micro-batch, and at backfill time: partial snapshots merging
+    * pairwise into the final state.
     */
   def compactMergeDemo(changelog: DataFrame): DataFrame = {
     val bound = changelog.agg(expr("max(seq) div 2").as("__split"))
-    val withB = changelog.join(broadcast(bound))
-    val base = compactState(withB.filter(col("seq") <= col("__split")).drop("__split"))
-    val delta = withB.filter(col("seq") > col("__split")).drop("__split")
-    liveState(mergeState(base, delta))
+    val halves = changelog.join(broadcast(bound))
+      .withColumn("__half", (col("seq") <= col("__split")).cast("int"))
+      .withColumn("__w", lit(1L))
+      .groupBy("doc_id", "__half")
+      .agg(max("seq").as("last_seq"),
+        max_by(col("op"), col("seq")).as("last_op"),
+        max_by(col("field_path"), col("seq")).as("last_field"),
+        max_by(col("payload"), col("seq")).as("last_payload"),
+        sum(col("__w")).as("n_changes"))
+    liveState(mergeCompacted(
+      halves.filter(col("__half") === 1).drop("__half"),
+      halves.filter(col("__half") === 0).drop("__half")))
   }
 
   /** Field-level last-writer-wins: latest value per (doc_id,
