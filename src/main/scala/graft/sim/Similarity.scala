@@ -218,16 +218,21 @@ object Similarity {
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
     // coarse assignment + residual (one scan, broadcast argmax)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
-    val assigned = corpus.join(broadcast(centroids))
+    def assign(vecs: DataFrame): DataFrame = vecs.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cell_id"), col("c_emb"),
         cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("cell_id"),
         vsub(col("embedding"), col("c_emb")).as("residual"))
-    // per-cell residual codebooks from a deterministic stride sample
+    val assigned = assign(corpus)
+    // per-cell residual codebooks from a deterministic stride sample:
+    // assignment is per-vector, so assigning ONLY the sample here is
+    // result-identical and keeps the codebook branch off the full
+    // corpus-assignment subplan (which Catalyst would otherwise
+    // evaluate once per consumer — forked subplans don't share)
     val wCode = Window.partitionBy("cell_id", "s").orderBy("cb_vec")
-    val codebook = assigned.filter(col("vec_id") % codeStride === 0)
+    val codebook = assign(corpus.filter(col("vec_id") % codeStride === 0))
       .select(col("vec_id").as("cb_vec"), col("cell_id"),
         posexplode(subvectors(col("residual"), m, sub)))
       .select(col("cb_vec"), col("cell_id"), col("pos").as("s"), col("col").as("c_sub"))
