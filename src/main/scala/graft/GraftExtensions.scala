@@ -65,6 +65,8 @@ object GraftExtensions {
     fn("l2_sq", "vec_a, vec_b")(args => L2Sq(args(0), args(1))),
     fn("lsh_sig", "vec, planes, table")(args => LshSig(args(0),
       intArg("lsh_sig", args(1)), intArg("lsh_sig", args(2)))),
+    fn("byte_entropy", "text")(args => ByteEntropy(args(0))),
+    fn("vec_sub", "vec_a, vec_b")(args => VecSubFF(args(0), args(1))),
   )
 
   private def info(name: String): ExpressionInfo =

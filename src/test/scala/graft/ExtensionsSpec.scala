@@ -14,13 +14,18 @@ class ExtensionsSpec extends SparkSpec {
         |       shingle_set('a b c d', 3) AS sg,
         |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
         |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS cs,
-        |       minhash_bands(array('x', 'y'), 16, 4) AS mb
+        |       minhash_bands(array('x', 'y'), 16, 4) AS mb,
+        |       byte_entropy('abab') AS be,
+        |       vec_sub(array(CAST(3.0 AS FLOAT), CAST(1.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS vs
         |""".stripMargin).collect()(0)
     assert(row.getAs[Long]("rh") ==
       HashOps.rollingHash(UTF8String.fromString("abc")))
     assert(row.getSeq[String](row.fieldIndex("sg")).toList == List("a b c", "b c d"))
     assert(math.abs(row.getAs[Double]("cs") - 1.0) < 1e-12)
     assert(row.getSeq[Long](row.fieldIndex("mb")).length == 4)
+    assert(math.abs(row.getAs[Double]("be") - 1.0) < 1e-12)
+    assert(row.getSeq[Float](row.fieldIndex("vs")).toList == List(2.0f, 0.0f))
   }
 
   test("extensions class wires every builder without error") {
