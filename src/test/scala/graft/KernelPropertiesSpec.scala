@@ -70,6 +70,44 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("byte entropy matches a multiset reference on arbitrary text") {
+    def reference(s: String): Double = {
+      val bs = s.getBytes("UTF-8")
+      if (bs.isEmpty) 0.0
+      else bs.groupBy(identity).values.map { g =>
+        val p = g.length.toDouble / bs.length
+        -p * (math.log(p) / math.log(2))
+      }.sum
+    }
+    val samples = (1 to 300).flatMap(_ => Gen.asciiPrintableStr.sample) ++
+      Seq("", "a", "ü§∂ multi-byte ✓", "x" * 5000)
+    samples.foreach { s =>
+      val got = graft.functions.HashOps.byteEntropy(UTF8String.fromString(s))
+      assert(math.abs(got - reference(s)) < 1e-9, s"input=$s")
+      val n = s.getBytes("UTF-8").length.toDouble
+      assert(got >= 0.0 && got <= 8.0 + 1e-9 &&
+        (n == 0 || got <= (math.log(n) / math.log(2)) + 1e-9))
+      // permutation invariance: entropy sees the multiset, not order
+      assert(math.abs(graft.functions.HashOps.byteEntropy(
+        UTF8String.fromString(new String(s.toCharArray.reverse))) -
+        got) < 1e-9 || s.getBytes("UTF-8").length != s.length)
+    }
+  }
+
+  test("vec_sub is exact float subtraction at any dimension") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val gen = for {
+      n <- Gen.choose(0, 128)
+      a <- Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f))
+      b <- Gen.listOfN(n, Gen.chooseNum(-1e6f, 1e6f))
+    } yield (a.toArray, b.toArray)
+    (1 to 200).flatMap(_ => gen.sample).foreach { case (a, b) =>
+      val got = graft.functions.HashOps.subFF(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b)).toFloatArray()
+      assert(got.toSeq == a.zip(b).map { case (x, y) => x - y }.toSeq)
+    }
+  }
+
   test("LSH plane coefficients are uniform in [-1, 1)") {
     val coefs = for {
       table <- 0 until 8; p <- 0 until 16; j <- 0 until 64
