@@ -46,6 +46,8 @@ object SparkEntry {
       Changelog.compactMergeDemo(changelog(s, d)).orderBy("doc_id")),
     "cdc_schema_keys" -> ((s, d) =>
       Changelog.schemaKeys(changelog(s, d)).orderBy("op", "key")),
+    "cdc_doc_rebuild" -> ((s, d) =>
+      Changelog.rebuildDocs(changelog(s, d)).orderBy("doc_id")),
     "events_funnel" -> ((s, d) =>
       graft.ops.Events.funnel(Tables.events(s, d)).orderBy("stage_idx")),
     "events_retention" -> ((s, d) =>
@@ -82,6 +84,7 @@ object SparkEntry {
     "q25_salted_join" -> Relational.q25SaltedJoin _,
     "q26_recursive" -> Relational.q26Recursive _,
     "q27_value_windows" -> Relational.q27ValueWindows _,
+    "q28_asof_generic" -> Relational.q28AsofGeneric _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -184,6 +187,22 @@ object SparkEntry {
       |FROM (SELECT doc_id, source FROM documents WHERE source <> 'src0') d
       |LEFT JOIN hits h ON d.doc_id = h.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  private val asofJoinSql: String =
+    """WITH tagged AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |           OVER w AS click_id,
+      |         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+      |           OVER w AS click_ts_us
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase')
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS purchase_id, user_id, click_id,
+      |       epoch_us(ts) - click_ts_us AS gap_us
+      |FROM tagged WHERE event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
 
   private val latestStateSql: String =
     """, ranked AS (
@@ -302,6 +321,22 @@ object SparkEntry {
         |FROM fr JOIN alive ON fr.doc_id = alive.doc_id
         |WHERE fr.rnf = 1
         |ORDER BY fr.doc_id, fr.field_path""".stripMargin),
+    "cdc_doc_rebuild" -> (clCte +
+      """, ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |  FROM changelog),
+        |alive AS (
+        |  SELECT doc_id FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'),
+        |fr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, field_path ORDER BY seq DESC) AS rnf
+        |  FROM changelog WHERE field_path <> '')
+        |SELECT fr.doc_id, max(fr.seq) AS as_of_seq, count(*) AS n_fields,
+        |       CAST(to_json(list(json_object('f', fr.field_path, 'v', fr.payload)
+        |              ORDER BY fr.field_path)) AS VARCHAR) AS doc_json
+        |FROM fr JOIN alive ON fr.doc_id = alive.doc_id
+        |WHERE fr.rnf = 1
+        |GROUP BY fr.doc_id
+        |ORDER BY fr.doc_id""".stripMargin),
     "cdc_scd2" -> (clCte +
       """SELECT doc_id, field_path, payload AS value, seq AS valid_from,
         |       lead(seq) OVER w AS valid_to,
@@ -530,21 +565,9 @@ object SparkEntry {
         |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
         |       count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
-    "q18_asof_join" ->
-      """WITH tagged AS (
-        |  SELECT event_id, user_id, ts, event_type,
-        |         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |           OVER w AS click_id,
-        |         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
-        |           OVER w AS click_ts_us
-        |  FROM events
-        |  WHERE event_type IN ('click', 'purchase')
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT event_id AS purchase_id, user_id, click_id,
-        |       epoch_us(ts) - click_ts_us AS gap_us
-        |FROM tagged WHERE event_type = 'purchase'
-        |ORDER BY purchase_id""".stripMargin,
+    "q18_asof_join" -> asofJoinSql,
+    // the generic AsofJoin API produces the same rows
+    "q28_asof_generic" -> asofJoinSql,
     "q19_range_window" ->
       """SELECT o_orderkey, o_custkey,
         |       count(*) OVER w AS n_30d,

@@ -247,6 +247,22 @@ object Changelog {
       .select(col("doc_id"), col("field_path"), col("value"), col("as_of_seq"))
   }
 
+  /** Rebuild the "enriched document" from field-level state — the
+    * reference's consumer assembles the current doc from ChangeNodes
+    * and writes it back (README.md:24-28); here it's a deterministic
+    * JSON render of [[fieldState]]: fields sorted by path, serialized
+    * as an ordered array of {f, v} entries (stable across engines and
+    * partitionings, unlike map key order).
+    */
+  def rebuildDocs(changelog: DataFrame): DataFrame =
+    fieldState(changelog)
+      .groupBy("doc_id")
+      .agg(max("as_of_seq").as("as_of_seq"),
+        count(lit(1)).as("n_fields"),
+        to_json(array_sort(collect_list(
+          struct(col("field_path").as("f"), col("value").as("v")))))
+          .as("doc_json"))
+
   /** Type-2 history: each field change gets a validity interval
     * [seq, next change's seq); the current version is open-ended.
     */

@@ -454,6 +454,24 @@ object Relational {
         |SELECT root_id, doc_id, depth FROM reach ORDER BY doc_id""".stripMargin)
   }
 
+  /** [[q18AsofAttribution]] rebuilt on the generic [[AsofJoin]]
+    * library operator — same rows (shares q18's oracle), proving the
+    * reusable API plans the same single-shuffle tagged-union shape
+    * as the hand-specialized query.
+    */
+  def q28AsofGeneric(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+      .withColumn("click_ts_us", unix_micros(col("ts")))
+    AsofJoin.join(purchases, clicks, "user_id", "ts", "ts",
+        Map("event_id" -> "click_id", "click_ts_us" -> "click_ts_us"),
+        seq = Some(("event_id", "event_id")))
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - col("click_ts_us")).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** The skew-safe join in the driver-checked surface: fact × dim
     * through [[Layout.saltedJoin]] (salt 8). Row-identical to the
     * plain join — salting only changes the shuffle distribution — so
