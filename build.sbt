@@ -19,6 +19,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // JSON line, so a parser that reads the last stdout line gets garbage
 // (BENCH_r01/r02 both recorded "parsed": null for exactly this reason)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — the
+// unused-key lint can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
