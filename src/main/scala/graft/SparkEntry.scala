@@ -48,6 +48,8 @@ object SparkEntry {
       Changelog.schemaKeys(changelog(s, d)).orderBy("op", "key")),
     "cdc_doc_rebuild" -> ((s, d) =>
       Changelog.rebuildDocs(changelog(s, d)).orderBy("doc_id")),
+    "cdc_disorder" -> ((s, d) =>
+      Changelog.disorderAudit(changelog(s, d)).orderBy("doc_id")),
     "events_funnel" -> ((s, d) =>
       graft.ops.Events.funnel(Tables.events(s, d)).orderBy("stage_idx")),
     "events_retention" -> ((s, d) =>
@@ -337,6 +339,21 @@ object SparkEntry {
         |WHERE fr.rnf = 1
         |GROUP BY fr.doc_id
         |ORDER BY fr.doc_id""".stripMargin),
+    "cdc_disorder" -> (clCte +
+      """, lagged AS (
+        |  SELECT doc_id, ts_us,
+        |         max(ts_us) OVER (PARTITION BY doc_id ORDER BY seq
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS max_prior_ts
+        |  FROM changelog)
+        |SELECT doc_id, count(*) AS n_changes,
+        |       max(ts_us) - min(ts_us) AS span_us,
+        |       count(*) FILTER (WHERE ts_us < max_prior_ts) AS n_late,
+        |       coalesce(max(CASE WHEN ts_us < max_prior_ts
+        |                         THEN max_prior_ts - ts_us END), 0) AS max_lag_us
+        |FROM lagged GROUP BY doc_id
+        |HAVING count(*) > 1
+        |ORDER BY doc_id""".stripMargin),
     "cdc_scd2" -> (clCte +
       """SELECT doc_id, field_path, payload AS value, seq AS valid_from,
         |       lead(seq) OVER w AS valid_to,

@@ -295,6 +295,27 @@ object Changelog {
       .groupBy("op", "key")
       .agg(count(lit(1)).as("n"))
 
+  /** Event-time cadence + disorder audit per document: change count,
+    * activity span, and how often a change arrives (by seq) with an
+    * event time EARLIER than something already seen — with the worst
+    * lag. The late counters are the measurement that sizes the
+    * streaming side's watermark (`withWatermark` too small drops
+    * exactly those rows). One window pass per doc partition.
+    */
+  def disorderAudit(changelog: DataFrame): DataFrame = {
+    val seen = Window.partitionBy("doc_id").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    changelog
+      .withColumn("max_prior_ts", max(col("ts_us")).over(seen))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_changes"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("span_us"),
+        count(when(col("ts_us") < col("max_prior_ts"), 1)).as("n_late"),
+        coalesce(max(when(col("ts_us") < col("max_prior_ts"),
+          col("max_prior_ts") - col("ts_us"))), lit(0L)).as("max_lag_us"))
+      .filter(col("n_changes") > 1)
+  }
+
   /** Hot-field detection: change frequency per field path. */
   def fieldFreq(changelog: DataFrame): DataFrame =
     changelog.filter(col("field_path") =!= "")

@@ -37,6 +37,24 @@ class CdcSpec extends SparkSpec {
     assert(canon(twoStep) == canon(oneStep))
   }
 
+  test("disorder audit counts late arrivals and their worst lag") {
+    import spark.implicits._
+    // seq order 1,2,3 but the middle change's event time regresses 40us
+    val log = Seq(
+      ("d1", 1L, 1000L, Changelog.Insert, "", "{}", 0.0),
+      ("d1", 2L, 960L, Changelog.Update, "firstName", "{}", 0.0),
+      ("d1", 3L, 1010L, Changelog.Update, "lastName", "{}", 0.0),
+      ("d2", 4L, 500L, Changelog.Insert, "", "{}", 0.0),
+      ("d2", 5L, 600L, Changelog.Update, "firstName", "{}", 0.0))
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
+    val rows = Changelog.disorderAudit(log).orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    assert(rows == List(
+      ("d1", 3L, 50L, 1L, 40L),  // one late row, 40us behind the max
+      ("d2", 2L, 100L, 0L, 0L)))
+  }
+
   test("compacted state retains tombstones; live view drops them") {
     val compact = Changelog.compactState(cl)
     val dead = compact.filter(col("last_op") === Changelog.Delete).count()
