@@ -72,8 +72,9 @@ object Dedup {
     * Catalyst expression), split into `bands` bands, bucket-join on
     * (band index, band hash) — the 100 TB-shaped near-dup path: the
     * only shuffle keys are band hashes. Candidates are then verified
-    * with the true Jaccard of their shingle sets (per-pair array
-    * intersection — no second join tree).
+    * with the true Jaccard of their shingle sets (fused one-pass
+    * `jaccard_sim` kernel — no second join tree, no intermediate
+    * intersect/union arrays).
     */
   def minhashLsh(documents: DataFrame, tau: Double, k: Int = 64,
                  bands: Int = 16): DataFrame = {
@@ -100,8 +101,8 @@ object Dedup {
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        round(graft.functions.expressions.jaccard_sim(col("sh_a"), col("sh_b")), 4)
+          .as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 

@@ -172,6 +172,33 @@ object HashOps {
     out
   }
 
+  /** Exact Jaccard similarity of two string arrays with set
+    * semantics (duplicates and nulls ignored) in one hash pass —
+    * the fused form of size(intersect)/size(union), which would
+    * build hash tables twice and materialize both result arrays.
+    * Empty ∪ empty is defined as 0.0.
+    */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i)): Unit
+      i += 1
+    }
+    val seenB = new java.util.HashSet[UTF8String]()
+    var inter = 0
+    var j = 0
+    while (j < b.numElements()) {
+      if (!b.isNullAt(j)) {
+        val s = b.getUTF8String(j)
+        if (seenB.add(s) && setA.contains(s)) inter += 1
+      }
+      j += 1
+    }
+    val union = setA.size + seenB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** Elementwise float-vector subtraction (IVF-PQ residuals). */
   def subFF(a: ArrayData, b: ArrayData): ArrayData = {
     val n = a.numElements()

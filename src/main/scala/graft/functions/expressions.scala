@@ -143,6 +143,19 @@ object expressions {
     override def prettyName: String = "l2_sq"
   }
 
+  /** jaccard_sim(a, b): exact set Jaccard of two string arrays. */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      HashOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$ops.jaccard($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
+      copy(left = l, right = r)
+    override def prettyName: String = "jaccard_sim"
+  }
+
   /** vec_sub(a, b): elementwise float subtraction (PQ residuals). */
   case class VecSubFF(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -195,4 +208,6 @@ object expressions {
     GraftBridge.column(LshSig(GraftBridge.expression(c), planes, table))
   def vec_sub(a: Column, b: Column): Column =
     GraftBridge.column(VecSubFF(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def jaccard_sim(a: Column, b: Column): Column =
+    GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

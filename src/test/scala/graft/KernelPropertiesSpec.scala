@@ -94,6 +94,22 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("fused jaccard equals the set-semantics reference, dups and all") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val elem = Gen.oneOf("a", "b", "cc", "d", "", "é")
+    val arr = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, elem))
+    def toAD(xs: List[String]): ArrayData =
+      ArrayData.toArrayData(xs.toArray.map(UTF8String.fromString))
+    (1 to 300).flatMap(_ => Gen.zip(arr, arr).sample).foreach { case (a, b) =>
+      val (sa, sb) = (a.toSet, b.toSet)
+      val expected =
+        if ((sa ++ sb).isEmpty) 0.0
+        else (sa intersect sb).size.toDouble / (sa ++ sb).size
+      val got = graft.functions.HashOps.jaccard(toAD(a), toAD(b))
+      assert(math.abs(got - expected) < 1e-12, s"a=$a b=$b")
+    }
+  }
+
   test("vec_sub is exact float subtraction at any dimension") {
     import org.apache.spark.sql.catalyst.util.ArrayData
     val gen = for {
