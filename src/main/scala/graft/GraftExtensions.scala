@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseRepartitionIntoTopK)
   }
 }

@@ -87,6 +87,7 @@ object SparkEntry {
     "q26_recursive" -> Relational.q26Recursive _,
     "q27_value_windows" -> Relational.q27ValueWindows _,
     "q28_asof_generic" -> Relational.q28AsofGeneric _,
+    "q29_asof_native" -> Relational.q29AsofNative _,
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -585,6 +586,8 @@ object SparkEntry {
     "q18_asof_join" -> asofJoinSql,
     // the generic AsofJoin API produces the same rows
     "q28_asof_generic" -> asofJoinSql,
+    // ...and so does the native merge-exec operator
+    "q29_asof_native" -> asofJoinSql,
     "q19_range_window" ->
       """SELECT o_orderkey, o_custkey,
         |       count(*) OVER w AS n_30d,

@@ -472,6 +472,27 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** The same attribution on the NATIVE as-of join operator
+    * ([[graft.plans.AsofJoinNode]] → merge exec): one hash exchange
+    * per side, a streaming one-buffered-row merge, no tagged union
+    * and no per-payload window carry. Third of the three as-of
+    * formulations sharing q18's oracle.
+    */
+  def q29AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    graft.plans.AsofNative.join(purchases, clicks,
+        keys = Seq("user_id" -> "c_user_id"),
+        order = Seq("ts" -> "c_ts", "event_id" -> "click_id"))
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** The skew-safe join in the driver-checked surface: fact × dim
     * through [[Layout.saltedJoin]] (salt 8). Row-identical to the
     * plain join — salting only changes the shuffle distribution — so

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{AsofJoin, Relational}
 
-class AsofJoinSpec extends SparkSpec {
+class AsofJoinSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("backward as-of: latest right at-or-before each left row, per key") {
     import spark.implicits._
@@ -41,5 +42,68 @@ class AsofJoinSpec extends SparkSpec {
     val generic = canon(Relational.q28AsofGeneric(spark, sf))
     val special = canon(Relational.q18AsofAttribution(spark, sf))
     assert(generic == special && generic.nonEmpty)
+  }
+
+  test("native as-of exec: backward semantics, ties and null padding") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"), (3L, 7L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 9L, "r9"))
+      .toDF("rk", "rt", "payload")
+    val out = graft.plans.AsofNative.join(left, right,
+        keys = Seq("k" -> "rk"), order = Seq("t" -> "rt"))
+      .select("k", "t", "tag", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(out == Set(
+      (1L, 10L, "a", "r10"),  // tie at equal t is visible
+      (1L, 20L, "b", "r15"),
+      (2L, 5L, "c", null),    // right exists for the key but only later
+      (3L, 7L, "d", null)))   // key absent on the right entirely
+  }
+
+  test("native as-of matches the compositional operator on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(50).toLong, i.toLong)).toDF("k", "t", "lid")
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(50).toLong, i.toLong, s"p$i"))
+      .toDF("k", "t", "rid", "p")
+    // shared (t, id) total order on both sides, like the seq knob
+    val viaUnion = AsofJoin.join(left, right, "k", "t", "t",
+        Map("p" -> "p", "rid" -> "rid"), seq = Some(("lid", "rid")))
+      .select("k", "t", "lid", "p", "rid")
+      .collect().map(_.mkString("|")).toSet
+    val viaNative = graft.plans.AsofNative.join(left,
+        right.select(col("k").as("rk"), col("t").as("rt"), col("rid"), col("p")),
+        keys = Seq("k" -> "rk"), order = Seq("t" -> "rt", "lid" -> "rid"))
+      .select("k", "t", "lid", "p", "rid")
+      .collect().map(_.mkString("|")).toSet
+    assert(viaNative == viaUnion && viaNative.nonEmpty)
+  }
+
+  test("native exec plans one exchange per side and no union carry") {
+    import spark.implicits._
+    val left = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "t")
+    val right = (1 to 50).map(i => (i.toLong % 7, i.toLong)).toDF("rk", "rt")
+    val df = graft.plans.AsofNative.join(left, right,
+      keys = Seq("k" -> "rk"), order = Seq("t" -> "rt"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val execs = collectWithSubqueries(plan) { case e: graft.plans.AsofJoinExec => e }
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(execs.length == 1)
+    assert(exchanges.length == 2)
+  }
+
+  test("native attribution query reproduces the specialized one") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    val native = canon(Relational.q29AsofNative(spark, sf))
+    val special = canon(Relational.q18AsofAttribution(spark, sf))
+    assert(native == special && native.nonEmpty)
   }
 }
