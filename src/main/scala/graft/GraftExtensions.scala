@@ -68,6 +68,12 @@ object GraftExtensions {
       intArg("lsh_sig", args(1)), intArg("lsh_sig", args(2)))),
     fn("byte_entropy", "text")(args => ByteEntropy(args(0))),
     fn("vec_sub", "vec_a, vec_b")(args => VecSubFF(args(0), args(1))),
+    fn("jaccard_sim", "arr_a, arr_b")(args => JaccardSim(args(0), args(1))),
+    fn("nearest_idx", "vec, cents")(args => NearestIdx(args(0), args(1))),
+    fn("top_idx", "vec, cents, k")(args =>
+      TopIdx(args(0), args(1), intArg("top_idx", args(2)))),
+    fn("pq_encode", "vec, codebook")(args => PqEncode(args(0), args(1))),
+    fn("adc_sum", "codes, lut")(args => AdcSum(args(0), args(1))),
   )
 
   private def info(name: String): ExpressionInfo =

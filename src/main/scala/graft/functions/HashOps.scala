@@ -312,6 +312,111 @@ object HashOps {
     s
   }
 
+  /** Index of the most-cosine-similar packed centroid (ties → lower
+    * index). One fused pass replaces the explode×|cells| + window
+    * argmax formulation, whose per-vector fan-out shuffles
+    * corpus×cells rows — this touches only the broadcast model.
+    */
+  def nearestIdx(v: ArrayData, cents: ArrayData): Int = {
+    val n = cents.numElements()
+    var best = -1
+    var bestCos = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val c = cosineFF(v, cents.getArray(i))
+      if (c > bestCos) { bestCos = c; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Top-k packed-centroid indices by cosine (desc, ties → lower
+    * index): the multi-probe selection, k is tiny so selection sort.
+    */
+  def topIdx(v: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val n = cents.numElements()
+    val cos = new Array[Double](n)
+    var i = 0
+    while (i < n) { cos(i) = cosineFF(v, cents.getArray(i)); i += 1 }
+    val kk = math.min(k, n)
+    val out = new Array[Int](kk)
+    val taken = new Array[Boolean](n)
+    var j = 0
+    while (j < kk) {
+      var best = -1
+      var bestCos = Double.NegativeInfinity
+      i = 0
+      while (i < n) {
+        if (!taken(i) && cos(i) > bestCos) { bestCos = cos(i); best = i }
+        i += 1
+      }
+      taken(best) = true
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ encode against a flat (s, code, sub) codebook sorted by
+    * (s, code): per subspace s the code minimizing L2 to the vector's
+    * s-th slice (ties → lower code, matching min_by(struct(d, code))).
+    * Subspaces with no codebook entry stay -1. One pass over the
+    * broadcast codebook replaces the per-(vector, subspace) explode +
+    * ×codes join + argmin re-aggregation — the encode becomes a scan.
+    */
+  def pqEncode(vec: ArrayData, flat: ArrayData): ArrayData = {
+    val n = flat.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    val subLen = flat.getStruct(0, 3).getArray(2).numElements()
+    val m = vec.numElements() / subLen
+    val codes = new Array[Int](m)
+    java.util.Arrays.fill(codes, -1)
+    val bestD = new Array[Double](m)
+    java.util.Arrays.fill(bestD, Double.PositiveInfinity)
+    var i = 0
+    while (i < n) {
+      val e = flat.getStruct(i, 3)
+      val s = e.getInt(0)
+      if (s >= 0 && s < m) {
+        val sub = e.getArray(2)
+        var d = 0.0
+        var j = 0
+        while (j < subLen) {
+          val diff = vec.getFloat(s * subLen + j).toDouble - sub.getFloat(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD(s)) { bestD(s) = d; codes(s) = e.getInt(1) }
+      }
+      i += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Asymmetric-distance sum Σ_s lut[s][codes(s)] over a flat
+    * (s, code, d) query lookup table; NaN when any subspace fails to
+    * match (the all-m-subspaces guard). Replaces the codes-explode +
+    * LUT join + (q, vec) re-aggregation shuffle with a scan of the
+    * broadcast LUT.
+    */
+  def adcSum(codes: ArrayData, flat: ArrayData): Double = {
+    val m = codes.numElements()
+    var sum = 0.0
+    var matched = 0
+    val n = flat.numElements()
+    var i = 0
+    while (i < n) {
+      val e = flat.getStruct(i, 3)
+      val s = e.getInt(0)
+      if (s >= 0 && s < m && e.getInt(1) == codes.getInt(s)) {
+        sum += e.getDouble(2)
+        matched += 1
+      }
+      i += 1
+    }
+    if (matched == m) sum else Double.NaN
+  }
+
   /** Dot product of two float vectors (IVF / pre-normalized path). */
   def dotFF(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

@@ -169,6 +169,67 @@ object expressions {
     override def prettyName: String = "vec_sub"
   }
 
+  /** nearest_idx(vec, cents): 0-based index of the most-cosine-
+    * similar centroid in a packed array<array<float>> model
+    * (ties → lower index); -1 when the model is empty.
+    */
+  case class NearestIdx(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(v: Any, c: Any): Any =
+      HashOps.nearestIdx(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, c) => s"$ops.nearestIdx($v, $c)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): NearestIdx =
+      copy(left = l, right = r)
+    override def prettyName: String = "nearest_idx"
+  }
+
+  /** top_idx(vec, cents, k): the k most-cosine-similar packed-model
+    * indices, descending (multi-probe cell selection).
+    */
+  case class TopIdx(left: Expression, right: Expression, k: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any, c: Any): Any =
+      HashOps.topIdx(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, c) => s"$ops.topIdx($v, $c, $k)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): TopIdx =
+      copy(left = l, right = r)
+    override def prettyName: String = "top_idx"
+  }
+
+  /** pq_encode(vec, flat_codebook): per-subspace nearest-code array
+    * against a flat (s, code, sub) codebook sorted by (s, code).
+    */
+  case class PqEncode(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(v: Any, cb: Any): Any =
+      HashOps.pqEncode(v.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, cb) => s"$ops.pqEncode($v, $cb)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncode =
+      copy(left = l, right = r)
+    override def prettyName: String = "pq_encode"
+  }
+
+  /** adc_sum(codes, flat_lut): asymmetric-distance sum over a flat
+    * (s, code, d) lookup table; NaN when a subspace has no entry.
+    */
+  case class AdcSum(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(codes: Any, lut: Any): Any =
+      HashOps.adcSum(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (codes, lut) => s"$ops.adcSum($codes, $lut)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcSum =
+      copy(left = l, right = r)
+    override def prettyName: String = "adc_sum"
+  }
+
   /** lsh_sig(vec, planes, table): random-hyperplane signature bits
     * for one hash table of a multi-table LSH index.
     */
@@ -210,4 +271,12 @@ object expressions {
     GraftBridge.column(VecSubFF(GraftBridge.expression(a), GraftBridge.expression(b)))
   def jaccard_sim(a: Column, b: Column): Column =
     GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def nearest_idx(v: Column, cents: Column): Column =
+    GraftBridge.column(NearestIdx(GraftBridge.expression(v), GraftBridge.expression(cents)))
+  def top_idx(v: Column, cents: Column, k: Int): Column =
+    GraftBridge.column(TopIdx(GraftBridge.expression(v), GraftBridge.expression(cents), k))
+  def pq_encode(v: Column, cb: Column): Column =
+    GraftBridge.column(PqEncode(GraftBridge.expression(v), GraftBridge.expression(cb)))
+  def adc_sum(codes: Column, lut: Column): Column =
+    GraftBridge.column(AdcSum(GraftBridge.expression(codes), GraftBridge.expression(lut)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{cosine_sim, lsh_sig}
+import graft.functions.expressions.{adc_sum, cosine_sim, lsh_sig, nearest_idx, pq_encode, top_idx, vec_sub}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -119,6 +119,37 @@ object Similarity {
   private def subvectors(v: Column, m: Int, sub: Int): Column =
     array((0 until m).map(s => slice(v, s * sub + 1, sub)): _*)
 
+  /** Pack a (cell_id, c_emb) centroid set into ONE broadcastable row
+    * of aligned arrays, sorted by cell_id. Every consumer then takes
+    * a 1-row broadcast cross join and runs the fused [[nearest_idx]]/
+    * [[top_idx]] kernel per vector — no per-centroid explode, no
+    * corpus×cells window shuffle. The model is bounded by
+    * construction, so this holds at any corpus size.
+    */
+  private def packCentroids(centroids: DataFrame): DataFrame =
+    centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("c_emb")))).as("cc"))
+      .select(transform(col("cc"), x => x("cell_id")).as("cell_ids"),
+        transform(col("cc"), x => x("c_emb")).as("cents"))
+
+  /** Coarse assignment on the packed model: one corpus scan, one
+    * fused argmax per vector, zero shuffles. Ties break to the
+    * smaller cell_id (the packed order is cell_id-sorted).
+    */
+  private def assignPacked(vecs: DataFrame, packed: DataFrame,
+                           withResidual: Boolean): DataFrame = {
+    val idx = nearest_idx(col("embedding"), col("cents")) + 1
+    val base = vecs.crossJoin(broadcast(packed))
+      .withColumn("__i", idx)
+    if (withResidual)
+      base.select(col("vec_id"),
+        element_at(col("cell_ids"), col("__i")).as("cell_id"),
+        vec_sub(col("embedding"), element_at(col("cents"), col("__i"))).as("residual"))
+    else
+      base.select(col("vec_id"), col("embedding"),
+        element_at(col("cell_ids"), col("__i")).as("cell_id"))
+  }
+
   /** Product-quantization ANN — the compressed-corpus scale path:
     * each vector is encoded as `m` small codes against per-subspace
     * codebooks (built from a deterministic stride sample), queries
@@ -150,35 +181,34 @@ object Similarity {
       .withColumn("code", row_number().over(wCode))
       .filter(col("code") <= nCodes)
       .select("s", "code", "c_sub")
-    // encode: nearest code per (vector, subspace) — broadcast the
-    // codebook, reduce with a hash-aggregable min_by (ties break to
-    // the smaller code)
-    def encode(vecs: DataFrame, idCol: String): DataFrame =
-      vecs
-        .select(col(idCol), posexplode(subvectors(col("embedding"), m, sub)))
-        .select(col(idCol), col("pos").as("s"), col("col").as("v_sub"))
-        .join(broadcast(codebook), "s")
-        .select(col(idCol), col("s"), col("code"),
-          graft.functions.expressions.l2_sq(col("v_sub"), col("c_sub")).as("d"))
-        .groupBy(idCol, "s")
-        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-    val encoded = encode(corpus, "vec_id")
+    // encode: ONE fused pass per vector against the packed broadcast
+    // codebook — no per-(vector, subspace) explode, no ×codes join
+    // fan-out, no argmin re-aggregation shuffle
+    val cbPacked = codebook
+      .agg(sort_array(collect_list(struct(col("s"), col("code"), col("c_sub")))).as("cb"))
+    val encoded = corpus.crossJoin(broadcast(cbPacked))
+      .select(col("vec_id"), pq_encode(col("embedding"), col("cb")).as("codes"))
     val queries = corpus.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    // per-query LUT: distance from the query subvector to EVERY code
+    // per-query LUT: distance from the query subvector to EVERY code,
+    // packed to one flat row per query (bounded: queries × m × codes)
     val lut = queries
       .select(col("q_id"), posexplode(subvectors(col("q_emb"), m, sub)))
       .select(col("q_id"), col("pos").as("s"), col("col").as("q_sub"))
       .join(broadcast(codebook), "s")
       .select(col("q_id"), col("s"), col("code"),
         graft.functions.expressions.l2_sq(col("q_sub"), col("c_sub")).as("d"))
-    // ADC scan: Σ_s LUT[s, code(v,s)] — codes join the LUT, vectors stay home
+    val lutPacked = lut.groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("code"), col("d")))).as("lut"))
+    // ADC scan: Σ_s LUT[s, code(v,s)] fused per (vector, query) pair —
+    // the corpus never shuffles; NaN marks a missing subspace (the
+    // all-m guard)
     val scored = encoded
-      .join(broadcast(lut), Seq("s", "code"))
+      .crossJoin(broadcast(lutPacked))
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum("d").as("adist"), count(lit(1)).as("n_sub"))
-      .filter(col("n_sub") === m) // guard: all m subspaces contributed
+      .select(col("q_id"), col("vec_id"),
+        adc_sum(col("codes"), col("lut")).as("adist"))
+      .filter(!isnan(col("adist")))
     val candidates = graft.plans.TopK.perKey(
       scored.select("q_id", "vec_id", "adist"),
       Seq("q_id"), Seq(col("adist").asc, col("vec_id").asc), nCandidates)
@@ -211,56 +241,48 @@ object Similarity {
                m: Int = 8, dim: Int = 64, codeStride: Long = 5L,
                nCodes: Int = 16, nCandidates: Int = 50): DataFrame = {
     val sub = dim / m
-    val vsub = graft.functions.expressions.vec_sub _
     val l2 = graft.functions.expressions.l2_sq _
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
     val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    // coarse assignment + residual (one scan, broadcast argmax)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
-    def assign(vecs: DataFrame): DataFrame = vecs.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"), col("c_emb"),
-        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("cell_id"),
-        vsub(col("embedding"), col("c_emb")).as("residual"))
-    val assigned = assign(corpus)
+    // coarse assignment + residual: fused argmax on the packed model —
+    // one corpus scan, ZERO shuffle (the window formulation shuffled
+    // corpus×cells exploded rows)
+    val packed = packCentroids(centroids)
+    val assigned = assignPacked(corpus, packed, withResidual = true)
     // per-cell residual codebooks from a deterministic stride sample:
     // assignment is per-vector, so assigning ONLY the sample here is
     // result-identical and keeps the codebook branch off the full
     // corpus-assignment subplan (which Catalyst would otherwise
     // evaluate once per consumer — forked subplans don't share)
     val wCode = Window.partitionBy("cell_id", "s").orderBy("cb_vec")
-    val codebook = assign(corpus.filter(col("vec_id") % codeStride === 0))
-      .select(col("vec_id").as("cb_vec"), col("cell_id"),
-        posexplode(subvectors(col("residual"), m, sub)))
-      .select(col("cb_vec"), col("cell_id"), col("pos").as("s"), col("col").as("c_sub"))
-      .withColumn("code", row_number().over(wCode))
-      .filter(col("code") <= nCodes)
-      .select("cell_id", "s", "code", "c_sub")
-    // encode: nearest residual code per (vector, subspace)
-    val encoded = assigned
+    val codebook =
+      assignPacked(corpus.filter(col("vec_id") % codeStride === 0), packed,
+          withResidual = true)
+        .select(col("vec_id").as("cb_vec"), col("cell_id"),
+          posexplode(subvectors(col("residual"), m, sub)))
+        .select(col("cb_vec"), col("cell_id"), col("pos").as("s"), col("col").as("c_sub"))
+        .withColumn("code", row_number().over(wCode))
+        .filter(col("code") <= nCodes)
+        .select("cell_id", "s", "code", "c_sub")
+    // encode: one fused argmin pass per vector against its cell's
+    // packed codebook (broadcast hash join on cell_id, fan-out 1)
+    val cbPacked = codebook.groupBy("cell_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("code"), col("c_sub")))).as("cb"))
+    val encoded = assigned.join(broadcast(cbPacked), "cell_id")
       .select(col("vec_id"), col("cell_id"),
-        posexplode(subvectors(col("residual"), m, sub)))
-      .select(col("vec_id"), col("cell_id"), col("pos").as("s"), col("col").as("v_sub"))
-      .join(broadcast(codebook), Seq("cell_id", "s"))
-      .select(col("vec_id"), col("cell_id"), col("s"), col("code"),
-        l2(col("v_sub"), col("c_sub")).as("d"))
-      .groupBy("vec_id", "cell_id", "s")
-      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-    // queries probe nProbe cells; LUT per probed cell over the
-    // query's residual IN THAT CELL (asymmetric distance)
+        pq_encode(col("residual"), col("cb")).as("codes"))
+    // queries probe nProbe cells (fused top-k on the packed model);
+    // LUT per probed cell over the query's residual IN THAT CELL
     val queries = corpus.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("cell_id"))
-    val probed = queries.join(broadcast(centroids))
-      .select(col("q_id"), col("q_emb"), col("cell_id"), col("c_emb"),
-        cosine_sim(col("q_emb"), col("c_emb")).as("c_cos"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("q_id"), col("cell_id"),
-        vsub(col("q_emb"), col("c_emb")).as("q_res"))
+    val probed = queries.crossJoin(broadcast(packed))
+      .select(col("q_id"), col("q_emb"), col("cell_ids"), col("cents"),
+        explode(top_idx(col("q_emb"), col("cents"), nProbe)).as("__e"))
+      .withColumn("__i", col("__e") + 1)
+      .select(col("q_id"),
+        element_at(col("cell_ids"), col("__i")).as("cell_id"),
+        vec_sub(col("q_emb"), element_at(col("cents"), col("__i"))).as("q_res"))
     val lut = probed
       .select(col("q_id"), col("cell_id"),
         posexplode(subvectors(col("q_res"), m, sub)))
@@ -268,14 +290,16 @@ object Similarity {
       .join(broadcast(codebook), Seq("cell_id", "s"))
       .select(col("q_id"), col("cell_id"), col("s"), col("code"),
         l2(col("q_sub"), col("c_sub")).as("d"))
-    // ADC inside probed cells: Σ_s LUT[cell, s, code(v, s)]
+    val lutPacked = lut.groupBy("q_id", "cell_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("code"), col("d")))).as("lut"))
+    // ADC inside probed cells, fused per (vector, probing query): the
+    // corpus-side rows never shuffle; NaN marks a missing subspace
     val scored = encoded
-      .join(broadcast(lut), Seq("cell_id", "s", "code"))
+      .join(broadcast(lutPacked), "cell_id")
       .filter(col("vec_id") =!= col("q_id"))
-      .groupBy("q_id", "vec_id")
-      .agg(sum("d").as("adist"), count(lit(1)).as("n_sub"))
-      .filter(col("n_sub") === m)
-      .select("q_id", "vec_id", "adist")
+      .select(col("q_id"), col("vec_id"),
+        adc_sum(col("codes"), col("lut")).as("adist"))
+      .filter(!isnan(col("adist")))
     val cands = graft.plans.TopK.perKey(scored, Seq("q_id"),
       Seq(col("adist").asc, col("vec_id").asc), nCandidates)
     // exact rerank of the surviving candidates only
@@ -299,12 +323,8 @@ object Similarity {
                       dim: Int): DataFrame = {
     var centroids = init.select(col("cell_id"), col("c_emb"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
-      val assigned = corpus.join(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("cell_id"),
-          cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
-        .withColumn("arn", row_number().over(wAssign))
-        .filter(col("arn") === 1)
+      val assigned = assignPacked(corpus, packCentroids(centroids),
+        withResidual = false)
       centroids = assigned
         .groupBy("cell_id")
         .agg(array((0 until dim).map(j =>
@@ -328,22 +348,18 @@ object Similarity {
     val centroids =
       if (kmeansIters > 0) kmeansCentroids(corpus, seed, kmeansIters, dim)
       else seed
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))
-    val assigned = corpus.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosine_sim(col("embedding"), col("c_emb")).as("c_cos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select("vec_id", "embedding", "cell_id")
-    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("cell_id"))
+    // fused packed-model assignment and probing: one scan per side,
+    // no corpus×cells explode, no per-vector window shuffle
+    val packed = packCentroids(centroids)
+    val assigned = assignPacked(corpus, packed, withResidual = false)
     val queryCells = corpus.filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .join(broadcast(centroids))
-      .select(col("q_id"), col("q_emb"), col("cell_id"),
-        cosine_sim(col("q_emb"), col("c_emb")).as("c_cos"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select("q_id", "q_emb", "cell_id")
+      .crossJoin(broadcast(packed))
+      .select(col("q_id"), col("q_emb"),
+        explode(top_idx(col("q_emb"), col("cents"), nProbe)).as("__e"),
+        col("cell_ids"))
+      .select(col("q_id"), col("q_emb"),
+        element_at(col("cell_ids"), col("__e") + 1).as("cell_id"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(queryCells), Seq("cell_id"))
       .filter(col("vec_id") =!= col("q_id"))
