@@ -39,6 +39,7 @@ object PlanDump {
   /** Scrub run-dependent tokens so snapshots diff cleanly. */
   def normalize(plan: String): String = plan
     .replaceAll("#\\d+L?", "#x")
+    .replaceAll("\\bx_\\d+", "x_N") // lambda-variable counters are per-session
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("file:[^\\s\\],)]*", "PATH")
     .replaceAll("\\[id=#x\\]", "")

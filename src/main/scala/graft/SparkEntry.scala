@@ -54,6 +54,8 @@ object SparkEntry {
       graft.ops.Events.funnel(Tables.events(s, d)).orderBy("stage_idx")),
     "events_retention" -> ((s, d) =>
       graft.ops.Events.retention(Tables.events(s, d)).orderBy("cohort_week", "week_offset")),
+    "events_anomaly" -> ((s, d) =>
+      graft.ops.Events.anomaly(Tables.events(s, d)).orderBy("event_id")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -133,6 +135,8 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), 3).orderBy("doc_a", "doc_b")),
     "dedup_embed" -> ((s, d) =>
       Dedup.embedNearDup(Tables.embeddings(s, d), 0.3, col("vec_id") % 5 === 0).orderBy("vec_a", "vec_b")),
+    "dedup_chunks" -> ((s, d) =>
+      TextAnalysis.chunkDedup(Tables.documents(s, d)).orderBy("doc_id")),
     // §2d similarity search
     "sim_brute_topk" -> ((s, d) =>
       Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
@@ -153,6 +157,10 @@ object SparkEntry {
       Multimodal.frameSample(Tables.documents(s, d)).orderBy("doc_id", "frame_idx")),
     "mm_shards" -> ((s, d) =>
       Multimodal.shardPlan(Tables.documents(s, d)).orderBy("doc_id")),
+    "mm_dedup" -> ((s, d) =>
+      Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
+    "emb_quantize" -> ((s, d) =>
+      Similarity.quantizeAudit(Tables.embeddings(s, d)).orderBy("vec_id")),
   )
 
   /** Shared oracle CTE: the deterministic events→changelog mapping
@@ -987,6 +995,49 @@ object SparkEntry {
         |       CASE WHEN payload_len = 0 THEN 0.0
         |            ELSE CAST(bsum * 10000 // payload_len AS DOUBLE) / 10000 END AS mean_byte
         |FROM f ORDER BY doc_id""".stripMargin,
+    "events_anomaly" ->
+      """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
+        |             round(stddev_samp(value), 6) AS sigma
+        |           FROM events GROUP BY 1)
+        |SELECT event_id, event_type, round(value, 2) AS value,
+        |       round((value - mu) / sigma, 3) AS z
+        |FROM events JOIN s USING (event_type)
+        |WHERE abs((value - mu) / sigma) >= 2.0
+        |ORDER BY event_id""".stripMargin,
+    "dedup_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, CAST(i // 16 AS BIGINT) AS chunk_idx,
+        |        array_to_string(list_slice(toks, i, i + 15), ' ') AS chunk
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 16)) AS i FROM d)),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY chunk
+        |                                   ORDER BY doc_id, chunk_idx) AS rn FROM c)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       count(*) FILTER (WHERE rn = 1) AS n_kept,
+        |       round(CAST(count(*) FILTER (WHERE rn = 1) AS DOUBLE) / count(*), 4)
+        |         AS kept_ratio
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    md5(hex(encode(text))) AS payload_md5,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents)
+        |SELECT media_type, payload_md5, min(doc_id) AS keep_doc_id,
+        |       count(*) AS n_copies, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY 1, 2 ORDER BY media_type, payload_md5""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |q AS (SELECT vec_id, x,
+        |        list_max(list_transform(x, v -> abs(v))) / 127 AS scale FROM e)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       round(sqrt(list_sum(list_transform(x,
+        |         v -> (v - floor(v/scale + 0.5)*scale)
+        |            * (v - floor(v/scale + 0.5)*scale)))), 6) AS l2_err,
+        |       round(list_max(list_transform(x,
+        |         v -> abs(v - floor(v/scale + 0.5)*scale))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "mm_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

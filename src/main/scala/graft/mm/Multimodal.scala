@@ -108,6 +108,21 @@ object Multimodal {
     * scale this is the row-multiplying stage in front of a frame
     * decoder, and it parallelizes per input row with no shuffle.
     */
+  /** Exact binary dedup: group identical payloads per media type by
+    * a content hash of the bytes, electing the lowest doc_id keeper.
+    * Only (type, 32-byte hash) pairs shuffle — payload bytes stay in
+    * their scan partitions, which is what makes this viable when the
+    * binary column is the bulk of 100 TB. (The hash is md5 over the
+    * hex encoding: engine-portable, and collision-equivalent to
+    * hashing the raw bytes.)
+    */
+  def binaryDedup(documents: DataFrame): DataFrame =
+    attach(documents)
+      .groupBy(col("media_type"), md5(hex(col("payload"))).as("payload_md5"))
+      .agg(min("doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_copies"),
+        sum(length(col("payload"))).as("total_bytes"))
+
   def frameSample(documents: DataFrame, maxFrames: Int = 8): DataFrame = {
     val media = attach(documents)
     media.filter(col("media_type") === "video")

@@ -80,4 +80,23 @@ object Events {
       .groupBy("cohort_week", "week_offset")
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Z-score anomaly flags: events whose value deviates ≥ `tau`
+    * sample standard deviations from their event-type mean. The
+    * per-type model (one low-cardinality aggregate, rounded to a
+    * fixed 6dp so the constants are engine-portable) broadcasts back
+    * onto the stream — one scan, one tiny shuffle, score-and-filter
+    * map-side. The same shape serves streaming scoring: the model
+    * frame becomes a periodically refreshed broadcast.
+    */
+  def anomaly(events: DataFrame, tau: Double = 2.0): DataFrame = {
+    val model = events.groupBy("event_type")
+      .agg(round(avg("value"), 6).as("mu"),
+        round(stddev_samp("value"), 6).as("sigma"))
+    events.join(broadcast(model), "event_type")
+      .filter(abs((col("value") - col("mu")) / col("sigma")) >= tau)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
+  }
 }

@@ -119,6 +119,29 @@ object Similarity {
   private def subvectors(v: Column, m: Int, sub: Int): Column =
     array((0 until m).map(s => slice(v, s * sub + 1, sub)): _*)
 
+  /** Int8 scalar-quantization audit: per vector, the symmetric scale
+    * (max|x|/127), the L2 reconstruction error, and the worst
+    * per-dimension error of round-trip quantization — the "can we
+    * ship int8 embeddings" report, as a pure scan (no shuffle, no
+    * state). Quantization is spelled floor(x/scale + 0.5) so both
+    * engines round identically; squares are plain products (pow is
+    * not correctly rounded everywhere).
+    */
+  def quantizeAudit(embeddings: DataFrame): DataFrame = {
+    def recon(v: Column, scale: Column): Column =
+      floor(v / scale + 0.5d) * scale
+    embeddings
+      .withColumn("x", col("embedding").cast("array<double>"))
+      .withColumn("qscale", array_max(transform(col("x"), v => abs(v))) / 127d)
+      .select(col("vec_id"),
+        round(col("qscale"), 6).as("scale"),
+        round(sqrt(aggregate(col("x"), lit(0.0d), (acc, v) =>
+          acc + (v - recon(v, col("qscale"))) * (v - recon(v, col("qscale"))))), 6)
+          .as("l2_err"),
+        round(array_max(transform(col("x"), v =>
+          abs(v - recon(v, col("qscale"))))), 6).as("max_err"))
+  }
+
   /** Pack a (cell_id, c_emb) centroid set into ONE broadcastable row
     * of aligned arrays, sorted by cell_id. Every consumer then takes
     * a 1-row broadcast cross join and runs the fused [[nearest_idx]]/

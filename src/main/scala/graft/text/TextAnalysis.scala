@@ -216,6 +216,34 @@ object TextAnalysis {
         ((col("cum") - col("n_tokens")) / budget).cast("long").as("pack_id"))
   }
 
+  /** Chunk-level (CCNet-style) dedup audit: documents split into
+    * fixed `chunkTokens`-token windows, duplicate chunks across the
+    * WHOLE corpus collapse to their first occurrence (lowest
+    * (doc_id, chunk_idx)), and each document reports how much of it
+    * survives. Finer-grained than whole-document dedup — boilerplate
+    * shared across documents dies here while unique prose stays.
+    * One shuffle on the chunk text (hash it first at real scale);
+    * everything else is scan-local.
+    */
+  def chunkDedup(documents: DataFrame, chunkTokens: Int = 16): DataFrame = {
+    val w = Window.partitionBy("chunk")
+    documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("chunks", expr(
+        s"""transform(sequence(0, (size(toks) - 1) div $chunkTokens),
+           |  i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, $chunkTokens)))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("chunks")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+      .withColumn("first", min(struct(col("doc_id"), col("chunk_idx"))).over(w))
+      .withColumn("kept",
+        (col("first.doc_id") === col("doc_id") &&
+          col("first.chunk_idx") === col("chunk_idx")).cast("int"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("kept").as("n_kept"),
+        round(sum("kept").cast("double") / count(lit(1)), 4).as("kept_ratio"))
+  }
+
   /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-
     * checkable) plus the Rabin-Karp rolling hash from the custom
     * Catalyst expression (the scale-path fingerprint).

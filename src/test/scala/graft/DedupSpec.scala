@@ -90,4 +90,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSet == Set((1L, 2L)))
   }
+
+  test("chunk dedup kills shared boilerplate but keeps unique prose") {
+    import spark.implicits._
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    def uniq(tag: String) = (1 to 16).map(i => s"$tag$i").mkString(" ")
+    // docs 1 and 2 share the boilerplate chunk; their second chunks differ
+    val docs = Seq(
+      (1L, s"$boiler ${uniq("x")}"),
+      (2L, s"$boiler ${uniq("y")}"),
+      (3L, uniq("z"))
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.chunkDedup(docs, 16)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"))).toMap
+    assert(out(1L) == (2L, 2L)) // first occurrence keeps everything
+    assert(out(2L) == (2L, 1L)) // boilerplate chunk deduped away
+    assert(out(3L) == (1L, 1L))
+  }
 }

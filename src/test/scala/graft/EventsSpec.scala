@@ -55,4 +55,22 @@ class EventsSpec extends SparkSpec {
     assert(counts.length == 3)
     assert(counts(0) >= counts(1) && counts(1) >= counts(2))
   }
+
+  test("anomaly flags exactly the planted far outlier, not the bulk") {
+    import spark.implicits._
+    // 50 values at ~10 plus one at 1000: only the plant exceeds 2σ
+    val rows = (1L to 50L).map(i => (i, "click", 10.0 + (i % 5))) :+
+      (99L, "click", 1000.0)
+    val df = rows.toDF("event_id", "event_type", "value")
+    val out = Events.anomaly(df, tau = 2.0).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(99L))
+    assert(out.head.getAs[Double]("z") > 2.0)
+  }
+
+  test("anomaly z-scores are standardized per event type") {
+    val out = Events.anomaly(Tables.events(spark, sf), tau = 2.0).collect()
+    assert(out.nonEmpty)
+    // every surviving row really deviates ≥ 2 sigma, per its own type
+    assert(out.forall(r => math.abs(r.getAs[Double]("z")) >= 1.999))
+  }
 }

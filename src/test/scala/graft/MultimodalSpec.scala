@@ -35,6 +35,23 @@ class MultimodalSpec extends SparkSpec {
     assert(sizes.toSeq == Seq(64, 64, 22))
   }
 
+  test("binary dedup groups identical payloads and keeps the lowest id") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sf)
+    // duplicate every payload under shifted ids (same media_type mod 3:
+    // +3000 keeps doc_id % 3, so copies land in the same type bucket)
+    val doubled = base.unionByName(
+      base.withColumn("doc_id", col("doc_id") + lit(3000L)))
+    val out = Multimodal.binaryDedup(doubled).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_copies") >= 2) // every payload duplicated
+      assert(r.getAs[Long]("keep_doc_id") < 3000L) // original wins
+    }
+    val total = out.map(_.getAs[Long]("n_copies")).sum
+    assert(total == doubled.count())
+  }
+
   test("frame sampling emits n_frames rows per video with in-bounds offsets") {
     val frames = Multimodal.frameSample(Tables.documents(spark, sf)).collect()
     assert(frames.nonEmpty)

@@ -96,6 +96,20 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect ivfpq).size >= 10, s"overlap ${(brute intersect ivfpq).size}/50")
   }
 
+  test("int8 quantization audit bounds per-dimension error by scale/2") {
+    val rows = Similarity.quantizeAudit(embeddings).collect()
+    assert(rows.length == embeddings.count())
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      assert(scale > 0.0)
+      // symmetric rounding: worst per-dim error is half a step (both
+      // sides are 6dp-rounded, so allow that rounding's granularity)
+      assert(r.getAs[Double]("max_err") <= scale / 2 + 1e-6)
+      // 64 dims, each ≤ scale/2 ⇒ L2 ≤ 4·scale
+      assert(r.getAs[Double]("l2_err") <= 4 * scale + 1e-6)
+    }
+  }
+
   test("PQ ANN returns full top-k with meaningful brute-force recall") {
     val out = Similarity.annPq(embeddings, col("vec_id") < 10, 5).collect()
     val byQ = out.groupBy(_.getAs[Long]("q_id"))
