@@ -90,6 +90,8 @@ object SparkEntry {
     "q27_value_windows" -> Relational.q27ValueWindows _,
     "q28_asof_generic" -> Relational.q28AsofGeneric _,
     "q29_asof_native" -> Relational.q29AsofNative _,
+    "q30_range_band" -> ((s, d) =>
+      Relational.q30RangeBand(s, d).orderBy("purchase_id")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -596,6 +598,15 @@ object SparkEntry {
     "q28_asof_generic" -> asofJoinSql,
     // ...and so does the native merge-exec operator
     "q29_asof_native" -> asofJoinSql,
+    "q30_range_band" ->
+      """WITH c AS (SELECT epoch_us(ts) AS cus, value AS cval
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, epoch_us(ts) AS pus
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT purchase_id, count(cus) AS n_clicks,
+        |       round(coalesce(sum(cval), 0), 2) AS click_value
+        |FROM p LEFT JOIN c ON cus > pus - 600000000 AND cus <= pus
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     "q19_range_window" ->
       """SELECT o_orderkey, o_custkey,
         |       count(*) OVER w AS n_30d,

@@ -493,6 +493,33 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Keyless time-range join via banding: for every purchase, count
+    * and sum the clicks (ANY user) in the trailing 10 minutes.
+    * Without an equality key Spark plans pure inequality joins as a
+    * nested-loop cartesian — quadratic. Banding manufactures the
+    * equi-key: clicks land in their ⌊ts/W⌋ band, each purchase probes
+    * the ≤2 bands its window can overlap, and the exact predicate
+    * filters inside the hash join. Shuffle keys are time bands
+    * (bounded fan-out 2×), so the plan stays linear at any scale;
+    * the oracle is DuckDB's native inequality join.
+    */
+  def q30RangeBand(s: SparkSession, dir: String): DataFrame = {
+    val W = 600L * 1000000L // 10 minutes in microseconds
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("cus"), col("value").as("cval"))
+      .withColumn("band", expr(s"cus div ${W}L"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("pus"))
+      .withColumn("band", explode(array_distinct(
+        array(expr(s"(pus - ${W}L) div ${W}L"), expr(s"pus div ${W}L")))))
+    val inWindow = col("cus") > col("pus") - W && col("cus") <= col("pus")
+    purchases.join(clicks, Seq("band"), "left_outer")
+      .groupBy("purchase_id")
+      .agg(sum(when(inWindow, 1).otherwise(0)).as("n_clicks"),
+        round(sum(when(inWindow, col("cval")).otherwise(0.0)), 2).as("click_value"))
+  }
+
   /** The skew-safe join in the driver-checked surface: fact × dim
     * through [[Layout.saltedJoin]] (salt 8). Row-identical to the
     * plain join — salting only changes the shuffle distribution — so

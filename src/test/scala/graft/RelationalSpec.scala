@@ -113,6 +113,33 @@ class RelationalSpec extends SparkSpec {
       "Call Bob at 555 1234 or mail bob99@mail.com now".count(!_.isDigit))
   }
 
+  test("banded range join equals the brute-force trailing-window count") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val out = Relational.q30RangeBand(spark, sf).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (r.getAs[Long]("n_clicks"), r.getAs[Double]("click_value"))).toMap
+    // brute-force reference over the same events
+    val W = 600L * 1000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .collect()
+    val clicks = ev.filter(_.getAs[String]("event_type") == "click")
+      .map(r => (r.getAs[Long]("us"), r.getAs[Double]("value")))
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    assert(out.size == purchases.length && out.nonEmpty)
+    purchases.foreach { p =>
+      val pus = p.getAs[Long]("us")
+      val hits = clicks.filter { case (cus, _) => cus > pus - W && cus <= pus }
+      val (n, v) = out(p.getAs[Long]("event_id"))
+      assert(n == hits.length)
+      assert(math.abs(v - hits.map(_._2).sum) < 0.01)
+    }
+    // the plan must be a hash/band join, not a nested-loop cartesian
+    val plan = Relational.q30RangeBand(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("recursive chain walk: roots self-rooted at depth 0, chains descend from them") {
     val rows = Relational.q26Recursive(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
