@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.ArgMaxStrAgg.arg_max_str
+
 /** CDC changelog model and operators.
   *
   * Re-expresses the reference's change-data-capture surface
@@ -130,7 +132,10 @@ object Changelog {
     * the "save it back into MapR-DB" half of the reference's loop.
     * Docs whose latest record is a tombstone are dropped.
     *
-    * `max_by(x, seq)` aggregation, not a sort-window: partial
+    * `arg_max_str(x, seq)` aggregation (mutable-buffer argmax →
+    * ObjectHashAggregate; the built-in `max_by` falls back to
+    * SortAggregate and sorts every partition), not a sort-window:
+    * partial
     * aggregates combine map-side, so the single doc_id shuffle moves
     * one row per document — the CDC-compaction shape that survives
     * a 100 TB changelog (a window would sort the whole history).
@@ -146,9 +151,9 @@ object Changelog {
   private def compactWeighted(cl: DataFrame): DataFrame =
     cl.groupBy("doc_id")
       .agg(max("seq").as("last_seq"),
-        max_by(col("op"), col("seq")).as("last_op"),
-        max_by(col("field_path"), col("seq")).as("last_field"),
-        max_by(col("payload"), col("seq")).as("last_payload"),
+        arg_max_str(col("op"), col("seq")).as("last_op"),
+        arg_max_str(col("field_path"), col("seq")).as("last_field"),
+        arg_max_str(col("payload"), col("seq")).as("last_payload"),
         sum(col("__w")).as("n_changes"))
 
   /** Compacted per-doc state INCLUDING tombstones — the mergeable
@@ -209,9 +214,9 @@ object Changelog {
       .withColumn("__w", lit(1L))
       .groupBy("doc_id", "__half")
       .agg(max("seq").as("last_seq"),
-        max_by(col("op"), col("seq")).as("last_op"),
-        max_by(col("field_path"), col("seq")).as("last_field"),
-        max_by(col("payload"), col("seq")).as("last_payload"),
+        arg_max_str(col("op"), col("seq")).as("last_op"),
+        arg_max_str(col("field_path"), col("seq")).as("last_field"),
+        arg_max_str(col("payload"), col("seq")).as("last_payload"),
         sum(col("__w")).as("n_changes"))
     liveState(mergeCompacted(
       halves.filter(col("__half") === 1).drop("__half"),
@@ -233,8 +238,8 @@ object Changelog {
     val perField = changelog
       .groupBy("doc_id", "field_path")
       .agg(max("seq").as("as_of_seq"),
-        max_by(col("payload"), col("seq")).as("value"),
-        max_by(col("op"), col("seq")).as("f_op"))
+        arg_max_str(col("payload"), col("seq")).as("value"),
+        arg_max_str(col("op"), col("seq")).as("f_op"))
     // liveness via a window over the compact frame (not a second
     // changelog aggregation — a filter pushed through one branch of a
     // self-join would fork the plan and scan the changelog twice):

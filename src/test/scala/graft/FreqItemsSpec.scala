@@ -54,6 +54,39 @@ class FreqItemsSpec extends SparkSpec {
       s"$atOrAbove tokens at/above the rank-$k count $kth exceed the k+50 overfetch")
   }
 
+  test("arg_max_str equals max_by and plans as ObjectHashAggregate") {
+    import spark.implicits._
+    import graft.functions.ArgMaxStrAgg.arg_max_str
+    val rnd = new scala.util.Random(7)
+    // unique ords per key (max_by ties are indeterminate, so don't plant any)
+    val rows = rnd.shuffle((1 to 500).toList).zipWithIndex.map { case (ord, i) =>
+      (i % 37L, ord.toLong, if (ord % 11 == 0) null else s"v$ord")
+    }
+    val df = rows.toDF("k", "ord", "v")
+    val viaCustom = df.groupBy("k").agg(arg_max_str(col("v"), col("ord")).as("last"))
+    val expected = df.groupBy("k").agg(max_by(col("v"), col("ord")).as("last"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = viaCustom.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected && got.nonEmpty)
+    viaCustom.collect()
+    val plan = viaCustom.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"not hash-aggregated:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort fallback:\n$plan")
+  }
+
+  test("arg_max_str ignores null ordinals and keeps a null winning value") {
+    import spark.implicits._
+    import graft.functions.ArgMaxStrAgg.arg_max_str
+    val df = Seq(
+      (1L, Some(5L), Some("old")), (1L, Some(9L), None),  // null value wins
+      (2L, None, Some("never")),                          // null ord ignored
+      (3L, Some(1L), Some("only"))
+    ).toDF("k", "ord", "v")
+    val out = df.groupBy("k").agg(arg_max_str(col("v"), col("ord")).as("last"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> None, 2L -> None, 3L -> Some("only")))
+  }
+
   test("hash split is deterministic and ~25% val") {
     val docs = Tables.documents(spark, sf)
     val a = Sampling.splitAudit(docs).collect()
