@@ -87,11 +87,21 @@ object Relational {
   /** Window functions: rank + running sum per supplier. */
   def q6Window(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_suppkey").orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, dir)
+    // a rank ≤ 5 output only needs each key's top-5 rows, and the
+    // running sum at rank r only reads rows 1..r — so heap-select the
+    // survivors with the native TopKPerKey FIRST (map-side partial
+    // heaps, ≤ 5 rows per key per partition cross the shuffle), then
+    // run the window over the 5·|keys| survivors instead of sorting
+    // the whole fact table per key
+    val top = graft.plans.TopK.perKey(
+      Tables.lineitem(s, dir)
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_suppkey"),
+      Seq(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc), 5)
+    top
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("running_qty",
         round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
-      .filter(col("rn") <= 5)
       .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "running_qty")
       .orderBy("l_suppkey", "rn")
   }
