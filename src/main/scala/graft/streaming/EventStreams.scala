@@ -117,4 +117,19 @@ object EventStreams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
   }
+
+  /** Streaming twin of [[graft.ops.Events.anomaly]]: score a live
+    * event stream against a (mu, sigma)-per-type model frame — the
+    * classic stream-static enrichment, where the model is a bounded
+    * broadcast refreshed out-of-band (retrain batch-side, swap the
+    * frame). Stateless: scoring adds no store, no watermark, and
+    * composes with any upstream dedup/window stage.
+    */
+  def anomalyStream(events: DataFrame, model: DataFrame,
+                    tau: Double = 2.0): DataFrame =
+    events.join(broadcast(model), "event_type")
+      .filter(abs((col("value") - col("mu")) / col("sigma")) >= tau)
+      .select(col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
 }

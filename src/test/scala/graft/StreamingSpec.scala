@@ -314,4 +314,29 @@ class StreamingSpec extends SparkSpec {
     val total = rows.map(_.getAs[Long]("n")).sum
     assert(total == allEvents.size)
   }
+
+  test("streaming anomaly scoring equals the batch scorer given its model") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val batchDf = allEvents.toDF()
+    // the model the batch operator derives (retrained out-of-band at scale)
+    val model = batchDf.groupBy("event_type")
+      .agg(round(avg("value"), 6).as("mu"),
+        round(stddev_samp("value"), 6).as("sigma"))
+    val input = MemoryStream[EventRow]
+    val scored = graft.streaming.EventStreams.anomalyStream(
+      input.toDF(), model, tau = 1.0)
+    val q = scored.writeStream.format("memory").queryName("anom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("anom").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toSet
+    val batch = graft.ops.Events.anomaly(batchDf, tau = 1.0).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
