@@ -163,6 +163,9 @@ object SparkEntry {
       Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.embeddings(s, d)).orderBy("vec_id")),
+    "text_curate_labels" -> ((s, d) =>
+      TextAnalysis.curateByLabel(Tables.documents(s, d), Tables.embeddings(s, d))
+        .orderBy("label")),
   )
 
   /** Shared oracle CTE: the deterministic events→changelog mapping
@@ -1049,6 +1052,22 @@ object SparkEntry {
         |       round(list_max(list_transform(x,
         |         v -> abs(v - floor(v/scale + 0.5)*scale))), 6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+    // integer basis points only — double rounding of decimal
+    // midpoints is not portable across engines
+    "text_curate_labels" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(least(len(toks), 64) * 4000 // 64
+        |           + len(list_distinct(toks)) * 3000 // len(toks)
+        |           + (len(toks) - len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))))
+        |             * 3000 // len(toks) AS BIGINT) AS q_bp
+        |      FROM t)
+        |SELECT label, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |       CAST(sum(q_bp) AS BIGINT) AS sum_q_bp,
+        |       min(q_bp) AS min_q_bp
+        |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
     "mm_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -121,6 +121,35 @@ object TextAnalysis {
         4).as("quality"))
   }
 
+  /** Cross-modal curation rollup: text quality joined to the
+    * embedding table's cluster label per document — the "curate by
+    * semantic cluster" step that decides mixing weights. One
+    * doc_id=vec_id equi-join (co-partitionable/bucketable at scale),
+    * then a low-cardinality label rollup with map-side partials.
+    *
+    * The score is INTEGER basis points (floored integer arithmetic,
+    * same weights as [[qualityScore]]): double rounding of a decimal
+    * midpoint differs across engines (Spark rounds the shortest
+    * decimal repr half-up, DuckDB rounds the raw double to even), so
+    * a portable per-document score must never touch floats.
+    */
+  def curateByLabel(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    documents
+      .select(col("doc_id"), size(toks).cast("long").as("n"),
+        size(array_distinct(toks)).cast("long").as("d"),
+        countIn(toks, EnStop).cast("long").as("s"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (expr("least(n, 64L) * 4000 div 64") +
+          expr("d * 3000 div n") + expr("(n - s) * 3000 div n")).as("q_bp"))
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("label")), "doc_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        sum("q_bp").as("sum_q_bp"),
+        min("q_bp").as("min_q_bp"))
+  }
+
   /** Per-source quality rollup (corpus triage at scale: one shuffle
     * on the low-cardinality source key, partial aggs map-side).
     */
