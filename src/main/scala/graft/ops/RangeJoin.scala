@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyless time-range joins via banding — the reusable form of the
+  * q30 shape. Spark plans a pure inequality join as a nested-loop
+  * cartesian; flooring both sides onto ⌊ts/W⌋ bands manufactures the
+  * equi-key a hash join needs. A trailing window of width W can only
+  * overlap TWO bands, so the left fan-out is bounded by 2 regardless
+  * of data volume, and every shuffle key is a band id.
+  */
+object RangeJoin {
+
+  /** Candidate pairs for a trailing window: each left row against the
+    * right rows of its ≤2 overlapping bands, left-outer, with
+    * `in_window` marking the rows that pass the EXACT predicate
+    * `leftTs - windowMicros < rightTs <= leftTs`. Aggregate with
+    * `sum(when(in_window, ...))` per left key to get left-outer
+    * window stats (a left row with no in-window right rows still
+    * contributes its group); filter on `in_window` for inner pairs.
+    *
+    * The two frames must not share column names (rename first, as
+    * with [[graft.plans.AsofNative]]); `leftTs`/`rightTs` are long
+    * microsecond columns.
+    */
+  def trailingCandidates(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String,
+                         windowMicros: Long): DataFrame = {
+    val W = windowMicros
+    val r = right.withColumn("__band", expr(s"$rightTs div ${W}L"))
+    val l = left.withColumn("__band", explode(array_distinct(
+      array(expr(s"($leftTs - ${W}L) div ${W}L"), expr(s"$leftTs div ${W}L")))))
+    l.join(r, Seq("__band"), "left_outer")
+      .withColumn("in_window",
+        col(rightTs) > col(leftTs) - W && col(rightTs) <= col(leftTs))
+      .drop("__band")
+  }
+}

@@ -518,16 +518,13 @@ object Relational {
     val ev = Tables.events(s, dir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(unix_micros(col("ts")).as("cus"), col("value").as("cval"))
-      .withColumn("band", expr(s"cus div ${W}L"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), unix_micros(col("ts")).as("pus"))
-      .withColumn("band", explode(array_distinct(
-        array(expr(s"(pus - ${W}L) div ${W}L"), expr(s"pus div ${W}L")))))
-    val inWindow = col("cus") > col("pus") - W && col("cus") <= col("pus")
-    purchases.join(clicks, Seq("band"), "left_outer")
+    RangeJoin.trailingCandidates(purchases, clicks, "pus", "cus", W)
       .groupBy("purchase_id")
-      .agg(sum(when(inWindow, 1).otherwise(0)).as("n_clicks"),
-        round(sum(when(inWindow, col("cval")).otherwise(0.0)), 2).as("click_value"))
+      .agg(sum(when(col("in_window"), 1).otherwise(0)).as("n_clicks"),
+        round(sum(when(col("in_window"), col("cval")).otherwise(0.0)), 2)
+          .as("click_value"))
   }
 
   /** The skew-safe join in the driver-checked surface: fact × dim

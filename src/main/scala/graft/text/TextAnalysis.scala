@@ -251,18 +251,22 @@ object TextAnalysis {
     * (doc_id, chunk_idx)), and each document reports how much of it
     * survives. Finer-grained than whole-document dedup — boilerplate
     * shared across documents dies here while unique prose stays.
-    * One shuffle on the chunk text (hash it first at real scale);
-    * everything else is scan-local.
+    * The only shuffle key is a 64-bit chunk hash — chunk TEXT never
+    * leaves its scan partition, which is the difference between
+    * shuffling 8 bytes and shuffling the corpus at 100 TB.
+    * (Equality-by-hash, like every hash-keyed dedup here.)
     */
   def chunkDedup(documents: DataFrame, chunkTokens: Int = 16): DataFrame = {
-    val w = Window.partitionBy("chunk")
+    val w = Window.partitionBy("h")
     documents
       .withColumn("toks", tokens(col("text")))
       .withColumn("chunks", expr(
         s"""transform(sequence(0, (size(toks) - 1) div $chunkTokens),
            |  i -> concat_ws(' ', slice(toks, i * $chunkTokens + 1, $chunkTokens)))""".stripMargin))
       .select(col("doc_id"), posexplode(col("chunks")))
-      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+      // project the chunk DOWN to its hash before anything shuffles
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        xxhash64(col("col")).as("h"))
       .withColumn("first", min(struct(col("doc_id"), col("chunk_idx"))).over(w))
       .withColumn("kept",
         (col("first.doc_id") === col("doc_id") &&
