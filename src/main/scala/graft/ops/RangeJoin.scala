@@ -27,6 +27,9 @@ object RangeJoin {
   def trailingCandidates(left: DataFrame, right: DataFrame,
                          leftTs: String, rightTs: String,
                          windowMicros: Long): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"rename the right side first — both sides have: ${shared.mkString(", ")}")
     val W = windowMicros
     val r = right.withColumn("__band", expr(s"$rightTs div ${W}L"))
     val l = left.withColumn("__band", explode(array_distinct(

@@ -134,6 +134,9 @@ object AsofNative {
     */
   def join(left: DataFrame, right: DataFrame,
            keys: Seq[(String, String)], order: Seq[(String, String)]): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"rename the right side first — both sides have: ${shared.mkString(", ")}")
     val spark = left.sparkSession
     val l = GraftBridge.analyzed(left)
     val r = GraftBridge.analyzed(right)
