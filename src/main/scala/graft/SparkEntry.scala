@@ -56,6 +56,8 @@ object SparkEntry {
       graft.ops.Events.retention(Tables.events(s, d)).orderBy("cohort_week", "week_offset")),
     "events_anomaly" -> ((s, d) =>
       graft.ops.Events.anomaly(Tables.events(s, d)).orderBy("event_id")),
+    "events_rolling_actives" -> ((s, d) =>
+      graft.ops.Events.rollingActives(Tables.events(s, d)).orderBy("day")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -1014,6 +1016,17 @@ object SparkEntry {
         |       CASE WHEN payload_len = 0 THEN 0.0
         |            ELSE CAST(bsum * 10000 // payload_len AS DOUBLE) / 10000 END AS mean_byte
         |FROM f ORDER BY doc_id""".stripMargin,
+    "events_rolling_actives" ->
+      """WITH daily AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |                      user_id FROM events),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day),
+        |exp AS (SELECT day + CAST(o AS INTEGER) AS day, user_id
+        |        FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS o)),
+        |wau AS (SELECT e.day, count(DISTINCT user_id) AS wau
+        |        FROM exp e JOIN days USING (day) GROUP BY e.day)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

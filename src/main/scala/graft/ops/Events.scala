@@ -81,6 +81,28 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** Rolling engagement: daily and trailing-7-day distinct active
+    * users per observed day (DAU/WAU). Sliding distinct is not
+    * decomposable, so each (day, user) pair is fanned out to the ≤7
+    * future days whose window covers it (bounded ×7 — never
+    * data-dependent) and distinct-counted per day. The shuffle keys
+    * are (day, user) pairs — the corpus never moves.
+    */
+  def rollingActives(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+      .distinct()
+    val days = daily.select("day").distinct()
+    val dau = daily.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .withColumn("off", explode(sequence(lit(0), lit(windowDays - 1))))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .join(days, "day") // only days that actually occur report a window
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+  }
+
   /** Z-score anomaly flags: events whose value deviates ≥ `tau`
     * sample standard deviations from their event-type mean. The
     * per-type model (one low-cardinality aggregate, rounded to a

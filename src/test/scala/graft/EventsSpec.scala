@@ -56,6 +56,22 @@ class EventsSpec extends SparkSpec {
     assert(counts(0) >= counts(1) && counts(1) >= counts(2))
   }
 
+  test("rolling actives: WAU unions the trailing week, DAU stays daily") {
+    import spark.implicits._
+    // user 1 active on day 1 and 10; user 2 on days 1..3; user 3 on day 8
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val ev = Seq((1L, t(1)), (1L, t(10)), (2L, t(1)), (2L, t(2)), (2L, t(3)),
+        (3L, t(8))).toDF("user_id", "ts")
+    val out = graft.ops.Events.rollingActives(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"))).toMap
+    assert(out("2024-01-01") == (2L, 2L)) // users 1,2
+    assert(out("2024-01-03") == (1L, 2L)) // day: {2}; week 12-28..1-03: {1,2}
+    assert(out("2024-01-08") == (1L, 2L)) // day: {3}; week 1-02..1-08: {2,3}
+    assert(out("2024-01-10") == (1L, 2L)) // day: {1}; week 1-04..1-10: {1,3}
+    assert(!out.contains("2024-01-05"))   // only observed days report
+  }
+
   test("anomaly flags exactly the planted far outlier, not the bulk") {
     import spark.implicits._
     // 50 values at ~10 plus one at 1000: only the plant exceeds 2σ
