@@ -83,6 +83,29 @@ class AsofJoinSpec extends SparkSpec
     assert(viaNative == viaUnion && viaNative.nonEmpty)
   }
 
+  test("native as-of groups null keys and null times like the window form") {
+    import spark.implicits._
+    // null keys group together; null ts sorts first (matches a window's
+    // partitionBy/orderBy treatment in the tagged-union operator)
+    val left = Seq((Some(1L), Some(10L), 1L), (None, Some(10L), 2L),
+      (Some(1L), None, 3L)).toDF("k", "t", "lid")
+    val right = Seq((Some(1L), Some(5L), 10L, "r1"), (None, Some(5L), 11L, "rn"))
+      .toDF("k", "t", "rid", "p")
+    val viaUnion = AsofJoin.join(left, right, "k", "t", "t",
+        Map("p" -> "p"), seq = Some(("lid", "rid")))
+      .select("lid", "p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaNative = graft.plans.AsofNative.join(left,
+        right.select(col("k").as("rk"), col("t").as("rt"), col("rid"), col("p")),
+        keys = Seq("k" -> "rk"), order = Seq("t" -> "rt", "lid" -> "rid"))
+      .select("lid", "p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaNative == viaUnion)
+    assert(viaNative(1L) == "r1")   // normal match
+    assert(viaNative(2L) == "rn")   // null keys match each other
+    assert(viaNative(3L) == null)   // null left ts: nothing at-or-before
+  }
+
   test("native exec plans one exchange per side and no union carry") {
     import spark.implicits._
     val left = (1 to 50).map(i => (i.toLong % 5, i.toLong)).toDF("k", "t")
