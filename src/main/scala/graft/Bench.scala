@@ -52,14 +52,19 @@ object Bench {
     // fast; the headline total sums SUCCESSFUL queries only (consistent
     // with sum(max(t, 0)) over the entries — a broken run never
     // inflates or masquerades as a healthy total)
+    // timings at 3dp: with ~100 queries the full-precision line
+    // overflowed the driver's stdout tail-capture buffer, so the last
+    // line it tried to parse was front-truncated (r3's parsed:null)
+    def dp3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).underlying.toPlainString
     val qs = results.map { case (k, v, _, _) =>
-      "\"" + k + "\":" + v
+      "\"" + k + "\":" + dp3(v)
     }.mkString("{", ",", "}")
     val errors = results.flatMap(_._3).map(m =>
-      "\"" + m.replaceAll("[\\x00-\\x1F\"\\\\]", " ").take(300) + "\"")
+      "\"" + m.replaceAll("[\\x00-\\x1F\"\\\\]", " ").take(120) + "\"")
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, false) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,18 @@ case class ArgMaxStrAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = StringType
 
+  // fail at analysis like the built-in aggregates do — without this a
+  // non-string value / non-long ordinal passes the analyzer and dies
+  // at execution with a ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (valueExpr.dataType == StringType && ordExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"arg_max_str requires (STRING, BIGINT) arguments, got " +
+        s"(${valueExpr.dataType.sql}, ${ordExpr.dataType.sql})")
+  }
+
   override def createAggregationBuffer(): ArgMaxState =
     new ArgMaxState(false, Long.MinValue, null)
 

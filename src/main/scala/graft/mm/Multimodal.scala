@@ -108,6 +108,20 @@ object Multimodal {
     * scale this is the row-multiplying stage in front of a frame
     * decoder, and it parallelizes per input row with no shuffle.
     */
+  def frameSample(documents: DataFrame, maxFrames: Int = 8): DataFrame = {
+    val media = attach(documents)
+    media.filter(col("media_type") === "video")
+      .select(col("doc_id"), length(col("payload")).cast("long").as("payload_len"))
+      .withColumn("n_frames", (col("payload_len") % maxFrames + 1).cast("long"))
+      .select(col("doc_id"), col("payload_len"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)))
+      .select(col("doc_id"), col("n_frames"),
+        col("col").as("frame_idx"),
+        (col("col") * expr("payload_len div n_frames")).as("frame_off"),
+        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("col").cast("string"))), 1, 16).as("frame_fp"))
+  }
+
   /** Exact binary dedup: group identical payloads per media type by
     * a content hash of the bytes, electing the lowest doc_id keeper.
     * Only (type, 32-byte hash) pairs shuffle — payload bytes stay in
@@ -122,18 +136,4 @@ object Multimodal {
       .agg(min("doc_id").as("keep_doc_id"),
         count(lit(1)).as("n_copies"),
         sum(length(col("payload"))).as("total_bytes"))
-
-  def frameSample(documents: DataFrame, maxFrames: Int = 8): DataFrame = {
-    val media = attach(documents)
-    media.filter(col("media_type") === "video")
-      .select(col("doc_id"), length(col("payload")).cast("long").as("payload_len"))
-      .withColumn("n_frames", (col("payload_len") % maxFrames + 1).cast("long"))
-      .select(col("doc_id"), col("payload_len"), col("n_frames"),
-        posexplode(sequence(lit(0L), col("n_frames") - 1)))
-      .select(col("doc_id"), col("n_frames"),
-        col("col").as("frame_idx"),
-        (col("col") * expr("payload_len div n_frames")).as("frame_off"),
-        substring(md5(concat(col("doc_id").cast("string"), lit(":"),
-          col("col").cast("string"))), 1, 16).as("frame_fp"))
-  }
 }

@@ -35,29 +35,39 @@ object AsofJoin {
            payload: Map[String, String],
            seq: Option[(String, String)] = None): DataFrame = {
     require(payload.nonEmpty, "carry at least one right column")
-    val pTypes = payload.map { case (from, to) => to -> right.schema(from).dataType }
+    // ONE struct carries the whole payload row: a per-column
+    // last(ignoreNulls) would mix values from different right rows
+    // whenever the latest row has a null in one column (and resurrect
+    // stale non-nulls over a genuine null) — the struct is non-null
+    // exactly on right rows, so a single last(ignoreNulls) carries the
+    // latest right ROW atomically, nulls in its fields included
+    val fields = payload.toSeq.map { case (from, to) =>
+      org.apache.spark.sql.types.StructField(to, right.schema(from).dataType)
+    }
+    val pType = org.apache.spark.sql.types.StructType(fields)
     val rightSide = right.select(
-      Seq(col(key), col(rightTs).as("__ts"),
-        seq.map(s => col(s._2)).getOrElse(lit(0)).as("__tie")) ++
-        payload.map { case (from, to) => col(from).as(s"__p_$to") }: _*)
-      .withColumn("__side", lit(0))
-    val leftSide = payload.values.foldLeft(
-        left.withColumn("__ts", col(leftTs))
-          .withColumn("__tie", seq.map(s => col(s._1)).getOrElse(lit(1)))
-          .withColumn("__side", lit(1))) {
-      (df, to) => df.withColumn(s"__p_$to", lit(null).cast(pTypes(to)))
-    }
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tie"))
+      col(key), col(rightTs).as("__ts"),
+      seq.map(s => col(s._2)).getOrElse(lit(0)).as("__tie"),
+      struct(payload.toSeq.map { case (from, to) => col(from).as(to) }: _*).as("__p"),
+      lit(0).as("__side"))
+    val leftSide = left.withColumn("__ts", col(leftTs))
+      .withColumn("__tie", seq.map(s => col(s._1)).getOrElse(lit(1)))
+      .withColumn("__p", lit(null).cast(pType))
+      .withColumn("__side", lit(1))
+    // __side last so equal (ts, seq) ties resolve right-before-left
+    // deterministically in BOTH modes (without it, the seq path left
+    // identical (ts, seq) pairs unordered)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__tie"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.values.foldLeft(
-        rightSide.unionByName(leftSide, allowMissingColumns = true)) {
-      (df, to) => df.withColumn(to, last(col(s"__p_$to"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ payload.values.toSeq.sorted.map(col): _*)
+    rightSide.unionByName(leftSide, allowMissingColumns = true)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        payload.values.toSeq.sorted.map(to => col(s"__c.$to").as(to)): _*)
   }
 }
 // (With `seq`, both sides share one total (ts, seq) order, so `<=`
 // means "at or before my (ts, seq)" exactly as a sorted-merge as-of
-// would define it; the __side tag only breaks ties when no seq is
-// given.)
+// would define it; at fully-equal (ts, seq) the side tag still orders
+// right rows first, keeping `<=` visible and the output deterministic.)

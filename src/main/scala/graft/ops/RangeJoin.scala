@@ -19,6 +19,9 @@ object RangeJoin {
     * `sum(when(in_window, ...))` per left key to get left-outer
     * window stats (a left row with no in-window right rows still
     * contributes its group); filter on `in_window` for inner pairs.
+    * NEVER `count(*)` over the raw result: the ≤2-band probe means a
+    * left row can appear twice (second copy with `in_window=false`),
+    * so only in_window-conditional aggregates are correct.
     *
     * The two frames must not share column names (rename first, as
     * with [[graft.plans.AsofNative]]); `leftTs`/`rightTs` are long
@@ -31,9 +34,14 @@ object RangeJoin {
     require(shared.isEmpty,
       s"rename the right side first — both sides have: ${shared.mkString(", ")}")
     val W = windowMicros
-    val r = right.withColumn("__band", expr(s"$rightTs div ${W}L"))
+    // floor division, not `div`: `div` truncates toward zero, so a
+    // negative (pre-epoch) timestamp would band one too HIGH and the
+    // probe could miss in-window right rows entirely
+    def bandOf(ts: String) = expr(
+      s"(($ts div ${W}L) - (case when $ts % ${W}L < 0 then 1 else 0 end))")
+    val r = right.withColumn("__band", bandOf(rightTs))
     val l = left.withColumn("__band", explode(array_distinct(
-      array(expr(s"($leftTs - ${W}L) div ${W}L"), expr(s"$leftTs div ${W}L")))))
+      array(bandOf(s"($leftTs - ${W}L)"), bandOf(leftTs)))))
     l.join(r, Seq("__band"), "left_outer")
       .withColumn("in_window",
         col(rightTs) > col(leftTs) - W && col(rightTs) <= col(leftTs))
