@@ -58,6 +58,8 @@ object SparkEntry {
       graft.ops.Events.anomaly(Tables.events(s, d)).orderBy("event_id")),
     "events_rolling_actives" -> ((s, d) =>
       graft.ops.Events.rollingActives(Tables.events(s, d)).orderBy("day")),
+    "events_markov" -> ((s, d) =>
+      graft.ops.Events.markov(Tables.events(s, d)).orderBy("prev_type", "next_type")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -127,6 +129,10 @@ object SparkEntry {
       TextAnalysis.entropyStats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_patterns" -> ((s, d) =>
       TextAnalysis.patternScan(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplate(Tables.documents(s, d)).orderBy("doc_id")),
+    "text_zipf" -> ((s, d) =>
+      TextAnalysis.zipf(Tables.documents(s, d)).orderBy("source")),
     // §2c dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -141,6 +147,8 @@ object SparkEntry {
       Dedup.embedNearDup(Tables.embeddings(s, d), 0.3, col("vec_id") % 5 === 0).orderBy("vec_a", "vec_b")),
     "dedup_chunks" -> ((s, d) =>
       TextAnalysis.chunkDedup(Tables.documents(s, d)).orderBy("doc_id")),
+    "dedup_semdedup" -> ((s, d) =>
+      Dedup.semDedup(Tables.embeddings(s, d), 0.3).orderBy("vec_id")),
     // §2d similarity search
     "sim_brute_topk" -> ((s, d) =>
       Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
@@ -1086,6 +1094,54 @@ object SparkEntry {
         |       min(q_bp) AS min_q_bp
         |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+    "events_markov" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |                              ORDER BY ts, event_id) AS prev_type
+        |      FROM events),
+        |t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |       round(CAST(n AS DOUBLE)
+        |             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    "text_boilerplate" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS seg
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 8)) AS i FROM d)),
+        |t AS (SELECT doc_id, seg,
+        |        CAST(len(string_split(seg, ' ')) AS BIGINT) AS seg_toks FROM s),
+        |b AS (SELECT seg FROM t GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT t.doc_id, count(*) AS n_segs,
+        |       count(b.seg) AS n_boiler_segs,
+        |       CAST(sum(seg_toks) AS BIGINT) AS n_toks,
+        |       round(CAST(sum(CASE WHEN b.seg IS NULL THEN seg_toks ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(seg_toks) AS DOUBLE), 4) AS retained_ratio
+        |FROM t LEFT JOIN b ON t.seg = b.seg
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "text_zipf" ->
+      """WITH c AS (SELECT source, unnest(string_split(trim(text), ' ')) AS token
+        |           FROM documents),
+        |g AS (SELECT source, token, count(*) AS n FROM c GROUP BY 1, 2),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY source
+        |                                   ORDER BY n DESC, token) AS rk FROM g
+        |      QUALIFY rk <= 100)
+        |SELECT source, count(*) AS n_terms,
+        |       round(regr_slope(ln(n), ln(rk)), 4) AS zipf_slope,
+        |       round(regr_intercept(ln(n), ln(rk)), 4) AS zipf_intercept
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "dedup_semdedup" ->
+      """WITH p AS (SELECT a.vec_id,
+        |        round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                         CAST(b.embedding AS DOUBLE[]))), 6)
+        |          AS max_prior_cos
+        |      FROM embeddings a JOIN embeddings b
+        |        ON a.label = b.label AND b.vec_id < a.vec_id
+        |      GROUP BY a.vec_id)
+        |SELECT e.vec_id, e.label, max_prior_cos,
+        |       coalesce(max_prior_cos < 0.3, TRUE) AS kept
+        |FROM embeddings e LEFT JOIN p USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
     "mm_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -196,4 +196,33 @@ object Dedup {
         round(cosine_sim(col("a.embedding"), col("b.embedding")), 6).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): pairwise
+    * cosine is computed only WITHIN each semantic cluster (`label`),
+    * and a vector is dropped when some lower-id vector of the same
+    * cluster sits within cosine ≥ `tau` of it. Per-vector output:
+    * the max cosine to any prior same-cluster vector and the keep
+    * decision — linear in the corpus, like the other keeper APIs.
+    *
+    * Scale shape: the all-pairs step is confined to cluster cells,
+    * exactly as the paper confines it to k-means cells — cell size is
+    * a clustering knob (a model constant), not a function of corpus
+    * size, so the per-cell quadratic never grows with SF. The join is
+    * an equi-join on label; embeddings shuffle once per side.
+    */
+  def semDedup(embeddings: DataFrame, tau: Double): DataFrame = {
+    val v = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val prior = v.as("a")
+      .join(v.select(col("vec_id").as("o_id"), col("label"),
+        col("embedding").as("o_emb")).as("b"), Seq("label"))
+      .filter(col("o_id") < col("vec_id"))
+      .groupBy("vec_id")
+      // round BEFORE the τ compare, mirroring embedNearDup's oracle
+      // discipline: both engines threshold the same 6dp number
+      .agg(round(max(cosine_sim(col("embedding"), col("o_emb"))), 6)
+        .as("max_prior_cos"))
+    v.select(col("vec_id"), col("label"))
+      .join(prior, Seq("vec_id"), "left_outer")
+      .withColumn("kept", coalesce(col("max_prior_cos") < tau, lit(true)))
+  }
 }

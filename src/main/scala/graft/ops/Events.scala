@@ -103,6 +103,31 @@ object Events {
     dau.join(wau, "day")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: every consecutive (prev → next) event-type pair in
+    * (ts, event_id) order, with the conditional transition
+    * probability P(next | prev). The sequence model behind
+    * next-event prediction and funnel design — and the behavioral
+    * twin of `text_bigram_lm`.
+    *
+    * ONE shuffle on user_id orders each user's history; transitions
+    * then collapse to a |types|² matrix, so the second window (the
+    * per-prev normalizer) runs over a constant-size frame no matter
+    * the corpus. Raw events never shuffle twice.
+    */
+  def markov(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    t.withColumn("p", round(
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type")).cast("double"), 4))
+  }
+
   /** Z-score anomaly flags: events whose value deviates ≥ `tau`
     * sample standard deviations from their event-type mean. The
     * per-type model (one low-cardinality aggregate, rounded to a

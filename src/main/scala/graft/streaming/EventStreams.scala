@@ -132,4 +132,38 @@ object EventStreams {
       .select(col("event_id"), col("event_type"),
         round(col("value"), 2).as("value"),
         round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
+
+  /** Streaming twin of [[graft.ops.RangeJoin.trailingCandidates]]: a
+    * KEYLESS trailing-window join of two streams as a watermarked
+    * stream-stream join. The ⌊ts/W⌋ band (floor division, negative-
+    * safe like the batch operator) is manufactured on both sides so
+    * the symmetric hash join has an equi-key to shard its state by —
+    * without one, every buffered right row lands in a single state
+    * partition and the join stops scaling with the cluster. The left
+    * probe explodes to its ≤2 candidate bands; the exact time-range
+    * predicate filters inside each band bucket AND gives Spark the
+    * bound it needs to evict right-side state once the watermark
+    * passes leftTs − W. Inner pairs only (the batch operator's
+    * `in_window=true` rows); both inputs must already carry distinct
+    * column names, as with the batch API.
+    */
+  def bandedRangeJoinStream(left: DataFrame, right: DataFrame,
+                            leftTs: String, rightTs: String,
+                            windowSec: Long,
+                            watermark: String = "10 minutes"): DataFrame = {
+    val wUs = windowSec * 1000000L
+    def bandOf(us: String) = expr(
+      s"(($us div ${wUs}L) - (case when $us % ${wUs}L < 0 then 1 else 0 end))")
+    val l = left.withWatermark(leftTs, watermark)
+      .withColumn("__lband", explode(array_distinct(array(
+        bandOf(s"(unix_micros($leftTs) - ${wUs}L)"),
+        bandOf(s"unix_micros($leftTs)")))))
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumn("__rband", bandOf(s"unix_micros($rightTs)"))
+    l.join(r,
+      col("__lband") === col("__rband") &&
+        col(rightTs) > col(leftTs) - expr(s"INTERVAL $windowSec SECONDS") &&
+        col(rightTs) <= col(leftTs))
+      .drop("__lband", "__rband")
+  }
 }

@@ -277,6 +277,65 @@ object TextAnalysis {
         round(sum("kept").cast("double") / count(lit(1)), 4).as("kept_ratio"))
   }
 
+  /** CCNet-style boilerplate removal audit: fixed token segments
+    * (the stand-in for lines/paragraphs — the corpus has no newlines)
+    * that occur in ≥ `minDocs` DISTINCT documents are boilerplate and
+    * are removed EVERYWHERE, first occurrence included — the
+    * frequency-threshold complement of [[chunkDedup]], which keeps
+    * first occurrences. Per-document output: segment counts and the
+    * retained-token ratio after boilerplate removal.
+    *
+    * Scale shape mirrors chunkDedup: segments project down to their
+    * 64-bit hash before anything shuffles (doc-frequency groupBy and
+    * the flag join are both keyed on the 8-byte hash; segment text
+    * never leaves its scan partition).
+    */
+  def boilerplate(documents: DataFrame, segTokens: Int = 8,
+                  minDocs: Int = 2): DataFrame = {
+    val segs = documents
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("segs", expr(
+        s"""transform(sequence(0, (size(toks) - 1) div $segTokens),
+           |  i -> concat_ws(' ', slice(toks, i * $segTokens + 1, $segTokens)))""".stripMargin))
+      .select(col("doc_id"), explode(col("segs")).as("seg"))
+      .select(col("doc_id"), xxhash64(col("seg")).as("h"),
+        size(split(col("seg"), " ")).cast("long").as("seg_toks"))
+    val boiler = segs.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"), lit(1).as("is_boiler"))
+    segs.join(boiler, Seq("h"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        count(col("is_boiler")).as("n_boiler_segs"),
+        sum("seg_toks").as("n_toks"),
+        round(sum(when(col("is_boiler").isNull, col("seg_toks"))
+          .otherwise(0L)).cast("double") / sum("seg_toks"), 4).as("retained_ratio"))
+  }
+
+  /** Zipf rank-frequency audit: per-source top-`k` term histogram,
+    * ranked deterministically by (count desc, term asc), fitted with
+    * an OLS line over (ln rank, ln count) — slope ≈ −1 is the
+    * natural-language signature; a flat or cliff-shaped slope flags
+    * synthetic or template-heavy sources. The histogram collapses to
+    * ≤ k rows per source via the native [[graft.plans.TopKPerKey]]
+    * operator (bounded heaps — the full vocabulary never sorts), so
+    * the regression runs over a constant-size frame per source.
+    */
+  def zipf(documents: DataFrame, k: Int = 100): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopK.perKey(counts, Seq("source"),
+      Seq(col("n").desc, col("token").asc), k)
+    val w = Window.partitionBy("source").orderBy(col("n").desc, col("token").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(log(n), log(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(log(n), log(rank))"), 4).as("zipf_intercept"))
+  }
+
   /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-
     * checkable) plus the Rabin-Karp rolling hash from the custom
     * Catalyst expression (the scale-path fingerprint).

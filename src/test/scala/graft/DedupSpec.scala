@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(out.toSet == Set((1L, 2L)))
   }
 
+  test("semdedup drops later near-dups within a cluster, never across") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, 1, Array(1.0f, 0.0f)),
+      (2L, 1, Array(1.0f, 0.0f)), // same cell, identical → dropped
+      (3L, 1, Array(0.0f, 1.0f)), // same cell, orthogonal → kept
+      (4L, 2, Array(1.0f, 0.0f))  // identical to 1 but another cell → kept
+    ).toDF("vec_id", "label", "embedding")
+    val out = Dedup.semDedup(vecs, 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("kept")).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+  }
+
   test("chunk dedup kills shared boilerplate but keeps unique prose") {
     import spark.implicits._
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")

@@ -72,6 +72,32 @@ class EventsSpec extends SparkSpec {
     assert(!out.contains("2024-01-05"))   // only observed days report
   }
 
+  test("markov counts consecutive per-user transitions with P(next|prev)") {
+    val events = ev(
+      (1L, 10L, 1L, "signup"), (2L, 20L, 1L, "click"),
+      (3L, 30L, 1L, "click"), (4L, 40L, 1L, "purchase"),
+      (5L, 10L, 2L, "view"), (6L, 20L, 2L, "click"))
+    val out = Events.markov(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 4)
+    assert(out(("signup", "click")) == (1L, 1.0))
+    assert(out(("click", "click")) == (1L, 0.5))
+    assert(out(("click", "purchase")) == (1L, 0.5))
+    assert(out(("view", "click")) == (1L, 1.0))
+  }
+
+  test("markov breaks timestamp ties by event_id and never crosses users") {
+    // user 1's two events share a second: event_id orders view→click;
+    // user 2's single event contributes no transition
+    val events = ev(
+      (1L, 10L, 1L, "view"), (2L, 10L, 1L, "click"),
+      (3L, 5L, 2L, "purchase"))
+    val out = Events.markov(events).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("view", "click")))
+  }
+
   test("anomaly flags exactly the planted far outlier, not the bulk") {
     import spark.implicits._
     // 50 values at ~10 plus one at 1000: only the plant exceeds 2σ

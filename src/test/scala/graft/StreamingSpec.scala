@@ -339,4 +339,38 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("z"))).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming banded range join matches the batch operator's inner pairs") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.EventStreams.bandedRangeJoinStream(
+      purchases.toDF().toDF("p_id", "p_ts"),
+      clicks.toDF().toDF("c_id", "c_ts"),
+      "p_ts", "c_ts", windowSec = 60)
+    val q = joined.writeStream.format("memory").queryName("brj")
+      .outputMode(OutputMode.Append).start()
+    val pData = Seq((1L, t(100)), (2L, t(200)))
+    val cData = Seq((10L, t(50)), (11L, t(95)), (12L, t(100)),
+      (13L, t(150)), (14L, t(201)))
+    try {
+      purchases.addData(pData)
+      clicks.addData(cData)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("brj").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    // purchase@100 sees (40,100] → clicks 50, 95, 100; purchase@200
+    // sees (140,200] → click 150 only; click 201 matches nothing
+    assert(streamed == Set((1L, 10L), (1L, 11L), (1L, 12L), (2L, 13L)))
+    val batch = graft.ops.RangeJoin.trailingCandidates(
+      pData.toDF("p_id", "p_ts").selectExpr("p_id", "unix_micros(p_ts) AS p_us"),
+      cData.toDF("c_id", "c_ts").selectExpr("c_id", "unix_micros(c_ts) AS c_us"),
+      "p_us", "c_us", windowMicros = 60000000L)
+      .filter(org.apache.spark.sql.functions.col("in_window"))
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    assert(streamed == batch)
+  }
 }
