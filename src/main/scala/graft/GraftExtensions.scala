@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.RangeStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseRepartitionIntoTopK)
   }
 }

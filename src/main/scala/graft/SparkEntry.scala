@@ -39,6 +39,8 @@ object SparkEntry {
       Changelog.windowCounts(changelog(s, d)).orderBy("window_start_us", "op")),
     "cdc_state_asof" -> ((s, d) =>
       Changelog.stateAsOf(changelog(s, d), 5000L).orderBy("doc_id")),
+    "cdc_snapshot_diff" -> ((s, d) =>
+      Changelog.snapshotDiff(changelog(s, d), 3000L, 6000L).orderBy("doc_id")),
     "cdc_enrich" -> ((s, d) =>
       Changelog.enrichBySegment(changelog(s, d), Tables.customer(s, d))
         .orderBy(col("c_mktsegment").asc_nulls_first)),
@@ -96,6 +98,8 @@ object SparkEntry {
     "q29_asof_native" -> Relational.q29AsofNative _,
     "q30_range_band" -> ((s, d) =>
       Relational.q30RangeBand(s, d).orderBy("purchase_id")),
+    "q31_range_native" -> ((s, d) =>
+      Relational.q31RangeNative(s, d).orderBy("purchase_id")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -422,6 +426,24 @@ object SparkEntry {
         |SELECT doc_id, seq AS last_seq, op AS last_op,
         |       field_path AS last_field, payload AS last_payload, n_changes
         |FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'
+        |ORDER BY doc_id""".stripMargin),
+    "cdc_snapshot_diff" -> (clCte +
+      """, a AS (SELECT doc_id, max(seq) AS seq_a, arg_max(op, seq) AS op_a
+        |        FROM changelog WHERE seq <= 3000 GROUP BY doc_id),
+        |b AS (SELECT doc_id, max(seq) AS seq_b, arg_max(op, seq) AS op_b,
+        |        count(*) FILTER (WHERE seq > 3000) AS n_between
+        |      FROM changelog WHERE seq <= 6000 GROUP BY doc_id),
+        |j AS (SELECT b.doc_id, seq_a, seq_b, n_between,
+        |        (op_a IS NOT NULL AND op_a <> 'RECORD_DELETE') AS live_a,
+        |        (op_b <> 'RECORD_DELETE') AS live_b
+        |      FROM b LEFT JOIN a USING (doc_id))
+        |SELECT doc_id,
+        |       CASE WHEN NOT live_a THEN 'ADDED'
+        |            WHEN NOT live_b THEN 'REMOVED'
+        |            ELSE 'CHANGED' END AS change,
+        |       seq_a, seq_b, CAST(n_between AS BIGINT) AS n_between
+        |FROM j
+        |WHERE live_a <> live_b OR (live_a AND live_b AND seq_a <> seq_b)
         |ORDER BY doc_id""".stripMargin),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1094,6 +1116,15 @@ object SparkEntry {
         |       min(q_bp) AS min_q_bp
         |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+    "q31_range_native" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS cus, value AS cval
+        |      FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, count(*) AS n_clicks, round(sum(cval), 2) AS click_value
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |             AND c.cus > p.pus - 600000000 AND c.cus <= p.pus
+        |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     "events_markov" ->
       """WITH seq AS (SELECT user_id, event_type,
         |        lag(event_type) OVER (PARTITION BY user_id

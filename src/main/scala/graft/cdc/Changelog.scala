@@ -357,6 +357,38 @@ object Changelog {
   def stateAsOf(changelog: DataFrame, asOfSeq: Long): DataFrame =
     latestState(changelog.filter(col("seq") <= asOfSeq))
 
+  /** Snapshot diff: which documents differ between the LWW states at
+    * sequence points `seqA < seqB` — ADDED (live only at B), REMOVED
+    * (tombstoned in between), or CHANGED (live in both, new writes in
+    * between), with the per-doc change count over (A, B].
+    *
+    * ONE scan and ONE doc_id shuffle for BOTH snapshots: the A-state
+    * rides the same aggregation as the B-state via conditional
+    * ordinals (`arg_max_str(op, CASE WHEN seq <= A THEN seq END)` —
+    * the mutable-buffer argmax ignores null ordinals), instead of
+    * materializing two states and joining them. The diff output is
+    * bounded by the number of touched docs, never the changelog.
+    */
+  def snapshotDiff(changelog: DataFrame, seqA: Long, seqB: Long): DataFrame = {
+    require(seqA < seqB, "need seqA < seqB")
+    changelog.filter(col("seq") <= seqB)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("seq") <= seqA, col("seq"))).as("seq_a"),
+        arg_max_str(col("op"), when(col("seq") <= seqA, col("seq"))).as("op_a"),
+        max(col("seq")).as("seq_b"),
+        arg_max_str(col("op"), col("seq")).as("op_b"),
+        sum(when(col("seq") > seqA, 1L).otherwise(0L)).as("n_between"))
+      .withColumn("live_a", col("op_a").isNotNull && col("op_a") =!= "RECORD_DELETE")
+      .withColumn("live_b", col("op_b") =!= "RECORD_DELETE")
+      .filter(col("live_a") =!= col("live_b") ||
+        (col("live_a") && col("live_b") && col("seq_a") =!= col("seq_b")))
+      .select(col("doc_id"),
+        when(!col("live_a"), "ADDED").when(!col("live_b"), "REMOVED")
+          .otherwise("CHANGED").as("change"),
+        col("seq_a"), col("seq_b"), col("n_between"))
+  }
+
   /** Tumbling-window change rates: ops per (hour, op type) — the
     * batch twin of the streaming watermarked windowed counts in
     * [[graft.streaming.CdcStreams]]. Window start emitted as epoch

@@ -221,8 +221,11 @@ object Dedup {
       // discipline: both engines threshold the same 6dp number
       .agg(round(max(cosine_sim(col("embedding"), col("o_emb"))), 6)
         .as("max_prior_cos"))
+    // shuffle_hash: without the hint this equi-join on vec_id plans
+    // as a SortMergeJoin — both sides would fully sort for a join
+    // whose build side is an already-aggregated, strictly smaller set
     v.select(col("vec_id"), col("label"))
-      .join(prior, Seq("vec_id"), "left_outer")
+      .join(prior.hint("shuffle_hash"), Seq("vec_id"), "left_outer")
       .withColumn("kept", coalesce(col("max_prior_cos") < tau, lit(true)))
   }
 }

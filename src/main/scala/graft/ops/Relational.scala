@@ -527,6 +527,31 @@ object Relational {
           .as("click_value"))
   }
 
+  /** The native keyed trailing range join in the driver surface: each
+    * purchase paired with the SAME user's clicks in the trailing 10
+    * minutes ([[graft.plans.RangeJoinExec]] — sorted-merge with a
+    * sliding deque, two hash exchanges, no band fan-out, no
+    * post-filter), then per-purchase click stats. Inner pairs: only
+    * purchases with ≥1 in-window click report. The keyless banded
+    * q30 and this keyed native operator are the two scale shapes of
+    * the same trailing-window semantics.
+    */
+  def q31RangeNative(s: SparkSession, dir: String): DataFrame = {
+    val W = 600L * 1000000L
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("pus"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("cus"),
+        col("value").as("cval"))
+    graft.plans.RangeNative.join(purchases, clicks,
+        Seq(("p_user", "c_user")), ("pus", "cus"), W)
+      .groupBy("purchase_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        round(sum("cval"), 2).as("click_value"))
+  }
+
   /** The skew-safe join in the driver-checked surface: fact × dim
     * through [[Layout.saltedJoin]] (salt 8). Row-identical to the
     * plain join — salting only changes the shuffle distribution — so

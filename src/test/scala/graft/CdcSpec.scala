@@ -26,6 +26,45 @@ class CdcSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff classifies added/removed/changed between states") {
+    import spark.implicits._
+    // d1: inserted before A, updated between → CHANGED
+    // d2: inserted before A, deleted between → REMOVED
+    // d3: inserted between → ADDED
+    // d4: inserted before A, untouched between → absent
+    // d5: inserted AND deleted between → absent (dead in both)
+    val rows = Seq(
+      ("d1", 1L, "RECORD_INSERT"), ("d1", 15L, "RECORD_UPDATE"),
+      ("d2", 2L, "RECORD_INSERT"), ("d2", 16L, "RECORD_DELETE"),
+      ("d3", 17L, "RECORD_INSERT"),
+      ("d4", 3L, "RECORD_INSERT"),
+      ("d5", 18L, "RECORD_INSERT"), ("d5", 19L, "RECORD_DELETE"))
+      .toDF("doc_id", "seq", "op")
+    val out = Changelog.snapshotDiff(rows, 10L, 20L).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getAs[Long]("n_between"))).toMap
+    assert(out == Map(
+      "d1" -> ("CHANGED", 1L), "d2" -> ("REMOVED", 1L), "d3" -> ("ADDED", 1L)))
+  }
+
+  test("snapshot diff equals the asof-state full-outer diff on real data") {
+    val maxSeq = cl.agg(max("seq")).head().getLong(0)
+    val (sA, sB) = (maxSeq / 3, 2 * maxSeq / 3)
+    val a = Changelog.stateAsOf(cl, sA).select("doc_id", "last_seq")
+    val b = Changelog.stateAsOf(cl, sB).select("doc_id", "last_seq")
+    val expected = a.as("a").join(b.as("b"),
+        col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .filter(col("a.doc_id").isNull || col("b.doc_id").isNull ||
+        col("a.last_seq") =!= col("b.last_seq"))
+      .select(coalesce(col("a.doc_id"), col("b.doc_id")).as("doc_id"),
+        when(col("a.doc_id").isNull, "ADDED")
+          .when(col("b.doc_id").isNull, "REMOVED").otherwise("CHANGED").as("change"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val got = Changelog.snapshotDiff(cl, sA, sB)
+      .select("doc_id", "change").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("merge is associative: two deltas fold like one") {
     val maxSeq = cl.agg(max("seq")).head().getLong(0)
     val (s1, s2) = (maxSeq / 3, 2 * maxSeq / 3)
