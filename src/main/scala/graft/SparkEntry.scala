@@ -172,6 +172,11 @@ object SparkEntry {
       Similarity.annPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ivfpq" -> ((s, d) =>
       Similarity.annIvfPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    // one Lloyd pass over the residual-sample codebooks (FAISS-style
+    // subsample training; iteration count is a model constant)
+    "sim_ivfpq_kmeans" -> ((s, d) =>
+      Similarity.annIvfPq(Tables.embeddings(s, d), col("vec_id") < 10, 5,
+        codebookIters = 1).orderBy("q_id", "rank")),
     // §2f multimodal
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>

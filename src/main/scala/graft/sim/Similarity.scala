@@ -262,7 +262,8 @@ object Similarity {
   def annIvfPq(embeddings: DataFrame, queryFilter: Column, k: Int,
                centroidStride: Long = 50L, nProbe: Int = 2,
                m: Int = 8, dim: Int = 64, codeStride: Long = 5L,
-               nCodes: Int = 16, nCandidates: Int = 50): DataFrame = {
+               nCodes: Int = 16, nCandidates: Int = 50,
+               codebookIters: Int = 0): DataFrame = {
     val sub = dim / m
     val l2 = graft.functions.expressions.l2_sq _
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
@@ -278,16 +279,22 @@ object Similarity {
     // result-identical and keeps the codebook branch off the full
     // corpus-assignment subplan (which Catalyst would otherwise
     // evaluate once per consumer — forked subplans don't share)
-    val wCode = Window.partitionBy("cell_id", "s").orderBy("cb_vec")
-    val codebook =
+    val samples =
       assignPacked(corpus.filter(col("vec_id") % codeStride === 0), packed,
           withResidual = true)
         .select(col("vec_id").as("cb_vec"), col("cell_id"),
           posexplode(subvectors(col("residual"), m, sub)))
-        .select(col("cb_vec"), col("cell_id"), col("pos").as("s"), col("col").as("c_sub"))
-        .withColumn("code", row_number().over(wCode))
-        .filter(col("code") <= nCodes)
-        .select("cell_id", "s", "code", "c_sub")
+        .select(col("cb_vec"), col("cell_id"), col("pos").as("s"), col("col").as("r_sub"))
+    val wCode = Window.partitionBy("cell_id", "s").orderBy("cb_vec")
+    val seedCodebook = samples
+      .withColumn("code", row_number().over(wCode))
+      .filter(col("code") <= nCodes)
+      .select(col("cell_id"), col("s"), col("code"), col("r_sub").as("c_sub"))
+    val codebook =
+      if (codebookIters > 0)
+        refineCodebook(samples.select("cell_id", "s", "r_sub"),
+          seedCodebook, codebookIters, sub)
+      else seedCodebook
     // encode: one fused argmin pass per vector against its cell's
     // packed codebook (broadcast hash join on cell_id, fan-out 1)
     val cbPacked = codebook.groupBy("cell_id")
@@ -333,6 +340,40 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Lloyd refinement of per-(cell, subspace) PQ codebooks over the
+    * residual sample: each iteration assigns every sampled residual
+    * subvector to its nearest codeword (fused argmin on the packed
+    * codebook — a bounded broadcast, so the sample never shuffles for
+    * assignment) and recomputes codewords as per-dimension means
+    * (map-side-combinable aggregation keyed by (cell, s, code)).
+    * Codewords that attract no sample drop out — the codebook can
+    * only shrink, never grow, so model size stays bounded by
+    * construction. The sample is the training set, exactly as FAISS
+    * trains PQ codebooks on a subsample; iteration count is a model
+    * constant, never a function of corpus size.
+    */
+  private[graft] def refineCodebook(samples: DataFrame, init: DataFrame,
+                                    iters: Int, sub: Int): DataFrame = {
+    var cb = init
+    for (_ <- 0 until iters) {
+      // pack each (cell, s) codebook as a single-subspace flat
+      // codebook so the L2-argmin assignment reuses the pq_encode
+      // kernel (nearest_idx is the COSINE argmax for coarse cells —
+      // the wrong metric for codewords)
+      val packed = cb.groupBy("cell_id", "s")
+        .agg(sort_array(collect_list(
+          struct(lit(0).as("s"), col("code"), col("c_sub")))).as("cw"))
+      cb = samples.join(broadcast(packed), Seq("cell_id", "s"))
+        .select(col("cell_id"), col("s"),
+          element_at(pq_encode(col("r_sub"), col("cw")), 1).as("code"),
+          col("r_sub"))
+        .groupBy("cell_id", "s", "code")
+        .agg(array((0 until sub).map(j =>
+          avg(col("r_sub").getItem(j)).cast("float")): _*).as("c_sub"))
+    }
+    cb
   }
 
   /** Lloyd's k-means refinement of a centroid set, as DataFrame ops:

@@ -96,6 +96,32 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect ivfpq).size >= 10, s"overlap ${(brute intersect ivfpq).size}/50")
   }
 
+  test("a Lloyd pass moves codewords to their cluster means") {
+    import spark.implicits._
+    // one (cell, subspace): samples cluster at ~0.5 and ~9.5; seeds
+    // at 0 and 4 split them correctly, so one pass lands on the means
+    val samples = Seq(0.0f, 0.5f, 1.0f, 9.0f, 9.5f, 10.0f)
+      .map(v => (0L, 0, Array(v))).toDF("cell_id", "s", "r_sub")
+    val init = Seq((0L, 0, 1, Array(0.0f)), (0L, 0, 2, Array(4.0f)))
+      .toDF("cell_id", "s", "code", "c_sub")
+    val refined = Similarity.refineCodebook(samples, init, iters = 1, sub = 1)
+      .collect().map(r => r.getAs[Int]("code") ->
+        r.getAs[scala.collection.Seq[Float]]("c_sub").head).toMap
+    assert(refined == Map(1 -> 0.5f, 2 -> 9.5f))
+  }
+
+  test("IVF-PQ with refined codebooks returns full top-k with recall") {
+    val out = Similarity.annIvfPq(embeddings, col("vec_id") < 10, 5,
+      codebookIters = 1).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L until 10L).toSet)
+    byQ.values.foreach(rows => assert(rows.length == 5))
+    val brute = Similarity.bruteTopK(embeddings, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val got = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    assert((brute intersect got).size >= 10, s"overlap ${(brute intersect got).size}/50")
+  }
+
   test("int8 quantization audit bounds per-dimension error by scale/2") {
     val rows = Similarity.quantizeAudit(embeddings).collect()
     assert(rows.length == embeddings.count())
