@@ -125,6 +125,8 @@ object SparkEntry {
       TextAnalysis.bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSampleAudit(Tables.documents(s, d)).orderBy("source")),
+    "sample_temperature" -> ((s, d) =>
+      Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
@@ -185,6 +187,10 @@ object SparkEntry {
       Multimodal.shardPlan(Tables.documents(s, d)).orderBy("doc_id")),
     "mm_dedup" -> ((s, d) =>
       Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
+    // rows-only: floating power-iteration trajectories are not
+    // engine-portable at hash precision; the spec pins the math
+    "emb_pca" -> ((s, d) =>
+      Similarity.pcaTopComponent(Tables.embeddings(s, d)).orderBy("dim_idx")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.embeddings(s, d)).orderBy("vec_id")),
     "text_curate_labels" -> ((s, d) =>
@@ -1121,6 +1127,17 @@ object SparkEntry {
         |       min(q_bp) AS min_q_bp
         |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |       round(CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE), 4)
+        |         AS raw_share,
+        |       round(pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER (), 4)
+        |         AS temp_share,
+        |       round((pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ())
+        |             / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)
+        |         AS boost
+        |FROM c ORDER BY source""".stripMargin,
     "q31_range_native" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
         |           FROM events WHERE event_type = 'purchase'),

@@ -57,4 +57,24 @@ object Sampling {
         round(sum(when(col("kept"), 1L).otherwise(0L)).cast("double") /
           count(lit(1)), 4).as("kept_frac"))
   }
+
+  /** Temperature-scaled mixture weights (the multilingual-sampling
+    * trick: p_s ∝ n_s^α with α < 1 flattens the source distribution,
+    * boosting low-resource sources without discarding high-resource
+    * data). Per-source raw and temperature shares plus the boost
+    * factor a sampler applies. The window frames are the per-source
+    * count table — a bounded model, never the corpus.
+    */
+  def temperatureMix(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tempW = pow(col("n_docs"), alpha)
+    val rawShare = col("n_docs").cast("double") /
+      sum("n_docs").over(all).cast("double")
+    val tempShare = tempW / sum(tempW).over(all)
+    documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(rawShare, 4).as("raw_share"),
+        round(tempShare, 4).as("temp_share"),
+        round(tempShare / rawShare, 4).as("boost"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.LongType
 /** Native KEYED trailing range join: every (left, right) pair with
   * equal keys and `rightTime ∈ (leftTime − window, leftTime]` —
   * inner pairs, exactly the `in_window=true` rows of the banded
-  * composition ([[graft.ops.RangeJoin]]) when a key is present.
+  * composition ([[graft.ops.RangeJoin]]) when a key is present;
+  * `leftOuter` additionally emits one null-padded row for each left
+  * row whose window is empty (the banded operator's left-outer
+  * convention, without the in_window bookkeeping).
   *
   * This generalizes [[AsofJoinExec]]'s forward merge from "one
   * buffered right row" to "a sliding deque of the in-window right
@@ -38,23 +41,25 @@ import org.apache.spark.sql.types.LongType
   */
 case class RangeJoinNode(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                          leftTime: Expression, rightTime: Expression,
-                         windowMicros: Long,
+                         windowMicros: Long, leftOuter: Boolean,
                          left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "range join needs matching non-empty key lists (use RangeJoin.trailingCandidates for keyless)")
   require(leftTime.dataType == LongType && rightTime.dataType == LongType,
     "range join times must be long microseconds")
   require(windowMicros > 0, "window must be positive")
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true)) else right.output)
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): RangeJoinNode =
     copy(left = l, right = r)
 }
 
 case class RangeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                          leftTime: Expression, rightTime: Expression,
-                         windowMicros: Long,
+                         windowMicros: Long, leftOuter: Boolean,
                          left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (leftOuter) right.output.map(_.withNullability(true)) else right.output)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -71,6 +76,7 @@ case class RangeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
     val W = windowMicros
+    val outer = leftOuter
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
@@ -79,15 +85,23 @@ case class RangeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rOutput)
       val keyCmp = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val joined = new JoinedRow
-      val outProj = UnsafeProjection.create(outAttrs, lOutput ++ rOutput)
+      val nullRight = new GenericInternalRow(rOutput.length)
+      // bind against a nullable right view: unmatched left rows feed
+      // nulls through right columns declared non-nullable
+      val outProj = UnsafeProjection.create(outAttrs,
+        lOutput ++ rOutput.map(_.withNullability(true)))
       val rBuf = rIter.buffered
       // in-window right rows of the current key, times ascending
       val window = new scala.collection.mutable.ArrayDeque[(Long, InternalRow)]
       var winKey: UnsafeRow = null
       lIter.flatMap { lRow =>
         val lt = lTimeProj(lRow)
-        if (lt.isNullAt(0)) Iterator.empty
-        else {
+        // a null left time matches nothing, but in outer mode the left
+        // row itself still survives (the banded operator keeps it too)
+        if (lt.isNullAt(0)) {
+          if (outer) Iterator.single(outProj(joined(lRow, nullRight)))
+          else Iterator.empty
+        } else {
           val ltv = lt.getLong(0)
           val lKey = lKeyProj(lRow)
           if (winKey == null || keyCmp.compare(winKey, lKey) != 0) {
@@ -107,7 +121,8 @@ case class RangeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
             } else scan = false // right side ahead in key
           }
           while (window.nonEmpty && window.head._1 <= ltv - W) window.removeHead()
-          window.iterator.map { case (_, rRow) => outProj(joined(lRow, rRow)) }
+          if (window.isEmpty && outer) Iterator.single(outProj(joined(lRow, nullRight)))
+          else window.iterator.map { case (_, rRow) => outProj(joined(lRow, rRow)) }
         }
       }
     }
@@ -119,8 +134,8 @@ case class RangeJoinExec(leftKeys: Seq[Expression], rightKeys: Seq[Expression],
 
 object RangeStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoinNode(lk, rk, lt, rt, w, l, r) =>
-      RangeJoinExec(lk, rk, lt, rt, w, planLater(l), planLater(r)) :: Nil
+    case RangeJoinNode(lk, rk, lt, rt, w, lo, l, r) =>
+      RangeJoinExec(lk, rk, lt, rt, w, lo, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -135,7 +150,7 @@ object RangeNative {
     */
   def join(left: DataFrame, right: DataFrame,
            keys: Seq[(String, String)], time: (String, String),
-           windowMicros: Long): DataFrame = {
+           windowMicros: Long, leftOuter: Boolean = false): DataFrame = {
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty,
       s"rename the right side first — both sides have: ${shared.mkString(", ")}")
@@ -148,6 +163,6 @@ object RangeNative {
     GraftBridge.ofRows(spark, RangeJoinNode(
       keys.map(k => resolve(l, "left")(k._1)), keys.map(k => resolve(r, "right")(k._2)),
       resolve(l, "left")(time._1), resolve(r, "right")(time._2),
-      windowMicros, l, r))
+      windowMicros, leftOuter, l, r))
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{adc_sum, cosine_sim, lsh_sig, nearest_idx, pq_encode, top_idx, vec_sub}
+import graft.functions.expressions.{adc_sum, cosine_sim, dot_ff, lsh_sig, nearest_idx, pq_encode, top_idx, vec_sub}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -340,6 +340,51 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** Top principal component of the embedding corpus by MATRIX-FREE
+    * power iteration: v ← Σ_i x̄_i (x̄_i · v) / n, renormalized. The
+    * d×d covariance matrix is never materialized — each iteration is
+    * ONE corpus scan computing a fused dot product (codegen'd
+    * `dot_ff`) and d map-side-combinable means; only the d-vector
+    * lives on the driver, and the iteration count is a model
+    * constant. Centering reuses the same one-scan shape (per-dim
+    * means → a broadcast literal subtracted by `vec_sub`). The
+    * returned loadings are unit-norm with a deterministic sign (the
+    * largest-|loading| dimension is positive); `eigenvalue` is the
+    * Rayleigh quotient v·Cv — the variance explained. This is the
+    * whitening/dimensionality-reduction front end of an embedding
+    * pipeline, distributed the way 100 TB requires: data never moves,
+    * the model does.
+    */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 4,
+                      dim: Int = 64): DataFrame = {
+    def dimAvgs(df: DataFrame, of: Int => Column): Array[Double] = {
+      val cols = (0 until dim).map(j => avg(of(j)).as(s"c$j"))
+      val row = df.agg(cols.head, cols.tail: _*).head()
+      Array.tabulate(dim)(row.getDouble)
+    }
+    def fLit(xs: Array[Double]) = array(xs.map(x => lit(x.toFloat)): _*)
+    val mean = dimAvgs(embeddings, j => col("embedding").getItem(j))
+    val centered = embeddings
+      .select(vec_sub(col("embedding"), fLit(mean)).as("x"))
+    var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
+    var rayleigh = 0.0
+    for (_ <- 0 until iters) {
+      val scored = centered.select(col("x"), dot_ff(col("x"), fLit(v)).as("d"))
+      val av = dimAvgs(scored, j => col("x").getItem(j) * col("d"))
+      rayleigh = (0 until dim).map(j => av(j) * v(j)).sum // v unit ⇒ v·Cv
+      val norm = math.sqrt(av.map(x => x * x).sum)
+      v = av.map(_ / norm)
+    }
+    val piv = v.indices.maxBy(j => (math.abs(v(j)), -j))
+    val signed = if (v(piv) < 0) v.map(-_) else v
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    signed.toSeq.zipWithIndex
+      .map { case (x, j) => (j.toLong, math.rint(x * 1e6) / 1e6,
+        math.rint(rayleigh * 1e6) / 1e6) }
+      .toDF("dim_idx", "loading", "eigenvalue")
   }
 
   /** Lloyd refinement of per-(cell, subspace) PQ codebooks over the

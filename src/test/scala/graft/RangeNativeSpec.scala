@@ -29,6 +29,24 @@ class RangeNativeSpec extends SparkSpec
       ("p1", "in1"), ("p1", "tie"), ("p2", "in2"), ("p3", "other")))
   }
 
+  test("left-outer mode null-pads empty windows, including null left times") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "hit"), (1L, 500L, "miss"), (2L, 100L, "nokey"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, "r1")).toDF("rk", "rt", "p")
+    val out = RangeNative.join(left, right,
+        keys = Seq("k" -> "rk"), time = ("t", "rt"),
+        windowMicros = 60L, leftOuter = true)
+      .select("tag", "p").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("hit", "r1"), ("miss", null), ("nokey", null)))
+    // inner mode drops the unmatched rows instead
+    val inner = RangeNative.join(left, right,
+        keys = Seq("k" -> "rk"), time = ("t", "rt"), windowMicros = 60L)
+      .select("tag").collect().map(_.getString(0)).toSet
+    assert(inner == Set("hit"))
+  }
+
   test("null times never match; null keys group like values") {
     import spark.implicits._
     val left = Seq((Some(1L), Some(100L), "a"), (None, Some(100L), "nullkey"),

@@ -1,0 +1,30 @@
+package graft
+
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  test("temperature mixing flattens the source distribution") {
+    import spark.implicits._
+    // 90/10 skew: α=0.5 should boost the small source and shave the big
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureMix(docs, alpha = 0.5).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("raw_share"), r.getAs[Double]("temp_share"),
+          r.getAs[Double]("boost"))).toMap
+    val (bigRaw, bigTemp, bigBoost) = out("big")
+    val (smallRaw, smallTemp, smallBoost) = out("small")
+    assert(bigRaw == 0.9 && smallRaw == 0.1)
+    assert(smallTemp > smallRaw && bigTemp < bigRaw) // flattened
+    assert(smallBoost > 1.0 && bigBoost < 1.0)
+    assert(math.abs(bigTemp + smallTemp - 1.0) < 1e-3) // still a distribution
+  }
+
+  test("temperature shares sum to one on real data") {
+    val rows = Sampling.temperatureMix(Tables.documents(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-2)
+    assert(math.abs(rows.map(_.getAs[Double]("raw_share")).sum - 1.0) < 1e-2)
+  }
+}

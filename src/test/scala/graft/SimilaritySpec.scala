@@ -122,6 +122,28 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect got).size >= 10, s"overlap ${(brute intersect got).size}/50")
   }
 
+  test("power iteration yields a unit component with a plausible eigenvalue") {
+    val rows = Similarity.pcaTopComponent(embeddings, iters = 4).collect()
+      .sortBy(_.getAs[Long]("dim_idx"))
+    assert(rows.length == 64)
+    val v = rows.map(_.getAs[Double]("loading"))
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-3)
+    // deterministic sign: the largest-|loading| dimension is positive
+    assert(v.maxBy(math.abs) > 0)
+    val lambda = rows.head.getAs[Double]("eigenvalue")
+    // top eigenvalue is bracketed by the covariance trace: at least
+    // the average per-dim variance, at most the total variance
+    val varCols = (0 until 64).map(j => var_pop(col("embedding").getItem(j)))
+    val trace = embeddings.agg(varCols.reduce(_ + _).as("t")).head().getDouble(0)
+    assert(lambda >= trace / 64 - 1e-9 && lambda <= trace + 1e-9)
+  }
+
+  test("power iteration's Rayleigh quotient is monotone in iterations") {
+    def lambdaAt(iters: Int): Double =
+      Similarity.pcaTopComponent(embeddings, iters).head().getAs[Double]("eigenvalue")
+    assert(lambdaAt(4) >= lambdaAt(2) - 1e-6)
+  }
+
   test("int8 quantization audit bounds per-dimension error by scale/2") {
     val rows = Similarity.quantizeAudit(embeddings).collect()
     assert(rows.length == embeddings.count())
