@@ -260,6 +260,403 @@ object SparkEntry {
       |FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact HUGEINT replay of the MinHash-LSH pipeline (mirror of
+    * [[graft.dedup.Dedup.minhashLsh]] / [[graft.functions.HashOps]]):
+    * FNV-1a + murmur-fmix base hash per 3-gram shingle (32-bit-limb
+    * multiplies mod 2^64), 64 reseeded min-hashes, 16 bands of 4 rows
+    * folded with chained fmix, bucket self-join, exact-Jaccard verify.
+    * Shared by dedup_minhash (tau 0.5) and dedup_keepers_near (0.9).
+    */
+  private val minhashLshCte: String =
+    """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+      |                             for i in range(1, len(toks) - 1)])) AS shingle
+      |       FROM docs WHERE len(toks) >= 3),
+      |uniq AS (SELECT DISTINCT shingle FROM sh),
+      |hexed AS (SELECT shingle, upper(hex(encode(shingle))) AS hx, octet_length(encode(shingle)) AS n FROM uniq),
+      |bytes AS (SELECT shingle, list_transform(range(1, n + 1),
+      |            i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+      |               + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bs FROM hexed),
+      |fnv AS (SELECT shingle, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+      |          (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), x)) * 435
+      |                     + ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), x)) % 16777216) * 1099511627776)
+      |                    % 18446744073709551616) AS h0 FROM bytes),
+      |based AS (SELECT shingle,
+      |  (CAST(xor(CAST((h0) // 4294967296 AS BIGINT), CAST(((h0) // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h0) % 4294967296 AS BIGINT), CAST(((h0) // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS b_s1,
+      |  ((b_s1 % 4294967296) * 3981806797 + (((b_s1 % 4294967296) * 4283543511 + (b_s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616 AS b_m1,
+      |  (CAST(xor(CAST((b_m1) // 4294967296 AS BIGINT), CAST((b_m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((b_m1) % 4294967296 AS BIGINT), CAST((b_m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS b_s2,
+      |  ((b_s2 % 4294967296) * 444984403 + (((b_s2 % 4294967296) * 3301882366 + (b_s2 // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616 AS b_m2,
+      |  (CAST(xor(CAST((b_m2) // 4294967296 AS BIGINT), CAST((b_m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((b_m2) % 4294967296 AS BIGINT), CAST((b_m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS base
+      |  FROM fnv),
+      |seeds AS (SELECT j, (11400714819323198485 * (j + 1)) % 18446744073709551616 AS gj
+      |          FROM (SELECT unnest(range(0, 64)) AS j)),
+      |resh AS MATERIALIZED (SELECT shingle, j,
+      |  (CAST(xor(CAST(((CAST(xor(CAST((base) // 4294967296 AS BIGINT), CAST((gj) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((base) % 4294967296 AS BIGINT), CAST((gj) % 4294967296 AS BIGINT)) AS HUGEINT))) // 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((base) // 4294967296 AS BIGINT), CAST((gj) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((base) % 4294967296 AS BIGINT), CAST((gj) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(((CAST(xor(CAST((base) // 4294967296 AS BIGINT), CAST((gj) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((base) % 4294967296 AS BIGINT), CAST((gj) % 4294967296 AS BIGINT)) AS HUGEINT))) % 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((base) // 4294967296 AS BIGINT), CAST((gj) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((base) % 4294967296 AS BIGINT), CAST((gj) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS r_s1,
+      |  ((r_s1 % 4294967296) * 3981806797 + (((r_s1 % 4294967296) * 4283543511 + (r_s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616 AS r_m1,
+      |  (CAST(xor(CAST((r_m1) // 4294967296 AS BIGINT), CAST((r_m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((r_m1) % 4294967296 AS BIGINT), CAST((r_m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS r_s2,
+      |  ((r_s2 % 4294967296) * 444984403 + (((r_s2 % 4294967296) * 3301882366 + (r_s2 // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616 AS r_m2,
+      |  (CAST(xor(CAST((r_m2) // 4294967296 AS BIGINT), CAST((r_m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((r_m2) % 4294967296 AS BIGINT), CAST((r_m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS h
+      |  FROM based CROSS JOIN seeds),
+      |sig AS MATERIALIZED (SELECT s.doc_id, r.j, min(r.h) AS sg
+      |        FROM sh s JOIN resh r USING (shingle) GROUP BY 1, 2),
+      |bsig AS (SELECT doc_id, j // 4 AS band,
+      |           CAST(xor(37, CAST(j // 4 AS BIGINT)) AS HUGEINT) + 14695981039346656000 AS h0b,
+      |           max(CASE WHEN j % 4 = 0 THEN sg END) AS r0,
+      |           max(CASE WHEN j % 4 = 1 THEN sg END) AS r1,
+      |           max(CASE WHEN j % 4 = 2 THEN sg END) AS r2,
+      |           max(CASE WHEN j % 4 = 3 THEN sg END) AS r3
+      |         FROM sig GROUP BY 1, 2),
+      |f1 AS (SELECT doc_id, band, r1, r2, r3,
+      |  (CAST(xor(CAST(((CAST(xor(CAST((h0b) // 4294967296 AS BIGINT), CAST((r0) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h0b) % 4294967296 AS BIGINT), CAST((r0) % 4294967296 AS BIGINT)) AS HUGEINT))) // 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h0b) // 4294967296 AS BIGINT), CAST((r0) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h0b) % 4294967296 AS BIGINT), CAST((r0) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(((CAST(xor(CAST((h0b) // 4294967296 AS BIGINT), CAST((r0) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h0b) % 4294967296 AS BIGINT), CAST((r0) % 4294967296 AS BIGINT)) AS HUGEINT))) % 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h0b) // 4294967296 AS BIGINT), CAST((r0) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h0b) % 4294967296 AS BIGINT), CAST((r0) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f0_s1,
+      |  ((f0_s1 % 4294967296) * 3981806797 + (((f0_s1 % 4294967296) * 4283543511 + (f0_s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616 AS f0_m1,
+      |  (CAST(xor(CAST((f0_m1) // 4294967296 AS BIGINT), CAST((f0_m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f0_m1) % 4294967296 AS BIGINT), CAST((f0_m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f0_s2,
+      |  ((f0_s2 % 4294967296) * 444984403 + (((f0_s2 % 4294967296) * 3301882366 + (f0_s2 // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616 AS f0_m2,
+      |  (CAST(xor(CAST((f0_m2) // 4294967296 AS BIGINT), CAST((f0_m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f0_m2) % 4294967296 AS BIGINT), CAST((f0_m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS h1
+      |  FROM bsig),
+      |f2 AS (SELECT doc_id, band, r2, r3,
+      |  (CAST(xor(CAST(((CAST(xor(CAST((h1) // 4294967296 AS BIGINT), CAST((r1) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h1) % 4294967296 AS BIGINT), CAST((r1) % 4294967296 AS BIGINT)) AS HUGEINT))) // 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h1) // 4294967296 AS BIGINT), CAST((r1) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h1) % 4294967296 AS BIGINT), CAST((r1) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(((CAST(xor(CAST((h1) // 4294967296 AS BIGINT), CAST((r1) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h1) % 4294967296 AS BIGINT), CAST((r1) % 4294967296 AS BIGINT)) AS HUGEINT))) % 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h1) // 4294967296 AS BIGINT), CAST((r1) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h1) % 4294967296 AS BIGINT), CAST((r1) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f1_s1,
+      |  ((f1_s1 % 4294967296) * 3981806797 + (((f1_s1 % 4294967296) * 4283543511 + (f1_s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616 AS f1_m1,
+      |  (CAST(xor(CAST((f1_m1) // 4294967296 AS BIGINT), CAST((f1_m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f1_m1) % 4294967296 AS BIGINT), CAST((f1_m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f1_s2,
+      |  ((f1_s2 % 4294967296) * 444984403 + (((f1_s2 % 4294967296) * 3301882366 + (f1_s2 // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616 AS f1_m2,
+      |  (CAST(xor(CAST((f1_m2) // 4294967296 AS BIGINT), CAST((f1_m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f1_m2) % 4294967296 AS BIGINT), CAST((f1_m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS h2
+      |  FROM f1),
+      |f3 AS (SELECT doc_id, band, r3,
+      |  (CAST(xor(CAST(((CAST(xor(CAST((h2) // 4294967296 AS BIGINT), CAST((r2) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h2) % 4294967296 AS BIGINT), CAST((r2) % 4294967296 AS BIGINT)) AS HUGEINT))) // 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h2) // 4294967296 AS BIGINT), CAST((r2) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h2) % 4294967296 AS BIGINT), CAST((r2) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(((CAST(xor(CAST((h2) // 4294967296 AS BIGINT), CAST((r2) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h2) % 4294967296 AS BIGINT), CAST((r2) % 4294967296 AS BIGINT)) AS HUGEINT))) % 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h2) // 4294967296 AS BIGINT), CAST((r2) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h2) % 4294967296 AS BIGINT), CAST((r2) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f2_s1,
+      |  ((f2_s1 % 4294967296) * 3981806797 + (((f2_s1 % 4294967296) * 4283543511 + (f2_s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616 AS f2_m1,
+      |  (CAST(xor(CAST((f2_m1) // 4294967296 AS BIGINT), CAST((f2_m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f2_m1) % 4294967296 AS BIGINT), CAST((f2_m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f2_s2,
+      |  ((f2_s2 % 4294967296) * 444984403 + (((f2_s2 % 4294967296) * 3301882366 + (f2_s2 // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616 AS f2_m2,
+      |  (CAST(xor(CAST((f2_m2) // 4294967296 AS BIGINT), CAST((f2_m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f2_m2) % 4294967296 AS BIGINT), CAST((f2_m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS h3
+      |  FROM f2),
+      |f4 AS (SELECT doc_id, band,
+      |  (CAST(xor(CAST(((CAST(xor(CAST((h3) // 4294967296 AS BIGINT), CAST((r3) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h3) % 4294967296 AS BIGINT), CAST((r3) % 4294967296 AS BIGINT)) AS HUGEINT))) // 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h3) // 4294967296 AS BIGINT), CAST((r3) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h3) % 4294967296 AS BIGINT), CAST((r3) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST(((CAST(xor(CAST((h3) // 4294967296 AS BIGINT), CAST((r3) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h3) % 4294967296 AS BIGINT), CAST((r3) % 4294967296 AS BIGINT)) AS HUGEINT))) % 4294967296 AS BIGINT), CAST((((CAST(xor(CAST((h3) // 4294967296 AS BIGINT), CAST((r3) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((h3) % 4294967296 AS BIGINT), CAST((r3) % 4294967296 AS BIGINT)) AS HUGEINT))) // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f3_s1,
+      |  ((f3_s1 % 4294967296) * 3981806797 + (((f3_s1 % 4294967296) * 4283543511 + (f3_s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296) % 18446744073709551616 AS f3_m1,
+      |  (CAST(xor(CAST((f3_m1) // 4294967296 AS BIGINT), CAST((f3_m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f3_m1) % 4294967296 AS BIGINT), CAST((f3_m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS f3_s2,
+      |  ((f3_s2 % 4294967296) * 444984403 + (((f3_s2 % 4294967296) * 3301882366 + (f3_s2 // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616 AS f3_m2,
+      |  (CAST(xor(CAST((f3_m2) // 4294967296 AS BIGINT), CAST((f3_m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((f3_m2) % 4294967296 AS BIGINT), CAST((f3_m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS h4
+      |  FROM f3),
+      |bands AS (SELECT doc_id, band, h4 AS band_hash FROM f4),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |         FROM bands a JOIN bands b2
+      |           ON a.band = b2.band AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |common AS (SELECT c.doc_a, c.doc_b, count(*) AS cmn
+      |           FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+      |                       JOIN sh sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      |           GROUP BY 1, 2),
+      |jac AS MATERIALIZED (SELECT doc_a, doc_b,
+      |          round(CAST(cmn AS DOUBLE) / (za.sz + zb.sz - cmn), 4) AS jaccard
+      |        FROM common JOIN sizes za ON doc_a = za.doc_id""".stripMargin
+
+  private val minhashSelectSql: String = minhashLshCte +
+    """                    JOIN sizes zb ON doc_b = zb.doc_id)
+      |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  private val keepersNearSql: String = minhashLshCte +
+    """                    JOIN sizes zb ON doc_b = zb.doc_id),
+      |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+      |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+      |l1 AS MATERIALIZED (SELECT d.doc_id, least(d.doc_id, coalesce(min(e.doc_b), d.doc_id)) AS keep
+      |       FROM documents d LEFT JOIN edges e ON e.doc_a = d.doc_id GROUP BY d.doc_id),
+      |n2 AS (SELECT e.doc_a AS doc_id, min(l.keep) AS nbr
+      |       FROM edges e JOIN l1 l ON l.doc_id = e.doc_b GROUP BY 1),
+      |l2 AS (SELECT l1.doc_id, least(l1.keep, coalesce(n2.nbr, l1.keep)) AS keep_doc_id
+      |       FROM l1 LEFT JOIN n2 USING (doc_id))
+      |SELECT doc_id, keep_doc_id, doc_id = keep_doc_id AS is_kept FROM l2 ORDER BY doc_id""".stripMargin
+
+  /** IVF replay: stride centroids, bit-exact cosine argmax
+    * assignment (DuckDB list_cosine_similarity == sequential-double
+    * kernel), 2-probe query cells, 6dp rerank. */
+  private val simIvfSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |asg AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+      |  FROM corpus CROSS JOIN cents),
+      |assigned AS (SELECT vec_id, cell_id FROM asg WHERE rn = 1),
+      |qc AS (
+      |  SELECT q.vec_id AS q_id, cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |                            ORDER BY list_cosine_similarity(q.emb, c_emb) DESC, cell_id) AS rn
+      |  FROM corpus q CROSS JOIN cents WHERE q.vec_id < 10),
+      |probes AS (SELECT q_id, cell_id FROM qc WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id,
+      |         round(list_cosine_similarity(cq.emb, cv.emb), 6) AS cos
+      |  FROM probes p
+      |  JOIN assigned a USING (cell_id)
+      |  JOIN corpus cq ON cq.vec_id = p.q_id
+      |  JOIN corpus cv ON cv.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF + 1 Lloyd iteration: per-dim avg cast to REAL absorbs
+    * engine sum-order noise, then the same IVF query path. */
+  private val simIvfKmeansSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |seed AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
+      |asg0 AS (SELECT vec_id, cell_id, emb FROM (
+      |           SELECT c.vec_id, n.cell_id, c.emb,
+      |                  row_number() OVER (PARTITION BY c.vec_id
+      |                    ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |           FROM corpus c CROSS JOIN seed n) WHERE rn = 1),
+      |js AS (SELECT unnest(range(1, 65)) AS j),
+      |cents AS (SELECT cell_id, list(cm ORDER BY j) AS c_emb FROM (
+      |            SELECT a.cell_id, j.j,
+      |                   CAST(CAST(avg(a.emb[j.j]) AS REAL) AS DOUBLE) AS cm
+      |            FROM asg0 a CROSS JOIN js j GROUP BY a.cell_id, j.j)
+      |          GROUP BY cell_id),
+      |asg AS (SELECT vec_id, cell_id FROM (
+      |          SELECT c.vec_id, n.cell_id,
+      |                 row_number() OVER (PARTITION BY c.vec_id
+      |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1),
+      |qc AS (SELECT q_id, cell_id FROM (
+      |         SELECT q.vec_id AS q_id, n.cell_id,
+      |                row_number() OVER (PARTITION BY q.vec_id
+      |                  ORDER BY list_cosine_similarity(q.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |         FROM corpus q CROSS JOIN cents n WHERE q.vec_id < 10) WHERE rn <= 2),
+      |scored AS (SELECT p.q_id, a.vec_id,
+      |             round(list_cosine_similarity(cq.emb, cv.emb), 6) AS cos
+      |           FROM qc p JOIN asg a USING (cell_id)
+      |           JOIN corpus cq ON cq.vec_id = p.q_id
+      |           JOIN corpus cv ON cv.vec_id = a.vec_id
+      |           WHERE a.vec_id <> p.q_id),
+      |ranked AS (SELECT q_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |           FROM scored)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** PQ replay: row_number codebooks, sequential-sum L2 argmin
+    * encode, per-query LUT, ascending-s ADC fold, top-50, rerank. */
+  private val simPqSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |subs AS (SELECT unnest(range(0, 8)) AS s),
+      |cbraw AS (SELECT vec_id AS cb_vec, s, list_slice(emb, s*8+1, s*8+8) AS c_sub
+      |          FROM corpus CROSS JOIN subs WHERE vec_id % 50 = 0),
+      |cb AS (SELECT s, code, c_sub FROM (
+      |         SELECT s, c_sub, row_number() OVER (PARTITION BY s ORDER BY cb_vec) AS code
+      |         FROM cbraw) WHERE code <= 16),
+      |enc AS (SELECT vec_id, s, code FROM (
+      |          SELECT c.vec_id, b.s, b.code,
+      |                 row_number() OVER (PARTITION BY c.vec_id, b.s
+      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(c.emb, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(c.emb, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
+      |          FROM corpus c CROSS JOIN cb b) WHERE rn = 1),
+      |queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+      |lut AS (SELECT q.q_id, b.s, b.code,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(q.q_emb, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(q.q_emb, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x) AS d
+      |        FROM queries q CROSS JOIN cb b),
+      |adist AS (SELECT l.q_id, e.vec_id,
+      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
+      |              (acc, x) -> acc + x) AS adist
+      |          FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+      |          WHERE e.vec_id <> l.q_id
+      |          GROUP BY 1, 2),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |           SELECT q_id, vec_id,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+      |           FROM adist) WHERE rn <= 50),
+      |rer AS (SELECT c.q_id, c.vec_id,
+      |          round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cos
+      |        FROM cand c JOIN corpus v ON v.vec_id = c.vec_id
+      |                    JOIN queries q ON q.q_id = c.q_id),
+      |ranked AS (SELECT q_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |           FROM rer)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-PQ replay: float residuals (REAL-cast double-rounding is
+    * exact), per-cell codebooks, residual ADC inside probed cells. */
+  private val simIvfpqSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
+      |asg AS (SELECT vec_id, cell_id, emb, c_emb FROM (
+      |          SELECT c.vec_id, n.cell_id, c.emb, n.c_emb,
+      |                 row_number() OVER (PARTITION BY c.vec_id
+      |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1),
+      |assigned AS (SELECT vec_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS residual FROM asg),
+      |subs AS (SELECT unnest(range(0, 8)) AS s),
+      |cbraw AS (SELECT a.vec_id AS cb_vec, a.cell_id, s.s,
+      |            list_slice(a.residual, s.s*8+1, s.s*8+8) AS c_sub
+      |          FROM assigned a CROSS JOIN subs s WHERE a.vec_id % 5 = 0),
+      |cb AS (SELECT cell_id, s, code, c_sub FROM (
+      |         SELECT cell_id, s, c_sub,
+      |                row_number() OVER (PARTITION BY cell_id, s ORDER BY cb_vec) AS code
+      |         FROM cbraw) WHERE code <= 16),
+      |enc AS (SELECT vec_id, cell_id, s, code FROM (
+      |          SELECT a.vec_id, a.cell_id, b.s, b.code,
+      |                 row_number() OVER (PARTITION BY a.vec_id, b.s
+      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
+      |          FROM assigned a JOIN cb b USING (cell_id)) WHERE rn = 1),
+      |queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+      |probed AS (SELECT q_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((q_emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS q_res FROM (
+      |             SELECT q.q_id, n.cell_id, q.q_emb, n.c_emb,
+      |                    row_number() OVER (PARTITION BY q.q_id
+      |                      ORDER BY list_cosine_similarity(q.q_emb, n.c_emb) DESC, n.cell_id) AS rn
+      |             FROM queries q CROSS JOIN cents n) WHERE rn <= 2),
+      |lut AS (SELECT p.q_id, p.cell_id, b.s, b.code,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x) AS d
+      |        FROM probed p JOIN cb b USING (cell_id)),
+      |adist AS (SELECT l.q_id, e.vec_id,
+      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
+      |              (acc, x) -> acc + x) AS adist
+      |          FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s AND l.code = e.code
+      |          WHERE e.vec_id <> l.q_id
+      |          GROUP BY 1, 2 HAVING count(*) = 8),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |           SELECT q_id, vec_id,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+      |           FROM adist) WHERE rn <= 50),
+      |rer AS (SELECT c.q_id, c.vec_id,
+      |          round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cos
+      |        FROM cand c JOIN corpus v ON v.vec_id = c.vec_id
+      |                    JOIN queries q ON q.q_id = c.q_id),
+      |ranked AS (SELECT q_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |           FROM rer)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-PQ + 1 Lloyd pass over the residual-sample codebooks
+    * (argmin reassign, per-dim REAL means, empty codewords drop). */
+  private val simIvfpqKmeansSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
+      |asg AS (SELECT vec_id, cell_id, emb, c_emb FROM (
+      |          SELECT c.vec_id, n.cell_id, c.emb, n.c_emb,
+      |                 row_number() OVER (PARTITION BY c.vec_id
+      |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1),
+      |assigned AS (SELECT vec_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS residual FROM asg),
+      |subs AS (SELECT unnest(range(0, 8)) AS s),
+      |samp AS (SELECT a.vec_id AS cb_vec, a.cell_id, s.s,
+      |           list_slice(a.residual, s.s*8+1, s.s*8+8) AS r_sub
+      |         FROM assigned a CROSS JOIN subs s WHERE a.vec_id % 5 = 0),
+      |cb0 AS (SELECT cell_id, s, code, c_sub FROM (
+      |          SELECT cell_id, s, r_sub AS c_sub,
+      |                 row_number() OVER (PARTITION BY cell_id, s ORDER BY cb_vec) AS code
+      |          FROM samp) WHERE code <= 16),
+      |rea AS (SELECT cell_id, s, code, r_sub FROM (
+      |          SELECT m.cell_id, m.s, b.code, m.r_sub,
+      |                 row_number() OVER (PARTITION BY m.cell_id, m.s, m.cb_vec
+      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((m.r_sub)[i] - (b.c_sub)[i]) * ((m.r_sub)[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
+      |          FROM samp m JOIN cb0 b ON b.cell_id = m.cell_id AND b.s = m.s) WHERE rn = 1),
+      |ds AS (SELECT unnest(range(1, 9)) AS jd),
+      |cb AS (SELECT cell_id, s, code, list(cm ORDER BY jd) AS c_sub FROM (
+      |         SELECT r.cell_id, r.s, r.code, d.jd,
+      |                CAST(CAST(avg(r.r_sub[d.jd]) AS REAL) AS DOUBLE) AS cm
+      |         FROM rea r CROSS JOIN ds d GROUP BY r.cell_id, r.s, r.code, d.jd)
+      |       GROUP BY cell_id, s, code),
+      |enc AS (SELECT vec_id, cell_id, s, code FROM (
+      |          SELECT a.vec_id, a.cell_id, b.s, b.code,
+      |                 row_number() OVER (PARTITION BY a.vec_id, b.s
+      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
+      |          FROM assigned a JOIN cb b USING (cell_id)) WHERE rn = 1),
+      |queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+      |probed AS (SELECT q_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((q_emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS q_res FROM (
+      |             SELECT q.q_id, n.cell_id, q.q_emb, n.c_emb,
+      |                    row_number() OVER (PARTITION BY q.q_id
+      |                      ORDER BY list_cosine_similarity(q.q_emb, n.c_emb) DESC, n.cell_id) AS rn
+      |             FROM queries q CROSS JOIN cents n) WHERE rn <= 2),
+      |lut AS (SELECT p.q_id, p.cell_id, b.s, b.code,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x) AS d
+      |        FROM probed p JOIN cb b USING (cell_id)),
+      |adist AS (SELECT l.q_id, e.vec_id,
+      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
+      |              (acc, x) -> acc + x) AS adist
+      |          FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s AND l.code = e.code
+      |          WHERE e.vec_id <> l.q_id
+      |          GROUP BY 1, 2 HAVING count(*) = 8),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |           SELECT q_id, vec_id,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+      |           FROM adist) WHERE rn <= 50),
+      |rer AS (SELECT c.q_id, c.vec_id,
+      |          round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cos
+      |        FROM cand c JOIN corpus v ON v.vec_id = c.vec_id
+      |                    JOIN queries q ON q.q_id = c.q_id),
+      |ranked AS (SELECT q_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |           FROM rer)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Power-iteration replay, 4 unrolled iterations: centered
+    * floats, sequential dot folds, REAL-cast v between iterations,
+    * pivot-sign fix, 6dp rounding. */
+  private val embPcaSql: String =
+    """WITH corpus AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |js AS (SELECT unnest(range(1, 65)) AS j),
+      |mean AS (SELECT list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY j) AS mu FROM (
+      |           SELECT j.j, avg(c.emb[j.j]) AS m FROM corpus c CROSS JOIN js j GROUP BY j.j)),
+      |cent AS (SELECT list_transform(range(1, 65), i ->
+      |           CAST(CAST(c.emb[i] - m.mu[i] AS REAL) AS DOUBLE)) AS x
+      |         FROM corpus c CROSS JOIN mean m),
+      |v0 AS (SELECT list_transform(range(1, 65), i ->
+      |         CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE) ELSE 0.0 END) AS v),
+      |d1 AS (SELECT c.x,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> c.x[i] * CAST(CAST(p.v[i] AS REAL) AS DOUBLE))), (acc, x) -> acc + x) AS d
+      |        FROM cent c CROSS JOIN v0 p),
+      |a1 AS (SELECT list(a ORDER BY j) AS av FROM (
+      |          SELECT j.j, avg(t.x[j.j] * t.d) AS a FROM d1 t CROSS JOIN js j GROUP BY j.j)),
+      |it1 AS (SELECT
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * p.v[i])), (acc, x) -> acc + x) AS rayleigh,
+      |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x)) AS nrm,
+      |          list_transform(range(1, 65), i -> a.av[i] / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x))) AS v
+      |        FROM a1 a CROSS JOIN v0 p),
+      |d2 AS (SELECT c.x,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> c.x[i] * CAST(CAST(p.v[i] AS REAL) AS DOUBLE))), (acc, x) -> acc + x) AS d
+      |        FROM cent c CROSS JOIN it1 p),
+      |a2 AS (SELECT list(a ORDER BY j) AS av FROM (
+      |          SELECT j.j, avg(t.x[j.j] * t.d) AS a FROM d2 t CROSS JOIN js j GROUP BY j.j)),
+      |it2 AS (SELECT
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * p.v[i])), (acc, x) -> acc + x) AS rayleigh,
+      |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x)) AS nrm,
+      |          list_transform(range(1, 65), i -> a.av[i] / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x))) AS v
+      |        FROM a2 a CROSS JOIN it1 p),
+      |d3 AS (SELECT c.x,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> c.x[i] * CAST(CAST(p.v[i] AS REAL) AS DOUBLE))), (acc, x) -> acc + x) AS d
+      |        FROM cent c CROSS JOIN it2 p),
+      |a3 AS (SELECT list(a ORDER BY j) AS av FROM (
+      |          SELECT j.j, avg(t.x[j.j] * t.d) AS a FROM d3 t CROSS JOIN js j GROUP BY j.j)),
+      |it3 AS (SELECT
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * p.v[i])), (acc, x) -> acc + x) AS rayleigh,
+      |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x)) AS nrm,
+      |          list_transform(range(1, 65), i -> a.av[i] / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x))) AS v
+      |        FROM a3 a CROSS JOIN it2 p),
+      |d4 AS (SELECT c.x,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> c.x[i] * CAST(CAST(p.v[i] AS REAL) AS DOUBLE))), (acc, x) -> acc + x) AS d
+      |        FROM cent c CROSS JOIN it3 p),
+      |a4 AS (SELECT list(a ORDER BY j) AS av FROM (
+      |          SELECT j.j, avg(t.x[j.j] * t.d) AS a FROM d4 t CROSS JOIN js j GROUP BY j.j)),
+      |it4 AS (SELECT
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * p.v[i])), (acc, x) -> acc + x) AS rayleigh,
+      |          sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x)) AS nrm,
+      |          list_transform(range(1, 65), i -> a.av[i] / sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> a.av[i] * a.av[i])), (acc, x) -> acc + x))) AS v
+      |        FROM a4 a CROSS JOIN it3 p),
+      |piv AS (SELECT v, rayleigh, j AS pj FROM (
+      |          SELECT t.v, t.rayleigh, j.j,
+      |                 row_number() OVER (ORDER BY abs(t.v[j.j]) DESC, j.j) AS rn
+      |          FROM it4 t CROSS JOIN js j) WHERE rn = 1),
+      |signed AS (SELECT CASE WHEN v[pj] < 0
+      |                  THEN list_transform(v, x -> -x) ELSE v END AS v, rayleigh
+      |           FROM piv)
+      |SELECT CAST(j.j - 1 AS BIGINT) AS dim_idx,
+      |       round(s.v[j.j] * 1000000) / 1000000 AS loading,
+      |       round(s.rayleigh * 1000000) / 1000000 AS eigenvalue
+      |FROM signed s CROSS JOIN js j ORDER BY dim_idx""".stripMargin
+
   /** DuckDB-runnable oracle per query (same column names, same
     * rounding, explicit ORDER BY).
     */
@@ -1195,6 +1592,14 @@ object SparkEntry {
         |       coalesce(max_prior_cos < 0.3, TRUE) AS kept
         |FROM embeddings e LEFT JOIN p USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
+    "dedup_minhash" -> minhashSelectSql,
+    "dedup_keepers_near" -> keepersNearSql,
+    "sim_ivf" -> simIvfSql,
+    "sim_ivf_kmeans" -> simIvfKmeansSql,
+    "sim_pq" -> simPqSql,
+    "sim_ivfpq" -> simIvfpqSql,
+    "sim_ivfpq_kmeans" -> simIvfpqKmeansSql,
+    "emb_pca" -> embPcaSql,
     "mm_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
