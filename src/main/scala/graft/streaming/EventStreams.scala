@@ -166,4 +166,36 @@ object EventStreams {
         col(rightTs) <= col(leftTs))
       .drop("__lband", "__rband")
   }
+
+  /** Streaming twin of the native keyed range join
+    * ([[graft.plans.RangeNative.join]]): equality keys plus the
+    * trailing window `(leftTs − W, leftTs]`, as a watermarked
+    * stream-stream join. The equi-keys shard the symmetric-hash state
+    * directly — no manufactured band column needed — and the range
+    * predicate is the time constraint Structured Streaming uses to
+    * evict buffered rows once the watermark passes `leftTs − W`, so
+    * per-key state is bounded by the window, not the stream. With
+    * `leftOuter=true`, left rows with no match in the window emit
+    * null-padded once their own watermark expires (both sides must be
+    * watermarked for that mode — enforced here for inner too, since
+    * unwatermarked inner state grows without bound). Both inputs must
+    * carry distinct column names, as with the batch API.
+    */
+  def keyedRangeJoinStream(left: DataFrame, right: DataFrame,
+                           keys: Seq[(String, String)],
+                           leftTs: String, rightTs: String,
+                           windowSec: Long,
+                           leftOuter: Boolean = false,
+                           watermark: String = "10 minutes"): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"rename the right side first — both sides have: ${shared.mkString(", ")}")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map { case (lk, rk) => col(lk) === col(rk) }
+      .reduce(_ && _) &&
+      col(rightTs) > col(leftTs) - expr(s"INTERVAL $windowSec SECONDS") &&
+      col(rightTs) <= col(leftTs)
+    l.join(r, cond, if (leftOuter) "left_outer" else "inner")
+  }
 }

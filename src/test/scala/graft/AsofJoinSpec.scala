@@ -122,6 +122,52 @@ class AsofJoinSpec extends SparkSpec
     assert(exchanges.length == 2)
   }
 
+  test("subset-pre-partitioned children are re-co-partitioned, results exact") {
+    // children pre-hashed on DIFFERENT strict subsets of the join keys:
+    // each alone satisfies ClusteredDistribution, but the pair is not
+    // co-partitioned — EnsureRequirements must reject the incompatible
+    // specs and re-exchange, or same-key rows never meet in a partition
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k1", "k2", "t", "lid")
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(3).toLong, i.toLong, i.toLong))
+      .toDF("rk1", "rk2", "rt", "rid") // rt unique: unambiguous latest
+    val lp = left.repartition(4, col("k1"))   // subset {k1}
+    val rp = right.repartition(7, col("rk2")) // subset {rk2} — incompatible
+    val df = graft.plans.AsofNative.join(lp, rp,
+      keys = Seq("k1" -> "rk1", "k2" -> "rk2"), order = Seq("t" -> "rt"))
+    val native = df.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong))).toSet
+    // oracle: latest right at-or-before per (k1, k2) via plain join + rank
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lid").orderBy(col("rt").desc)
+    val oracle = left.join(right,
+        col("k1") === col("rk1") && col("k2") === col("rk2") &&
+          col("rt") <= col("t"), "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString.toLong))).toSet
+    assert(native == oracle && native.nonEmpty)
+    // the single-key user shuffles must not survive as the join inputs:
+    // every exchange feeding the exec hashes on BOTH keys (the user
+    // repartitions were superseded by corrective co-partitioning)
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 2)
+    exchanges.foreach { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          assert(h.expressions.length == 2)
+        case p => fail(s"expected HashPartitioning, got $p")
+      }
+    }
+  }
+
   test("native attribution query reproduces the specialized one") {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.mkString("|")).toSet

@@ -97,6 +97,49 @@ class RangeNativeSpec extends SparkSpec
     assert(exchanges.length == 2)
   }
 
+  test("subset-pre-partitioned children are re-co-partitioned, results exact") {
+    // both children arrive hash-partitioned on DIFFERENT strict subsets
+    // of the two join keys — each satisfies its ClusteredDistribution
+    // alone, but they are NOT co-partitioned; EnsureRequirements must
+    // detect the incompatible specs and insert an exchange, or rows of
+    // the same key pair land in different partitions and silently drop
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k1", "k2", "t", "lid")
+    val right = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(3).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("rk1", "rk2", "rt", "rid")
+    val lp = left.repartition(4, col("k1"))   // subset {k1}
+    val rp = right.repartition(7, col("rk2")) // subset {rk2} — incompatible
+    val df = RangeNative.join(lp, rp,
+      keys = Seq("k1" -> "rk1", "k2" -> "rk2"), time = ("t", "rt"),
+      windowMicros = 100L)
+    val native = df.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oracle = left.join(right,
+        col("k1") === col("rk1") && col("k2") === col("rk2") &&
+          col("rt") > col("t") - 100L && col("rt") <= col("t"))
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == oracle && native.nonEmpty)
+    // the single-key user shuffles must not survive as the join inputs:
+    // every exchange feeding the exec hashes on BOTH keys (the user
+    // repartitions were superseded by corrective co-partitioning)
+    val exchanges = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.length == 2)
+    exchanges.foreach { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          assert(h.expressions.length == 2)
+        case p => fail(s"expected HashPartitioning, got $p")
+      }
+    }
+  }
+
   test("q31 equals the same aggregation over the banded keyless join") {
     val W = 600L * 1000000L
     val ev = Tables.events(spark, sf)

@@ -373,4 +373,77 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
     assert(streamed == batch)
   }
+
+  test("keyed streaming range join matches the native batch operator's inner pairs") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.EventStreams.keyedRangeJoinStream(
+      purchases.toDF().toDF("p_id", "p_user", "p_ts"),
+      clicks.toDF().toDF("c_id", "c_user", "c_ts"),
+      Seq("p_user" -> "c_user"), "p_ts", "c_ts", windowSec = 60)
+    val q = joined.writeStream.format("memory").queryName("krj")
+      .outputMode(OutputMode.Append).start()
+    // user 1: purchase@100 window (40,100]; user 2: purchase@200 window (140,200]
+    val pData = Seq((1L, 1L, t(100)), (2L, 2L, t(200)))
+    val cData = Seq((10L, 1L, t(50)), (11L, 2L, t(50)), (12L, 1L, t(100)),
+      (13L, 2L, t(150)), (14L, 1L, t(150)), (15L, 3L, t(95)))
+    try {
+      purchases.addData(pData)
+      clicks.addData(cData)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("krj").collect()
+      .map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    // user-keyed: click@50 of user 2 does NOT match purchase@100 (user 1);
+    // click@150 of user 1 is outside purchase@100's window
+    assert(streamed == Set((1L, 10L), (1L, 12L), (2L, 13L)))
+    val batch = graft.plans.RangeNative.join(
+      pData.toDF("p_id", "p_user", "p_ts")
+        .selectExpr("p_id", "p_user", "unix_micros(p_ts) AS p_us"),
+      cData.toDF("c_id", "c_user", "c_ts")
+        .selectExpr("c_id", "c_user", "unix_micros(c_ts) AS c_us"),
+      Seq("p_user" -> "c_user"), ("p_us", "c_us"), windowMicros = 60000000L)
+      .collect().map(r => (r.getAs[Long]("p_id"), r.getAs[Long]("c_id"))).toSet
+    assert(streamed == batch)
+  }
+
+  test("keyed streaming range join left-outer emits null-padded unmatched rows on watermark") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val joined = graft.streaming.EventStreams.keyedRangeJoinStream(
+      purchases.toDF().toDF("p_id", "p_user", "p_ts"),
+      clicks.toDF().toDF("c_id", "c_user", "c_ts"),
+      Seq("p_user" -> "c_user"), "p_ts", "c_ts", windowSec = 60,
+      leftOuter = true, watermark = "5 seconds")
+    val q = joined.writeStream.format("memory").queryName("krjo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 matches; user 9's purchase has no click in-window
+      purchases.addData(Seq((1L, 1L, t(100)), (2L, 9L, t(100))))
+      clicks.addData(Seq((10L, 1L, t(80)), (11L, 9L, t(20))))
+      q.processAllAvailable()
+      // sentinel rows push both watermarks far past the join windows so
+      // the unmatched left row is provably match-free and emits
+      purchases.addData(Seq((99L, 99L, t(10000))))
+      clicks.addData(Seq((98L, 98L, t(10000))))
+      q.processAllAvailable()
+      purchases.addData(Seq((97L, 97L, t(20000))))
+      clicks.addData(Seq((96L, 96L, t(20000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("krjo").collect()
+      .map(r => (r.getAs[Long]("p_id"),
+        Option(r.getAs[java.lang.Long]("c_id")).map(_.toLong))).toSet
+    assert(rows.contains((1L, Some(10L))))   // matched pair, no null twin
+    assert(rows.contains((2L, None)))        // unmatched left, null-padded
+    assert(!rows.contains((1L, None)))
+    // the out-of-window click never joins
+    assert(!rows.exists(_._2.contains(11L)))
+  }
 }
