@@ -73,14 +73,25 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    val slowest = results.filterNot(_._4).sortBy(-_._2).take(10)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + dp2(v) }
-      .mkString("{", ",", "}")
     val nFailed = results.count(_._4)
-    val summary = s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$slowest,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
-    require(summary.length < 1800,
-      s"bench summary line is ${summary.length} chars; must stay under the driver's 2000-char stdout tail")
-    println(summary)
+    // "queries" here is intentionally a SUBSET (the slowest k) of the
+    // full map in bench_full.json — same key name as the driver
+    // contract requires, partial by design. If even the compact line
+    // would overflow the driver's 2000-char stdout tail, degrade by
+    // shrinking k rather than aborting: a shorter summary always beats
+    // no summary (parsed: null).
+    def summaryLine(k: Int): String = {
+      val slowest = results.filterNot(_._4).sortBy(-_._2).take(k)
+        .map { case (n, v, _, _) => "\"" + n + "\":" + dp2(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$slowest,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+    }
+    val summary = (10 to 0 by -1).map(summaryLine).find(_.length < 1800)
+      .getOrElse(summaryLine(0))
+    // stop Spark BEFORE printing: any WARN emitted on stdout during
+    // shutdown would otherwise land after the summary and displace it
+    // from the driver's last-line capture slot
     spark.stop()
+    println(summary)
   }
 }
