@@ -179,6 +179,11 @@ object SparkEntry {
     "sim_ivfpq_kmeans" -> ((s, d) =>
       Similarity.annIvfPq(Tables.embeddings(s, d), col("vec_id") < 10, 5,
         codebookIters = 1).orderBy("q_id", "rank")),
+    // Lloyd pass trained on EVERY per-cell residual (count-weighted
+    // means of the true distribution) instead of the stride sample
+    "sim_ivfpq_full" -> ((s, d) =>
+      Similarity.annIvfPq(Tables.embeddings(s, d), col("vec_id") < 10, 5,
+        codebookIters = 1, trainOnFull = true).orderBy("q_id", "rank")),
     // §2f multimodal
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
@@ -187,8 +192,8 @@ object SparkEntry {
       Multimodal.shardPlan(Tables.documents(s, d)).orderBy("doc_id")),
     "mm_dedup" -> ((s, d) =>
       Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
-    // rows-only: floating power-iteration trajectories are not
-    // engine-portable at hash precision; the spec pins the math
+    // oracled: the 4-iteration power method replays exactly in SQL
+    // when every inter-iteration vector is REAL-cast (see embPcaSql)
     "emb_pca" -> ((s, d) =>
       Similarity.pcaTopComponent(Tables.embeddings(s, d)).orderBy("dim_idx")),
     "emb_quantize" -> ((s, d) =>
@@ -552,6 +557,72 @@ object SparkEntry {
       |                 row_number() OVER (PARTITION BY m.cell_id, m.s, m.cb_vec
       |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((m.r_sub)[i] - (b.c_sub)[i]) * ((m.r_sub)[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
       |          FROM samp m JOIN cb0 b ON b.cell_id = m.cell_id AND b.s = m.s) WHERE rn = 1),
+      |ds AS (SELECT unnest(range(1, 9)) AS jd),
+      |cb AS (SELECT cell_id, s, code, list(cm ORDER BY jd) AS c_sub FROM (
+      |         SELECT r.cell_id, r.s, r.code, d.jd,
+      |                CAST(CAST(avg(r.r_sub[d.jd]) AS REAL) AS DOUBLE) AS cm
+      |         FROM rea r CROSS JOIN ds d GROUP BY r.cell_id, r.s, r.code, d.jd)
+      |       GROUP BY cell_id, s, code),
+      |enc AS (SELECT vec_id, cell_id, s, code FROM (
+      |          SELECT a.vec_id, a.cell_id, b.s, b.code,
+      |                 row_number() OVER (PARTITION BY a.vec_id, b.s
+      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
+      |          FROM assigned a JOIN cb b USING (cell_id)) WHERE rn = 1),
+      |queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+      |probed AS (SELECT q_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((q_emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS q_res FROM (
+      |             SELECT q.q_id, n.cell_id, q.q_emb, n.c_emb,
+      |                    row_number() OVER (PARTITION BY q.q_id
+      |                      ORDER BY list_cosine_similarity(q.q_emb, n.c_emb) DESC, n.cell_id) AS rn
+      |             FROM queries q CROSS JOIN cents n) WHERE rn <= 2),
+      |lut AS (SELECT p.q_id, p.cell_id, b.s, b.code,
+      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x) AS d
+      |        FROM probed p JOIN cb b USING (cell_id)),
+      |adist AS (SELECT l.q_id, e.vec_id,
+      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
+      |              (acc, x) -> acc + x) AS adist
+      |          FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s AND l.code = e.code
+      |          WHERE e.vec_id <> l.q_id
+      |          GROUP BY 1, 2 HAVING count(*) = 8),
+      |cand AS (SELECT q_id, vec_id FROM (
+      |           SELECT q_id, vec_id,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
+      |           FROM adist) WHERE rn <= 50),
+      |rer AS (SELECT c.q_id, c.vec_id,
+      |          round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cos
+      |        FROM cand c JOIN corpus v ON v.vec_id = c.vec_id
+      |                    JOIN queries q ON q.q_id = c.q_id),
+      |ranked AS (SELECT q_id, vec_id, cos,
+      |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |           FROM rer)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-PQ + 1 Lloyd pass trained on EVERY per-cell residual
+    * subvector (count-weighted means of the true distribution);
+    * seed codebook still the stride sample, so model size matches
+    * the sampled variant exactly. */
+  private val simIvfpqFullSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
+      |asg AS (SELECT vec_id, cell_id, emb, c_emb FROM (
+      |          SELECT c.vec_id, n.cell_id, c.emb, n.c_emb,
+      |                 row_number() OVER (PARTITION BY c.vec_id
+      |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1),
+      |assigned AS (SELECT vec_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS residual FROM asg),
+      |subs AS (SELECT unnest(range(0, 8)) AS s),
+      |allsub AS (SELECT a.vec_id AS cb_vec, a.cell_id, s.s,
+      |             list_slice(a.residual, s.s*8+1, s.s*8+8) AS r_sub
+      |           FROM assigned a CROSS JOIN subs s),
+      |cb0 AS (SELECT cell_id, s, code, c_sub FROM (
+      |          SELECT cell_id, s, r_sub AS c_sub,
+      |                 row_number() OVER (PARTITION BY cell_id, s ORDER BY cb_vec) AS code
+      |          FROM allsub WHERE cb_vec % 5 = 0) WHERE code <= 16),
+      |rea AS (SELECT cell_id, s, code, r_sub FROM (
+      |          SELECT m.cell_id, m.s, b.code, m.r_sub,
+      |                 row_number() OVER (PARTITION BY m.cell_id, m.s, m.cb_vec
+      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((m.r_sub)[i] - (b.c_sub)[i]) * ((m.r_sub)[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
+      |          FROM allsub m JOIN cb0 b ON b.cell_id = m.cell_id AND b.s = m.s) WHERE rn = 1),
       |ds AS (SELECT unnest(range(1, 9)) AS jd),
       |cb AS (SELECT cell_id, s, code, list(cm ORDER BY jd) AS c_sub FROM (
       |         SELECT r.cell_id, r.s, r.code, d.jd,
@@ -1599,6 +1670,7 @@ object SparkEntry {
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfpqSql,
     "sim_ivfpq_kmeans" -> simIvfpqKmeansSql,
+    "sim_ivfpq_full" -> simIvfpqFullSql,
     "emb_pca" -> embPcaSql,
     "mm_shards" ->
       """WITH m AS (SELECT doc_id,

@@ -263,7 +263,8 @@ object Similarity {
                centroidStride: Long = 50L, nProbe: Int = 2,
                m: Int = 8, dim: Int = 64, codeStride: Long = 5L,
                nCodes: Int = 16, nCandidates: Int = 50,
-               codebookIters: Int = 0): DataFrame = {
+               codebookIters: Int = 0,
+               trainOnFull: Boolean = false): DataFrame = {
     val sub = dim / m
     val l2 = graft.functions.expressions.l2_sq _
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
@@ -290,11 +291,24 @@ object Similarity {
       .withColumn("code", row_number().over(wCode))
       .filter(col("code") <= nCodes)
       .select(col("cell_id"), col("s"), col("code"), col("r_sub").as("c_sub"))
+    // Lloyd training set: the stride sample by default (FAISS-style
+    // subsample training — keeps the codebook branch off the full
+    // corpus-assignment subplan), or EVERY residual in the cell when
+    // `trainOnFull`: codeword updates become the assignment-count-
+    // weighted means of the true per-cell residual distribution,
+    // removing sample-stride bias at the cost of one extra corpus
+    // scan per Lloyd pass (seed selection is unchanged, so model
+    // size — cells × m × nCodes — is identical either way).
     val codebook =
-      if (codebookIters > 0)
-        refineCodebook(samples.select("cell_id", "s", "r_sub"),
-          seedCodebook, codebookIters, sub)
-      else seedCodebook
+      if (codebookIters > 0) {
+        val train =
+          if (trainOnFull)
+            assigned
+              .select(col("cell_id"), posexplode(subvectors(col("residual"), m, sub)))
+              .select(col("cell_id"), col("pos").as("s"), col("col").as("r_sub"))
+          else samples.select("cell_id", "s", "r_sub")
+        refineCodebook(train, seedCodebook, codebookIters, sub)
+      } else seedCodebook
     // encode: one fused argmin pass per vector against its cell's
     // packed codebook (broadcast hash join on cell_id, fan-out 1)
     val cbPacked = codebook.groupBy("cell_id")

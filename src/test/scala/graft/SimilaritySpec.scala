@@ -122,6 +122,23 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect got).size >= 10, s"overlap ${(brute intersect got).size}/50")
   }
 
+  test("full-corpus codebook training keeps recall at equal model size") {
+    val brute = Similarity.bruteTopK(embeddings, col("vec_id") < 10, 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    def overlap(trainOnFull: Boolean): Int = {
+      val got = Similarity.annIvfPq(embeddings, col("vec_id") < 10, 5,
+        codebookIters = 1, trainOnFull = trainOnFull).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+      (brute intersect got).size
+    }
+    val sampled = overlap(trainOnFull = false)
+    val full = overlap(trainOnFull = true)
+    // identical seed, identical nCodes/m — only the Lloyd training set
+    // differs, so recall must not degrade when the codewords move to
+    // the true (count-weighted) per-cell means
+    assert(full >= sampled, s"full-trained recall $full < sampled $sampled")
+  }
+
   test("power iteration yields a unit component with a plausible eigenvalue") {
     val rows = Similarity.pcaTopComponent(embeddings, iters = 4).collect()
       .sortBy(_.getAs[Long]("dim_idx"))
