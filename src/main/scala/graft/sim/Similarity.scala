@@ -372,7 +372,8 @@ object Similarity {
     * the model does.
     */
   def pcaTopComponent(embeddings: DataFrame, iters: Int = 4,
-                      dim: Int = 64): DataFrame = {
+                      dim: Int = 64,
+                      persistCentered: Boolean = false): DataFrame = {
     def dimAvgs(df: DataFrame, of: Int => Column): Array[Double] = {
       val cols = (0 until dim).map(j => avg(of(j)).as(s"c$j"))
       val row = df.agg(cols.head, cols.tail: _*).head()
@@ -380,8 +381,20 @@ object Similarity {
     }
     def fLit(xs: Array[Double]) = array(xs.map(x => lit(x.toFloat)): _*)
     val mean = dimAvgs(embeddings, j => col("embedding").getItem(j))
-    val centered = embeddings
+    // `persistCentered` trades storage for scans: each iteration
+    // otherwise re-reads the source and recomputes `vec_sub`. At
+    // 100 TB the cache costs cluster-wide storage of roughly the
+    // input size (MEMORY_AND_DISK — spills, never recomputes), so
+    // the default stays off: the scan-per-iteration plan needs no
+    // storage budget and the iteration count is a small constant.
+    // Values are identical either way — the knob only moves where
+    // the centered rows come from.
+    val centered0 = embeddings
       .select(vec_sub(col("embedding"), fLit(mean)).as("x"))
+    val centered =
+      if (persistCentered)
+        centered0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else centered0
     var v = Array.tabulate(dim)(j => if (j == 0) 1.0 else 0.0)
     var rayleigh = 0.0
     for (_ <- 0 until iters) {
@@ -391,6 +404,7 @@ object Similarity {
       val norm = math.sqrt(av.map(x => x * x).sum)
       v = av.map(_ / norm)
     }
+    if (persistCentered) centered.unpersist(blocking = false)
     val piv = v.indices.maxBy(j => (math.abs(v(j)), -j))
     val signed = if (v(piv) < 0) v.map(-_) else v
     val spark = embeddings.sparkSession

@@ -155,6 +155,14 @@ class SimilaritySpec extends SparkSpec {
     assert(lambda >= trace / 64 - 1e-9 && lambda <= trace + 1e-9)
   }
 
+  test("persisted-centered power iteration is value-identical to the default") {
+    val a = Similarity.pcaTopComponent(embeddings, iters = 4)
+      .collect().map(_.toSeq)
+    val b = Similarity.pcaTopComponent(embeddings, iters = 4,
+      persistCentered = true).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("power iteration's Rayleigh quotient is monotone in iterations") {
     def lambdaAt(iters: Int): Double =
       Similarity.pcaTopComponent(embeddings, iters).head().getAs[Double]("eigenvalue")
