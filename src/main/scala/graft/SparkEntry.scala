@@ -441,6 +441,62 @@ object SparkEntry {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // fmix64 building blocks in HUGEINT limb arithmetic (same replay
+  // family as the MinHash oracle): xorshift-33 and 64x64 multiply
+  // mod 2^64 via 32-bit limbs.
+  private def xs33(h: String): String =
+    s"(CAST(xor(CAST(($h) // 4294967296 AS BIGINT), CAST((($h) // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296" +
+      s" + CAST(xor(CAST(($h) % 4294967296 AS BIGINT), CAST((($h) // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT))"
+  private def mul64(h: String, lo: Long, hi: Long): String =
+    s"((($h) % 4294967296) * $lo + (((($h) % 4294967296) * $hi + (($h) // 4294967296) * $lo) % 4294967296) * 4294967296)" +
+      " % 18446744073709551616"
+
+  /** LSH replay: the plane family is fmix64((t*64+p)*1000003 + j)
+    * >>> 11 mapped to [-1,1) — pure integer derivation, so DuckDB
+    * regenerates the 8x10x64 coefficients exactly; dots are
+    * sequential double folds in j order (bit-identical), sign bits
+    * pack the signature, query probes are the exact signature plus
+    * every 1-bit flip, then exact cosine rerank. */
+  private val simAnnLshSql: String =
+    s"""WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |pj AS (SELECT t.t, p.p, j.j,
+       |         CAST(CAST(t.t * 64 + p.p AS HUGEINT) * 1000003 + j.j AS HUGEINT) AS x
+       |       FROM (SELECT unnest(range(0, 8)) AS t) t
+       |       CROSS JOIN (SELECT unnest(range(0, 10)) AS p) p
+       |       CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+       |f1 AS (SELECT t, p, j, ${xs33("x")} AS s1 FROM pj),
+       |f2 AS (SELECT t, p, j, ${mul64("s1", 3981806797L, 4283543511L)} AS m1 FROM f1),
+       |f3 AS (SELECT t, p, j, ${xs33("m1")} AS s2 FROM f2),
+       |f4 AS (SELECT t, p, j, ${mul64("s2", 444984403L, 3301882366L)} AS m2 FROM f3),
+       |f5 AS (SELECT t, p, j, ${xs33("m2")} AS fx FROM f4),
+       |pc AS MATERIALIZED (SELECT t, p,
+       |        list(CAST(fx // 2048 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0 ORDER BY j) AS u
+       |      FROM f5 GROUP BY t, p),
+       |dots AS (SELECT c.vec_id, pc.t, pc.p,
+       |           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list_transform(range(1, 65), i -> c.emb[i] * pc.u[i])), (acc, x) -> acc + x) AS s
+       |         FROM corpus c CROSS JOIN pc),
+       |sigs AS MATERIALIZED (SELECT vec_id, t,
+       |          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+       |        FROM dots GROUP BY 1, 2),
+       |qsig AS (SELECT vec_id AS q_id, t, sig FROM sigs WHERE vec_id < 10),
+       |probes AS (SELECT q_id, t, sig AS psig FROM qsig
+       |           UNION ALL
+       |           SELECT q_id, t, xor(sig, (CAST(1 AS BIGINT) << b.b))
+       |           FROM qsig CROSS JOIN (SELECT unnest(range(0, 10)) AS b) b),
+       |cand AS (SELECT DISTINCT p.q_id, s.vec_id
+       |         FROM sigs s JOIN probes p ON p.t = s.t AND p.psig = s.sig
+       |         WHERE s.vec_id <> p.q_id),
+       |rer AS (SELECT c.q_id, c.vec_id,
+       |          round(list_cosine_similarity(q.emb, v.emb), 6) AS cos
+       |        FROM cand c JOIN corpus v ON v.vec_id = c.vec_id
+       |                    JOIN corpus q ON q.vec_id = c.q_id),
+       |ranked AS (SELECT q_id, vec_id, cos,
+       |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM rer)
+       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** PQ replay: row_number codebooks, sequential-sum L2 argmin
     * encode, per-query LUT, ascending-s ADC fold, top-50, rerank. */
   private val simPqSql: String =
@@ -1665,6 +1721,7 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     "dedup_minhash" -> minhashSelectSql,
     "dedup_keepers_near" -> keepersNearSql,
+    "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_ivf_kmeans" -> simIvfKmeansSql,
     "sim_pq" -> simPqSql,
