@@ -127,6 +127,10 @@ object SparkEntry {
       Sampling.stratifiedSampleAudit(Tables.documents(s, d)).orderBy("source")),
     "sample_temperature" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
+    // split on the near-dup keeper id so duplicate clusters never
+    // straddle the train/val boundary (contamination guard)
+    "sample_split_safe" -> ((s, d) =>
+      Sampling.leakageSafeSplit(Tables.documents(s, d)).orderBy("doc_id")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
@@ -356,7 +360,7 @@ object SparkEntry {
     """                    JOIN sizes zb ON doc_b = zb.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  private val keepersNearSql: String = minhashLshCte +
+  private val keepersNearCte: String = minhashLshCte +
     """                    JOIN sizes zb ON doc_b = zb.doc_id),
       |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
@@ -366,7 +370,18 @@ object SparkEntry {
       |       FROM edges e JOIN l1 l ON l.doc_id = e.doc_b GROUP BY 1),
       |l2 AS (SELECT l1.doc_id, least(l1.keep, coalesce(n2.nbr, l1.keep)) AS keep_doc_id
       |       FROM l1 LEFT JOIN n2 USING (doc_id))
-      |SELECT doc_id, keep_doc_id, doc_id = keep_doc_id AS is_kept FROM l2 ORDER BY doc_id""".stripMargin
+      |""".stripMargin
+
+  private val keepersNearSql: String = keepersNearCte +
+    "SELECT doc_id, keep_doc_id, doc_id = keep_doc_id AS is_kept FROM l2 ORDER BY doc_id"
+
+  /** Split on md5 of the propagated keeper id — the leakage-safe
+    * split's oracle shares the whole keeper-propagation replay. */
+  private val sampleSplitSafeSql: String = keepersNearCte +
+    """SELECT doc_id, keep_doc_id,
+      |       CASE WHEN substring(md5(CAST(keep_doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+      |            THEN 'val' ELSE 'train' END AS split
+      |FROM l2 ORDER BY doc_id""".stripMargin
 
   /** IVF replay: stride centroids, bit-exact cosine argmax
     * assignment (DuckDB list_cosine_similarity == sequential-double
@@ -1721,6 +1736,7 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     "dedup_minhash" -> minhashSelectSql,
     "dedup_keepers_near" -> keepersNearSql,
+    "sample_split_safe" -> sampleSplitSafeSql,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_ivf_kmeans" -> simIvfKmeansSql,

@@ -58,6 +58,20 @@ object Sampling {
           count(lit(1)), 4).as("kept_frac"))
   }
 
+  /** Leakage-safe train/val split: a val doc with a near-duplicate
+    * twin in train leaks the answer, so split assignment hashes the
+    * near-dup KEEPER id (the connected-component representative from
+    * [[graft.dedup.Dedup.nearDupKeepers]]), never the doc id — every
+    * member of a duplicate cluster lands in the same split by
+    * construction. Same distribution story as the keeper mapping
+    * itself: LSH-bucketed edges + bounded-iteration label
+    * propagation, then a pure per-row hash — no extra shuffle.
+    */
+  def leakageSafeSplit(documents: DataFrame, tau: Double = 0.9): DataFrame =
+    graft.dedup.Dedup.nearDupKeepers(documents, tau)
+      .select(col("doc_id"), col("keep_doc_id"),
+        hashSplit(col("keep_doc_id")).as("split"))
+
   /** Temperature-scaled mixture weights (the multilingual-sampling
     * trick: p_s ∝ n_s^α with α < 1 flattens the source distribution,
     * boosting low-resource sources without discarding high-resource

@@ -21,6 +21,27 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(bigTemp + smallTemp - 1.0) < 1e-3) // still a distribution
   }
 
+  test("leakage-safe split never separates a near-duplicate pair") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val split = Sampling.leakageSafeSplit(docs)
+    val byDoc = split.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keep_doc_id"), r.getAs[String]("split"))).toMap
+    assert(byDoc.size == docs.count())
+    // both splits are populated and keeper-hash determines membership
+    assert(byDoc.values.map(_._2).toSet == Set("train", "val"))
+    byDoc.foreach { case (_, (keeper, s)) =>
+      assert(s == byDoc(keeper)._2, s"doc and its keeper split apart") }
+    // every verified near-dup pair lands on one side of the boundary
+    val pairs = graft.dedup.Dedup.minhashLsh(docs, 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._2 == byDoc(b)._2, s"pair ($a,$b) straddles the split") }
+  }
+
   test("temperature shares sum to one on real data") {
     val rows = Sampling.temperatureMix(Tables.documents(spark, sf)).collect()
     assert(rows.nonEmpty)
