@@ -131,6 +131,9 @@ object SparkEntry {
     // straddle the train/val boundary (contamination guard)
     "sample_split_safe" -> ((s, d) =>
       Sampling.leakageSafeSplit(Tables.documents(s, d)).orderBy("doc_id")),
+    // exact-n deterministic sample via distributed top-n heaps
+    "sample_fixed_n" -> ((s, d) =>
+      Sampling.fixedSizeSample(Tables.documents(s, d), 20).orderBy("doc_id")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
@@ -1737,6 +1740,11 @@ object SparkEntry {
     "dedup_minhash" -> minhashSelectSql,
     "dedup_keepers_near" -> keepersNearSql,
     "sample_split_safe" -> sampleSplitSafeSql,
+    "sample_fixed_n" ->
+      """SELECT doc_id, source, h FROM (
+        |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents ORDER BY h LIMIT 20)
+        |ORDER BY doc_id""".stripMargin,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_ivf_kmeans" -> simIvfKmeansSql,

@@ -58,6 +58,22 @@ object Sampling {
           count(lit(1)), 4).as("kept_frac"))
   }
 
+  /** Exact-size deterministic sample: the n rows with the smallest
+    * md5(key) — a seedless reservoir any engine reproduces. Spark
+    * plans the ordered limit as TakeOrderedAndProject: every
+    * partition keeps a local n-row heap and only those heaps reach
+    * the driver — no global sort, no corpus shuffle, which is the
+    * only way "give me exactly n rows" scales to 100 TB (a
+    * rand()-based sample is approximate AND seed-coordinated; a full
+    * ORDER BY is a cluster-wide sort).
+    */
+  def fixedSizeSample(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"))
+      .limit(n)
+
   /** Leakage-safe train/val split: a val doc with a near-duplicate
     * twin in train leaks the answer, so split assignment hashes the
     * near-dup KEEPER id (the connected-component representative from

@@ -105,4 +105,14 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // 3-row query set
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(2000))
   }
+
+  test("fixed-size sample plans partial heaps, not a global sort") {
+    val plan = executed(graft.ops.Sampling.fixedSizeSample(
+      Tables.documents(spark, sf), 20))
+    // ordered limit = per-partition top-n merged on the driver; a
+    // Sort or an Exchange here would mean the corpus got sorted or
+    // shuffled to satisfy a 20-row result
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(countIn(plan, "Exchange") == 0, plan.take(2000))
+  }
 }

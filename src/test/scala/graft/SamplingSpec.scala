@@ -42,6 +42,18 @@ class SamplingSpec extends SparkSpec {
       assert(byDoc(a)._2 == byDoc(b)._2, s"pair ($a,$b) straddles the split") }
   }
 
+  test("fixed-size sample returns exactly the n smallest-hash rows") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.fixedSizeSample(docs, 20).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expected = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .collect().sortBy(_.getAs[String]("h")).take(20)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected && got.size == 20)
+  }
+
   test("temperature shares sum to one on real data") {
     val rows = Sampling.temperatureMix(Tables.documents(spark, sf)).collect()
     assert(rows.nonEmpty)
