@@ -200,7 +200,10 @@ object SparkEntry {
     "mm_dedup" -> ((s, d) =>
       Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
     // oracled: the 4-iteration power method replays exactly in SQL
-    // when every inter-iteration vector is REAL-cast (see embPcaSql)
+    // when every inter-iteration vector is REAL-cast (see embPcaSql).
+    // persistCentered stays off here: at bench SF the scan is cheap
+    // and caching only adds materialization cost (measured +13%);
+    // the knob pays off when the input re-read dominates
     "emb_pca" -> ((s, d) =>
       Similarity.pcaTopComponent(Tables.embeddings(s, d)).orderBy("dim_idx")),
     "emb_quantize" -> ((s, d) =>
