@@ -31,6 +31,36 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct counts stay inside HLL++ error bounds of exact") {
+    val exact = Relational.q7Distinct(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("n_parts"))).toMap
+    val approx = Relational.q7ApproxDistinct(spark, sf).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (orders, parts) = exact(r.getAs[String]("l_returnflag"))
+      // default rsd 0.05 → 3-sigma ≈ 15%; generous but meaningful
+      assert(math.abs(r.getAs[Long]("n_orders_approx") - orders).toDouble / orders < 0.15)
+      assert(math.abs(r.getAs[Long]("n_parts_approx") - parts).toDouble / parts < 0.15)
+    }
+  }
+
+  test("HLL sketch build-merge-estimate tracks the exact distinct count") {
+    val exact = Relational.q7Distinct(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_orders")).toMap
+    val est = Relational.q7HllSketch(spark, sf).collect()
+    assert(est.length == exact.size)
+    est.foreach { r =>
+      val n = exact(r.getAs[String]("l_returnflag"))
+      // the union of per-linestatus sketches estimates the same key
+      // set the exact count sees; DataSketches HLL at default lgK
+      // lands well within 5% at these cardinalities
+      val estimate = r.getAs[Long]("n_orders_est").toDouble
+      assert(math.abs(estimate - n) / n < 0.05,
+        s"${r.getAs[String]("l_returnflag")}: est $estimate vs exact $n")
+    }
+  }
+
   test("approx quantiles stay close to the exact percentiles") {
     val exact = Relational.q17Quantiles(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("p50")).toMap
