@@ -208,6 +208,10 @@ object SparkEntry {
       Similarity.pcaTopComponent(Tables.embeddings(s, d)).orderBy("dim_idx")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.embeddings(s, d)).orderBy("vec_id")),
+    // application half of emb_pca: fit once on the driver, project
+    // the whole corpus in one shuffle-free codegen'd scan
+    "emb_project" -> ((s, d) =>
+      Similarity.pcaProject(Tables.embeddings(s, d)).orderBy("vec_id")),
     "text_curate_labels" -> ((s, d) =>
       TextAnalysis.curateByLabel(Tables.documents(s, d), Tables.embeddings(s, d))
         .orderBy("label")),
@@ -743,7 +747,7 @@ object SparkEntry {
   /** Power-iteration replay, 4 unrolled iterations: centered
     * floats, sequential dot folds, REAL-cast v between iterations,
     * pivot-sign fix, 6dp rounding. */
-  private val embPcaSql: String =
+  private val embPcaCte: String =
     """WITH corpus AS (SELECT CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |js AS (SELECT unnest(range(1, 65)) AS j),
       |mean AS (SELECT list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY j) AS mu FROM (
@@ -800,10 +804,27 @@ object SparkEntry {
       |signed AS (SELECT CASE WHEN v[pj] < 0
       |                  THEN list_transform(v, x -> -x) ELSE v END AS v, rayleigh
       |           FROM piv)
-      |SELECT CAST(j.j - 1 AS BIGINT) AS dim_idx,
+      |""".stripMargin
+
+  private val embPcaSql: String = embPcaCte +
+    """SELECT CAST(j.j - 1 AS BIGINT) AS dim_idx,
       |       round(s.v[j.j] * 1000000) / 1000000 AS loading,
       |       round(s.rayleigh * 1000000) / 1000000 AS eigenvalue
       |FROM signed s CROSS JOIN js j ORDER BY dim_idx""".stripMargin
+
+  /** Projection tail on the shared power-iteration replay: center
+    * each vector with the REAL-cast mean, dot against the REAL-cast
+    * signed loadings in sequential j order (bit-identical to the
+    * codegen'd dot_ff over float literals), round 6dp. */
+  private val embProjectSql: String = embPcaCte +
+    """, centid AS (SELECT e.vec_id, list_transform(range(1, 65), i ->
+      |    CAST(CAST(CAST(e.embedding AS DOUBLE[])[i] - m.mu[i] AS REAL) AS DOUBLE)) AS x
+      |  FROM embeddings e CROSS JOIN mean m)
+      |SELECT c.vec_id,
+      |       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |         list_transform(range(1, 65), i -> c.x[i] * CAST(CAST(s.v[i] AS REAL) AS DOUBLE))),
+      |         (acc, x) -> acc + x), 6) AS proj
+      |FROM centid c CROSS JOIN signed s ORDER BY vec_id""".stripMargin
 
   /** DuckDB-runnable oracle per query (same column names, same
     * rounding, explicit ORDER BY).
@@ -1756,6 +1777,7 @@ object SparkEntry {
     "sim_ivfpq_kmeans" -> simIvfpqKmeansSql,
     "sim_ivfpq_full" -> simIvfpqFullSql,
     "emb_pca" -> embPcaSql,
+    "emb_project" -> embProjectSql,
     "mm_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -374,6 +374,36 @@ object Similarity {
   def pcaTopComponent(embeddings: DataFrame, iters: Int = 4,
                       dim: Int = 64,
                       persistCentered: Boolean = false): DataFrame = {
+    val (_, signed, rayleigh) = pcaFit(embeddings, iters, dim, persistCentered)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    signed.toSeq.zipWithIndex
+      .map { case (x, j) => (j.toLong, math.rint(x * 1e6) / 1e6,
+        math.rint(rayleigh * 1e6) / 1e6) }
+      .toDF("dim_idx", "loading", "eigenvalue")
+  }
+
+  /** Projection of every embedding onto the fitted top component —
+    * the application half of [[pcaTopComponent]] (score = x̄ · v).
+    * The model (mean + loadings, two d-vectors) is fit once on the
+    * driver and re-enters the plan as literals, so application is a
+    * single codegen'd scan with no shuffle at all: the 100 TB shape
+    * of "apply the reducer you just fit".
+    */
+  def pcaProject(embeddings: DataFrame, iters: Int = 4,
+                 dim: Int = 64): DataFrame = {
+    val (mean, v, _) = pcaFit(embeddings, iters, dim, persistCentered = false)
+    def fLit(xs: Array[Double]) = array(xs.map(x => lit(x.toFloat)): _*)
+    embeddings.select(col("vec_id"),
+      round(dot_ff(vec_sub(col("embedding"), fLit(mean)), fLit(v)), 6).as("proj"))
+  }
+
+  /** Power-iteration fit shared by [[pcaTopComponent]] and
+    * [[pcaProject]]: (per-dim mean, sign-fixed unit loadings,
+    * Rayleigh eigenvalue) — all driver-held d-vectors.
+    */
+  private def pcaFit(embeddings: DataFrame, iters: Int, dim: Int,
+                     persistCentered: Boolean): (Array[Double], Array[Double], Double) = {
     def dimAvgs(df: DataFrame, of: Int => Column): Array[Double] = {
       val cols = (0 until dim).map(j => avg(of(j)).as(s"c$j"))
       val row = df.agg(cols.head, cols.tail: _*).head()
@@ -407,12 +437,7 @@ object Similarity {
     if (persistCentered) centered.unpersist(blocking = false)
     val piv = v.indices.maxBy(j => (math.abs(v(j)), -j))
     val signed = if (v(piv) < 0) v.map(-_) else v
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    signed.toSeq.zipWithIndex
-      .map { case (x, j) => (j.toLong, math.rint(x * 1e6) / 1e6,
-        math.rint(rayleigh * 1e6) / 1e6) }
-      .toDF("dim_idx", "loading", "eigenvalue")
+    (mean, signed, rayleigh)
   }
 
   /** Lloyd refinement of per-(cell, subspace) PQ codebooks over the

@@ -155,6 +155,22 @@ class SimilaritySpec extends SparkSpec {
     assert(lambda >= trace / 64 - 1e-9 && lambda <= trace + 1e-9)
   }
 
+  test("pca projection is centered and carries the component's variance") {
+    val proj = Similarity.pcaProject(embeddings).collect()
+      .map(_.getAs[Double]("proj"))
+    assert(proj.length == embeddings.count())
+    val mean = proj.sum / proj.length
+    val variance = proj.map(p => (p - mean) * (p - mean)).sum / proj.length
+    val lambda = Similarity.pcaTopComponent(embeddings).collect()
+      .head.getAs[Double]("eigenvalue")
+    // projections of centered data have mean 0; their variance is the
+    // Rayleigh quotient the fit reported (exact at convergence, so
+    // allow the 4-iteration gap)
+    assert(math.abs(mean) < 1e-3, s"projection mean $mean")
+    assert(math.abs(variance - lambda) / lambda < 0.05,
+      s"projection variance $variance vs eigenvalue $lambda")
+  }
+
   test("persisted-centered power iteration is value-identical to the default") {
     val a = Similarity.pcaTopComponent(embeddings, iters = 4)
       .collect().map(_.toSeq)
