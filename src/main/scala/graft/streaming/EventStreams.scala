@@ -27,6 +27,11 @@ case class RetentionState(cohortDay: Long, weeks: Seq[Long])
 case class RetentionHit(user_id: Long, cohort_week: java.sql.Date,
                         week_offset: Long, week_day: Long)
 
+/** One heavy-hitter counter emission: the Misra-Gries estimate of
+  * `token`'s count inside its state bucket as of this trigger.
+  */
+case class HeavyHitter(bucket: Int, token: String, cnt: Long)
+
 /** Streaming twin of [[graft.ops.Events.funnel]]: per-user ordered
   * stage progression (signup → click → purchase) as keyed state,
   * emitted on change. Within a micro-batch events fold in event-time
@@ -116,6 +121,56 @@ object EventStreams {
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(foldGroup)
+  }
+
+  /** Streaming heavy hitters: the streaming twin of the batch
+    * `freq_items` Misra-Gries aggregate. Tokens shard into `buckets`
+    * state groups by portable hash; each group holds at most
+    * `capacity` counters maintained with the MG decrement rule, so
+    * TOTAL state is buckets × capacity counters no matter the token
+    * cardinality or how long the stream runs — the only way "what's
+    * trending" survives an unbounded vocabulary at 100 TB/day. Each
+    * trigger re-emits the group's refreshed summary (Update mode);
+    * consumers take top-k by count across buckets. Same guarantee as
+    * the batch sketch: per-bucket undercount ≤ N_bucket/capacity,
+    * exact whenever capacity exceeds the bucket's true distinct
+    * count.
+    */
+  def heavyHittersState(tokens: DataFrame, buckets: Int = 16,
+                        capacity: Int = 64)
+                       (implicit spark: SparkSession): Dataset[HeavyHitter] = {
+    import spark.implicits._
+    tokens
+      .select(pmod(xxhash64(col("token")), lit(buckets)).cast("int").as("bucket"),
+        col("token"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        foldHeavyHitters(capacity))
+  }
+
+  private def foldHeavyHitters(capacity: Int)(
+      bucket: Int, rows: Iterator[(Int, String)],
+      state: GroupState[Map[String, Long]]): Iterator[HeavyHitter] = {
+    val buf = scala.collection.mutable.HashMap.empty[String, Long]
+    state.getOption.foreach(buf ++= _)
+    def add(key: String, n: Long): Unit = buf.get(key) match {
+      case Some(c) => buf.update(key, c + n)
+      case None =>
+        if (buf.size < capacity) buf.update(key, n)
+        else {
+          // MG decrement: charge every counter by min(n, smallest),
+          // evict zeros — identical to the batch aggregate's rule
+          val dec = math.min(n, buf.valuesIterator.min)
+          buf.mapValuesInPlace((_, c) => c - dec)
+          buf.filterInPlace((_, c) => c > 0)
+          if (n > dec && buf.size < capacity) buf.update(key, n - dec)
+        }
+    }
+    rows.foreach(r => add(r._2, 1L))
+    state.update(buf.toMap)
+    buf.toSeq.sortBy { case (t, c) => (-c, t) }
+      .map { case (t, c) => HeavyHitter(bucket, t, c) }.iterator
   }
 
   /** Streaming twin of [[graft.ops.Events.anomaly]]: score a live

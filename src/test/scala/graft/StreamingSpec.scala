@@ -446,4 +446,72 @@ class StreamingSpec extends SparkSpec {
     // the out-of-window click never joins
     assert(!rows.exists(_._2.contains(11L)))
   }
+
+  test("streaming heavy hitters converge to exact counts at ample capacity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, explode, split}
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val tokens = Tables.documents(spark, sf).limit(100)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .as[String].collect()
+    val (b1, b2) = tokens.splitAt(tokens.length / 2)
+    val input = MemoryStream[String]
+    val hh = graft.streaming.EventStreams.heavyHittersState(
+      input.toDF().select(col("value").as("token")), buckets = 4, capacity = 4096)
+    val q = hh.toDF().writeStream.format("memory").queryName("hhx")
+      .outputMode("update").start()
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // exact regime: counters only grow, so the last (= max) emission
+    // per token is the final state
+    val streamed = spark.table("hhx").groupBy("token")
+      .agg(org.apache.spark.sql.functions.max("cnt").as("cnt"))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Long]("cnt")).toMap
+    val exact = tokens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(streamed == exact)
+  }
+
+  test("streaming heavy hitters keep bounded state with the MG guarantee") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    // skewed stream: two dominant tokens + a long tail, one batch so
+    // the single trigger's emissions ARE the final summaries
+    val tokens = (Seq.fill(400)("hot1") ++ Seq.fill(300)("hot2") ++
+      (1 to 300).map(i => s"tail$i")).toIndexedSeq
+    val capacity = 16
+    val input = MemoryStream[String]
+    val hh = graft.streaming.EventStreams.heavyHittersState(
+      input.toDF().select(col("value").as("token")), buckets = 4, capacity = capacity)
+    val q = hh.toDF().writeStream.format("memory").queryName("hhb")
+      .outputMode("update").start()
+    try { input.addData(tokens); q.processAllAvailable() } finally q.stop()
+    val emitted = spark.table("hhb").collect()
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[String]("token")) ->
+        r.getAs[Long]("cnt")).toMap
+    // same bucketing the operator applies
+    val bucketOf = tokens.distinct.toDF("token")
+      .select(col("token"), pmod(xxhash64(col("token")), lit(4)).cast("int").as("b"))
+      .collect().map(r => r.getAs[String]("token") -> r.getAs[Int]("b")).toMap
+    val trueCounts = tokens.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bucketN = tokens.groupBy(bucketOf).view.mapValues(_.length.toLong).toMap
+    // bounded state: no bucket summary exceeds capacity
+    emitted.keys.groupBy(_._1).foreach { case (_, ks) =>
+      assert(ks.size <= capacity) }
+    emitted.foreach { case ((b, t), est) =>
+      assert(est <= trueCounts(t), s"$t overcounted: $est > ${trueCounts(t)}")
+      assert(trueCounts(t) - est <= bucketN(b) / capacity,
+        s"$t undercount beyond the MG bound") }
+    // every token more frequent than N_bucket/capacity must survive
+    trueCounts.foreach { case (t, n) =>
+      val b = bucketOf(t)
+      if (n > bucketN(b) / capacity)
+        assert(emitted.contains((b, t)), s"frequent token $t evicted") }
+  }
 }
