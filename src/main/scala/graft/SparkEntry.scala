@@ -62,6 +62,9 @@ object SparkEntry {
       graft.ops.Events.rollingActives(Tables.events(s, d)).orderBy("day")),
     "events_markov" -> ((s, d) =>
       graft.ops.Events.markov(Tables.events(s, d)).orderBy("prev_type", "next_type")),
+    // z-normalized sliding-window pattern similarity per series
+    "events_ts_match" -> ((s, d) =>
+      graft.ops.Events.tsMatch(Tables.events(s, d)).orderBy("event_type", "rank")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -1724,6 +1727,43 @@ object SparkEntry {
         |       round(CAST(n AS DOUBLE)
         |             / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    // sequential-fold replay of the z-normalized window distance:
+    // the pattern's z-norm is re-derived in SQL with the same
+    // left-to-right folds the Scala driver uses, windows ordered by
+    // (epoch_us, event_id) to mirror the micro-precision ts
+    "events_ts_match" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS tus, value FROM events),
+        |win AS (SELECT event_type, event_id,
+        |          list(value) OVER (PARTITION BY event_type ORDER BY tus, event_id
+        |                            ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+        |        FROM ev),
+        |qz AS (SELECT list_transform(q, x -> (x - qm) / qsd) AS zq FROM (
+        |         SELECT q, qm,
+        |                sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                  list_transform(q, x -> (x - qm) * (x - qm))),
+        |                  (acc, x) -> acc + x) / 8.0) AS qsd
+        |         FROM (SELECT q, list_reduce(list_prepend(CAST(0.0 AS DOUBLE), q),
+        |                 (acc, x) -> acc + x) / 8.0 AS qm
+        |               FROM (SELECT [0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0] AS q)))),
+        |stats AS (SELECT event_type, event_id, w, m,
+        |            sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |              list_transform(w, x -> (x - m) * (x - m))),
+        |              (acc, x) -> acc + x) / 8.0) AS sd
+        |          FROM (SELECT event_type, event_id, w,
+        |                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), w),
+        |                    (acc, x) -> acc + x) / 8.0 AS m
+        |                FROM win WHERE len(w) = 8)),
+        |scored AS (SELECT s.event_type, s.event_id,
+        |             round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |               list_transform(range(1, 9), i ->
+        |                 ((s.w[i] - s.m) / s.sd - z.zq[i]) * ((s.w[i] - s.m) / s.sd - z.zq[i]))),
+        |               (acc, x) -> acc + x)), 6) AS dist
+        |           FROM stats s CROSS JOIN qz z WHERE s.sd > 0),
+        |ranked AS (SELECT event_type, event_id, dist,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY dist, event_id) AS rank
+        |           FROM scored)
+        |SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, dist
+        |FROM ranked WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "text_boilerplate" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS seg

@@ -136,6 +136,54 @@ object Events {
     * map-side. The same shape serves streaming scoring: the model
     * frame becomes a periodically refreshed broadcast.
     */
+  /** Z-normalized sliding-window pattern match over per-type value
+    * series — the subsequence-similarity primitive of time-series
+    * search (UCR-style), as ONE window pass: every length-L window
+    * of each series is z-normalized and scored by Euclidean distance
+    * against the z-normalized query pattern, so matches are invariant
+    * to the series' offset and amplitude. Cost model for 100 TB: one
+    * shuffle on the series key, L doubles of frame state per row (L
+    * is a model constant), a codegen'd fold per window, and the
+    * native TopKPerKey bounded heaps for selection — no global sort,
+    * nothing quadratic. Windows with zero variance (flat) cannot be
+    * z-normalized and are excluded, same as UCR.
+    */
+  def tsMatch(events: DataFrame,
+              pattern: Seq[Double] = Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0),
+              k: Int = 5): DataFrame = {
+    val L = pattern.length
+    // z-normalize the pattern with the same sequential folds the
+    // oracle replays (left-to-right IEEE order — bit-identical)
+    val pm = pattern.foldLeft(0.0)(_ + _) / L
+    val psd = math.sqrt(
+      pattern.foldLeft(0.0)((a, x) => a + (x - pm) * (x - pm)) / L)
+    val zq = array(pattern.map(x => lit((x - pm) / psd)): _*)
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(L - 1), Window.currentRow)
+    val scored = events
+      .select(col("event_type"), col("event_id"),
+        collect_list(col("value")).over(w).as("win"))
+      .filter(size(col("win")) === L)
+      .withColumn("m",
+        aggregate(col("win"), lit(0.0), (a, x) => a + x) / lit(L.toDouble))
+      .withColumn("sd",
+        sqrt(aggregate(col("win"), lit(0.0),
+          (a, x) => a + (x - col("m")) * (x - col("m"))) / lit(L.toDouble)))
+      .filter(col("sd") > 0)
+      .withColumn("dist",
+        round(sqrt(aggregate(
+          zip_with(col("win"), zq, (x, q) =>
+            ((x - col("m")) / col("sd") - q) * ((x - col("m")) / col("sd") - q)),
+          lit(0.0), (a, y) => a + y)), 6))
+    val top = graft.plans.TopK.perKey(
+      scored.select("event_type", "event_id", "dist"),
+      Seq("event_type"), Seq(col("dist").asc, col("event_id").asc), k)
+    val rw = Window.partitionBy("event_type")
+      .orderBy(col("dist").asc, col("event_id").asc)
+    top.withColumn("rank", row_number().over(rw).cast("long"))
+      .select("event_type", "rank", "event_id", "dist")
+  }
+
   def anomaly(events: DataFrame, tau: Double = 2.0): DataFrame = {
     val model = events.groupBy("event_type")
       .agg(round(avg("value"), 6).as("mu"),

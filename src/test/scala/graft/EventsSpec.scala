@@ -115,4 +115,38 @@ class EventsSpec extends SparkSpec {
     // every surviving row really deviates ≥ 2 sigma, per its own type
     assert(out.forall(r => math.abs(r.getAs[Double]("z")) >= 1.999))
   }
+
+  test("ts match finds a scaled+shifted copy of the pattern at distance 0") {
+    import spark.implicits._
+    val pattern = Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0)
+    // 30-point series: varied noise, with 100 + 7*pattern planted at
+    // positions 10..17 — z-normalization must erase the offset/scale
+    val values = (0 until 30).map {
+      case i if i >= 10 && i <= 17 => 100.0 + 7.0 * pattern(i - 10)
+      case i => (i % 7) * 3.0 + (i % 3)
+    }
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i.toLong, i.toLong, "sig", v) }
+      .toDF("event_id", "secs", "event_type", "value")
+      .select(col("event_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val out = Events.tsMatch(df, pattern, k = 3).collect()
+    val best = out.find(_.getAs[Long]("rank") == 1L).get
+    // the window ENDING at position 17 is the planted copy
+    assert(best.getAs[Long]("event_id") == 17L)
+    assert(best.getAs[Double]("dist") == 0.0)
+    // and nothing else matches exactly
+    assert(out.count(_.getAs[Double]("dist") == 0.0) == 1)
+  }
+
+  test("ts match on real data is dense-ranked per type with sane distances") {
+    val out = Events.tsMatch(Tables.events(spark, sf)).collect()
+    val byType = out.groupBy(_.getAs[String]("event_type"))
+    assert(byType.nonEmpty)
+    byType.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+      rows.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
+    }
+  }
 }
