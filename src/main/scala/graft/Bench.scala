@@ -86,8 +86,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$slowest,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
     }
-    val summary = (10 to 0 by -1).map(summaryLine).find(_.length < 1800)
-      .getOrElse(summaryLine(0))
+    val summary = (10 to 0 by -1).view.map(summaryLine)
+      .find(_.length < 1800).getOrElse(summaryLine(0))
     // stop Spark BEFORE printing: any WARN emitted on stdout during
     // shutdown would otherwise land after the summary and displace it
     // from the driver's last-line capture slot

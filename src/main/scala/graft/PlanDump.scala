@@ -36,7 +36,17 @@ object PlanDump {
     spark.stop()
   }
 
-  /** Scrub run-dependent tokens so snapshots diff cleanly. */
+  /** Scrub run-dependent tokens so snapshots diff cleanly.
+    *
+    * Known residual sensitivity: multi-distinct aggregates (Expand +
+    * gid) pair columns to group ids in exprId-allocation order, so
+    * registering a new query BEFORE one of these in SparkEntry can
+    * flip the pairing (see q7_distinct). The flip is semantically
+    * neutral — same groups, same exchanges — and spans several line
+    * kinds (Expand arguments, aggregate keys, partitioning), so it
+    * is re-pinned when it happens rather than normalized away, which
+    * would risk masking real plan changes.
+    */
   def normalize(plan: String): String = plan
     .replaceAll("#\\d+L?", "#x")
     .replaceAll("\\bx_\\d+", "x_N") // lambda-variable counters are per-session

@@ -564,31 +564,12 @@ object SparkEntry {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** IVF-PQ replay: float residuals (REAL-cast double-rounding is
-    * exact), per-cell codebooks, residual ADC inside probed cells. */
-  private val simIvfpqSql: String =
-    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
-      |asg AS (SELECT vec_id, cell_id, emb, c_emb FROM (
-      |          SELECT c.vec_id, n.cell_id, c.emb, n.c_emb,
-      |                 row_number() OVER (PARTITION BY c.vec_id
-      |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
-      |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1),
-      |assigned AS (SELECT vec_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS residual FROM asg),
-      |subs AS (SELECT unnest(range(0, 8)) AS s),
-      |cbraw AS (SELECT a.vec_id AS cb_vec, a.cell_id, s.s,
-      |            list_slice(a.residual, s.s*8+1, s.s*8+8) AS c_sub
-      |          FROM assigned a CROSS JOIN subs s WHERE a.vec_id % 5 = 0),
-      |cb AS (SELECT cell_id, s, code, c_sub FROM (
-      |         SELECT cell_id, s, c_sub,
-      |                row_number() OVER (PARTITION BY cell_id, s ORDER BY cb_vec) AS code
-      |         FROM cbraw) WHERE code <= 16),
-      |enc AS (SELECT vec_id, cell_id, s, code FROM (
-      |          SELECT a.vec_id, a.cell_id, b.s, b.code,
-      |                 row_number() OVER (PARTITION BY a.vec_id, b.s
-      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
-      |          FROM assigned a JOIN cb b USING (cell_id)) WHERE rn = 1),
-      |queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+  /** Shared probe/LUT/ADC/candidate/rerank tail of the three
+    * IVF-PQ oracle variants — one copy, so a fix cannot
+    * de-synchronize them. */
+  private val ivfpqProbeTailSql: String =
+    """queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+
       |probed AS (SELECT q_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((q_emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS q_res FROM (
       |             SELECT q.q_id, n.cell_id, q.q_emb, n.c_emb,
       |                    row_number() OVER (PARTITION BY q.q_id
@@ -616,6 +597,32 @@ object SparkEntry {
       |           FROM rer)
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** IVF-PQ replay: float residuals (REAL-cast double-rounding is
+    * exact), per-cell codebooks, residual ADC inside probed cells. */
+  private val simIvfpqSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
+      |asg AS (SELECT vec_id, cell_id, emb, c_emb FROM (
+      |          SELECT c.vec_id, n.cell_id, c.emb, n.c_emb,
+      |                 row_number() OVER (PARTITION BY c.vec_id
+      |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1),
+      |assigned AS (SELECT vec_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS residual FROM asg),
+      |subs AS (SELECT unnest(range(0, 8)) AS s),
+      |cbraw AS (SELECT a.vec_id AS cb_vec, a.cell_id, s.s,
+      |            list_slice(a.residual, s.s*8+1, s.s*8+8) AS c_sub
+      |          FROM assigned a CROSS JOIN subs s WHERE a.vec_id % 5 = 0),
+      |cb AS (SELECT cell_id, s, code, c_sub FROM (
+      |         SELECT cell_id, s, c_sub,
+      |                row_number() OVER (PARTITION BY cell_id, s ORDER BY cb_vec) AS code
+      |         FROM cbraw) WHERE code <= 16),
+      |enc AS (SELECT vec_id, cell_id, s, code FROM (
+      |          SELECT a.vec_id, a.cell_id, b.s, b.code,
+      |                 row_number() OVER (PARTITION BY a.vec_id, b.s
+      |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
+      |          FROM assigned a JOIN cb b USING (cell_id)) WHERE rn = 1),
+      |""".stripMargin + ivfpqProbeTailSql
 
   /** IVF-PQ + 1 Lloyd pass over the residual-sample codebooks
     * (argmin reassign, per-dim REAL means, empty codewords drop). */
@@ -652,34 +659,7 @@ object SparkEntry {
       |                 row_number() OVER (PARTITION BY a.vec_id, b.s
       |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
       |          FROM assigned a JOIN cb b USING (cell_id)) WHERE rn = 1),
-      |queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
-      |probed AS (SELECT q_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((q_emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS q_res FROM (
-      |             SELECT q.q_id, n.cell_id, q.q_emb, n.c_emb,
-      |                    row_number() OVER (PARTITION BY q.q_id
-      |                      ORDER BY list_cosine_similarity(q.q_emb, n.c_emb) DESC, n.cell_id) AS rn
-      |             FROM queries q CROSS JOIN cents n) WHERE rn <= 2),
-      |lut AS (SELECT p.q_id, p.cell_id, b.s, b.code,
-      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x) AS d
-      |        FROM probed p JOIN cb b USING (cell_id)),
-      |adist AS (SELECT l.q_id, e.vec_id,
-      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
-      |              (acc, x) -> acc + x) AS adist
-      |          FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s AND l.code = e.code
-      |          WHERE e.vec_id <> l.q_id
-      |          GROUP BY 1, 2 HAVING count(*) = 8),
-      |cand AS (SELECT q_id, vec_id FROM (
-      |           SELECT q_id, vec_id,
-      |                  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
-      |           FROM adist) WHERE rn <= 50),
-      |rer AS (SELECT c.q_id, c.vec_id,
-      |          round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cos
-      |        FROM cand c JOIN corpus v ON v.vec_id = c.vec_id
-      |                    JOIN queries q ON q.q_id = c.q_id),
-      |ranked AS (SELECT q_id, vec_id, cos,
-      |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-      |           FROM rer)
-      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      |""".stripMargin + ivfpqProbeTailSql
 
   /** IVF-PQ + 1 Lloyd pass trained on EVERY per-cell residual
     * subvector (count-weighted means of the true distribution);
@@ -718,34 +698,7 @@ object SparkEntry {
       |                 row_number() OVER (PARTITION BY a.vec_id, b.s
       |                   ORDER BY list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(a.residual, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x), b.code) AS rn
       |          FROM assigned a JOIN cb b USING (cell_id)) WHERE rn = 1),
-      |queries AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
-      |probed AS (SELECT q_id, cell_id, list_transform(range(1, 65), i -> CAST(CAST((q_emb)[i] - (c_emb)[i] AS REAL) AS DOUBLE)) AS q_res FROM (
-      |             SELECT q.q_id, n.cell_id, q.q_emb, n.c_emb,
-      |                    row_number() OVER (PARTITION BY q.q_id
-      |                      ORDER BY list_cosine_similarity(q.q_emb, n.c_emb) DESC, n.cell_id) AS rn
-      |             FROM queries q CROSS JOIN cents n) WHERE rn <= 2),
-      |lut AS (SELECT p.q_id, p.cell_id, b.s, b.code,
-      |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]) * ((list_slice(p.q_res, b.s*8+1, b.s*8+8))[i] - (b.c_sub)[i]))), (acc, x) -> acc + x) AS d
-      |        FROM probed p JOIN cb b USING (cell_id)),
-      |adist AS (SELECT l.q_id, e.vec_id,
-      |            list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l.d ORDER BY l.s)),
-      |              (acc, x) -> acc + x) AS adist
-      |          FROM enc e JOIN lut l ON l.cell_id = e.cell_id AND l.s = e.s AND l.code = e.code
-      |          WHERE e.vec_id <> l.q_id
-      |          GROUP BY 1, 2 HAVING count(*) = 8),
-      |cand AS (SELECT q_id, vec_id FROM (
-      |           SELECT q_id, vec_id,
-      |                  row_number() OVER (PARTITION BY q_id ORDER BY adist, vec_id) AS rn
-      |           FROM adist) WHERE rn <= 50),
-      |rer AS (SELECT c.q_id, c.vec_id,
-      |          round(list_cosine_similarity(q.q_emb, v.emb), 6) AS cos
-      |        FROM cand c JOIN corpus v ON v.vec_id = c.vec_id
-      |                    JOIN queries q ON q.q_id = c.q_id),
-      |ranked AS (SELECT q_id, vec_id, cos,
-      |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-      |           FROM rer)
-      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
-      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+      |""".stripMargin + ivfpqProbeTailSql
 
   /** Power-iteration replay, 4 unrolled iterations: centered
     * floats, sequential dot folds, REAL-cast v between iterations,

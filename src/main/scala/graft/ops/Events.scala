@@ -157,6 +157,8 @@ object Events {
     val pm = pattern.foldLeft(0.0)(_ + _) / L
     val psd = math.sqrt(
       pattern.foldLeft(0.0)((a, x) => a + (x - pm) * (x - pm)) / L)
+    require(psd > 0,
+      s"pattern has zero variance ($pattern) — a constant pattern cannot be z-normalized")
     val zq = array(pattern.map(x => lit((x - pm) / psd)): _*)
     val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
       .rowsBetween(-(L - 1), Window.currentRow)

@@ -77,14 +77,20 @@ object Sampling {
   /** Leakage-safe train/val split: a val doc with a near-duplicate
     * twin in train leaks the answer, so split assignment hashes the
     * near-dup KEEPER id (the connected-component representative from
-    * [[graft.dedup.Dedup.nearDupKeepers]]), never the doc id — every
-    * member of a duplicate cluster lands in the same split by
-    * construction. Same distribution story as the keeper mapping
-    * itself: LSH-bucketed edges + bounded-iteration label
+    * [[graft.dedup.Dedup.nearDupKeepers]]), never the doc id. Every
+    * duplicate cluster whose propagation radius fits in `iters`
+    * label-propagation rounds — in particular the (near-)cliques LSH
+    * banding produces — lands in one split. A similarity CHAIN
+    * longer than `iters` hops can still assign distinct keepers to
+    * its far ends (the keeper mapping is conservative by design, see
+    * nearDupKeepers), so corpora where long chains are expected
+    * should raise `iters`. Same distribution story as the keeper
+    * mapping itself: LSH-bucketed edges + bounded-iteration label
     * propagation, then a pure per-row hash — no extra shuffle.
     */
-  def leakageSafeSplit(documents: DataFrame, tau: Double = 0.9): DataFrame =
-    graft.dedup.Dedup.nearDupKeepers(documents, tau)
+  def leakageSafeSplit(documents: DataFrame, tau: Double = 0.9,
+                       iters: Int = 2): DataFrame =
+    graft.dedup.Dedup.nearDupKeepers(documents, tau, iters)
       .select(col("doc_id"), col("keep_doc_id"),
         hashSplit(col("keep_doc_id")).as("split"))
 

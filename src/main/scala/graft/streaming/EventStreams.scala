@@ -139,6 +139,8 @@ object EventStreams {
   def heavyHittersState(tokens: DataFrame, buckets: Int = 16,
                         capacity: Int = 64)
                        (implicit spark: SparkSession): Dataset[HeavyHitter] = {
+    require(buckets > 0 && capacity > 0,
+      s"buckets ($buckets) and capacity ($capacity) must be positive")
     import spark.implicits._
     tokens
       .select(pmod(xxhash64(col("token")), lit(buckets)).cast("int").as("bucket"),
@@ -242,6 +244,8 @@ object EventStreams {
                            windowSec: Long,
                            leftOuter: Boolean = false,
                            watermark: String = "10 minutes"): DataFrame = {
+    require(keys.nonEmpty,
+      "keys must be non-empty — for a keyless trailing-window join use bandedRangeJoinStream")
     val shared = left.columns.toSet.intersect(right.columns.toSet)
     require(shared.isEmpty,
       s"rename the right side first — both sides have: ${shared.mkString(", ")}")

@@ -43,13 +43,17 @@ class SourcesSpec extends SparkSpec {
     val cl = Changelog.fromEvents(Tables.events(spark, sf)).limit(200)
     val lines = ChangelogSource.toJsonLines(cl).as[String].collect()
     val input = MemoryStream[String]
-    // dress the raw lines up exactly as spark's kafka source would
-    val wire = input.toDF()
-      .select(lit(null).cast("binary").as("key"),
-        encode(col("value"), "UTF-8").as("value"),
-        lit("changelog").as("topic"), lit(0).as("partition"),
-        lit(0L).as("offset"), current_timestamp().as("timestamp"),
-        lit(0).as("timestampType"))
+    // dress the raw lines up exactly as spark's kafka source would —
+    // casting onto the published wire schema pins its column set
+    val wire = ChangelogSource.kafkaWireSchema.fields.foldLeft(
+      input.toDF()
+        .select(lit(null).cast("binary").as("key"),
+          encode(col("value"), "UTF-8").as("value"),
+          lit("changelog").as("topic"), lit(0).as("partition"),
+          lit(0L).as("offset"), current_timestamp().as("timestamp"),
+          lit(0).as("timestampType"))) { (df, f) =>
+      df.withColumn(f.name, col(f.name).cast(f.dataType))
+    }
     val routed = Changelog.ftsRoute(ChangelogSource.fromKafka(wire))
     val q = routed.writeStream.format("memory").queryName("kafkafts").start()
     try { input.addData(lines.toIndexedSeq); q.processAllAvailable() } finally q.stop()
