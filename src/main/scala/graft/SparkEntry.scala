@@ -137,6 +137,9 @@ object SparkEntry {
     // exact-n deterministic sample via distributed top-n heaps
     "sample_fixed_n" -> ((s, d) =>
       Sampling.fixedSizeSample(Tables.documents(s, d), 20).orderBy("doc_id")),
+    // materialized temperature mix: per-source nibble thresholds
+    "sample_mix_apply" -> ((s, d) =>
+      Sampling.temperatureApply(Tables.documents(s, d)).orderBy("doc_id")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
@@ -1649,6 +1652,19 @@ object SparkEntry {
         |       min(q_bp) AS min_q_bp
         |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+    "sample_mix_apply" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |b AS (SELECT source,
+        |        round((pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ())
+        |              / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)
+        |          AS boost
+        |      FROM c),
+        |r AS (SELECT source,
+        |        least(16, CAST(floor(16.0 * 0.5 * boost) AS INT)) AS rate16 FROM b)
+        |SELECT d.doc_id, d.source, r.rate16,
+        |       (strpos('0123456789abcdef',
+        |               substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 < r.rate16) AS kept
+        |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
     "sample_temperature" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
         |SELECT source, n_docs,

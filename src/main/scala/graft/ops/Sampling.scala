@@ -94,6 +94,27 @@ object Sampling {
       .select(col("doc_id"), col("keep_doc_id"),
         hashSplit(col("keep_doc_id")).as("split"))
 
+  /** Materialize the temperature mix deterministically: per-source
+    * keep thresholds in sixteenths of the md5 nibble space, derived
+    * from the temperature boost (rate_s = budget × boost_s capped at
+    * 1) — the step between COMPUTING mixture weights
+    * ([[temperatureMix]]) and actually emitting the mixed corpus.
+    * Keep/drop is a pure function of (source counts, doc_id hash):
+    * no sampling state, identical output at any parallelism, and the
+    * 16-level quantization makes every realized rate an auditable
+    * integer. The rates table is |sources| rows — a broadcast.
+    */
+  def temperatureApply(documents: DataFrame, alpha: Double = 0.5,
+                       budget: Double = 0.5): DataFrame = {
+    val rates = temperatureMix(documents, alpha)
+      .select(col("source"),
+        least(lit(16),
+          floor(lit(16.0) * lit(budget) * col("boost")).cast("int")).as("rate16"))
+    documents.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("rate16"),
+        (stratumNibble(col("doc_id")) < col("rate16")).as("kept"))
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-sampling
     * trick: p_s ∝ n_s^α with α < 1 flattens the source distribution,
     * boosting low-resource sources without discarding high-resource

@@ -54,6 +54,24 @@ class SamplingSpec extends SparkSpec {
     assert(got == expected && got.size == 20)
   }
 
+  test("temperature apply boosts small sources and realizes its own rates") {
+    import spark.implicits._
+    val docs = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (901 to 1000).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val out = Sampling.temperatureApply(docs).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    val rate = bySource.view.mapValues(_.head.getAs[Int]("rate16")).toMap
+    // α=0.5 flattening: the small source keeps a larger fraction
+    assert(rate("small") > rate("big"))
+    // the realized keep fraction tracks the declared rate16/16 —
+    // md5 nibbles are uniform, so allow sampling noise
+    bySource.foreach { case (src, rows) =>
+      val kept = rows.count(_.getAs[Boolean]("kept")).toDouble / rows.length
+      assert(math.abs(kept - rate(src) / 16.0) < 0.11,
+        s"$src realized $kept vs declared ${rate(src) / 16.0}")
+    }
+  }
+
   test("temperature shares sum to one on real data") {
     val rows = Sampling.temperatureMix(Tables.documents(spark, sf)).collect()
     assert(rows.nonEmpty)
