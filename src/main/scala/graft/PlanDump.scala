@@ -49,7 +49,7 @@ object PlanDump {
     */
   def normalize(plan: String): String = plan
     .replaceAll("#\\d+L?", "#x")
-    .replaceAll("\\bx_\\d+", "x_N") // lambda-variable counters are per-session
+    .replaceAll("\\b([a-z])_\\d+", "$1_N") // lambda-variable counters are per-session
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@x") // JVM identity
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("file:[^\\s\\],)]*", "PATH")

@@ -158,6 +158,8 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5, col("doc_id") < 300).orderBy("doc_a", "doc_b")),
     "dedup_keepers" -> ((s, d) => Dedup.exactKeepers(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_keepers_near" -> ((s, d) => Dedup.nearDupKeepers(Tables.documents(s, d), 0.9).orderBy("doc_id")),
+    // quality-weighted keeper election: clusters keep their BEST doc
+    "dedup_keepers_best" -> ((s, d) => Dedup.nearDupKeepersBest(Tables.documents(s, d), 0.9).orderBy("doc_id")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")),
     "dedup_simhash" -> ((s, d) =>
@@ -390,6 +392,33 @@ object SparkEntry {
 
   private val keepersNearSql: String = keepersNearCte +
     "SELECT doc_id, keep_doc_id, doc_id = keep_doc_id AS is_kept FROM l2 ORDER BY doc_id"
+
+  /** Quality-weighted keeper replay: same LSH edges as the min-label
+    * operator, but propagation maximizes the packed (q_bp, ~doc_id)
+    * BIGINT label; quality is the curate formula's integer basis
+    * points from the shared `docs` token split. */
+  private val keepersBestSql: String = minhashLshCte +
+    """                    JOIN sizes zb ON doc_b = zb.doc_id),
+      |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
+      |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+      |qual AS (SELECT d.doc_id,
+      |           CAST(least(len(d.toks), 64) * 4000 // 64
+      |              + len(list_distinct(d.toks)) * 3000 // len(d.toks)
+      |              + (len(d.toks) - len(list_filter(d.toks, x -> x IN ('the','a','and','of','to','in'))))
+      |                * 3000 // len(d.toks) AS BIGINT) AS q_bp
+      |         FROM docs d),
+      |lab0 AS (SELECT doc_id, q_bp * 281474976710656 + (281474976710655 - doc_id) AS lab FROM qual),
+      |b1 AS MATERIALIZED (SELECT q.doc_id, greatest(q.lab, coalesce(max(l.lab), q.lab)) AS lab
+      |       FROM lab0 q LEFT JOIN edges e ON e.doc_a = q.doc_id
+      |                   LEFT JOIN lab0 l ON l.doc_id = e.doc_b
+      |       GROUP BY q.doc_id, q.lab),
+      |b2n AS (SELECT e.doc_a AS doc_id, max(l.lab) AS nbr
+      |        FROM edges e JOIN b1 l ON l.doc_id = e.doc_b GROUP BY 1),
+      |b2 AS (SELECT b1.doc_id, greatest(b1.lab, coalesce(b2n.nbr, b1.lab)) AS lab
+      |       FROM b1 LEFT JOIN b2n USING (doc_id))
+      |SELECT doc_id, 281474976710655 - (lab % 281474976710656) AS keep_doc_id,
+      |       doc_id = 281474976710655 - (lab % 281474976710656) AS is_kept
+      |FROM b2 ORDER BY doc_id""".stripMargin
 
   /** Split on md5 of the propagated keeper id — the leakage-safe
     * split's oracle shares the whole keeper-propagation replay. */
@@ -1772,6 +1801,7 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     "dedup_minhash" -> minhashSelectSql,
     "dedup_keepers_near" -> keepersNearSql,
+    "dedup_keepers_best" -> keepersBestSql,
     "sample_split_safe" -> sampleSplitSafeSql,
     "sample_fixed_n" ->
       """SELECT doc_id, source, h FROM (

@@ -182,6 +182,41 @@ object Dedup {
     labels.withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
   }
 
+  private val Pack = 281474976710656L // 2^48
+
+  /** Near-duplicate keeper election by QUALITY: like
+    * [[nearDupKeepers]], but each cluster keeps its HIGHEST-QUALITY
+    * member (integer-bp text quality, lower doc_id as tiebreak)
+    * instead of its lowest id — what a production dedup wants: keep
+    * the best copy, drop the rest. The propagated label packs
+    * (q_bp, ~doc_id) into one BIGINT so max-propagation carries the
+    * score and the deterministic tiebreak in a single comparison;
+    * everything else (LSH edges, bounded iterations, shuffled-hash
+    * loop joins, linear output) is the min-label operator unchanged.
+    * Requires doc_id < 2^48 (the packed tiebreak field).
+    */
+  def nearDupKeepersBest(documents: DataFrame, tau: Double, iters: Int = 2,
+                         k: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = minhashLsh(documents, tau, k, bands).select("doc_a", "doc_b")
+    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = graft.text.TextAnalysis.qualityBpFrame(documents)
+      .select(col("doc_id"),
+        (col("q_bp") * Pack + (lit(Pack - 1) - col("doc_id"))).as("lab"))
+    for (_ <- 0 until iters) {
+      val neighborMax = edges
+        .join(labels.hint("shuffle_hash"), edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(max("lab").as("nbr_max"))
+      labels = labels.as("l")
+        .join(neighborMax.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          greatest(col("lab"), coalesce(col("nbr_max"), col("lab"))).as("lab"))
+    }
+    labels.select(col("doc_id"),
+        (lit(Pack - 1) - (col("lab") % Pack)).as("keep_doc_id"))
+      .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
+  }
+
   /** Embedding-cosine near-dup over a bounded probe subset (exact
     * all-pairs — the oracle for [[graft.sim.Similarity.annLsh]];
     * corpus-wide near-dup at scale goes through LSH buckets instead).

@@ -133,7 +133,12 @@ object TextAnalysis {
     * decimal repr half-up, DuckDB rounds the raw double to even), so
     * a portable per-document score must never touch floats.
     */
-  def curateByLabel(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+  /** Per-document portable quality score: (doc_id, n_tokens, q_bp)
+    * with q_bp in INTEGER basis points (floored integer arithmetic —
+    * see [[curateByLabel]] for why floats are banned here). Pure
+    * scan, reused by curation and quality-weighted dedup.
+    */
+  def qualityBpFrame(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     documents
       .select(col("doc_id"), size(toks).cast("long").as("n"),
@@ -142,6 +147,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("n").as("n_tokens"),
         (expr("least(n, 64L) * 4000 div 64") +
           expr("d * 3000 div n") + expr("(n - s) * 3000 div n")).as("q_bp"))
+  }
+
+  def curateByLabel(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    qualityBpFrame(documents)
       .join(embeddings.select(col("vec_id").as("doc_id"), col("label")), "doc_id")
       .groupBy("label")
       .agg(count(lit(1)).as("n_docs"),

@@ -78,6 +78,33 @@ class DedupSpec extends SparkSpec {
     assert(near(4L) == 4L && near(5L) == 5L)
   }
 
+  test("quality-weighted keepers elect the best doc of each cluster") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val quality = graft.text.TextAnalysis.qualityBpFrame(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("q_bp")).toMap
+    val best = Dedup.nearDupKeepersBest(docs, 0.9)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_doc_id")).toMap
+    val minBased = Dedup.nearDupKeepers(docs, 0.9)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_doc_id")).toMap
+    // same partition into clusters as the min-label operator, only
+    // the representative changes
+    assert(best.groupBy(_._2).values.map(_.keySet).toSet ==
+      minBased.groupBy(_._2).values.map(_.keySet).toSet)
+    // keepers are self-kept and maximize (q_bp, -doc_id) in-cluster
+    best.groupBy(_._2).foreach { case (keeper, members) =>
+      assert(best(keeper) == keeper, s"keeper $keeper not self-kept")
+      members.keys.foreach { m =>
+        val wins = quality(keeper) > quality(m) ||
+          (quality(keeper) == quality(m) && keeper <= m)
+        assert(wins,
+          s"member $m (q=${quality(m)}) beats keeper $keeper (q=${quality(keeper)})") }
+    }
+    // and the election is non-trivial on this corpus: at least one
+    // cluster keeps a doc the min-label rule would have dropped
+    assert(best.values.toSet != minBased.values.toSet)
+  }
+
   test("embedding near-dup finds planted close pair") {
     import spark.implicits._
     val vecs = Seq(
