@@ -49,7 +49,9 @@ object PlanDump {
     */
   def normalize(plan: String): String = plan
     .replaceAll("#\\d+L?", "#x")
-    .replaceAll("\\b([a-z])_\\d+", "$1_N") // lambda-variable counters are per-session
+    // lambda-variable counters (x_12, y_7, ...) are per-session; the
+    // trailing \b keeps real columns like n_30d out of the scrub
+    .replaceAll("\\b([a-z])_\\d+\\b", "$1_N")
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@x") // JVM identity
     .replaceAll("plan_id=\\d+", "plan_id=x")
     .replaceAll("file:[^\\s\\],)]*", "PATH")

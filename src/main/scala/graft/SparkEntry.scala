@@ -378,11 +378,16 @@ object SparkEntry {
     """                    JOIN sizes zb ON doc_b = zb.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
-  private val keepersNearCte: String = minhashLshCte +
+  /** Shared LSH candidate-edge CTEs (verified pairs at tau 0.9, both
+    * directions) — the common head of both keeper-election oracles. */
+  private val lshEdgesCte: String = minhashLshCte +
     """                    JOIN sizes zb ON doc_b = zb.doc_id),
       |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
-      |l1 AS MATERIALIZED (SELECT d.doc_id, least(d.doc_id, coalesce(min(e.doc_b), d.doc_id)) AS keep
+      |""".stripMargin
+
+  private val keepersNearCte: String = lshEdgesCte +
+    """l1 AS MATERIALIZED (SELECT d.doc_id, least(d.doc_id, coalesce(min(e.doc_b), d.doc_id)) AS keep
       |       FROM documents d LEFT JOIN edges e ON e.doc_a = d.doc_id GROUP BY d.doc_id),
       |n2 AS (SELECT e.doc_a AS doc_id, min(l.keep) AS nbr
       |       FROM edges e JOIN l1 l ON l.doc_id = e.doc_b GROUP BY 1),
@@ -393,19 +398,21 @@ object SparkEntry {
   private val keepersNearSql: String = keepersNearCte +
     "SELECT doc_id, keep_doc_id, doc_id = keep_doc_id AS is_kept FROM l2 ORDER BY doc_id"
 
+  /** The curate scorer's integer-basis-point quality expression over
+    * a token-list column — ONE definition shared by every oracle
+    * that scores text quality, so the weights and stopword list
+    * cannot de-synchronize. */
+  private def qBpSql(t: String): String =
+    s"CAST(least(len($t), 64) * 4000 // 64" +
+      s" + len(list_distinct($t)) * 3000 // len($t)" +
+      s" + (len($t) - len(list_filter($t, x -> x IN ('the','a','and','of','to','in')))) * 3000 // len($t) AS BIGINT)"
+
   /** Quality-weighted keeper replay: same LSH edges as the min-label
     * operator, but propagation maximizes the packed (q_bp, ~doc_id)
     * BIGINT label; quality is the curate formula's integer basis
     * points from the shared `docs` token split. */
-  private val keepersBestSql: String = minhashLshCte +
-    """                    JOIN sizes zb ON doc_b = zb.doc_id),
-      |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.9),
-      |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
-      |qual AS (SELECT d.doc_id,
-      |           CAST(least(len(d.toks), 64) * 4000 // 64
-      |              + len(list_distinct(d.toks)) * 3000 // len(d.toks)
-      |              + (len(d.toks) - len(list_filter(d.toks, x -> x IN ('the','a','and','of','to','in'))))
-      |                * 3000 // len(d.toks) AS BIGINT) AS q_bp
+  private val keepersBestSql: String = lshEdgesCte +
+    s"""qual AS (SELECT d.doc_id, ${qBpSql("d.toks")} AS q_bp
       |         FROM docs d),
       |lab0 AS (SELECT doc_id, q_bp * 281474976710656 + (281474976710655 - doc_id) AS lab FROM qual),
       |b1 AS MATERIALIZED (SELECT q.doc_id, greatest(q.lab, coalesce(max(l.lab), q.lab)) AS lab
@@ -1668,12 +1675,9 @@ object SparkEntry {
     // integer basis points only — double rounding of decimal
     // midpoints is not portable across engines
     "text_curate_labels" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-        |        CAST(least(len(toks), 64) * 4000 // 64
-        |           + len(list_distinct(toks)) * 3000 // len(toks)
-        |           + (len(toks) - len(list_filter(toks, x -> x IN ('the','a','and','of','to','in'))))
-        |             * 3000 // len(toks) AS BIGINT) AS q_bp
+        |        ${qBpSql("toks")} AS q_bp
         |      FROM t)
         |SELECT label, count(*) AS n_docs,
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
@@ -1681,15 +1685,23 @@ object SparkEntry {
         |       min(q_bp) AS min_q_bp
         |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
         |GROUP BY label ORDER BY label""".stripMargin,
+    // boost via sqrt + sequential folds over the source-sorted count
+    // model (bit-identical doubles before the floor — see scaladoc)
     "sample_mix_apply" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
-        |b AS (SELECT source,
-        |        round((pow(n_docs, 0.5) / sum(pow(n_docs, 0.5)) OVER ())
-        |              / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)
-        |          AS boost
-        |      FROM c),
-        |r AS (SELECT source,
-        |        least(16, CAST(floor(16.0 * 0.5 * boost) AS INT)) AS rate16 FROM b)
+        |m AS (SELECT list(n_docs ORDER BY source) AS ns FROM c),
+        |t AS (SELECT
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(ns, x -> sqrt(CAST(x AS DOUBLE)))),
+        |          (acc, x) -> acc + x) AS sum_sqrt,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), ns),
+        |          (acc, x) -> acc + x) AS n_total
+        |      FROM m),
+        |r AS (SELECT c.source,
+        |        least(16, CAST(floor(16.0 * 0.5 *
+        |          ((sqrt(CAST(c.n_docs AS DOUBLE)) * CAST(t.n_total AS DOUBLE))
+        |           / (CAST(c.n_docs AS DOUBLE) * t.sum_sqrt))) AS INT)) AS rate16
+        |      FROM c CROSS JOIN t)
         |SELECT d.doc_id, d.source, r.rate16,
         |       (strpos('0123456789abcdef',
         |               substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1 < r.rate16) AS kept

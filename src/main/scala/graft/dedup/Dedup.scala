@@ -161,25 +161,46 @@ object Dedup {
     */
   def nearDupKeepers(documents: DataFrame, tau: Double, iters: Int = 2,
                      k: Int = 64, bands: Int = 16): DataFrame = {
+    val labels = propagateLabels(
+      lshEdges(documents, tau, k, bands),
+      documents.select(col("doc_id"), col("doc_id").as("lab")),
+      iters, maximize = false)
+    labels.select(col("doc_id"), col("lab").as("keep_doc_id"))
+      .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
+  }
+
+  /** Undirected candidate-pair edges from the MinHash-LSH pipeline,
+    * both directions materialized for label propagation. */
+  private def lshEdges(documents: DataFrame, tau: Double,
+                       k: Int, bands: Int): DataFrame = {
     val pairs = minhashLsh(documents, tau, k, bands).select("doc_a", "doc_b")
-    // undirected edges, both directions
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = documents.select(col("doc_id"), col("doc_id").as("keep_doc_id"))
+    pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+  }
+
+  /** Bounded-iteration label propagation shared by both keeper
+    * elections: each round takes the min (or max) label over a
+    * node's neighborhood and itself. Shuffled-hash hints: the loop
+    * re-joins every round, and a sort-merge would re-sort both sides
+    * each iteration — hash exchanges on doc_id are all the
+    * distribution it needs.
+    */
+  private def propagateLabels(edges: DataFrame, init: DataFrame,
+                              iters: Int, maximize: Boolean): DataFrame = {
+    val aggFn = if (maximize) max(col("lab")) else min(col("lab"))
+    val combine: (Column, Column) => Column =
+      if (maximize) (a, b) => greatest(a, b) else (a, b) => least(a, b)
+    var labels = init
     for (_ <- 0 until iters) {
-      // shuffled-hash hints: label propagation re-joins every round,
-      // and a sort-merge would re-sort both sides each iteration —
-      // hash exchanges on doc_id are all the distribution it needs
-      val neighborMin = edges
+      val neighborAgg = edges
         .join(labels.hint("shuffle_hash"), edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
-        .agg(min("keep_doc_id").as("nbr_min"))
+        .agg(aggFn.as("nbr"))
       labels = labels.as("l")
-        .join(neighborMin.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(neighborAgg.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("keep_doc_id"), coalesce(col("nbr_min"), col("keep_doc_id")))
-            .as("keep_doc_id"))
+          combine(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
     }
-    labels.withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
+    labels
   }
 
   private val Pack = 281474976710656L // 2^48
@@ -197,21 +218,11 @@ object Dedup {
     */
   def nearDupKeepersBest(documents: DataFrame, tau: Double, iters: Int = 2,
                          k: Int = 64, bands: Int = 16): DataFrame = {
-    val pairs = minhashLsh(documents, tau, k, bands).select("doc_a", "doc_b")
-    val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    var labels = graft.text.TextAnalysis.qualityBpFrame(documents)
+    val init = graft.text.TextAnalysis.qualityBpFrame(documents)
       .select(col("doc_id"),
         (col("q_bp") * Pack + (lit(Pack - 1) - col("doc_id"))).as("lab"))
-    for (_ <- 0 until iters) {
-      val neighborMax = edges
-        .join(labels.hint("shuffle_hash"), edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("doc_id"))
-        .agg(max("lab").as("nbr_max"))
-      labels = labels.as("l")
-        .join(neighborMax.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          greatest(col("lab"), coalesce(col("nbr_max"), col("lab"))).as("lab"))
-    }
+    val labels = propagateLabels(
+      lshEdges(documents, tau, k, bands), init, iters, maximize = true)
     labels.select(col("doc_id"),
         (lit(Pack - 1) - (col("lab") % Pack)).as("keep_doc_id"))
       .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))

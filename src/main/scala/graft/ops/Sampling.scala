@@ -96,20 +96,35 @@ object Sampling {
 
   /** Materialize the temperature mix deterministically: per-source
     * keep thresholds in sixteenths of the md5 nibble space, derived
-    * from the temperature boost (rate_s = budget × boost_s capped at
-    * 1) — the step between COMPUTING mixture weights
+    * from the α=0.5 temperature boost (rate_s = budget × boost_s
+    * capped at 1) — the step between COMPUTING mixture weights
     * ([[temperatureMix]]) and actually emitting the mixed corpus.
     * Keep/drop is a pure function of (source counts, doc_id hash):
     * no sampling state, identical output at any parallelism, and the
     * 16-level quantization makes every realized rate an auditable
     * integer. The rates table is |sources| rows — a broadcast.
+    *
+    * Portability of the floor: the boost is computed from sqrt
+    * (IEEE-correctly-rounded everywhere, unlike pow) and the two
+    * corpus sums fold SEQUENTIALLY over the source-sorted packed
+    * count model — the same packed-sorted-model trick the ANN
+    * kernels use — so every engine reaching the `floor` holds
+    * bit-identical doubles and the 1/16-step cliff cannot diverge.
+    * No rounding ever happens before the floor.
     */
-  def temperatureApply(documents: DataFrame, alpha: Double = 0.5,
-                       budget: Double = 0.5): DataFrame = {
-    val rates = temperatureMix(documents, alpha)
-      .select(col("source"),
-        least(lit(16),
-          floor(lit(16.0) * lit(budget) * col("boost")).cast("int")).as("rate16"))
+  def temperatureApply(documents: DataFrame, budget: Double = 0.5): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val packed = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("model",
+        sort_array(collect_list(struct(col("source"), col("n_docs"))).over(all)))
+    val sumSqrt = aggregate(col("model"), lit(0.0),
+      (a, x) => a + sqrt(x.getField("n_docs")))
+    val nTotal = aggregate(col("model"), lit(0L),
+      (a, x) => a + x.getField("n_docs"))
+    val boost = (sqrt(col("n_docs")) * nTotal.cast("double")) /
+      (col("n_docs").cast("double") * sumSqrt)
+    val rates = packed.select(col("source"),
+      least(lit(16), floor(lit(16.0) * lit(budget) * boost).cast("int")).as("rate16"))
     documents.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"), col("rate16"),
         (stratumNibble(col("doc_id")) < col("rate16")).as("kept"))

