@@ -183,6 +183,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).distinct.length == streamed.length)
   }
 
+  test("heavy hitters state survives kill + restart from checkpoint") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hh-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-hh-out").toString
+    val input = MemoryStream[String]
+    // memory sinks cannot recover from a checkpoint; foreachBatch can
+    def start() =
+      graft.streaming.EventStreams.heavyHittersState(
+        input.toDF().select(col("value").as("token")), buckets = 2, capacity = 64)
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+            .write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).start()
+    val q1 = start()
+    try { input.addData(Seq("a", "a", "a", "b")); q1.processAllAvailable() }
+    finally q1.stop()
+    // tokens arrive while the query is down; a NEW query resumes the
+    // Misra-Gries counters from the restored state store
+    input.addData(Seq("a", "a", "b", "c"))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // last emission per token = the counter after the final trigger
+    val last = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[String]("token")).view
+      .mapValues(rs => rs.maxBy(_.getAs[Long]("batch_id")).getAs[Long]("cnt"))
+      .toMap
+    assert(last("a") == 5L, s"state lost: $last") // 3 before kill + 2 after
+    assert(last("b") == 2L && last("c") == 1L)
+  }
+
   test("stream-stream attribution join pairs purchases with prior clicks") {
     import spark.implicits._
     implicit val s = spark
