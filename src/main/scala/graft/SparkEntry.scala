@@ -183,6 +183,11 @@ object SparkEntry {
       Similarity.annIvf(Tables.embeddings(s, d), col("vec_id") < 10, 5,
         kmeansIters = 1).orderBy("q_id", "rank")),
     "emb_stats" -> ((s, d) => Similarity.embStats(Tables.embeddings(s, d)).orderBy("label")),
+    // fixed-point PageRank over the knn graph: prototype centrality
+    "graph_pagerank" -> ((s, d) =>
+      graft.ops.Graph.pageRank(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")).orderBy("node")),
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
     "sim_pq" -> ((s, d) =>
@@ -426,6 +431,41 @@ object SparkEntry {
       |SELECT doc_id, 281474976710655 - (lab % 281474976710656) AS keep_doc_id,
       |       doc_id = 281474976710655 - (lab % 281474976710656) AS is_kept
       |FROM b2 ORDER BY doc_id""".stripMargin
+
+  /** One fixed-point PageRank round over CTEs `e`/`deg`/`nodes`/`nn`:
+    * integer inflow from `prev`, damped integer update into `next`. */
+  private def prStepSql(prev: String, inflow: String, next: String): String =
+    s"""$inflow AS (SELECT e.dst AS node, sum(p.pr // d.outdeg) AS inflow
+       |       FROM e JOIN $prev p ON p.node = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |$next AS (SELECT nd.node,
+       |         (15 * (1000000000000 // nn.n)) // 100
+       |       + (85 * coalesce($inflow.inflow, 0)) // 100 AS pr
+       |       FROM nodes nd CROSS JOIN nn LEFT JOIN $inflow ON $inflow.node = nd.node),
+       |""".stripMargin
+
+  /** Fixed-point PageRank replay over the knn-graph edges: integer
+    * trillionths end to end, so sums are exact in any order. */
+  private val graphPagerankSql: String =
+    """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |             FROM embeddings WHERE vec_id % 7 = 0),
+      |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+      |           FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
+      |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      |       FROM scored),
+      |e AS (SELECT src, dst FROM rk WHERE rank <= 3),
+      |nodes AS (SELECT DISTINCT node FROM
+      |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |p0 AS (SELECT node, 1000000000000 // n AS pr FROM nodes CROSS JOIN nn),
+      |""".stripMargin +
+      prStepSql("p0", "i1", "p1") +
+      prStepSql("p1", "i2", "p2") +
+      prStepSql("p2", "i3", "p3") +
+    """fin AS (SELECT node, CAST(pr AS BIGINT) AS pr FROM p3)
+      |SELECT node, pr FROM fin ORDER BY node""".stripMargin
 
   /** Split on md5 of the propagated keeper id — the leakage-safe
     * split's oracle shares the whole keeper-propagation replay. */
@@ -1574,6 +1614,10 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
         |       CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS redacted_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // integer fixed-point replay: every sum is exact, so the oracle
+    // needs no float-ordering care at all; iterations generated by
+    // one helper so the three rounds cannot diverge
+    "graph_pagerank" -> graphPagerankSql,
     "sim_knn_graph" ->
       """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |             FROM embeddings WHERE vec_id % 7 = 0),

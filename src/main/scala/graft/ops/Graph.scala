@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over edge lists — the ranking pass of a curation
+  * pipeline (domain ranking for web corpora, prototype selection
+  * among near-duplicate embeddings via their k-NN graph).
+  */
+object Graph {
+
+  /** Bounded-iteration PageRank in FIXED-POINT arithmetic: ranks
+    * live in integer `scale`-ths (default trillionths), so every
+    * shuffle-order-dependent sum is exact integer addition and the
+    * result is identical on any engine, any partitioning, any run —
+    * float PageRank at 100 TB is not reproducible (double addition
+    * order varies run to run); integer PageRank is.
+    *
+    * Shape per iteration: one keyed join (ranks onto edge sources)
+    * and one aggregation (inflow per destination) — the standard
+    * distributed formulation. Iterations and damping are model
+    * constants. The node count seeds the ranks through a single-row
+    * cross join, so no driver action is needed. Dangling-node mass
+    * leaks per the plain edge-list formulation (documented,
+    * conservative: ranks sum to ≤ `scale`).
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Long = 85L,
+               scale: Long = 1000000000000L): DataFrame = {
+    require(iters > 0 && dampingPct >= 0 && dampingPct <= 100,
+      s"iters ($iters) must be positive, dampingPct ($dampingPct) in [0, 100]")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nCount = nodes.agg(count(lit(1)).as("n"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), expr(s"$scale div n").as("pr"), col("n"))
+    for (_ <- 0 until iters) {
+      // shuffled-hash hints, same rationale as the keeper propagation
+      // loop: these joins re-run every iteration and a sort-merge
+      // would re-sort both sides each time — hash exchanges on the
+      // join key are all the distribution the loop needs
+      val inflow = e
+        .join(ranks.select(col("node").as("src"), col("pr")).hint("shuffle_hash"), "src")
+        .join(deg.hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      ranks = ranks
+        .join(inflow.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (expr(s"((100 - $dampingPct) * ($scale div n)) div 100") +
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100")).as("pr"),
+          col("n"))
+    }
+    ranks.select(col("node"), col("pr"))
+  }
+}
