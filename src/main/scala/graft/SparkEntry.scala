@@ -444,17 +444,24 @@ object SparkEntry {
        |       FROM nodes nd CROSS JOIN nn LEFT JOIN $inflow ON $inflow.node = nd.node),
        |""".stripMargin
 
-  /** Fixed-point PageRank replay over the knn-graph edges: integer
-    * trillionths end to end, so sums are exact in any order. */
-  private val graphPagerankSql: String =
+  /** Shared knn-edge replay (bounded node subset, exact cosine,
+    * rank-per-source) — ONE definition for the knn-graph oracle and
+    * every oracle that consumes its edges. */
+  private val knnRankedCte: String =
     """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
       |             FROM embeddings WHERE vec_id % 7 = 0),
       |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
       |             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
       |           FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
-      |rk AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-      |       FROM scored),
-      |e AS (SELECT src, dst FROM rk WHERE rank <= 3),
+      |ranked AS (SELECT src, dst, cos,
+      |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
+      |           FROM scored)
+      |""".stripMargin
+
+  /** Fixed-point PageRank replay over the knn-graph edges: integer
+    * trillionths end to end, so sums are exact in any order. */
+  private val graphPagerankSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
       |nodes AS (SELECT DISTINCT node FROM
       |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
       |nn AS (SELECT count(*) AS n FROM nodes),
@@ -1618,17 +1625,9 @@ object SparkEntry {
     // needs no float-ordering care at all; iterations generated by
     // one helper so the three rounds cannot diverge
     "graph_pagerank" -> graphPagerankSql,
-    "sim_knn_graph" ->
-      """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-        |             FROM embeddings WHERE vec_id % 7 = 0),
-        |scored AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |             round(list_cosine_similarity(a.emb, b.emb), 6) AS cos
-        |           FROM sub a JOIN sub b ON a.vec_id <> b.vec_id),
-        |ranked AS (SELECT src, dst, cos,
-        |             row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rank
-        |           FROM scored)
-        |SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
-        |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
+    "sim_knn_graph" -> (knnRankedCte +
+      """SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
+        |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

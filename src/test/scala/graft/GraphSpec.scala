@@ -21,17 +21,22 @@ class GraphSpec extends SparkSpec {
     assert(pr.values.sum <= 1000000000000L)
   }
 
-  test("pagerank over the knn graph is deterministic and complete") {
-    def run(): Map[Long, Long] = {
-      val edges = graft.sim.Similarity.knnGraph(
-        Tables.embeddings(spark, sf), col("vec_id") % 7 === 0, 3)
-        .select("src", "dst")
-      Graph.pageRank(edges).collect()
-        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+  test("pagerank is bit-identical across different partitionings") {
+    def run(shufflePartitions: Int): Map[Long, Long] = {
+      spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
+      try {
+        val edges = graft.sim.Similarity.knnGraph(
+          Tables.embeddings(spark, sf), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")
+        Graph.pageRank(edges).collect()
+          .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", 4)
     }
-    val a = run()
-    val b = run()
-    assert(a == b && a.nonEmpty) // exact integer reproducibility
+    // different shuffle widths change the order partial sums meet —
+    // the fixed-point claim is that the result cannot care
+    val a = run(3)
+    val b = run(7)
+    assert(a == b && a.nonEmpty)
     assert(a.values.forall(_ > 0))
     assert(a.values.sum <= 1000000000000L)
   }
