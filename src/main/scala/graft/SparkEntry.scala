@@ -188,6 +188,11 @@ object SparkEntry {
       graft.ops.Graph.pageRank(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst")).orderBy("node")),
+    // component-size histogram: the cluster-size audit before dedup
+    "graph_components" -> ((s, d) =>
+      graft.ops.Graph.componentSizes(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")).orderBy("component_size")),
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
     "sim_pq" -> ((s, d) =>
@@ -473,6 +478,36 @@ object SparkEntry {
       prStepSql("p2", "i3", "p3") +
     """fin AS (SELECT node, CAST(pr AS BIGINT) AS pr FROM p3)
       |SELECT node, pr FROM fin ORDER BY node""".stripMargin
+
+  /** One propagate+shortcut component round over the undirected CTE
+    * `und`: neighborhood minimum from `prev`, then pointer-doubling
+    * (label of the label) into `next`. */
+  private def ccStepSql(prev: String, i: Int): String = {
+    val next = s"l$i"
+    s"""n$i AS (SELECT u.doc_a AS node, min(l.lab) AS nbr
+       |       FROM und u JOIN $prev l ON l.node = u.doc_b GROUP BY 1),
+       |q$i AS MATERIALIZED (SELECT p.node, least(p.lab, coalesce(n.nbr, p.lab)) AS lab
+       |       FROM $prev p LEFT JOIN n$i n ON n.node = p.node),
+       |$next AS MATERIALIZED (SELECT p.node, least(p.lab, coalesce(s.lab, p.lab)) AS lab
+       |       FROM q$i p LEFT JOIN q$i s ON s.node = p.lab),
+       |""".stripMargin
+  }
+
+  /** Component-size histogram replay over the knn edges: 6
+    * propagate+shortcut rounds (helper-generated), then
+    * size-of-size counts. */
+  private val graphComponentsSql: String = knnRankedCte +
+    """, e AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS MATERIALIZED (SELECT src AS doc_a, dst AS doc_b FROM e
+      |        UNION ALL SELECT dst AS doc_a, src AS doc_b FROM e),
+      |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+      |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |l0 AS (SELECT node, node AS lab FROM nodes),
+      |""".stripMargin +
+      (1 to 6).map(i => ccStepSql(s"l${i - 1}", i)).mkString +
+    """comp AS (SELECT lab, count(*) AS sz FROM l6 GROUP BY lab)
+      |SELECT sz AS component_size, count(*) AS n_components
+      |FROM comp GROUP BY sz ORDER BY component_size""".stripMargin
 
   /** Split on md5 of the propagated keeper id — the leakage-safe
     * split's oracle shares the whole keeper-propagation replay. */
@@ -1625,6 +1660,7 @@ object SparkEntry {
     // needs no float-ordering care at all; iterations generated by
     // one helper so the three rounds cannot diverge
     "graph_pagerank" -> graphPagerankSql,
+    "graph_components" -> graphComponentsSql,
     "sim_knn_graph" -> (knnRankedCte +
       """SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
         |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin),

@@ -54,4 +54,50 @@ object Graph {
     }
     ranks.select(col("node"), col("pr"))
   }
+
+  /** Connected-component size histogram over an edge list: how many
+    * components of each size the graph has — the cluster-size
+    * distribution a curation pipeline audits before deduplication
+    * (one giant near-dup component means the threshold is too
+    * loose). Each round combines min-label propagation with a
+    * POINTER-DOUBLING shortcut (adopt the label of your label), so
+    * convergence needs O(log diameter) rounds, not O(diameter) —
+    * the only iteration count that survives real graphs at 100 TB
+    * (`iters` = 6 covers diameters up to ~2^6). Labels are integer
+    * mins: exact in any order, bit-reproducible like [[pageRank]].
+    * Nodes appear via their edges (isolated nodes are not counted —
+    * the edge-list formulation). Output is `|distinct sizes|` rows.
+    */
+  def componentSizes(edges: DataFrame, iters: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var labels = nodes.select(col("node"), col("node").as("lab"))
+    for (_ <- 0 until iters) {
+      // propagate: min label over the in-neighborhood (und is
+      // symmetric, so this is the full neighborhood)
+      val nbrMin = und
+        .join(labels.select(col("node").as("src"), col("lab")).hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node")).agg(min("lab").as("nbr"))
+      val prop = labels.join(nbrMin.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
+      // shortcut: adopt the label of your label (path doubling)
+      labels = prop.as("p")
+        .join(prop.select(col("node").as("lnode"), col("lab").as("lab2"))
+          .hint("shuffle_hash"), col("p.lab") === col("lnode"), "left")
+        .select(col("p.node").as("node"),
+          least(col("p.lab"), coalesce(col("lab2"), col("p.lab"))).as("lab"))
+        // the shortcut references `prop` twice, so the unresolved plan
+        // would DOUBLE every round (2^iters subplans — Catalyst
+        // analysis explodes long before the data does). Iterative
+        // graph algorithms truncate lineage per round; localCheckpoint
+        // materializes on executors without touching the driver.
+        .localCheckpoint()
+    }
+    labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+  }
 }

@@ -21,6 +21,40 @@ class GraphSpec extends SparkSpec {
     assert(pr.values.sum <= 1000000000000L)
   }
 
+  test("component sizes count a planted clique and chain separately") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} and 2-chain {10,11}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val hist = Graph.componentSizes(edges).collect()
+      .map(r => r.getAs[Long]("component_size") -> r.getAs[Long]("n_components")).toMap
+    assert(hist == Map(4L -> 1L, 2L -> 1L), s"got $hist")
+  }
+
+  test("component histogram matches exact union-find on the knn graph") {
+    val edges = graft.sim.Similarity.knnGraph(
+      Tables.embeddings(spark, sf), col("vec_id") % 7 === 0, 3)
+      .select("src", "dst").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    // driver-side union-find ground truth (the knn graph's diameter
+    // fits the default propagation radius at this SF — if data ever
+    // grows a long chain, the operator is documented conservative)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = parent.keys.toSeq.groupBy(find).values
+      .map(_.size.toLong).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.componentSizes(
+      graft.sim.Similarity.knnGraph(
+        Tables.embeddings(spark, sf), col("vec_id") % 7 === 0, 3)
+        .select("src", "dst")).collect()
+      .map(r => r.getAs[Long]("component_size") -> r.getAs[Long]("n_components")).toMap
+    assert(got == expected, s"got $got vs exact $expected")
+  }
+
   test("pagerank is bit-identical across different partitionings") {
     def run(shufflePartitions: Int): Map[Long, Long] = {
       spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
