@@ -106,6 +106,49 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(2000))
   }
 
+  private def nodes[T](df: DataFrame)(pf: PartialFunction[
+      org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    df.collect()
+    collectWithSubqueries(df.queryExecution.executedPlan)(pf)
+  }
+
+  test("pca projection applies the fitted model in one shuffle-free scan") {
+    val df = graft.sim.Similarity.pcaProject(Tables.embeddings(spark, sf))
+    assert(countScans(df) == 1)
+    assert(nodes(df) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.isEmpty, "projection must not shuffle")
+  }
+
+  test("ts match shuffles once on the series key and never sort-merges") {
+    val df = graft.ops.Events.tsMatch(Tables.events(spark, sf))
+    val shuffles = nodes(df) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning.toString
+    }
+    assert(shuffles.nonEmpty && shuffles.forall(_.contains("event_type")),
+      s"unexpected shuffle keys: $shuffles")
+    assert(nodes(df) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty)
+  }
+
+  test("graph iterations use hash joins, never sort-merge") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("src", "dst")
+    val pr = graft.ops.Graph.pageRank(edges)
+    assert(nodes(pr) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty)
+    assert(nodes(pr) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty)
+    val cc = graft.ops.Graph.componentSizes(edges, iters = 2)
+    assert(nodes(cc) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.isEmpty)
+  }
+
   test("fixed-size sample plans partial heaps, not a global sort") {
     val plan = executed(graft.ops.Sampling.fixedSizeSample(
       Tables.documents(spark, sf), 20))
