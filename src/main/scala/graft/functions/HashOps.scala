@@ -312,6 +312,40 @@ object HashOps {
     s
   }
 
+  /** Z-normalized Euclidean distance of a double window against a
+    * pre-z-normalized query pattern (UCR subsequence-match kernel).
+    * Fold order is strictly left-to-right at every stage — sum, then
+    * divide for the mean; squared-deviation sum, divide, sqrt for the
+    * stddev; per-element ((x−m)/sd − zq)² sum, sqrt for the distance
+    * — exactly the sequential `list_reduce` order the DuckDB oracle
+    * replays, so results are bit-identical. A zero-variance (flat)
+    * window cannot be z-normalized and yields NaN (callers filter).
+    */
+  def znormDist(w: ArrayData, zq: ArrayData): Double = {
+    val n = w.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { m += w.getDouble(i); i += 1 }
+    m /= n
+    var v = 0.0
+    i = 0
+    while (i < n) {
+      val d = w.getDouble(i) - m
+      v += d * d
+      i += 1
+    }
+    val sd = math.sqrt(v / n)
+    if (!(sd > 0.0)) return Double.NaN
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val d = (w.getDouble(i) - m) / sd - zq.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   /** Index of the most-cosine-similar packed centroid (ties → lower
     * index). One fused pass replaces the explode×|cells| + window
     * argmax formulation, whose per-vector fan-out shuffles

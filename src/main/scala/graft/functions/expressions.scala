@@ -143,6 +143,25 @@ object expressions {
     override def prettyName: String = "l2_sq"
   }
 
+  /** znorm_dist(win, zq): z-normalized Euclidean distance of a
+    * double window against a pre-z-normalized pattern — the UCR
+    * subsequence-match fold fused into one codegen'd kernel (NaN for
+    * zero-variance windows). Replaces a 3-stage `aggregate`/
+    * `zip_with` higher-order-function chain that never entered
+    * whole-stage codegen.
+    */
+  case class ZnormDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(w: Any, zq: Any): Any =
+      HashOps.znormDist(w.asInstanceOf[ArrayData], zq.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (w, zq) => s"$ops.znormDist($w, $zq)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ZnormDist =
+      copy(left = l, right = r)
+    override def prettyName: String = "znorm_dist"
+  }
+
   /** jaccard_sim(a, b): exact set Jaccard of two string arrays. */
   case class JaccardSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -269,6 +288,8 @@ object expressions {
     GraftBridge.column(LshSig(GraftBridge.expression(c), planes, table))
   def vec_sub(a: Column, b: Column): Column =
     GraftBridge.column(VecSubFF(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def znorm_dist(w: Column, zq: Column): Column =
+    GraftBridge.column(ZnormDist(GraftBridge.expression(w), GraftBridge.expression(zq)))
   def jaccard_sim(a: Column, b: Column): Column =
     GraftBridge.column(JaccardSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def nearest_idx(v: Column, cents: Column): Column =

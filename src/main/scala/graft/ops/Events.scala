@@ -138,20 +138,42 @@ object Events {
     */
   /** Z-normalized sliding-window pattern match over per-type value
     * series — the subsequence-similarity primitive of time-series
-    * search (UCR-style), as ONE window pass: every length-L window
-    * of each series is z-normalized and scored by Euclidean distance
-    * against the z-normalized query pattern, so matches are invariant
-    * to the series' offset and amplitude. Cost model for 100 TB: one
-    * shuffle on the series key, L doubles of frame state per row (L
-    * is a model constant), a codegen'd fold per window, and the
-    * native TopKPerKey bounded heaps for selection — no global sort,
-    * nothing quadratic. Windows with zero variance (flat) cannot be
-    * z-normalized and are excluded, same as UCR.
+    * search (UCR-style): every length-L window of each series is
+    * z-normalized and scored by Euclidean distance against the
+    * z-normalized query pattern, so matches are invariant to the
+    * series' offset and amplitude. Windows with zero variance (flat)
+    * cannot be z-normalized and are excluded, same as UCR.
+    *
+    * SEGMENTED subsequence search, because the series key
+    * (`event_type`) has a handful of values: a whole-series window
+    * would put an entire event type's history into ONE task at
+    * 100 TB. Instead each series is chunked into fixed-size segments
+    * with an L−1 row overlap on a composite (event_type, segment)
+    * key, windows are scored within segments, and only windows
+    * ending at a segment's home rows are kept — results identical to
+    * the whole-series pass (a spec pins segment-size invariance),
+    * parallelism proportional to data, per-task state bounded by
+    * `segmentSize + L − 1` rows regardless of skew.
+    *
+    * The global per-series row index that defines segments is built
+    * scalably in two levels: per-(series, time-band) counts (a tiny
+    * aggregate) prefix-summed into band offsets and broadcast back,
+    * plus a within-band `row_number` — no whole-series sort ever
+    * lands in one task. Band width only shapes the rank pass's
+    * parallelism, never results. The z-norm/distance fold is ONE
+    * codegen'd kernel ([[graft.functions.expressions.ZnormDist]]) —
+    * the `aggregate`/`zip_with` higher-order functions it replaces
+    * never entered whole-stage codegen. Selection is the native
+    * TopKPerKey bounded heaps — no global sort, nothing quadratic.
     */
   def tsMatch(events: DataFrame,
               pattern: Seq[Double] = Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0),
-              k: Int = 5): DataFrame = {
+              k: Int = 5, segmentSize: Int = 512,
+              bandUs: Long = 3600000000L): DataFrame = {
     val L = pattern.length
+    require(segmentSize >= L,
+      s"segmentSize ($segmentSize) must cover the pattern length ($L)")
+    require(bandUs > 0, s"bandUs ($bandUs) must be positive")
     // z-normalize the pattern with the same sequential folds the
     // oracle replays (left-to-right IEEE order — bit-identical)
     val pm = pattern.foldLeft(0.0)(_ + _) / L
@@ -160,23 +182,42 @@ object Events {
     require(psd > 0,
       s"pattern has zero variance ($pattern) — a constant pattern cannot be z-normalized")
     val zq = array(pattern.map(x => lit((x - pm) / psd)): _*)
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(-(L - 1), Window.currentRow)
-    val scored = events
-      .select(col("event_type"), col("event_id"),
+    // level 1: global per-series row index = band offset + in-band
+    // rank. Band boundaries respect (ts, event_id) order because the
+    // band is a function of ts alone; the offsets frame is one row
+    // per (series, band) — broadcast-sized at any corpus size.
+    val ev = events
+      .select(col("event_type"), col("event_id"), col("ts"), col("value"))
+      .withColumn("band", expr(s"unix_micros(ts) div ${bandUs}L"))
+    val offsets = ev.groupBy("event_type", "band")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        coalesce(sum("bn").over(Window.partitionBy("event_type")
+          .orderBy("band").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("event_type", "band", "off")
+    val indexed = ev
+      .join(broadcast(offsets), Seq("event_type", "band"))
+      .withColumn("idx",
+        col("off") + row_number().over(Window.partitionBy("event_type", "band")
+          .orderBy(col("ts"), col("event_id"))).cast("long") - 1L)
+      .select("event_type", "event_id", "value", "idx")
+    // level 2: home segment idx div S, plus a copy of the trailing
+    // L−1 rows into the next segment so its first windows see their
+    // full history; windows keep only home-row endings
+    val S = segmentSize.toLong
+    val home = indexed.withColumn("seg", expr(s"idx div ${S}L"))
+    val overlap = home.filter(col("idx") % S >= S - (L - 1))
+      .withColumn("seg", col("seg") + 1L)
+    val w = Window.partitionBy("event_type", "seg")
+      .orderBy("idx").rowsBetween(-(L - 1), Window.currentRow)
+    val scored = home.unionByName(overlap)
+      .select(col("event_type"), col("event_id"), col("idx"), col("seg"),
         collect_list(col("value")).over(w).as("win"))
+      .filter(col("seg") === expr(s"idx div ${S}L")) // home endings only
       .filter(size(col("win")) === L)
-      .withColumn("m",
-        aggregate(col("win"), lit(0.0), (a, x) => a + x) / lit(L.toDouble))
-      .withColumn("sd",
-        sqrt(aggregate(col("win"), lit(0.0),
-          (a, x) => a + (x - col("m")) * (x - col("m"))) / lit(L.toDouble)))
-      .filter(col("sd") > 0)
       .withColumn("dist",
-        round(sqrt(aggregate(
-          zip_with(col("win"), zq, (x, q) =>
-            ((x - col("m")) / col("sd") - q) * ((x - col("m")) / col("sd") - q)),
-          lit(0.0), (a, y) => a + y)), 6))
+        round(graft.functions.expressions.znorm_dist(col("win"), zq), 6))
+      .filter(!isnan(col("dist"))) // zero-variance windows
     val top = graft.plans.TopK.perKey(
       scored.select("event_type", "event_id", "dist"),
       Seq("event_type"), Seq(col("dist").asc, col("event_id").asc), k)

@@ -139,6 +139,40 @@ class EventsSpec extends SparkSpec {
     assert(out.count(_.getAs[Double]("dist") == 0.0) == 1)
   }
 
+  test("ts match results are invariant to segment size and band width") {
+    // the segmentation is pure parallelism plumbing: shrinking the
+    // segments to barely-above-L and the bands to 1s (so windows
+    // straddle many segment/band boundaries) must not change a single
+    // output row vs the default geometry
+    val base = Events.tsMatch(Tables.events(spark, sf))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val tiny = Events.tsMatch(Tables.events(spark, sf),
+      segmentSize = 9, bandUs = 1000000L)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(base.nonEmpty && base.toSeq == tiny.toSeq)
+  }
+
+  test("ts match finds the planted copy across a segment boundary") {
+    import spark.implicits._
+    val pattern = Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0)
+    val values = (0 until 30).map {
+      case i if i >= 10 && i <= 17 => 100.0 + 7.0 * pattern(i - 10)
+      case i => (i % 7) * 3.0 + (i % 3)
+    }
+    val df = values.zipWithIndex
+      .map { case (v, i) => (i.toLong, i.toLong, "sig", v) }
+      .toDF("event_id", "secs", "event_type", "value")
+      .select(col("event_id"), col("secs").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    // segmentSize=8 puts the planted window (rows 10..17) astride the
+    // idx-16 segment boundary; the L-1 overlap must still see it whole
+    val out = Events.tsMatch(df, pattern, k = 3,
+      segmentSize = 8, bandUs = 1000000L).collect()
+    val best = out.find(_.getAs[Long]("rank") == 1L).get
+    assert(best.getAs[Long]("event_id") == 17L)
+    assert(best.getAs[Double]("dist") == 0.0)
+  }
+
   test("ts match on real data is dense-ranked per type with sane distances") {
     val out = Events.tsMatch(Tables.events(spark, sf)).collect()
     val byType = out.groupBy(_.getAs[String]("event_type"))

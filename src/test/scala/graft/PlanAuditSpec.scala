@@ -120,17 +120,30 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, "projection must not shuffle")
   }
 
-  test("ts match shuffles once on the series key and never sort-merges") {
+  test("ts match shuffles on composite segment keys and never sort-merges") {
     val df = graft.ops.Events.tsMatch(Tables.events(spark, sf))
     val shuffles = nodes(df) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
         e.outputPartitioning.toString
     }
+    // every data exchange is keyed by the series key — and the window
+    // pass runs on the COMPOSITE (event_type, seg) key, so one series
+    // spreads over many tasks (the low-cardinality-key fix); the band
+    // rank pass likewise composites with the time band
     assert(shuffles.nonEmpty && shuffles.forall(_.contains("event_type")),
       s"unexpected shuffle keys: $shuffles")
+    assert(shuffles.exists(_.contains("seg")),
+      s"window pass must partition by (event_type, seg): $shuffles")
+    assert(shuffles.exists(_.contains("band")),
+      s"rank pass must partition by (event_type, band): $shuffles")
     assert(nodes(df) {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
     }.isEmpty)
+    // the band-offset frame reaches the scan as a broadcast, never a
+    // data-sized shuffle join
+    assert(nodes(df) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.nonEmpty)
   }
 
   test("graph iterations use hash joins, never sort-merge") {
