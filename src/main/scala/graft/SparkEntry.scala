@@ -396,13 +396,30 @@ object SparkEntry {
       |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
       |""".stripMargin
 
+  /** One propagate+shortcut keeper round over CTEs `edges`/`kl{i-1}`
+    * (mirror of Dedup.propagateLabels' pointer doubling): `fn`-agg
+    * over the neighborhood, then adopt the label of the node the
+    * label names (`decode` recovers that node from a packed label).
+    * MATERIALIZED: kp/kl are each referenced twice — DuckDB would
+    * otherwise inline and double the plan per round, the same
+    * 2^iters blowup localCheckpoint prevents on the Spark side. */
+  private def keeperStepSql(i: Int, fn: String,
+                            decode: String => String): String = {
+    val prev = s"kl${i - 1}"
+    val cmb = if (fn == "max") "greatest" else "least"
+    s"""kn$i AS (SELECT e.doc_a AS doc_id, $fn(l.lab) AS nbr
+       |       FROM edges e JOIN $prev l ON l.doc_id = e.doc_b GROUP BY 1),
+       |kp$i AS MATERIALIZED (SELECT p.doc_id, $cmb(p.lab, coalesce(n.nbr, p.lab)) AS lab
+       |       FROM $prev p LEFT JOIN kn$i n ON n.doc_id = p.doc_id),
+       |kl$i AS MATERIALIZED (SELECT p.doc_id, $cmb(p.lab, coalesce(s.lab, p.lab)) AS lab
+       |       FROM kp$i p LEFT JOIN kp$i s ON s.doc_id = ${decode("p.lab")}),
+       |""".stripMargin
+  }
+
   private val keepersNearCte: String = lshEdgesCte +
-    """l1 AS MATERIALIZED (SELECT d.doc_id, least(d.doc_id, coalesce(min(e.doc_b), d.doc_id)) AS keep
-      |       FROM documents d LEFT JOIN edges e ON e.doc_a = d.doc_id GROUP BY d.doc_id),
-      |n2 AS (SELECT e.doc_a AS doc_id, min(l.keep) AS nbr
-      |       FROM edges e JOIN l1 l ON l.doc_id = e.doc_b GROUP BY 1),
-      |l2 AS (SELECT l1.doc_id, least(l1.keep, coalesce(n2.nbr, l1.keep)) AS keep_doc_id
-      |       FROM l1 LEFT JOIN n2 USING (doc_id))
+    "kl0 AS (SELECT doc_id, doc_id AS lab FROM documents),\n" +
+    (1 to 2).map(keeperStepSql(_, "min", identity)).mkString +
+    """l2 AS (SELECT doc_id, lab AS keep_doc_id FROM kl2)
       |""".stripMargin
 
   private val keepersNearSql: String = keepersNearCte +
@@ -424,18 +441,14 @@ object SparkEntry {
   private val keepersBestSql: String = lshEdgesCte +
     s"""qual AS (SELECT d.doc_id, ${qBpSql("d.toks")} AS q_bp
       |         FROM docs d),
-      |lab0 AS (SELECT doc_id, q_bp * 281474976710656 + (281474976710655 - doc_id) AS lab FROM qual),
-      |b1 AS MATERIALIZED (SELECT q.doc_id, greatest(q.lab, coalesce(max(l.lab), q.lab)) AS lab
-      |       FROM lab0 q LEFT JOIN edges e ON e.doc_a = q.doc_id
-      |                   LEFT JOIN lab0 l ON l.doc_id = e.doc_b
-      |       GROUP BY q.doc_id, q.lab),
-      |b2n AS (SELECT e.doc_a AS doc_id, max(l.lab) AS nbr
-      |        FROM edges e JOIN b1 l ON l.doc_id = e.doc_b GROUP BY 1),
-      |b2 AS (SELECT b1.doc_id, greatest(b1.lab, coalesce(b2n.nbr, b1.lab)) AS lab
-      |       FROM b1 LEFT JOIN b2n USING (doc_id))
+      |kl0 AS (SELECT doc_id, q_bp * 281474976710656 + (281474976710655 - doc_id) AS lab FROM qual),
+      |""".stripMargin +
+    (1 to 2).map(keeperStepSql(_, "max",
+      lab => s"281474976710655 - ($lab % 281474976710656)")).mkString +
+    """fin AS (SELECT doc_id, lab FROM kl2)
       |SELECT doc_id, 281474976710655 - (lab % 281474976710656) AS keep_doc_id,
       |       doc_id = 281474976710655 - (lab % 281474976710656) AS is_kept
-      |FROM b2 ORDER BY doc_id""".stripMargin
+      |FROM fin ORDER BY doc_id""".stripMargin
 
   /** One fixed-point PageRank round over CTEs `e`/`deg`/`nodes`/`nn`:
     * integer inflow from `prev`, damped integer update into `next`. */

@@ -152,12 +152,16 @@ object Dedup {
   }
 
   /** Near-duplicate keeper assignment: LSH candidate pairs become
-    * edges; representatives are found by min-id label propagation.
-    * Duplicate sets from banding are (near-)cliques, so `iters`=2
-    * converges for them; chains longer than `iters` hops keep
-    * distinct keepers (conservative — never over-merges beyond the
-    * verified pairs). Each iteration is one keyed join — the
-    * standard large-scale connected-components shape.
+    * edges; representatives are found by min-id label propagation
+    * with a pointer-doubling shortcut, so `iters` rounds cover
+    * duplicate chains ~2^iters deep (duplicate sets from banding are
+    * (near-)cliques — one round merges them — but template families
+    * chain A≈B≈C… beyond any fixed radius, and a chain split across
+    * keepers would also split across [[graft.ops.Sampling]]'s
+    * leakage-safe train/val boundary: the exact leak that split
+    * exists to prevent). Each round is one keyed join plus one
+    * label-keyed shortcut join — the standard large-scale
+    * connected-components shape ([[graft.ops.Graph.componentSizes]]).
     */
   def nearDupKeepers(documents: DataFrame, tau: Double, iters: Int = 2,
                      k: Int = 64, bands: Int = 16): DataFrame = {
@@ -179,13 +183,22 @@ object Dedup {
 
   /** Bounded-iteration label propagation shared by both keeper
     * elections: each round takes the min (or max) label over a
-    * node's neighborhood and itself. Shuffled-hash hints: the loop
-    * re-joins every round, and a sort-merge would re-sort both sides
-    * each iteration — hash exchanges on doc_id are all the
-    * distribution it needs.
+    * node's neighborhood and itself, then POINTER-DOUBLES — adopts
+    * the label of the node its label names (`decode` recovers that
+    * node id from a packed label) — so reach grows ~2× per round
+    * (R_r = 2·R_{r−1}+1) and `iters` rounds cover chains ~2^iters
+    * deep, the only radius that survives template families at
+    * 100 TB. Shuffled-hash hints: the loop re-joins every round, and
+    * a sort-merge would re-sort both sides each iteration — hash
+    * exchanges on doc_id are all the distribution it needs. The
+    * shortcut references the round's frame TWICE, so the unresolved
+    * plan would double every round (2^iters subplans — the
+    * [[graft.ops.Graph.componentSizes]] lesson); per-round
+    * localCheckpoint truncates lineage on the executors.
     */
-  private def propagateLabels(edges: DataFrame, init: DataFrame,
-                              iters: Int, maximize: Boolean): DataFrame = {
+  private[graft] def propagateLabels(edges: DataFrame, init: DataFrame,
+                                     iters: Int, maximize: Boolean,
+                                     decode: Column => Column = identity): DataFrame = {
     val aggFn = if (maximize) max(col("lab")) else min(col("lab"))
     val combine: (Column, Column) => Column =
       if (maximize) (a, b) => greatest(a, b) else (a, b) => least(a, b)
@@ -195,10 +208,16 @@ object Dedup {
         .join(labels.hint("shuffle_hash"), edges("doc_b") === labels("doc_id"))
         .groupBy(edges("doc_a").as("doc_id"))
         .agg(aggFn.as("nbr"))
-      labels = labels.as("l")
+      val prop = labels.as("l")
         .join(neighborAgg.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           combine(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
+      labels = prop.as("p")
+        .join(prop.select(col("doc_id").as("lnode"), col("lab").as("lab2"))
+          .hint("shuffle_hash"), decode(col("p.lab")) === col("lnode"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          combine(col("p.lab"), coalesce(col("lab2"), col("p.lab"))).as("lab"))
+        .localCheckpoint()
     }
     labels
   }
@@ -218,11 +237,20 @@ object Dedup {
     */
   def nearDupKeepersBest(documents: DataFrame, tau: Double, iters: Int = 2,
                          k: Int = 64, bands: Int = 16): DataFrame = {
+    // runtime guards on the packing contract: a doc_id outside
+    // [0, 2^48) would silently corrupt the tiebreak field (fail
+    // loudly instead), and a null q_bp (empty doc) must not poison
+    // max-propagation with a null label — an empty doc scores 0
+    val id = when(col("doc_id") >= 0 && col("doc_id") < Pack, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("nearDupKeepersBest: doc_id outside packable [0, 2^48): "),
+        col("doc_id").cast("string"))))
     val init = graft.text.TextAnalysis.qualityBpFrame(documents)
       .select(col("doc_id"),
-        (col("q_bp") * Pack + (lit(Pack - 1) - col("doc_id"))).as("lab"))
+        (coalesce(col("q_bp"), lit(0L)) * Pack + (lit(Pack - 1) - id)).as("lab"))
     val labels = propagateLabels(
-      lshEdges(documents, tau, k, bands), init, iters, maximize = true)
+      lshEdges(documents, tau, k, bands), init, iters, maximize = true,
+      decode = lab => lit(Pack - 1) - (lab % Pack))
     labels.select(col("doc_id"),
         (lit(Pack - 1) - (col("lab") % Pack)).as("keep_doc_id"))
       .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))

@@ -147,6 +147,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
   }
 
+  test("pointer-doubling propagation unifies a 60-deep chain in 6 rounds") {
+    import spark.implicits._
+    // path graph 0–1–2–…–59: plain radius-r propagation reaches only
+    // r hops (6 rounds ⇒ 6), but with the label-of-label shortcut the
+    // reach is R_r = 2·R_{r−1}+1 ⇒ 126 ≥ 59 — the whole chain must
+    // land on keeper 0. This is the template-family case that would
+    // otherwise straddle sample_split_safe's train/val boundary.
+    val pairs = (0L until 59L).map(i => (i, i + 1))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("doc_a", "doc_b")
+    val init = (0L until 60L).map(i => (i, i)).toDF("doc_id", "lab")
+    val labs = Dedup.propagateLabels(edges, init, iters = 6, maximize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs.size == 60 && labs.values.forall(_ == 0L))
+    // and maximize with a decode picks the other end
+    val labsMax = Dedup.propagateLabels(edges, init, iters = 6,
+      maximize = true).collect().map(_.getLong(1)).distinct
+    assert(labsMax.toSeq == Seq(59L))
+  }
+
   test("chunk dedup kills shared boilerplate but keeps unique prose") {
     import spark.implicits._
     val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
