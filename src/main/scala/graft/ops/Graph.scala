@@ -33,8 +33,15 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
     val nCount = nodes.agg(count(lit(1)).as("n"))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.crossJoin(broadcast(nCount))
-      .select(col("node"), expr(s"$scale div n").as("pr"), col("n"))
+    // the loop-invariant (node, n) frame: each round's update joins
+    // inflow against THIS, not against the previous ranks frame — the
+    // new rank depends on the old only through inflow, so `ranks`
+    // appears exactly ONCE per round and the unresolved plan grows
+    // linearly in iters (referencing it twice would double the plan
+    // every round — 2^iters subplans, the componentSizes lesson —
+    // without needing componentSizes' per-round localCheckpoint)
+    val nodesN = nodes.crossJoin(broadcast(nCount))
+    var ranks = nodesN.select(col("node"), expr(s"$scale div n").as("pr"))
     for (_ <- 0 until iters) {
       // shuffled-hash hints, same rationale as the keeper propagation
       // loop: these joins re-run every iteration and a sort-merge
@@ -45,12 +52,11 @@ object Graph {
         .join(deg.hint("shuffle_hash"), "src")
         .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))
-      ranks = ranks
+      ranks = nodesN
         .join(inflow.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (expr(s"((100 - $dampingPct) * ($scale div n)) div 100") +
-            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100")).as("pr"),
-          col("n"))
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100")).as("pr"))
     }
     ranks.select(col("node"), col("pr"))
   }

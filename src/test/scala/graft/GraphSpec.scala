@@ -55,6 +55,23 @@ class GraphSpec extends SparkSpec {
     assert(got == expected, s"got $got vs exact $expected")
   }
 
+  test("pagerank plan grows linearly in iters: deep runs stay analyzable") {
+    import spark.implicits._
+    // each round references the previous ranks frame exactly once (the
+    // update joins inflow against the loop-invariant node frame), so
+    // the unresolved plan is linear in iters — a twice-referencing
+    // round would be 2^12 subplans here and hang Catalyst analysis
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val t0 = System.nanoTime()
+    val pr = Graph.pageRank(edges, iters = 12).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pr.size == 4 && pr.values.forall(_ > 0))
+    assert(pr.values.sum <= 1000000000000L)
+    assert(secs < 60.0, s"12-iteration pagerank took ${secs}s — plan blowup?")
+  }
+
   test("pagerank is bit-identical across different partitionings") {
     def run(shufflePartitions: Int): Map[Long, Long] = {
       spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions)
