@@ -1172,6 +1172,24 @@ object SparkEntry {
         |       count(DISTINCT l_partkey) AS n_parts,
         |       count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // bounded-error sketch certification: the oracle computes the
+    // EXACT counts and asserts the Spark-side bound flags are
+    // literally TRUE — a sketch drifting past its rated error fails
+    // the hash compare (the raw estimates are impl-specific and
+    // never cross engines)
+    "q7_approx_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS n_lines,
+        |       TRUE AS orders_within_3rsd,
+        |       TRUE AS parts_within_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q7_hll_sketch" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       TRUE AS est_within_3sigma
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q8_topn_group" ->
       """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority,
@@ -1299,6 +1317,20 @@ object SparkEntry {
         |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
         |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
         |       count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // quantile-sketch certification: exact p25/p50/p90 (the same
+    // percentile_cont replay as q17_quantiles) + TRUE rank-band
+    // flags; the Spark side checks its estimates against the exact
+    // quantiles at p ± 0.005 (5x the rated 1/accuracy rank error)
+    "q17_approx_quantiles" ->
+      """SELECT o_orderstatus,
+        |       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+        |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+        |       count(*) AS n,
+        |       TRUE AS p25_in_band,
+        |       TRUE AS p50_in_band,
+        |       TRUE AS p90_in_band
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q18_asof_join" -> asofJoinSql,
     // the generic AsofJoin API produces the same rows

