@@ -346,6 +346,36 @@ object HashOps {
     math.sqrt(s)
   }
 
+  /** [[znormDist]] over plain double arrays — the streaming ring
+    * buffer's variant (no InternalRow in flatMapGroupsWithState).
+    * Fold order mirrors the ArrayData version exactly, so streaming
+    * emissions are bit-identical to the batch operator's scores.
+    */
+  def znormDistD(w: Array[Double], zq: Array[Double]): Double = {
+    val n = w.length
+    var m = 0.0
+    var i = 0
+    while (i < n) { m += w(i); i += 1 }
+    m /= n
+    var v = 0.0
+    i = 0
+    while (i < n) {
+      val d = w(i) - m
+      v += d * d
+      i += 1
+    }
+    val sd = math.sqrt(v / n)
+    if (!(sd > 0.0)) return Double.NaN
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val d = (w(i) - m) / sd - zq(i)
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   /** Index of the most-cosine-similar packed centroid (ties → lower
     * index). One fused pass replaces the explode×|cells| + window
     * argmax formulation, whose per-vector fan-out shuffles

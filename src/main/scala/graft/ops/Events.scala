@@ -166,6 +166,20 @@ object Events {
     * never entered whole-stage codegen. Selection is the native
     * TopKPerKey bounded heaps — no global sort, nothing quadratic.
     */
+  /** The query pattern z-normalized with the same sequential folds
+    * the oracle replays (left-to-right IEEE order — bit-identical);
+    * shared by the batch operator and its streaming twin.
+    */
+  private[graft] def znormPattern(pattern: Seq[Double]): Array[Double] = {
+    val L = pattern.length
+    val pm = pattern.foldLeft(0.0)(_ + _) / L
+    val psd = math.sqrt(
+      pattern.foldLeft(0.0)((a, x) => a + (x - pm) * (x - pm)) / L)
+    require(psd > 0,
+      s"pattern has zero variance ($pattern) — a constant pattern cannot be z-normalized")
+    pattern.map(x => (x - pm) / psd).toArray
+  }
+
   def tsMatch(events: DataFrame,
               pattern: Seq[Double] = Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0),
               k: Int = 5, segmentSize: Int = 512,
@@ -174,14 +188,7 @@ object Events {
     require(segmentSize >= L,
       s"segmentSize ($segmentSize) must cover the pattern length ($L)")
     require(bandUs > 0, s"bandUs ($bandUs) must be positive")
-    // z-normalize the pattern with the same sequential folds the
-    // oracle replays (left-to-right IEEE order — bit-identical)
-    val pm = pattern.foldLeft(0.0)(_ + _) / L
-    val psd = math.sqrt(
-      pattern.foldLeft(0.0)((a, x) => a + (x - pm) * (x - pm)) / L)
-    require(psd > 0,
-      s"pattern has zero variance ($pattern) — a constant pattern cannot be z-normalized")
-    val zq = array(pattern.map(x => lit((x - pm) / psd)): _*)
+    val zq = array(znormPattern(pattern).map(lit(_)).toSeq: _*)
     // level 1: global per-series row index = band offset + in-band
     // rank. Band boundaries respect (ts, event_id) order because the
     // band is a function of ts alone; the offsets frame is one row

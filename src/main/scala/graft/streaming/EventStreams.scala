@@ -32,6 +32,19 @@ case class RetentionHit(user_id: Long, cohort_week: java.sql.Date,
   */
 case class HeavyHitter(bucket: Int, token: String, cnt: Long)
 
+/** Per-series subsequence-match state: the last L−1 values of the
+  * series in (ts, event_id) order (`tail`), plus the high-water
+  * (ts, id) mark used to drop late arrivals. Fixed size per key —
+  * the buffer never grows with the stream.
+  */
+case class TsTail(lastTs: Long, lastId: Long, tail: Seq[Double])
+
+/** One scored window emission: the z-normalized distance of the
+  * length-L window ENDING at `event_id`, bit-identical to the batch
+  * operator's `dist` for the same window.
+  */
+case class TsWindowScore(event_type: String, event_id: Long, dist: Double)
+
 /** Streaming twin of [[graft.ops.Events.funnel]]: per-user ordered
   * stage progression (signup → click → purchase) as keyed state,
   * emitted on change. Within a micro-batch events fold in event-time
@@ -169,10 +182,77 @@ object EventStreams {
           if (n > dec && buf.size < capacity) buf.update(key, n - dec)
         }
     }
-    rows.foreach(r => add(r._2, 1L))
+    // pre-count the batch and fold in sorted-token order: partition
+    // iterators arrive in shuffle order, and MG evictions depend on
+    // insertion order — without the sort the emitted counter VALUES
+    // (not the error guarantee) would differ run to run, breaking
+    // the repo's determinism invariant
+    rows.toSeq.groupBy(_._2).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+      .foreach { case (t, n) => add(t, n) }
     state.update(buf.toMap)
     buf.toSeq.sortBy { case (t, c) => (-c, t) }
       .map { case (t, c) => HeavyHitter(bucket, t, c) }.iterator
+  }
+
+  /** Streaming twin of [[graft.ops.Events.tsMatch]]'s scoring pass:
+    * per-series keyed state holds a RING BUFFER of the last L−1
+    * values (fixed size — state is |series| × (L−1) doubles no
+    * matter how long the stream runs, so no timeout/watermark
+    * eviction is needed for boundedness), each arriving row completes
+    * one length-L window, and the emission carries the same
+    * 6dp-rounded z-normalized distance the batch operator computes —
+    * bit-identical fold ([[graft.functions.HashOps.znormDistD]]).
+    * Top-k selection stays downstream (rank the emissions), exactly
+    * as the batch operator layers TopKPerKey over its scored scan.
+    *
+    * Ordering contract: rows fold in (ts, event_id) order within a
+    * micro-batch; across batches a row at-or-before the state's
+    * high-water mark would retro-edit windows already emitted, so it
+    * is DROPPED (counted nowhere) — the stream equals the batch
+    * operator on in-order sources, the same convention as
+    * [[funnelState]], and the late-drop policy is what a watermark
+    * would enforce at the source.
+    */
+  def tsMatchState(events: DataFrame,
+                   pattern: Seq[Double] =
+                     Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0))
+                  (implicit spark: SparkSession): Dataset[TsWindowScore] = {
+    import spark.implicits._
+    val zq = graft.ops.Events.znormPattern(pattern)
+    events.select(col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        foldTsMatch(zq))
+  }
+
+  private def foldTsMatch(zq: Array[Double])(
+      key: String, rows: Iterator[(String, Long, Long, Double)],
+      state: GroupState[TsTail]): Iterator[TsWindowScore] = {
+    val L = zq.length
+    val st = state.getOption.getOrElse(TsTail(Long.MinValue, Long.MinValue, Seq.empty))
+    val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      .filter(r => before(st.lastTs, st.lastId, r._2, r._3))
+    if (sorted.isEmpty) return Iterator.empty
+    val window = scala.collection.mutable.ArrayDeque.from(st.tail)
+    val out = Seq.newBuilder[TsWindowScore]
+    sorted.foreach { case (_, _, id, v) =>
+      window.append(v)
+      if (window.size > L) window.removeHead()
+      if (window.size == L) {
+        val d = graft.functions.HashOps.znormDistD(window.toArray, zq)
+        if (!d.isNaN) out += TsWindowScore(key, id,
+          // Spark's round(col, 6): HALF_UP over the shortest decimal
+          // representation — match it exactly so emissions hash-equal
+          // the batch operator's dist column
+          BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val (lastTs, lastId) = (sorted.last._2, sorted.last._3)
+    state.update(TsTail(lastTs, lastId, window.takeRight(L - 1).toSeq))
+    out.result().iterator
   }
 
   /** Streaming twin of [[graft.ops.Events.anomaly]]: score a live

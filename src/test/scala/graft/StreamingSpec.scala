@@ -219,6 +219,48 @@ class StreamingSpec extends SparkSpec {
     assert(last("b") == 2L && last("c") == 1L)
   }
 
+  test("streaming ts-match scores equal the batch operator across batches") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val pattern = Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0)
+    def row(i: Int, v: Double) = EventRow(i.toLong,
+      Timestamp.valueOf(f"2024-01-01 10:${i / 60}%02d:${i % 60}%02d"),
+      1L, "sig", v, "{}")
+    val values = (0 until 30).map {
+      case i if i >= 10 && i <= 17 => 100.0 + 7.0 * pattern(i - 10)
+      case i => (i % 7) * 3.0 + (i % 3)
+    }
+    val rows = values.zipWithIndex.map { case (v, i) => row(i, v) }
+    // split mid-planted-pattern: windows 10..17 straddle the batch
+    // boundary, so the state's L-1 ring buffer must carry them over
+    val (b1, b2) = rows.splitAt(13)
+    val input = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.tsMatchState(input.toDF(), pattern)
+      .writeStream.format("memory").queryName("tsm")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      // a late row at-or-before the high-water mark must be dropped,
+      // not retro-inserted into already-emitted windows
+      input.addData(b2 :+ row(5, 999.0)); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("tsm").as[graft.streaming.TsWindowScore]
+      .collect().map(e => (e.event_type, e.event_id, e.dist)).toSet
+    // batch reference: every scored window (top-k with k >= #windows)
+    val batch = graft.ops.Events.tsMatch(
+      rows.toDF().select(col("event_id"), col("ts"), col("event_type"),
+        col("value")), pattern, k = 1000)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("dist"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the planted window (ending at id 17) scored 0 despite straddling
+    assert(streamed.contains(("sig", 17L, 0.0)))
+  }
+
   test("stream-stream attribution join pairs purchases with prior clicks") {
     import spark.implicits._
     implicit val s = spark
