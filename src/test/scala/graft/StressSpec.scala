@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.Graph
+
+/** Worst-case skew stress for the iterative graph/keeper family: a
+  * too-loose dedup threshold yields ONE giant component, which is
+  * also the hottest key a label-propagation join can see (every
+  * node's label converges to the same value, so the pointer-doubling
+  * shortcut join concentrates on a single build row). These pin that
+  * the operators stay correct and bounded under that shape; wall
+  * times are recorded in SURVEY's round-7 perf journal.
+  */
+class StressSpec extends SparkSpec {
+
+  test("giant star component: hot-label shortcut stays correct and bounded") {
+    // star 0–{1..n}: after round 1 every label is 0, so all shortcut
+    // lookups land on the single node-0 build row — maximal key skew
+    // for the propagate and shortcut joins, and the giant-component
+    // shape componentSizes' own scaladoc warns about
+    val n = 50000L
+    val edges = spark.range(1L, n + 1L)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val t0 = System.nanoTime()
+    val hist = Graph.componentSizes(edges, iters = 6).collect()
+      .map(r => r.getAs[Long]("component_size") -> r.getAs[Long]("n_components"))
+      .toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"giant star n=$n componentSizes: $secs%.1fs")
+    assert(hist == Map(n + 1 -> 1L), s"got $hist")
+    assert(secs < 180.0, s"giant-component stress took ${secs}s")
+  }
+
+  test("x20-duplicated corpus: keeper election stays linear and per-group") {
+    // every sf0.001 text duplicated 20x with distinct ids: each copy
+    // group is a 20-clique of verified LSH pairs — the duplicate-heavy
+    // regime where pair enumeration is quadratic but keeper output
+    // must stay one row per doc, with one keeper per copy group
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("orig"), col("text"),
+        explode(sequence(lit(0), lit(19))).as("c"))
+      .select((col("orig") * 20 + col("c")).as("doc_id"), col("text"),
+        col("orig"))
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val keepers = Dedup.nearDupKeepers(docs.select("doc_id", "text"), 0.9)
+    val out = keepers.join(docs.select("doc_id", "orig"), "doc_id")
+      .groupBy("orig")
+      .agg(countDistinct(col("keep_doc_id")).as("n_keepers"),
+        count(lit(1)).as("n_copies"))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"x20-dup corpus ($nDocs docs) nearDupKeepers: $secs%.1fs")
+    assert(out.map(_.getAs[Long]("n_copies")).forall(_ == 20L))
+    // copies of one text are a clique — they must all share a keeper
+    assert(out.map(_.getAs[Long]("n_keepers")).forall(_ == 1L),
+      "a copy group elected multiple keepers")
+    assert(keepers.count() == nDocs, "keeper output must stay linear")
+    assert(secs < 300.0, s"dup-heavy keeper stress took ${secs}s")
+  }
+}
