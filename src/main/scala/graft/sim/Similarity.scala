@@ -383,20 +383,42 @@ object Similarity {
       .toDF("dim_idx", "loading", "eigenvalue")
   }
 
-  /** Projection of every embedding onto the fitted top component —
-    * the application half of [[pcaTopComponent]] (score = x̄ · v).
-    * The model (mean + loadings, two d-vectors) is fit once on the
-    * driver and re-enters the plan as literals, so application is a
-    * single codegen'd scan with no shuffle at all: the 100 TB shape
-    * of "apply the reducer you just fit".
+  /** The fitted PCA reducer as a first-class, reusable model value
+    * (two d-vectors + a scalar — trivially serializable, shippable
+    * to any session), mirroring the packed-model convention of the
+    * ANN operators: fit ONCE, [[pcaApply]] many times. At 100 TB
+    * the fit is a handful of model-sized jobs; every application
+    * after that is a single shuffle-free codegen'd scan.
     */
-  def pcaProject(embeddings: DataFrame, iters: Int = 4,
-                 dim: Int = 64): DataFrame = {
-    val (mean, v, _) = pcaFit(embeddings, iters, dim, persistCentered = false)
+  case class PcaModel(mean: Array[Double], loadings: Array[Double],
+                      eigenvalue: Double)
+
+  /** Fit the top-component reducer: the fit half of [[pcaProject]]. */
+  def pcaFitModel(embeddings: DataFrame, iters: Int = 4,
+                  dim: Int = 64): PcaModel = {
+    val (mean, v, rayleigh) = pcaFit(embeddings, iters, dim,
+      persistCentered = false)
+    PcaModel(mean, v, rayleigh)
+  }
+
+  /** Apply a fitted [[PcaModel]]: the model re-enters the plan as
+    * literals, so application is one codegen'd scan with no shuffle
+    * at all — the 100 TB shape of "apply the reducer you fit once".
+    */
+  def pcaApply(embeddings: DataFrame, model: PcaModel): DataFrame = {
     def fLit(xs: Array[Double]) = array(xs.map(x => lit(x.toFloat)): _*)
     embeddings.select(col("vec_id"),
-      round(dot_ff(vec_sub(col("embedding"), fLit(mean)), fLit(v)), 6).as("proj"))
+      round(dot_ff(vec_sub(col("embedding"), fLit(model.mean)),
+        fLit(model.loadings)), 6).as("proj"))
   }
+
+  /** Projection of every embedding onto the fitted top component —
+    * [[pcaFitModel]] + [[pcaApply]] in one call for the
+    * fit-and-project-now case (score = x̄ · v).
+    */
+  def pcaProject(embeddings: DataFrame, iters: Int = 4,
+                 dim: Int = 64): DataFrame =
+    pcaApply(embeddings, pcaFitModel(embeddings, iters, dim))
 
   /** Power-iteration fit shared by [[pcaTopComponent]] and
     * [[pcaProject]]: (per-dim mean, sign-fixed unit loadings,

@@ -171,6 +171,17 @@ class SimilaritySpec extends SparkSpec {
       s"projection variance $variance vs eigenvalue $lambda")
   }
 
+  test("fit-once PcaModel applies identically to the fused fit+project") {
+    val model = Similarity.pcaFitModel(embeddings)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("proj")).toMap
+    val applied = rows(Similarity.pcaApply(embeddings, model))
+    // same model applied twice — no refit, bit-identical outputs
+    assert(applied == rows(Similarity.pcaApply(embeddings, model)))
+    assert(applied == rows(Similarity.pcaProject(embeddings)))
+    assert(model.mean.length == 64 && model.loadings.length == 64)
+  }
+
   test("persisted-centered power iteration is value-identical to the default") {
     val a = Similarity.pcaTopComponent(embeddings, iters = 4)
       .collect().map(_.toSeq)
