@@ -142,6 +142,9 @@ object SparkEntry {
     // exact-n deterministic sample via distributed top-n heaps
     "sample_fixed_n" -> ((s, d) =>
       Sampling.fixedSizeSample(Tables.documents(s, d), 20).orderBy("doc_id")),
+    // balanced subset: exact n per stratum via TopKPerKey heaps
+    "sample_fixed_stratum" -> ((s, d) =>
+      Sampling.fixedPerStratum(Tables.documents(s, d), 5).orderBy("source", "rk")),
     // materialized temperature mix: per-source nibble thresholds
     "sample_mix_apply" -> ((s, d) =>
       Sampling.temperatureApply(Tables.documents(s, d)).orderBy("doc_id")),
@@ -161,6 +164,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), 0.5, col("doc_id") < 300).orderBy("doc_a", "doc_b")),
+    // asymmetric containment: the quote/subset detector Jaccard misses
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containment(Tables.documents(s, d), 0.8, col("doc_id") < 300)
+        .orderBy("doc_a", "doc_b")),
     "dedup_keepers" -> ((s, d) => Dedup.exactKeepers(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_keepers_near" -> ((s, d) => Dedup.nearDupKeepers(Tables.documents(s, d), 0.9).orderBy("doc_id")),
     // quality-weighted keeper election: clusters keep their BEST doc
@@ -198,6 +205,12 @@ object SparkEntry {
       graft.ops.Graph.componentSizes(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst")).orderBy("component_size")),
+    // per-node triangle counts + clustering coefficient: the cohesion
+    // audit of the near-dup graph (degree-ordered, hub-proof)
+    "graph_triangles" -> ((s, d) =>
+      graft.ops.Graph.triangles(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")).orderBy("node")),
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
     "sim_pq" -> ((s, d) =>
@@ -532,6 +545,35 @@ object SparkEntry {
     """comp AS (SELECT lab, count(*) AS sz FROM l6 GROUP BY lab)
       |SELECT sz AS component_size, count(*) AS n_components
       |FROM comp GROUP BY sz ORDER BY component_size""".stripMargin
+
+  /** Degree-ordered triangle replay over the knn edges: canonical
+    * dedup, (degree, id) orientation via row-value compares, wedge
+    * join on out-neighbors, directed-closure check, per-corner
+    * credit — the exact mirror of Graph.triangles. */
+  private val graphTrianglesSql: String = knnRankedCte +
+    """, e0 AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |         FROM e0 WHERE src <> dst),
+      |deg AS MATERIALIZED (SELECT node, count(*) AS d FROM (
+      |         SELECT a AS node FROM canon UNION ALL SELECT b FROM canon) GROUP BY 1),
+      |dir AS MATERIALIZED (
+      |  SELECT CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.a ELSE c.b END AS u,
+      |         CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.b ELSE c.a END AS v,
+      |         CASE WHEN (da.d, c.a) < (db.d, c.b) THEN db.d ELSE da.d END AS vd
+      |  FROM canon c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b),
+      |wed AS (SELECT x.u AS w0, x.v AS v1, y.v AS v2
+      |        FROM dir x JOIN dir y ON x.u = y.u AND (x.vd, x.v) < (y.vd, y.v)),
+      |tri AS MATERIALIZED (SELECT w.w0, w.v1, w.v2
+      |       FROM wed w JOIN dir dd ON dd.u = w.v1 AND dd.v = w.v2),
+      |pern AS (SELECT node, count(*) AS n_tri FROM (
+      |           SELECT w0 AS node FROM tri
+      |           UNION ALL SELECT v1 FROM tri
+      |           UNION ALL SELECT v2 FROM tri) GROUP BY 1)
+      |SELECT dg.node, dg.d AS degree, coalesce(p.n_tri, 0) AS n_tri,
+      |       CASE WHEN dg.d < 2 THEN CAST(0.0 AS DOUBLE)
+      |            ELSE round(CAST(coalesce(p.n_tri, 0) AS DOUBLE) * 2
+      |                       / (dg.d * (dg.d - 1)), 6) END AS clust_coeff
+      |FROM deg dg LEFT JOIN pern p ON p.node = dg.node ORDER BY dg.node""".stripMargin
 
   /** Split on md5 of the propagated keeper id — the leakage-safe
     * split's oracle shares the whole keeper-propagation replay. */
@@ -1602,6 +1644,27 @@ object SparkEntry {
         |      JOIN sizes sa ON doc_a = sa.doc_id
         |      JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // asymmetric containment over the same inverted index: both
+    // direction ratios, kept when either reaches tau
+    "dedup_containment" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |              FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+        |                               for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |c AS (SELECT doc_a, doc_b,
+        |        round(CAST(common AS DOUBLE) / sa.sz, 4) AS cont_a_in_b,
+        |        round(CAST(common AS DOUBLE) / sb.sz, 4) AS cont_b_in_a
+        |      FROM common
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT * FROM c WHERE cont_a_in_b >= 0.8 OR cont_b_in_a >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "cdc_schema_keys" -> (clCte +
       """SELECT op, key, count(*) AS n FROM (
         |  SELECT op, unnest(json_keys(payload)) AS key FROM changelog)
@@ -1717,6 +1780,7 @@ object SparkEntry {
     // one helper so the three rounds cannot diverge
     "graph_pagerank" -> graphPagerankSql,
     "graph_components" -> graphComponentsSql,
+    "graph_triangles" -> graphTrianglesSql,
     "sim_knn_graph" -> (knnRankedCte +
       """SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
         |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
@@ -1955,6 +2019,13 @@ object SparkEntry {
         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
         |  FROM documents ORDER BY h LIMIT 20)
         |ORDER BY doc_id""".stripMargin,
+    "sample_fixed_stratum" ->
+      """SELECT source, rk, doc_id, h FROM (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_ivf_kmeans" -> simIvfKmeansSql,

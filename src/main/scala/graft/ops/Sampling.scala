@@ -74,6 +74,26 @@ object Sampling {
       .orderBy(col("h"))
       .limit(n)
 
+  /** Exact-n-PER-STRATUM deterministic sample (the balanced-subset
+    * step of eval-set construction: n docs from every source, no
+    * matter how skewed the corpus). Within each stratum rows rank by
+    * md5(doc_id) — seedless, engine-portable, stable across runs —
+    * and the native TopKPerKey operator keeps per-partition n-row
+    * heaps per key, so no stratum is ever sorted whole and no corpus
+    * shuffle exceeds the (key, n-heap) partials: the per-key twin of
+    * [[fixedSizeSample]]'s TakeOrderedAndProject shape.
+    */
+  def fixedPerStratum(documents: DataFrame, n: Int): DataFrame = {
+    val tagged = documents.select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+    val top = graft.plans.TopK.perKey(
+      tagged, Seq("source"), Seq(col("h").asc, col("doc_id").asc), n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("source", "rk", "doc_id", "h")
+  }
+
   /** Leakage-safe train/val split: a val doc with a near-duplicate
     * twin in train leaks the answer, so split assignment hashes the
     * near-dup KEEPER id (the connected-component representative from

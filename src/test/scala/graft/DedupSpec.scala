@@ -147,6 +147,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
   }
 
+  test("containment flags an embedded quote that Jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 18).map(i => s"w$i").mkString(" ") // ⊂ long
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val cont = Dedup.containment(docs, 0.8, lit(true)).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    // every shingle of the quote appears in the long doc
+    assert(r.getAs[Double]("cont_b_in_a") == 1.0)
+    assert(r.getAs[Double]("cont_a_in_b") < 0.8)
+    // ...while symmetric Jaccard stays far below any useful threshold
+    val jac = Dedup.ngramJaccard(docs, 0.5, lit(true)).collect()
+    assert(!jac.exists(x => x.getAs[Long]("doc_a") == 1L &&
+      x.getAs[Long]("doc_b") == 2L))
+  }
+
   test("pointer-doubling propagation unifies a 60-deep chain in 6 rounds") {
     import spark.implicits._
     // path graph 0–1–2–…–59: plain radius-r propagation reaches only

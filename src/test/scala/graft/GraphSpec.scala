@@ -55,6 +55,39 @@ class GraphSpec extends SparkSpec {
     assert(got == expected, s"got $got vs exact $expected")
   }
 
+  test("triangles: K4 corners count 3 each, chain and star count zero") {
+    import spark.implicits._
+    // K4 {1,2,3,4} (4 triangles, each node on 3), a 3-chain {10,11,12}
+    // (no triangles), and a star 20–{21..24} (no triangles — and with
+    // degree ordering the hub generates ZERO wedges)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (20L, 24L)).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_tri"),
+          r.getAs[Double]("clust_coeff"))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { n =>
+      assert(out(n) == ((3L, 3L, 1.0)), s"node $n: ${out(n)}")
+    }
+    Seq(10L, 12L, 21L, 22L, 23L, 24L).foreach { n =>
+      assert(out(n)._2 == 0L && out(n)._3 == 0.0)
+    }
+    assert(out(11L) == ((2L, 0L, 0.0)) && out(20L) == ((4L, 0L, 0.0)))
+    // degree-1 nodes: coefficient defined as 0, never a div-by-zero null
+    assert(out(10L)._1 == 1L)
+  }
+
+  test("triangles count each planted triangle once regardless of edge direction") {
+    import spark.implicits._
+    // duplicate + reversed edges must not double-count
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_tri")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("pagerank plan grows linearly in iters: deep runs stay analyzable") {
     import spark.implicits._
     // each round references the previous ranks frame exactly once (the

@@ -72,6 +72,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("per-stratum fixed-n keeps exactly n smallest-hash rows per source") {
+    val n = 3
+    val docs = Tables.documents(spark, sf)
+    val out = Sampling.fixedPerStratum(docs, n).collect()
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    val sources = docs.select("source").distinct().count()
+    assert(bySource.size == sources)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length == n, s"$src: ${rows.length} rows")
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to n).toSeq)
+      // the kept rows really are the stratum's n smallest hashes
+      val cutoff = rows.map(_.getAs[String]("h")).max
+      val below = docs.filter(org.apache.spark.sql.functions.col("source") === src)
+        .select(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("doc_id").cast("string")).as("h"))
+        .filter(org.apache.spark.sql.functions.col("h") < cutoff).count()
+      assert(below < n, s"$src: $below hashes below the kept cutoff")
+    }
+    // deterministic: a second run returns the identical frame
+    val again = Sampling.fixedPerStratum(docs, n).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("temperature shares sum to one on real data") {
     val rows = Sampling.temperatureMix(Tables.documents(spark, sf)).collect()
     assert(rows.nonEmpty)
