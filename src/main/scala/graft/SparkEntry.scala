@@ -145,6 +145,11 @@ object SparkEntry {
     // balanced subset: exact n per stratum via TopKPerKey heaps
     "sample_fixed_stratum" -> ((s, d) =>
       Sampling.fixedPerStratum(Tables.documents(s, d), 5).orderBy("source", "rk")),
+    // the leak audit every split job should ship with: verified
+    // near-dup pairs crossing the train/val boundary (0 by
+    // construction within the keeper propagation's reach)
+    "sample_leak_audit" -> ((s, d) =>
+      Sampling.leakAudit(Tables.documents(s, d))),
     // materialized temperature mix: per-source nibble thresholds
     "sample_mix_apply" -> ((s, d) =>
       Sampling.temperatureApply(Tables.documents(s, d)).orderBy("doc_id")),
@@ -205,6 +210,19 @@ object SparkEntry {
       graft.ops.Graph.componentSizes(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst")).orderBy("component_size")),
+    // dense-subgraph audit: bounded-round k-core peeling over the
+    // cosine-RADIUS graph (the knn graph is degree-uniform by
+    // construction — its k-core is all-or-nothing; the radius
+    // graph's degree variance is exactly what coring exposes)
+    "graph_kcore" -> ((s, d) =>
+      graft.ops.Graph.kCore(
+        Dedup.embedNearDup(Tables.embeddings(s, d), 0.15, col("vec_id") % 7 === 0)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")),
+        k = 6).orderBy("node")),
+    // ANN range search: ALL neighbors within cosine >= tau via IVF
+    "sim_range_search" -> ((s, d) =>
+      Similarity.rangeSearch(Tables.embeddings(s, d), col("vec_id") < 10, 0.3)
+        .orderBy("q_id", "vec_id")),
     // per-node triangle counts + clustering coefficient: the cohesion
     // audit of the near-dup graph (degree-ordered, hub-proof)
     "graph_triangles" -> ((s, d) =>
@@ -574,6 +592,79 @@ object SparkEntry {
       |            ELSE round(CAST(coalesce(p.n_tri, 0) AS DOUBLE) * 2
       |                       / (dg.d * (dg.d - 1)), 6) END AS clust_coeff
       |FROM deg dg LEFT JOIN pern p ON p.node = dg.node ORDER BY dg.node""".stripMargin
+
+  /** One synchronous k-core peeling round over CTE `und{i-1}`:
+    * degree filter at k=6, then both-endpoint survival joins. */
+  private def kcoreStepSql(i: Int): String = {
+    val prev = s"und${i - 1}"
+    s"""kd$i AS (SELECT src, count(*) AS d FROM $prev GROUP BY 1),
+       |kk$i AS MATERIALIZED (SELECT src AS node FROM kd$i WHERE d >= 6),
+       |und$i AS MATERIALIZED (SELECT u.src, u.dst FROM $prev u
+       |        JOIN kk$i a ON a.node = u.src JOIN kk$i b ON b.node = u.dst),
+       |""".stripMargin
+  }
+
+  /** Bounded-round k-core replay over the cosine-radius graph
+    * (6dp-rounded cosine ≥ 0.15, both directions): 6 synchronous
+    * peel rounds (helper-generated), then surviving degrees. */
+  private val graphKcoreSql: String =
+    """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |             FROM embeddings WHERE vec_id % 7 = 0),
+      |und0 AS MATERIALIZED (
+      |  SELECT a.vec_id AS src, b.vec_id AS dst
+      |  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+      |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.15),
+      |""".stripMargin +
+      (1 to 6).map(kcoreStepSql).mkString +
+    """kfin AS (SELECT src, count(*) AS degree FROM und6 GROUP BY src)
+      |SELECT src AS node, degree FROM kfin ORDER BY node""".stripMargin
+
+  /** IVF range-search replay: the simIvfSql pipeline with the rank
+    * cut replaced by the cosine-radius filter. */
+  private val simRangeSearchSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |asg AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+      |  FROM corpus CROSS JOIN cents),
+      |assigned AS (SELECT vec_id, cell_id FROM asg WHERE rn = 1),
+      |qc AS (
+      |  SELECT q.vec_id AS q_id, cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |                            ORDER BY list_cosine_similarity(q.emb, c_emb) DESC, cell_id) AS rn
+      |  FROM corpus q CROSS JOIN cents WHERE q.vec_id < 10),
+      |probes AS (SELECT q_id, cell_id FROM qc WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id,
+      |         round(list_cosine_similarity(cq.emb, cv.emb), 6) AS cos
+      |  FROM probes p
+      |  JOIN assigned a USING (cell_id)
+      |  JOIN corpus cq ON cq.vec_id = p.q_id
+      |  JOIN corpus cv ON cv.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.q_id)
+      |SELECT q_id, vec_id, cos FROM scored WHERE cos >= 0.3
+      |ORDER BY q_id, vec_id""".stripMargin
+
+  /** Leak audit replay: the verified pair list joined against the
+    * keeper-hash split — shares the whole keeper-propagation replay. */
+  private val sampleLeakAuditSql: String = keepersNearCte +
+    """, spl AS MATERIALIZED (SELECT doc_id,
+      |        CASE WHEN substring(md5(CAST(keep_doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+      |             THEN 'val' ELSE 'train' END AS split
+      |      FROM l2),
+      |lagg AS (SELECT count(*) AS n_pairs,
+      |           CAST(coalesce(sum(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_split
+      |         FROM pairs p JOIN spl a ON a.doc_id = p.doc_a
+      |                      JOIN spl b ON b.doc_id = p.doc_b),
+      |lcnt AS (SELECT CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+      |                CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+      |         FROM spl)
+      |SELECT n_pairs, n_cross_split, n_train, n_val
+      |FROM lagg CROSS JOIN lcnt""".stripMargin
 
   /** Split on md5 of the propagated keeper id — the leakage-safe
     * split's oracle shares the whole keeper-propagation replay. */
@@ -1781,6 +1872,9 @@ object SparkEntry {
     "graph_pagerank" -> graphPagerankSql,
     "graph_components" -> graphComponentsSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_kcore" -> graphKcoreSql,
+    "sim_range_search" -> simRangeSearchSql,
+    "sample_leak_audit" -> sampleLeakAuditSql,
     "sim_knn_graph" -> (knnRankedCte +
       """SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
         |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin),

@@ -121,6 +121,40 @@ object Graph {
           .as("clust_coeff"))
   }
 
+  /** Bounded-round k-core peeling: synchronously remove every node
+    * with fewer than `k` surviving neighbors, `iters` times — the
+    * dense-subgraph audit of a near-dup/knn graph (the k-core is
+    * where template families and boilerplate clusters live; nodes
+    * peeled early are the loosely-attached periphery a curation pass
+    * keeps). Converges to the true k-core FROM ABOVE: a non-fixpoint
+    * round count yields a superset (conservative — never drops a
+    * core member), and the round count is a model constant like
+    * every other iterative operator here, so the plan depth never
+    * depends on data. Each round is one degree aggregation and one
+    * semi-join per endpoint on integer keys; per-round
+    * localCheckpoint truncates the 3-reference round lineage.
+    * Output: surviving (node, degree) — degree within the core.
+    */
+  def kCore(edges: DataFrame, k: Int, iters: Int = 6): DataFrame = {
+    require(k >= 1 && iters >= 1, s"k ($k) and iters ($iters) must be positive")
+    val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+    var und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    for (_ <- 0 until iters) {
+      val keep = und.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      und = und
+        .join(keep.select(col("node").as("src")).hint("shuffle_hash"), "src")
+        .join(keep.select(col("node").as("dst")).hint("shuffle_hash"), "dst")
+        .select("src", "dst")
+        // each round references `und` three times (degrees + both
+        // endpoint semi-joins): truncate lineage per round, the
+        // componentSizes lesson
+        .localCheckpoint()
+    }
+    und.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
+
   /** Connected-component size histogram over an edge list: how many
     * components of each size the graph has — the cluster-size
     * distribution a curation pipeline audits before deduplication

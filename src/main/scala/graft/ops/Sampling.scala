@@ -114,6 +114,37 @@ object Sampling {
       .select(col("doc_id"), col("keep_doc_id"),
         hashSplit(col("keep_doc_id")).as("split"))
 
+  /** Split-leakage audit: counts the LSH-verified near-duplicate
+    * pairs (Jaccard ≥ τ) whose two docs landed in DIFFERENT splits —
+    * the direct measurement of the contamination
+    * [[leakageSafeSplit]] exists to prevent (a val doc with a train
+    * twin leaks the answer). Zero by construction for every pair
+    * within the keeper propagation's 2^iters reach; a nonzero count
+    * is the audit firing on chains deeper than the configured
+    * radius. One row: total verified pairs, cross-split pairs, and
+    * the per-split doc counts for rate context. Costs one extra
+    * keyed join over the already-computed pair list — the audit
+    * every 100 TB split job should ship with.
+    */
+  def leakAudit(documents: DataFrame, tau: Double = 0.9,
+                iters: Int = 2): DataFrame = {
+    val pairs = graft.dedup.Dedup.minhashLsh(documents, tau)
+      .select("doc_a", "doc_b")
+    val split = leakageSafeSplit(documents, tau, iters)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
+        .hint("shuffle_hash"), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)),
+          lit(0L)).as("n_cross_split"))
+      .crossJoin(broadcast(split.groupBy("split").agg(count(lit(1)).as("n"))
+        .agg(sum(when(col("split") === "train", col("n"))).as("n_train"),
+          sum(when(col("split") === "val", col("n"))).as("n_val"))))
+  }
+
   /** Materialize the temperature mix deterministically: per-source
     * keep thresholds in sixteenths of the md5 nibble space, derived
     * from the α=0.5 temperature boost (rate_s = budget × boost_s

@@ -523,6 +523,37 @@ object Similarity {
     * argmax — one corpus scan); queries probe their `nProbe` nearest
     * cells and rerank exactly within them.
     */
+  /** ANN RANGE search: every corpus vector within cosine ≥ τ of each
+    * probe query — "give me ALL the near-duplicates of this item",
+    * where top-k caps the answer arbitrarily (radius recall is what
+    * embedding-dedup sweeps and contamination checks actually ask).
+    * Same IVF shape as [[annIvf]]: probe the nProbe most-similar
+    * cells, exact-verify inside them — the corpus reaches candidate
+    * selection with zero data-sized shuffles, and the output is
+    * bounded by the true radius neighborhood, not a k knob.
+    */
+  def rangeSearch(embeddings: DataFrame, queryFilter: Column, tau: Double,
+                  centroidStride: Long = 50L, nProbe: Int = 2): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val packed = packCentroids(centroids)
+    val assigned = assignPacked(corpus, packed, withResidual = false)
+    val queryCells = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(packed))
+      .select(col("q_id"), col("q_emb"),
+        explode(top_idx(col("q_emb"), col("cents"), nProbe)).as("__e"),
+        col("cell_ids"))
+      .select(col("q_id"), col("q_emb"),
+        element_at(col("cell_ids"), col("__e") + 1).as("cell_id"))
+    assigned.join(broadcast(queryCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   def annIvf(embeddings: DataFrame, queryFilter: Column, k: Int,
              centroidStride: Long = 50L, nProbe: Int = 2,
              kmeansIters: Int = 0, dim: Int = 64): DataFrame = {

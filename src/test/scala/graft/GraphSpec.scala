@@ -88,6 +88,31 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("k-core keeps a K7 clique, peels its pendant tail") {
+    import spark.implicits._
+    // K7 (internal degree 6) with a pendant tail 100–1: the tail
+    // peels in round 1 (degree 1 < 6); the clique survives at k=6
+    val k7 = for (a <- 1L to 7L; b <- (a + 1) to 7L) yield (a, b)
+    val edges = (k7 :+ ((1L, 100L))).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 6).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    assert(out.keySet == (1L to 7L).toSet, s"got ${out.keySet}")
+    assert(out.values.forall(_ == 6L))
+  }
+
+  test("bounded-round k-core peels a path from the ends, conservatively") {
+    import spark.implicits._
+    // path 0–…–19 at k=2: the true 2-core is empty, but synchronous
+    // peeling removes only the two current endpoints per round — after
+    // 6 rounds nodes 6..13 remain (the documented from-above superset)
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
+    val out = Graph.kCore(edges, k = 2, iters = 6).collect()
+      .map(_.getAs[Long]("node")).sorted.toSeq
+    assert(out == (6L to 13L).toSeq, s"got $out")
+    // ...and enough rounds empty it completely
+    assert(Graph.kCore(edges, k = 2, iters = 10).count() == 0)
+  }
+
   test("pagerank plan grows linearly in iters: deep runs stay analyzable") {
     import spark.implicits._
     // each round references the previous ranks frame exactly once (the

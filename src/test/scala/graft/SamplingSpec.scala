@@ -95,6 +95,26 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("leak audit reports zero cross-split pairs for the keeper split") {
+    val docs = Tables.documents(spark, sf)
+    val r = Sampling.leakAudit(docs).collect().head
+    val nPairs = graft.dedup.Dedup.minhashLsh(docs, 0.9).count()
+    assert(r.getAs[Long]("n_pairs") == nPairs && nPairs > 0)
+    // the whole point of splitting on the keeper id
+    assert(r.getAs[Long]("n_cross_split") == 0L)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_val") == docs.count())
+  }
+
+  test("leak audit fires on a split that ignores near-dup structure") {
+    // positive control: iters=0 degenerates the keeper to the doc
+    // itself (a plain per-doc hash split), so near-dup pairs land in
+    // different splits and the audit must catch at least one
+    val r = Sampling.leakAudit(Tables.documents(spark, sf), iters = 0)
+      .collect().head
+    assert(r.getAs[Long]("n_cross_split") > 0L,
+      "audit failed to flag a leaky split")
+  }
+
   test("temperature shares sum to one on real data") {
     val rows = Sampling.temperatureMix(Tables.documents(spark, sf)).collect()
     assert(rows.nonEmpty)

@@ -74,6 +74,30 @@ class SimilaritySpec extends SparkSpec {
     assert((brute intersect ivf).size >= 10, s"overlap ${(brute intersect ivf).size}/50")
   }
 
+  test("range search returns only true radius neighbors from probed cells") {
+    val tau = 0.3
+    val out = Similarity.rangeSearch(embeddings, col("vec_id") < 10, tau).collect()
+    assert(out.nonEmpty)
+    // every result really is inside the radius, never the query itself
+    out.foreach { r =>
+      assert(r.getAs[Double]("cos") >= tau)
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("q_id"))
+    }
+    // soundness vs the exact radius set: every returned pair appears
+    // in the brute-force all-pairs radius list with the same cosine
+    val ids = out.map(_.getAs[Long]("vec_id")).toSet ++ (0L until 10L)
+    val exact = graft.dedup.Dedup.embedNearDup(
+      embeddings, tau, col("vec_id").isInCollection(ids)).collect()
+      .flatMap(r => Seq(
+        ((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")), r.getAs[Double]("cos")),
+        ((r.getAs[Long]("vec_b"), r.getAs[Long]("vec_a")), r.getAs[Double]("cos"))))
+      .toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      assert(exact.get(key).contains(r.getAs[Double]("cos")), s"$key not exact")
+    }
+  }
+
   test("embedding stats report full dimensionality and positive norms") {
     val rows = Similarity.embStats(embeddings).collect()
     assert(rows.map(_.getAs[Int]("label")).toSet == (0 until 10).toSet)
