@@ -131,6 +131,10 @@ object SparkEntry {
       TextAnalysis.contaminationBloom(Tables.documents(s, d)).orderBy("doc_id")),
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")),
+    // top-PMI collocations: the multi-word-term / boilerplate-phrase
+    // list a tokenizer-training pass wants
+    "text_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d)).orderBy("rk")),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSampleAudit(Tables.documents(s, d)).orderBy("source")),
     "sample_temperature" -> ((s, d) =>
@@ -1597,6 +1601,26 @@ object SparkEntry {
         |JOIN bgc USING (bg)
         |JOIN unic ON string_split(b.bg, ' ')[1] = unic.tok
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // PMI collocations: same bigram/unigram extraction as bigram_lm,
+    // ln at 4dp like every other log-scored oracle
+    "text_collocations" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |bg AS (SELECT unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                     for i in range(1, len(toks))]) AS bg
+        |       FROM docs WHERE len(toks) >= 2),
+        |bgc AS (SELECT bg, count(*) AS n FROM bg GROUP BY bg HAVING count(*) >= 5),
+        |unic AS (SELECT tok, count(*) AS c
+        |         FROM (SELECT unnest(toks) AS tok FROM docs) GROUP BY tok),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM unic),
+        |scored AS (SELECT bg, n,
+        |             round(ln(CAST(n_uni AS DOUBLE) * n
+        |                      / (CAST(c1.c AS DOUBLE) * c2.c)), 4) AS pmi
+        |           FROM bgc CROSS JOIN nu
+        |           JOIN unic c1 ON c1.tok = string_split(bg, ' ')[1]
+        |           JOIN unic c2 ON c2.tok = string_split(bg, ' ')[2]),
+        |ranked AS (SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT) AS rk,
+        |                  bg, n, pmi FROM scored)
+        |SELECT rk, bg, n, pmi FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
         |             FROM documents),

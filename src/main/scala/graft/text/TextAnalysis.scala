@@ -500,6 +500,46 @@ object TextAnalysis {
     * the same plan runs at corpus scale (the count tables ARE the
     * model; they shuffle once and join hash-to-hash).
     */
+  /** Top-k collocations by pointwise mutual information:
+    * PMI(a,b) = ln(N_uni · c_ab / (c_a · c_b)) over corpus bigram /
+    * unigram counts, thresholded at `minCount` occurrences (raw PMI
+    * overweights hapax pairs — the standard guard). The collocation
+    * list is the vocabulary-curation artifact (multi-word terms,
+    * boilerplate phrases) a tokenizer-training pass wants.
+    *
+    * Scale shape: two map-side-combined count aggregations, then the
+    * bigram table joins the (small) unigram table twice — per-word
+    * counts are vocabulary-bounded, never corpus-bounded — and the
+    * native TopKPerKey global heap selects k without a full sort.
+    */
+  def collocations(documents: DataFrame, minCount: Long = 5L,
+                   k: Int = 20): DataFrame = {
+    val bigrams = graft.functions.expressions.shingle_list(col("text"), 2)
+    val bgCounts = documents.select(explode(bigrams).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val uni = documents.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum("c").as("n_uni"))
+    val scored = bgCounts
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c1")).hint("shuffle_hash"), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")).hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(nUni))
+      .select(col("bg"), col("n"),
+        round(log(col("n_uni").cast("double") * col("n") /
+          (col("c1").cast("double") * col("c2"))), 4).as("pmi"))
+    // global top-k through the same partial-heap operator: a constant
+    // key makes only the pre-pruned numPartitions×k survivors reach
+    // the single final heap — never the full bigram table
+    val top = graft.plans.TopK.perKey(scored.withColumn("g", lit(0)),
+      Seq("g"), Seq(col("pmi").desc, col("bg").asc), k)
+    val w = Window.orderBy(col("pmi").desc, col("bg").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("rk", "bg", "n", "pmi")
+  }
+
   def bigramLmScore(documents: DataFrame): DataFrame = {
     val bigrams = graft.functions.expressions.shingle_list(col("text"), 2)
     val docBg = documents

@@ -124,6 +124,40 @@ class KernelPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("znorm distance is offset/amplitude invariant and NaN on flat windows") {
+    import graft.functions.HashOps
+    val zq = graft.ops.Events.znormPattern(
+      Seq(0.0, 0.0, 1.0, 2.0, 4.0, 2.0, 1.0, 0.0))
+    val winGen = Gen.listOfN(8, Gen.choose(-50.0, 50.0))
+    val cases = (1 to 200).flatMap(_ => winGen.sample).filter { w =>
+      val m = w.sum / w.length
+      w.map(x => (x - m) * (x - m)).sum > 1e-6 // non-flat
+    }
+    assert(cases.nonEmpty)
+    cases.foreach { w0 =>
+      val w = w0.toArray
+      val d = HashOps.znormDistD(w, zq)
+      assert(!d.isNaN && d >= 0.0)
+      // the UCR claim: z-normalization erases affine transforms of
+      // the series (positive scale + shift)
+      val affine = w.map(x => 7.0 * x + 1000.0)
+      assert(math.abs(HashOps.znormDistD(affine, zq) - d) < 1e-6,
+        s"affine variance: $d vs ${HashOps.znormDistD(affine, zq)}")
+      // the query is z-normalized: a window equal to it scores 0
+      assert(HashOps.znormDistD(zq, zq) < 1e-12)
+    }
+    // flat windows cannot be z-normalized
+    assert(HashOps.znormDistD(Array.fill(8)(3.25), zq).isNaN)
+    // the ArrayData kernel mirrors the double-array one bit-for-bit
+    cases.take(20).foreach { w0 =>
+      val w = w0.toArray
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(w)
+      val zqAd = new org.apache.spark.sql.catalyst.util.GenericArrayData(zq)
+      assert(java.lang.Double.compare(
+        HashOps.znormDist(ad, zqAd), HashOps.znormDistD(w, zq)) == 0)
+    }
+  }
+
   test("LSH plane coefficients are uniform in [-1, 1)") {
     val coefs = for {
       table <- 0 until 8; p <- 0 until 16; j <- 0 until 64

@@ -37,4 +37,27 @@ class TextSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Double]("zipf_slope") < 0.0))
   }
+
+  test("collocations rank a planted always-adjacent pair on top") {
+    import spark.implicits._
+    // "neural network" only ever occurs as a pair (PMI = ln(N/1 * ...)
+    // maximal); "the"+"cat" co-occur adjacently sometimes but each
+    // also appears alone everywhere (PMI ≈ 0); min-count prunes rare
+    // noise pairs
+    val docs = (1 to 10).map { i =>
+      (i.toLong, s"neural network the cat a$i the dog cat b$i the end")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 5L, k = 5).collect()
+    assert(out.nonEmpty)
+    val top = out.find(_.getAs[Long]("rk") == 1L).get
+    assert(top.getAs[String]("bg") == "neural network")
+    assert(top.getAs[Long]("n") == 10L)
+    // ranks are dense and PMI is non-increasing down the list
+    val sorted = out.sortBy(_.getAs[Long]("rk"))
+    assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to out.length).toSeq)
+    val pmis = sorted.map(_.getAs[Double]("pmi")).toSeq
+    assert(pmis == pmis.sorted.reverse)
+    // every surviving pair cleared the count floor
+    assert(out.forall(_.getAs[Long]("n") >= 5L))
+  }
 }
