@@ -75,6 +75,7 @@ object GraftExtensions {
       TopIdx(args(0), args(1), intArg("top_idx", args(2)))),
     fn("pq_encode", "vec, codebook")(args => PqEncode(args(0), args(1))),
     fn("adc_sum", "codes, lut")(args => AdcSum(args(0), args(1))),
+    fn("znorm_dist", "window, zq")(args => ZnormDist(args(0), args(1))),
   )
 
   private def info(name: String): ExpressionInfo =

@@ -17,7 +17,9 @@ class ExtensionsSpec extends SparkSpec {
         |       minhash_bands(array('x', 'y'), 16, 4) AS mb,
         |       byte_entropy('abab') AS be,
         |       vec_sub(array(CAST(3.0 AS FLOAT), CAST(1.0 AS FLOAT)),
-        |               array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS vs
+        |               array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT))) AS vs,
+        |       znorm_dist(array(CAST(0.0 AS DOUBLE), 1.0, 0.0, 1.0),
+        |                  array(CAST(-1.0 AS DOUBLE), 1.0, -1.0, 1.0)) AS zd
         |""".stripMargin).collect()(0)
     assert(row.getAs[Long]("rh") ==
       HashOps.rollingHash(UTF8String.fromString("abc")))
@@ -26,6 +28,8 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](row.fieldIndex("mb")).length == 4)
     assert(math.abs(row.getAs[Double]("be") - 1.0) < 1e-12)
     assert(row.getSeq[Float](row.fieldIndex("vs")).toList == List(2.0f, 0.0f))
+    // (0,1,0,1) z-normalizes to exactly the query (-1,1,-1,1): dist 0
+    assert(row.getAs[Double]("zd") == 0.0)
   }
 
   test("extensions class wires every builder without error") {
