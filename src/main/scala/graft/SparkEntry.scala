@@ -70,6 +70,9 @@ object SparkEntry {
     // z-normalized sliding-window pattern similarity per series
     "events_ts_match" -> ((s, d) =>
       graft.ops.Events.tsMatch(Tables.events(s, d)).orderBy("event_type", "rank")),
+    // hour-of-week load model: traffic share + exact-integer peaks
+    "events_seasonality" -> ((s, d) =>
+      graft.ops.Events.seasonality(Tables.events(s, d)).orderBy("dow", "hod")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -108,6 +111,9 @@ object SparkEntry {
       Relational.q30RangeBand(s, d).orderBy("purchase_id")),
     "q31_range_native" -> ((s, d) =>
       Relational.q31RangeNative(s, d).orderBy("purchase_id")),
+    // pre-flight key-skew audit: top-k heaviest values per join key
+    "q32_skew_profile" -> ((s, d) =>
+      Relational.keySkewProfile(s, d).orderBy("col_name", "rk")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -135,6 +141,10 @@ object SparkEntry {
     // list a tokenizer-training pass wants
     "text_collocations" -> ((s, d) =>
       TextAnalysis.collocations(Tables.documents(s, d)).orderBy("rk")),
+    // corpus-level redundancy: fraction of a doc's shingles the doc
+    // itself introduces (min-owner over the shingle inverted index)
+    "text_novelty" -> ((s, d) =>
+      TextAnalysis.novelty(Tables.documents(s, d)).orderBy("doc_id")),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSampleAudit(Tables.documents(s, d)).orderBy("source")),
     "sample_temperature" -> ((s, d) =>
@@ -157,6 +167,17 @@ object SparkEntry {
     // materialized temperature mix: per-source nibble thresholds
     "sample_mix_apply" -> ((s, d) =>
       Sampling.temperatureApply(Tables.documents(s, d)).orderBy("doc_id")),
+    // repetition-aware soft dedup: survive with probability
+    // ~1/cluster_size (uniques always; template families ~1 survivor)
+    "sample_soft_dedup" -> ((s, d) =>
+      Sampling.softDedup(Tables.documents(s, d)).orderBy("doc_id")),
+    // embedding-space balance: exact n per PCA-score band (rides the
+    // same memoized fit-once model as emb_project)
+    "sample_pca_strata" -> ((s, d) =>
+      Sampling.pcaStrataSample(Tables.embeddings(s, d),
+        pcaModelCache.computeIfAbsent(d, dir =>
+          Similarity.pcaFitModel(Tables.embeddings(s, dir))), 5, 0.05)
+        .orderBy("band", "rk")),
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
@@ -191,6 +212,9 @@ object SparkEntry {
       TextAnalysis.chunkDedup(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_semdedup" -> ((s, d) =>
       Dedup.semDedup(Tables.embeddings(s, d), 0.3).orderBy("vec_id")),
+    // how much duplication: histogram over keeper-cluster sizes
+    "dedup_cluster_sizes" -> ((s, d) =>
+      Dedup.clusterSizes(Tables.documents(s, d)).orderBy("cluster_size")),
     // §2d similarity search
     "sim_brute_topk" -> ((s, d) =>
       Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
@@ -223,6 +247,12 @@ object SparkEntry {
         Dedup.embedNearDup(Tables.embeddings(s, d), 0.15, col("vec_id") % 7 === 0)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")),
         k = 6).orderBy("node")),
+    // one-glance shape report of the radius graph: nodes per degree
+    "graph_degree_stats" -> ((s, d) =>
+      graft.ops.Graph.degreeHistogram(
+        Dedup.embedNearDup(Tables.embeddings(s, d), 0.15, col("vec_id") % 7 === 0)
+          .select(col("vec_a").as("src"), col("vec_b").as("dst")))
+        .orderBy("degree")),
     // ANN range search: ALL neighbors within cosine >= tau via IVF
     "sim_range_search" -> ((s, d) =>
       Similarity.rangeSearch(Tables.embeddings(s, d), col("vec_id") < 10, 0.3)
@@ -279,6 +309,13 @@ object SparkEntry {
     "text_curate_labels" -> ((s, d) =>
       TextAnalysis.curateByLabel(Tables.documents(s, d), Tables.embeddings(s, d))
         .orderBy("label")),
+    // far-from-centroid junk filter: k farthest vectors, heap-planned
+    "emb_outliers" -> ((s, d) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, d))
+        .orderBy(col("dist").desc, col("vec_id"))),
+    // per-label drift audit: centroid wander + internal dispersion
+    "emb_drift" -> ((s, d) =>
+      Similarity.labelDrift(Tables.embeddings(s, d)).orderBy("label")),
   )
 
   /** Shared oracle CTE: the deterministic events→changelog mapping
@@ -622,6 +659,18 @@ object SparkEntry {
       (1 to 6).map(kcoreStepSql).mkString +
     """kfin AS (SELECT src, count(*) AS degree FROM und6 GROUP BY src)
       |SELECT src AS node, degree FROM kfin ORDER BY node""".stripMargin
+
+  /** Degree histogram over the same cosine-radius edge list as the
+    * k-core replay. */
+  private val graphDegreeStatsSql: String =
+    """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |             FROM embeddings WHERE vec_id % 7 = 0),
+      |und AS (SELECT a.vec_id AS src, b.vec_id AS dst
+      |        FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+      |        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.15),
+      |deg AS (SELECT src, count(*) AS degree FROM und GROUP BY 1)
+      |SELECT degree, count(*) AS n_nodes FROM deg
+      |GROUP BY degree ORDER BY degree""".stripMargin
 
   /** IVF range-search replay: the simIvfSql pipeline with the rank
     * cut replaced by the cosine-radius filter. */
@@ -1621,6 +1670,19 @@ object SparkEntry {
         |ranked AS (SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT) AS rk,
         |                  bg, n, pmi FROM scored)
         |SELECT rk, bg, n, pmi FROM ranked WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    // shared shingle extraction + min-owner over the inverted index
+    "text_novelty" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS MATERIALIZED (SELECT doc_id, unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+        |                             for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY 1)
+        |SELECT s.doc_id, count(*) AS n_shingles,
+        |       CAST(count(*) FILTER (WHERE o.owner = s.doc_id) AS BIGINT) AS n_novel,
+        |       round(CAST(count(*) FILTER (WHERE o.owner = s.doc_id) AS DOUBLE)
+        |             / count(*), 4) AS novelty
+        |FROM sh s JOIN own o USING (shingle)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
         |             FROM documents),
@@ -2043,6 +2105,36 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |             AND c.cus > p.pus - 600000000 AND c.cus <= p.pus
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
+    "graph_degree_stats" -> graphDegreeStatsSql,
+    // hour-of-week slots; the peak flag replays the exact integer
+    // comparison (DuckDB dayofweek is 0-based Sunday, Spark's is 1)
+    "events_seasonality" ->
+      """WITH t AS (SELECT count(*) AS n_total FROM events),
+        |s AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+        |             CAST(hour(ts) AS BIGINT) AS hod,
+        |             count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT dow, hod, n_events,
+        |       round(CAST(n_events AS DOUBLE) / t.n_total, 6) AS share,
+        |       n_events * 336 > t.n_total * 3 AS is_peak,
+        |       avg_value
+        |FROM s CROSS JOIN t ORDER BY dow, hod""".stripMargin,
+    // per-column heavy-hitter ranks with frequency share
+    "q32_skew_profile" ->
+      """WITH t AS (SELECT count(*) AS n_total FROM lineitem),
+        |c AS (SELECT 'l_orderkey' AS col_name, l_orderkey AS key, count(*) AS cnt
+        |        FROM lineitem GROUP BY 2
+        |      UNION ALL
+        |      SELECT 'l_partkey', l_partkey, count(*) FROM lineitem GROUP BY 2
+        |      UNION ALL
+        |      SELECT 'l_suppkey', l_suppkey, count(*) FROM lineitem GROUP BY 2),
+        |r AS (SELECT col_name, key, cnt,
+        |        CAST(row_number() OVER (PARTITION BY col_name
+        |                                ORDER BY cnt DESC, key) AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT col_name, rk, key, cnt,
+        |       round(CAST(cnt AS DOUBLE) / t.n_total, 6) AS pct
+        |FROM r CROSS JOIN t WHERE rk <= 5 ORDER BY col_name, rk""".stripMargin,
     "events_markov" ->
       """WITH seq AS (SELECT user_id, event_type,
         |        lag(event_type) OVER (PARTITION BY user_id
@@ -2131,6 +2223,22 @@ object SparkEntry {
     "dedup_minhash" -> minhashSelectSql,
     "dedup_keepers_near" -> keepersNearSql,
     "dedup_keepers_best" -> keepersBestSql,
+    // keeper replay + two bounded aggregations: size per cluster,
+    // cluster count per size
+    "dedup_cluster_sizes" -> (keepersNearCte +
+      """, csz AS (SELECT keep_doc_id, count(*) AS cluster_size FROM l2 GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |       cluster_size * count(*) AS n_docs
+        |FROM csz GROUP BY cluster_size ORDER BY cluster_size""".stripMargin),
+    // keeper replay + per-cluster size + two-nibble md5 threshold:
+    // survive iff h256 * cluster_size < 256 (~1/size, exact rational)
+    "sample_soft_dedup" -> (keepersNearCte +
+      """, csz AS (SELECT keep_doc_id, count(*) AS cluster_size FROM l2 GROUP BY 1)
+        |SELECT l.doc_id, l.keep_doc_id, c.cluster_size,
+        |       ((strpos('0123456789abcdef', substring(md5(CAST(l.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef', substring(md5(CAST(l.doc_id AS VARCHAR)), 2, 1)) - 1)
+        |       * c.cluster_size < 256 AS soft_kept
+        |FROM l2 l JOIN csz c USING (keep_doc_id) ORDER BY doc_id""".stripMargin),
     "sample_split_safe" -> sampleSplitSafeSql,
     "sample_fixed_n" ->
       """SELECT doc_id, source, h FROM (
@@ -2153,6 +2261,64 @@ object SparkEntry {
     "sim_ivfpq_full" -> simIvfpqFullSql,
     "emb_pca" -> embPcaSql,
     "emb_project" -> embProjectSql,
+    // REAL-cast centroid + sequential squared-distance fold (the
+    // l2_sq kernel's exact arithmetic); top-k on the raw d2
+    "emb_outliers" ->
+      """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |js AS (SELECT unnest(range(1, 65)) AS j),
+        |mean AS (SELECT list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY j) AS mu FROM (
+        |           SELECT j.j, avg(c.emb[j.j]) AS m FROM corpus c CROSS JOIN js j GROUP BY j.j)),
+        |d AS (SELECT c.vec_id,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(1, 65), i -> (c.emb[i] - m.mu[i]) * (c.emb[i] - m.mu[i]))),
+        |          (acc, x) -> acc + x) AS d2
+        |      FROM corpus c CROSS JOIN mean m)
+        |SELECT vec_id, round(sqrt(d2), 6) AS dist
+        |FROM d ORDER BY d2 DESC, vec_id LIMIT 50""".stripMargin,
+    // REAL-cast global + per-label centroids; drift is the fold over
+    // their difference, dispersion the member-to-centroid mean
+    "emb_drift" ->
+      """WITH corpus AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |js AS (SELECT unnest(range(1, 65)) AS j),
+        |g AS (SELECT list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY j) AS mu FROM (
+        |        SELECT j.j, avg(c.emb[j.j]) AS m FROM corpus c CROSS JOIN js j GROUP BY j.j)),
+        |lc AS (SELECT label, list(CAST(CAST(m AS REAL) AS DOUBLE) ORDER BY j) AS mu FROM (
+        |        SELECT c.label, j.j, avg(c.emb[j.j]) AS m
+        |        FROM corpus c CROSS JOIN js j GROUP BY c.label, j.j) GROUP BY label),
+        |drift AS (SELECT lc.label,
+        |    round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i -> (lc.mu[i] - g.mu[i]) * (lc.mu[i] - g.mu[i]))),
+        |      (acc, x) -> acc + x)), 6) AS centroid_dist
+        |  FROM lc CROSS JOIN g),
+        |disp AS (SELECT c.label,
+        |    round(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i -> (c.emb[i] - lc.mu[i]) * (c.emb[i] - lc.mu[i]))),
+        |      (acc, x) -> acc + x)), 6) AS dd
+        |  FROM corpus c JOIN lc USING (label))
+        |SELECT d.label, count(*) AS n_vecs, dr.centroid_dist,
+        |       round(avg(d.dd), 4) AS dispersion
+        |FROM disp d JOIN drift dr USING (label)
+        |GROUP BY d.label, dr.centroid_dist ORDER BY label""".stripMargin,
+    // shared power-iteration replay + projection tail, then fixed
+    // 0.05-wide bands of the 6dp-rounded projection (clamped ±4) and
+    // a per-band md5 rank
+    "sample_pca_strata" -> (embPcaCte +
+      """, centid AS (SELECT e.vec_id, list_transform(range(1, 65), i ->
+        |    CAST(CAST(CAST(e.embedding AS DOUBLE[])[i] - m.mu[i] AS REAL) AS DOUBLE)) AS x
+        |  FROM embeddings e CROSS JOIN mean m),
+        |pj AS (SELECT c.vec_id,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i -> c.x[i] * CAST(CAST(s.v[i] AS REAL) AS DOUBLE))),
+        |      (acc, x) -> acc + x), 6) AS proj
+        |  FROM centid c CROSS JOIN signed s),
+        |banded AS (SELECT CAST(greatest(-4, least(4, floor(proj / 0.05))) AS BIGINT) AS band,
+        |    vec_id, md5(CAST(vec_id AS VARCHAR)) AS h, proj
+        |  FROM pj),
+        |ranked AS (SELECT band, vec_id, h, proj,
+        |    CAST(row_number() OVER (PARTITION BY band ORDER BY h, vec_id) AS BIGINT) AS rk
+        |  FROM banded)
+        |SELECT band, rk, vec_id, h, proj
+        |FROM ranked WHERE rk <= 5 ORDER BY band, rk""".stripMargin),
     "mm_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

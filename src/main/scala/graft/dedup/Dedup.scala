@@ -203,6 +203,24 @@ object Dedup {
       .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
   }
 
+  /** Near-dup cluster-size distribution: how much duplication the
+    * corpus carries, as a histogram over keeper-cluster sizes — the
+    * first number a dedup report leads with ("X% of docs sit in
+    * clusters of ≥2") and the input the repetition-aware sampler
+    * ([[graft.ops.Sampling.softDedup]]) prices against. Two
+    * map-side-combinable aggregations over the keeper mapping: per
+    * keeper → cluster size, per size → cluster count; output is
+    * bounded by the largest cluster, never corpus size.
+    */
+  def clusterSizes(documents: DataFrame, tau: Double = 0.9,
+                   iters: Int = 2): DataFrame =
+    nearDupKeepers(documents, tau, iters)
+      .groupBy(col("keep_doc_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+
   /** Undirected candidate-pair edges from the MinHash-LSH pipeline,
     * both directions materialized for label propagation. */
   private def lshEdges(documents: DataFrame, tau: Double,

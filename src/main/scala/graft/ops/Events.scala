@@ -244,4 +244,29 @@ object Events {
         round(col("value"), 2).as("value"),
         round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
   }
+
+  /** Hour-of-week seasonality profile: events, value mean, traffic
+    * share, and a peak flag per (day-of-week, hour) slot — the load
+    * model capacity planning and anomaly baselining start from (the
+    * streaming anomaly operator's z-scores assume stationarity; this
+    * is the table that says where that assumption breaks). One
+    * map-side-combined aggregation to at most 168 rows; the total
+    * rides a single-row broadcast. The peak flag is exact integer
+    * arithmetic — `n·336 > total·3` ⟺ slot traffic exceeds 1.5× the
+    * uniform-168-slot expectation — so the flag can never diverge
+    * across engines on a float boundary.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    val slots = events
+      .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg("value"), 4).as("avg_value"))
+    slots
+      .crossJoin(broadcast(events.agg(count(lit(1)).as("n_total"))))
+      .select(col("dow"), col("hod"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_total"), 6).as("share"),
+        (col("n_events") * 336L > col("n_total") * 3L).as("is_peak"),
+        col("avg_value"))
+  }
 }

@@ -9,6 +9,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Degree histogram of an edge list (mirrored + de-duplicated
+    * internally, the same undirected normalization as [[kCore]]):
+    * nodes per degree — the one-glance shape report of the near-dup
+    * / radius graph (a heavy high-degree tail means hub nodes and
+    * probable false-merge bridges; compare before/after a threshold
+    * change). Two map-side-combined aggregations; output bounded by
+    * the max degree, never the node count. Isolated nodes carry no
+    * edges and so don't appear — their count is the complement
+    * against the corpus, not a graph property.
+    */
+  def degreeHistogram(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Bounded-iteration PageRank in FIXED-POINT arithmetic: ranks
     * live in integer `scale`-ths (default trillionths), so every
     * shuffle-order-dependent sum is exact integer addition and the

@@ -611,6 +611,35 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Key-skew profile of the fact table's join keys: top-k heaviest
+    * values of each key column with absolute and relative frequency —
+    * the pre-flight audit a 100 TB join plan wants BEFORE launching
+    * (a key holding >1% of rows predicts a straggler task; the fix —
+    * salting, [[Layout.saltedJoin]], or AQE skew split — is chosen
+    * from exactly this table). One `stack` pass melts the key columns
+    * (no per-column rescan), the count agg is map-side combined per
+    * (column, key), and the native TopKPerKey partial heaps pick the
+    * k heaviest per column — no per-column sort, no global sort;
+    * only numPartitions×k survivors per column leave the count agg.
+    * The grand total rides a single-row broadcast.
+    */
+  def keySkewProfile(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val melted = li.select(expr(
+      "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey, " +
+        "'l_suppkey', l_suppkey) AS (col_name, key)"))
+    val counts = melted.groupBy("col_name", "key")
+      .agg(count(lit(1)).as("cnt"))
+    val top = graft.plans.TopK.perKey(counts, Seq("col_name"),
+      Seq(col("cnt").desc, col("key").asc), k)
+    val w = Window.partitionBy("col_name")
+      .orderBy(col("cnt").desc, col("key").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(li.agg(count(lit(1)).as("n_total"))))
+      .select(col("col_name"), col("rk"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_total"), 6).as("pct"))
+  }
+
   /** Gap-based sessionization: a >30min silence starts a new session.
     * lag + cumulative-sum over a per-user window — one shuffle.
     */

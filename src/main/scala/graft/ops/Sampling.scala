@@ -181,6 +181,77 @@ object Sampling {
         (stratumNibble(col("doc_id")) < col("rate16")).as("kept"))
   }
 
+  /** Embedding-space balanced sample: exact n vectors per
+    * PCA-score band — the "cover the semantic space" counterpart of
+    * [[fixedPerStratum]]'s per-source balance (a uniform sample
+    * over-represents the dense center of embedding space; eval sets
+    * and seed sets want the tails covered too). Strata are fixed
+    * `bandWidth` intervals of the top-component projection, clamped
+    * to ±4 bands: a pure per-row function of the fitted
+    * [[graft.sim.Similarity.PcaModel]] — no quantile pass, no global
+    * sort, engine-portable because the band is computed from the
+    * 6dp-ROUNDED projection (already pinned bit-identical by the
+    * emb_project oracle). Within each band rows rank by md5(vec_id)
+    * through the native TopKPerKey bounded heaps, exactly as the
+    * per-source sampler.
+    */
+  def pcaStrataSample(embeddings: DataFrame, n: Int = 5,
+                      bandWidth: Double = 0.05): DataFrame =
+    pcaStrataSample(embeddings,
+      graft.sim.Similarity.pcaFitModel(embeddings), n, bandWidth)
+
+  /** [[pcaStrataSample]] against an already-fitted model — the
+    * fit-once/apply-many entry (the sample itself is then one scan
+    * into the band heaps; no model jobs).
+    */
+  def pcaStrataSample(embeddings: DataFrame,
+                      model: graft.sim.Similarity.PcaModel,
+                      n: Int, bandWidth: Double): DataFrame = {
+    val proj = graft.sim.Similarity.pcaApply(embeddings, model)
+    val tagged = proj.select(
+      greatest(lit(-4L), least(lit(4L),
+        floor(col("proj") / bandWidth))).as("band"),
+      col("vec_id"), md5(col("vec_id").cast("string")).as("h"),
+      col("proj"))
+    val top = graft.plans.TopK.perKey(tagged, Seq("band"),
+      Seq(col("h").asc, col("vec_id").asc), n)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band")
+      .orderBy(col("h"), col("vec_id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("band", "rk", "vec_id", "h", "proj")
+  }
+
+  /** Repetition-aware "soft" dedup: keep each document with
+    * probability 1/cluster_size of its near-dup keeper cluster, so a
+    * family of n near-copies contributes ~1 expected survivor while
+    * unique docs always survive (singleton clusters keep with
+    * probability 1) — the middle ground between hard dedup (exactly
+    * one keeper, discards paraphrase diversity) and no dedup
+    * (over-trains on template families). Keep/drop is a pure
+    * function of (doc_id hash, cluster size): the first two md5
+    * nibbles give a uniform 0..255 level `h`, and the doc survives
+    * iff h·size < 256 — an exact-rational ~1/size threshold with no
+    * float compare and no sampling state, reproducible on any
+    * engine. Cost over the keeper mapping is one count aggregation
+    * plus one join keyed by keeper id (shuffled-hash: the size frame
+    * is one row per cluster, and a giant cluster is exactly the
+    * skew-key case AQE skew-join handles).
+    */
+  def softDedup(documents: DataFrame, tau: Double = 0.9,
+                iters: Int = 2): DataFrame = {
+    val labels = graft.dedup.Dedup.nearDupKeepers(documents, tau, iters)
+      .select(col("doc_id"), col("keep_doc_id"))
+    val sizes = labels.groupBy("keep_doc_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val h256 =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+    labels
+      .join(sizes.hint("shuffle_hash"), Seq("keep_doc_id"))
+      .select(col("doc_id"), col("keep_doc_id"), col("cluster_size"),
+        (h256 * col("cluster_size") < 256L).as("soft_kept"))
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-sampling
     * trick: p_s ∝ n_s^α with α < 1 flattens the source distribution,
     * boosting low-resource sources without discarding high-resource

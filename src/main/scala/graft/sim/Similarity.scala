@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.expressions.{adc_sum, cosine_sim, dot_ff, lsh_sig, nearest_idx, pq_encode, top_idx, vec_sub}
+import graft.functions.expressions.{adc_sum, cosine_sim, dot_ff, l2_sq, lsh_sig, nearest_idx, pq_encode, top_idx, vec_sub}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -460,6 +460,72 @@ object Similarity {
     val piv = v.indices.maxBy(j => (math.abs(v(j)), -j))
     val signed = if (v(piv) < 0) v.map(-_) else v
     (mean, signed, rayleigh)
+  }
+
+  /** Embedding-space outlier detection: the k vectors farthest from
+    * the corpus centroid — the "far from everything" junk filter
+    * embedding-based curation runs before clustering (mis-embedded
+    * docs, wrong-modality content, and encoder failures all land in
+    * this tail). The centroid is the usual driver-held d-vector
+    * (same packed-model convention as PCA's mean: float-cast so the
+    * literal is engine-portable), distance is the codegen'd `l2_sq`
+    * kernel in one shuffle-free scan, and the top-k plans as
+    * TakeOrderedAndProject — per-partition k-row heaps, no global
+    * sort, no corpus shuffle: the only shape "k farthest of 100 TB"
+    * can take. Ties break on vec_id via the raw squared distance
+    * (bit-identical everywhere — sequential fold over doubles).
+    */
+  def centroidOutliers(embeddings: DataFrame, k: Int = 50,
+                       dim: Int = 64): DataFrame = {
+    val avgs = (0 until dim).map(j => avg(col("embedding").getItem(j)).as(s"c$j"))
+    val row = embeddings.agg(avgs.head, avgs.tail: _*).head()
+    val mu = array((0 until dim).map(j => lit(row.getDouble(j).toFloat)): _*)
+    embeddings
+      .select(col("vec_id"), l2_sq(col("embedding"), mu).as("d2"))
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(sqrt(col("d2")), 6).as("dist"))
+  }
+
+  /** Per-label embedding DRIFT audit: each label's centroid distance
+    * to the global centroid plus the label's internal dispersion
+    * (mean member-to-centroid distance) — the "did shard/encoder X
+    * drift" check an embedding pipeline runs per ingest batch (a
+    * label whose centroid wanders or whose dispersion balloons was
+    * embedded differently). Centroids are bounded driver-held
+    * models (|labels| float-cast d-vectors — the packed-model
+    * convention); the centroid-to-global distances are driver
+    * arithmetic in the same float-in/double-accumulate order as the
+    * `l2_sq` kernel; the corpus-side pass is ONE scan joined to the
+    * broadcast centroid table, so nothing corpus-sized shuffles.
+    */
+  def labelDrift(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val avgs = (0 until dim).map(j => avg(col("embedding").getItem(j)).as(s"c$j"))
+    val gRow = embeddings.agg(avgs.head, avgs.tail: _*).head()
+    val g = Array.tabulate(dim)(j => gRow.getDouble(j).toFloat)
+    val labRows = embeddings.groupBy("label").agg(avgs.head, avgs.tail: _*)
+      .collect()
+    val model = labRows.map { r =>
+      val c = Array.tabulate(dim)(j => r.getDouble(j + 1).toFloat)
+      var s = 0.0
+      var j = 0
+      while (j < dim) {
+        val d = c(j).toDouble - g(j).toDouble; s += d * d; j += 1
+      }
+      (r.getAs[Int]("label"), c.toSeq,
+        BigDecimal(math.sqrt(s))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = model.toDF("label", "c_emb", "centroid_dist")
+    embeddings.join(broadcast(cents), "label")
+      .select(col("label"), col("centroid_dist"),
+        round(sqrt(l2_sq(col("embedding"), col("c_emb"))), 6).as("dd"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        max("centroid_dist").as("centroid_dist"),
+        round(avg("dd"), 4).as("dispersion"))
   }
 
   /** Lloyd refinement of per-(cell, subspace) PQ codebooks over the

@@ -540,6 +540,35 @@ object TextAnalysis {
       .select("rk", "bg", "n", "pmi")
   }
 
+  /** Per-doc n-gram NOVELTY against the whole corpus: the fraction
+    * of a doc's distinct 3-gram shingles that the doc itself
+    * introduces — i.e. whose minimum owning doc_id over the corpus
+    * is this doc. Pairwise dedup misses diffuse redundancy (a doc
+    * stitched from phrases of MANY other docs has low Jaccard with
+    * each of them but near-zero novelty); this is the corpus-level
+    * redundancy score quality filters threshold on. Ownership is a
+    * deterministic min-agg — no ordering or seed — so the score is
+    * identical on any engine and any partitioning.
+    *
+    * Scale shape: one map-side-combined min-agg keyed by shingle,
+    * then the shingle table re-joins its owner table on the same
+    * key — the exchange the agg already produced is exactly the
+    * distribution the join needs (exchange reuse; no second corpus
+    * shuffle) — and a final per-doc count agg. Docs under 3 tokens
+    * have no shingles and drop out, exactly as in the dedup family.
+    */
+  def novelty(documents: DataFrame): DataFrame = {
+    val sh = graft.dedup.Dedup.shingles(documents)
+    val owner = sh.groupBy("shingle").agg(min(col("doc_id")).as("owner"))
+    sh.join(owner.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   def bigramLmScore(documents: DataFrame): DataFrame = {
     val bigrams = graft.functions.expressions.shingle_list(col("text"), 2)
     val docBg = documents

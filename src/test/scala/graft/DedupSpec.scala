@@ -202,4 +202,23 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) == (2L, 1L)) // boilerplate chunk deduped away
     assert(out(3L) == (1L, 1L))
   }
+
+  test("cluster-size histogram counts planted families exactly") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val docs = ((1 to 3).map(i => (i.toLong, a)) ++    // size-3 family
+      (4 to 5).map(i => (i.toLong, b)) ++              // size-2 family
+      (6 to 10).map(i => (i.toLong,
+        s"unique$i body$i words$i here$i tail$i only$i pad$i stop$i")))
+      .toDF("doc_id", "text")
+    val hist = graft.dedup.Dedup.clusterSizes(docs).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap
+    assert(hist(1L) == ((5L, 5L)))
+    assert(hist(2L) == ((1L, 2L)))
+    assert(hist(3L) == ((1L, 3L)))
+    // n_docs column always sums back to the corpus size
+    assert(hist.values.map(_._2).sum == 10L)
+  }
 }

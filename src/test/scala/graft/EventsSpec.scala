@@ -183,4 +183,21 @@ class EventsSpec extends SparkSpec {
       rows.foreach(r => assert(r.getAs[Double]("dist") >= 0.0))
     }
   }
+
+  test("seasonality slots partition the stream and flag peaks exactly") {
+    val ev = Tables.events(spark, sf)
+    val out = graft.ops.Events.seasonality(ev).collect()
+    assert(out.nonEmpty)
+    val total = ev.count()
+    // slots partition the events
+    assert(out.map(_.getAs[Long]("n_events")).sum == total)
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-2)
+    out.foreach { r =>
+      val dow = r.getAs[Long]("dow"); val hod = r.getAs[Long]("hod")
+      assert(dow >= 1 && dow <= 7 && hod >= 0 && hod <= 23)
+      // the peak flag is the exact integer comparison, replayed
+      assert(r.getAs[Boolean]("is_peak") ==
+        (r.getAs[Long]("n_events") * 336L > total * 3L))
+    }
+  }
 }

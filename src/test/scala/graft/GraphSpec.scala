@@ -149,4 +149,14 @@ class GraphSpec extends SparkSpec {
     assert(a.values.forall(_ > 0))
     assert(a.values.sum <= 1000000000000L)
   }
+
+  test("degree histogram counts a planted path graph exactly") {
+    import spark.implicits._
+    // path 1-2-3 with both directions: ends have degree 1, middle 2
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val hist = Graph.degreeHistogram(edges).collect()
+      .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes")).toMap
+    assert(hist == Map(1L -> 2L, 2L -> 1L))
+  }
 }

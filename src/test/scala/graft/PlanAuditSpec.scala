@@ -171,4 +171,29 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(countIn(plan, "Exchange") == 0, plan.take(2000))
   }
+
+  test("skew profile and pca strata select through bounded TopKPerKey heaps") {
+    for (df <- Seq(Relational.keySkewProfile(spark, sf),
+        graft.ops.Sampling.pcaStrataSample(Tables.embeddings(spark, sf)))) {
+      val plan = executed(df)
+      assert(countIn(plan, "TopKPerKey") >= 1, plan.take(1500))
+      assert(countIn(plan, "CartesianProduct") == 0)
+      assert(countIn(plan, "SortMergeJoin") == 0)
+    }
+  }
+
+  test("centroid outliers plan as heap-based ordered limit, zero wide sort") {
+    val df = graft.sim.Similarity.centroidOutliers(Tables.embeddings(spark, sf), 5)
+    val plan = executed(df)
+    assert(countIn(plan, "TakeOrderedAndProject") >= 1, plan.take(1500))
+    // the corpus never shuffles: only the heap results move
+    assert(countIn(plan, "Exchange hashpartitioning") == 0, plan.take(1500))
+  }
+
+  test("novelty re-uses the shingle exchange for owner join, no SMJ") {
+    val df = TextAnalysis.novelty(Tables.documents(spark, sf))
+    val plan = executed(df)
+    assert(countIn(plan, "SortMergeJoin") == 0)
+    assert(countIn(plan, "CartesianProduct") == 0)
+  }
 }

@@ -186,4 +186,29 @@ class RelationalSpec extends SparkSpec {
     // each doc reached exactly once (chains are disjoint linked lists)
     assert(rows.map(_._2).distinct.length == rows.length)
   }
+
+  test("skew profile ranks the heaviest key of each column first") {
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.Relational.keySkewProfile(spark, sf).collect()
+    val byCol = out.groupBy(_.getAs[String]("col_name"))
+    assert(byCol.keySet == Set("l_orderkey", "l_partkey", "l_suppkey"))
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    byCol.foreach { case (cn, rows) =>
+      assert(rows.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to 5L))
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      // counts non-increasing in rank
+      val cnts = sorted.map(_.getAs[Long]("cnt")).toSeq
+      assert(cnts == cnts.sorted.reverse)
+      // rank-1 really is the column's modal key
+      val top = li.groupBy(col(cn)).count()
+        .orderBy(col("count").desc, col(cn)).limit(1).collect().head
+      assert(sorted.head.getAs[Long]("key") == top.getLong(0))
+      assert(sorted.head.getAs[Long]("cnt") == top.getLong(1))
+      // pct is the exact frequency share
+      sorted.foreach { r =>
+        assert(math.abs(r.getAs[Double]("pct") -
+          r.getAs[Long]("cnt").toDouble / total) < 1e-6) }
+    }
+  }
 }

@@ -121,4 +121,73 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getAs[Double]("temp_share")).sum - 1.0) < 1e-2)
     assert(math.abs(rows.map(_.getAs[Double]("raw_share")).sum - 1.0) < 1e-2)
   }
+
+  test("soft dedup keeps every unique doc and thins a duplicate family to ~1") {
+    import spark.implicits._
+    // one 20-copy template family (docs 1-20) + 30 unique docs
+    val famText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((1 to 20).map(i => (i.toLong, famText)) ++
+      (21 to 50).map(i => (i.toLong,
+        s"unique$i words body$i content$i tail$i extra$i more$i pad$i end$i fin$i")))
+      .toDF("doc_id", "text")
+    val out = Sampling.softDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Boolean]("soft_kept"))).toMap
+    assert(out.size == 50)
+    // singletons always survive (probability 1)
+    (21 to 50).foreach { i =>
+      assert(out(i.toLong) == ((1L, true)), s"unique doc $i dropped") }
+    // the family: size 20 everywhere, and the keep flag is exactly the
+    // md5 two-nibble threshold h256 * 20 < 256 (pure-function replay)
+    def h256(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      ((d(0) & 0xff))
+    }
+    (1 to 20).foreach { i =>
+      val (sz, kept) = out(i.toLong)
+      assert(sz == 20L, s"doc $i cluster_size $sz")
+      assert(kept == (h256(i.toLong) * 20 < 256), s"doc $i keep flag") }
+    // expected survivors of a 20-family: ceil(256/20)/256 of 20 docs ~ 1
+    val survivors = (1 to 20).count(i => out(i.toLong)._2)
+    assert(survivors >= 0 && survivors <= 4, s"$survivors survivors of 20")
+  }
+
+  test("pca strata sample takes the n smallest hashes of each band") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val emb = Tables.embeddings(spark, sf)
+    val n = 5
+    val out = Sampling.pcaStrataSample(emb, n)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byBand = rows.groupBy(_.getAs[Long]("band"))
+    byBand.foreach { case (band, rs) =>
+      assert(band >= -4L && band <= 4L)
+      assert(rs.length <= n, s"band $band has ${rs.length} rows")
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1 to rs.length).map(_.toLong))
+      // rk order matches the h order within the band
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[String]("h")).toSeq ==
+        rs.map(_.getAs[String]("h")).sorted.toSeq)
+    }
+    // every selected row's hash is among its band's n smallest: replay
+    // the banding from the fitted model and compare cutoffs
+    val model = graft.sim.Similarity.pcaFitModel(emb)
+    val banded = graft.sim.Similarity.pcaApply(emb, model)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.lit(-4L),
+          org.apache.spark.sql.functions.least(
+            org.apache.spark.sql.functions.lit(4L),
+            org.apache.spark.sql.functions.floor(col("proj") / 0.05)))
+          .as("band"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .collect()
+    val expect = banded.groupBy(_.getAs[Long]("band")).map { case (b, rs) =>
+      b -> rs.map(_.getAs[String]("h")).sorted.take(n).toSet }
+    byBand.foreach { case (band, rs) =>
+      assert(rs.map(_.getAs[String]("h")).toSet == expect(band),
+        s"band $band selection mismatch") }
+  }
 }

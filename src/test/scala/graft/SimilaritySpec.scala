@@ -244,4 +244,55 @@ class SimilaritySpec extends SparkSpec {
     val pq = out.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
     assert((brute intersect pq).size >= 10, s"overlap ${(brute intersect pq).size}/50")
   }
+
+  test("centroid outliers return the k farthest vectors exactly") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val k = 5
+    val out = Similarity.centroidOutliers(emb, k).collect()
+    assert(out.length == k)
+    // recompute brute-force in the driver
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val d = vecs.head._2.length
+    val mu = Array.tabulate(d)(j => vecs.map(_._2(j).toDouble).sum / vecs.length)
+    val muF = mu.map(_.toFloat)
+    val dists = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.indices.map { j =>
+        val df = v(j).toDouble - muF(j).toDouble; df * df }.sum) }
+    val expect = dists.sortBy { case (id, dd) => (-dd, id) }.take(k)
+      .map(_._1).toSeq
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == expect)
+    // distances reported descending
+    val ds = out.map(_.getAs[Double]("dist")).toSeq
+    assert(ds == ds.sorted.reverse)
+  }
+
+  test("label drift flags a shifted label and partitions the corpus") {
+    import spark.implicits._
+    val d = 64
+    // label 0: tight cluster at the origin; label 1: shifted along dim 0
+    val rows = (0 until 20).map { i =>
+      val base = Array.fill(d)(0.0f)
+      base(i % d) = 0.01f * (i + 1)
+      (i.toLong, base.toSeq, 0)
+    } ++ (20 until 40).map { i =>
+      val base = Array.fill(d)(0.0f)
+      base(0) = 2.0f
+      base(i % d) = base(i % d) + 0.01f * (i + 1)
+      (i.toLong, base.toSeq, 1)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelDrift(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("centroid_dist"),
+          r.getAs[Double]("dispersion"))).toMap
+    assert(out.keySet == Set(0, 1))
+    assert(out(0)._1 + out(1)._1 == 40L)
+    // both labels sit ~1 unit from the midpoint global centroid, and
+    // the shifted label is at least as far as the origin cluster
+    assert(out(1)._2 > 0.5 && out(0)._2 > 0.5)
+    assert(out.values.forall(_._3 >= 0.0))
+  }
 }

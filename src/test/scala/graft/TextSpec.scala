@@ -60,4 +60,36 @@ class TextSpec extends SparkSpec {
     // every surviving pair cleared the count floor
     assert(out.forall(_.getAs[Long]("n") >= 5L))
   }
+
+  test("novelty is 1 for an original, 0 for its copy, and owners partition shingles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "the quick brown fox jumps over lazy dogs"), // exact copy
+      (3L, "completely different words appear in this document body")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.novelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L)._3 == 1.0 && out(3L)._3 == 1.0) // first owners
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)  // the copy introduces nothing
+    assert(out(1L)._1 == out(2L)._1)               // same shingle count
+    // ownership partitions the corpus shingle set: novel counts sum to
+    // the number of distinct shingles
+    val distinctShingles = graft.dedup.Dedup.shingles(docs)
+      .select("shingle").distinct().count()
+    assert(out.values.map(_._2).sum == distinctShingles)
+  }
+
+  test("novelty ownership partitions shingles on real data") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.novelty(docs).collect()
+    val distinctShingles = graft.dedup.Dedup.shingles(docs)
+      .select("shingle").distinct().count()
+    assert(out.map(_.getAs[Long]("n_novel")).sum == distinctShingles)
+    assert(out.forall { r =>
+      val nv = r.getAs[Double]("novelty")
+      nv >= 0.0 && nv <= 1.0 })
+  }
 }
