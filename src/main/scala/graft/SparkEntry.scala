@@ -73,6 +73,10 @@ object SparkEntry {
     // hour-of-week load model: traffic share + exact-integer peaks
     "events_seasonality" -> ((s, d) =>
       graft.ops.Events.seasonality(Tables.events(s, d)).orderBy("dow", "hod")),
+    // market-basket view: event-type pair lift over per-user presence
+    "events_cooccurrence" -> ((s, d) =>
+      graft.ops.Events.typeCooccurrence(Tables.events(s, d))
+        .orderBy("type_a", "type_b")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -215,6 +219,15 @@ object SparkEntry {
     // how much duplication: histogram over keeper-cluster sizes
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizes(Tables.documents(s, d)).orderBy("cluster_size")),
+    // measured LSH S-curve: per-band recall vs exact ground truth
+    "dedup_lsh_recall" -> ((s, d) =>
+      Dedup.lshRecall(Tables.documents(s, d), col("doc_id") < 300)
+        .orderBy("j_band")),
+    // byte-shingle near-dup for binary payloads (exact dedup misses
+    // payloads differing by a small patch)
+    "mm_near_dup" -> ((s, d) =>
+      graft.mm.Multimodal.binaryNearDup(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")),
     // §2d similarity search
     "sim_brute_topk" -> ((s, d) =>
       Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
@@ -470,6 +483,30 @@ object SparkEntry {
   private val minhashSelectSql: String = minhashLshCte +
     """                    JOIN sizes zb ON doc_b = zb.doc_id)
       |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  /** LSH recall calibration: the full MinHash replay's candidate set
+    * left-joined under the probe-subset exact ground truth, banded. */
+  private val dedupLshRecallSql: String = minhashLshCte +
+    """                    JOIN sizes zb ON doc_b = zb.doc_id),
+      |cnd AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.3),
+      |shs AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 300),
+      |szs AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY 1),
+      |cmn AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |        FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |truth AS (SELECT doc_a, doc_b, j FROM (
+      |            SELECT c.doc_a, c.doc_b,
+      |                   round(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common), 4) AS j
+      |            FROM cmn c JOIN szs sa ON c.doc_a = sa.doc_id
+      |                       JOIN szs sb ON c.doc_b = sb.doc_id)
+      |          WHERE j >= 0.3),
+      |flags AS (SELECT t.j, (c.doc_a IS NOT NULL) AS caught
+      |          FROM truth t LEFT JOIN cnd c
+      |            ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+      |SELECT CAST(floor(j * 10) AS BIGINT) AS j_band, count(*) AS n_true,
+      |       CAST(count(*) FILTER (WHERE caught) AS BIGINT) AS n_caught,
+      |       round(CAST(count(*) FILTER (WHERE caught) AS DOUBLE) / count(*), 4) AS recall
+      |FROM flags GROUP BY 1 ORDER BY j_band""".stripMargin
 
   /** Shared LSH candidate-edge CTEs (verified pairs at tau 0.9, both
     * directions) — the common head of both keeper-election oracles. */
@@ -2119,6 +2156,23 @@ object SparkEntry {
         |       n_events * 336 > t.n_total * 3 AS is_peak,
         |       avg_value
         |FROM s CROSS JOIN t ORDER BY dow, hod""".stripMargin,
+    // unordered type-pair lift over per-user presence sets
+    "events_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |marg AS (SELECT event_type, count(*) AS c FROM ut GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |                 count(*) AS n_both
+        |          FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |                            AND a.event_type < b.event_type
+        |          GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both,
+        |       round(CAST(p.n_both AS DOUBLE) * nu.n_users
+        |             / (CAST(ma.c AS DOUBLE) * mb.c), 4) AS lift
+        |FROM pairs p JOIN marg ma ON ma.event_type = p.type_a
+        |             JOIN marg mb ON mb.event_type = p.type_b
+        |             CROSS JOIN nu
+        |ORDER BY type_a, type_b""".stripMargin,
     // per-column heavy-hitter ranks with frequency share
     "q32_skew_profile" ->
       """WITH t AS (SELECT count(*) AS n_total FROM lineitem),
@@ -2223,6 +2277,26 @@ object SparkEntry {
     "dedup_minhash" -> minhashSelectSql,
     "dedup_keepers_near" -> keepersNearSql,
     "dedup_keepers_best" -> keepersBestSql,
+    "dedup_lsh_recall" -> dedupLshRecallSql,
+    // byte-window shingles over the hex payload, then the standard
+    // inverted-index Jaccard (case of the hex never matters: only
+    // equality structure does)
+    "mm_near_dup" ->
+      """WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx
+        |            FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id, unnest(list_distinct([substring(hx, i*8 + 1, 16)
+        |         for i in range(0, greatest((length(hx) - 16) // 8, 0) + 1)])) AS shingle
+        |       FROM hx),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+        |      FROM common JOIN sizes sa ON doc_a = sa.doc_id
+        |                  JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // keeper replay + two bounded aggregations: size per cluster,
     // cluster count per size
     "dedup_cluster_sizes" -> (keepersNearCte +

@@ -68,6 +68,35 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** LSH recall CALIBRATION: exact-Jaccard ground-truth pairs on a
+    * bounded probe subset, left-joined against the MinHash-LSH
+    * candidate set, bucketed by 0.1-wide Jaccard bands — the
+    * measured S-curve every LSH deployment validates before trusting
+    * its (k, bands) parameters at 100 TB (theory gives the collision
+    * probability; this measures it on YOUR corpus, where the
+    * near-threshold bands are the ones that matter). The ground
+    * truth is the probe-subset exact join ([[ngramJaccard]] — the
+    * same bounded-oracle discipline as every exact twin here); the
+    * candidate side is the full production LSH pipeline. Output is
+    * ≤6 rows: per band, true pairs, caught pairs, recall.
+    */
+  def lshRecall(documents: DataFrame, docFilter: Column,
+                floorTau: Double = 0.3,
+                k: Int = 64, bands: Int = 16): DataFrame = {
+    val truth = ngramJaccard(documents, floorTau, docFilter)
+    val cand = minhashLsh(documents, floorTau, k, bands)
+      .select(col("doc_a").as("c_a"), col("doc_b").as("c_b"))
+    truth
+      .join(cand.hint("shuffle_hash"),
+        col("doc_a") === col("c_a") && col("doc_b") === col("c_b"), "left")
+      .select(col("jaccard"), col("c_a").isNotNull.as("caught"))
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("j_band"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("caught"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_true"), 4))
+  }
+
   /** Asymmetric shingle CONTAINMENT via the same inverted index as
     * [[ngramJaccard]]: |A∩B| / |A| — the quote/subset detector
     * Jaccard misses (a short doc wholly embedded in a long one has

@@ -1,6 +1,6 @@
 package graft.mm
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads with typed
@@ -120,6 +120,39 @@ object Multimodal {
         (col("col") * expr("payload_len div n_frames")).as("frame_off"),
         substring(md5(concat(col("doc_id").cast("string"), lit(":"),
           col("col").cast("string"))), 1, 16).as("frame_fp"))
+  }
+
+  /** Byte-shingle NEAR-dup over binary payloads: 8-byte windows at a
+    * 4-byte stride over the hex encoding become the shingle set, then
+    * the same inverted-index equi-join + Jaccard verify as the text
+    * family — catches payloads that differ by a small patch (metadata
+    * edit, re-encode header) which exact [[binaryDedup]] misses.
+    * Shingling is a pure per-row map (windows never leave their scan
+    * partition); only (doc_id, 16-hex-char shingle) pairs shuffle.
+    * `docFilter` bounds the probe subset exactly as in
+    * [[graft.dedup.Dedup.ngramJaccard]]; corpus-wide at scale rides
+    * MinHash banding over the same windows.
+    */
+  def binaryNearDup(documents: DataFrame, tau: Double = 0.5,
+                    docFilter: Column = col("doc_id") < 300): DataFrame = {
+    val hexed = attach(documents).filter(docFilter)
+      .select(col("doc_id"), hex(col("payload")).as("hx"))
+    val sh = hexed.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(0, greatest(cast((length(hx) - 16) / 8 as int), 0))," +
+          " i -> substring(hx, i*8 + 1, 16))"))).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
   }
 
   /** Exact binary dedup: group identical payloads per media type by

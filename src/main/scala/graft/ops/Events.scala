@@ -245,6 +245,36 @@ object Events {
         round((col("value") - col("mu")) / col("sigma"), 3).as("z"))
   }
 
+  /** Event-type co-occurrence LIFT: for every unordered type pair,
+    * the users exhibiting both and lift = P(a,b)/(P(a)·P(b)) — the
+    * market-basket view of the event stream (which behaviors travel
+    * together; the segmentation/funnel-design input). Per-user
+    * distinct types bound the self-join fan-out by |types|² per
+    * user — a model constant — so the join is a user-keyed equi-join
+    * with bounded expansion, never all-pairs; type marginals and the
+    * user count ride broadcasts. Output ≤ |types|² rows.
+    */
+  def typeCooccurrence(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("c").as("c_a"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("c").as("c_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        round(col("n_both").cast("double") * col("n_users") /
+          (col("c_a").cast("double") * col("c_b")), 4).as("lift"))
+  }
+
   /** Hour-of-week seasonality profile: events, value mean, traffic
     * share, and a peak flag per (day-of-week, hour) slot — the load
     * model capacity planning and anomaly baselining start from (the

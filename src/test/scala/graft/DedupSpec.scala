@@ -221,4 +221,36 @@ class DedupSpec extends SparkSpec {
     // n_docs column always sums back to the corpus size
     assert(hist.values.map(_._2).sum == 10L)
   }
+
+  test("lsh recall calibration: high bands full recall, mid bands measured") {
+    import spark.implicits._
+    // 30 base docs; 5 exact-dup pairs (band 9/10) and 5 planted
+    // half-overlap pairs (jaccard ~0.45-0.6 — the S-curve midsection)
+    val base = (1 to 30).map(i => (i.toLong,
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i kappa$i"))
+    val dups = (1 to 5).map(i => (100L + i, base(i - 1)._2))
+    val halves = (1 to 5).map { i =>
+      val toks = base(i + 9)._2.split(" ")
+      // keep the first 6 tokens, replace the tail: Jaccard ~ 4/12
+      (200L + i, (toks.take(6) ++ Seq(s"novel${i}a", s"novel${i}b",
+        s"novel${i}c", s"novel${i}d")).mkString(" "))
+    }
+    val docs = (base ++ dups ++ halves).toDF("doc_id", "text")
+    val out = Dedup.lshRecall(docs, lit(true)).collect()
+      .map(r => r.getAs[Long]("j_band") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_caught"),
+          r.getAs[Double]("recall"))).toMap
+    // the exact-dup pairs land in the top band with full recall (a
+    // banded signature of an identical shingle set always collides)
+    val top = out.keySet.max
+    assert(top >= 9, s"no top band in $out")
+    assert(out(top)._3 == 1.0)
+    // every band's recall is consistent: n_caught <= n_true and the
+    // ratio matches the reported recall
+    out.foreach { case (b, (t, c, r)) =>
+      assert(c <= t, s"band $b")
+      assert(math.abs(r - c.toDouble / t) < 1e-4, s"band $b") }
+    // mid bands exist from the planted half-overlaps
+    assert(out.keySet.exists(_ <= 5), s"no mid band in $out")
+  }
 }

@@ -200,4 +200,22 @@ class EventsSpec extends SparkSpec {
         (r.getAs[Long]("n_events") * 336L > total * 3L))
     }
   }
+
+  test("type co-occurrence lift is exact against a hand-built contingency") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // users 1-4: {a,b}, {a,b}, {a}, {b} -> n_a=3, n_b=3, n_both=2, n=4
+    val rows = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 2L, "a"), (4L, 2L, "b"),
+      (5L, 3L, "a"), (6L, 4L, "b"), (7L, 1L, "a") // duplicate presence
+    ).map { case (e, u, t) => (e, new Timestamp(e * 1000), u, t, 1.0) }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.typeCooccurrence(ev).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("type_a") == "a" && r.getAs[String]("type_b") == "b")
+    assert(r.getAs[Long]("n_both") == 2L)
+    // lift = (2/4) / ((3/4)*(3/4)) = 0.8889
+    assert(math.abs(r.getAs[Double]("lift") - 0.8889) < 1e-4)
+  }
 }

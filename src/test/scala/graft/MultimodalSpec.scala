@@ -64,4 +64,23 @@ class MultimodalSpec extends SparkSpec {
       assert(rows.map(_.getAs[String]("frame_fp")).distinct.length == rows.length)
     }
   }
+
+  test("byte-shingle near-dup catches a patched payload that exact dedup misses") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again padding"
+    val docs = Seq(
+      (1L, a),
+      (2L, a + " x"),                       // small byte patch: near-dup
+      (3L, "completely different content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    val near = Multimodal.binaryNearDup(docs, tau = 0.5,
+      docFilter = org.apache.spark.sql.functions.lit(true))
+      .collect()
+    assert(near.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet == Set((1L, 2L)))
+    assert(near.head.getAs[Double]("jaccard") > 0.8)
+    // exact binary dedup sees three distinct payloads
+    val exact = Multimodal.binaryDedup(docs)
+    assert(exact.count() == 3)
+  }
 }
