@@ -550,23 +550,25 @@ object TextAnalysis {
     * deterministic min-agg — no ordering or seed — so the score is
     * identical on any engine and any partitioning.
     *
-    * Scale shape: one map-side-combined min-agg keyed by shingle,
-    * then the shingle table re-joins its owner table on the same
-    * key — the exchange the agg already produced is exactly the
-    * distribution the join needs (exchange reuse; no second corpus
-    * shuffle) — and a final per-doc count agg. Docs under 3 tokens
-    * have no shingles and drop out, exactly as in the dedup family.
+    * Scale shape: NO corpus-sized join anywhere — a doc's novel
+    * count is just the owner table re-aggregated (min-agg keyed by
+    * shingle, then count keyed by the winning doc), so every
+    * exchange carries map-side-combined partials: per-shingle minima
+    * one way, per-doc counts the other; the final join unifies two
+    * doc-keyed aggregate frames (shuffled-hash, both linear in doc
+    * count). Docs under 3 tokens have no shingles and drop out,
+    * exactly as in the dedup family.
     */
   def novelty(documents: DataFrame): DataFrame = {
     val sh = graft.dedup.Dedup.shingles(documents)
-    val owner = sh.groupBy("shingle").agg(min(col("doc_id")).as("owner"))
-    sh.join(owner.hint("shuffle_hash"), Seq("shingle"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .withColumn("novelty",
-        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+    val owned = sh.groupBy("shingle").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(owned.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_shingles"), 4).as("novelty"))
   }
 
   def bigramLmScore(documents: DataFrame): DataFrame = {

@@ -190,7 +190,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(countIn(plan, "Exchange hashpartitioning") == 0, plan.take(1500))
   }
 
-  test("novelty re-uses the shingle exchange for owner join, no SMJ") {
+  test("novelty never joins corpus-sized frames: aggregates first, no SMJ") {
     val df = TextAnalysis.novelty(Tables.documents(spark, sf))
     val plan = executed(df)
     assert(countIn(plan, "SortMergeJoin") == 0)
