@@ -60,4 +60,33 @@ class StressSpec extends SparkSpec {
     assert(keepers.count() == nDocs, "keeper output must stay linear")
     assert(secs < 300.0, s"dup-heavy keeper stress took ${secs}s")
   }
+
+  test("x20-duplicated corpus: soft dedup keeps every unique, thins families to ~1") {
+    // same duplicate-heavy regime as the keeper stress: every copy
+    // group is a hot keeper key for the cluster-size join, and the
+    // survival threshold must still be the exact per-doc hash rule
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("orig"), col("text"),
+        explode(sequence(lit(0), lit(19))).as("c"))
+      .select((col("orig") * 20 + col("c")).as("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val out = graft.ops.Sampling.softDedup(docs).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"x20-dup corpus ($nDocs docs) softDedup: $secs%.1fs")
+    assert(out.length == nDocs, "soft dedup output must stay linear")
+    // every cluster is (at least) the 20-copy group; expected
+    // survivors per 20-family = ceil(256/20)/256 * 20 ~ 1.02, so the
+    // corpus-wide survival rate must collapse to roughly 1/20
+    val kept = out.count(_.getAs[Boolean]("soft_kept"))
+    val rate = kept.toDouble / nDocs
+    assert(rate > 0.01 && rate < 0.15, f"survival rate $rate%.3f")
+    // the keep flag replays the md5 two-nibble threshold exactly
+    def h256(id: Long): Int = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))(0) & 0xff
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("soft_kept") ==
+        (h256(r.getAs[Long]("doc_id")) * r.getAs[Long]("cluster_size") < 256L)) }
+    assert(secs < 300.0, s"soft-dedup stress took ${secs}s")
+  }
 }
