@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.cdc.Changelog
-import graft.streaming.{CdcStreams, ChangeRecord, DocState}
+import graft.streaming.{CdcStreams, ChangeRecord, DocState, EmbeddingStreams}
 
 case class EventRow(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double, props: String)
@@ -591,5 +591,55 @@ class StreamingSpec extends SparkSpec {
       val b = bucketOf(t)
       if (n > bucketN(b) / capacity)
         assert(emitted.contains((b, t)), s"frequent token $t evicted") }
+  }
+
+  test("streaming label drift converges to the batch centroid audit") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val d = 8
+    def vec(label: Int, i: Int): (Long, Seq[Float], Int) = {
+      val a = Array.fill(d)(0.0f)
+      a(0) = if (label == 1) 2.0f else 0.0f     // label 1 is shifted
+      a(i % d) = a(i % d) + 0.05f * (i + 1)
+      ((label * 100 + i).toLong, a.toSeq, label)
+    }
+    val rows1 = (0 until 10).map(i => vec(0, i)) ++ (0 until 10).map(i => vec(1, i))
+    val rows2 = (10 until 20).map(i => vec(0, i)) ++ (10 until 20).map(i => vec(1, i))
+    // reference = the final corpus's global centroid, fitted batch-side
+    val all = (rows1 ++ rows2).toDF("vec_id", "embedding", "label")
+    val avgs = (0 until d).map(j =>
+      org.apache.spark.sql.functions.avg(
+        org.apache.spark.sql.functions.col("embedding").getItem(j)))
+    val gRow = all.agg(avgs.head, avgs.tail: _*).head()
+    val ref = (0 until d).map(gRow.getDouble)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float], Int)]
+    val emissions = EmbeddingStreams.labelDriftState(
+      input.toDF().toDF("vec_id", "embedding", "label"), ref)
+    val q = emissions.writeStream.format("memory").queryName("drift")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(rows1); q.processAllAvailable()
+      input.addData(rows2); q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table("drift")
+      .as[EmbeddingStreams.LabelDriftEmit].collect()
+    // one emission per (label, batch); the final one has seen all rows
+    val fin = emitted.groupBy(_.label).map { case (l, es) => l -> es.maxBy(_.n_vecs) }
+    assert(fin(0).n_vecs == 20L && fin(1).n_vecs == 20L)
+    // batch twin on the same corpus with the same reference arithmetic
+    val batchDist = (0 to 1).map { lab =>
+      val rows = (rows1 ++ rows2).filter(_._3 == lab)
+      val cent = (0 until d).map(j => (rows.map(_._2(j).toDouble).sum / rows.size).toFloat)
+      lab -> math.sqrt((0 until d).map { j =>
+        val df = cent(j).toDouble - ref(j).toFloat.toDouble; df * df }.sum)
+    }.toMap
+    (0 to 1).foreach { lab =>
+      assert(math.abs(fin(lab).centroid_dist - batchDist(lab)) < 1e-4,
+        s"label $lab stream ${fin(lab).centroid_dist} vs batch ${batchDist(lab)}") }
+    // the shifted label is far from the global centroid, label 0 symmetric
+    assert(fin(1).centroid_dist > 0.5)
   }
 }
