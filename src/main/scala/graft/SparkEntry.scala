@@ -266,6 +266,11 @@ object SparkEntry {
         Dedup.embedNearDup(Tables.embeddings(s, d), 0.15, col("vec_id") % 7 === 0)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")))
         .orderBy("degree")),
+    // measured recall@k of the production IVF path vs brute ground
+    // truth on the probe query set
+    "sim_recall_audit" -> ((s, d) =>
+      Similarity.annRecallAudit(Tables.embeddings(s, d), col("vec_id") < 10)
+        .orderBy("q_id")),
     // ANN range search: ALL neighbors within cosine >= tau via IVF
     "sim_range_search" -> ((s, d) =>
       Similarity.rangeSearch(Tables.embeddings(s, d), col("vec_id") < 10, 0.3)
@@ -2328,6 +2333,48 @@ object SparkEntry {
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
+    // the IVF replay's top-k left-joined under the brute ground truth
+    "sim_recall_audit" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+        |  FROM corpus CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, cell_id FROM asg WHERE rn = 1),
+        |qc AS (
+        |  SELECT q.vec_id AS q_id, cell_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_cosine_similarity(q.emb, c_emb) DESC, cell_id) AS rn
+        |  FROM corpus q CROSS JOIN cents WHERE q.vec_id < 10),
+        |probes AS (SELECT q_id, cell_id FROM qc WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id,
+        |         round(list_cosine_similarity(cq.emb, cv.emb), 6) AS cos
+        |  FROM probes p
+        |  JOIN assigned a USING (cell_id)
+        |  JOIN corpus cq ON cq.vec_id = p.q_id
+        |  JOIN corpus cv ON cv.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.q_id),
+        |ivf AS (SELECT q_id, vec_id FROM (
+        |          SELECT q_id, vec_id,
+        |                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |          FROM scored) WHERE rank <= 5),
+        |bscored AS (SELECT q.vec_id AS q_id, e.vec_id,
+        |              round(list_cosine_similarity(q.emb, e.emb), 6) AS cos
+        |            FROM corpus q JOIN corpus e ON e.vec_id <> q.vec_id
+        |            WHERE q.vec_id < 10),
+        |bt AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |         FROM bscored) WHERE rank <= 5)
+        |SELECT b.q_id, count(*) AS k, CAST(count(i.vec_id) AS BIGINT) AS n_hit,
+        |       round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4) AS recall
+        |FROM bt b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+        |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
     "sim_ivf_kmeans" -> simIvfKmeansSql,
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfpqSql,

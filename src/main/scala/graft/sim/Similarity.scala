@@ -487,6 +487,31 @@ object Similarity {
       .select(col("vec_id"), round(sqrt(col("d2")), 6).as("dist"))
   }
 
+  /** ANN recall AUDIT: per-query overlap between the production IVF
+    * path ([[annIvf]]) and exact brute-force ground truth
+    * ([[bruteTopK]]) on the bounded probe query set — recall@k, the
+    * number every ANN deployment reports before trusting its
+    * cell/probe parameters (the IVF cell boundaries are where
+    * neighbors get lost; this measures how many, on YOUR corpus).
+    * Same probe-bounded discipline as the LSH calibration: ground
+    * truth is exact only over the query subset, the audited path is
+    * the full production pipeline. Output is one row per query.
+    */
+  def annRecallAudit(embeddings: DataFrame, queryFilter: Column,
+                     k: Int = 5): DataFrame = {
+    val exact = bruteTopK(embeddings, queryFilter, k)
+      .select(col("q_id"), col("vec_id"))
+    val approx = annIvf(embeddings, queryFilter, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact
+      .join(approx.hint("shuffle_hash"), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("k"), 4))
+  }
+
   /** Per-label embedding DRIFT audit: each label's centroid distance
     * to the global centroid plus the label's internal dispersion
     * (mean member-to-centroid distance) — the "did shard/encoder X

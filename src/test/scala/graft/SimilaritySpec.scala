@@ -295,4 +295,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._2 > 0.5 && out(0)._2 > 0.5)
     assert(out.values.forall(_._3 >= 0.0))
   }
+
+  test("ann recall audit measures the exact IVF/brute overlap per query") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.annRecallAudit(emb, col("vec_id") < 10).collect()
+    assert(out.length == 10)
+    val brute = Similarity.bruteTopK(emb, col("vec_id") < 10, 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val ivf = Similarity.annIvf(emb, col("vec_id") < 10, 5).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    out.foreach { r =>
+      val q = r.getAs[Long]("q_id")
+      val expect = (brute(q) & ivf.getOrElse(q, Set.empty[Long])).size
+      assert(r.getAs[Long]("k") == 5L)
+      assert(r.getAs[Long]("n_hit") == expect, s"q$q")
+      assert(math.abs(r.getAs[Double]("recall") - expect / 5.0) < 1e-9)
+    }
+  }
 }
