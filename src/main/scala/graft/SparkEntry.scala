@@ -219,6 +219,9 @@ object SparkEntry {
     // how much duplication: histogram over keeper-cluster sizes
     "dedup_cluster_sizes" -> ((s, d) =>
       Dedup.clusterSizes(Tables.documents(s, d)).orderBy("cluster_size")),
+    // which source is template-heavy: per-source duplication rate
+    "dedup_source_stats" -> ((s, d) =>
+      Dedup.dupRateBySource(Tables.documents(s, d)).orderBy("source")),
     // measured LSH S-curve: per-band recall vs exact ground truth
     "dedup_lsh_recall" -> ((s, d) =>
       Dedup.lshRecall(Tables.documents(s, d), col("doc_id") < 300)
@@ -2283,6 +2286,17 @@ object SparkEntry {
     "dedup_keepers_near" -> keepersNearSql,
     "dedup_keepers_best" -> keepersBestSql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
+    // keeper replay + sizes + source join, aggregated per source
+    "dedup_source_stats" -> (keepersNearCte +
+      """, csz AS (SELECT keep_doc_id, count(*) AS cluster_size FROM l2 GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE c.cluster_size > 1) AS BIGINT)
+        |         AS n_in_dup_clusters,
+        |       round(CAST(count(*) FILTER (WHERE c.cluster_size > 1) AS DOUBLE)
+        |             / count(*), 4) AS dup_rate
+        |FROM l2 l JOIN csz c USING (keep_doc_id)
+        |          JOIN documents d ON d.doc_id = l.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
     // byte-window shingles over the hex payload, then the standard
     // inverted-index Jaccard (case of the hex never matters: only
     // equality structure does)

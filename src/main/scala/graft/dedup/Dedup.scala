@@ -250,6 +250,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
+  /** Per-SOURCE duplication report: each source's doc count, docs
+    * sitting in near-dup clusters of ≥2, and the duplication rate —
+    * the table that says WHICH ingest source is template-heavy (the
+    * actionable form of [[clusterSizes]]: a 30% dup-rate source gets
+    * its extractor fixed; a corpus-wide histogram doesn't say where
+    * to look). One extra doc-keyed join of the keeper mapping onto
+    * the source column; output is |sources| rows.
+    */
+  def dupRateBySource(documents: DataFrame, tau: Double = 0.9,
+                      iters: Int = 2): DataFrame = {
+    val labels = nearDupKeepers(documents, tau, iters)
+      .select(col("doc_id"), col("keep_doc_id"))
+    val sizes = labels.groupBy("keep_doc_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labels
+      .join(sizes.hint("shuffle_hash"), Seq("keep_doc_id"))
+      .join(documents.select(col("doc_id"), col("source"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1L, 1L).otherwise(0L))
+          .as("n_in_dup_clusters"))
+      .withColumn("dup_rate",
+        round(col("n_in_dup_clusters").cast("double") / col("n_docs"), 4))
+  }
+
   /** Undirected candidate-pair edges from the MinHash-LSH pipeline,
     * both directions materialized for label propagation. */
   private def lshEdges(documents: DataFrame, tau: Double,

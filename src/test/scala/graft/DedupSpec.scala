@@ -253,4 +253,24 @@ class DedupSpec extends SparkSpec {
     // mid bands exist from the planted half-overlaps
     assert(out.keySet.exists(_ <= 5), s"no mid band in $out")
   }
+
+  test("per-source dup rate flags the template-heavy source exactly") {
+    import spark.implicits._
+    val tmpl = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // source "bad": 6 docs, 4 of them one template family;
+    // source "good": 5 unique docs
+    val docs = (Seq(
+      (1L, tmpl, "bad"), (2L, tmpl, "bad"), (3L, tmpl, "bad"), (4L, tmpl, "bad"),
+      (5L, "own words here five tokens long enough now yes", "bad"),
+      (6L, "other unique content in this one also long enough", "bad")) ++
+      (7 to 11).map(i => (i.toLong,
+        s"unique$i body$i words$i here$i tail$i only$i pad$i stop$i", "good")))
+      .toDF("doc_id", "text", "source")
+    val out = graft.dedup.Dedup.dupRateBySource(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_in_dup_clusters"),
+          r.getAs[Double]("dup_rate"))).toMap
+    assert(out("bad") == ((6L, 4L, 0.6667)))
+    assert(out("good") == ((5L, 0L, 0.0)))
+  }
 }
