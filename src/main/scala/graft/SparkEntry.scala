@@ -186,6 +186,11 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
       TextAnalysis.curationManifest(Tables.documents(s, d)).orderBy("source", "split")),
+    // the production manifest: soft dedup + quality bar + keeper-keyed
+    // leakage-safe split in one pass
+    "text_pipeline_soft" -> ((s, d) =>
+      TextAnalysis.curationManifestSoft(Tables.documents(s, d))
+        .orderBy("source", "split")),
     "text_entropy" -> ((s, d) =>
       TextAnalysis.entropyStats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_patterns" -> ((s, d) =>
@@ -2316,6 +2321,31 @@ object SparkEntry {
         |                  JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // keeper replay + soft-survival + quality rules + keeper-hash
+    // split, summed per (source, split)
+    "text_pipeline_soft" -> (keepersNearCte +
+      """, csz AS (SELECT keep_doc_id, count(*) AS cluster_size FROM l2 GROUP BY 1),
+        |soft AS (SELECT l.doc_id, l.keep_doc_id
+        |         FROM l2 l JOIN csz c USING (keep_doc_id)
+        |         WHERE ((strpos('0123456789abcdef', substring(md5(CAST(l.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |                + strpos('0123456789abcdef', substring(md5(CAST(l.doc_id AS VARCHAR)), 2, 1)) - 1)
+        |               * c.cluster_size < 256),
+        |tq AS (SELECT s.keep_doc_id, d.source, CAST(len(dt.toks) AS BIGINT) AS n_tokens
+        |       FROM soft s JOIN documents d ON d.doc_id = s.doc_id
+        |                   JOIN docs dt ON dt.doc_id = s.doc_id
+        |       WHERE len(dt.toks) >= 20
+        |         AND CAST(len(list_distinct(dt.toks)) AS DOUBLE) / len(dt.toks) >= 0.4
+        |         AND CAST(len(list_filter(dt.toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |             / len(dt.toks) <= 0.1),
+        |sp AS (SELECT source,
+        |         CASE WHEN substring(md5(CAST(keep_doc_id AS VARCHAR)), 1, 1)
+        |                   IN ('0','1','2','3') THEN 'val' ELSE 'train' END AS split,
+        |         n_tokens
+        |       FROM tq)
+        |SELECT source, split, count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+        |       round(avg(n_tokens), 4) AS avg_tokens
+        |FROM sp GROUP BY source, split ORDER BY source, split""".stripMargin),
     // keeper replay + two bounded aggregations: size per cluster,
     // cluster count per size
     "dedup_cluster_sizes" -> (keepersNearCte +

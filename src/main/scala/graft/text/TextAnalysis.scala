@@ -492,6 +492,38 @@ object TextAnalysis {
         round(avg("n_tokens"), 4).as("avg_tokens"))
   }
 
+  /** End-to-end curation manifest, REPETITION-AWARE edition: the
+    * [[curationManifest]] pipeline with its exact-dup keeper step
+    * replaced by near-dup SOFT dedup
+    * ([[graft.ops.Sampling.softDedup]] — survive with ~1/cluster_size
+    * probability, so template families contribute ~1 expected doc
+    * while paraphrase diversity survives), the same quality rules,
+    * and the split hashed on the near-dup KEEPER id (the
+    * leakage-safe assignment — a val doc can never have a surviving
+    * train twin within the propagation radius). This is the manifest
+    * a production pretraining-data job actually ships: dedup policy,
+    * quality bar, and contamination-safe split in one pass, summed
+    * per (source, split).
+    */
+  def curationManifestSoft(documents: DataFrame, tau: Double = 0.9,
+                           iters: Int = 2): DataFrame = {
+    val toks = tokens(col("text"))
+    val soft = graft.ops.Sampling.softDedup(documents, tau, iters)
+      .filter(col("soft_kept"))
+      .select(col("doc_id"), col("keep_doc_id"))
+    documents
+      .join(soft.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .filter(col("n_tokens") >= 20 &&
+        size(array_distinct(toks)).cast("double") / size(toks) >= 0.4 &&
+        countIn(toks, EnStop).cast("double") / size(toks) <= 0.1)
+      .withColumn("split", graft.ops.Sampling.hashSplit(col("keep_doc_id")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens_total"),
+        round(avg("n_tokens"), 4).as("avg_tokens"))
+  }
+
   /** Count-based bigram language-model scoring (the KenLM-ish
     * quality signal shape): corpus-level unigram/bigram counts, each
     * document scored by the mean log conditional probability of its

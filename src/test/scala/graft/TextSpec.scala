@@ -92,4 +92,28 @@ class TextSpec extends SparkSpec {
       val nv = r.getAs[Double]("novelty")
       nv >= 0.0 && nv <= 1.0 })
   }
+
+  test("soft-dedup manifest splits on the keeper and never leaks a family") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextAnalysis.curationManifestSoft(docs).collect()
+    assert(out.nonEmpty)
+    // manifest counts equal a from-scratch replay of the three stages
+    val soft = graft.ops.Sampling.softDedup(docs)
+      .filter(org.apache.spark.sql.functions.col("soft_kept"))
+    val survivors = soft.count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum <= survivors)
+    // every surviving doc's split equals its keeper's split hash —
+    // so two surviving members of one family can never straddle it
+    val splitOf = soft.collect().map { r =>
+      val keeper = r.getAs[Long]("keep_doc_id")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(keeper.toString.getBytes("UTF-8"))
+      val nib = (hex(0) >> 4) & 0xf
+      r.getAs[Long]("doc_id") -> (if (nib < 4) "val" else "train")
+    }.toMap
+    val byKeeper = soft.collect().groupBy(_.getAs[Long]("keep_doc_id"))
+    byKeeper.values.foreach { members =>
+      val splits = members.map(m => splitOf(m.getAs[Long]("doc_id"))).toSet
+      assert(splits.size == 1, "a family straddles the split") }
+  }
 }
