@@ -2438,8 +2438,10 @@ object SparkEntry {
         |          list_transform(range(1, 65), i -> (c.emb[i] - m.mu[i]) * (c.emb[i] - m.mu[i]))),
         |          (acc, x) -> acc + x) AS d2
         |      FROM corpus c CROSS JOIN mean m)
-        |SELECT vec_id, round(sqrt(d2), 6) AS dist
-        |FROM d ORDER BY d2 DESC, vec_id LIMIT 50""".stripMargin,
+        |SELECT vec_id, dist FROM (
+        |  SELECT vec_id, round(sqrt(d2), 6) AS dist, d2
+        |  FROM d ORDER BY d2 DESC, vec_id LIMIT 50)
+        |ORDER BY dist DESC, vec_id""".stripMargin,
     // REAL-cast global + per-label centroids; drift is the fold over
     // their difference, dispersion the member-to-centroid mean
     "emb_drift" ->

@@ -42,6 +42,27 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
 
+  /** Pairwise shingle-set intersections over an exploded (doc_id,
+    * shingle) frame — the shared inverted-index core of every
+    * set-similarity operator here ([[ngramJaccard]], [[containment]],
+    * [[graft.mm.Multimodal.binaryNearDup]]): self-equi-join on
+    * shingle, per-pair intersection count, set sizes joined back.
+    * Returns (doc_a, doc_b, common, sz_a, sz_b) with doc_a < doc_b;
+    * cost is bounded by shingle collision counts, never all-pairs.
+    */
+  private[graft] def shingleIntersections(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("sa.sz").as("sz_a"), col("sb.sz").as("sz_b"))
+  }
+
   /** Exact n-gram Jaccard similarity via shingle inverted index:
     * explode → self-equi-join on shingle → per-pair intersection
     * count → |A∩B| / (|A|+|B|−|A∩B|). No cross join anywhere; cost
@@ -50,23 +71,12 @@ object Dedup {
     * corpus); pass `lit(true)` to run corpus-wide.
     */
   def ngramJaccard(documents: DataFrame, tau: Double, docFilter: Column,
-                   n: Int = 3): DataFrame = {
-    val docs = documents.filter(docFilter)
-    val sh = shingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+                   n: Int = 3): DataFrame =
+    shingleIntersections(shingles(documents.filter(docFilter), n))
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("common")), 4).as("jaccard"))
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= tau)
-  }
 
   /** LSH recall CALIBRATION: exact-Jaccard ground-truth pairs on a
     * bounded probe subset, left-joined against the MinHash-LSH
@@ -109,23 +119,12 @@ object Dedup {
     * at scale goes through LSH candidates first).
     */
   def containment(documents: DataFrame, tau: Double, docFilter: Column,
-                  n: Int = 3): DataFrame = {
-    val docs = documents.filter(docFilter)
-    val sh = shingles(docs, n)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+                  n: Int = 3): DataFrame =
+    shingleIntersections(shingles(documents.filter(docFilter), n))
       .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") / col("sa.sz"), 4).as("cont_a_in_b"),
-        round(col("common").cast("double") / col("sb.sz"), 4).as("cont_b_in_a"))
+        round(col("common").cast("double") / col("sz_a"), 4).as("cont_a_in_b"),
+        round(col("common").cast("double") / col("sz_b"), 4).as("cont_b_in_a"))
       .filter(col("cont_a_in_b") >= tau || col("cont_b_in_a") >= tau)
-  }
 
   /** MinHash + LSH banding: k-wide signature in one pass (custom
     * Catalyst expression), split into `bands` bands, bucket-join on

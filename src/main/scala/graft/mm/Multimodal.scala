@@ -141,17 +141,10 @@ object Multimodal {
       explode(array_distinct(expr(
         "transform(sequence(0, greatest(cast((length(hx) - 16) / 8 as int), 0))," +
           " i -> substring(hx, i*8 + 1, 16))"))).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    graft.dedup.Dedup.shingleIntersections(sh)
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
-          (col("sa.sz") + col("sb.sz") - col("common")), 4).as("jaccard"))
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= tau)
   }
 

@@ -122,16 +122,24 @@ object Sampling {
     * within the keeper propagation's 2^iters reach; a nonzero count
     * is the audit firing on chains deeper than the configured
     * radius. One row: total verified pairs, cross-split pairs, and
-    * the per-split doc counts for rate context. Costs one extra
-    * keyed join over the already-computed pair list — the audit
-    * every 100 TB split job should ship with.
+    * the per-split doc counts for rate context. The verified pair
+    * list — the dominant cost (MinHash signatures + band join +
+    * Jaccard verify) — is computed ONCE, checkpointed, and feeds
+    * both the propagation edges and the audit join (the naive
+    * compose-two-operators form runs that pipeline twice, and the
+    * propagation's own edge checkpoint makes exchange reuse
+    * impossible across the two subtrees).
     */
   def leakAudit(documents: DataFrame, tau: Double = 0.9,
                 iters: Int = 2): DataFrame = {
     val pairs = graft.dedup.Dedup.minhashLsh(documents, tau)
-      .select("doc_a", "doc_b")
-    val split = leakageSafeSplit(documents, tau, iters)
-      .select(col("doc_id"), col("split"))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val split = graft.dedup.Dedup.propagateLabels(edges,
+        documents.select(col("doc_id"), col("doc_id").as("lab")),
+        iters, maximize = false)
+      .select(col("doc_id"), hashSplit(col("lab")).as("split"))
     pairs
       .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
         .hint("shuffle_hash"), "doc_a")
@@ -141,8 +149,10 @@ object Sampling {
         coalesce(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)),
           lit(0L)).as("n_cross_split"))
       .crossJoin(broadcast(split.groupBy("split").agg(count(lit(1)).as("n"))
-        .agg(sum(when(col("split") === "train", col("n"))).as("n_train"),
-          sum(when(col("split") === "val", col("n"))).as("n_val"))))
+        .agg(coalesce(sum(when(col("split") === "train", col("n"))), lit(0L))
+            .as("n_train"),
+          coalesce(sum(when(col("split") === "val", col("n"))), lit(0L))
+            .as("n_val"))))
   }
 
   /** Materialize the temperature mix deterministically: per-source

@@ -479,6 +479,8 @@ object Similarity {
                        dim: Int = 64): DataFrame = {
     val avgs = (0 until dim).map(j => avg(col("embedding").getItem(j)).as(s"c$j"))
     val row = embeddings.agg(avgs.head, avgs.tail: _*).head()
+    require(!row.isNullAt(0),
+      "centroidOutliers: empty embeddings frame (no centroid to fit)")
     val mu = array((0 until dim).map(j => lit(row.getDouble(j).toFloat)): _*)
     embeddings
       .select(col("vec_id"), l2_sq(col("embedding"), mu).as("d2"))
@@ -527,6 +529,8 @@ object Similarity {
   def labelDrift(embeddings: DataFrame, dim: Int = 64): DataFrame = {
     val avgs = (0 until dim).map(j => avg(col("embedding").getItem(j)).as(s"c$j"))
     val gRow = embeddings.agg(avgs.head, avgs.tail: _*).head()
+    require(!gRow.isNullAt(0),
+      "labelDrift: empty embeddings frame (no centroid to fit)")
     val g = Array.tabulate(dim)(j => gRow.getDouble(j).toFloat)
     val labRows = embeddings.groupBy("label").agg(avgs.head, avgs.tail: _*)
       .collect()
