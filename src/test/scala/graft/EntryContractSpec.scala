@@ -23,4 +23,12 @@ class EntryContractSpec extends SparkSpec {
   test("flagship entry returns rows on the smoke scale factor") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("every query has a committed plan snapshot") {
+    val names = SparkEntry.queries.keySet
+    val have = Option(new java.io.File("plans").listFiles).get
+      .map(_.getName.stripSuffix(".txt")).toSet
+    val missing = names -- have
+    assert(missing.isEmpty, s"queries without a plans/ snapshot: $missing")
+  }
 }
