@@ -88,7 +88,9 @@ object Dedup {
     * truth is the probe-subset exact join ([[ngramJaccard]] — the
     * same bounded-oracle discipline as every exact twin here); the
     * candidate side is the full production LSH pipeline. Output is
-    * ≤6 rows: per band, true pairs, caught pairs, recall.
+    * ≤8 rows — bands floor(10·floorTau)..10 (rounded jaccard 1.0
+    * floors into its own band 10): per band, true pairs, caught
+    * pairs, recall.
     */
   def lshRecall(documents: DataFrame, docFilter: Column,
                 floorTau: Double = 0.3,
@@ -125,6 +127,45 @@ object Dedup {
         round(col("common").cast("double") / col("sz_a"), 4).as("cont_a_in_b"),
         round(col("common").cast("double") / col("sz_b"), 4).as("cont_b_in_a"))
       .filter(col("cont_a_in_b") >= tau || col("cont_b_in_a") >= tau)
+
+  /** Banded MinHash signatures as a skinny (doc_id, band, band_hash)
+    * frame — the LSH bucketing key of the whole near-dup family and
+    * the only per-doc state [[mergeKeepers]] needs to probe an
+    * existing corpus with a delta batch (16 longs per doc; the text
+    * never rides it).
+    */
+  private[graft] def bandedSignatures(documents: DataFrame, k: Int,
+                                      bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    documents
+      .select(col("doc_id"),
+        posexplode(minhash_bands(shingleArray(col("text")), k, bands)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs: fetch the two
+    * shingle sets (computed only for rows that appear as endpoints —
+    * the semi-join keeps the shingling cost candidate-bounded, which
+    * is what lets [[mergeKeepers]] verify delta×base candidates
+    * without re-shingling the base corpus) and keep pairs at
+    * jaccard ≥ τ via the fused one-pass `jaccard_sim` kernel.
+    */
+  private[graft] def verifyCandidates(candidates: DataFrame,
+                                      documents: DataFrame,
+                                      tau: Double, n: Int = 3): DataFrame = {
+    val ends = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val docs = documents.join(ends.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingleArray(col("text"), n).as("sh"))
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(graft.functions.expressions.jaccard_sim(col("sh_a"), col("sh_b")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
 
   /** MinHash + LSH banding: k-wide signature in one pass (custom
     * Catalyst expression), split into `bands` bands, bucket-join on
@@ -209,6 +250,67 @@ object Dedup {
       .withColumn("is_kept", (col("doc_id") === col("keep_doc_id")))
   }
 
+  /** The materialized near-dup keeper ARTIFACT — the dedup twin of
+    * [[graft.sim.Similarity.PcaModel]]'s fit-once/apply-many
+    * contract. A production pipeline pays the corpus-scale
+    * shingle + MinHash + band-join + verify + propagation pipeline
+    * ONCE, then every downstream consumer (keeper mapping, cluster
+    * sizes, per-source dup rates, soft dedup, leakage-safe split,
+    * leak audit, curation manifest) rides the materialized frames:
+    *
+    *  - `banded`  — (doc_id, band, band_hash), the LSH bucket keys:
+    *    the probe index [[mergeKeepers]] needs to absorb a delta
+    *    batch without re-signaturing the corpus;
+    *  - `pairs`   — verified candidate pairs (doc_a < doc_b,
+    *    jaccard ≥ τ): the edge list and the leak audit's ground set;
+    *  - `labels`  — (doc_id, keep_doc_id) for EVERY doc: the keeper
+    *    mapping after `iters` pointer-doubling propagation rounds.
+    *
+    * All three are `localCheckpoint`-materialized at fit time (each
+    * is skinny — ids and hashes, never text), so consumers start
+    * from executor-resident frames with truncated lineage instead of
+    * re-running candidate generation — previously 8 surface queries
+    * each re-ran the full pipeline (~17% of bench wall-time; at
+    * 100 TB, 8 corpus-scale passes where production pays one).
+    */
+  final case class KeeperModel(tau: Double, iters: Int, k: Int, bands: Int,
+                               banded: DataFrame, pairs: DataFrame,
+                               labels: DataFrame)
+
+  /** Fit the near-dup [[KeeperModel]]: banded signatures → bucket
+    * self-join candidates → exact-Jaccard verify → min-id label
+    * propagation (pointer-doubling, `iters` rounds ≈ 2^iters chain
+    * reach). Identical pair/keeper semantics to the one-shot
+    * [[nearDupKeepers]] path — same expressions, same thresholds —
+    * so oracles verified against the one-shot pipeline hold
+    * unchanged against model-riding consumers.
+    */
+  def fitKeepers(documents: DataFrame, tau: Double = 0.9, iters: Int = 2,
+                 k: Int = 64, bands: Int = 16): KeeperModel = {
+    val banded = bandedSignatures(documents, k, bands).localCheckpoint()
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val pairs = verifyCandidates(cand, documents, tau)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val labels = propagateLabels(
+      mirror(pairs),
+      documents.select(col("doc_id"), col("doc_id").as("lab")),
+      iters, maximize = false)
+      .select(col("doc_id"), col("lab").as("keep_doc_id"))
+    KeeperModel(tau, iters, k, bands, banded, pairs, labels)
+  }
+
+  /** Keeper mapping from a fitted model: zero pipeline cost — one
+    * projection over the materialized label frame. */
+  def nearDupKeepers(model: KeeperModel): DataFrame =
+    model.labels
+      .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
+
   /** Near-duplicate keeper assignment: LSH candidate pairs become
     * edges; representatives are found by min-id label propagation
     * with a pointer-doubling shortcut, so `iters` rounds cover
@@ -220,16 +322,12 @@ object Dedup {
     * exists to prevent). Each round is one keyed join plus one
     * label-keyed shortcut join — the standard large-scale
     * connected-components shape ([[graft.ops.Graph.componentSizes]]).
+    * One-shot convenience over [[fitKeepers]]; pipelines with more
+    * than one keeper consumer should fit the model once instead.
     */
   def nearDupKeepers(documents: DataFrame, tau: Double, iters: Int = 2,
-                     k: Int = 64, bands: Int = 16): DataFrame = {
-    val labels = propagateLabels(
-      lshEdges(documents, tau, k, bands),
-      documents.select(col("doc_id"), col("doc_id").as("lab")),
-      iters, maximize = false)
-    labels.select(col("doc_id"), col("lab").as("keep_doc_id"))
-      .withColumn("is_kept", col("doc_id") === col("keep_doc_id"))
-  }
+                     k: Int = 64, bands: Int = 16): DataFrame =
+    nearDupKeepers(fitKeepers(documents, tau, iters, k, bands))
 
   /** Near-dup cluster-size distribution: how much duplication the
     * corpus carries, as a histogram over keeper-cluster sizes — the
@@ -242,7 +340,12 @@ object Dedup {
     */
   def clusterSizes(documents: DataFrame, tau: Double = 0.9,
                    iters: Int = 2): DataFrame =
-    nearDupKeepers(documents, tau, iters)
+    clusterSizes(fitKeepers(documents, tau, iters))
+
+  /** [[clusterSizes]] over a fitted [[KeeperModel]] — two bounded
+    * aggregations over the materialized label frame, no pipeline. */
+  def clusterSizes(model: KeeperModel): DataFrame =
+    model.labels
       .groupBy(col("keep_doc_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -258,9 +361,13 @@ object Dedup {
     * the source column; output is |sources| rows.
     */
   def dupRateBySource(documents: DataFrame, tau: Double = 0.9,
-                      iters: Int = 2): DataFrame = {
-    val labels = nearDupKeepers(documents, tau, iters)
-      .select(col("doc_id"), col("keep_doc_id"))
+                      iters: Int = 2): DataFrame =
+    dupRateBySource(documents, fitKeepers(documents, tau, iters))
+
+  /** [[dupRateBySource]] over a fitted [[KeeperModel]]: one size
+    * aggregation + two doc-keyed joins, no pipeline. */
+  def dupRateBySource(documents: DataFrame, model: KeeperModel): DataFrame = {
+    val labels = model.labels
     val sizes = labels.groupBy("keep_doc_id")
       .agg(count(lit(1)).as("cluster_size"))
     labels
@@ -275,13 +382,11 @@ object Dedup {
         round(col("n_in_dup_clusters").cast("double") / col("n_docs"), 4))
   }
 
-  /** Undirected candidate-pair edges from the MinHash-LSH pipeline,
-    * both directions materialized for label propagation. */
-  private def lshEdges(documents: DataFrame, tau: Double,
-                       k: Int, bands: Int): DataFrame = {
-    val pairs = minhashLsh(documents, tau, k, bands).select("doc_a", "doc_b")
-    pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-  }
+  /** Both directions of an ordered pair list — the undirected edge
+    * form label propagation consumes. */
+  private[graft] def mirror(pairs: DataFrame): DataFrame =
+    pairs.select("doc_a", "doc_b")
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
 
   /** Bounded-iteration label propagation shared by both keeper
     * elections: each round takes the min (or max) label over a
@@ -351,7 +456,16 @@ object Dedup {
     * Requires doc_id < 2^48 (the packed tiebreak field).
     */
   def nearDupKeepersBest(documents: DataFrame, tau: Double, iters: Int = 2,
-                         k: Int = 64, bands: Int = 16): DataFrame = {
+                         k: Int = 64, bands: Int = 16): DataFrame =
+    nearDupKeepersBest(documents, fitKeepers(documents, tau, iters, k, bands))
+
+  /** [[nearDupKeepersBest]] over a fitted [[KeeperModel]]: the
+    * quality-weighted election rides the model's materialized edge
+    * list (the expensive half of the pipeline — shared with the
+    * min-id election), paying only its own `iters` propagation
+    * rounds over the packed quality labels.
+    */
+  def nearDupKeepersBest(documents: DataFrame, model: KeeperModel): DataFrame = {
     // runtime guards on the packing contract: a doc_id outside
     // [0, 2^48) would silently corrupt the tiebreak field (fail
     // loudly instead), and a null q_bp (empty doc) must not poison
@@ -364,7 +478,7 @@ object Dedup {
       .select(col("doc_id"),
         (coalesce(col("q_bp"), lit(0L)) * Pack + (lit(Pack - 1) - id)).as("lab"))
     val labels = propagateLabels(
-      lshEdges(documents, tau, k, bands), init, iters, maximize = true,
+      mirror(model.pairs), init, model.iters, maximize = true,
       decode = lab => lit(Pack - 1) - (lab % Pack))
     labels.select(col("doc_id"),
         (lit(Pack - 1) - (col("lab") % Pack)).as("keep_doc_id"))

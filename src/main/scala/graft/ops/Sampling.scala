@@ -110,7 +110,13 @@ object Sampling {
     */
   def leakageSafeSplit(documents: DataFrame, tau: Double = 0.9,
                        iters: Int = 2): DataFrame =
-    graft.dedup.Dedup.nearDupKeepers(documents, tau, iters)
+    leakageSafeSplit(graft.dedup.Dedup.fitKeepers(documents, tau, iters))
+
+  /** [[leakageSafeSplit]] over a fitted
+    * [[graft.dedup.Dedup.KeeperModel]]: a pure per-row hash of the
+    * materialized keeper mapping — no pipeline, no shuffle. */
+  def leakageSafeSplit(model: graft.dedup.Dedup.KeeperModel): DataFrame =
+    model.labels
       .select(col("doc_id"), col("keep_doc_id"),
         hashSplit(col("keep_doc_id")).as("split"))
 
@@ -131,15 +137,22 @@ object Sampling {
     * impossible across the two subtrees).
     */
   def leakAudit(documents: DataFrame, tau: Double = 0.9,
-                iters: Int = 2): DataFrame = {
-    val pairs = graft.dedup.Dedup.minhashLsh(documents, tau)
-      .select("doc_a", "doc_b").localCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val split = graft.dedup.Dedup.propagateLabels(edges,
-        documents.select(col("doc_id"), col("doc_id").as("lab")),
-        iters, maximize = false)
-      .select(col("doc_id"), hashSplit(col("lab")).as("split"))
+                iters: Int = 2): DataFrame =
+    leakAudit(graft.dedup.Dedup.fitKeepers(documents, tau, iters))
+
+  /** [[leakAudit]] over a fitted [[graft.dedup.Dedup.KeeperModel]]:
+    * the audited split IS [[leakageSafeSplit]]'s split by
+    * construction — both are `hashSplit(keep_doc_id)` over the SAME
+    * materialized label frame, so the audit can never silently
+    * measure a different split than the one it claims to audit (the
+    * r7 review risk of the two code paths re-deriving the pipeline
+    * independently). The verified pair list is the model's
+    * checkpointed `pairs` — already computed, never re-run.
+    */
+  def leakAudit(model: graft.dedup.Dedup.KeeperModel): DataFrame = {
+    val pairs = model.pairs
+    val split = model.labels
+      .select(col("doc_id"), hashSplit(col("keep_doc_id")).as("split"))
     pairs
       .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
         .hint("shuffle_hash"), "doc_a")
@@ -248,9 +261,14 @@ object Sampling {
     * skew-key case AQE skew-join handles).
     */
   def softDedup(documents: DataFrame, tau: Double = 0.9,
-                iters: Int = 2): DataFrame = {
-    val labels = graft.dedup.Dedup.nearDupKeepers(documents, tau, iters)
-      .select(col("doc_id"), col("keep_doc_id"))
+                iters: Int = 2): DataFrame =
+    softDedup(graft.dedup.Dedup.fitKeepers(documents, tau, iters))
+
+  /** [[softDedup]] over a fitted [[graft.dedup.Dedup.KeeperModel]]:
+    * one size aggregation + one keeper-keyed join over the
+    * materialized mapping, no pipeline. */
+  def softDedup(model: graft.dedup.Dedup.KeeperModel): DataFrame = {
+    val labels = model.labels
     val sizes = labels.groupBy("keep_doc_id")
       .agg(count(lit(1)).as("cluster_size"))
     val h256 =

@@ -506,9 +506,21 @@ object TextAnalysis {
     * per (source, split).
     */
   def curationManifestSoft(documents: DataFrame, tau: Double = 0.9,
-                           iters: Int = 2): DataFrame = {
+                           iters: Int = 2): DataFrame =
+    curationManifestSoft(documents,
+      graft.dedup.Dedup.fitKeepers(documents, tau, iters))
+
+  /** [[curationManifestSoft]] over a fitted
+    * [[graft.dedup.Dedup.KeeperModel]]: the manifest's dedup policy,
+    * quality bar, and keeper-keyed split all ride the one
+    * materialized mapping — the fit-once shape a production curation
+    * job actually runs (the model is shared with the split, audit,
+    * and cluster-report queries of the same pipeline).
+    */
+  def curationManifestSoft(documents: DataFrame,
+                           model: graft.dedup.Dedup.KeeperModel): DataFrame = {
     val toks = tokens(col("text"))
-    val soft = graft.ops.Sampling.softDedup(documents, tau, iters)
+    val soft = graft.ops.Sampling.softDedup(model)
       .filter(col("soft_kept"))
       .select(col("doc_id"), col("keep_doc_id"))
     documents

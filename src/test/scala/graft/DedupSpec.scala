@@ -66,6 +66,31 @@ class DedupSpec extends SparkSpec {
     assert(strict == List((1L, 2L)))
   }
 
+  test("keeper model: fit-once artifact matches every one-shot consumer") {
+    // the 8 surface queries ride ONE fitted model; each must equal the
+    // one-shot pipeline it replaced (same expressions, same thresholds)
+    val model = Dedup.fitKeepers(corpus, 0.4, iters = 2, k = 64, bands = 32)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Dedup.nearDupKeepers(model)) ==
+      rows(Dedup.nearDupKeepers(corpus, 0.4, 2, 64, 32)))
+    val oneShotSizes = Dedup.nearDupKeepers(corpus, 0.4, 2, 64, 32)
+      .groupBy("keep_doc_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    assert(rows(Dedup.clusterSizes(model)) == rows(oneShotSizes))
+    // pairs are the verified LSH edges the one-shot path produces
+    assert(rows(model.pairs) ==
+      rows(Dedup.minhashLsh(corpus, 0.4, 64, 32).select("doc_a", "doc_b")))
+    // the audit's split and the split's split are the SAME frame
+    val split = graft.ops.Sampling.leakageSafeSplit(model)
+    val audit = graft.ops.Sampling.leakAudit(model).collect().head
+    assert(audit.getAs[Long]("n_pairs") == model.pairs.count())
+    assert(audit.getAs[Long]("n_cross_split") == 0L)
+    assert(audit.getAs[Long]("n_train") + audit.getAs[Long]("n_val") ==
+      split.count())
+  }
+
   test("keeper assignment maps every dup to the group minimum") {
     val exact = Dedup.exactKeepers(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
