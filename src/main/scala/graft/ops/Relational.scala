@@ -278,18 +278,54 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** Exact linear-interpolation percentiles per group (the oracle
-    * for the sketch path below).
+  /** Exact linear-interpolation percentiles per group via RANK
+    * SELECTION, not value buffering. Spark's exact `percentile`
+    * aggregate holds every value of a group in its aggregation
+    * buffer, so the final merge concentrates an entire group's value
+    * multiset in one task — with 3 order-status groups over a 100 TB
+    * fact column that is an executor OOM by construction, invisible
+    * at bench SF (the r7 plan-audit flag). This formulation computes
+    * the same numbers with BOUNDED aggregation state: a per-group
+    * window sort assigns 0-based ranks (Spark's sort is
+    * spill-to-disk — an ExternalSorter, never an in-memory
+    * multiset), a filter keeps only the ≤2 boundary rows per
+    * requested percentile (the floor/ceil order statistics of
+    * rank p·(n−1)), and a constant-width aggregate interpolates
+    * `lo + frac·(hi − lo)` — algebraically the interpolation
+    * `percentile` itself performs. Exactness is unchanged; the
+    * memory profile drops from O(group) heap to O(1) heap +
+    * spillable sort.
     */
-  def q17Quantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy("o_orderstatus")
-      .agg(
-        round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
-        count(lit(1)).as("n"))
+  def q17Quantiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
+    val wRank = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    val wAll = Window.partitionBy("o_orderstatus")
+    val ranked = Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(wRank).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(wAll))
+    def rp(p: Double) = (col("n") - 1L).cast("double") * p
+    val boundary = ps.map { case (p, _) =>
+      col("rn") === floor(rp(p)).cast("long") ||
+        col("rn") === ceil(rp(p)).cast("long")
+    }.reduce(_ || _)
+    val pcts = ps.map { case (p, name) =>
+      val lo = max(when(col("rn") === floor(rp(p)).cast("long"), col("o_totalprice")))
+      val hi = max(when(col("rn") === ceil(rp(p)).cast("long"), col("o_totalprice")))
+      // bit-exact mirror of Percentile.getPercentile's interpolation:
+      // (higher − pos)·lo + (pos − lower)·hi, lower==higher → lo —
+      // the algebraic twin lo + frac·(hi − lo) differs by an ulp and
+      // flips the 2dp round on boundary values (seen at sf0.1)
+      round(when(floor(rp(p)) === ceil(rp(p)), lo)
+        .otherwise((ceil(rp(p)) - rp(p)) * lo + (rp(p) - floor(rp(p))) * hi), 2)
+        .as(name)
+    }
+    ranked.filter(boundary)
+      .groupBy("o_orderstatus", "n")
+      .agg(pcts.head, pcts.tail: _*)
+      .select(col("o_orderstatus"), col("p25"), col("p50"), col("p90"), col("n"))
       .orderBy("o_orderstatus")
+  }
 
   /** Sketch-based quantiles (approx_percentile): the 100 TB path —
     * bounded-size sketches merge instead of sorting raw values.
