@@ -130,13 +130,19 @@ object Multimodal {
     * Shingling is a pure per-row map (windows never leave their scan
     * partition); only (doc_id, 16-hex-char shingle) pairs shuffle.
     * `docFilter` bounds the probe subset exactly as in
-    * [[graft.dedup.Dedup.ngramJaccard]]; corpus-wide at scale rides
-    * MinHash banding over the same windows.
+    * [[graft.dedup.Dedup.ngramJaccard]] (explicit, like that API —
+    * no baked-in probe default); corpus-wide at scale rides MinHash
+    * banding over the same windows. Payloads shorter than one full
+    * 8-byte window (length(hx) < 16, including empty) are dropped —
+    * a truncated/empty shingle would pair every tiny payload with
+    * every other at jaccard 1.0, the byte twin of the text family's
+    * len(toks) >= 3 dropout.
     */
-  def binaryNearDup(documents: DataFrame, tau: Double = 0.5,
-                    docFilter: Column = col("doc_id") < 300): DataFrame = {
+  def binaryNearDup(documents: DataFrame, tau: Double,
+                    docFilter: Column): DataFrame = {
     val hexed = attach(documents).filter(docFilter)
       .select(col("doc_id"), hex(col("payload")).as("hx"))
+      .filter(length(col("hx")) >= 16)
     val sh = hexed.select(col("doc_id"),
       explode(array_distinct(expr(
         "transform(sequence(0, greatest(cast((length(hx) - 16) / 8 as int), 0))," +

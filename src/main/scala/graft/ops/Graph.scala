@@ -41,7 +41,11 @@ object Graph {
     * constants. The node count seeds the ranks through a single-row
     * cross join, so no driver action is needed. Dangling-node mass
     * leaks per the plain edge-list formulation (documented,
-    * conservative: ranks sum to ≤ `scale`).
+    * conservative: ranks sum to ≤ `scale`) — and the leak is now
+    * MEASURABLE: every row carries `pr_sum`, the exact integer total
+    * of all final ranks (one broadcast aggregation), so `scale −
+    * pr_sum` is the audit number a consumer thresholds on instead of
+    * trusting the docstring. Every audit ships its own check.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Long = 85L,
                scale: Long = 1000000000000L): DataFrame = {
@@ -77,7 +81,11 @@ object Graph {
           (expr(s"((100 - $dampingPct) * ($scale div n)) div 100") +
             expr(s"($dampingPct * coalesce(inflow, 0L)) div 100")).as("pr"))
     }
-    ranks.select(col("node"), col("pr"))
+    // the final ranks frame is referenced twice (rows + total) — a
+    // one-time constant-factor duplication of the chain, not the
+    // per-round doubling the loop structure avoids
+    val out = ranks.select(col("node"), col("pr"))
+    out.crossJoin(broadcast(out.agg(sum("pr").as("pr_sum"))))
   }
 
   /** Per-node triangle counts + local clustering coefficient over an
@@ -152,16 +160,26 @@ object Graph {
     * depends on data. Each round is one degree aggregation and one
     * semi-join per endpoint on integer keys; per-round
     * localCheckpoint truncates the 3-reference round lineage.
-    * Output: surviving (node, degree) — degree within the core.
+    * Output: surviving (node, degree) — degree within the core —
+    * plus a `converged` flag on every row: TRUE iff the final round
+    * removed no edge (the peel reached its fixpoint, so the result
+    * IS the exact k-core), FALSE when a corpus peels deeper than
+    * `iters` rounds and the survivors are a conservative superset.
+    * Without the flag a deep-peel corpus silently reports the
+    * superset as exact — the one extra count aggregation (both
+    * frames are already checkpoint-materialized) turns the silent
+    * approximation into a recorded fact.
     */
   def kCore(edges: DataFrame, k: Int, iters: Int = 6): DataFrame = {
     require(k >= 1 && iters >= 1, s"k ($k) and iters ($iters) must be positive")
     val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
     var und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
+    var prev = und
     for (_ <- 0 until iters) {
       val keep = und.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
+      prev = und
       und = und
         .join(keep.select(col("node").as("src")).hint("shuffle_hash"), "src")
         .join(keep.select(col("node").as("dst")).hint("shuffle_hash"), "dst")
@@ -171,7 +189,11 @@ object Graph {
         // componentSizes lesson
         .localCheckpoint()
     }
+    val conv = prev.agg(count(lit(1)).as("n_prev"))
+      .crossJoin(und.agg(count(lit(1)).as("n_last")))
+      .select((col("n_prev") === col("n_last")).as("converged"))
     und.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+      .crossJoin(broadcast(conv))
   }
 
   /** Connected-component size histogram over an edge list: how many

@@ -31,6 +31,13 @@ object EmbeddingStreams {
     * in dimension order — so a stream that has seen the same rows as
     * a batch reports the same 6dp distance modulo the float cast's
     * absorption of summation-order ulps.
+    *
+    * Malformed input: a vector whose dimensionality differs from the
+    * reference's is DROPPED (not accumulated) — one bad row must not
+    * kill a long-running monitor with an IndexOutOfBounds mid-state,
+    * and silently padding/truncating would corrupt the centroid the
+    * alarm thresholds on. Dropped rows don't advance `n_vecs`, so a
+    * dimension-drifting upstream shows up as a stalled count.
     */
   def labelDriftState(vectors: DataFrame, reference: Seq[Double])
                      (implicit spark: SparkSession): Dataset[LabelDriftEmit] = {
@@ -47,20 +54,26 @@ object EmbeddingStreams {
           val sums = st.sums.toArray
           var n = st.n
           rows.foreach { case (_, emb) =>
-            var j = 0
-            while (j < sums.length) { sums(j) += emb(j).toDouble; j += 1 }
-            n += 1
+            // dimension guard: accumulate only reference-shaped rows
+            if (emb.length == ref.length) {
+              var j = 0
+              while (j < sums.length) { sums(j) += emb(j).toDouble; j += 1 }
+              n += 1
+            }
           }
           state.update(LabelCentroid(n, sums.toSeq))
-          var s = 0.0
-          var j = 0
-          while (j < sums.length) {
-            val d = (sums(j) / n).toFloat.toDouble - ref(j).toDouble
-            s += d * d; j += 1
+          if (n == 0L) Iterator.empty // nothing valid yet — no centroid
+          else {
+            var s = 0.0
+            var j = 0
+            while (j < sums.length) {
+              val d = (sums(j) / n).toFloat.toDouble - ref(j).toDouble
+              s += d * d; j += 1
+            }
+            Iterator.single(LabelDriftEmit(label, n,
+              BigDecimal(math.sqrt(s))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
           }
-          Iterator.single(LabelDriftEmit(label, n,
-            BigDecimal(math.sqrt(s))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
   }
 }

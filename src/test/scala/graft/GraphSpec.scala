@@ -11,14 +11,16 @@ class GraphSpec extends SparkSpec {
     // star: 1..5 all point at 6; 6 points back at 1
     val edges = Seq((1L, 6L), (2L, 6L), (3L, 6L), (4L, 6L), (5L, 6L), (6L, 1L))
       .toDF("src", "dst")
-    val pr = Graph.pageRank(edges).collect()
-      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
+    val rows = Graph.pageRank(edges).collect()
+    val pr = rows.map(r => r.getAs[Long]("node") -> r.getAs[Long]("pr")).toMap
     assert(pr(6L) > pr(1L), s"hub not on top: $pr")
     assert(pr(1L) > pr(2L)) // 1 receives the hub's whole outflow
     assert(pr(2L) == pr(3L) && pr(3L) == pr(4L) && pr(4L) == pr(5L))
     // fixed-point conservation: mass never exceeds the scale (it can
-    // only leak through integer floors and dangling nodes)
+    // only leak through integer floors and dangling nodes) — and the
+    // leak is now carried on every row as the pr_sum audit column
     assert(pr.values.sum <= 1000000000000L)
+    assert(rows.forall(_.getAs[Long]("pr_sum") == pr.values.sum))
   }
 
   test("component sizes count a planted clique and chain separately") {
@@ -94,10 +96,12 @@ class GraphSpec extends SparkSpec {
     // peels in round 1 (degree 1 < 6); the clique survives at k=6
     val k7 = for (a <- 1L to 7L; b <- (a + 1) to 7L) yield (a, b)
     val edges = (k7 :+ ((1L, 100L))).toDF("src", "dst")
-    val out = Graph.kCore(edges, k = 6).collect()
-      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
+    val rows = Graph.kCore(edges, k = 6).collect()
+    val out = rows.map(r => r.getAs[Long]("node") -> r.getAs[Long]("degree")).toMap
     assert(out.keySet == (1L to 7L).toSet, s"got ${out.keySet}")
     assert(out.values.forall(_ == 6L))
+    // the peel reached its fixpoint well inside 6 rounds — flag TRUE
+    assert(rows.forall(_.getAs[Boolean]("converged")))
   }
 
   test("bounded-round k-core peels a path from the ends, conservatively") {
@@ -106,9 +110,12 @@ class GraphSpec extends SparkSpec {
     // peeling removes only the two current endpoints per round — after
     // 6 rounds nodes 6..13 remain (the documented from-above superset)
     val edges = (0L until 19L).map(i => (i, i + 1)).toDF("src", "dst")
-    val out = Graph.kCore(edges, k = 2, iters = 6).collect()
-      .map(_.getAs[Long]("node")).sorted.toSeq
+    val rows = Graph.kCore(edges, k = 2, iters = 6).collect()
+    val out = rows.map(_.getAs[Long]("node")).sorted.toSeq
     assert(out == (6L to 13L).toSeq, s"got $out")
+    // round 6 still removed edges — the deep-peel case must REPORT
+    // itself as a superset, never silently read as the exact core
+    assert(rows.forall(!_.getAs[Boolean]("converged")))
     // ...and enough rounds empty it completely
     assert(Graph.kCore(edges, k = 2, iters = 10).count() == 0)
   }

@@ -83,4 +83,19 @@ class MultimodalSpec extends SparkSpec {
     val exact = Multimodal.binaryDedup(docs)
     assert(exact.count() == 3)
   }
+
+  test("byte-shingle near-dup drops sub-window payloads instead of pairing them") {
+    import spark.implicits._
+    // payloads under one full 8-byte window (incl. empty) used to get
+    // a single truncated shingle and pair with each other at 1.0
+    val docs = Seq(
+      (1L, ""), (2L, ""), (3L, "abc"), (4L, "abc"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again pad"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again pad")
+    ).toDF("doc_id", "text")
+    val near = Multimodal.binaryNearDup(docs, tau = 0.5,
+      docFilter = org.apache.spark.sql.functions.lit(true))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(near == Set((5L, 6L)), s"got $near")
+  }
 }
