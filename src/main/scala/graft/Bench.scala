@@ -30,16 +30,38 @@ object Bench {
       .foreach(t => Tables.read(spark, sfDir, t).count())
     SparkEntry.entry(spark).count()
 
+    // ambient-load context: the r7 verdict found same-day bench runs
+    // spanning 64-75s with per-query swings the single-recording
+    // protocol could not attribute (code vs box noise) — so every
+    // bench JSON now carries the 1-minute loadavg at start and end,
+    // making "was the box quiet" a recorded fact instead of a guess
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ").head
+      catch { case _: Throwable => "-1" }
+    val loadBefore = loadavg()
+
     // steady-state timing: two executions per query, best-of kept —
     // the first run pays one-shot Catalyst planning + codegen compile,
-    // which at bench scale can dominate the actual plan execution
+    // which at bench scale can dominate the actual plan execution.
+    // Entries still above ~1s after two attempts get a THIRD run:
+    // slow entries are exactly where ambient drift distorts
+    // round-over-round comparison most (r7 verdict #3), and one more
+    // sample of the few slow queries costs far less than the noise
+    // it removes from the headline.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val attempts = (1 to 2).map { _ =>
+      def attempt(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      val base = (1 to 2).map(_ => attempt())
+      val needThird = base.collect { case (t, None) => t } match {
+        case ok if ok.nonEmpty => ok.min > 1.0
+        case _ => false
+      }
+      val attempts = if (needThird) base :+ attempt() else base
       // a query is failed only if ALL attempts fail — a transient flake
       // on one of the two runs still yields a valid best-of time, and
       // its error is surfaced in the errors array without negating it
@@ -69,7 +91,8 @@ object Bench {
     // off. Full detail goes to a file; stdout carries only a compact
     // summary line (total + the 10 slowest queries) whose length is
     // asserted so this contract can never regress silently.
-    val fullLine = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    val loadAfter = loadavg()
+    val fullLine = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -84,7 +107,7 @@ object Bench {
       val slowest = results.filterNot(_._4).sortBy(-_._2).take(k)
         .map { case (n, v, _, _) => "\"" + n + "\":" + dp2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$slowest,"n":${results.size},"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$slowest,"n":${results.size},"failed":$nFailed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}"""
     }
     val summary = (10 to 0 by -1).view.map(summaryLine)
       .find(_.length < 1800).getOrElse(summaryLine(0))
