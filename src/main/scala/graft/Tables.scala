@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog of the synthetic TPC-H-ish tables (see TESTDATA.md).
   *
@@ -20,19 +20,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
-    * as a long (`spark.sql.legacy.parquet.nanosAsLong=true` — set by
-    * [[GraftSession]]). Truncate to micros, matching how DuckDB and
-    * every micro-precision engine sees the same file.
+  /** `events.ts` normalization. The generator has shipped the column as
+    * parquet TIMESTAMP(NANOS) (Spark reads it as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`) and as naive
+    * TIMESTAMP(MICROS) (Spark 4 infers TIMESTAMP_NTZ). Either way the
+    * engine's contract is a session-TZ TIMESTAMP: under the UTC session
+    * both normalizations preserve the wall-clock values DuckDB sees in
+    * the same file, so `unix_micros`/interval arithmetic downstream is
+    * byte-identical across generator versions.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     // runtime-settable; makes the reader independent of how the
     // session was built (driver harnesses may not know about it)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // nanos-as-long: truncate to micros
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // naive micros: same wall-clock, UTC session
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
