@@ -54,6 +54,9 @@ object PlanDump {
     .replaceAll("\\b([a-z])_\\d+\\b", "$1_N")
     .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "Lambda@x") // JVM identity
     .replaceAll("plan_id=\\d+", "plan_id=x")
+    // RDD ids count up monotonically per session, so any new query
+    // running earlier in the dump shifts every later checkpoint scan
+    .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
     .replaceAll("file:[^\\s\\],)]*", "PATH")
     .replaceAll("\\[id=#x\\]", "")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")

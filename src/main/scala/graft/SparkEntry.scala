@@ -223,6 +223,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "dedup_keepers" -> ((s, d) => Dedup.exactKeepers(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_keepers_near" -> ((s, d) => Dedup.nearDupKeepers(keeperModel(s, d)).orderBy("doc_id")),
+    // incremental maintenance: fit on 3/4 of the corpus (cached — the
+    // standing model a production pipeline already has), absorb the
+    // rest as a delta batch — the oracle replays the FULL-corpus fit,
+    // so the row asserts merge(fit(base), delta) == fit(base ∪ delta)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") % 4 =!= 0)
+      val delta = docs.filter(col("doc_id") % 4 === 0)
+      val baseModel = keeperModelCache.computeIfAbsent(
+        s.sparkContext.applicationId + ":" + d + ":incr-base",
+        _ => Dedup.fitKeepers(base, 0.9, 2))
+      Dedup.nearDupKeepers(Dedup.mergeKeepers(baseModel, base, delta))
+        .orderBy("doc_id")
+    }),
     // quality-weighted keeper election: clusters keep their BEST doc
     "dedup_keepers_best" -> ((s, d) => Dedup.nearDupKeepersBest(Tables.documents(s, d), keeperModel(s, d)).orderBy("doc_id")),
     "dedup_minhash" -> ((s, d) =>
@@ -2308,6 +2322,9 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     "dedup_minhash" -> minhashSelectSql,
     "dedup_keepers_near" -> keepersNearSql,
+    // the incremental path must land exactly where the one-shot
+    // full-corpus fit lands — same replay, no weaker oracle
+    "dedup_incremental" -> keepersNearSql,
     "dedup_keepers_best" -> keepersBestSql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
     // keeper replay + sizes + source join, aggregated per source

@@ -305,6 +305,86 @@ object Dedup {
     KeeperModel(tau, iters, k, bands, banded, pairs, labels)
   }
 
+  /** Incremental keeper maintenance — the `cdc_compact` merge
+    * discipline applied to near-dup state: absorb a DELTA batch into
+    * a fitted [[KeeperModel]] without recomputing the corpus.
+    *
+    * Three |delta|-scale stages, none touching base docs beyond
+    * point lookups:
+    *
+    *  1. CANDIDATES — delta docs are signatured and LSH-probe the
+    *     model's materialized band index, so candidate generation
+    *     joins |delta|·bands rows against the index instead of
+    *     re-banding the corpus; every candidate has a delta endpoint
+    *     by construction (base×base pairs are already in the model).
+    *  2. VERIFY — exact Jaccard fetches text only for candidate
+    *     endpoints ([[verifyCandidates]]'s semi-join), so the base
+    *     corpus is probed, never scanned.
+    *  3. RELABEL — propagation re-runs only over TOUCHED clusters
+    *     (every cluster containing a base endpoint of an accepted new
+    *     pair, pulled whole via the label frame — cluster closure: a
+    *     converged model's edges never straddle keeper clusters) plus
+    *     the delta docs; untouched labels pass through byte-identical.
+    *
+    * Within the propagation radius (chains ≲ 2^iters),
+    * `mergeKeepers(fitKeepers(a), a, b) ≡ fitKeepers(a ∪ b)` — the
+    * associativity contract (spec-pinned, and asserted end-to-end by
+    * the dedup_incremental oracle, whose DuckDB twin replays the
+    * FULL-corpus fit) that lets a 100 TB corpus absorb daily ingest
+    * for the price of the ingest. Requires delta doc_ids disjoint
+    * from the base corpus (ingest batches are new docs by contract).
+    */
+  def mergeKeepers(model: KeeperModel, baseDocs: DataFrame,
+                   delta: DataFrame): KeeperModel = {
+    val deltaBanded = bandedSignatures(delta, model.k, model.bands)
+      .localCheckpoint()
+    val banded = model.banded.unionByName(deltaBanded)
+    // probe side is delta-only: every candidate touches the delta
+    val cand = deltaBanded.as("a")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    val newPairs = verifyCandidates(cand, baseDocs.unionByName(delta),
+        model.tau)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val pairs = model.pairs.unionByName(newPairs).localCheckpoint()
+    // touched set = whole clusters of any new-pair endpoint + delta;
+    // pulled via two skinny semi-joins over the label frame
+    val ends = newPairs.select(col("doc_a").as("doc_id"))
+      .union(newPairs.select(col("doc_b").as("doc_id"))).distinct()
+    val touchedKeepers = model.labels
+      .join(ends.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+      .select("keep_doc_id").distinct()
+    val touchedBase = model.labels
+      .join(touchedKeepers.hint("shuffle_hash"), Seq("keep_doc_id"),
+        "left_semi")
+      .select("doc_id")
+    val nodes = touchedBase.union(delta.select("doc_id")).distinct()
+      .localCheckpoint()
+    // edge restriction is an efficiency move only — propagateLabels
+    // structurally ignores edges with an endpoint outside `nodes`
+    // (its joins are keyed on the label frame) — but it keeps every
+    // relabel round |touched|-scale instead of corpus-edge-scale
+    val subEdges = pairs
+      .join(nodes.withColumnRenamed("doc_id", "doc_a")
+        .hint("shuffle_hash"), Seq("doc_a"), "left_semi")
+    val relabeled = propagateLabels(
+      mirror(subEdges),
+      nodes.select(col("doc_id"), col("doc_id").as("lab")),
+      model.iters, maximize = false)
+      .select(col("doc_id"), col("lab").as("keep_doc_id"))
+    val labels = model.labels
+      .join(nodes.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .unionByName(relabeled)
+      .localCheckpoint()
+    KeeperModel(model.tau, model.iters, model.k, model.bands,
+      banded.localCheckpoint(), pairs, labels)
+  }
+
   /** Keeper mapping from a fitted model: zero pipeline cost — one
     * projection over the materialized label frame. */
   def nearDupKeepers(model: KeeperModel): DataFrame =

@@ -298,4 +298,56 @@ class DedupSpec extends SparkSpec {
     assert(out("bad") == ((6L, 4L, 0.6667)))
     assert(out("good") == ((5L, 0L, 0.0)))
   }
+
+  test("incremental merge lands exactly where the full fit lands") {
+    import spark.implicits._
+    val tmplA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmplB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tmplD = "phi chi psi omega aleph beth gimel daleth he waw"
+    // base: family A {1,2,3-near}, untouched family B {5,6}, unique 7
+    val base = Seq(
+      (1L, tmplA), (2L, tmplA), (3L, tmplA.replace("beta", "betaX")),
+      (5L, tmplB), (6L, tmplB),
+      (7L, "standalone base document with entirely different words inside")
+    ).toDF("doc_id", "text")
+    // delta: 8 joins family A, {9,10} a delta-only family, 11 unique
+    val delta = Seq(
+      (8L, tmplA.replace("kappa", "kappaX")),
+      (9L, tmplD), (10L, tmplD),
+      (11L, "standalone delta document sharing nothing with the corpus")
+    ).toDF("doc_id", "text")
+    val all = base.unionByName(delta)
+    def labelMap(m: Dedup.KeeperModel): Map[Long, Long] =
+      m.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseModel = Dedup.fitKeepers(base, 0.4, iters = 2, k = 64, bands = 32)
+    val merged = Dedup.mergeKeepers(baseModel, base, delta)
+    val full = Dedup.fitKeepers(all, 0.4, iters = 2, k = 64, bands = 32)
+    val m = labelMap(merged)
+    // the associativity contract: merge(fit(a), b) == fit(a ∪ b)
+    assert(m == labelMap(full))
+    // sanity on the planted structure
+    assert(m(8L) == 1L)                 // delta doc joined base family A
+    assert(m(9L) == 9L && m(10L) == 9L) // delta-only family
+    assert(m(5L) == 5L && m(6L) == 5L)  // untouched family unchanged
+    assert(m(7L) == 7L && m(11L) == 11L)
+    // untouched rows pass through byte-identical to the base model
+    val baseLabels = labelMap(baseModel)
+    assert(m(5L) == baseLabels(5L) && m(6L) == baseLabels(6L)
+      && m(7L) == baseLabels(7L))
+    // merged verified-pair set equals the full fit's (edge parity,
+    // not just label parity)
+    def pairSet(mm: Dedup.KeeperModel) =
+      mm.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet(merged) == pairSet(full))
+    // a second delta composes: merge(merge(fit(a), b), c) == fit(a∪b∪c)
+    val delta2 = Seq(
+      (12L, tmplD.replace("omega", "omegaX")), // extends the 9/10 family
+      (13L, "yet another isolated document arriving in the second batch")
+    ).toDF("doc_id", "text")
+    val merged2 = Dedup.mergeKeepers(merged, all, delta2)
+    val full2 = Dedup.fitKeepers(all.unionByName(delta2), 0.4,
+      iters = 2, k = 64, bands = 32)
+    assert(labelMap(merged2) == labelMap(full2))
+    assert(labelMap(merged2)(12L) == 9L)
+  }
 }

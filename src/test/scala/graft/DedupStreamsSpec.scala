@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.dedup.Dedup
+import graft.streaming.{DedupStreams, NearDupCandidate}
+
+case class DocRow(doc_id: Long, text: String)
+
+class DedupStreamsSpec extends SparkSpec {
+
+  private def runStream(batches: Seq[Seq[DocRow]],
+                        capacity: Int = 256): Set[(Long, Long)] = {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[DocRow]
+    val name = s"ndc${System.nanoTime()}"
+    val q = DedupStreams.nearDupCandidates(input.toDF(), capacity = capacity)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update).start()
+    try batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[NearDupCandidate].collect()
+      .map(c => (c.doc_a, c.doc_b)).toSet
+  }
+
+  test("stream candidates cover every batch-verified near-dup pair") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    // replay the corpus as two micro-batches split mid-corpus, so
+    // cross-batch pairs exercise the persisted bucket state
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val streamed = runStream(Seq(b1, b2))
+    val verified = Dedup.minhashLsh(docs.toDF(), 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty, "test corpus must contain near-dups")
+    val missed = verified -- streamed
+    assert(missed.isEmpty,
+      s"batch-verified pairs the stream never surfaced: $missed")
+  }
+
+  test("bucket state is FIFO-bounded at capacity") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 5L).map(DocRow(_, t))
+    val streamed = runStream(Seq(docs), capacity = 2)
+    // identical docs share every bucket; with capacity 2 each arrival
+    // pairs with exactly the two most recent ids
+    assert(streamed == Set((1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (3L, 5L), (4L, 5L)))
+  }
+
+  test("cross-batch collision surfaces after restart-free accumulation") {
+    val t = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val streamed = runStream(Seq(
+      Seq(DocRow(1L, t), DocRow(2L, "unrelated words entirely here now")),
+      Seq(DocRow(3L, t.replace("mu", "muX")))))
+    assert(streamed.contains((1L, 3L)))
+  }
+}
