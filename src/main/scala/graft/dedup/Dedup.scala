@@ -385,6 +385,64 @@ object Dedup {
       banded.localCheckpoint(), pairs, labels)
   }
 
+  /** Persist a [[KeeperModel]] as a versioned parquet artifact —
+    * what turns [[mergeKeepers]] into a cross-JOB maintenance loop:
+    * `localCheckpoint` frames die with the session, but daily ingest
+    * means tomorrow's job must load yesterday's model, merge the new
+    * batch, and publish the result. Layout is
+    * `dir/v=<version>/{banded,pairs,labels,meta}` published by
+    * atomic rename of a hidden staging directory (the
+    * [[graft.streaming.StateTable]] discipline: a concurrent reader
+    * can never list a half-written model, and versions are
+    * immutable). An existing `v=<version>` is left untouched —
+    * replaying a failed job republishes the same deterministic
+    * content, so skipping IS the idempotent commit.
+    */
+  def saveKeepers(model: KeeperModel, dir: String, version: Long): Unit = {
+    val target = new java.io.File(dir, s"v=$version")
+    if (target.isDirectory) return
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete(): Unit
+    }
+    val staging = new java.io.File(dir, s".staging-$version")
+    deleteRecursively(staging)
+    model.banded.write.parquet(s"$staging/banded")
+    model.pairs.write.parquet(s"$staging/pairs")
+    model.labels.write.parquet(s"$staging/labels")
+    val spark = model.labels.sparkSession
+    import spark.implicits._
+    Seq((model.tau, model.iters, model.k, model.bands))
+      .toDF("tau", "iters", "k", "bands").coalesce(1)
+      .write.parquet(s"$staging/meta")
+    if (!staging.renameTo(target))
+      throw new java.io.IOException(s"cannot publish $staging -> $target")
+  }
+
+  /** Latest persisted model version under `dir`, if any. */
+  def latestKeeperVersion(dir: String): Option[Long] =
+    Option(new java.io.File(dir).listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).maxOption
+
+  /** Load a persisted [[KeeperModel]] (latest version unless pinned).
+    * Frames come back `localCheckpoint`-materialized, so a loaded
+    * model serves consumers exactly like a freshly fitted one.
+    */
+  def loadKeepers(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  version: Option[Long] = None): KeeperModel = {
+    val v = version.orElse(latestKeeperVersion(dir)).getOrElse(
+      throw new java.io.FileNotFoundException(s"no keeper model under $dir"))
+    val base = s"$dir/v=$v"
+    val meta = spark.read.parquet(s"$base/meta").head()
+    KeeperModel(meta.getAs[Double]("tau"), meta.getAs[Int]("iters"),
+      meta.getAs[Int]("k"), meta.getAs[Int]("bands"),
+      spark.read.parquet(s"$base/banded").localCheckpoint(),
+      spark.read.parquet(s"$base/pairs").localCheckpoint(),
+      spark.read.parquet(s"$base/labels").localCheckpoint())
+  }
+
   /** Keeper mapping from a fitted model: zero pipeline cost — one
     * projection over the materialized label frame. */
   def nearDupKeepers(model: KeeperModel): DataFrame =

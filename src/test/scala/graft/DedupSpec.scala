@@ -349,5 +349,45 @@ class DedupSpec extends SparkSpec {
       iters = 2, k = 64, bands = 32)
     assert(labelMap(merged2) == labelMap(full2))
     assert(labelMap(merged2)(12L) == 9L)
+    // the quality-weighted election rides the merged model's pairs:
+    // incremental maintenance serves BOTH elections from one artifact
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(Dedup.nearDupKeepersBest(all, merged)) ==
+      rows(Dedup.nearDupKeepersBest(all, full)))
+  }
+
+  test("keeper model survives the save/load cross-job merge loop") {
+    import spark.implicits._
+    val tmplA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base = Seq(
+      (1L, tmplA), (2L, tmplA),
+      (3L, "unrelated base words that stand entirely on their own here")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (4L, tmplA.replace("iota", "iotaX")),
+      (5L, "a fresh delta document with its own vocabulary only")
+    ).toDF("doc_id", "text")
+    val dir = s"/tmp/graft-test-keepers-${System.nanoTime()}"
+    // job 1: fit the corpus-so-far, publish v0
+    Dedup.saveKeepers(Dedup.fitKeepers(base, 0.4, 2, 64, 32), dir, 0L)
+    assert(Dedup.latestKeeperVersion(dir).contains(0L))
+    // job 2 (fresh lineage — only the artifact crosses): load, merge
+    // the day's batch, publish v1
+    val loaded = Dedup.loadKeepers(spark, dir)
+    assert(loaded.tau == 0.4 && loaded.iters == 2
+      && loaded.k == 64 && loaded.bands == 32)
+    val merged = Dedup.mergeKeepers(loaded, base, delta)
+    Dedup.saveKeepers(merged, dir, 1L)
+    // republish of an existing version is the idempotent no-op
+    Dedup.saveKeepers(merged, dir, 1L)
+    assert(Dedup.latestKeeperVersion(dir).contains(1L))
+    // job 3: the reloaded latest equals a from-scratch full fit
+    val reloaded = Dedup.loadKeepers(spark, dir)
+    val full = Dedup.fitKeepers(base.unionByName(delta), 0.4, 2, 64, 32)
+    def labelMap(m: Dedup.KeeperModel): Map[Long, Long] =
+      m.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap(reloaded) == labelMap(full))
+    assert(labelMap(reloaded)(4L) == 1L) // delta doc joined the base family
   }
 }

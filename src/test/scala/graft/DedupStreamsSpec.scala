@@ -60,4 +60,25 @@ class DedupStreamsSpec extends SparkSpec {
       Seq(DocRow(3L, t.replace("mu", "muX")))))
     assert(streamed.contains((1L, 3L)))
   }
+
+  test("stream guard covers every pair the batch merge later confirms") {
+    // the ingestion story end-to-end: the live guard flags candidates
+    // as docs arrive; the nightly mergeKeepers reconciliation verifies
+    // and absorbs them — nothing the merge confirms can be a pair the
+    // stream never surfaced
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[DocRow].collect().toSeq.sortBy(_.doc_id)
+    val (b1, b2) = docs.splitAt(3 * docs.length / 4)
+    val streamed = runStream(Seq(b1, b2))
+    val baseModel = Dedup.fitKeepers(b1.toDF(), 0.5, 2)
+    val merged = Dedup.mergeKeepers(baseModel, b1.toDF(), b2.toDF())
+    def pairs(m: Dedup.KeeperModel): Set[(Long, Long)] =
+      m.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val confirmedNew = pairs(merged) -- pairs(baseModel)
+    assert(confirmedNew.nonEmpty, "delta must add near-dup pairs")
+    val missed = confirmedNew -- streamed
+    assert(missed.isEmpty,
+      s"merge-confirmed pairs the stream never surfaced: $missed")
+  }
 }
