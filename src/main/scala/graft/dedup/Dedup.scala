@@ -336,6 +336,19 @@ object Dedup {
     */
   def mergeKeepers(model: KeeperModel, baseDocs: DataFrame,
                    delta: DataFrame): KeeperModel = {
+    // at-least-once ingest re-delivering a base doc would silently
+    // duplicate its band rows and verified pairs in the model — fail
+    // loudly instead (the nearDupKeepersBest packing-guard
+    // discipline); the check is one |delta|-bounded semi-join probe
+    // of the skinny label frame
+    val overlap = model.labels
+      .join(delta.select("doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(overlap.isEmpty,
+      s"mergeKeepers: delta re-delivers base doc_id ${overlap.head.get(0)}" +
+        " — deltas must be new docs (dedupe upstream or diff against" +
+        " the model's labels first)")
     val deltaBanded = bandedSignatures(delta, model.k, model.bands)
       .localCheckpoint()
     val banded = model.banded.unionByName(deltaBanded)
@@ -351,7 +364,13 @@ object Dedup {
     val newPairs = verifyCandidates(cand, baseDocs.unionByName(delta),
         model.tau)
       .select("doc_a", "doc_b").localCheckpoint()
-    val pairs = model.pairs.unionByName(newPairs).localCheckpoint()
+    // banded/pairs stay LAZY unions over immutable checkpointed
+    // segments (base frames + this delta's) — re-checkpointing the
+    // union would rewrite the full corpus-scale signature index on
+    // every merge, turning O(|delta|) maintenance back into O(corpus)
+    // I/O; successive merges stack segments LSM-style (union plans
+    // grow one leaf per merge, each leaf lineage-truncated)
+    val pairs = model.pairs.unionByName(newPairs)
     // touched set = whole clusters of any new-pair endpoint + delta;
     // pulled via two skinny semi-joins over the label frame
     val ends = newPairs.select(col("doc_a").as("doc_id"))
@@ -377,12 +396,15 @@ object Dedup {
       nodes.select(col("doc_id"), col("doc_id").as("lab")),
       model.iters, maximize = false)
       .select(col("doc_id"), col("lab").as("keep_doc_id"))
+    // labels ARE re-checkpointed: every consumer projects the full
+    // frame, the anti-join would otherwise re-run per consumer, and
+    // at 2 longs/doc it's the model's cheapest frame
     val labels = model.labels
       .join(nodes.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .unionByName(relabeled)
       .localCheckpoint()
     KeeperModel(model.tau, model.iters, model.k, model.bands,
-      banded.localCheckpoint(), pairs, labels)
+      banded, pairs, labels)
   }
 
   /** Persist a [[KeeperModel]] as a versioned parquet artifact —
@@ -397,34 +419,64 @@ object Dedup {
     * immutable). An existing `v=<version>` is left untouched —
     * replaying a failed job republishes the same deterministic
     * content, so skipping IS the idempotent commit.
+    *
+    * Save is also the COMPACTION point: [[mergeKeepers]] leaves
+    * `banded`/`pairs` as lazy unions over per-merge segments (so a
+    * merge never rewrites the corpus-scale index), and writing the
+    * model flattens those segments into one parquet dir — load then
+    * starts the next day from a single-segment model.
     */
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   def saveKeepers(model: KeeperModel, dir: String, version: Long): Unit = {
-    val target = new java.io.File(dir, s"v=$version")
-    if (target.isDirectory) return
-    def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-      f.delete(): Unit
-    }
-    val staging = new java.io.File(dir, s".staging-$version")
-    deleteRecursively(staging)
+    val spark = model.labels.sparkSession
+    val (fs, root) = fsFor(spark, dir)
+    val target = new Path(root, s"v=$version")
+    if (fs.exists(target)) return
+    // per-attempt staging: a retried job whose first attempt is still
+    // running must not share (and half-delete) the same staging dir —
+    // each attempt writes its own, and exactly one rename wins
+    val staging = new Path(root,
+      s".staging-$version-${java.util.UUID.randomUUID()}")
     model.banded.write.parquet(s"$staging/banded")
     model.pairs.write.parquet(s"$staging/pairs")
     model.labels.write.parquet(s"$staging/labels")
-    val spark = model.labels.sparkSession
     import spark.implicits._
     Seq((model.tau, model.iters, model.k, model.bands))
       .toDF("tau", "iters", "k", "bands").coalesce(1)
       .write.parquet(s"$staging/meta")
-    if (!staging.renameTo(target))
-      throw new java.io.IOException(s"cannot publish $staging -> $target")
+    // directory rename is atomic on HDFS/local (object stores need a
+    // committer-backed variant — same caveat as every rename-based
+    // commit protocol, incl. Spark's v1 FileOutputCommitter)
+    if (!fs.rename(staging, target)) {
+      val lost = fs.exists(target) // concurrent writer already published
+      fs.delete(staging, true): Unit
+      if (!lost)
+        throw new java.io.IOException(s"cannot publish $staging -> $target")
+    }
   }
 
-  /** Latest persisted model version under `dir`, if any. */
-  def latestKeeperVersion(dir: String): Option[Long] =
-    Option(new java.io.File(dir).listFiles()).map(_.toSeq)
-      .getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong).maxOption
+  private val VersionDir = "^v=(\\d+)$".r
+
+  /** Latest persisted model version under `dir`, if any. Non-version
+    * directories (backups, temp dirs) are ignored, not tripped over. */
+  def latestKeeperVersion(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): Option[Long] = {
+    val (fs, root) = fsFor(spark, dir)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case VersionDir(n) => Some(n.toLong)
+        case _             => None
+      }).maxOption
+  }
 
   /** Load a persisted [[KeeperModel]] (latest version unless pinned).
     * Frames come back `localCheckpoint`-materialized, so a loaded
@@ -432,7 +484,7 @@ object Dedup {
     */
   def loadKeepers(spark: org.apache.spark.sql.SparkSession, dir: String,
                   version: Option[Long] = None): KeeperModel = {
-    val v = version.orElse(latestKeeperVersion(dir)).getOrElse(
+    val v = version.orElse(latestKeeperVersion(spark, dir)).getOrElse(
       throw new java.io.FileNotFoundException(s"no keeper model under $dir"))
     val base = s"$dir/v=$v"
     val meta = spark.read.parquet(s"$base/meta").head()

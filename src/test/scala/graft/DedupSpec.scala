@@ -371,17 +371,24 @@ class DedupSpec extends SparkSpec {
     val dir = s"/tmp/graft-test-keepers-${System.nanoTime()}"
     // job 1: fit the corpus-so-far, publish v0
     Dedup.saveKeepers(Dedup.fitKeepers(base, 0.4, 2, 64, 32), dir, 0L)
-    assert(Dedup.latestKeeperVersion(dir).contains(0L))
+    assert(Dedup.latestKeeperVersion(spark, dir).contains(0L))
     // job 2 (fresh lineage — only the artifact crosses): load, merge
     // the day's batch, publish v1
     val loaded = Dedup.loadKeepers(spark, dir)
     assert(loaded.tau == 0.4 && loaded.iters == 2
       && loaded.k == 64 && loaded.bands == 32)
+    // a delta re-delivering a base doc is rejected loudly, not
+    // silently absorbed into duplicate band rows and pairs
+    intercept[IllegalArgumentException] {
+      Dedup.mergeKeepers(loaded, base, base.limit(1))
+    }
     val merged = Dedup.mergeKeepers(loaded, base, delta)
     Dedup.saveKeepers(merged, dir, 1L)
     // republish of an existing version is the idempotent no-op
     Dedup.saveKeepers(merged, dir, 1L)
-    assert(Dedup.latestKeeperVersion(dir).contains(1L))
+    // stray non-version directories are ignored by discovery
+    new java.io.File(dir, "v=1.bak").mkdirs()
+    assert(Dedup.latestKeeperVersion(spark, dir).contains(1L))
     // job 3: the reloaded latest equals a from-scratch full fit
     val reloaded = Dedup.loadKeepers(spark, dir)
     val full = Dedup.fitKeepers(base.unionByName(delta), 0.4, 2, 64, 32)
