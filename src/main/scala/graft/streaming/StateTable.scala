@@ -27,23 +27,40 @@ object StateTable {
   private val VersionPrefix = "v="
   private val ZPrefix = "z="
 
-  private def listDirs(dir: String, prefix: String): Seq[Long] = {
-    val d = new java.io.File(dir)
-    Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
-      .map(_.getName.stripPrefix(prefix).toLong)
+  // all directory ops go through the Hadoop FileSystem of `dir`'s
+  // scheme, not java.io.File — a state table lives on the CLUSTER
+  // filesystem (HDFS in production, local fs in tests), and driver-
+  // local path ops would silently look at the wrong disk
+  private def fsOf(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  private def versions(dir: String): Seq[Long] = listDirs(dir, VersionPrefix)
+  private def listDirs(spark: SparkSession, dir: String,
+                       prefix: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, dir)
+    val re = ("^" + java.util.regex.Pattern.quote(prefix) + "(\\d+)$").r
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .flatMap(s => s.getPath.getName match {
+        case re(n) => Some(n.toLong)
+        case _     => None // stray dirs (backups, temp) are not versions
+      })
+  }
+
+  private def versions(spark: SparkSession, dir: String): Seq[Long] =
+    listDirs(spark, dir, VersionPrefix)
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
-    versions(dir).maxOption
+    versions(spark, dir).maxOption
 
   /** Highest committed version strictly below `maxExclusive` — the
     * replay-safe merge base for micro-batch `maxExclusive`.
     */
-  private[streaming] def versionBefore(dir: String, maxExclusive: Long): Option[Long] =
-    versions(dir).filter(_ < maxExclusive).maxOption
+  private[streaming] def versionBefore(spark: SparkSession, dir: String,
+                                       maxExclusive: Long): Option[Long] =
+    versions(spark, dir).filter(_ < maxExclusive).maxOption
 
   private def emptySnapshot(spark: SparkSession): DataFrame =
     spark.createDataFrame(
@@ -56,7 +73,7 @@ object StateTable {
     v match {
       // prefer the Z-ordered rewrite when one exists for exactly this
       // version — content-identical, just clustered for data skipping
-      case Some(n) if new java.io.File(dir, s"$ZPrefix$n").isDirectory =>
+      case Some(n) if listDirs(spark, dir, ZPrefix).contains(n) =>
         spark.read.parquet(s"$dir/$ZPrefix$n")
       case Some(n) => spark.read.parquet(s"$dir/$VersionPrefix$n")
       case None    => emptySnapshot(spark)
@@ -100,34 +117,46 @@ object StateTable {
         (coalesce(col("p_n"), lit(0L)) + coalesce(col("u_n"), lit(0L))).as("n_changes"))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
-  }
+  /** Atomic publish of a fully-written staging dir: one rename wins;
+    * a lost race against a concurrent writer of the same immutable
+    * version is a success (the content is deterministic), any other
+    * rename failure raises. */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem,
+                      staging: org.apache.hadoop.fs.Path,
+                      target: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(staging, target)) {
+      val lost = fs.exists(target)
+      fs.delete(staging, true): Unit
+      if (!lost)
+        throw new java.io.IOException(s"cannot publish $staging -> $target")
+    }
 
   /** Idempotent merge-and-publish of one micro-batch (also usable
     * directly from a caller-owned `foreachBatch`).
     */
   def commitBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
-    val target = new java.io.File(stateDir, s"$VersionPrefix$batchId")
+    val spark = batch.sparkSession
+    val (fs, root) = fsOf(spark, stateDir)
+    val target = new org.apache.hadoop.fs.Path(root, s"$VersionPrefix$batchId")
     // replay after the publish but before the checkpoint commit: the
     // rename is atomic, so an existing v=batchId IS the complete,
     // deterministic recomputation of this batch (same merge base —
     // versions below batchId are immutable). Never un-publish it:
     // deleting would open a window where a concurrent reader sees the
     // version vanish.
-    if (target.isDirectory) return
-    val spark = batch.sparkSession
-    val prev = readVersion(spark, stateDir, versionBefore(stateDir, batchId))
+    if (fs.exists(target)) return
+    val prev = readVersion(spark, stateDir,
+      versionBefore(spark, stateDir, batchId))
     // the full-outer merge leaves the result hash-partitioned on
     // doc_id — written as-is (no coalesce: snapshot writes must
     // scale with the corpus, not a single writer)
     val merged = merge(prev, summarize(batch))
-    val staging = new java.io.File(stateDir, s".staging-$batchId")
-    deleteRecursively(staging)
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.getPath)
-    if (!staging.renameTo(target))
-      throw new java.io.IOException(s"cannot publish $staging -> $target")
+    // per-attempt staging: a zombie first attempt and its retry must
+    // never interleave inside one staging dir
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".staging-$batchId-${java.util.UUID.randomUUID()}")
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    publish(fs, staging, target)
   }
 
   /** Z-order OPTIMIZE of the current snapshot: rewrite the latest
@@ -144,15 +173,15 @@ object StateTable {
   def optimize(spark: SparkSession, dir: String, c1: String, c2: String,
                numFiles: Int): Option[Long] =
     latestVersion(spark, dir).map { n =>
-      val target = new java.io.File(dir, s"$ZPrefix$n")
-      if (!target.isDirectory) {
-        val staging = new java.io.File(dir, s".staging-z-$n")
-        deleteRecursively(staging)
+      val (fs, root) = fsOf(spark, dir)
+      val target = new org.apache.hadoop.fs.Path(root, s"$ZPrefix$n")
+      if (!fs.exists(target)) {
+        val staging = new org.apache.hadoop.fs.Path(root,
+          s".staging-z-$n-${java.util.UUID.randomUUID()}")
         graft.ops.Layout.writeZOrdered(
           spark.read.parquet(s"$dir/$VersionPrefix$n"), c1, c2,
-          staging.getPath, numFiles)
-        if (!staging.renameTo(target))
-          throw new java.io.IOException(s"cannot publish $staging -> $target")
+          staging.toString, numFiles)
+        publish(fs, staging, target)
       }
       n
     }
@@ -164,13 +193,16 @@ object StateTable {
     * vacuum always retains.
     */
   def vacuum(spark: SparkSession, dir: String, keep: Int = 1): Unit = {
-    val vs = versions(dir).sorted.reverse
+    val (fs, root) = fsOf(spark, dir)
+    val vs = versions(spark, dir).sorted.reverse
     val kept = vs.take(math.max(keep, 1)).toSet
-    vs.filterNot(kept)
-      .foreach(n => deleteRecursively(new java.io.File(dir, s"$VersionPrefix$n")))
+    vs.filterNot(kept).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"$VersionPrefix$n"),
+        true): Unit)
     val latest = vs.headOption
-    listDirs(dir, ZPrefix).filterNot(latest.contains)
-      .foreach(n => deleteRecursively(new java.io.File(dir, s"$ZPrefix$n")))
+    listDirs(spark, dir, ZPrefix).filterNot(latest.contains).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"$ZPrefix$n"),
+        true): Unit)
   }
 
   /** Attach the compaction sink to a changelog stream. */
