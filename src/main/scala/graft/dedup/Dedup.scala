@@ -426,24 +426,14 @@ object Dedup {
     * model flattens those segments into one parquet dir — load then
     * starts the next day from a single-segment model.
     */
-  import org.apache.hadoop.fs.{FileSystem, Path}
-
-  private def fsFor(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): (FileSystem, Path) = {
-    val p = new Path(dir)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
+  import graft.ops.VersionedStore
 
   def saveKeepers(model: KeeperModel, dir: String, version: Long): Unit = {
     val spark = model.labels.sparkSession
-    val (fs, root) = fsFor(spark, dir)
-    val target = new Path(root, s"v=$version")
+    val (fs, root) = VersionedStore.fsOf(spark, dir)
+    val target = new org.apache.hadoop.fs.Path(root, s"v=$version")
     if (fs.exists(target)) return
-    // per-attempt staging: a retried job whose first attempt is still
-    // running must not share (and half-delete) the same staging dir —
-    // each attempt writes its own, and exactly one rename wins
-    val staging = new Path(root,
-      s".staging-$version-${java.util.UUID.randomUUID()}")
+    val staging = VersionedStore.stagingFor(root, s"v=$version")
     model.banded.write.parquet(s"$staging/banded")
     model.pairs.write.parquet(s"$staging/pairs")
     model.labels.write.parquet(s"$staging/labels")
@@ -451,32 +441,14 @@ object Dedup {
     Seq((model.tau, model.iters, model.k, model.bands))
       .toDF("tau", "iters", "k", "bands").coalesce(1)
       .write.parquet(s"$staging/meta")
-    // directory rename is atomic on HDFS/local (object stores need a
-    // committer-backed variant — same caveat as every rename-based
-    // commit protocol, incl. Spark's v1 FileOutputCommitter)
-    if (!fs.rename(staging, target)) {
-      val lost = fs.exists(target) // concurrent writer already published
-      fs.delete(staging, true): Unit
-      if (!lost)
-        throw new java.io.IOException(s"cannot publish $staging -> $target")
-    }
+    VersionedStore.publish(fs, staging, target)
   }
-
-  private val VersionDir = "^v=(\\d+)$".r
 
   /** Latest persisted model version under `dir`, if any. Non-version
     * directories (backups, temp dirs) are ignored, not tripped over. */
   def latestKeeperVersion(spark: org.apache.spark.sql.SparkSession,
-                          dir: String): Option[Long] = {
-    val (fs, root) = fsFor(spark, dir)
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName match {
-        case VersionDir(n) => Some(n.toLong)
-        case _             => None
-      }).maxOption
-  }
+                          dir: String): Option[Long] =
+    VersionedStore.listVersions(spark, dir, "v=").maxOption
 
   /** Load a persisted [[KeeperModel]] (latest version unless pinned).
     * Frames come back `localCheckpoint`-materialized, so a loaded

@@ -401,6 +401,41 @@ object Similarity {
     PcaModel(mean, v, rayleigh)
   }
 
+  /** Persist a fitted [[PcaModel]] as a versioned artifact — the
+    * cross-job half of fit-once/apply-many: tomorrow's scoring job
+    * loads yesterday's reducer instead of re-fitting (and a drift
+    * audit compares projections across model versions). One
+    * model-sized row under `dir/v=<version>`, published with the
+    * [[graft.ops.VersionedStore]] commit discipline shared by every
+    * versioned artifact in the repo.
+    */
+  def savePca(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
+              dir: String, version: Long): Unit = {
+    val (fs, root) = graft.ops.VersionedStore.fsOf(spark, dir)
+    val target = new org.apache.hadoop.fs.Path(root, s"v=$version")
+    if (fs.exists(target)) return
+    val staging = graft.ops.VersionedStore.stagingFor(root, s"v=$version")
+    import spark.implicits._
+    Seq((model.mean.toSeq, model.loadings.toSeq, model.eigenvalue))
+      .toDF("mean", "loadings", "eigenvalue").coalesce(1)
+      .write.parquet(staging.toString)
+    graft.ops.VersionedStore.publish(fs, staging, target)
+  }
+
+  /** Load a persisted [[PcaModel]] (latest version unless pinned). */
+  def loadPca(spark: org.apache.spark.sql.SparkSession, dir: String,
+              version: Option[Long] = None): PcaModel = {
+    val v = version
+      .orElse(graft.ops.VersionedStore.listVersions(spark, dir, "v=")
+        .maxOption)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no pca model under $dir"))
+    val row = spark.read.parquet(s"$dir/v=$v").head()
+    PcaModel(row.getSeq[Double](row.fieldIndex("mean")).toArray,
+      row.getSeq[Double](row.fieldIndex("loadings")).toArray,
+      row.getDouble(row.fieldIndex("eigenvalue")))
+  }
+
   /** Apply a fitted [[PcaModel]]: the model re-enters the plan as
     * literals, so application is one codegen'd scan with no shuffle
     * at all — the 100 TB shape of "apply the reducer you fit once".

@@ -27,30 +27,14 @@ object StateTable {
   private val VersionPrefix = "v="
   private val ZPrefix = "z="
 
-  // all directory ops go through the Hadoop FileSystem of `dir`'s
-  // scheme, not java.io.File — a state table lives on the CLUSTER
-  // filesystem (HDFS in production, local fs in tests), and driver-
-  // local path ops would silently look at the wrong disk
-  private def fsOf(spark: SparkSession, dir: String)
-      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
-  }
-
-  private def listDirs(spark: SparkSession, dir: String,
-                       prefix: String): Seq[Long] = {
-    val (fs, root) = fsOf(spark, dir)
-    val re = ("^" + java.util.regex.Pattern.quote(prefix) + "(\\d+)$").r
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName match {
-        case re(n) => Some(n.toLong)
-        case _     => None // stray dirs (backups, temp) are not versions
-      })
-  }
+  // commit discipline (cluster-FS ops, per-attempt staging, atomic
+  // publish, numeric-only discovery) is the shared
+  // [[graft.ops.VersionedStore]] — one definition across every
+  // versioned artifact in the repo
+  import graft.ops.VersionedStore.{fsOf, listVersions, publish, stagingFor}
 
   private def versions(spark: SparkSession, dir: String): Seq[Long] =
-    listDirs(spark, dir, VersionPrefix)
+    listVersions(spark, dir, VersionPrefix)
 
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).maxOption
@@ -73,7 +57,7 @@ object StateTable {
     v match {
       // prefer the Z-ordered rewrite when one exists for exactly this
       // version — content-identical, just clustered for data skipping
-      case Some(n) if listDirs(spark, dir, ZPrefix).contains(n) =>
+      case Some(n) if listVersions(spark, dir, ZPrefix).contains(n) =>
         spark.read.parquet(s"$dir/$ZPrefix$n")
       case Some(n) => spark.read.parquet(s"$dir/$VersionPrefix$n")
       case None    => emptySnapshot(spark)
@@ -117,20 +101,6 @@ object StateTable {
         (coalesce(col("p_n"), lit(0L)) + coalesce(col("u_n"), lit(0L))).as("n_changes"))
   }
 
-  /** Atomic publish of a fully-written staging dir: one rename wins;
-    * a lost race against a concurrent writer of the same immutable
-    * version is a success (the content is deterministic), any other
-    * rename failure raises. */
-  private def publish(fs: org.apache.hadoop.fs.FileSystem,
-                      staging: org.apache.hadoop.fs.Path,
-                      target: org.apache.hadoop.fs.Path): Unit =
-    if (!fs.rename(staging, target)) {
-      val lost = fs.exists(target)
-      fs.delete(staging, true): Unit
-      if (!lost)
-        throw new java.io.IOException(s"cannot publish $staging -> $target")
-    }
-
   /** Idempotent merge-and-publish of one micro-batch (also usable
     * directly from a caller-owned `foreachBatch`).
     */
@@ -153,8 +123,7 @@ object StateTable {
     val merged = merge(prev, summarize(batch))
     // per-attempt staging: a zombie first attempt and its retry must
     // never interleave inside one staging dir
-    val staging = new org.apache.hadoop.fs.Path(root,
-      s".staging-$batchId-${java.util.UUID.randomUUID()}")
+    val staging = stagingFor(root, s"$VersionPrefix$batchId")
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     publish(fs, staging, target)
   }
@@ -176,8 +145,7 @@ object StateTable {
       val (fs, root) = fsOf(spark, dir)
       val target = new org.apache.hadoop.fs.Path(root, s"$ZPrefix$n")
       if (!fs.exists(target)) {
-        val staging = new org.apache.hadoop.fs.Path(root,
-          s".staging-z-$n-${java.util.UUID.randomUUID()}")
+        val staging = stagingFor(root, s"$ZPrefix$n")
         graft.ops.Layout.writeZOrdered(
           spark.read.parquet(s"$dir/$VersionPrefix$n"), c1, c2,
           staging.toString, numFiles)
@@ -200,7 +168,7 @@ object StateTable {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"$VersionPrefix$n"),
         true): Unit)
     val latest = vs.headOption
-    listDirs(spark, dir, ZPrefix).filterNot(latest.contains).foreach(n =>
+    listVersions(spark, dir, ZPrefix).filterNot(latest.contains).foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"$ZPrefix$n"),
         true): Unit)
   }

@@ -357,6 +357,34 @@ class DedupSpec extends SparkSpec {
       rows(Dedup.nearDupKeepersBest(all, full)))
   }
 
+  test("a week of daily merges equals the from-scratch fit") {
+    import spark.implicits._
+    // day 0 corpus + 6 daily deltas; each delta extends an existing
+    // template family, starts a new one, or arrives unique — the
+    // segment stack grows one lazy-union leaf per merge and must
+    // still plan and land exactly where one big fit lands
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def doc(i: Long): (Long, String) = (i % 3) match {
+      case 0 => (i, tA.replace("beta", s"beta${i % 5}"))   // A-family orbit
+      case 1 => (i, tB.replace("mu", s"mu${i % 4}"))       // B-family orbit
+      case _ => (i, s"unique$i words$i in$i this$i one$i only$i pad$i end$i")
+    }
+    val days = (0L until 7L).map(d =>
+      ((d * 10) until (d * 10 + 10)).map(doc).toDF("doc_id", "text"))
+    var model = Dedup.fitKeepers(days.head, 0.4, iters = 2, k = 64, bands = 32)
+    var corpus = days.head
+    days.tail.foreach { delta =>
+      model = Dedup.mergeKeepers(model, corpus, delta)
+      corpus = corpus.unionByName(delta)
+    }
+    val full = Dedup.fitKeepers(corpus, 0.4, iters = 2, k = 64, bands = 32)
+    def labelMap(m: Dedup.KeeperModel): Map[Long, Long] =
+      m.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labelMap(model) == labelMap(full))
+    assert(model.labels.count() == 70L)
+  }
+
   test("keeper model survives the save/load cross-job merge loop") {
     import spark.implicits._
     val tmplA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

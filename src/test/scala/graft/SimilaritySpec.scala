@@ -204,6 +204,16 @@ class SimilaritySpec extends SparkSpec {
     assert(applied == rows(Similarity.pcaApply(embeddings, model)))
     assert(applied == rows(Similarity.pcaProject(embeddings)))
     assert(model.mean.length == 64 && model.loadings.length == 64)
+    // the cross-job half: save, load, apply — bit-identical to the
+    // in-session model, and republish is the idempotent no-op
+    val dir = s"/tmp/graft-test-pca-${System.nanoTime()}"
+    Similarity.savePca(spark, model, dir, 0L)
+    Similarity.savePca(spark, model, dir, 0L)
+    val loaded = Similarity.loadPca(spark, dir)
+    assert(loaded.mean.sameElements(model.mean)
+      && loaded.loadings.sameElements(model.loadings)
+      && loaded.eigenvalue == model.eigenvalue)
+    assert(applied == rows(Similarity.pcaApply(embeddings, loaded)))
   }
 
   test("persisted-centered power iteration is value-identical to the default") {
