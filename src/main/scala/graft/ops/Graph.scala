@@ -214,8 +214,13 @@ object Graph {
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+    // checkpointed so each round's fixpoint compare reads a
+    // materialized frame instead of re-deriving the node set
     var labels = nodes.select(col("node"), col("node").as("lab"))
-    for (_ <- 0 until iters) {
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
       // propagate: min label over the in-neighborhood (und is
       // symmetric, so this is the full neighborhood)
       val nbrMin = und
@@ -225,7 +230,7 @@ object Graph {
         .select(col("node"),
           least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
       // shortcut: adopt the label of your label (path doubling)
-      labels = prop.as("p")
+      val next = prop.as("p")
         .join(prop.select(col("node").as("lnode"), col("lab").as("lab2"))
           .hint("shuffle_hash"), col("p.lab") === col("lnode"), "left")
         .select(col("p.node").as("node"),
@@ -236,6 +241,20 @@ object Graph {
         // graph algorithms truncate lineage per round; localCheckpoint
         // materializes on executors without touching the driver.
         .localCheckpoint()
+      // fixpoint early exit: labels only ever decrease, so an
+      // unchanged round proves every later round is a no-op — the
+      // result is bit-identical to running all `iters` rounds, and a
+      // small-diameter graph stops paying for its bound (one cheap
+      // join of two materialized frames per completed round, skipped
+      // on the final round where nothing is left to save; at 100 TB
+      // each skipped round saves two corpus-scale joins)
+      round += 1
+      converged = round < iters && next.as("n")
+        .join(labels.select(col("node"), col("lab").as("old_lab"))
+          .hint("shuffle_hash"), Seq("node"))
+        .filter(col("lab") =!= col("old_lab"))
+        .isEmpty
+      labels = next
     }
     labels.groupBy("lab").agg(count(lit(1)).as("sz"))
       .groupBy(col("sz").as("component_size"))
