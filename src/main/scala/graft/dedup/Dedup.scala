@@ -578,8 +578,12 @@ object Dedup {
     // rounds — without this the LSH pipeline re-executes per round
     // (measured 6x on the keeper bench entries)
     val e = edges.localCheckpoint()
-    var labels = init
-    for (_ <- 0 until iters) {
+    // checkpointed init keeps each round's fixpoint compare a join of
+    // two materialized frames
+    var labels = init.localCheckpoint()
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
       val neighborAgg = e
         .join(labels.hint("shuffle_hash"), e("doc_b") === labels("doc_id"))
         .groupBy(e("doc_a").as("doc_id"))
@@ -588,7 +592,7 @@ object Dedup {
         .join(neighborAgg.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           combine(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
-      labels = prop.as("p")
+      val next = prop.as("p")
         .join(prop.select(col("doc_id").as("lnode"), col("lab").as("lab2"))
           .hint("shuffle_hash"), decode(col("p.lab")) === col("lnode"), "left")
         .select(col("p.doc_id").as("doc_id"),
@@ -599,7 +603,20 @@ object Dedup {
       // row per doc, so the eager materialization is cheap — measured
       // FASTER than letting exchange reuse dedupe the doubled plan
       // even at iters=2 (0.99s vs 1.27s on the keeper bench entry)
-      labels = labels.localCheckpoint()
+        .localCheckpoint()
+      // fixpoint early exit (the componentSizes discipline): labels
+      // move monotonically toward the combine direction, so an
+      // unchanged round proves the rest are no-ops — bit-identical
+      // results, and the common case (duplicate families are
+      // near-cliques, settled in one round) stops paying the chain
+      // radius. Compare skipped on the final round.
+      round += 1
+      converged = round < iters && next.as("n")
+        .join(labels.select(col("doc_id"), col("lab").as("old_lab"))
+          .hint("shuffle_hash"), Seq("doc_id"))
+        .filter(col("lab") =!= col("old_lab"))
+        .isEmpty
+      labels = next
     }
     labels
   }
