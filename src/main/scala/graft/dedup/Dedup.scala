@@ -352,15 +352,33 @@ object Dedup {
     val deltaBanded = bandedSignatures(delta, model.k, model.bands)
       .localCheckpoint()
     val banded = model.banded.unionByName(deltaBanded)
-    // probe side is delta-only: every candidate touches the delta
-    val cand = deltaBanded.as("a")
-      .join(banded.as("b").hint("shuffle_hash"),
+    // probe side is delta-only: every candidate touches the delta.
+    // The hint marks the hash-join BUILD side — it must sit on the
+    // |delta|-scale frame, not the corpus-scale band index (building
+    // the index would materialize the whole corpus per task)
+    val cand = deltaBanded.hint("shuffle_hash").as("a")
+      .join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-      .distinct()
+      .distinct().localCheckpoint()
+    // the other direction of the disjointness contract: every base
+    // endpoint of a candidate must be present in the caller-supplied
+    // baseDocs, or verifyCandidates' text join would silently DROP
+    // the pair (a merge run against a partial corpus slice would
+    // quietly diverge from the full fit) — candidate-bounded check
+    val uncovered = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+      .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(baseDocs.select("doc_id").hint("shuffle_hash"),
+        Seq("doc_id"), "left_anti")
+      .limit(1).collect()
+    require(uncovered.isEmpty,
+      s"mergeKeepers: baseDocs is missing candidate endpoint doc_id " +
+        s"${uncovered.head.get(0)} — pass the full accumulated corpus," +
+        " not a slice")
     val newPairs = verifyCandidates(cand, baseDocs.unionByName(delta),
         model.tau)
       .select("doc_a", "doc_b").localCheckpoint()
@@ -430,18 +448,15 @@ object Dedup {
 
   def saveKeepers(model: KeeperModel, dir: String, version: Long): Unit = {
     val spark = model.labels.sparkSession
-    val (fs, root) = VersionedStore.fsOf(spark, dir)
-    val target = new org.apache.hadoop.fs.Path(root, s"v=$version")
-    if (fs.exists(target)) return
-    val staging = VersionedStore.stagingFor(root, s"v=$version")
-    model.banded.write.parquet(s"$staging/banded")
-    model.pairs.write.parquet(s"$staging/pairs")
-    model.labels.write.parquet(s"$staging/labels")
-    import spark.implicits._
-    Seq((model.tau, model.iters, model.k, model.bands))
-      .toDF("tau", "iters", "k", "bands").coalesce(1)
-      .write.parquet(s"$staging/meta")
-    VersionedStore.publish(fs, staging, target)
+    VersionedStore.commit(spark, dir, s"v=$version") { staging =>
+      model.banded.write.parquet(s"$staging/banded")
+      model.pairs.write.parquet(s"$staging/pairs")
+      model.labels.write.parquet(s"$staging/labels")
+      import spark.implicits._
+      Seq((model.tau, model.iters, model.k, model.bands))
+        .toDF("tau", "iters", "k", "bands").coalesce(1)
+        .write.parquet(s"$staging/meta")
+    }: Unit
   }
 
   /** Latest persisted model version under `dir`, if any. Non-version
@@ -607,11 +622,15 @@ object Dedup {
       // fixpoint early exit (the componentSizes discipline): labels
       // move monotonically toward the combine direction, so an
       // unchanged round proves the rest are no-ops — bit-identical
-      // results, and the common case (duplicate families are
-      // near-cliques, settled in one round) stops paying the chain
-      // radius. Compare skipped on the final round.
+      // results. Round 1 always changes labels when any edge exists
+      // (distinct init labels), so comparing before round 2 is pure
+      // cost — at the production iters=2 the compare never fires and
+      // this degrades gracefully to the fixed-round loop; at deeper
+      // radii (chain-heavy corpora fit with iters≥3) a settled graph
+      // stops paying its bound. Compare also skipped on the final
+      // round, where nothing is left to save.
       round += 1
-      converged = round < iters && next.as("n")
+      converged = round >= 2 && round < iters && next.as("n")
         .join(labels.select(col("doc_id"), col("lab").as("old_lab"))
           .hint("shuffle_hash"), Seq("doc_id"))
         .filter(col("lab") =!= col("old_lab"))

@@ -245,11 +245,13 @@ object Graph {
       // unchanged round proves every later round is a no-op — the
       // result is bit-identical to running all `iters` rounds, and a
       // small-diameter graph stops paying for its bound (one cheap
-      // join of two materialized frames per completed round, skipped
-      // on the final round where nothing is left to save; at 100 TB
-      // each skipped round saves two corpus-scale joins)
+      // join of two materialized frames per completed round; at
+      // 100 TB each skipped round saves two corpus-scale joins).
+      // Round 1 always changes labels when any edge exists (distinct
+      // init), and the final round has nothing left to save — compare
+      // only in between
       round += 1
-      converged = round < iters && next.as("n")
+      converged = round >= 2 && round < iters && next.as("n")
         .join(labels.select(col("node"), col("lab").as("old_lab"))
           .hint("shuffle_hash"), Seq("node"))
         .filter(col("lab") =!= col("old_lab"))

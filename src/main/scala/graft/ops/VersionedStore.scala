@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.SparkSession
 
 /** Shared primitives for versioned on-disk artifacts (state-table
@@ -15,15 +15,24 @@ import org.apache.spark.sql.SparkSession
   *    wrong disk under a remote `fs.defaultFS`;
   *  - staging dirs carry a per-attempt UUID, so a zombie attempt and
   *    its retry can never interleave writes inside one staging dir;
-  *  - directory rename is atomic on HDFS/local (object stores need a
-  *    committer-backed variant — the standard caveat of every
-  *    rename-based commit protocol); a LOST rename race against a
-  *    concurrent writer of the same immutable version is a success,
-  *    because versions are deterministic recomputations;
+  *    crashed attempts leave orphans that [[vacuumStaging]] reclaims
+  *    by age;
+  *  - the publish rename goes through `FileContext` with
+  *    `Rename.NONE` semantics: renaming onto an existing target
+  *    THROWS instead of nesting the staging dir inside it (plain
+  *    `FileSystem.rename` into an existing directory silently moves
+  *    the source INSIDE the target — a corpus-scale duplicate buried
+  *    in an immutable version). A lost race against a concurrent
+  *    writer of the same version is a success, because versions are
+  *    deterministic recomputations. Directory rename is atomic on
+  *    HDFS/local; object stores need a committer-backed variant —
+  *    the standard caveat of every rename-based commit protocol;
   *  - version discovery accepts only `<prefix><digits>` — stray
   *    backup/temp directories are ignored, not tripped over.
   */
 object VersionedStore {
+
+  private val StagingMark = ".staging-"
 
   def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -43,18 +52,51 @@ object VersionedStore {
       })
   }
 
-  /** Fresh per-attempt staging path for version dir `name`. */
-  def stagingFor(root: Path, name: String): Path =
-    new Path(root, s".staging-$name-${java.util.UUID.randomUUID()}")
-
-  /** Atomic publish of a fully-written staging dir: one rename wins;
-    * a lost race against a concurrent writer of the same immutable
-    * version is a success, any other rename failure raises. */
-  def publish(fs: FileSystem, staging: Path, target: Path): Unit =
-    if (!fs.rename(staging, target)) {
-      val lost = fs.exists(target)
-      fs.delete(staging, true): Unit
-      if (!lost)
-        throw new java.io.IOException(s"cannot publish $staging -> $target")
+  /** The full commit choreography, once: skip if `name` is already
+    * published (immutable versions — a replay's recomputation is
+    * byte-equivalent), else write the artifact into a fresh staging
+    * dir via `write` and atomically publish it. Returns true when
+    * this call published (false = already existed or lost the race).
+    */
+  def commit(spark: SparkSession, dir: String, name: String)
+            (write: Path => Unit): Boolean = {
+    val (fs, root) = fsOf(spark, dir)
+    val target = new Path(root, name)
+    if (fs.exists(target)) return false
+    val staging = new Path(root,
+      s"$StagingMark$name-${java.util.UUID.randomUUID()}")
+    write(staging)
+    val fc = FileContext.getFileContext(target.toUri,
+      spark.sessionState.newHadoopConf())
+    try {
+      // Rename.NONE: existing target ⇒ FileAlreadyExistsException,
+      // never a silent nest of staging inside the published version
+      fc.rename(fs.makeQualified(staging), fs.makeQualified(target),
+        Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException =>
+        fs.delete(staging, true): Unit // lost the race — content identical
+        false
     }
+  }
+
+  /** Reclaim orphaned staging dirs older than `olderThanMs` (default
+    * 24h) — the leftovers of crashed attempts, which nothing else
+    * deletes (publish only removes its OWN staging, and version
+    * vacuums only match version names). The age threshold keeps a
+    * concurrent live attempt's staging safe; call from periodic
+    * maintenance (e.g. the state table's vacuum).
+    */
+  def vacuumStaging(spark: SparkSession, dir: String,
+                    olderThanMs: Long = 24L * 3600 * 1000): Unit = {
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(StagingMark)
+        && s.getModificationTime < cutoff)
+      .foreach(s => fs.delete(s.getPath, true): Unit)
+  }
 }

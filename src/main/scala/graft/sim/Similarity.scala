@@ -410,17 +410,13 @@ object Similarity {
     * versioned artifact in the repo.
     */
   def savePca(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
-              dir: String, version: Long): Unit = {
-    val (fs, root) = graft.ops.VersionedStore.fsOf(spark, dir)
-    val target = new org.apache.hadoop.fs.Path(root, s"v=$version")
-    if (fs.exists(target)) return
-    val staging = graft.ops.VersionedStore.stagingFor(root, s"v=$version")
-    import spark.implicits._
-    Seq((model.mean.toSeq, model.loadings.toSeq, model.eigenvalue))
-      .toDF("mean", "loadings", "eigenvalue").coalesce(1)
-      .write.parquet(staging.toString)
-    graft.ops.VersionedStore.publish(fs, staging, target)
-  }
+              dir: String, version: Long): Unit =
+    graft.ops.VersionedStore.commit(spark, dir, s"v=$version") { staging =>
+      import spark.implicits._
+      Seq((model.mean.toSeq, model.loadings.toSeq, model.eigenvalue))
+        .toDF("mean", "loadings", "eigenvalue").coalesce(1)
+        .write.parquet(staging.toString)
+    }: Unit
 
   /** Load a persisted [[PcaModel]] (latest version unless pinned). */
   def loadPca(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -31,7 +31,7 @@ object StateTable {
   // publish, numeric-only discovery) is the shared
   // [[graft.ops.VersionedStore]] — one definition across every
   // versioned artifact in the repo
-  import graft.ops.VersionedStore.{fsOf, listVersions, publish, stagingFor}
+  import graft.ops.VersionedStore.{commit, fsOf, listVersions, vacuumStaging}
 
   private def versions(spark: SparkSession, dir: String): Seq[Long] =
     listVersions(spark, dir, VersionPrefix)
@@ -56,9 +56,14 @@ object StateTable {
   private def readVersion(spark: SparkSession, dir: String, v: Option[Long]): DataFrame =
     v match {
       // prefer the Z-ordered rewrite when one exists for exactly this
-      // version — content-identical, just clustered for data skipping
-      case Some(n) if listVersions(spark, dir, ZPrefix).contains(n) =>
-        spark.read.parquet(s"$dir/$ZPrefix$n")
+      // version — content-identical, just clustered for data skipping.
+      // One existence probe, not a directory listing: this runs once
+      // per micro-batch inside commitBatch, and an O(versions) LIST
+      // per read adds up on object-store-backed state dirs
+      case Some(n) if {
+        val (fs, root) = fsOf(spark, dir)
+        fs.exists(new org.apache.hadoop.fs.Path(root, s"$ZPrefix$n"))
+      } => spark.read.parquet(s"$dir/$ZPrefix$n")
       case Some(n) => spark.read.parquet(s"$dir/$VersionPrefix$n")
       case None    => emptySnapshot(spark)
     }
@@ -106,26 +111,21 @@ object StateTable {
     */
   def commitBatch(batch: DataFrame, batchId: Long, stateDir: String): Unit = {
     val spark = batch.sparkSession
-    val (fs, root) = fsOf(spark, stateDir)
-    val target = new org.apache.hadoop.fs.Path(root, s"$VersionPrefix$batchId")
-    // replay after the publish but before the checkpoint commit: the
-    // rename is atomic, so an existing v=batchId IS the complete,
-    // deterministic recomputation of this batch (same merge base —
-    // versions below batchId are immutable). Never un-publish it:
-    // deleting would open a window where a concurrent reader sees the
-    // version vanish.
-    if (fs.exists(target)) return
-    val prev = readVersion(spark, stateDir,
-      versionBefore(spark, stateDir, batchId))
-    // the full-outer merge leaves the result hash-partitioned on
-    // doc_id — written as-is (no coalesce: snapshot writes must
-    // scale with the corpus, not a single writer)
-    val merged = merge(prev, summarize(batch))
-    // per-attempt staging: a zombie first attempt and its retry must
-    // never interleave inside one staging dir
-    val staging = stagingFor(root, s"$VersionPrefix$batchId")
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    publish(fs, staging, target)
+    // replay after the publish but before the checkpoint commit: an
+    // existing v=batchId IS the complete, deterministic recomputation
+    // of this batch (same merge base — versions below batchId are
+    // immutable), so commit() skipping it is correct. Never
+    // un-publish: deleting would open a window where a concurrent
+    // reader sees the version vanish.
+    commit(spark, stateDir, s"$VersionPrefix$batchId") { staging =>
+      val prev = readVersion(spark, stateDir,
+        versionBefore(spark, stateDir, batchId))
+      // the full-outer merge leaves the result hash-partitioned on
+      // doc_id — written as-is (no coalesce: snapshot writes must
+      // scale with the corpus, not a single writer)
+      merge(prev, summarize(batch))
+        .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    }: Unit
   }
 
   /** Z-order OPTIMIZE of the current snapshot: rewrite the latest
@@ -142,14 +142,10 @@ object StateTable {
   def optimize(spark: SparkSession, dir: String, c1: String, c2: String,
                numFiles: Int): Option[Long] =
     latestVersion(spark, dir).map { n =>
-      val (fs, root) = fsOf(spark, dir)
-      val target = new org.apache.hadoop.fs.Path(root, s"$ZPrefix$n")
-      if (!fs.exists(target)) {
-        val staging = stagingFor(root, s"$ZPrefix$n")
+      commit(spark, dir, s"$ZPrefix$n") { staging =>
         graft.ops.Layout.writeZOrdered(
           spark.read.parquet(s"$dir/$VersionPrefix$n"), c1, c2,
           staging.toString, numFiles)
-        publish(fs, staging, target)
       }
       n
     }
@@ -171,6 +167,9 @@ object StateTable {
     listVersions(spark, dir, ZPrefix).filterNot(latest.contains).foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"$ZPrefix$n"),
         true): Unit)
+    // crashed attempts' orphaned staging dirs: nothing else deletes
+    // them (publish only removes its own), so reclaim by age here
+    vacuumStaging(spark, dir)
   }
 
   /** Attach the compaction sink to a changelog stream. */

@@ -129,6 +129,18 @@ class StateTableSpec extends SparkSpec {
     assert(snap().nonEmpty) // still readable after vacuum
   }
 
+  test("vacuum reclaims aged orphan staging dirs, spares live ones") {
+    val dir = s"/tmp/graft-test-staging-${System.nanoTime()}"
+    // a crashed attempt's leftover (old mtime) and a live attempt's
+    // staging (fresh mtime) — only the orphan goes
+    val orphan = new java.io.File(dir, ".staging-v=9-dead")
+    val live = new java.io.File(dir, ".staging-v=9-live")
+    orphan.mkdirs(); live.mkdirs()
+    orphan.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    graft.ops.VersionedStore.vacuumStaging(spark, dir)
+    assert(!orphan.exists() && live.exists())
+  }
+
   test("day-partitioned writes prune partitions under a date filter") {
     val dir = Files.createTempDirectory("graft-part").toString
     Layout.writePartitionedByDay(Tables.events(spark, sf), "ts", dir)
