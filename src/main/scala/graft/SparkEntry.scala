@@ -91,6 +91,9 @@ object SparkEntry {
     "events_cooccurrence" -> ((s, d) =>
       graft.ops.Events.typeCooccurrence(Tables.events(s, d))
         .orderBy("type_a", "type_b")),
+    // last-touch channel attribution of purchase value
+    "events_attribution" -> ((s, d) =>
+      graft.ops.Events.attribution(Tables.events(s, d)).orderBy("channel")),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -318,6 +321,11 @@ object SparkEntry {
       graft.ops.Graph.triangles(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst")).orderBy("node")),
+    // link prediction: neighbor-set Jaccard of non-adjacent 2-hop pairs
+    "graph_neighbor_sim" -> ((s, d) =>
+      graft.ops.Graph.neighborSimilarity(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"))),
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
     "sim_pq" -> ((s, d) =>
@@ -754,6 +762,27 @@ object SparkEntry {
       |deg AS (SELECT src, count(*) AS degree FROM und GROUP BY 1)
       |SELECT degree, count(*) AS n_nodes FROM deg
       |GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** Neighbor-Jaccard link-prediction replay over the knn graph: wedge
+    * pairs through shared neighbors, adjacency anti-join, degree joins
+    * — the operator's exact shape in SQL. */
+  private val graphNeighborSimSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS (SELECT DISTINCT src, dst FROM
+      |          (SELECT src, dst FROM e WHERE src <> dst
+      |           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+      |deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+      |wedge AS (SELECT a.src AS u, b.src AS v, count(*) AS common
+      |          FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      |          GROUP BY 1, 2),
+      |nonadj AS (SELECT w.u, w.v, w.common FROM wedge w
+      |           WHERE NOT EXISTS (SELECT 1 FROM und
+      |                             WHERE und.src = w.u AND und.dst = w.v))
+      |SELECT n.u, n.v, n.common,
+      |       round(CAST(n.common AS DOUBLE) / (du.d + dv.d - n.common), 6)
+      |         AS jaccard
+      |FROM nonadj n JOIN deg du ON du.src = n.u JOIN deg dv ON dv.src = n.v
+      |ORDER BY jaccard DESC, n.u, n.v LIMIT 20""".stripMargin
 
   /** IVF range-search replay: the simIvfSql pipeline with the rank
     * cut replaced by the cosine-radius filter. */
@@ -2189,6 +2218,23 @@ object SparkEntry {
         |             AND c.cus > p.pus - 600000000 AND c.cus <= p.pus
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     "graph_degree_stats" -> graphDegreeStatsSql,
+    "graph_neighbor_sim" -> graphNeighborSimSql,
+    // last-touch attribution: running non-purchase carry per user,
+    // purchase rows credited to it (IGNORE NULLS window carry)
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |       count(*) AS n_purchases,
+        |       round(sum(value), 2) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY channel""".stripMargin,
     // hour-of-week slots; the peak flag replays the exact integer
     // comparison (DuckDB dayofweek is 0-based Sunday, Spark's is 1)
     "events_seasonality" ->

@@ -299,4 +299,30 @@ object Events {
         (col("n_events") * 336L > col("n_total") * 3L).as("is_peak"),
         col("avg_value"))
   }
+
+  /** Last-touch attribution: each purchase is credited to the most
+    * recent preceding non-purchase event of the same user (the
+    * "channel"), `direct` when the purchase is the user's first
+    * event. The running carry is one `last(ignoreNulls)` over the
+    * per-user (ts, event_id) window — the same single-shuffle shape
+    * as the funnel: partition by the high-cardinality user key, never
+    * a global order, and the per-channel rollup afterwards is
+    * map-side-combined down to |event types| rows. Ties are
+    * impossible because (ts, event_id) is unique per user.
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val before = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("attributed_value"))
+  }
 }

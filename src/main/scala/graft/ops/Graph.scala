@@ -262,4 +262,53 @@ object Graph {
       .groupBy(col("sz").as("component_size"))
       .agg(count(lit(1)).as("n_components"))
   }
+
+  /** Link prediction by neighbor overlap: for every NON-adjacent node
+    * pair sharing at least one neighbor, the Jaccard similarity of
+    * their neighbor sets — the top pairs are the edges the graph is
+    * "missing" (on a near-dup/knn graph: document pairs the radius
+    * threshold split that cluster-level curation should reconsider).
+    *
+    * Shape: wedge equi-join through the shared neighbor (u—w—v), count
+    * per pair, anti-join against the mirrored edge list to drop pairs
+    * already adjacent, then degrees via two keyed joins. Everything is
+    * an equi-join on node keys — no all-pairs stage; candidate pairs
+    * are exactly the 2-hop pairs the wedge join materializes. Hub
+    * nodes quadratically inflate the wedge stage on a general graph
+    * (a knn graph's degree is bounded by construction), so `maxDegree`
+    * excludes wedge *centers* above the cap — the [[triangles]]
+    * hub-bounding discipline; excluded-center pairs can still surface
+    * through their other common neighbors. The final top-k is a
+    * TakeOrdered heap, never a global sort.
+    */
+  def neighborSimilarity(edges: DataFrame, k: Int = 20,
+                         maxDegree: Long = 10000L): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    val capped = und.join(
+      deg.filter(col("d") <= maxDegree).select(col("src").as("dst"))
+        .hint("shuffle_hash"), "dst")
+    val wedges = capped.select(col("dst").as("w"), col("src").as("u"))
+      .join(capped.select(col("dst").as("w"), col("src").as("v"))
+        .hint("shuffle_hash"), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("common"))
+    val nonAdj = wedges.join(
+      und.select(col("src").as("u"), col("dst").as("v")),
+      Seq("u", "v"), "left_anti")
+    nonAdj
+      .join(deg.select(col("src").as("u"), col("d").as("du"))
+        .hint("shuffle_hash"), "u")
+      .join(deg.select(col("src").as("v"), col("d").as("dv"))
+        .hint("shuffle_hash"), "v")
+      .select(col("u"), col("v"), col("common"),
+        round(col("common").cast("double") /
+          (col("du") + col("dv") - col("common")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u"), col("v"))
+      .limit(k)
+  }
 }

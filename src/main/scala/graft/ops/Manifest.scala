@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level statistics manifest + manifest-driven scan pruning —
+  * the Iceberg/Delta data-skipping pattern re-expressed on plain
+  * parquet directories.
+  *
+  * Parquet row-group stats prune *after* a file is opened; at 100 TB
+  * the win that matters is never opening the file at all. A manifest
+  * is a tiny table (one row per data file: row count + min/max per
+  * tracked column) that the planner consults *before* the scan: a
+  * range predicate keeps only the files whose [min,max] interval
+  * intersects it. With a layout that clusters the tracked columns
+  * ([[Layout.writeZOrdered]], `repartitionByRange` + sort), file
+  * intervals are narrow and disjoint, and a selective predicate reads
+  * a handful of files out of tens of thousands.
+  *
+  * Scale posture: the manifest is O(files) — ~100k rows for 100 TB of
+  * 1 GB files — so filtering it and collecting the surviving paths on
+  * the driver is exactly the planning step every table format performs;
+  * the pruning filter runs distributed only in the degenerate sense
+  * that it is a Catalyst plan over a broadcast-sized frame. Manifests
+  * are published through [[VersionedStore]] (atomic rename, immutable
+  * `v=N` versions), so a reader never sees a half-written manifest and
+  * a recomputation of the same version is a no-op.
+  */
+object Manifest {
+
+  val VersionPrefix = "v="
+
+  private def minCol(c: String) = s"min_$c"
+  private def maxCol(c: String) = s"max_$c"
+
+  /** One row per data file under `dataDir`: `file_path`, `n_rows`,
+    * and `min_<c>`/`max_<c>` for each tracked column. One distributed
+    * scan of the tracked columns (column-pruned: the scan reads only
+    * `statsCols`); the `_metadata.file_path` grouping key is Spark's
+    * public hidden file-metadata column, so no per-file driver loop
+    * touches the filesystem. In production this runs incrementally on
+    * the files a write just produced, not the whole table.
+    */
+  def build(spark: SparkSession, dataDir: String,
+            statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "at least one stats column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c =>
+        Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))
+    spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file_path") +:
+        statsCols.map(col): _*)
+      .groupBy("file_path")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Build and publish the manifest as the next immutable version
+    * under `manifestDir` (atomic-rename commit, lost races are
+    * no-ops). Returns the published version number.
+    */
+  def write(spark: SparkSession, dataDir: String, manifestDir: String,
+            statsCols: Seq[String]): Long = {
+    val next = VersionedStore.listVersions(spark, manifestDir, VersionPrefix)
+      .foldLeft(0L)(math.max) + 1
+    VersionedStore.commit(spark, manifestDir, s"$VersionPrefix$next") {
+      staging =>
+        build(spark, dataDir, statsCols)
+          .coalesce(1) // O(files) rows — a manifest is one small file
+          .write.parquet(staging.toString)
+    }
+    next
+  }
+
+  /** The latest committed manifest, if any. */
+  def load(spark: SparkSession, manifestDir: String): Option[DataFrame] =
+    VersionedStore.listVersions(spark, manifestDir, VersionPrefix)
+      .sorted.lastOption
+      .map(n => spark.read.parquet(s"$manifestDir/$VersionPrefix$n"))
+
+  /** Paths of the files whose `[min_c, max_c]` interval intersects
+    * `[lo, hi]` — the candidate set for a `c BETWEEN lo AND hi`
+    * predicate. Files whose stats are null (every row null in `c`)
+    * are dropped: a null cell can never satisfy a range predicate.
+    */
+  def pruneFiles(manifest: DataFrame, c: String,
+                 lo: Any, hi: Any): Seq[String] =
+    manifest
+      .filter(col(maxCol(c)) >= lit(lo) && col(minCol(c)) <= lit(hi))
+      .select("file_path")
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Exact equivalent of
+    * `spark.read.parquet(dataDir).where(col(c).between(lo, hi))`
+    * that opens only the files the manifest admits. The residual
+    * predicate is still applied (file intervals overlap the range;
+    * individual rows may not), so results are identical to the full
+    * scan by construction. An empty candidate set still returns the
+    * correct (empty) frame with the table schema — the footer-only
+    * degenerate read.
+    */
+  def readPruned(spark: SparkSession, dataDir: String, manifest: DataFrame,
+                 c: String, lo: Any, hi: Any): DataFrame = {
+    val files = pruneFiles(manifest, c, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.parquet(files: _*)
+    base.where(col(c).between(lit(lo), lit(hi)))
+  }
+}

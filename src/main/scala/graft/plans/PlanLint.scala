@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Static plan linter: the scale-review checklist this repo applies to
+  * every query (see `plans/` snapshots and PlanAuditSpec), packaged as
+  * a library API so a user's own pipelines get the same audit. Runs on
+  * the compiled physical plan — no execution, no data.
+  *
+  * Severity semantics:
+  *   - `error`: a shape that breaks at cluster scale regardless of
+  *     tuning — an O(n·m) cartesian product, or a windowed computation
+  *     with no PARTITION BY (every row of the input lands in ONE task;
+  *     local runs merely print Spark's WARN and grind on).
+  *   - `warn`: usually wrong, occasionally intended — a nested-loop
+  *     join (fine only when the broadcast side is bounded by
+  *     construction), a filter sitting above a scan that pushed
+  *     nothing down (the scan reads everything the filter will drop),
+  *     a projection narrower than its scan (column pruning missed —
+  *     typically a cached or manually-constructed frame).
+  *   - `info`: context the reviewer weighs — sort-merge joins (often
+  *     better as shuffle-hash/broadcast; removable with bucketing),
+  *     global sorts (fine for small/final output, a full-data
+  *     range-exchange otherwise), and the shuffle count.
+  *
+  * The lint is *static*: shape rules run on `queryExecution.sparkPlan`
+  * (pre-preparation — no codegen/columnar wrappers between parent and
+  * child, so Filter-above-scan patterns match structurally), while the
+  * shuffle count comes from the prepared `executedPlan` (exchanges are
+  * inserted by EnsureRequirements, which only runs there). AQE can
+  * downgrade a flagged SMJ to a broadcast join at runtime, but a plan
+  * that only works because AQE rescued it is still worth the flag.
+  */
+object PlanLint extends AdaptiveSparkPlanHelper {
+
+  final case class Finding(rule: String, severity: String, detail: String)
+
+  def audit(ds: Dataset[_]): Seq[Finding] =
+    auditPlan(ds.queryExecution.sparkPlan) :+ {
+      val shuffles = collectWithSubqueries(ds.queryExecution.executedPlan) {
+        case s: ShuffleExchangeLike => s
+      }.size
+      Finding("shuffle-count", "info", s"$shuffles shuffle exchange(s)")
+    }
+
+  /** Count the TOP-LEVEL elements of a `[a, b(c, d), e]` metadata
+    * list — commas inside parentheses belong to one element.
+    */
+  private def countElems(s: String): Int = {
+    val body = s.stripPrefix("[").stripSuffix("]").trim
+    if (body.isEmpty) 0
+    else {
+      var depth = 0; var n = 1
+      body.foreach {
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 => n += 1
+        case _ => ()
+      }
+      n
+    }
+  }
+
+  def auditPlan(plan: SparkPlan): Seq[Finding] = {
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: CartesianProductExec =>
+          findings += Finding("cartesian-product", "error",
+            "O(left x right) row pairing; unusable beyond toy inputs")
+        case j: BroadcastNestedLoopJoinExec =>
+          findings += Finding("nested-loop-join", "warn",
+            s"${j.joinType} NLJ: acceptable only when the broadcast side " +
+              "is bounded by construction (model/summary frames)")
+        case _: SortMergeJoinExec =>
+          findings += Finding("sort-merge-join", "info",
+            "SMJ sorts both sides; shuffle-hash or broadcast is usually " +
+              "cheaper, and bucketing removes the exchange entirely")
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          findings += Finding("single-partition-window", "error",
+            "window with no PARTITION BY moves every row to one task")
+        case s: SortExec if s.global =>
+          findings += Finding("global-sort", "info",
+            s"full-data range exchange + sort on ${s.sortOrder.map(_.sql).mkString(", ")}")
+        case f: FilterExec =>
+          f.child match {
+            case scan: FileSourceScanExec =>
+              // a predicate the source could not translate appears in
+              // DataFilters (evaluated post-scan) but not PushedFilters
+              val data = scan.metadata.get("DataFilters").map(countElems)
+              val pushed = scan.metadata.get("PushedFilters").map(countElems)
+              for (d <- data; p <- pushed; if d > p)
+                findings += Finding("filter-not-pushed", "warn",
+                  s"$d data filter(s) on the scan but only $p pushed to " +
+                    "the source — the unpushed predicates read and then " +
+                    "discard rows (non-translatable expressions: function " +
+                    "calls, UDFs, casts on the column side)")
+            case _ => ()
+          }
+        case pr: ProjectExec =>
+          pr.child match {
+            case scan: FileSourceScanExec =>
+              val needed = pr.references.map(_.exprId).toSet
+              val scanned = scan.output.map(_.exprId).toSet
+              if ((scanned -- needed).nonEmpty && needed.subsetOf(scanned))
+                findings += Finding("column-pruning-missed", "warn",
+                  s"scan materializes ${scanned.size} columns, projection " +
+                    s"uses ${needed.size} — pruning did not reach the scan")
+            case _ => ()
+          }
+        case _ => ()
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(plan)
+    findings.toSeq
+  }
+
+  /** Findings at `error` severity — the ones with no legitimate
+    * large-scale reading. Empty means the plan passes the lint.
+    */
+  def errors(ds: Dataset[_]): Seq[Finding] =
+    audit(ds).filter(_.severity == "error")
+
+  /** Human-readable report, one finding per line. */
+  def report(ds: Dataset[_]): String =
+    audit(ds).map(f => f"[${f.severity}%-5s] ${f.rule}: ${f.detail}")
+      .mkString("\n")
+}

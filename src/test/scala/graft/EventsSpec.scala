@@ -218,4 +218,29 @@ class EventsSpec extends SparkSpec {
     // lift = (2/4) / ((3/4)*(3/4)) = 0.8889
     assert(math.abs(r.getAs[Double]("lift") - 0.8889) < 1e-4)
   }
+
+  test("attribution credits the last non-purchase touch, direct when none") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = Seq(
+      // user 1: click -> purchase(10), view -> purchase(5)
+      (1L, 1L, "click", 0.0), (2L, 1L, "purchase", 10.0),
+      (3L, 1L, "view", 0.0), (4L, 1L, "purchase", 5.0),
+      // user 2: first event is a purchase -> direct; the NEXT purchase
+      // still looks through the earlier purchase and finds nothing
+      (5L, 2L, "purchase", 2.0), (6L, 2L, "purchase", 3.0),
+      // user 3: click, then two purchases — BOTH credit the click
+      // (purchases never become the carry)
+      (7L, 3L, "click", 0.0), (8L, 3L, "purchase", 1.0),
+      (9L, 3L, "purchase", 4.0)
+    ).map { case (e, u, t, v) => (e, new Timestamp(e * 1000), u, t, v) }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.attribution(ev).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("attributed_value")))
+      .toMap
+    assert(out == Map(
+      "click" -> (3L, 15.0), "view" -> (1L, 5.0), "direct" -> (2L, 5.0)),
+      s"got $out")
+  }
 }

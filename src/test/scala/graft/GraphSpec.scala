@@ -166,4 +166,38 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Long]("degree") -> r.getAs[Long]("n_nodes")).toMap
     assert(hist == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("neighbor similarity scores exactly the non-adjacent 2-hop pairs") {
+    import spark.implicits._
+    // square 1-2-3-4-1: the two diagonals are the only non-adjacent
+    // pairs, each with identical neighbor sets (jaccard 1.0)
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.neighborSimilarity(square).collect()
+      .map(r => ((r.getAs[Long]("u"), r.getAs[Long]("v")),
+        (r.getAs[Long]("common"), r.getAs[Double]("jaccard")))).toMap
+    assert(out == Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)),
+      s"got $out")
+  }
+
+  test("neighbor similarity: partial overlap and the hub-degree cap") {
+    import spark.implicits._
+    // paths 1-3-2 and 1-4-2 and 1-5: N(1)={3,4,5}, N(2)={3,4} ->
+    // (1,2) common 2, union 3; (3,4) via both 1 and 2 -> 2/2; pendant
+    // pairs (3,5),(4,5) share only node 1 -> 1/(2+1-1)
+    val g = Seq((1L, 3L), (3L, 2L), (1L, 4L), (4L, 2L), (1L, 5L))
+      .toDF("src", "dst")
+    val out = Graph.neighborSimilarity(g).collect()
+      .map(r => ((r.getAs[Long]("u"), r.getAs[Long]("v")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(out((1L, 2L)) == 0.666667)
+    assert(out((3L, 4L)) == 1.0)
+    assert(out((3L, 5L)) == 0.5 && out((4L, 5L)) == 0.5)
+    // capping wedge centers at degree 2 removes node 1 (degree 3) as
+    // a center: (3,4) still connect through node 2, the pendant pairs
+    // only connected through 1 and disappear
+    val capped = Graph.neighborSimilarity(g, maxDegree = 2L).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
+    assert(capped == Set((1L, 2L), (3L, 4L)), s"got $capped")
+  }
 }

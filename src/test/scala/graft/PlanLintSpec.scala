@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.PlanLint
+
+class PlanLintSpec extends SparkSpec {
+
+  private def rules(ds: org.apache.spark.sql.Dataset[_]): Set[String] =
+    PlanLint.audit(ds).map(_.rule).toSet
+
+  private def withoutBroadcast[A](body: => A): A = {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("cartesian product is an error finding") {
+    import spark.implicits._
+    val a = (1 to 100).toDF("x")
+    val b = (1 to 100).toDF("y")
+    withoutBroadcast {
+      val findings = PlanLint.audit(a.crossJoin(b))
+      assert(findings.exists(f =>
+        f.rule == "cartesian-product" && f.severity == "error"),
+        PlanLint.report(a.crossJoin(b)))
+    }
+  }
+
+  test("nested-loop join is a warn finding") {
+    import spark.implicits._
+    val a = (1 to 100).toDF("x")
+    val b = (1 to 10).toDF("y")
+    val nlj = a.join(broadcast(b), col("x") < col("y"))
+    assert(PlanLint.audit(nlj).exists(f =>
+      f.rule == "nested-loop-join" && f.severity == "warn"))
+  }
+
+  test("sort-merge join and global sort are info findings") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    withoutBroadcast {
+      val smj = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      assert(rules(smj).contains("sort-merge-join"))
+    }
+    assert(rules(li.orderBy("l_orderkey")).contains("global-sort"))
+  }
+
+  test("window without PARTITION BY is an error finding") {
+    val li = Tables.lineitem(spark, sf)
+    val w = li.withColumn("rn",
+      sum("l_quantity").over(Window.orderBy("l_orderkey")))
+    val findings = PlanLint.audit(w)
+    assert(findings.exists(f =>
+      f.rule == "single-partition-window" && f.severity == "error"))
+    // the partitioned twin is clean
+    val ok = li.withColumn("rn", sum("l_quantity")
+      .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
+    assert(PlanLint.errors(ok).isEmpty, PlanLint.report(ok))
+  }
+
+  test("a scan-unpushable filter is flagged; a pushable one is not") {
+    val docs = Tables.documents(spark, sf)
+    val unpushed = docs.filter(length(col("text")) > lit(5))
+    assert(rules(unpushed).contains("filter-not-pushed"),
+      PlanLint.report(unpushed))
+    val pushed = docs.filter(col("doc_id") > 10)
+    assert(!rules(pushed).contains("filter-not-pushed"),
+      PlanLint.report(pushed))
+  }
+
+  test("shuffle count is reported; a scan-only plan has zero") {
+    val scan = Tables.documents(spark, sf).select("doc_id")
+    val f = PlanLint.audit(scan).find(_.rule == "shuffle-count").get
+    assert(f.detail.startsWith("0 "))
+    val agg = Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)))
+    val g = PlanLint.audit(agg).find(_.rule == "shuffle-count").get
+    assert(g.detail.startsWith("1 "))
+  }
+
+  test("the flagship surface queries pass the lint at error severity") {
+    // the repo's own discipline, applied through the public API: no
+    // cartesian products, no single-partition windows anywhere on a
+    // representative slice of the query surface (sans the final
+    // driver-contract orderBy, which is info-severity)
+    Seq("q1_agg", "q3_multijoin", "dedup_minhash", "sim_ivf", "text_tfidf")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        assert(PlanLint.errors(df).isEmpty,
+          s"$name:\n${PlanLint.report(df)}")
+      }
+  }
+}
