@@ -57,6 +57,10 @@ object PlanDump {
     // RDD ids count up monotonically per session, so any new query
     // running earlier in the dump shifts every later checkpoint scan
     .replaceAll("RDD\\[\\d+\\]", "RDD[x]")
+    // checkpoint-scan labels carry the call site's source LINE, so
+    // any edit above a localCheckpoint call rewrites every dependent
+    // snapshot — keep the file, scrub the line
+    .replaceAll("\\.scala:\\d+", ".scala:x")
     .replaceAll("file:[^\\s\\],)]*", "PATH")
     .replaceAll("\\[id=#x\\]", "")
     .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")

@@ -258,6 +258,10 @@ object SparkEntry {
     // which source is template-heavy: per-source duplication rate
     "dedup_source_stats" -> ((s, d) =>
       Dedup.dupRateBySource(Tables.documents(s, d), keeperModel(s, d)).orderBy("source")),
+    // where the templates travel: near-dup pairs by source pair
+    "dedup_cross_source" -> ((s, d) =>
+      Dedup.crossSourceDupFlow(Tables.documents(s, d), keeperModel(s, d))
+        .orderBy("source_a", "source_b")),
     // measured LSH S-curve: per-band recall vs exact ground truth
     "dedup_lsh_recall" -> ((s, d) =>
       Dedup.lshRecall(Tables.documents(s, d), col("doc_id") < 300)
@@ -2373,6 +2377,21 @@ object SparkEntry {
     "dedup_incremental" -> keepersNearSql,
     "dedup_keepers_best" -> keepersBestSql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
+    // verified pair list joined to both endpoints' sources, bucketed
+    // by the unordered source pair; share over the total pair count
+    "dedup_cross_source" -> (lshEdgesCte +
+      """srcs AS (SELECT doc_id, source FROM documents),
+        |cnt AS (SELECT least(sa.source, sb.source) AS source_a,
+        |               greatest(sa.source, sb.source) AS source_b,
+        |               count(*) AS n_pairs
+        |        FROM pairs p JOIN srcs sa ON p.doc_a = sa.doc_id
+        |                     JOIN srcs sb ON p.doc_b = sb.doc_id
+        |        GROUP BY 1, 2),
+        |tot AS (SELECT sum(n_pairs) AS n_total FROM cnt)
+        |SELECT source_a, source_b, n_pairs,
+        |       source_a <> source_b AS is_cross,
+        |       round(CAST(n_pairs AS DOUBLE) / n_total, 4) AS pair_share
+        |FROM cnt CROSS JOIN tot ORDER BY source_a, source_b""".stripMargin),
     // keeper replay + sizes + source join, aggregated per source
     "dedup_source_stats" -> (keepersNearCte +
       """, csz AS (SELECT keep_doc_id, count(*) AS cluster_size FROM l2 GROUP BY 1)

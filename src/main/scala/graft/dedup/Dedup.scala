@@ -559,6 +559,36 @@ object Dedup {
         round(col("n_in_dup_clusters").cast("double") / col("n_docs"), 4))
   }
 
+  /** Cross-source duplication flow: verified near-dup PAIRS bucketed
+    * by the (unordered) source pair of their endpoints — which
+    * sources copy from each other, vs which duplicate internally.
+    * [[dupRateBySource]] says how template-heavy each source is;
+    * this says where the templates travel (a heavy off-diagonal cell
+    * means two feeds share a common upstream — drop one, or fix the
+    * provenance). Rides the fitted [[KeeperModel]]'s checkpointed
+    * pair list: two doc-keyed hash joins + one aggregation bounded
+    * by |sources|², no pipeline re-run; the share denominator is a
+    * second aggregation over that tiny grouped frame.
+    */
+  def crossSourceDupFlow(documents: DataFrame,
+                         model: KeeperModel): DataFrame = {
+    val srcs = documents.select(col("doc_id"), col("source"))
+    val counts = model.pairs
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+        .hint("shuffle_hash"), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("n_pairs").as("n_total"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (col("source_a") =!= col("source_b")).as("is_cross"),
+        round(col("n_pairs").cast("double") / col("n_total"), 4)
+          .as("pair_share"))
+  }
+
   /** Both directions of an ordered pair list — the undirected edge
     * form label propagation consumes. */
   private[graft] def mirror(pairs: DataFrame): DataFrame =

@@ -299,6 +299,29 @@ class DedupSpec extends SparkSpec {
     assert(out("good") == ((5L, 0L, 0.0)))
   }
 
+  test("cross-source flow separates internal templates from shared feeds") {
+    import spark.implicits._
+    val tmplA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmplB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    // template A lives only inside src1 (3 copies -> 3 within-pairs);
+    // template B is shared across src1 and src2 (one copy each ->
+    // 1 cross-pair); src3 is clean
+    val docs = Seq(
+      (1L, tmplA, "src1"), (2L, tmplA, "src1"), (3L, tmplA, "src1"),
+      (4L, tmplB, "src1"), (5L, tmplB, "src2"),
+      (6L, "unique words in this source only long enough now", "src2"),
+      (7L, "entirely separate content with its own tokens here", "src3"))
+      .toDF("doc_id", "text", "source")
+    val model = Dedup.fitKeepers(docs, 0.9)
+    val out = Dedup.crossSourceDupFlow(docs, model).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Boolean]("is_cross"),
+          r.getAs[Double]("pair_share"))).toMap
+    assert(out == Map(
+      ("src1", "src1") -> ((3L, false, 0.75)),
+      ("src1", "src2") -> ((1L, true, 0.25))), s"got $out")
+  }
+
   test("incremental merge lands exactly where the full fit lands") {
     import spark.implicits._
     val tmplA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
