@@ -94,6 +94,9 @@ object SparkEntry {
     // last-touch channel attribution of purchase value
     "events_attribution" -> ((s, d) =>
       graft.ops.Events.attribution(Tables.events(s, d)).orderBy("channel")),
+    // 3-step path mining: the markov matrix extended one step
+    "events_trigrams" -> ((s, d) =>
+      graft.ops.Events.typeTrigrams(Tables.events(s, d))),
     // §2b relational
     "q1_agg" -> Relational.q1Agg _,
     "q2_join_agg" -> Relational.q2JoinAgg _,
@@ -135,6 +138,9 @@ object SparkEntry {
     // pre-flight key-skew audit: top-k heaviest values per join key
     "q32_skew_profile" -> ((s, d) =>
       Relational.keySkewProfile(s, d).orderBy("col_name", "rk")),
+    // distribution profiler: fixed-width histogram of the money column
+    "q33_histogram" -> ((s, d) =>
+      Relational.valueHistogram(s, d).orderBy("bin")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -2239,6 +2245,16 @@ object SparkEntry {
         |       round(sum(value), 2) AS attributed_value
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY channel""".stripMargin,
+    // two leads over the per-user order, count, top-k with full tie order
+    "events_trigrams" ->
+      """WITH t AS (SELECT user_id, event_type AS t1,
+        |                  lead(event_type, 1) OVER w AS t2,
+        |                  lead(event_type, 2) OVER w AS t3
+        |           FROM events
+        |           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, count(*) AS n
+        |FROM t WHERE t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     // hour-of-week slots; the peak flag replays the exact integer
     // comparison (DuckDB dayofweek is 0-based Sunday, Spark's is 1)
     "events_seasonality" ->
@@ -2270,6 +2286,19 @@ object SparkEntry {
         |             CROSS JOIN nu
         |ORDER BY type_a, type_b""".stripMargin,
     // per-column heavy-hitter ranks with frequency share
+    // identical double expression for the bin index on both engines
+    // (floor((x-lo)*bins/(hi-lo)), top edge clamped) — IEEE binary64
+    // with the same op order, so boundary assignment is reproducible
+    "q33_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo,
+        |                  max(l_extendedprice) AS hi FROM lineitem),
+        |t AS (SELECT CAST(least(floor(((l_extendedprice - b.lo) * 20)
+        |                             / (b.hi - b.lo)), 19) AS BIGINT) AS bin,
+        |             l_extendedprice AS x, b.lo, b.hi
+        |      FROM lineitem CROSS JOIN b)
+        |SELECT bin, round(lo + bin * (hi - lo) / 20, 2) AS bin_lo,
+        |       count(*) AS n_rows, round(avg(x), 2) AS avg_price
+        |FROM t GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
     "q32_skew_profile" ->
       """WITH t AS (SELECT count(*) AS n_total FROM lineitem),
         |c AS (SELECT 'l_orderkey' AS col_name, l_orderkey AS key, count(*) AS cnt

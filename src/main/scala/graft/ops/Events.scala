@@ -310,6 +310,27 @@ object Events {
     * map-side-combined down to |event types| rows. Ties are
     * impossible because (ts, event_id) is unique per user.
     */
+  /** Top event-type trigrams: consecutive per-user 3-step paths
+    * (the [[markov]] transition matrix extended one step — enough
+    * context to see loops and detours, still |types|³-bounded
+    * output). Two `lead`s over the per-user (ts, event_id) window —
+    * one shuffle on the user key — then a map-side-combined count
+    * and a TakeOrdered top-k heap, never a global sort.
+    */
+  def typeTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("t1"))
+      .withColumn("t2", lead(col("t1"), 1).over(w))
+      .withColumn("t3", lead(col("t1"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   def attribution(events: DataFrame): DataFrame = {
     val before = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))

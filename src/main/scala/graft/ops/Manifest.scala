@@ -77,6 +77,59 @@ object Manifest {
       .sorted.lastOption
       .map(n => spark.read.parquet(s"$manifestDir/$VersionPrefix$n"))
 
+  /** Incremental maintenance: stat only the files NOT yet in the
+    * latest manifest and publish their stats unioned with it — the
+    * per-write upkeep a 100 TB table actually pays (one scan of the
+    * NEW files; the old manifest is read as the tiny table it is,
+    * never the data under it). Data files are immutable once written
+    * (every writer here publishes by atomic rename), so old rows
+    * never go stale; a deleted/compacted file's row is dropped
+    * because pruning only ever ADMITS files, and admitting a dead
+    * path would fail the read — callers that rewrite data run the
+    * full [[write]] instead. Returns the published version (the
+    * current one when no new files exist — idempotent upkeep).
+    */
+  /** Canonical URI form: `_metadata.file_path` says `file:/x` where
+    * `inputFiles` says `file:///x` — same file, different spelling.
+    */
+  private def canon(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toString
+
+  def update(spark: SparkSession, dataDir: String, manifestDir: String,
+             statsCols: Seq[String]): Long = {
+    val current = load(spark, manifestDir)
+    val versions = VersionedStore.listVersions(spark, manifestDir, VersionPrefix)
+    val known: Set[String] = current match {
+      case Some(m) => m.select("file_path").collect()
+        .map(r => canon(r.getString(0))).toSet
+      case None => Set.empty
+    }
+    val newFiles = spark.read.parquet(dataDir).inputFiles
+      .filterNot(f => known(canon(f))).toSeq.sorted
+    if (newFiles.isEmpty && current.isDefined)
+      return versions.max
+    val fresh =
+      if (newFiles.isEmpty) build(spark, dataDir, statsCols)
+      else {
+        val aggs = count(lit(1)).as("n_rows") +:
+          statsCols.flatMap(c =>
+            Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))
+        spark.read.parquet(newFiles: _*)
+          .select(col("_metadata.file_path").as("file_path") +:
+            statsCols.map(col): _*)
+          .groupBy("file_path")
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    val next = versions.foldLeft(0L)(math.max) + 1
+    VersionedStore.commit(spark, manifestDir, s"$VersionPrefix$next") {
+      staging =>
+        current.map(_.unionByName(fresh)).getOrElse(fresh)
+          .coalesce(1)
+          .write.parquet(staging.toString)
+    }
+    next
+  }
+
   /** Paths of the files whose `[min_c, max_c]` interval intersects
     * `[lo, hi]` — the candidate set for a `c BETWEEN lo AND hi`
     * predicate. Files whose stats are null (every row null in `c`)

@@ -699,4 +699,33 @@ object Relational {
         round(sum("session_value"), 2).as("total_value"))
       .orderBy("user_id")
   }
+
+  /** Fixed-width value histogram of a fact column — the distribution
+    * profiler next to [[keySkewProfile]]'s key profiler (is the money
+    * column uniform, clumped, or long-tailed; where to cut stratified
+    * sampling bands). One min/max pass broadcast like a scalar
+    * subquery, then one map-side-combined aggregation to `bins` rows.
+    * The bin index is the same double expression on any engine —
+    * `floor((x − lo)·bins / (hi − lo))`, top edge clamped into the
+    * last bin — so boundary assignment is bit-reproducible (IEEE
+    * doubles, identical op order), not merely approximately equal.
+    */
+  def valueHistogram(s: SparkSession, dir: String,
+                     bins: Int = 20): DataFrame = {
+    require(bins > 0)
+    val li = Tables.lineitem(s, dir)
+    val bounds = li.agg(min(col("l_extendedprice")).as("lo"),
+      max(col("l_extendedprice")).as("hi"))
+    li.select(col("l_extendedprice").as("x"))
+      .crossJoin(broadcast(bounds))
+      .select(least(floor(((col("x") - col("lo")) * bins) /
+        (col("hi") - col("lo"))), lit(bins - 1L)).as("bin"),
+        col("x"), col("lo"), col("hi"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_rows"),
+        round(avg("x"), 2).as("avg_price"),
+        round(first(col("lo") + col("bin") * (col("hi") - col("lo")) / bins), 2)
+          .as("bin_lo"))
+      .select(col("bin"), col("bin_lo"), col("n_rows"), col("avg_price"))
+  }
 }

@@ -219,6 +219,23 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("lift") - 0.8889) < 1e-4)
   }
 
+  test("trigrams count per-user 3-step paths, never crossing users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"), (3L, 1L, "c"), (4L, 1L, "a"),
+      // user 2 contributes one a-b-c; the boundary never stitches
+      // user 1's tail to user 2's head
+      (5L, 2L, "a"), (6L, 2L, "b"), (7L, 2L, "c")
+    ).map { case (e, u, t) => (e, new Timestamp(e * 1000), u, t, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Events.typeTrigrams(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("n")).toMap
+    assert(out == Map(("a", "b", "c") -> 2L, ("b", "c", "a") -> 1L),
+      s"got $out")
+  }
+
   test("attribution credits the last non-purchase touch, direct when none") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -70,6 +70,46 @@ class ManifestSpec extends SparkSpec {
     assert(Manifest.pruneFiles(manifest, "l_orderkey", -100L, -1L).isEmpty)
   }
 
+  test("incremental update stats only the new files, skips no-op upkeep") {
+    val dataDir = freshDir("incr")
+    val manifestDir = freshDir("incr-man")
+    val li = Tables.lineitem(spark, sf)
+    li.where(col("l_orderkey") < 750).repartition(2)
+      .write.mode("append").parquet(dataDir)
+    val v1 = Manifest.update(spark, dataDir, manifestDir, Seq("l_orderkey"))
+    assert(v1 == 1L)
+    val filesAfter1 = Manifest.load(spark, manifestDir).get.count()
+
+    // a second batch lands as NEW files in the same directory
+    li.where(col("l_orderkey") >= 750).repartition(2)
+      .write.mode("append").parquet(dataDir)
+    val v2 = Manifest.update(spark, dataDir, manifestDir, Seq("l_orderkey"))
+    assert(v2 == 2L)
+    val m2 = Manifest.load(spark, manifestDir).get
+    assert(m2.count() > filesAfter1)
+    // the union covers every file and every row exactly once
+    assert(m2.agg(sum("n_rows")).head().getLong(0) == li.count())
+    assert(m2.select("file_path").distinct().count() == m2.count())
+    // canonical-form comparison: the metadata column and inputFiles
+    // spell the same local URI differently (file:/ vs file:///)
+    def canon(p: String) = new org.apache.hadoop.fs.Path(p).toString
+    assert(m2.collect().map(r => canon(r.getString(
+      m2.columns.indexOf("file_path")))).toSet ==
+      spark.read.parquet(dataDir).inputFiles.map(canon).toSet)
+
+    // nothing new -> same version, no phantom publish
+    assert(Manifest.update(spark, dataDir, manifestDir,
+      Seq("l_orderkey")) == 2L)
+    assert(Manifest.load(spark, manifestDir).get.count() == m2.count())
+
+    // the updated manifest prunes correctly across both batches
+    val pruned = Manifest.readPruned(spark, dataDir, m2,
+      "l_orderkey", 0L, 749L)
+    assert(pruned.count() ==
+      spark.read.parquet(dataDir)
+        .where(col("l_orderkey").between(0, 749)).count())
+  }
+
   test("versioned publish: write twice, load returns the latest") {
     val dataDir = freshDir("vdata")
     val manifestDir = freshDir("vman")

@@ -211,4 +211,18 @@ class RelationalSpec extends SparkSpec {
           r.getAs[Long]("cnt").toDouble / total) < 1e-6) }
     }
   }
+
+  test("value histogram partitions every row once, edges cover the range") {
+    val out = Relational.valueHistogram(spark, sf).collect()
+    val total = Tables.lineitem(spark, sf).count()
+    assert(out.map(_.getAs[Long]("n_rows")).sum == total)
+    val bins = out.map(_.getAs[Long]("bin")).sorted
+    assert(bins.head >= 0L && bins.last <= 19L)
+    assert(bins.distinct.length == bins.length)
+    // bin_lo edges ascend with the bin index
+    val edges = out.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("bin_lo"))
+    assert(edges.zip(edges.tail).forall { case (a, b) => a < b })
+    // the max value lands in the clamped top bin
+    assert(bins.last == 19L)
+  }
 }
