@@ -268,6 +268,10 @@ object SparkEntry {
     "dedup_cross_source" -> ((s, d) =>
       Dedup.crossSourceDupFlow(Tables.documents(s, d), keeperModel(s, d))
         .orderBy("source_a", "source_b")),
+    // predicted S-curve per banding layout; the measured twin is
+    // dedup_lsh_recall
+    "dedup_banding_plan" -> ((s, d) =>
+      Dedup.bandingPlan(s).orderBy("bands")),
     // measured LSH S-curve: per-band recall vs exact ground truth
     "dedup_lsh_recall" -> ((s, d) =>
       Dedup.lshRecall(Tables.documents(s, d), col("doc_id") < 300)
@@ -2406,6 +2410,24 @@ object SparkEntry {
     "dedup_incremental" -> keepersNearSql,
     "dedup_keepers_best" -> keepersBestSql,
     "dedup_lsh_recall" -> dedupLshRecallSql,
+    // pure S-curve math replayed over the same band-count grid; the
+    // 6dp rounding grain absorbs sub-ulp libm pow differences
+    "dedup_banding_plan" ->
+      """WITH g AS (SELECT CAST(unnest([1, 2, 4, 8, 16, 32, 64]) AS BIGINT)
+        |             AS bands),
+        |b AS (SELECT bands, CAST(64 // bands AS BIGINT) AS rows_per_band
+        |      FROM g),
+        |s AS (SELECT bands, rows_per_band,
+        |             round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50,
+        |             round(1.0 - pow(1.0 - pow(0.9, rows_per_band), bands), 6)
+        |               AS p_detect_at_tau,
+        |             round(abs(round(pow(1.0 / bands, 1.0 / rows_per_band), 6)
+        |                       - 0.9), 6) AS s50_err
+        |      FROM b),
+        |m AS (SELECT min(s50_err) AS min_err FROM s)
+        |SELECT bands, rows_per_band, s50, p_detect_at_tau,
+        |       s50_err = min_err AS chosen
+        |FROM s CROSS JOIN m ORDER BY bands""".stripMargin,
     // verified pair list joined to both endpoints' sources, bucketed
     // by the unordered source pair; share over the total pair count
     "dedup_cross_source" -> (lshEdgesCte +

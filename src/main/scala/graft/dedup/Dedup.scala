@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -557,6 +557,41 @@ object Dedup {
           .as("n_in_dup_clusters"))
       .withColumn("dup_rate",
         round(col("n_in_dup_clusters").cast("double") / col("n_docs"), 4))
+  }
+
+  /** LSH banding calibration table: for every power-of-two band count
+    * dividing the signature length, the S-curve constants that decide
+    * whether that layout fits a target threshold — `s50 = (1/b)^(1/r)`
+    * (the similarity at 50% detection probability) and the detection
+    * probability at `tau` itself, `1 − (1 − tau^r)^b`. The row whose
+    * s50 sits closest to `tau` (6dp, the repo's float-compare grain)
+    * is flagged `chosen` — what [[dedup_lsh_recall]] MEASURES
+    * empirically, this PREDICTS from the banding theorem, so a
+    * deployer picks (k, bands) before paying a corpus pass. A
+    * |divisors|-row model-constant frame: no corpus scan, no window,
+    * the min rides a single-row broadcast.
+    */
+  def bandingPlan(spark: SparkSession, tau: Double = 0.9,
+                  k: Int = 64): DataFrame = {
+    require(k > 0 && (k & (k - 1)) == 0, s"k ($k) must be a power of two")
+    import spark.implicits._
+    val base = (0 to 30).map(1 << _).filter(_ <= k).map(_.toLong).toSeq
+      .toDF("bands")
+      // `/` on longs is double division in Spark; the quotient of two
+      // powers of two is exact in binary64, so the cast is lossless
+      .select(col("bands"),
+        (lit(k.toLong) / col("bands")).cast("long").as("rows_per_band"))
+      .select(col("bands"), col("rows_per_band"),
+        round(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")), 6).as("s50"),
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(tau),
+          col("rows_per_band")), col("bands")), 6).as("p_detect_at_tau"))
+      .withColumn("s50_err", round(abs(col("s50") - tau), 6))
+    base
+      .crossJoin(broadcast(base.agg(min("s50_err").as("min_err"))))
+      .select(col("bands"), col("rows_per_band"), col("s50"),
+        col("p_detect_at_tau"),
+        (col("s50_err") === col("min_err")).as("chosen"))
   }
 
   /** Cross-source duplication flow: verified near-dup PAIRS bucketed

@@ -72,6 +72,20 @@ object StateTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, latestVersion(spark, dir))
 
+  /** Time travel: the complete state as of a PAST micro-batch —
+    * versions are immutable, so yesterday's snapshot is still exactly
+    * yesterday's snapshot (debugging a bad merge, reproducing a
+    * downstream job's input, auditing what a consumer saw). None when
+    * `version` was never committed or vacuum reclaimed it; reads the
+    * Z-ordered rewrite when one exists for exactly that version
+    * (content-identical, just clustered).
+    */
+  def readAt(spark: SparkSession, dir: String,
+             version: Long): Option[DataFrame] =
+    if (versions(spark, dir).contains(version))
+      Some(readVersion(spark, dir, Some(version)))
+    else None
+
   /** Live documents of the current snapshot. */
   def readLive(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir).filter(col("last_op") =!= Changelog.Delete)

@@ -299,6 +299,26 @@ class DedupSpec extends SparkSpec {
     assert(out("good") == ((5L, 0L, 0.0)))
   }
 
+  test("banding plan replays the S-curve and picks the tightest layout") {
+    val rows = Dedup.bandingPlan(spark, tau = 0.9, k = 64).collect()
+      .sortBy(_.getAs[Long]("bands"))
+    assert(rows.map(_.getAs[Long]("bands")).toSeq ==
+      Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L))
+    rows.foreach(r => assert(r.getAs[Long]("bands") *
+      r.getAs[Long]("rows_per_band") == 64L))
+    // s50 falls as banding loosens; detection probability at tau rises
+    val s50 = rows.map(_.getAs[Double]("s50"))
+    assert(s50.zip(s50.tail).forall { case (a, b) => a > b })
+    val p = rows.map(_.getAs[Double]("p_detect_at_tau"))
+    assert(p.zip(p.tail).forall { case (a, b) => a <= b })
+    // (1/4)^(1/16) = 0.917 sits closest to 0.9 on the power-of-two grid
+    assert(rows.filter(_.getAs[Boolean]("chosen"))
+      .map(_.getAs[Long]("bands")).toSeq == Seq(4L))
+    // the production layout (16 bands of 4) catches tau-pairs ~surely
+    assert(rows.find(_.getAs[Long]("bands") == 16L).get
+      .getAs[Double]("p_detect_at_tau") > 0.999)
+  }
+
   test("cross-source flow separates internal templates from shared feeds") {
     import spark.implicits._
     val tmplA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"

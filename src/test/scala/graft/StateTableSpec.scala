@@ -102,6 +102,27 @@ class StateTableSpec extends SparkSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging")))
   }
 
+  test("time travel: a past version reads exactly its own snapshot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-travel").toString
+    val b0 = Changelog.fromEvents(Seq(ev(0, 1, "signup", 0), ev(1, 1, "click", 1)).toDF())
+    val b1 = Changelog.fromEvents(Seq(ev(2, 1, "view", 2), ev(3, 2, "signup", 3)).toDF())
+    StateTable.commitBatch(b0, 0L, dir)
+    StateTable.commitBatch(b1, 1L, dir)
+    // v=0 still shows the pre-merge world: one doc, two changes
+    val past = StateTable.readAt(spark, dir, 0L).get.collect()
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Long]("last_seq"),
+        r.getAs[Long]("n_changes"))).toSet
+    assert(past == Set(("user1", 1L, 2L)), s"got $past")
+    // the latest equals read(); a never-committed version is None
+    assert(StateTable.readAt(spark, dir, 1L).get.collect().length ==
+      StateTable.read(spark, dir).collect().length)
+    assert(StateTable.readAt(spark, dir, 5L).isEmpty)
+    // vacuum drops v=0 -> time travel honestly reports it gone
+    StateTable.vacuum(spark, dir, keep = 1)
+    assert(StateTable.readAt(spark, dir, 0L).isEmpty)
+  }
+
   test("z-order optimize preserves content; vacuum reclaims history") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-zopt").toString
