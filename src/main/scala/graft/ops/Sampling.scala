@@ -187,10 +187,14 @@ object Sampling {
     * No rounding ever happens before the floor.
     */
   def temperatureApply(documents: DataFrame, budget: Double = 0.5): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    val packed = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .withColumn("model",
-        sort_array(collect_list(struct(col("source"), col("n_docs"))).over(all)))
+    // the packed sorted model is a SECOND aggregation of the
+    // per-source counts attached back by single-row broadcast — same
+    // deterministic fold inputs as the old whole-frame window, with
+    // no everything-to-one-task window stage (the PlanLint shape)
+    val bySource = documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val packed = bySource.crossJoin(broadcast(bySource.agg(
+      sort_array(collect_list(struct(col("source"), col("n_docs"))))
+        .as("model"))))
     val sumSqrt = aggregate(col("model"), lit(0.0),
       (a, x) => a + sqrt(x.getField("n_docs")))
     val nTotal = aggregate(col("model"), lit(0L),
@@ -288,12 +292,18 @@ object Sampling {
     * count table — a bounded model, never the corpus.
     */
   def temperatureMix(documents: DataFrame, alpha: Double = 0.5): DataFrame = {
-    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    val bySource = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    // totals ride a single-row broadcast instead of an empty-partition
+    // window: same values, no everything-to-one-task window machinery
+    // (the shape PlanLint flags), and the per-source frame stays
+    // map-side-combined end to end
+    val totals = bySource.agg(sum("n_docs").as("tot_docs"),
+      sum(pow(col("n_docs"), alpha)).as("tot_temp"))
     val tempW = pow(col("n_docs"), alpha)
-    val rawShare = col("n_docs").cast("double") /
-      sum("n_docs").over(all).cast("double")
-    val tempShare = tempW / sum(tempW).over(all)
-    documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val rawShare = col("n_docs").cast("double") / col("tot_docs").cast("double")
+    val tempShare = tempW / col("tot_temp")
+    bySource.crossJoin(broadcast(totals))
       .select(col("source"), col("n_docs"),
         round(rawShare, 4).as("raw_share"),
         round(tempShare, 4).as("temp_share"),

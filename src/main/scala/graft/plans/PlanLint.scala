@@ -117,7 +117,19 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         case _ => ()
       }
       p.children.foreach(walk)
-      p.subqueries.foreach(walk)
+      // pre-preparation plans can still carry LOGICAL subquery plans
+      // (PlanSubqueries only runs in executedPlan preparations), and
+      // QueryPlan.subqueries force-casts — collect from expressions
+      // ourselves and lint only the already-physical ones
+      p.expressions
+        .flatMap(_.collect {
+          case pe: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            pe.plan
+        })
+        .foreach {
+          case sp: SparkPlan => walk(sp)
+          case _ => ()
+        }
     }
     walk(plan)
     findings.toSeq

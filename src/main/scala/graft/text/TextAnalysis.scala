@@ -579,7 +579,11 @@ object TextAnalysis {
     // the single final heap — never the full bigram table
     val top = graft.plans.TopK.perKey(scored.withColumn("g", lit(0)),
       Seq("g"), Seq(col("pmi").desc, col("bg").asc), k)
-    val w = Window.orderBy(col("pmi").desc, col("bg").asc)
+    // rank over the heap's constant key: the frame is ≤ k rows by
+    // construction, and the explicit (constant) partition documents
+    // that — a partition-LESS window is indistinguishable from an
+    // accidental whole-corpus sort, which is what PlanLint flags
+    val w = Window.partitionBy("g").orderBy(col("pmi").desc, col("bg").asc)
     top.withColumn("rk", row_number().over(w).cast("long"))
       .select("rk", "bg", "n", "pmi")
   }

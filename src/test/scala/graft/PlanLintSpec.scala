@@ -80,16 +80,19 @@ class PlanLintSpec extends SparkSpec {
     assert(g.detail.startsWith("1 "))
   }
 
-  test("the flagship surface queries pass the lint at error severity") {
-    // the repo's own discipline, applied through the public API: no
-    // cartesian products, no single-partition windows anywhere on a
-    // representative slice of the query surface (sans the final
-    // driver-contract orderBy, which is info-severity)
-    Seq("q1_agg", "q3_multijoin", "dedup_minhash", "sim_ivf", "text_tfidf")
-      .foreach { name =>
-        val df = SparkEntry.queries(name)(spark, sf)
-        assert(PlanLint.errors(df).isEmpty,
-          s"$name:\n${PlanLint.report(df)}")
-      }
+  test("the ENTIRE query surface passes the lint at error severity") {
+    // the repo's own discipline, applied through the public API to
+    // every registered query: no cartesian products, no
+    // single-partition windows anywhere (the final driver-contract
+    // orderBy is info-severity by design). This is what keeps the
+    // lint honest — a new operator that sneaks in a whole-corpus
+    // window fails here before it ever reaches a plan review.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val errs = PlanLint.errors(fn(spark, sf))
+        if (errs.isEmpty) None
+        else Some(s"$name: ${errs.map(_.rule).mkString(", ")}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 }
