@@ -69,4 +69,27 @@ object AppendSink {
         commitBatch(batch, batchId, dir): Unit
       }
       .start()
+
+  /** [[attach]] plus per-batch [[graft.ops.Manifest]] upkeep: after
+    * each publish the manifest stats exactly the files the batch just
+    * added (the incremental path — one scan of the new files), so the
+    * topic is range-prunable the moment a batch lands. A replayed
+    * batch publishes nothing and the manifest update no-ops; manifest
+    * upkeep after a crash BETWEEN publish and update simply catches
+    * up on the next batch (update diffs against what the manifest
+    * already covers, not against batch ids). Note the directory-
+    * per-batch layout reads back through partition discovery with a
+    * `b` provenance column — harmless to stats on data columns.
+    */
+  def attachWithManifest(route: DataFrame, dir: String, manifestDir: String,
+                         checkpointDir: String,
+                         statsCols: Seq[String]): StreamingQuery =
+    route.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, batchId, dir)
+        graft.ops.Manifest.update(batch.sparkSession, dir, manifestDir,
+          statsCols): Unit
+      }
+      .start()
 }

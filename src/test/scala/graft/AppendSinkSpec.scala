@@ -40,6 +40,42 @@ class AppendSinkSpec extends SparkSpec {
       .toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("manifest-maintained topic is range-prunable after every batch") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val dir = tmp("man-out")
+    val manDir = tmp("man-man")
+    val ckpt = tmp("man-ckpt")
+    val input = MemoryStream[EventRow]
+    val q = AppendSink.attachWithManifest(
+      CdcStreams.ftsRoute(CdcStreams.changelog(input.toDF())(spark).toDF()),
+      dir, manDir, ckpt, Seq("seq"))
+    try {
+      input.addData(Seq(ev(1, 1, "signup"), ev(2, 2, "signup")))
+      q.processAllAvailable()
+      input.addData(Seq(ev(10, 3, "signup"), ev(11, 4, "signup")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val manifest = graft.ops.Manifest.load(spark, manDir).get
+    // the manifest covers every committed file of every batch
+    def canon(p: String) = new org.apache.hadoop.fs.Path(p).toString
+    val covered = manifest.select("file_path").collect()
+      .map(r => canon(r.getString(0))).toSet
+    val all = AppendSink.batches(spark, dir)
+      .flatMap(b => spark.read.parquet(s"$dir/${AppendSink.BatchPrefix}$b")
+        .inputFiles.map(canon)).toSet
+    assert(covered == all && all.nonEmpty)
+    // a narrow seq range opens only batch 1's files, same rows
+    val pruned = graft.ops.Manifest.readPruned(spark, dir, manifest,
+      "seq", 1L, 2L)
+    assert(pruned.collect().map(_.getAs[Long]("seq")).sorted.toSeq ==
+      Seq(1L, 2L))
+    assert(pruned.inputFiles.map(canon).toSet.subsetOf(all))
+    assert(pruned.inputFiles.length < all.size ||
+      AppendSink.batches(spark, dir).size == 1)
+  }
+
   test("kill + restart from checkpoint publishes each routed row exactly once") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
