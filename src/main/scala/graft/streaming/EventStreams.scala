@@ -45,6 +45,18 @@ case class TsTail(lastTs: Long, lastId: Long, tail: Seq[Double])
   */
 case class TsWindowScore(event_type: String, event_id: Long, dist: Double)
 
+/** Per-user last-touch carry: the most recent NON-purchase event
+  * seen, by (ts_us, event_id). One fixed-size row per user.
+  */
+case class TouchState(touch_type: String, ts_us: Long, event_id: Long)
+
+/** One attributed purchase emission: the purchase row credited to
+  * the carry at its event time (`direct` when the user had no prior
+  * non-purchase event).
+  */
+case class AttributionHit(user_id: Long, channel: String, value: Double,
+                          ts_us: Long, event_id: Long)
+
 /** Streaming twin of [[graft.ops.Events.funnel]]: per-user ordered
   * stage progression (signup → click → purchase) as keyed state,
   * emitted on change. Within a micro-batch events fold in event-time
@@ -252,6 +264,45 @@ object EventStreams {
     }
     val (lastTs, lastId) = (sorted.last._2, sorted.last._3)
     state.update(TsTail(lastTs, lastId, window.takeRight(L - 1).toSeq))
+    out.result().iterator
+  }
+
+  /** Streaming twin of [[graft.ops.Events.attribution]]: per-user
+    * keyed state carries the latest NON-purchase event (one
+    * fixed-size row per user, the [[funnelState]] boundedness and
+    * in-order-source convention); each purchase emits immediately,
+    * credited to the carry at that moment — `direct` when none.
+    * Within a micro-batch rows fold in (ts, event_id) order, so a
+    * touch and its purchase landing in one batch attribute exactly
+    * like the batch operator. Aggregating emissions by channel
+    * recovers the batch totals; production adds an idle-user state
+    * timeout, exactly as the funnel/retention folds would.
+    */
+  def attributionState(events: DataFrame)
+                      (implicit spark: SparkSession): Dataset[AttributionHit] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        foldAttribution)
+  }
+
+  private def foldAttribution(
+      userId: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+      state: GroupState[TouchState]): Iterator[AttributionHit] = {
+    var st = state.getOption.orNull
+    val out = Seq.newBuilder[AttributionHit]
+    rows.toSeq.sortBy(r => (r._2, r._3)).foreach {
+      case (_, tsUs, eid, typ, value) =>
+        if (typ == "purchase")
+          out += AttributionHit(userId,
+            if (st == null) "direct" else st.touch_type, value, tsUs, eid)
+        else if (st == null || before(st.ts_us, st.event_id, tsUs, eid))
+          st = TouchState(typ, tsUs, eid)
+    }
+    if (st != null) state.update(st)
     out.result().iterator
   }
 

@@ -642,4 +642,41 @@ class StreamingSpec extends SparkSpec {
     // the shifted label is far from the global centroid, label 0 symmetric
     assert(fin(1).centroid_dist > 0.5)
   }
+
+  test("streaming attribution emissions aggregate to the batch totals") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    def at(id: Long, user: Long, typ: String, v: Double) = EventRow(id,
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${id}%02d"), user, typ, v, "{}")
+    // the touch and its purchase STRADDLE the batch boundary for user
+    // 1; user 2's first purchase is direct; user 3 buys twice off one
+    // click inside one batch
+    val b1 = Seq(at(1, 1, "click", 0), at(2, 2, "purchase", 7.0),
+      at(3, 3, "click", 0), at(4, 3, "purchase", 1.0), at(5, 3, "purchase", 2.0))
+    val b2 = Seq(at(6, 1, "purchase", 10.0), at(7, 1, "view", 0),
+      at(8, 1, "purchase", 4.0))
+    val input = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.attributionState(input.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("attr")
+      .as[graft.streaming.AttributionHit].collect()
+    // every purchase emits exactly once, keyed by event id
+    assert(streamed.map(_.event_id).distinct.length == streamed.length)
+    val totals = streamed.groupBy(_.channel)
+      .map { case (c, hs) => c -> (hs.length.toLong,
+        math.round(hs.map(_.value).sum * 100) / 100.0) }
+    val batch = graft.ops.Events.attribution((b1 ++ b2).toDF()).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("attributed_value")))
+      .toMap
+    assert(totals == batch, s"stream $totals vs batch $batch")
+    assert(batch.keySet == Set("click", "view", "direct"))
+  }
 }
