@@ -340,6 +340,11 @@ object SparkEntry {
       graft.ops.Graph.neighborSimilarity(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"))),
+    // false-merge audit: per-edge triangle support, weak ties flagged
+    "graph_weak_ties" -> ((s, d) =>
+      graft.ops.Graph.edgeSupport(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")).orderBy("src", "dst")),
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
     "sim_pq" -> ((s, d) =>
@@ -797,6 +802,27 @@ object SparkEntry {
       |         AS jaccard
       |FROM nonadj n JOIN deg du ON du.src = n.u JOIN deg dv ON dv.src = n.v
       |ORDER BY jaccard DESC, n.u, n.v LIMIT 20""".stripMargin
+
+  /** Edge-support replay: wedge counts between ADJACENT endpoint
+    * pairs, left-joined onto the canonical edge list. */
+  private val graphWeakTiesSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS (SELECT DISTINCT src, dst FROM
+      |          (SELECT src, dst FROM e WHERE src <> dst
+      |           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+      |deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+      |wedge AS (SELECT a.src AS u, b.src AS v, count(*) AS support
+      |          FROM und a JOIN und b ON a.dst = b.dst AND a.src < b.src
+      |          GROUP BY 1, 2),
+      |canon AS (SELECT src, dst FROM und WHERE src < dst)
+      |SELECT c.src, c.dst, coalesce(w.support, 0) AS support,
+      |       ds.d AS d_src, dd.d AS d_dst,
+      |       coalesce(w.support, 0) = 0 AS is_weak
+      |FROM canon c
+      |LEFT JOIN wedge w ON w.u = c.src AND w.v = c.dst
+      |JOIN deg ds ON ds.src = c.src
+      |JOIN deg dd ON dd.src = c.dst
+      |ORDER BY c.src, c.dst""".stripMargin
 
   /** IVF range-search replay: the simIvfSql pipeline with the rank
     * cut replaced by the cosine-radius filter. */
@@ -2233,6 +2259,7 @@ object SparkEntry {
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     "graph_degree_stats" -> graphDegreeStatsSql,
     "graph_neighbor_sim" -> graphNeighborSimSql,
+    "graph_weak_ties" -> graphWeakTiesSql,
     // last-touch attribution: running non-purchase carry per user,
     // purchase rows credited to it (IGNORE NULLS window carry)
     "events_attribution" ->

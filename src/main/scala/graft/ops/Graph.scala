@@ -281,6 +281,44 @@ object Graph {
     * through their other common neighbors. The final top-k is a
     * TakeOrdered heap, never a global sort.
     */
+  /** Edge-support audit: for every (undirected, canonical) edge, the
+    * number of triangles it participates in — its "support". A
+    * support-0 edge is bridge-LIKE: nothing else corroborates the
+    * connection, so in a near-dup graph it is the classic
+    * false-merge suspect (one borderline pair chaining two otherwise
+    * unrelated template families through label propagation); the
+    * k-core/triangle views rank NODES, this ranks the EDGES a
+    * curation pass should re-verify first. Support is the wedge
+    * count between the edge's endpoints — one equi-join through the
+    * shared neighbor, the [[neighborSimilarity]] machinery pointed at
+    * ADJACENT pairs — plus endpoint degrees for context. No
+    * all-pairs stage; hubs bound exactly as there.
+    */
+  def edgeSupport(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    val canon = und.filter(col("src") < col("dst"))
+    val wedges = und.select(col("dst").as("w"), col("src").as("u"))
+      .join(und.select(col("dst").as("w"), col("src").as("v"))
+        .hint("shuffle_hash"), "w")
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    canon
+      .join(wedges.select(col("u").as("src"), col("v").as("dst"),
+        col("support")), Seq("src", "dst"), "left")
+      .join(deg.select(col("src"), col("d").as("d_src"))
+        .hint("shuffle_hash"), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("d_dst"))
+        .hint("shuffle_hash"), "dst")
+      .select(col("src"), col("dst"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        col("d_src"), col("d_dst"),
+        (coalesce(col("support"), lit(0L)) === 0L).as("is_weak"))
+  }
+
   def neighborSimilarity(edges: DataFrame, k: Int = 20,
                          maxDegree: Long = 10000L): DataFrame = {
     val e0 = edges.select(col("src"), col("dst"))

@@ -167,6 +167,22 @@ class GraphSpec extends SparkSpec {
     assert(hist == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("edge support counts triangles per edge; the pendant is weak") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant 3-4: every triangle edge has
+    // support 1, the pendant has none and flags weak
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.edgeSupport(g).collect()
+      .map(r => ((r.getAs[Long]("src"), r.getAs[Long]("dst")),
+        (r.getAs[Long]("support"), r.getAs[Long]("d_src"),
+          r.getAs[Long]("d_dst"), r.getAs[Boolean]("is_weak")))).toMap
+    assert(out == Map(
+      (1L, 2L) -> ((1L, 2L, 2L, false)),
+      (1L, 3L) -> ((1L, 2L, 3L, false)),
+      (2L, 3L) -> ((1L, 2L, 3L, false)),
+      (3L, 4L) -> ((0L, 3L, 1L, true))), s"got $out")
+  }
+
   test("neighbor similarity scores exactly the non-adjacent 2-hop pairs") {
     import spark.implicits._
     // square 1-2-3-4-1: the two diagonals are the only non-adjacent
