@@ -141,6 +141,9 @@ object SparkEntry {
     // distribution profiler: fixed-width histogram of the money column
     "q33_histogram" -> ((s, d) =>
       Relational.valueHistogram(s, d).orderBy("bin")),
+    // bloom-prefiltered exact semi-join: the broadcast membership cut
+    "q34_bloom_semijoin" -> ((s, d) =>
+      Relational.q34BloomSemiJoin(s, d).orderBy("l_returnflag")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -2330,6 +2333,15 @@ object SparkEntry {
         |SELECT bin, round(lo + bin * (hi - lo) / 20, 2) AS bin_lo,
         |       count(*) AS n_rows, round(avg(x), 2) AS avg_price
         |FROM t GROUP BY bin, lo, hi ORDER BY bin""".stripMargin,
+    // the bloom admits false positives only and the closing equi-join
+    // removes them, so the oracle is the PLAIN semi-join
+    "q34_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q32_skew_profile" ->
       """WITH t AS (SELECT count(*) AS n_total FROM lineitem),
         |c AS (SELECT 'l_orderkey' AS col_name, l_orderkey AS key, count(*) AS cnt

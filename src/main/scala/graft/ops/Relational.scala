@@ -728,4 +728,25 @@ object Relational {
           .as("bin_lo"))
       .select(col("bin"), col("bin_lo"), col("n_rows"), col("avg_price"))
   }
+
+  /** Bloom-prefiltered semi-join (the 100 TB membership cut): revenue
+    * of lineitems belonging to urgent-priority orders. The urgent key
+    * set builds one broadcastable bloom; the fact scan drops
+    * non-members BEFORE the exchange; the closing exact semi-join
+    * removes the bloom's false positives — so the result is
+    * row-identical to the plain semi-join (its oracle) while the
+    * shuffle carries only survivors. See [[BloomPrefilter]] for the
+    * cross-job (save/load) posture.
+    */
+  def q34BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    BloomPrefilter.semiJoin(Tables.lineitem(s, dir), urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 1000000L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
 }
