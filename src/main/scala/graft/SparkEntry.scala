@@ -177,6 +177,9 @@ object SparkEntry {
       TextAnalysis.novelty(Tables.documents(s, d)).orderBy("doc_id")),
     "sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSampleAudit(Tables.documents(s, d)).orderBy("source")),
+    // training-shard balance + mixing audit (md5-byte assignment)
+    "sample_shards" -> ((s, d) =>
+      Sampling.shardAudit(Tables.documents(s, d)).orderBy("shard")),
     "sample_temperature" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
     // split on the near-dup keeper id so duplicate clusters never
@@ -1873,6 +1876,21 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
         |       round(avg(n_tokens), 4) AS avg_tokens
         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+    // shard = first md5 byte mod 8, replayed nibble-by-nibble
+    "sample_shards" ->
+      """WITH s AS (SELECT CAST((16 * (strpos('0123456789abcdef',
+        |                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+        |              + strpos('0123456789abcdef',
+        |                     substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        |             % 8 AS INTEGER) AS shard,
+        |             source, CAST(length(text) AS BIGINT) AS len
+        |           FROM documents),
+        |g AS (SELECT shard, source, count(*) AS n, sum(len) AS chars
+        |      FROM s GROUP BY 1, 2)
+        |SELECT shard, sum(n) AS n_docs, sum(chars) AS n_chars,
+        |       count(*) AS n_sources,
+        |       round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_source_share
+        |FROM g GROUP BY shard ORDER BY shard""".stripMargin,
     "sample_stratified" ->
       """WITH s AS (SELECT source,
         |             strpos('0123456789abcdef',

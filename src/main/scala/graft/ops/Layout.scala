@@ -93,4 +93,24 @@ object Layout {
     saltedBig.join(replicatedSmall, Seq(key, "__salt"), joinType)
       .drop("__salt")
   }
+
+  /** Materialize the corpus as globally-shuffled training shards:
+    * rows land in `shard=K` directories by [[Sampling.shardId]] (a
+    * pure md5 function of the key — no seed, no sampling state,
+    * reproducible on any engine), ordered WITHIN each shard by the
+    * full md5 of the key, so a trainer streaming any shard
+    * sequentially reads a hash-shuffled interleave of every source —
+    * never a source's rows back to back. One exchange on the shard
+    * id + an in-partition sort; nothing resembling a global
+    * `ORDER BY rand()` range sort. [[Sampling.shardAudit]] is the
+    * pre-flight balance/mixing report for the same assignment.
+    */
+  def writeTrainingShards(df: DataFrame, key: String, path: String,
+                          nShards: Int): Unit =
+    df.withColumn("shard", Sampling.shardId(col(key), nShards))
+      .withColumn("__ord", md5(col(key).cast("string")))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "__ord")
+      .drop("__ord")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

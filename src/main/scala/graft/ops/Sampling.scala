@@ -309,4 +309,42 @@ object Sampling {
         round(tempShare, 4).as("temp_share"),
         round(tempShare / rawShare, 4).as("boost"))
   }
+
+  /** Training-shard assignment: the first md5 byte of the key, mod
+    * `nShards`. A training run wants its input globally shuffled —
+    * curated corpora arrive clustered by source/time, and a model
+    * that sees a whole source in a row overfits its local
+    * distribution — but an actual global `ORDER BY rand()` at 100 TB
+    * is a full-corpus range sort with seed-coordination problems.
+    * The hash byte IS the shuffle: assignment is a pure per-row
+    * function (no state, no seed, identical on every engine), and
+    * 256 hash classes spread exactly evenly over shards when
+    * `nShards` divides 256.
+    */
+  def shardId(key: Column, nShards: Int): Column = {
+    require(nShards > 0 && 256 % nShards == 0,
+      s"nShards ($nShards) must divide 256 for exactly-even hash classes")
+    (conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
+      .cast("int") % nShards).cast("int")
+  }
+
+  /** Shard-balance + mixing audit of [[shardId]]: per-shard doc and
+    * char volume, source coverage, and the largest single-source
+    * share — the pre-flight check that shards are interchangeable
+    * slices of the corpus (a shard dominated by one source defeats
+    * the shuffle's purpose). Two map-side-combined aggregations over
+    * (shard, source) — output bounded by shards × sources.
+    */
+  def shardAudit(documents: DataFrame, nShards: Int = 8): DataFrame = {
+    val perSource = documents
+      .select(shardId(col("doc_id"), nShards).as("shard"),
+        col("source"), length(col("text")).cast("long").as("len"))
+      .groupBy("shard", "source")
+      .agg(count(lit(1)).as("n"), sum("len").as("chars"))
+    perSource
+      .groupBy("shard")
+      .agg(sum("n").as("n_docs"), sum("chars").as("n_chars"),
+        count(lit(1)).as("n_sources"),
+        round(max("n").cast("double") / sum("n"), 4).as("top_source_share"))
+  }
 }

@@ -190,4 +190,41 @@ class SamplingSpec extends SparkSpec {
       assert(rs.map(_.getAs[String]("h")).toSet == expect(band),
         s"band $band selection mismatch") }
   }
+
+  test("shard assignment is the md5 byte mod n and audit covers every doc") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val audit = Sampling.shardAudit(docs, 8).collect()
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == n)
+    assert(audit.length == 8, "every shard populated at corpus scale")
+    // mixing: no shard is dominated by a single source
+    audit.foreach(r => assert(r.getAs[Double]("top_source_share") < 0.9))
+    // replay one row's assignment by hand
+    val row = docs.select(col("doc_id"),
+      Sampling.shardId(col("doc_id"), 8).as("shard")).head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(row.getAs[Long]("doc_id").toString.getBytes("UTF-8"))
+    assert(row.getAs[Int]("shard") == ((hex(0) & 0xff) % 8))
+    intercept[IllegalArgumentException](Sampling.shardId(col("doc_id"), 7))
+  }
+
+  test("training-shard writer partitions by assignment with in-shard hash order") {
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft-test-shards-${java.util.UUID.randomUUID()}"
+    val docs = Tables.documents(spark, sf)
+    graft.ops.Layout.writeTrainingShards(docs, "doc_id", dir, 4)
+    val back = spark.read.parquet(dir)
+    // lossless: every doc lands in exactly its assigned shard
+    assert(back.count() == docs.count())
+    val misplaced = back.filter(
+      col("shard") =!= Sampling.shardId(col("doc_id"), 4)).count()
+    assert(misplaced == 0L)
+    // in-shard order is the md5 order: a sequential reader sees the
+    // hash interleave, never a source's rows back to back
+    val shard0 = spark.read.parquet(s"$dir/shard=0")
+      .select(md5(col("doc_id").cast("string")).as("h")).collect()
+      .map(_.getString(0))
+    assert(shard0.sameElements(shard0.sorted), "shard 0 not in hash order")
+  }
 }
