@@ -320,6 +320,16 @@ object SparkEntry {
         Dedup.embedNearDup(Tables.embeddings(s, d), 0.15, col("vec_id") % 7 === 0)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")),
         k = 6).orderBy("node")),
+    // seed-coverage audit: hop distance to the nearest curated seed
+    // over the knn graph (null dist = unreached within the bound;
+    // the converged flag says whether that means disconnected)
+    "graph_bfs" -> ((s, d) =>
+      graft.ops.Graph.bfsDistances(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"),
+        Tables.embeddings(s, d).filter(col("vec_id") % 35 === 0)
+          .select(col("vec_id").as("node")),
+        rounds = 6).orderBy("node")),
     // one-glance shape report of the radius graph: nodes per degree
     "graph_degree_stats" -> ((s, d) =>
       graft.ops.Graph.degreeHistogram(
@@ -774,6 +784,39 @@ object SparkEntry {
       |kconv AS (SELECT (SELECT count(*) FROM und5) = (SELECT count(*) FROM und6)
       |            AS converged)
       |SELECT src AS node, degree, converged FROM kfin CROSS JOIN kconv
+      |ORDER BY node""".stripMargin
+
+  /** One synchronous BFS relaxation round: reached nodes push
+    * dist+1, unreached neighbors adopt the minimum (reached nodes
+    * keep their first — already-shortest — assignment). */
+  private def bfsStepSql(i: Int): String = {
+    val prev = s"d${i - 1}"
+    s"""r$i AS (SELECT u.dst AS node, min(p.dist + 1) AS cand
+       |       FROM und u JOIN $prev p ON p.node = u.src
+       |       WHERE p.dist IS NOT NULL GROUP BY 1),
+       |d$i AS MATERIALIZED (SELECT p.node, coalesce(p.dist, r.cand) AS dist
+       |       FROM $prev p LEFT JOIN r$i r ON r.node = p.node),
+       |""".stripMargin
+  }
+
+  /** Multi-source BFS replay over the knn edges: 6 synchronous
+    * relaxation rounds from the `node % 35 = 0` seeds, plus the
+    * reached-count convergence flag. */
+  private val graphBfsSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+      |        (SELECT src, dst FROM e WHERE src <> dst
+      |         UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+      |nodes AS (SELECT DISTINCT src AS node FROM und),
+      |d0 AS MATERIALIZED (SELECT node,
+      |        CASE WHEN node % 35 = 0 THEN CAST(0 AS BIGINT) END AS dist
+      |      FROM nodes),
+      |""".stripMargin +
+    (1 to 6).map(bfsStepSql).mkString +
+    """conv AS (SELECT (SELECT count(*) FROM d5 WHERE dist IS NOT NULL)
+      |               = (SELECT count(*) FROM d6 WHERE dist IS NOT NULL)
+      |           AS converged)
+      |SELECT node, dist, converged FROM d6 CROSS JOIN conv
       |ORDER BY node""".stripMargin
 
   /** Degree histogram over the same cosine-radius edge list as the
@@ -2132,6 +2175,7 @@ object SparkEntry {
     "graph_components" -> graphComponentsSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
+    "graph_bfs" -> graphBfsSql,
     "sim_range_search" -> simRangeSearchSql,
     "sample_leak_audit" -> sampleLeakAuditSql,
     "sim_knn_graph" -> (knnRankedCte +

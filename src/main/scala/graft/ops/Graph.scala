@@ -349,4 +349,71 @@ object Graph {
       .orderBy(col("jaccard").desc, col("u"), col("v"))
       .limit(k)
   }
+
+  /** Bounded-round multi-source BFS: every graph node's hop distance
+    * to its nearest seed (the influence-radius / coverage audit — how
+    * far is each doc from a curated prototype; which corners of the
+    * near-dup graph do the seeds not reach). Synchronous layered
+    * relaxation: each round reached nodes push `dist + 1` to their
+    * neighbors, unreached neighbors adopt the minimum — in BFS a
+    * node's FIRST assignment is already its shortest distance, so
+    * rounds only ever fill nulls, never revise (which is what makes
+    * the replay engine-exact). O(diameter) rounds bounded by
+    * `rounds`, one keyed join + one aggregation each, per-round
+    * lineage truncation like every iterative graph op here.
+    *
+    * `dist` is null for nodes unreached within `rounds`; the global
+    * `converged` flag (reached-set unchanged across the last two
+    * rounds — every audit ships its own check, the k-core
+    * discipline) says whether those nulls mean DISCONNECTED or
+    * merely beyond the bound. Seeds outside the edge list are
+    * ignored: distances are a property of the graph.
+    */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+                   rounds: Int = 6): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct()
+    var dist = nodes
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("d0", lit(0L)), Seq("node"), "left")
+      .select(col("node"), col("d0").as("dist"))
+      .localCheckpoint()
+    var prev = dist
+    var converged = false
+    var round = 0
+    while (round < rounds && !converged) {
+      val relax = und
+        .join(dist.filter(col("dist").isNotNull)
+          .select(col("node").as("src"), col("dist")).hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + 1L).as("cand"))
+      prev = dist
+      dist = dist.join(relax.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("dist"), col("cand")).as("dist"))
+        .localCheckpoint()
+      // fixpoint early exit: assignments only fill nulls, so a round
+      // that reaches no new node proves the rest are no-ops — skip
+      // them without changing a single output bit (the final round
+      // has nothing left to save, so compare only before it)
+      round += 1
+      converged = round < rounds && dist.as("n")
+        .join(prev.select(col("node"), col("dist").as("old_dist"))
+          .hint("shuffle_hash"), Seq("node"))
+        .filter(col("dist").isNotNull && col("old_dist").isNull)
+        .isEmpty
+    }
+    // in-plan convergence flag over the two checkpointed frames —
+    // identical to the loop's own compare (and to it at the bound,
+    // where the loop never compared)
+    val conv = prev.filter(col("dist").isNotNull)
+      .agg(count(lit(1)).as("n_prev"))
+      .crossJoin(dist.filter(col("dist").isNotNull)
+        .agg(count(lit(1)).as("n_last")))
+      .select((col("n_prev") === col("n_last")).as("converged"))
+    dist.crossJoin(broadcast(conv))
+  }
 }

@@ -216,4 +216,51 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"))).toSet
     assert(capped == Set((1L, 2L), (3L, 4L)), s"got $capped")
   }
+
+  test("bfs: layered distances, disconnected nulls, converged flag") {
+    import spark.implicits._
+    // path 1-2-3-4-5 seeded at 1, plus a disconnected pair {10,11};
+    // seed 99 is not a graph node and must be ignored
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val rows = Graph.bfsDistances(edges, seeds, rounds = 6).collect()
+    val d = rows.map(r => r.getAs[Long]("node") ->
+      Option(r.getAs[java.lang.Long]("dist")).map(_.toLong)).toMap
+    assert(d == Map(1L -> Some(0L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> Some(3L), 5L -> Some(4L), 10L -> None, 11L -> None), s"got $d")
+    // the reached set stopped growing before the bound: nulls mean
+    // DISCONNECTED, and the flag certifies it
+    assert(rows.forall(_.getAs[Boolean]("converged")))
+  }
+
+  test("bfs: a path deeper than the bound reports converged = false") {
+    import spark.implicits._
+    val edges = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val rows = Graph.bfsDistances(edges, Seq(1L).toDF("node"), rounds = 3)
+      .collect()
+    val d = rows.map(r => r.getAs[Long]("node") ->
+      Option(r.getAs[java.lang.Long]("dist")).map(_.toLong)).toMap
+    // exactly the first 3 layers reached; the frontier was still
+    // moving, so the nulls are NOT certified disconnected
+    assert(d(4L) == Some(3L) && d(5L).isEmpty, s"got $d")
+    assert(rows.forall(!_.getAs[Boolean]("converged")))
+    // two more rounds certify: same graph, bound past the diameter
+    val full = Graph.bfsDistances(edges, Seq(1L).toDF("node"), rounds = 12)
+      .collect()
+    assert(full.forall(_.getAs[Boolean]("converged")))
+    assert(full.map(r => r.getAs[Long]("node") -> r.getAs[java.lang.Long]("dist"))
+      .toMap.forall { case (n, dd) => dd.toLong == n - 1 })
+  }
+
+  test("bfs: multi-source takes the nearest seed") {
+    import spark.implicits._
+    val edges = (1L until 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val d = Graph.bfsDistances(edges, Seq(1L, 7L).toDF("node"), rounds = 6)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[java.lang.Long]("dist").toLong)
+      .toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 2L,
+      6L -> 1L, 7L -> 0L), s"got $d")
+  }
 }
