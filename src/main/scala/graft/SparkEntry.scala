@@ -291,6 +291,10 @@ object SparkEntry {
     // §2d similarity search
     "sim_brute_topk" -> ((s, d) =>
       Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    // exact inner-product top-k (norm-aware retrieval); the augmented
+    // cosine reduction for the ANN paths is spec-pinned rank-equal
+    "sim_mips" -> ((s, d) =>
+      Similarity.mipsTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ivf" -> ((s, d) =>
@@ -2191,6 +2195,17 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
         |           FROM scored)
         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
+    "sim_mips" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q_id, e.vec_id,
+        |             round(list_inner_product(q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS dot
+        |           FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |ranked AS (SELECT q_id, vec_id, dot,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rank
+        |           FROM scored)
+        |SELECT q_id, rank, vec_id, dot FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
     // byte-based (hex-nibble) oracle: sums the UTF-8 payload BYTES like
     // StubKernel does, so parity holds for non-ASCII text and empty docs

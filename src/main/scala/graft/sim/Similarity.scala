@@ -680,6 +680,57 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): the retrieval
+    * objective when vector NORMS carry signal (recommendation
+    * scores, unnormalized query-document relevance) — cosine top-k
+    * answers a different question the moment norms vary. Same scan
+    * discipline as [[bruteTopK]]: queries broadcast, corpus scanned
+    * once, the codegen'd dot kernel scores in-line, selection runs
+    * through the native TopKPerKey heaps so only k rows per query
+    * survive each partition.
+    */
+  def mipsTopK(embeddings: DataFrame, queryFilter: Column, k: Int): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot_ff(col("q_emb"), col("embedding")), 6).as("dot"))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq("q_id"),
+        Seq(col("dot").desc, col("vec_id").asc), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("q_id", "rank", "vec_id", "dot")
+  }
+
+  /** The MIPS → cosine reduction (the asymmetric-transform trick of
+    * the MIPS-as-LSH literature): corpus vectors get one appended
+    * coordinate holding `sqrt(M² − ‖x‖²)` (M = max corpus norm, one
+    * aggregate pass); rows matching `queryFilter` get `0` instead —
+    * the transform is ASYMMETRIC, and applying the sqrt term to a
+    * query would add a norm-dependent cross term that breaks the
+    * ranking. Every augmented corpus vector has norm exactly M, so
+    * augmented cosine is `⟨q,x⟩ / (‖q‖·M)` — monotone in the inner
+    * product per query — and dot-product retrieval rides ANY of the
+    * cosine ANN paths (LSH / IVF / PQ) on the returned frame with
+    * the same `queryFilter`, unchanged. The one contract change:
+    * zero-augmented query rows no longer rank correctly as CORPUS
+    * candidates of other queries (out-of-corpus queries — the usual
+    * MIPS posture — are unaffected). Spec pins rank-equivalence of
+    * augmented-cosine retrieval with [[mipsTopK]].
+    */
+  def mipsAugment(embeddings: DataFrame, queryFilter: Column): DataFrame = {
+    val normSq = dot_ff(col("embedding"), col("embedding"))
+    val maxSq = embeddings.agg(max(normSq).as("max_sq"))
+    embeddings
+      .crossJoin(broadcast(maxSq))
+      .select(col("vec_id"),
+        concat(col("embedding"),
+          array(when(queryFilter, lit(0.0d))
+            .otherwise(sqrt(greatest(col("max_sq") - normSq, lit(0.0d))))
+            .cast("float"))).as("embedding"))
+  }
+
   def annIvf(embeddings: DataFrame, queryFilter: Column, k: Int,
              centroidStride: Long = 50L, nProbe: Int = 2,
              kmeansIters: Int = 0, dim: Int = 64): DataFrame = {

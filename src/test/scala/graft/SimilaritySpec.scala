@@ -325,4 +325,61 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("recall") - expect / 5.0) < 1e-9)
     }
   }
+
+  test("mips top-k ranks by inner product, not cosine") {
+    import spark.implicits._
+    // q = (1,0). Corpus: big aligned (10,0), unit aligned (1,0) twin,
+    // slightly-off huge (10,5): cosine prefers the unit twin over the
+    // off-axis giant, MIPS prefers raw magnitude
+    val emb = Seq(
+      (0L, Array(1f, 0f), "q"),
+      (1L, Array(10f, 0f), "c"),
+      (2L, Array(1f, 0f), "c"),
+      (3L, Array(10f, 5f), "c")).toDF("vec_id", "embedding", "label")
+    val mips = Similarity.mipsTopK(emb, col("vec_id") === 0, 3).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id"))
+    assert(mips.toSeq == Seq(1L, 3L, 2L), s"got ${mips.toSeq}")
+    val cos = Similarity.bruteTopK(emb, col("vec_id") === 0, 3).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id"))
+    // cosine ties the aligned pair ahead of the off-axis giant
+    assert(cos.take(2).toSet == Set(1L, 2L) && cos(2) == 3L, s"got ${cos.toSeq}")
+  }
+
+  test("norm augmentation makes cosine ranking equal MIPS ranking") {
+    import graft.functions.expressions.{cosine_sim, dot_ff}
+    val emb = Tables.embeddings(spark, sf)
+    val isQuery = col("vec_id") < 10
+    val aug = Similarity.mipsAugment(emb, isQuery)
+    // every augmented CORPUS vector has the same norm (= max corpus
+    // norm), which is the whole point of the reduction
+    val norms = aug.filter(!isQuery).select(
+      dot_ff(col("embedding"), col("embedding")).as("sq"))
+      .agg(min("sq").as("lo"), max("sq").as("hi")).head()
+    assert(norms.getAs[Double]("hi") - norms.getAs[Double]("lo") < 1e-3)
+    // per-query ranking parity against out-of-corpus candidates (the
+    // documented MIPS posture: zero-augmented query rows don't serve
+    // as corpus candidates): exact dot on the originals vs cosine on
+    // the augmented frame, same deterministic tie-break
+    def ranking(corpus: org.apache.spark.sql.DataFrame,
+                queries: org.apache.spark.sql.DataFrame,
+                score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+                  org.apache.spark.sql.Column): Map[Long, Seq[Long]] = {
+      val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      corpus.join(broadcast(q))
+        .select(col("q_id"), col("vec_id"),
+          score(col("q_emb"), col("embedding")).as("s"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("s").desc, col("vec_id"))))
+        .filter(col("rank") <= 5).collect()
+        .groupBy(_.getAs[Long]("q_id"))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq }
+    }
+    val mips = ranking(emb.filter(!isQuery), emb.filter(isQuery), dot_ff(_, _))
+    val augCos = ranking(aug.filter(!isQuery), aug.filter(isQuery), cosine_sim(_, _))
+    assert(mips.nonEmpty)
+    mips.foreach { case (q, expect) =>
+      assert(augCos(q) == expect, s"query $q: aug=${augCos(q)} mips=$expect") }
+  }
 }
