@@ -77,6 +77,9 @@ object SparkEntry {
       graft.ops.Events.retention(Tables.events(s, d)).orderBy("cohort_week", "week_offset")),
     "events_anomaly" -> ((s, d) =>
       graft.ops.Events.anomaly(Tables.events(s, d)).orderBy("event_id")),
+    // full-distribution drift: binned two-sample KS per event type
+    "events_drift" -> ((s, d) =>
+      graft.ops.Events.valueDrift(Tables.events(s, d)).orderBy("etype")),
     "events_rolling_actives" -> ((s, d) =>
       graft.ops.Events.rollingActives(Tables.events(s, d)).orderBy("day")),
     "events_markov" -> ((s, d) =>
@@ -2240,6 +2243,40 @@ object SparkEntry {
         |        FROM exp e JOIN days USING (day) GROUP BY e.day)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
+    // binned two-sample KS replay: q33 bin convention, integer time
+    // split, dense grid cumulative ECDFs, 6dp round AFTER the max
+    "events_drift" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi,
+        |                  min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+        |           FROM events),
+        |c AS (SELECT event_type AS etype,
+        |        CASE WHEN epoch_us(ts) * 2 <= b.t0 + b.t1
+        |             THEN 'ref' ELSE 'cur' END AS win,
+        |        CAST(least(floor(((value - b.lo) * 20) / (b.hi - b.lo)),
+        |                   19) AS BIGINT) AS bin,
+        |        count(*) AS n
+        |      FROM events CROSS JOIN b GROUP BY 1, 2, 3),
+        |grid AS (SELECT etype, bin, win
+        |         FROM (SELECT DISTINCT etype FROM c)
+        |         CROSS JOIN range(20) r(bin)
+        |         CROSS JOIN (VALUES ('ref'), ('cur')) w(win)),
+        |cum AS (SELECT g.etype, g.bin, g.win,
+        |          sum(coalesce(c.n, 0)) OVER (PARTITION BY g.etype, g.win
+        |                                      ORDER BY g.bin) AS cum,
+        |          sum(coalesce(c.n, 0)) OVER (PARTITION BY g.etype, g.win)
+        |            AS tot
+        |        FROM grid g LEFT JOIN c
+        |          ON c.etype = g.etype AND c.win = g.win AND c.bin = g.bin),
+        |r AS (SELECT etype, bin, CAST(cum AS DOUBLE) / tot AS f_ref,
+        |             tot AS n_ref FROM cum WHERE win = 'ref'),
+        |u AS (SELECT etype, bin, CAST(cum AS DOUBLE) / tot AS f_cur,
+        |             tot AS n_cur FROM cum WHERE win = 'cur')
+        |SELECT r.etype, CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |       CAST(max(n_cur) AS BIGINT) AS n_cur,
+        |       round(max(abs(f_ref - f_cur)), 6) AS ks,
+        |       round(max(abs(f_ref - f_cur)), 6) > 0.1 AS drifted
+        |FROM r JOIN u ON u.etype = r.etype AND u.bin = r.bin
+        |GROUP BY r.etype ORDER BY r.etype""".stripMargin,
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

@@ -260,4 +260,52 @@ class EventsSpec extends SparkSpec {
       "click" -> (3L, 15.0), "view" -> (1L, 5.0), "direct" -> (2L, 5.0)),
       s"got $out")
   }
+
+  test("value drift: a shifted second half fires KS, a stable one does not") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // time range [0s, 1000s] → split at 500s. Type "stable" repeats
+    // the same values in both halves (ks = 0); type "shifted" moves
+    // from the bottom of the range to the top (ks → 1)
+    val rows =
+      (1 to 50).map(i => (i.toLong, new Timestamp(i * 1000L), 1L,
+        "stable", (i % 10).toDouble)) ++
+      (1 to 50).map(i => (100L + i, new Timestamp(600000L + i * 1000L), 1L,
+        "stable", (i % 10).toDouble)) ++
+      (1 to 50).map(i => (200L + i, new Timestamp(i * 1000L), 1L,
+        "shifted", (i % 10).toDouble)) ++
+      (1 to 50).map(i => (300L + i, new Timestamp(600000L + i * 1000L), 1L,
+        "shifted", 90.0 + (i % 10))) :+
+      // pin the global range so bins are stable: [0, 100]
+      (999L, new Timestamp(1000L), 1L, "stable", 100.0)
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.valueDrift(ev).collect()
+      .map(r => r.getAs[String]("etype") ->
+        (r.getAs[Double]("ks"), r.getAs[Boolean]("drifted"))).toMap
+    assert(out("shifted")._1 > 0.9 && out("shifted")._2, s"got $out")
+    assert(out("stable")._1 < 0.05 && !out("stable")._2, s"got $out")
+    // counts partition exactly at the midpoint
+    val ns = Events.valueDrift(ev).collect()
+      .map(r => r.getAs[String]("etype") ->
+        (r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"))).toMap
+    assert(ns("shifted") == ((50L, 50L)), s"got $ns")
+    assert(ns("stable") == ((51L, 50L)), s"got $ns")
+  }
+
+  test("value drift ECDFs are exact on a hand-computed two-bin case") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // range [0,100] → 20 bins of width 5. ref: 4 values in bin 0,
+    // cur: 2 in bin 0 + 2 in bin 19 → max |F diff| = |1.0 - 0.5| at
+    // bins 0..18
+    val rows = Seq(
+      (1L, 10L, 0.0), (2L, 20L, 1.0), (3L, 30L, 2.0), (4L, 40L, 3.0),
+      (5L, 900L, 0.0), (6L, 910L, 1.0), (7L, 920L, 100.0), (8L, 930L, 99.0))
+      .map { case (e, s, v) => (e, new Timestamp(s * 1000), 1L, "t", v) }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Events.valueDrift(ev).collect().head
+    assert(r.getAs[Long]("n_ref") == 4L && r.getAs[Long]("n_cur") == 4L)
+    assert(math.abs(r.getAs[Double]("ks") - 0.5) < 1e-9, s"got $r")
+    assert(r.getAs[Boolean]("drifted"))
+  }
 }
