@@ -57,7 +57,12 @@ object AppendSink {
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
     val bs = batches(spark, dir)
     if (bs.isEmpty) None
-    else Some(spark.read.parquet(bs.map(b => s"$dir/$BatchPrefix$b"): _*))
+    // basePath anchors partition discovery at the topic root: batch
+    // dirs surface as a `b` provenance column, and nested partition
+    // layouts (the sharded sink) resolve against ONE root instead of
+    // conflicting per-batch roots
+    else Some(spark.read.option("basePath", dir)
+      .parquet(bs.map(b => s"$dir/$BatchPrefix$b"): _*))
   }
 
   /** Attach the sink to a streaming frame. */
@@ -92,4 +97,56 @@ object AppendSink {
           statsCols): Unit
       }
       .start()
+
+  /** Idempotent publish of one micro-batch ROUTED INTO TRAINING
+    * SHARDS: rows land under `b=<id>/shard=K` by
+    * [[graft.ops.Sampling.shardId]] (the same pure md5 assignment as
+    * the batch [[graft.ops.Layout.writeTrainingShards]] writer —
+    * one definition, both paths), ordered within each shard by the
+    * full key hash. The whole batch still publishes as ONE immutable
+    * atomic rename, so replay/race semantics are unchanged — a
+    * reader never sees some shards of a batch without the others.
+    */
+  def commitShardedBatch(batch: DataFrame, batchId: Long, dir: String,
+                         key: String, nShards: Int): Boolean = {
+    import org.apache.spark.sql.functions._
+    VersionedStore.commit(batch.sparkSession, dir, s"$BatchPrefix$batchId") {
+      staging =>
+        batch
+          .withColumn("shard", graft.ops.Sampling.shardId(col(key), nShards))
+          .withColumn("__ord", md5(col(key).cast("string")))
+          .repartition(nShards, col("shard"))
+          .sortWithinPartitions("shard", "__ord")
+          .drop("__ord")
+          .write.partitionBy("shard").mode(SaveMode.Overwrite)
+          .parquet(staging.toString)
+    }
+  }
+
+  /** The streaming twin of the batch training-shard writer: each
+    * micro-batch exactly-once-appends into the sharded layout, so
+    * the corpus is training-ready AS IT ARRIVES — no terminal
+    * reshuffle job between ingestion and the first training epoch.
+    */
+  def attachSharded(route: DataFrame, dir: String, checkpointDir: String,
+                    key: String, nShards: Int): StreamingQuery =
+    route.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitShardedBatch(batch, batchId, dir, key, nShards): Unit
+      }
+      .start()
+
+  /** One shard's rows across every committed batch (the trainer's
+    * read path: worker K streams shard K). Batches that happened to
+    * produce no rows for the shard are skipped; None when nothing
+    * has landed for it yet.
+    */
+  def readShard(spark: SparkSession, dir: String, shard: Int): Option[DataFrame] = {
+    val (fs, _) = VersionedStore.fsOf(spark, dir)
+    val paths = batches(spark, dir)
+      .map(b => s"$dir/$BatchPrefix$b/shard=$shard")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
 }

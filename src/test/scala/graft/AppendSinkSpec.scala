@@ -103,4 +103,56 @@ class AppendSinkSpec extends SparkSpec {
     assert(streamed.map(_._2).distinct.length == streamed.length)
     assert(AppendSink.batches(spark, dir).size >= 2)
   }
+
+  test("sharded sink places every row in its md5 shard; replay is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = tmp("sharded")
+    val docs = Tables.documents(spark, sf).limit(100)
+    assert(AppendSink.commitShardedBatch(docs, 0L, dir, "doc_id", 4))
+    // adversarial replay: different content under the same batch id
+    // must not land
+    assert(!AppendSink.commitShardedBatch(docs.limit(1), 0L, dir, "doc_id", 4))
+    val second = Tables.documents(spark, sf)
+      .orderBy(col("doc_id").desc).limit(50)
+    assert(AppendSink.commitShardedBatch(second, 1L, dir, "doc_id", 4))
+    // union across batches, no duplicates from the replay
+    val all = AppendSink.read(spark, dir).get
+    assert(all.count() == docs.count() + second.count())
+    // every row of shard 2 across batches hashes to shard 2, and the
+    // reader returns exactly the assigned subset
+    val expected = docs.unionByName(second)
+      .filter(graft.ops.Sampling.shardId(col("doc_id"), 4) === 2)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val got = AppendSink.readShard(spark, dir, 2).get
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(expected))
+    // a shard with nothing landed reads as None
+    assert(AppendSink.readShard(spark, dir, 9).isEmpty)
+  }
+
+  test("sharded sink streams micro-batches into training-ready shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlc = spark.sqlContext
+    val dir = tmp("sharded-stream")
+    val ckpt = tmp("sharded-ckpt")
+    val input = MemoryStream[EventRow]
+    val q = AppendSink.attachSharded(input.toDF(), dir, ckpt,
+      key = "event_id", nShards = 4)
+    input.addData((1L to 40L).map(i => ev(i, i % 5, "click")): _*)
+    q.processAllAvailable()
+    input.addData((41L to 60L).map(i => ev(i, i % 5, "view")): _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = AppendSink.read(spark, dir).get
+    assert(all.count() == 60L)
+    val misplaced = all.filter(col("shard") =!=
+      graft.ops.Sampling.shardId(col("event_id"), 4)).count()
+    assert(misplaced == 0L)
+    val perShard = (0 until 4).flatMap(s =>
+      AppendSink.readShard(spark, dir, s).toSeq.flatMap(
+        _.select("event_id").collect().map(_.getLong(0))))
+    assert(perShard.sorted == (1L to 60L))
+  }
 }
