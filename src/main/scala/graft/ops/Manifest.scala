@@ -32,6 +32,7 @@ object Manifest {
 
   private def minCol(c: String) = s"min_$c"
   private def maxCol(c: String) = s"max_$c"
+  private def bloomCol(c: String) = s"bloom_$c"
 
   /** One row per data file under `dataDir`: `file_path`, `n_rows`,
     * and `min_<c>`/`max_<c>` for each tracked column. One distributed
@@ -158,5 +159,98 @@ object Manifest {
       if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
       else spark.read.parquet(files: _*)
     base.where(col(c).between(lit(lo), lit(hi)))
+  }
+
+  // ------------------------------------------------------------------
+  // Per-file bloom index: point-lookup pruning where min/max can't.
+  //
+  // Range stats prune when the layout CLUSTERS the column; a point
+  // lookup on an unclustered high-cardinality key (doc_id in an
+  // arrival-ordered corpus, user_id in an event log) intersects every
+  // file's [min,max] and the manifest admits everything. A per-file
+  // bloom over xxhash64(key) closes that gap: ~1 byte per row of
+  // manifest instead of opening the file — at 3% fpp a needle query
+  // opens the one true file plus ~3% of the rest, vs 100% with range
+  // stats alone. The bits are Spark's own OR-merged sketch
+  // (order-independent ⇒ deterministic), and false positives only ADD
+  // candidate files — the residual predicate keeps the read exact.
+  // ------------------------------------------------------------------
+
+  /** [[build]] plus a `bloom_<c>` column per `bloomCols` entry: the
+    * file's bloom filter over `xxhash64(c)`. `expectedPerFile` sizes
+    * the bits (manifest grows ~`-rows·ln(fpp)/ln²2` bits per file —
+    * the sizing lever between manifest weight and fpp).
+    */
+  def buildWithBloom(spark: SparkSession, dataDir: String,
+                     statsCols: Seq[String], bloomCols: Seq[String],
+                     expectedPerFile: Long = 100000L,
+                     fpp: Double = 0.03): DataFrame = {
+    require(statsCols.nonEmpty, "at least one stats column")
+    require(bloomCols.nonEmpty, "at least one bloom column")
+    val aggs = (count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c =>
+        Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))) ++
+      bloomCols.map(c => org.apache.spark.sql.GraftBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          org.apache.spark.sql.GraftBridge.expression(xxhash64(col(c))),
+          org.apache.spark.sql.GraftBridge.expression(lit(expectedPerFile)),
+          org.apache.spark.sql.GraftBridge.expression(
+            lit(BloomPrefilter.numBits(expectedPerFile, fpp))))
+          .toAggregateExpression()).as(bloomCol(c)))
+    spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file_path") +:
+        (statsCols ++ bloomCols).distinct.map(col): _*)
+      .groupBy("file_path")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Driver-side mirror of the executor hash: `value` cast to the
+    * column's type, then the same seed-42 xxhash64 the bloom was
+    * built over.
+    */
+  private def pointHash(value: Any,
+                        dt: org.apache.spark.sql.types.DataType): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    XxHash64(Seq(Cast(Literal(value), dt)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+  }
+
+  /** Files whose `bloom_<c>` might contain `value` (typed `dt`, the
+    * data column's type — hashing an INT literal against a BIGINT
+    * column's bloom would silently admit nothing). The manifest is
+    * the O(files) planning table, so this membership walk IS the
+    * planning step. Null blooms (all-null files) are dropped: a null
+    * cell never equals a point value.
+    */
+  def pruneFilesPoint(manifest: DataFrame, c: String, value: Any,
+                      dt: org.apache.spark.sql.types.DataType): Seq[String] = {
+    val h = pointHash(value, dt)
+    manifest.select(col("file_path"), col(bloomCol(c)))
+      .collect()
+      .filter { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        bytes != null && org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(h)
+      }
+      .map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Exact equivalent of
+    * `spark.read.parquet(dataDir).where(col(c) === value)` that opens
+    * only the files whose bloom admits the value — the needle query
+    * over an unclustered key. False positives are removed by the
+    * residual equality predicate; false negatives cannot happen, so
+    * the result is identical to the full scan by construction.
+    */
+  def readPoint(spark: SparkSession, dataDir: String, manifest: DataFrame,
+                c: String, value: Any): DataFrame = {
+    val dt = spark.read.parquet(dataDir).schema(c).dataType
+    val files = pruneFilesPoint(manifest, c, value, dt)
+    val base =
+      if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))
+      else spark.read.parquet(files: _*)
+    base.where(col(c) === lit(value))
   }
 }

@@ -122,4 +122,58 @@ class ManifestSpec extends SparkSpec {
     assert(loaded.isDefined)
     assert(loaded.get.agg(sum("n_rows")).head().getLong(0) == 500L)
   }
+
+  test("bloom manifest: point read is exact and opens a file subset") {
+    val dataDir = freshDir("bloom")
+    // UNCLUSTERED key: hash-scrambled doc_id order, so every file's
+    // [min,max] spans nearly the whole id range and range stats are
+    // useless for a point lookup — exactly the bloom's territory
+    Tables.documents(spark, sf)
+      .repartition(8, md5(col("doc_id").cast("string")))
+      .write.mode("overwrite").parquet(dataDir)
+    val m = Manifest.buildWithBloom(spark, dataDir,
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"),
+      expectedPerFile = 1000L)
+    val full = spark.read.parquet(dataDir)
+    val nFiles = full.inputFiles.length
+    assert(nFiles >= 8)
+    // range pruning admits everything for a mid-range id (the
+    // negative control: scrambled layout ⇒ every file's interval
+    // covers the middle of the key range)
+    val n = full.count()
+    val midId = full.select("doc_id").orderBy("doc_id")
+      .limit((n / 2).toInt).orderBy(col("doc_id").desc).head().getLong(0)
+    assert(Manifest.pruneFiles(m, "doc_id", midId, midId).size == nFiles)
+    // point read: row-identical to the full filtered scan, no false
+    // negatives across a sample of present keys, and the needle opens
+    // a strict file subset
+    val ids = full.select("doc_id").limit(20).collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val got = Manifest.readPoint(spark, dataDir, m, "doc_id", id)
+      val expect = full.where(col("doc_id") === id)
+      assert(got.count() == expect.count() && got.count() == 1L, s"id $id")
+      assert(got.inputFiles.length < nFiles, s"no pruning for $id")
+    }
+    // an absent key prunes to (almost always) nothing and reads empty
+    val absent = Manifest.readPoint(spark, dataDir, m, "doc_id", -999999L)
+    assert(absent.count() == 0L)
+  }
+
+  test("bloom manifest survives the versioned write/load round trip") {
+    val dataDir = freshDir("bloom-rt")
+    val manifestDir = freshDir("bloom-rt-m")
+    Tables.documents(spark, sf).limit(200)
+      .repartition(4, md5(col("doc_id").cast("string")))
+      .write.mode("overwrite").parquet(dataDir)
+    val m = Manifest.buildWithBloom(spark, dataDir,
+      Seq("doc_id"), Seq("doc_id"), expectedPerFile = 1000L)
+    graft.ops.VersionedStore.commit(spark, manifestDir, "v=1") { staging =>
+      m.coalesce(1).write.parquet(staging.toString)
+    }
+    val loaded = Manifest.load(spark, manifestDir).get
+    val id = spark.read.parquet(dataDir)
+      .select("doc_id").head().getLong(0)
+    val got = Manifest.readPoint(spark, dataDir, loaded, "doc_id", id)
+    assert(got.count() == 1L)
+  }
 }
