@@ -343,6 +343,9 @@ object SparkEntry {
         Dedup.embedNearDup(Tables.embeddings(s, d), 0.15, col("vec_id") % 7 === 0)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")))
         .orderBy("degree")),
+    // IVF cell-balance audit: the ANN twin of the q32 skew profile
+    "sim_cell_balance" -> ((s, d) =>
+      Similarity.cellBalance(Tables.embeddings(s, d)).orderBy("cell_id")),
     // measured recall@k of the production IVF path vs brute ground
     // truth on the probe query set
     "sim_recall_audit" -> ((s, d) =>
@@ -938,6 +941,26 @@ object SparkEntry {
   /** IVF replay: stride centroids, bit-exact cosine argmax
     * assignment (DuckDB list_cosine_similarity == sequential-double
     * kernel), 2-probe query cells, 6dp rerank. */
+  /** Cell-balance replay: the sim_ivf assignment CTE + exact-integer
+    * hot flag arithmetic. */
+  private val simCellBalanceSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |asg AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+      |  FROM corpus CROSS JOIN cents),
+      |sizes AS (SELECT cell_id, count(*) AS n_vecs FROM asg
+      |          WHERE rn = 1 GROUP BY 1),
+      |tot AS (SELECT sum(n_vecs) AS total, count(*) AS n_cells FROM sizes)
+      |SELECT cell_id, n_vecs,
+      |       round(CAST(n_vecs AS DOUBLE) / total, 4) AS share,
+      |       n_vecs * n_cells > total * 2 AS hot
+      |FROM sizes CROSS JOIN tot ORDER BY cell_id""".stripMargin
+
   private val simIvfSql: String =
     """WITH cents AS (
       |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
@@ -2683,6 +2706,7 @@ object SparkEntry {
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
+    "sim_cell_balance" -> simCellBalanceSql,
     // the IVF replay's top-k left-joined under the brute ground truth
     "sim_recall_audit" ->
       """WITH cents AS (

@@ -680,6 +680,33 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** IVF cell-balance audit: vectors per coarse cell, share of the
+    * corpus, and an exact-integer hot flag (cell > 2× the mean cell
+    * size, `n·cells > 2·total` — never a float boundary). An IVF
+    * deployment's query latency is gated by its HOTTEST probed cell
+    * and its recall by near-empty ones; this is the report that says
+    * re-train the coarse quantizer / split a cell before shipping
+    * the index — the ANN twin of the q32 join-key skew audit. Same
+    * packed-model assignment as the serving path (one corpus scan,
+    * zero shuffles before the per-cell count); every cell is
+    * non-empty because its centroid assigns to itself.
+    */
+  def cellBalance(embeddings: DataFrame,
+                  centroidStride: Long = 50L): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val sizes = assignPacked(corpus, packCentroids(centroids),
+        withResidual = false)
+      .groupBy("cell_id").agg(count(lit(1)).as("n_vecs"))
+    val tot = sizes.agg(sum("n_vecs").as("total"),
+      count(lit(1)).as("n_cells"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("n_vecs"),
+        round(col("n_vecs") / col("total"), 4).as("share"),
+        (col("n_vecs") * col("n_cells") > col("total") * 2).as("hot"))
+  }
+
   /** Exact maximum-inner-product top-k (MIPS): the retrieval
     * objective when vector NORMS carry signal (recommendation
     * scores, unnormalized query-document relevance) — cosine top-k

@@ -326,6 +326,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cell balance counts every vector once and flags a planted hot cell") {
+    import spark.implicits._
+    // centroids at vec_id 0, 50, 100 (stride 50). Cluster 6 extra
+    // vectors onto centroid 0's axis: cell 0 holds 7 of 9 vectors —
+    // 7·3 > 9·2, strictly above 2× the mean cell size → hot; the
+    // others hold 1 each (3 < 18 → cold)
+    val emb = (Seq(
+      (0L, Array(1f, 0f, 0f)), (50L, Array(0f, 1f, 0f)),
+      (100L, Array(0f, 0f, 1f)),
+      (1L, Array(0.9f, 0.1f, 0f)), (2L, Array(0.8f, 0.2f, 0f)),
+      (3L, Array(0.95f, 0.05f, 0f)), (4L, Array(0.85f, 0.15f, 0f)),
+      (5L, Array(0.99f, 0.01f, 0f)), (6L, Array(0.97f, 0.03f, 0f))))
+      .toDF("vec_id", "embedding").withColumn("label", lit("x"))
+    val out = Similarity.cellBalance(emb).collect()
+      .map(r => r.getAs[Long]("cell_id") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Boolean]("hot"))).toMap
+    assert(out == Map(0L -> (7L, true), 50L -> (1L, false),
+      100L -> (1L, false)), s"got $out")
+    // shares are exact fractions of a full partition of the corpus
+    val shares = Similarity.cellBalance(emb).agg(sum("n_vecs")).head().getLong(0)
+    assert(shares == 9L)
+  }
+
   test("mips top-k ranks by inner product, not cosine") {
     import spark.implicits._
     // q = (1,0). Corpus: big aligned (10,0), unit aligned (1,0) twin,
