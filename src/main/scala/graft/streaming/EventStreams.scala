@@ -388,4 +388,97 @@ object EventStreams {
       col(rightTs) <= col(leftTs)
     l.join(r, cond, if (leftOuter) "left_outer" else "inner")
   }
+
+  /** One distribution-drift emission: the type's rows-so-far and the
+    * current binned-KS distance to the reference ECDF. */
+  case class ValueDriftEmit(event_type: String, n_cur: Long, ks: Double)
+
+  /** Fit the REFERENCE side of the streaming drift monitor from a
+    * batch frame (yesterday's corpus): global [lo, hi] value bounds
+    * plus dense per-type bin counts in the q33/`Events.valueDrift`
+    * fixed-width convention. Model-sized driver collect (types ×
+    * bins longs) — the anomalyStream model-fitting posture.
+    */
+  def driftReference(reference: DataFrame, bins: Int = 20)
+      : (Double, Double, Map[String, Seq[Long]]) = {
+    require(bins > 0)
+    val b = reference.agg(min("value").as("lo"), max("value").as("hi")).head()
+    val (lo, hi) = (b.getAs[Double]("lo"), b.getAs[Double]("hi"))
+    require(hi > lo, s"degenerate value range [$lo, $hi]")
+    val rows = reference.select(col("event_type"),
+        least(floor(((col("value") - lo) * bins) / (hi - lo)),
+          lit(bins - 1L)).cast("int").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      .collect()
+    val byType = rows.groupBy(_.getAs[String]("event_type")).map {
+      case (t, rs) =>
+        val dense = Array.fill(bins)(0L)
+        rs.foreach(r => dense(r.getAs[Int]("bin")) = r.getAs[Long]("n"))
+        t -> dense.toSeq
+    }
+    (lo, hi, byType)
+  }
+
+  /** Streaming twin of [[graft.ops.Events.valueDrift]]: per-type
+    * binned value counts accumulate in keyed state (bounded at
+    * |types| × bins longs — no watermark needed for boundedness, the
+    * labelDriftState discipline), and every micro-batch emits the
+    * CURRENT two-sample KS distance of the type's stream-so-far
+    * against the reference ECDF fitted by [[driftReference]] and
+    * swapped out-of-band (anomalyStream's model-refresh contract).
+    * Arithmetic mirrors the batch operator bin for bin — same
+    * IEEE bin expression, exact integer cumulatives, double division,
+    * max before one 6dp HALF_UP round — so a stream that has seen
+    * exactly the batch operator's second window reports its `ks`
+    * (spec-pinned, extremes planted in the reference window so both
+    * sides share [lo, hi]). Values outside the reference range clamp
+    * to the edge bins: out-of-range mass is precisely the drift the
+    * monitor exists to flag, never an error. Types absent from the
+    * reference emit nothing (no comparable ECDF).
+    */
+  def valueDriftState(events: DataFrame, lo: Double, hi: Double,
+                      reference: Map[String, Seq[Long]], bins: Int = 20)
+                     (implicit spark: SparkSession): Dataset[ValueDriftEmit] = {
+    import spark.implicits._
+    require(bins > 0 && hi > lo)
+    val refEcdf: Map[String, Array[Double]] = reference.map { case (t, cs) =>
+      require(cs.length == bins, s"reference for $t has ${cs.length} bins")
+      val tot = cs.sum.toDouble
+      t -> cs.scanLeft(0L)(_ + _).tail.map(_ / tot).toArray
+    }
+    events.select(col("event_type"), col("value")).as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (etype: String, rows: Iterator[(String, Double)],
+         state: GroupState[Seq[Long]]) =>
+          val counts = state.getOption.map(_.toArray)
+            .getOrElse(Array.fill(bins)(0L))
+          rows.foreach { case (_, v) =>
+            val raw = math.floor(((v - lo) * bins) / (hi - lo))
+            val b = math.min(math.max(raw, 0.0), (bins - 1).toDouble).toInt
+            counts(b) += 1
+          }
+          state.update(counts.toSeq)
+          refEcdf.get(etype) match {
+            case None => Iterator.empty
+            case Some(rc) =>
+              val n = counts.sum
+              if (n == 0L) Iterator.empty
+              else {
+                var cum = 0L
+                var ks = 0.0
+                var j = 0
+                while (j < bins) {
+                  cum += counts(j)
+                  val d = math.abs(cum.toDouble / n - rc(j))
+                  if (d > ks) ks = d
+                  j += 1
+                }
+                Iterator.single(ValueDriftEmit(etype, n,
+                  BigDecimal(ks).setScale(6,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble))
+              }
+          }
+      }
+  }
 }

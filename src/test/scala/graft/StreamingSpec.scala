@@ -679,4 +679,68 @@ class StreamingSpec extends SparkSpec {
     assert(totals == batch, s"stream $totals vs batch $batch")
     assert(batch.keySet == Set("click", "view", "direct"))
   }
+
+  test("streaming value drift converges to the batch KS across batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    def row(id: Long, sec: Int, typ: String, v: Double) =
+      EventRow(id, new Timestamp(1700000000000L + sec * 1000L), 1L, typ, v, "{}")
+    // times span [1s, 670s] → the batch operator splits at the
+    // integer midpoint ~335s: reference rows sit at ≤ 201s, current
+    // at ≥ 601s. The global extremes (0 and 100) are PLANTED in the
+    // reference window so the batch [lo, hi] equals the reference fit's
+    val refRows =
+      (1 to 30).map(i => row(i, i, "steady", (i % 10).toDouble)) ++
+      (1 to 30).map(i => row(100 + i, i + 30, "moving", (i % 10).toDouble)) :+
+      row(500, 200, "steady", 100.0) :+ row(501, 201, "steady", 0.0)
+    val curRows =
+      (1 to 30).map(i => row(200 + i, 600 + i, "steady", (i % 10).toDouble)) ++
+      (1 to 30).map(i => row(300 + i, 640 + i, "moving", 80.0 + (i % 10)))
+    val all = (refRows ++ curRows).toDF()
+    val batchKs = graft.ops.Events.valueDrift(all).collect()
+      .map(r => r.getAs[String]("etype") ->
+        (r.getAs[Long]("n_cur"), r.getAs[Double]("ks"))).toMap
+    val (lo, hi, refCounts) =
+      graft.streaming.EventStreams.driftReference(refRows.toDF())
+    assert(lo == 0.0 && hi == 100.0)
+    // stream ONLY the current window, split mid-type across batches
+    val input = MemoryStream[EventRow]
+    val emits = graft.streaming.EventStreams.valueDriftState(
+      input.toDF(), lo, hi, refCounts)
+    val q = emits.writeStream.format("memory").queryName("vdrift")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(curRows.take(25)); q.processAllAvailable()
+      input.addData(curRows.drop(25)); q.processAllAvailable()
+    } finally q.stop()
+    // the LAST emission per type is the full-current-window KS — the
+    // batch operator's number, bit for bit
+    val last = spark.table("vdrift").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_cur"),
+        r.getAs[Double]("ks")))
+      .groupBy(_._1).map { case (t, es) => t -> es.maxBy(_._2) }
+    assert(last("steady")._2 == batchKs("steady")._1)
+    assert(last("steady")._3 == batchKs("steady")._2,
+      s"steady: ${last("steady")} vs ${batchKs("steady")}")
+    assert(last("moving")._3 == batchKs("moving")._2,
+      s"moving: ${last("moving")} vs ${batchKs("moving")}")
+    assert(last("moving")._3 > 0.9 && last("steady")._3 < 0.1)
+    // a type never seen in the reference emits nothing
+    val input2 = MemoryStream[EventRow]
+    val emits2 = graft.streaming.EventStreams.valueDriftState(
+      input2.toDF(), lo, hi, refCounts)
+    val q2 = emits2.writeStream.format("memory").queryName("vdrift2")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input2.addData(Seq(row(900, 700, "unseen", 5.0),
+        // out-of-range value clamps to the top edge bin, not an error
+        row(901, 701, "steady", 250.0)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val em2 = spark.table("vdrift2").collect()
+      .map(r => r.getAs[String]("event_type")).toSet
+    assert(em2 == Set("steady"))
+  }
 }
