@@ -68,6 +68,7 @@ object GraftExtensions {
     fn("lsh_sig", "vec, planes, table")(args => LshSig(args(0),
       intArg("lsh_sig", args(1)), intArg("lsh_sig", args(2)))),
     fn("byte_entropy", "text")(args => ByteEntropy(args(0))),
+    fn("bin_entropy", "payload")(args => BinEntropy(args(0))),
     fn("vec_sub", "vec_a, vec_b")(args => VecSubFF(args(0), args(1))),
     fn("jaccard_sim", "arr_a, arr_b")(args => JaccardSim(args(0), args(1))),
     fn("nearest_idx", "vec, cents")(args => NearestIdx(args(0), args(1))),

@@ -393,6 +393,10 @@ object SparkEntry {
       Multimodal.frameSample(Tables.documents(s, d)).orderBy("doc_id", "frame_idx")),
     "mm_shards" -> ((s, d) =>
       Multimodal.shardPlan(Tables.documents(s, d)).orderBy("doc_id")),
+    // byte-entropy audit of the binary payloads: the opaque-column
+    // garbage detector (compressed/encrypted vs padding/stuck)
+    "mm_entropy" -> ((s, d) =>
+      Multimodal.entropyAudit(Tables.documents(s, d)).orderBy("media_type")),
     "mm_dedup" -> ((s, d) =>
       Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
     // oracled: the 4-iteration power method replays exactly in SQL
@@ -2332,6 +2336,31 @@ object SparkEntry {
         |SELECT media_type, payload_md5, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies, CAST(sum(n_bytes) AS BIGINT) AS total_bytes
         |FROM m GROUP BY 1, 2 ORDER BY media_type, payload_md5""".stripMargin,
+    // per-payload 4dp entropies via the text_entropy hex-nibble
+    // replay, grouped by the derived media type
+    "mm_entropy" ->
+      """WITH h AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    upper(hex(encode(text))) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, media_type, n, unnest(list_transform(range(1, n + 1),
+        |        i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+        |           + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1))) AS byte
+        |      FROM h),
+        |c AS (SELECT doc_id, media_type, n, byte, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4),
+        |e AS (SELECT doc_id, media_type, CAST(n AS BIGINT) AS len,
+        |        round(-list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY byte),
+        |                x -> x / n * log2(x / n))), 4) AS ent
+        |      FROM c GROUP BY doc_id, media_type, n)
+        |SELECT media_type, count(*) AS n_items,
+        |       CAST(sum(len) AS BIGINT) AS total_bytes,
+        |       round(avg(ent), 4) AS avg_entropy,
+        |       round(min(ent), 4) AS min_entropy,
+        |       round(max(ent), 4) AS max_entropy,
+        |       CAST(count(*) FILTER (WHERE ent > 5.5) AS BIGINT) AS n_high
+        |FROM e GROUP BY media_type ORDER BY media_type""".stripMargin,
     "emb_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
         |q AS (SELECT vec_id, x,

@@ -212,8 +212,11 @@ object HashOps {
     * one histogram pass, ascending-bin summation (deterministic float
     * order, which the 4-decimal oracle rounding relies on).
     */
-  def byteEntropy(s: UTF8String): Double = {
-    val bytes = s.getBytes
+  def byteEntropy(s: UTF8String): Double = byteEntropy(s.getBytes)
+
+  /** Binary overload: the multimodal payload path (same ascending-bin
+    * accumulation, same oracle contract). */
+  def byteEntropy(bytes: Array[Byte]): Double = {
     if (bytes.length == 0) return 0.0
     val hist = new Array[Int](256)
     var i = 0

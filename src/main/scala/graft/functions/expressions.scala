@@ -104,6 +104,19 @@ object expressions {
     override def prettyName: String = "byte_entropy"
   }
 
+  /** bin_entropy(payload): [[ByteEntropy]] over a BINARY column —
+    * the multimodal twin (corrupt/encrypted payload detection). */
+  case class BinEntropy(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(v: Any): Any =
+      HashOps.byteEntropy(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.byteEntropy($c)")
+    override protected def withNewChildInternal(c: Expression): BinEntropy = copy(child = c)
+    override def prettyName: String = "bin_entropy"
+  }
+
   /** cosine_sim(a, b) over float vectors, double accumulation. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -278,6 +291,8 @@ object expressions {
     GraftBridge.column(RollingHash64(GraftBridge.expression(c)))
   def byte_entropy(c: Column): Column =
     GraftBridge.column(ByteEntropy(GraftBridge.expression(c)))
+  def bin_entropy(c: Column): Column =
+    GraftBridge.column(BinEntropy(GraftBridge.expression(c)))
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot_ff(a: Column, b: Column): Column =

@@ -168,4 +168,34 @@ object Multimodal {
       .agg(min("doc_id").as("keep_doc_id"),
         count(lit(1)).as("n_copies"),
         sum(length(col("payload"))).as("total_bytes"))
+
+  /** Per-media-type byte-entropy audit over the BINARY payloads —
+    * the garbage detector for opaque columns: a payload whose byte
+    * distribution is near-uniform (entropy → 8 bits) is compressed,
+    * encrypted, or corrupt; one near zero is padding or a stuck
+    * producer. Text gets this from `text_entropy`; binary columns
+    * need it more, because no downstream parser will ever LOOK at
+    * the bytes to notice. The codegen'd [[graft.functions.
+    * expressions.BinEntropy]] kernel scores each payload in the scan
+    * (map-only — payload bytes never shuffle; only per-type partial
+    * aggregates move), per-row entropies are 4dp-rounded BEFORE
+    * aggregation (the emb_stats discipline — engine-portable
+    * averages need engine-identical addends), and the high-entropy
+    * flag compares the rounded value so it can never straddle a
+    * float boundary differently per engine.
+    */
+  def entropyAudit(documents: DataFrame,
+                   highBits: Double = 5.5): DataFrame = {
+    val ent = round(graft.functions.expressions.bin_entropy(col("payload")), 4)
+    attach(documents)
+      .select(col("media_type"), ent.as("ent"),
+        length(col("payload")).cast("long").as("len"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum("len").as("total_bytes"),
+        round(avg("ent"), 4).as("avg_entropy"),
+        round(min("ent"), 4).as("min_entropy"),
+        round(max("ent"), 4).as("max_entropy"),
+        sum(when(col("ent") > highBits, 1L).otherwise(0L)).as("n_high"))
+  }
 }

@@ -98,4 +98,27 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(near == Set((5L, 6L)), s"got $near")
   }
+
+  test("entropy audit flags uniform payloads low and diverse payloads high") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc_ids ≡ 0 mod 3 → all land in 'image': one single-byte
+    // payload (entropy 0), one with 64 distinct bytes (entropy 6.0)
+    val diverse = (32 until 96).map(_.toChar).mkString
+    val docs = Seq((3L, "aaaaaaaa"), (6L, diverse)).toDF("doc_id", "text")
+    val r = Multimodal.entropyAudit(docs).collect()
+    assert(r.length == 1 && r.head.getAs[String]("media_type") == "image")
+    val row = r.head
+    assert(row.getAs[Long]("n_items") == 2L)
+    assert(row.getAs[Double]("min_entropy") == 0.0)
+    assert(row.getAs[Double]("max_entropy") == 6.0)
+    assert(row.getAs[Long]("n_high") == 1L)
+    // the binary kernel is the text kernel on the same bytes
+    val parity = Tables.documents(spark, sf).limit(50)
+      .select(
+        round(graft.functions.expressions.bin_entropy(encode(col("text"), "UTF-8")), 4).as("b"),
+        round(graft.functions.expressions.byte_entropy(col("text")), 4).as("t"))
+      .filter(col("b") =!= col("t")).count()
+    assert(parity == 0L)
+  }
 }
