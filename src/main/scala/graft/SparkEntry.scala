@@ -158,6 +158,9 @@ object SparkEntry {
     "text_vocab_sketch" -> ((s, d) =>
       TextAnalysis.vocabTopKSketch(Tables.documents(s, d), 10).orderBy(col("cnt").desc, col("token"))),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id")),
+    // hashing-trick sparse features: no vocabulary, no fitted state
+    "text_hashed_features" -> ((s, d) =>
+      TextAnalysis.hashedFeatures(Tables.documents(s, d)).orderBy("doc_id", "bucket")),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     "text_split" -> ((s, d) => Sampling.splitAudit(Tables.documents(s, d)).orderBy("source", "split")),
     "text_fingerprint_roll" -> ((s, d) =>
@@ -2007,6 +2010,17 @@ object SparkEntry {
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    // bucket = first md5 byte of the token mod 16, nibble replay
+    "text_hashed_features" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |           FROM documents),
+        |b AS (SELECT doc_id,
+        |        CAST((16 * (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1)
+        |              + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)
+        |             % 16 AS INTEGER) AS bucket
+        |      FROM t)
+        |SELECT doc_id, bucket, count(*) AS n_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
     "text_repetition" ->
       """WITH bg AS (
         |  SELECT doc_id,

@@ -216,6 +216,29 @@ object TextAnalysis {
       round(size(bpe).cast("double") / size(ws), 4).as("tokens_per_word"))
   }
 
+  /** Hashing-trick bag-of-words: each token buckets by its first md5
+    * byte mod `dim`, emitting the SPARSE (doc_id, bucket, n_tokens)
+    * triplet matrix — the fixed-width feature map a linear
+    * quality/language/domain classifier trains on at corpus scale.
+    * No vocabulary is ever built or broadcast (the entire point: a
+    * 100 TB corpus's vocabulary is itself huge, unstable across
+    * ingests, and a training-serving skew hazard; the hash IS the
+    * feature index, identical on every engine with no fitted state).
+    * One explode + one map-side-combined (doc, bucket) aggregation;
+    * output bounded by docs × dim.
+    */
+  def hashedFeatures(documents: DataFrame, dim: Int = 16): DataFrame = {
+    require(dim > 0 && 256 % dim == 0,
+      s"dim ($dim) must divide 256 for exactly-even hash classes")
+    documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10)
+          .cast("int") % dim).as("bucket"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+  }
+
   /** Repetition score — the classic "repeated n-gram" quality
     * signal: frequency of the most common word bigram over total
     * bigrams. High values flag boilerplate / degenerate generations.

@@ -116,4 +116,32 @@ class TextSpec extends SparkSpec {
       val splits = members.map(m => splitOf(m.getAs[Long]("doc_id"))).toSet
       assert(splits.size == 1, "a family straddles the split") }
   }
+
+  test("hashed features bucket by the md5 byte and conserve token counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val feats = TextAnalysis.hashedFeatures(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("n_tokens")))
+    def bucketOf(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (d(0) & 0xff) % 16
+    }
+    val a = bucketOf("alpha"); val b = bucketOf("beta"); val g = bucketOf("gamma")
+    // exact expected sparse triplets (collisions merge counts)
+    def expect(doc: Long, toks: Seq[String]) =
+      toks.groupBy(bucketOf).map { case (k, ts) => (doc, k, ts.size.toLong) }.toSet
+    assert(feats.toSet ==
+      expect(1L, Seq("alpha", "beta", "alpha")) ++ expect(2L, Seq("beta", "gamma")),
+      s"got ${feats.toSet}; buckets a=$a b=$b g=$g")
+    // conservation: per-doc feature mass equals the whitespace token count
+    val mass = TextAnalysis.hashedFeatures(Tables.documents(spark, sf))
+      .groupBy("doc_id").agg(sum("n_tokens").as("m"))
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(trim(col("text")), " ")).cast("long").as("n"))
+    assert(mass.join(toks, "doc_id").filter(col("m") =!= col("n")).count() == 0L)
+    intercept[IllegalArgumentException](TextAnalysis.hashedFeatures(docs, 15))
+  }
 }
