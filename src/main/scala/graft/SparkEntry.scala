@@ -330,6 +330,13 @@ object SparkEntry {
         Dedup.embedNearDup(Tables.embeddings(s, d), 0.15, col("vec_id") % 7 === 0)
           .select(col("vec_a").as("src"), col("vec_b").as("dst")),
         k = 6).orderBy("node")),
+    // do the embedding labels agree with the similarity structure?
+    "graph_modularity" -> ((s, d) =>
+      graft.ops.Graph.labelModularity(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"),
+        Tables.embeddings(s, d)
+          .select(col("vec_id").as("node"), col("label"))).orderBy("label")),
     // seed-coverage audit: hop distance to the nearest curated seed
     // over the knn graph (null dist = unreached within the bound;
     // the converged flag says whether that means disconnected)
@@ -802,6 +809,35 @@ object SparkEntry {
       |            AS converged)
       |SELECT src AS node, degree, converged FROM kfin CROSS JOIN kconv
       |ORDER BY node""".stripMargin
+
+  /** Label-modularity replay over the knn edges: canonical edge
+    * count, intra-label edges, degree sums — exact integers until
+    * the final 6dp division. */
+  private val graphModularitySql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |canon AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+      |          greatest(src, dst) AS b FROM e WHERE src <> dst),
+      |m AS (SELECT count(*) AS m FROM canon),
+      |deg AS (SELECT node, count(*) AS d FROM (
+      |          SELECT a AS node FROM canon
+      |          UNION ALL SELECT b FROM canon) GROUP BY 1),
+      |lab AS (SELECT vec_id AS node, label FROM embeddings),
+      |ein AS (SELECT la.label, count(*) AS e_in
+      |        FROM canon c JOIN lab la ON la.node = c.a
+      |                     JOIN lab lb ON lb.node = c.b
+      |        WHERE la.label = lb.label GROUP BY 1),
+      |ds AS (SELECT l.label, sum(d.d) AS d_sum, count(*) AS n_nodes
+      |       FROM deg d JOIN lab l ON l.node = d.node GROUP BY 1),
+      |per AS (SELECT ds.label, CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+      |          CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+      |          CAST(ds.d_sum AS BIGINT) AS d_sum,
+      |          round(CAST(coalesce(ein.e_in, 0) AS DOUBLE) / m.m
+      |              - (CAST(ds.d_sum AS DOUBLE) / (m.m * 2))
+      |                * (CAST(ds.d_sum AS DOUBLE) / (m.m * 2)), 6) AS q_part
+      |        FROM ds LEFT JOIN ein ON ein.label = ds.label CROSS JOIN m),
+      |tot AS (SELECT round(sum(q_part), 6) AS q_total FROM per)
+      |SELECT label, n_nodes, e_in, d_sum, q_part, q_total
+      |FROM per CROSS JOIN tot ORDER BY label""".stripMargin
 
   /** One synchronous BFS relaxation round: reached nodes push
     * dist+1, unreached neighbors adopt the minimum (reached nodes
@@ -2224,6 +2260,7 @@ object SparkEntry {
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_bfs" -> graphBfsSql,
+    "graph_modularity" -> graphModularitySql,
     "sim_range_search" -> simRangeSearchSql,
     "sample_leak_audit" -> sampleLeakAuditSql,
     "sim_knn_graph" -> (knnRankedCte +

@@ -350,6 +350,52 @@ object Graph {
       .limit(k)
   }
 
+  /** Modularity of an EXTERNAL node partition (labels) over the
+    * graph: Q = Σ_c [ e_c/m − (d_c/2m)² ] — how much more intra-label
+    * connectivity the graph shows than a degree-preserving random
+    * rewiring would. The audit that says whether embedding-cluster
+    * labels AGREE with the similarity graph's actual structure
+    * (Q near 0 ⇒ labels are noise w.r.t. the graph; strongly
+    * positive ⇒ the clustering found real communities) — worth
+    * checking before any per-label curation decision trusts the
+    * labels. Everything is exact integer counting (canonical edge
+    * count m, intra-label edge counts, degree sums) until the final
+    * per-label division, so the 6dp contributions are
+    * engine-reproducible; per-label output plus the total Q on a
+    * broadcast single row — every audit ships its own check. Nodes
+    * missing from `labels` count toward m and degrees but form no
+    * community (their mass only lowers Q, never crashes the audit).
+    */
+  def labelModularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint() // referenced by m, degrees, and intra counts
+    val m = canon.agg(count(lit(1)).as("m"))
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val lab = labels.select(col("node"), col("label"))
+    val eIn = canon
+      .join(lab.select(col("node").as("a"), col("label").as("la"))
+        .hint("shuffle_hash"), "a")
+      .join(lab.select(col("node").as("b"), col("label").as("lb"))
+        .hint("shuffle_hash"), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+    val dSum = deg.join(lab.hint("shuffle_hash"), "node")
+      .groupBy("label").agg(sum("d").as("d_sum"),
+        count(lit(1)).as("n_nodes"))
+    val per = dSum.join(eIn, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+        round(coalesce(col("e_in"), lit(0L)).cast("double") / col("m") -
+          (col("d_sum").cast("double") / (col("m") * 2)) *
+          (col("d_sum").cast("double") / (col("m") * 2)), 6).as("q_part"))
+    per.crossJoin(broadcast(per.agg(round(sum("q_part"), 6).as("q_total"))))
+  }
+
   /** Bounded-round multi-source BFS: every graph node's hop distance
     * to its nearest seed (the influence-radius / coverage audit — how
     * far is each doc from a curated prototype; which corners of the

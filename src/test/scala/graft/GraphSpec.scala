@@ -217,6 +217,36 @@ class GraphSpec extends SparkSpec {
     assert(capped == Set((1L, 2L), (3L, 4L)), s"got $capped")
   }
 
+  test("label modularity scores aligned labels high, split labels at zero") {
+    import spark.implicits._
+    // two 3-cliques joined by one bridge edge: m = 7 canonical edges
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val aligned = Seq((1L, "A"), (2L, "A"), (3L, "A"),
+      (4L, "B"), (5L, "B"), (6L, "B")).toDF("node", "label")
+    val rows = Graph.labelModularity(edges, aligned).collect()
+    val byLabel = rows.map(r => r.getAs[String]("label") ->
+      (r.getAs[Long]("e_in"), r.getAs[Long]("d_sum"),
+        r.getAs[Double]("q_part"))).toMap
+    // each clique: 3 internal edges, degree sum 2+2+3 = 7
+    assert(byLabel("A") == ((3L, 7L, math.rint((3.0 / 7 - 0.25) * 1e6) / 1e6)))
+    assert(byLabel("B")._1 == 3L && byLabel("B")._2 == 7L)
+    val qTotal = rows.head.getAs[Double]("q_total")
+    assert(math.abs(qTotal - 0.357142) < 1e-4, s"qTotal $qTotal")
+    // labels orthogonal to the structure: one node of each clique
+    // swapped → much weaker alignment
+    val mixed = Seq((1L, "A"), (2L, "A"), (3L, "B"),
+      (4L, "A"), (5L, "B"), (6L, "B")).toDF("node", "label")
+    val qMixed = Graph.labelModularity(edges, mixed).collect()
+      .head.getAs[Double]("q_total")
+    assert(qMixed < qTotal - 0.2, s"mixed $qMixed vs aligned $qTotal")
+    // unlabeled nodes lower Q but never crash the audit
+    val partial = Seq((1L, "A"), (2L, "A"), (3L, "A")).toDF("node", "label")
+    val qPartial = Graph.labelModularity(edges, partial).collect()
+      .head.getAs[Double]("q_total")
+    assert(qPartial < qTotal && !qPartial.isNaN)
+  }
+
   test("bfs: layered distances, disconnected nulls, converged flag") {
     import spark.implicits._
     // path 1-2-3-4-5 seeded at 1, plus a disconnected pair {10,11};
