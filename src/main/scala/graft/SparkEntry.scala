@@ -53,6 +53,9 @@ object SparkEntry {
     "cdc_field_state" -> ((s, d) => Changelog.fieldState(changelog(s, d)).orderBy("doc_id", "field_path")),
     "cdc_scd2" -> ((s, d) => Changelog.scd2(changelog(s, d)).orderBy("doc_id", "field_path", "valid_from")),
     "cdc_op_counts" -> ((s, d) => Changelog.opCounts(changelog(s, d)).orderBy("op")),
+    // what a horizon compaction would reclaim from the tombstone set
+    "cdc_tombstone_gc" -> ((s, d) =>
+      Changelog.tombstoneGc(changelog(s, d)).orderBy("status")),
     "cdc_field_freq" -> ((s, d) => Changelog.fieldFreq(changelog(s, d)).orderBy("field_path")),
     "cdc_window_counts" -> ((s, d) =>
       Changelog.windowCounts(changelog(s, d)).orderBy("window_start_us", "op")),
@@ -1442,6 +1445,20 @@ object SparkEntry {
     // the compact-then-merge plan must be replay-equivalent, so its
     // oracle IS the full-replay latest-state query
     "cdc_compact" -> (clCte + latestStateSql),
+    "cdc_tombstone_gc" -> (clCte +
+      """, r AS (SELECT doc_id, seq, op,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
+        |    count(*) OVER (PARTITION BY doc_id) AS n_changes
+        |  FROM changelog),
+        |comp AS (SELECT doc_id, seq AS last_seq, op AS last_op, n_changes
+        |         FROM r WHERE rn = 1),
+        |h AS (SELECT (min(seq) + max(seq)) // 2 AS h FROM changelog)
+        |SELECT CASE WHEN last_op <> 'RECORD_DELETE' THEN 'live'
+        |            WHEN last_seq <= h.h THEN 'tombstone_gc_eligible'
+        |            ELSE 'tombstone_retained' END AS status,
+        |       count(*) AS n_docs, CAST(sum(n_changes) AS BIGINT) AS n_changes,
+        |       min(last_seq) AS oldest_seq, max(last_seq) AS newest_seq
+        |FROM comp CROSS JOIN h GROUP BY 1 ORDER BY status""".stripMargin),
     "events_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, ts, event_id, event_type,

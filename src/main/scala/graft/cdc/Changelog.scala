@@ -402,4 +402,34 @@ object Changelog {
         col("op"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Tombstone-GC audit: [[compactState]] retains every tombstone
+    * forever — correctly, because a merge needs the tombstone's seq
+    * to beat stale late updates — but once the ingestion watermark
+    * has passed a tombstone's seq, no older update can still arrive
+    * and the row is pure garbage. This is the report a horizon
+    * compaction runs first: docs by status (live / tombstone still
+    * inside the horizon / tombstone eligible for GC) with change
+    * mass and seq ranges. The horizon here is the integer midpoint
+    * of the observed seq range (a deployment passes its real
+    * ingestion watermark); the compare is integer-exact. One
+    * compaction aggregate + a broadcast single-row horizon — no
+    * second corpus pass.
+    */
+  def tombstoneGc(changelog: DataFrame): DataFrame = {
+    val horizon = changelog.agg(
+      expr("(min(seq) + max(seq)) div 2").as("h"))
+    compactState(changelog)
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("last_op") =!= "RECORD_DELETE", "live")
+          .when(col("last_seq") <= col("h"), "tombstone_gc_eligible")
+          .otherwise("tombstone_retained").as("status"),
+        col("n_changes"), col("last_seq"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_changes").as("n_changes"),
+        min("last_seq").as("oldest_seq"),
+        max("last_seq").as("newest_seq"))
+  }
 }

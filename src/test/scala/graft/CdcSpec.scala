@@ -109,4 +109,29 @@ class CdcSpec extends SparkSpec {
     assert(Changelog.liveState(merged).count() == 0)
     assert(merged.head().getAs[Long]("n_changes") == 4L)
   }
+
+  test("tombstone GC splits deletes at the seq horizon, keeps live docs out") {
+    import spark.implicits._
+    // seqs span [1, 101] → horizon (1+101) div 2 = 51.
+    // d1: updated then alive; d2: deleted at seq 10 (≤ 51 → eligible);
+    // d3: deleted at seq 100 (> 51 → retained); d4: deleted then
+    // re-inserted → live
+    val cl = Seq(
+      ("d1", 1L, Changelog.Insert), ("d1", 101L, Changelog.Update),
+      ("d2", 2L, Changelog.Insert), ("d2", 10L, Changelog.Delete),
+      ("d3", 3L, Changelog.Insert), ("d3", 100L, Changelog.Delete),
+      ("d4", 4L, Changelog.Delete), ("d4", 60L, Changelog.Insert))
+      .map { case (d, s, o) => (d, s, s * 1000L, o, "", "{}", 0.0) }
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
+    val out = Changelog.tombstoneGc(cl).collect()
+      .map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_changes"),
+          r.getAs[Long]("oldest_seq"), r.getAs[Long]("newest_seq"))).toMap
+    assert(out == Map(
+      "live" -> (2L, 4L, 60L, 101L),
+      "tombstone_gc_eligible" -> (1L, 2L, 10L, 10L),
+      "tombstone_retained" -> (1L, 2L, 100L, 100L)), s"got $out")
+    // the statuses partition the compacted state exactly
+    assert(out.values.map(_._1).sum == Changelog.compactState(cl).count())
+  }
 }
