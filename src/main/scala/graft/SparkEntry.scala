@@ -195,6 +195,9 @@ object SparkEntry {
     // straddle the train/val boundary (contamination guard)
     "sample_split_safe" -> ((s, d) =>
       Sampling.leakageSafeSplit(keeperModel(s, d)).orderBy("doc_id")),
+    // leakage-safe k-fold: clusters never straddle a fold boundary
+    "sample_kfold" -> ((s, d) =>
+      Sampling.kFold(keeperModel(s, d)).orderBy("doc_id")),
     // exact-n deterministic sample via distributed top-n heaps
     "sample_fixed_n" -> ((s, d) =>
       Sampling.fixedSizeSample(Tables.documents(s, d), 20).orderBy("doc_id")),
@@ -982,6 +985,17 @@ object SparkEntry {
     """SELECT doc_id, keep_doc_id,
       |       CASE WHEN substring(md5(CAST(keep_doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
       |            THEN 'val' ELSE 'train' END AS split
+      |FROM l2 ORDER BY doc_id""".stripMargin
+
+  /** k-fold replay: the keeper propagation + the md5-byte fold of
+    * the keeper id (the sample_shards nibble-pair arithmetic). */
+  private val sampleKfoldSql: String = keepersNearCte +
+    """SELECT doc_id, keep_doc_id,
+      |       CAST((16 * (strpos('0123456789abcdef',
+      |               substring(md5(CAST(keep_doc_id AS VARCHAR)), 1, 1)) - 1)
+      |             + strpos('0123456789abcdef',
+      |               substring(md5(CAST(keep_doc_id AS VARCHAR)), 2, 1)) - 1)
+      |            % 4 AS INTEGER) AS fold
       |FROM l2 ORDER BY doc_id""".stripMargin
 
   /** IVF replay: stride centroids, bit-exact cosine argmax
@@ -2789,6 +2803,7 @@ object SparkEntry {
         |       * c.cluster_size < 256 AS soft_kept
         |FROM l2 l JOIN csz c USING (keep_doc_id) ORDER BY doc_id""".stripMargin),
     "sample_split_safe" -> sampleSplitSafeSql,
+    "sample_kfold" -> sampleKfoldSql,
     "sample_fixed_n" ->
       """SELECT doc_id, source, h FROM (
         |  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h

@@ -120,6 +120,20 @@ object Sampling {
       .select(col("doc_id"), col("keep_doc_id"),
         hashSplit(col("keep_doc_id")).as("split"))
 
+  /** Leakage-safe K-FOLD assignment over a fitted keeper model:
+    * fold = [[shardId]] of the KEEPER id — every near-duplicate
+    * cluster lands in one fold by construction, so k-fold
+    * cross-validation never scores a model on a twin of something it
+    * trained on (the [[leakageSafeSplit]] guarantee generalized from
+    * one holdout to k rotations). Pure per-row hash over the
+    * materialized label frame — no pipeline re-run, no shuffle;
+    * `k` must divide 256 (the shardId hash-class contract).
+    */
+  def kFold(model: graft.dedup.Dedup.KeeperModel, k: Int = 4): DataFrame =
+    model.labels
+      .select(col("doc_id"), col("keep_doc_id"),
+        shardId(col("keep_doc_id"), k).as("fold"))
+
   /** Split-leakage audit: counts the LSH-verified near-duplicate
     * pairs (Jaccard ≥ τ) whose two docs landed in DIFFERENT splits —
     * the direct measurement of the contamination

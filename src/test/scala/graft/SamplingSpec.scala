@@ -191,6 +191,33 @@ class SamplingSpec extends SparkSpec {
         s"band $band selection mismatch") }
   }
 
+  test("k-fold never splits a near-duplicate cluster across folds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two exact-duplicate families + uniques: family members must
+    // share their keeper's fold
+    val base = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (10L, base.replace("dog", "cat")), (11L, base.replace("dog", "cat")),
+      (20L, "an entirely different single document about spark internals"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val model = graft.dedup.Dedup.fitKeepers(docs, tau = 0.9)
+    val folds = Sampling.kFold(model, k = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("keep_doc_id"),
+        r.getAs[Int]("fold")))
+    assert(folds.length == 6)
+    folds.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._3).toSet.size == 1,
+        s"cluster straddles folds: ${members.toSeq}") }
+    // fold is the shard hash of the keeper id — one definition
+    folds.foreach { case (_, keeper, fold) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(keeper.toString.getBytes("UTF-8"))
+      assert(fold == ((d(0) & 0xff) % 4)) }
+    intercept[IllegalArgumentException](Sampling.kFold(model, k = 3))
+  }
+
   test("shard assignment is the md5 byte mod n and audit covers every doc") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf)
