@@ -1001,26 +1001,6 @@ object SparkEntry {
   /** IVF replay: stride centroids, bit-exact cosine argmax
     * assignment (DuckDB list_cosine_similarity == sequential-double
     * kernel), 2-probe query cells, 6dp rerank. */
-  /** Cell-balance replay: the sim_ivf assignment CTE + exact-integer
-    * hot flag arithmetic. */
-  private val simCellBalanceSql: String =
-    """WITH cents AS (
-      |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
-      |  FROM embeddings WHERE vec_id % 50 = 0),
-      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-      |asg AS (
-      |  SELECT vec_id, cell_id,
-      |         row_number() OVER (PARTITION BY vec_id
-      |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
-      |  FROM corpus CROSS JOIN cents),
-      |sizes AS (SELECT cell_id, count(*) AS n_vecs FROM asg
-      |          WHERE rn = 1 GROUP BY 1),
-      |tot AS (SELECT sum(n_vecs) AS total, count(*) AS n_cells FROM sizes)
-      |SELECT cell_id, n_vecs,
-      |       round(CAST(n_vecs AS DOUBLE) / total, 4) AS share,
-      |       n_vecs * n_cells > total * 2 AS hot
-      |FROM sizes CROSS JOIN tot ORDER BY cell_id""".stripMargin
-
   private val simIvfSql: String =
     """WITH cents AS (
       |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
@@ -1052,6 +1032,26 @@ object SparkEntry {
       |  FROM scored)
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Cell-balance replay: the sim_ivf assignment CTE + exact-integer
+    * hot flag arithmetic. */
+  private val simCellBalanceSql: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |asg AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+      |  FROM corpus CROSS JOIN cents),
+      |sizes AS (SELECT cell_id, count(*) AS n_vecs FROM asg
+      |          WHERE rn = 1 GROUP BY 1),
+      |tot AS (SELECT sum(n_vecs) AS total, count(*) AS n_cells FROM sizes)
+      |SELECT cell_id, n_vecs,
+      |       round(CAST(n_vecs AS DOUBLE) / total, 4) AS share,
+      |       n_vecs * n_cells > total * 2 AS hot
+      |FROM sizes CROSS JOIN tot ORDER BY cell_id""".stripMargin
 
   /** IVF + 1 Lloyd iteration: per-dim avg cast to REAL absorbs
     * engine sum-order noise, then the same IVF query path. */
@@ -2380,12 +2380,16 @@ object SparkEntry {
         |             tot AS n_ref FROM cum WHERE win = 'ref'),
         |u AS (SELECT etype, bin, CAST(cum AS DOUBLE) / tot AS f_cur,
         |             tot AS n_cur FROM cum WHERE win = 'cur')
-        |SELECT r.etype, CAST(max(n_ref) AS BIGINT) AS n_ref,
-        |       CAST(max(n_cur) AS BIGINT) AS n_cur,
-        |       round(max(abs(f_ref - f_cur)), 6) AS ks,
-        |       round(max(abs(f_ref - f_cur)), 6) > 0.1 AS drifted
-        |FROM r JOIN u ON u.etype = r.etype AND u.bin = r.bin
-        |GROUP BY r.etype ORDER BY r.etype""".stripMargin,
+        |,g AS (SELECT r.etype, CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |        CAST(max(n_cur) AS BIGINT) AS n_cur,
+        |        round(max(abs(f_ref - f_cur)), 6) AS ks0
+        |      FROM r JOIN u ON u.etype = r.etype AND u.bin = r.bin
+        |      GROUP BY r.etype)
+        |SELECT etype, n_ref, n_cur,
+        |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0 ELSE ks0 END AS ks,
+        |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0 ELSE ks0 END > 0.1
+        |         AS drifted
+        |FROM g ORDER BY etype""".stripMargin,
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

@@ -43,20 +43,29 @@ object BloomPrefilter {
     math.min(math.max(ideal, 64L), 8L * 1024 * 1024 * 8)
   }
 
+  /** The bloom-building aggregate over `xxhash64(key)` as a Column —
+    * ONE construction shared by [[keyBloom]] and the manifest's
+    * per-file bloom index, so the hash convention (seed-42 xxhash64)
+    * and sizing can never drift apart between the build sites a
+    * driver-side probe must mirror.
+    */
+  private[graft] def bloomAgg(key: Column, expectedItems: Long,
+                              fpp: Double): Column = {
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(key)),
+      GraftBridge.expression(lit(expectedItems)),
+      GraftBridge.expression(lit(numBits(expectedItems, fpp))))
+    GraftBridge.column(agg.toAggregateExpression())
+  }
+
   /** One-row frame `(bloom: binary)`: bloom bits over
     * `xxhash64(key)` of every row in `keys`. Map-side partial
     * sketches OR-merge, so the only thing that moves is bloom bits.
     */
   def keyBloom(keys: DataFrame, key: String, expectedItems: Long,
-               fpp: Double = 0.03): DataFrame = {
-    val hashed = xxhash64(col(key))
-    val agg = new BloomFilterAggregate(
-      GraftBridge.expression(hashed),
-      GraftBridge.expression(lit(expectedItems)),
-      GraftBridge.expression(lit(numBits(expectedItems, fpp))))
+               fpp: Double = 0.03): DataFrame =
     keys.select(col(key))
-      .agg(GraftBridge.column(agg.toAggregateExpression()).as("bloom"))
-  }
+      .agg(bloomAgg(col(key), expectedItems, fpp).as("bloom"))
 
   /** Membership test of `key` against the one-row `bloom` frame
     * (false positives at the built fpp, never false negatives). The
@@ -64,8 +73,9 @@ object BloomPrefilter {
     * filter side constant-per-query (the subquery executes once and
     * its ~MB result is shipped to every task like a broadcast
     * variable), which is precisely the shape Spark's own runtime-
-    * filter rule injects. Null keys test null and are dropped by a
-    * filter — matching semi-join null semantics.
+    * filter rule injects. NOTE: `xxhash64(null)` is NOT null (it
+    * hashes to a seed-derived constant), so this test alone does not
+    * reject null keys — [[prefilter]] adds the explicit null cut.
     */
   def mightContain(bloom: DataFrame, key: Column): Column =
     GraftBridge.column(BloomFilterMightContain(
@@ -75,10 +85,14 @@ object BloomPrefilter {
 
   /** `fact` rows surviving the bloom prefilter: the scan-side cut
     * that happens BEFORE any exchange. `bloom` is a one-row
-    * [[keyBloom]] / [[load]] frame.
+    * [[keyBloom]] / [[load]] frame. Null keys are dropped explicitly
+    * (semi-join null semantics): xxhash64 maps null to a constant
+    * that may collide with real bloom bits, so without this cut a
+    * standalone prefilter consumer would count rows that can never
+    * match any dim key.
     */
   def prefilter(fact: DataFrame, factKey: String, bloom: DataFrame): DataFrame =
-    fact.filter(mightContain(bloom, col(factKey)))
+    fact.filter(col(factKey).isNotNull && mightContain(bloom, col(factKey)))
 
   /** Exact `fact ⋉ dimKeys` with the bloom cut in front: build the
     * bloom from the dim keys, prefilter the fact scan, close with the

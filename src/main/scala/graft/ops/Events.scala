@@ -375,6 +375,10 @@ object Events {
         least(floor(((col("value") - col("lo")) * bins) /
           (col("hi") - col("lo"))), lit(bins - 1L)).cast("long").as("bin"))
       .groupBy("etype", "win", "bin").agg(count(lit(1)).as("n"))
+      // the model-sized frame feeds three consumers (the grid's type
+      // list and both ECDF sides) — materialize once so the corpus
+      // scan+agg above runs once, not per consumer subtree
+      .localCheckpoint()
     // dense grid so both ECDFs are evaluated at every bin edge (a
     // bin empty on one side still moves the other side's cumulative)
     val grid = counts.select("etype").distinct()
@@ -388,15 +392,28 @@ object Events {
       .withColumn("n0", coalesce(col("n"), lit(0L)))
       .withColumn("cum", sum("n0").over(wcum))
       .withColumn("tot", sum("n0").over(Window.partitionBy("etype", "win")))
+    // tot = 0 (type absent from this window) must yield a NULL
+    // fraction, not an ANSI divide-by-zero — the one-sided override
+    // below turns those NULLs into the ks = 1 maximal-shift verdict
     def side(w: String, f: String, n: String) =
       cum.filter(col("win") === w)
         .select(col("etype"), col("bin"),
-          (col("cum").cast("double") / col("tot")).as(f), col("tot").as(n))
+          when(col("tot") === 0, lit(null).cast("double"))
+            .otherwise(col("cum").cast("double") / col("tot")).as(f),
+          col("tot").as(n))
     side("ref", "f_ref", "n_ref")
       .join(side("cur", "f_cur", "n_cur"), Seq("etype", "bin"))
       .groupBy("etype")
       .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
         round(max(abs(col("f_ref") - col("f_cur"))), 6).as("ks"))
+      // a type present in only ONE window (feature removed mid-stream
+      // or newly introduced) has an undefined ECDF on the empty side —
+      // which is the MAXIMAL shift, not a missing value: ks = 1 and
+      // the alarm fires, instead of a NULL row a drifted-filter would
+      // silently drop
+      .withColumn("ks",
+        when(col("n_ref") === 0 || col("n_cur") === 0, lit(1.0d))
+          .otherwise(col("ks")))
       .withColumn("drifted", col("ks") > tau)
   }
 }

@@ -107,10 +107,22 @@ object Layout {
     */
   def writeTrainingShards(df: DataFrame, key: String, path: String,
                           nShards: Int): Unit =
+    shardLayout(df, key, nShards)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** The shard-layout transform itself — ONE definition shared by the
+    * batch writer above and the streaming
+    * [[graft.streaming.AppendSink.commitShardedBatch]] sink, so the
+    * assignment AND the in-shard hash ordering can never diverge
+    * between the two paths. Returns the frame with a `shard` column,
+    * hash-partitioned one-shard-per-task and sorted by the full key
+    * md5 within each shard; callers only choose the write target.
+    */
+  private[graft] def shardLayout(df: DataFrame, key: String,
+                                 nShards: Int): DataFrame =
     df.withColumn("shard", Sampling.shardId(col(key), nShards))
       .withColumn("__ord", md5(col(key).cast("string")))
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "__ord")
       .drop("__ord")
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

@@ -187,16 +187,14 @@ object Manifest {
                      fpp: Double = 0.03): DataFrame = {
     require(statsCols.nonEmpty, "at least one stats column")
     require(bloomCols.nonEmpty, "at least one bloom column")
+    // the same build construction as BloomPrefilter.keyBloom — the
+    // hash convention and sizing MUST stay bit-identical with the
+    // driver-side pointHash probe, so the coupling is structural
     val aggs = (count(lit(1)).as("n_rows") +:
       statsCols.flatMap(c =>
         Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))) ++
-      bloomCols.map(c => org.apache.spark.sql.GraftBridge.column(
-        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-          org.apache.spark.sql.GraftBridge.expression(xxhash64(col(c))),
-          org.apache.spark.sql.GraftBridge.expression(lit(expectedPerFile)),
-          org.apache.spark.sql.GraftBridge.expression(
-            lit(BloomPrefilter.numBits(expectedPerFile, fpp))))
-          .toAggregateExpression()).as(bloomCol(c)))
+      bloomCols.map(c =>
+        BloomPrefilter.bloomAgg(col(c), expectedPerFile, fpp).as(bloomCol(c)))
     spark.read.parquet(dataDir)
       .select(col("_metadata.file_path").as("file_path") +:
         (statsCols ++ bloomCols).distinct.map(col): _*)

@@ -108,20 +108,13 @@ object AppendSink {
     * reader never sees some shards of a batch without the others.
     */
   def commitShardedBatch(batch: DataFrame, batchId: Long, dir: String,
-                         key: String, nShards: Int): Boolean = {
-    import org.apache.spark.sql.functions._
+                         key: String, nShards: Int): Boolean =
     VersionedStore.commit(batch.sparkSession, dir, s"$BatchPrefix$batchId") {
       staging =>
-        batch
-          .withColumn("shard", graft.ops.Sampling.shardId(col(key), nShards))
-          .withColumn("__ord", md5(col(key).cast("string")))
-          .repartition(nShards, col("shard"))
-          .sortWithinPartitions("shard", "__ord")
-          .drop("__ord")
+        graft.ops.Layout.shardLayout(batch, key, nShards)
           .write.partitionBy("shard").mode(SaveMode.Overwrite)
           .parquet(staging.toString)
     }
-  }
 
   /** The streaming twin of the batch training-shard writer: each
     * micro-batch exactly-once-appends into the sharded layout, so

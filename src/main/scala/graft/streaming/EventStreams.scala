@@ -433,8 +433,12 @@ object EventStreams {
     * (spec-pinned, extremes planted in the reference window so both
     * sides share [lo, hi]). Values outside the reference range clamp
     * to the edge bins: out-of-range mass is precisely the drift the
-    * monitor exists to flag, never an error. Types absent from the
-    * reference emit nothing (no comparable ECDF).
+    * monitor exists to flag, never an error. A type ABSENT from the
+    * reference is the maximal shift (a newly-introduced event type),
+    * not a missing value: it emits ks = 1.0 — the batch operator's
+    * one-sided-window rule. (The converse — a reference type that
+    * never arrives — is invisible to any per-arrival monitor; the
+    * batch twin reports it.)
     */
   def valueDriftState(events: DataFrame, lo: Double, hi: Double,
                       reference: Map[String, Seq[Long]], bins: Int = 20)
@@ -460,7 +464,10 @@ object EventStreams {
           }
           state.update(counts.toSeq)
           refEcdf.get(etype) match {
-            case None => Iterator.empty
+            case None =>
+              val n = counts.sum
+              if (n == 0L) Iterator.empty
+              else Iterator.single(ValueDriftEmit(etype, n, 1.0))
             case Some(rc) =>
               val n = counts.sum
               if (n == 0L) Iterator.empty

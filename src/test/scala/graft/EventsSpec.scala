@@ -292,6 +292,26 @@ class EventsSpec extends SparkSpec {
     assert(ns("stable") == ((51L, 50L)), s"got $ns")
   }
 
+  test("value drift: a type present in only one window fires ks = 1") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // "vanished" exists only before the midpoint, "born" only after;
+    // both are the maximal shift, neither may report a NULL the
+    // drifted-filter would silently drop
+    val rows = Seq(
+      (1L, 10L, "vanished", 1.0), (2L, 20L, "vanished", 2.0),
+      (3L, 30L, "both", 0.0), (4L, 900L, "both", 100.0),
+      (5L, 910L, "born", 50.0), (6L, 920L, "born", 60.0))
+      .map { case (e, s, t, v) => (e, new Timestamp(s * 1000), 1L, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.valueDrift(rows).collect()
+      .map(r => r.getAs[String]("etype") ->
+        (r.getAs[Double]("ks"), r.getAs[Boolean]("drifted"))).toMap
+    assert(out("vanished") == ((1.0, true)), s"got $out")
+    assert(out("born") == ((1.0, true)), s"got $out")
+    assert(!out("both")._1.isNaN)
+  }
+
   test("value drift ECDFs are exact on a hand-computed two-bin case") {
     import spark.implicits._
     import java.sql.Timestamp

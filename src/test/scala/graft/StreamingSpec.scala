@@ -727,7 +727,7 @@ class StreamingSpec extends SparkSpec {
     assert(last("moving")._3 == batchKs("moving")._2,
       s"moving: ${last("moving")} vs ${batchKs("moving")}")
     assert(last("moving")._3 > 0.9 && last("steady")._3 < 0.1)
-    // a type never seen in the reference emits nothing
+    // a type never seen in the reference is the MAXIMAL shift: ks = 1
     val input2 = MemoryStream[EventRow]
     val emits2 = graft.streaming.EventStreams.valueDriftState(
       input2.toDF(), lo, hi, refCounts)
@@ -740,7 +740,8 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
     } finally q2.stop()
     val em2 = spark.table("vdrift2").collect()
-      .map(r => r.getAs[String]("event_type")).toSet
-    assert(em2 == Set("steady"))
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("ks")).toMap
+    assert(em2.keySet == Set("steady", "unseen"))
+    assert(em2("unseen") == 1.0)
   }
 }
