@@ -42,18 +42,24 @@ object Manifest {
     * touches the filesystem. In production this runs incrementally on
     * the files a write just produced, not the whole table.
     */
-  def build(spark: SparkSession, dataDir: String,
-            statsCols: Seq[String]): DataFrame = {
+  /** The per-file stats aggregation — one definition for the full
+    * build and the incremental update's fresh-files branch. */
+  private def statsOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {
     require(statsCols.nonEmpty, "at least one stats column")
-    val aggs = count(lit(1)).as("n_rows") +:
+    val aggs = Seq(count(lit(1)).as("n_rows"),
+      first(col("__fsize")).as("file_bytes")) ++
       statsCols.flatMap(c =>
         Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))
-    spark.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file_path") +:
+    df.select(col("_metadata.file_path").as("file_path") +:
+        col("_metadata.file_size").as("__fsize") +:
         statsCols.map(col): _*)
       .groupBy("file_path")
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  def build(spark: SparkSession, dataDir: String,
+            statsCols: Seq[String]): DataFrame =
+    statsOf(spark.read.parquet(dataDir), statsCols)
 
   /** Build and publish the manifest as the next immutable version
     * under `manifestDir` (atomic-rename commit, lost races are
@@ -111,16 +117,7 @@ object Manifest {
       return versions.max
     val fresh =
       if (newFiles.isEmpty) build(spark, dataDir, statsCols)
-      else {
-        val aggs = count(lit(1)).as("n_rows") +:
-          statsCols.flatMap(c =>
-            Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))
-        spark.read.parquet(newFiles: _*)
-          .select(col("_metadata.file_path").as("file_path") +:
-            statsCols.map(col): _*)
-          .groupBy("file_path")
-          .agg(aggs.head, aggs.tail: _*)
-      }
+      else statsOf(spark.read.parquet(newFiles: _*), statsCols)
     val next = versions.foldLeft(0L)(math.max) + 1
     VersionedStore.commit(spark, manifestDir, s"$VersionPrefix$next") {
       staging =>
@@ -161,6 +158,43 @@ object Manifest {
     base.where(col(c).between(lit(lo), lit(hi)))
   }
 
+  /** Small-file compaction plan off the manifest alone — never
+    * listing or opening a data file. Directory-per-batch sinks
+    * (AppendSink, StateTable versions) accumulate files far below
+    * the ~1 GB scan-efficient size; this bins the under-threshold
+    * files into contiguous byte-budgeted rewrite jobs (prefix-sum
+    * bucketing over the deterministic path order — the shardPlan
+    * discipline), each job one bounded-input `spark.read(files)
+    * .write` task. Files already at or above `smallBytes` are left
+    * alone (rewriting them buys nothing); a single file never splits
+    * across jobs, so a job can exceed the budget only by the final
+    * file's tail — bounded by `smallBytes`, not by corpus skew.
+    * Output: one row per job (job id, file count, total bytes,
+    * path range) — the work order a maintenance fleet executes.
+    */
+  def compactionPlan(manifest: DataFrame, smallBytes: Long,
+                     budgetBytes: Long): DataFrame = {
+    require(smallBytes > 0 && budgetBytes >= smallBytes,
+      s"need 0 < smallBytes ($smallBytes) <= budgetBytes ($budgetBytes)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("file_path")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    manifest
+      .filter(col("file_bytes") < smallBytes)
+      .select(col("file_path"), col("file_bytes"), col("n_rows"))
+      // the window runs over the SMALL-FILE manifest subset — an
+      // O(files) planning table, not data (the one place a global
+      // ordered window is the right tool)
+      .withColumn("prior", coalesce(sum("file_bytes").over(w), lit(0L)))
+      .withColumn("job", (col("prior") / budgetBytes).cast("long"))
+      .groupBy("job")
+      .agg(count(lit(1)).as("n_files"),
+        sum("file_bytes").as("total_bytes"),
+        sum("n_rows").as("n_rows"),
+        min("file_path").as("first_file"),
+        max("file_path").as("last_file"))
+  }
+
   // ------------------------------------------------------------------
   // Per-file bloom index: point-lookup pruning where min/max can't.
   //
@@ -190,13 +224,15 @@ object Manifest {
     // the same build construction as BloomPrefilter.keyBloom — the
     // hash convention and sizing MUST stay bit-identical with the
     // driver-side pointHash probe, so the coupling is structural
-    val aggs = (count(lit(1)).as("n_rows") +:
+    val aggs = (Seq(count(lit(1)).as("n_rows"),
+      first(col("__fsize")).as("file_bytes")) ++
       statsCols.flatMap(c =>
         Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))) ++
       bloomCols.map(c =>
         BloomPrefilter.bloomAgg(col(c), expectedPerFile, fpp).as(bloomCol(c)))
     spark.read.parquet(dataDir)
       .select(col("_metadata.file_path").as("file_path") +:
+        col("_metadata.file_size").as("__fsize") +:
         (statsCols ++ bloomCols).distinct.map(col): _*)
       .groupBy("file_path")
       .agg(aggs.head, aggs.tail: _*)

@@ -123,6 +123,35 @@ class ManifestSpec extends SparkSpec {
     assert(loaded.get.agg(sum("n_rows")).head().getLong(0) == 500L)
   }
 
+  test("manifest records real file sizes; compaction plan bins small files") {
+    val dataDir = freshDir("compact")
+    Tables.documents(spark, sf)
+      .repartition(6)
+      .write.mode("overwrite").parquet(dataDir)
+    val m = Manifest.build(spark, dataDir, Seq("doc_id"))
+    // file_bytes are the filesystem's own sizes
+    val fsBytes = spark.read.parquet(dataDir).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    assert(m.agg(sum("file_bytes")).head().getLong(0) == fsBytes)
+
+    // synthetic planning table: binning is pure arithmetic on it
+    import spark.implicits._
+    val plan = Seq(
+      ("a", 40L, 4L), ("b", 40L, 4L), ("c", 40L, 4L), ("d", 40L, 4L),
+      ("e", 500L, 50L)) // already scan-efficient — left alone
+      .toDF("file_path", "file_bytes", "n_rows")
+    val jobs = Manifest.compactionPlan(plan, smallBytes = 100L,
+        budgetBytes = 100L).collect()
+      .map(r => r.getAs[Long]("job") ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("total_bytes"))).toMap
+    // prefix sums 0/40/80/120 → jobs 0,0,0,1; the big file is excluded
+    assert(jobs == Map(0L -> (3L, 120L), 1L -> (1L, 40L)), s"got $jobs")
+    // coverage: every small file lands in exactly one job
+    assert(jobs.values.map(_._1).sum == 4L)
+    intercept[IllegalArgumentException](
+      Manifest.compactionPlan(plan, 100L, 50L))
+  }
+
   test("bloom manifest: point read is exact and opens a file subset") {
     val dataDir = freshDir("bloom")
     // UNCLUSTERED key: hash-scrambled doc_id order, so every file's
