@@ -33,6 +33,30 @@ class StressSpec extends SparkSpec {
     assert(secs < 180.0, s"giant-component stress took ${secs}s")
   }
 
+  test("giant star BFS: hot-frontier relaxation from a leaf seed") {
+    // seeding a LEAF of the 50k-star makes round 1 reach only the
+    // hub, and round 2's relaxation fans the hub's distance out to
+    // every other leaf in one aggregation — the maximal single-key
+    // frontier skew (all n candidate rows carry dst keys built from
+    // ONE reached source), then the fixpoint early-exit must fire
+    import org.apache.spark.sql.functions._
+    val n = 50000L
+    val edges = spark.range(1L, n + 1L)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val seeds = spark.range(1L, 2L).select(col("id").as("node"))
+    val t0 = System.nanoTime()
+    val rows = Graph.bfsDistances(edges, seeds, rounds = 6).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"giant star n=$n bfs: $secs%.1fs")
+    assert(rows.length == n + 1)
+    val d = rows.map(r => r.getAs[Long]("node") ->
+      r.getAs[java.lang.Long]("dist").toLong).toMap
+    assert(d(1L) == 0L && d(0L) == 1L)
+    assert((2L to n).forall(i => d(i) == 2L))
+    assert(rows.forall(_.getAs[Boolean]("converged")))
+    assert(secs < 180.0, s"bfs stress took ${secs}s")
+  }
+
   test("x20-duplicated corpus: keeper election stays linear and per-group") {
     // every sf0.001 text duplicated 20x with distinct ids: each copy
     // group is a 20-clique of verified LSH pairs — the duplicate-heavy
