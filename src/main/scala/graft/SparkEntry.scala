@@ -164,6 +164,9 @@ object SparkEntry {
     // hashing-trick sparse features: no vocabulary, no fitted state
     "text_hashed_features" -> ((s, d) =>
       TextAnalysis.hashedFeatures(Tables.documents(s, d)).orderBy("doc_id", "bucket")),
+    // PII redaction: the oracle certifies the full rewritten bytes
+    "text_redact" -> ((s, d) =>
+      TextAnalysis.redact(Tables.documents(s, d)).orderBy("doc_id")),
     "text_pack" -> ((s, d) => TextAnalysis.packSequences(Tables.documents(s, d)).orderBy("doc_id")),
     "text_split" -> ((s, d) => Sampling.splitAudit(Tables.documents(s, d)).orderBy("source", "split")),
     "text_fingerprint_roll" -> ((s, d) =>
@@ -2276,6 +2279,21 @@ object SparkEntry {
         |       round(-list_sum(list_transform(list(CAST(cnt AS DOUBLE) ORDER BY byte),
         |               x -> x / n * log2(x / n))), 4) AS entropy
         |FROM c GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+    // same two-pass rewrite (emails, then digit runs), md5 over the
+    // final bytes — the oracle certifies the exact redacted output
+    "text_redact" ->
+      """WITH e AS (SELECT doc_id, text,
+        |    regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g')
+        |      AS em FROM documents)
+        |SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS orig_len,
+        |       CAST(length(regexp_replace(em, '[0-9]+', '<NUM>', 'g')) AS BIGINT)
+        |         AS redacted_len,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+        |         AS n_emails,
+        |       CAST(len(regexp_extract_all(em, '[0-9]+')) AS BIGINT) AS n_nums,
+        |       md5(regexp_replace(em, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+        |FROM e ORDER BY doc_id""".stripMargin,
     "text_patterns" ->
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,

@@ -117,6 +117,22 @@ class TextSpec extends SparkSpec {
       assert(splits.size == 1, "a family straddles the split") }
   }
 
+  test("redaction rewrites emails before digits and certifies the bytes") {
+    import spark.implicits._
+    // the email's local part contains digits: the email pass must win
+    // (digit-first would shred "bob42@..." and hide the address)
+    val docs = Seq((1L, "contact bob42@mail.com or call 555 1234 now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redact(docs).collect().head
+    val expected = "contact <EMAIL> or call <NUM> <NUM> now"
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_nums") == 2L)
+    assert(r.getAs[Long]("redacted_len") == expected.length.toLong)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[String]("redacted_md5") == md5)
+  }
+
   test("hashed features bucket by the md5 byte and conserve token counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
