@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -368,15 +368,19 @@ object Events {
       expr("unix_micros(ts)").as("us"))
     val bounds = ev.agg(min("value").as("lo"), max("value").as("hi"),
       min("us").as("t0"), max("us").as("t1"))
+    // both windows PIVOTED into one row per (type, bin): the ref/cur
+    // split is a conditional sum, not a key — no self-join of the
+    // two sides, one window pass computes both ECDFs
+    val isRef = col("us") * 2 <= col("t0") + col("t1")
     val counts = ev.crossJoin(broadcast(bounds))
-      .select(col("etype"),
-        when(col("us") * 2 <= col("t0") + col("t1"), "ref")
-          .otherwise("cur").as("win"),
+      .select(col("etype"), isRef.as("is_ref"),
         least(floor(((col("value") - col("lo")) * bins) /
           (col("hi") - col("lo"))), lit(bins - 1L)).cast("long").as("bin"))
-      .groupBy("etype", "win", "bin").agg(count(lit(1)).as("n"))
-      // the model-sized frame feeds three consumers (the grid's type
-      // list and both ECDF sides) — materialize once so the corpus
+      .groupBy("etype", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("nc"))
+      // the model-sized frame feeds two consumers (the grid's type
+      // list and the ECDF join) — materialize once so the corpus
       // scan+agg above runs once, not per consumer subtree
       .localCheckpoint()
     // dense grid so both ECDFs are evaluated at every bin edge (a
@@ -384,27 +388,24 @@ object Events {
     val grid = counts.select("etype").distinct()
       .crossJoin(events.sparkSession.range(bins)
         .select(col("id").as("bin")))
-      .crossJoin(events.sparkSession.range(2)
-        .select(when(col("id") === 0, "ref").otherwise("cur").as("win")))
-    val wcum = Window.partitionBy("etype", "win").orderBy("bin")
-    val cum = grid.join(counts.hint("shuffle_hash"),
-        Seq("etype", "win", "bin"), "left")
-      .withColumn("n0", coalesce(col("n"), lit(0L)))
-      .withColumn("cum", sum("n0").over(wcum))
-      .withColumn("tot", sum("n0").over(Window.partitionBy("etype", "win")))
-    // tot = 0 (type absent from this window) must yield a NULL
-    // fraction, not an ANSI divide-by-zero — the one-sided override
-    // below turns those NULLs into the ks = 1 maximal-shift verdict
-    def side(w: String, f: String, n: String) =
-      cum.filter(col("win") === w)
-        .select(col("etype"), col("bin"),
-          when(col("tot") === 0, lit(null).cast("double"))
-            .otherwise(col("cum").cast("double") / col("tot")).as(f),
-          col("tot").as(n))
-    side("ref", "f_ref", "n_ref")
-      .join(side("cur", "f_cur", "n_cur"), Seq("etype", "bin"))
+    val wcum = Window.partitionBy("etype").orderBy("bin")
+    val wtot = Window.partitionBy("etype")
+    // tot = 0 (type absent from a window) must yield a NULL fraction,
+    // not an ANSI divide-by-zero — the one-sided override below turns
+    // those NULLs into the ks = 1 maximal-shift verdict
+    def ecdf(c: Column, t: Column): Column =
+      when(t === 0, lit(null).cast("double"))
+        .otherwise(c.cast("double") / t)
+    grid.join(counts.hint("shuffle_hash"), Seq("etype", "bin"), "left")
+      .select(col("etype"), col("bin"),
+        coalesce(col("nr"), lit(0L)).as("nr"),
+        coalesce(col("nc"), lit(0L)).as("nc"))
+      .withColumn("f_ref", ecdf(sum("nr").over(wcum), sum("nr").over(wtot)))
+      .withColumn("f_cur", ecdf(sum("nc").over(wcum), sum("nc").over(wtot)))
+      .withColumn("tr", sum("nr").over(wtot))
+      .withColumn("tc", sum("nc").over(wtot))
       .groupBy("etype")
-      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+      .agg(max("tr").as("n_ref"), max("tc").as("n_cur"),
         round(max(abs(col("f_ref") - col("f_cur"))), 6).as("ks"))
       // a type present in only ONE window (feature removed mid-stream
       // or newly introduced) has an undefined ECDF on the empty side —
