@@ -83,6 +83,9 @@ object SparkEntry {
     // full-distribution drift: binned two-sample KS per event type
     "events_drift" -> ((s, d) =>
       graft.ops.Events.valueDrift(Tables.events(s, d)).orderBy("etype")),
+    // sweep-line interval aggregation: peak concurrent sessions/day
+    "events_concurrency" -> ((s, d) =>
+      graft.ops.Events.concurrency(Tables.events(s, d)).orderBy("day")),
     "events_rolling_actives" -> ((s, d) =>
       graft.ops.Events.rollingActives(Tables.events(s, d)).orderBy("day")),
     "events_markov" -> ((s, d) =>
@@ -2370,6 +2373,40 @@ object SparkEntry {
         |        FROM exp e JOIN days USING (day) GROUP BY e.day)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
+    // sweep-line replay: q16 session rule, day clipping, half-open
+    // +1/-1 deltas, day-partitioned running max — integer micros
+    "events_concurrency" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, event_id, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           AS prev
+        |       FROM o),
+        |s2 AS (SELECT user_id, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |       FROM s1),
+        |s3 AS (SELECT user_id, us,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS sid
+        |       FROM s2),
+        |sess AS (SELECT user_id, sid, min(us) AS s, max(us) AS e
+        |         FROM s3 GROUP BY 1, 2),
+        |seg AS (SELECT unnest(range(s // 86400000000,
+        |                            e // 86400000000 + 1)) AS day, s, e
+        |        FROM sess),
+        |cl AS (SELECT day, greatest(s, day * 86400000000) AS lo,
+        |              least(e, (day + 1) * 86400000000 - 1) AS hi FROM seg),
+        |d AS (SELECT day, lo AS us, 1 AS delta FROM cl
+        |      UNION ALL SELECT day, hi + 1, -1 FROM cl),
+        |r AS (SELECT day, sum(delta) OVER (PARTITION BY day
+        |         ORDER BY us, delta DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |      FROM d)
+        |SELECT CAST(make_timestamp(day * 86400000000) AS DATE) AS day,
+        |       CAST(count(*) // 2 AS BIGINT) AS n_sessions,
+        |       CAST(max(running) AS BIGINT) AS peak_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     // binned two-sample KS replay: q33 bin convention, integer time
     // split, dense grid cumulative ECDFs, 6dp round AFTER the max
     "events_drift" ->

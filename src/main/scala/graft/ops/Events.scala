@@ -347,6 +347,55 @@ object Events {
         round(sum("value"), 2).as("attributed_value"))
   }
 
+  /** Daily session-concurrency profile by SWEEP LINE — the interval-
+    * aggregation class (how many sessions overlap at once: capacity
+    * planning, load-test targets) that no groupBy can express: a
+    * session is PRESENT over a span, not at a point. Sessions form
+    * by the q16 gap rule, clip at UTC day boundaries (bounded
+    * per-day fan-out — a span of d days becomes d segments), and
+    * each day sweeps its own +1/−1 boundary events with a running
+    * sum — the window is day-partitioned, so no everything-to-one-
+    * task global sort exists anywhere (the PlanLint rule this shape
+    * is usually guilty of). Half-open [start, end+1µs) deltas make
+    * same-instant touches count as concurrent in both engines
+    * without tie-order sensitivity: the running MAX is invariant to
+    * ordering among equal (time, delta) rows. Everything is integer
+    * micros end to end.
+    */
+  def concurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    require(gapSec > 0)
+    val dayUs = 86400000000L
+    val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev", lag(col("us"), 1).over(wo))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("us") - col("prev") > gapSec * 1000000L, 1).otherwise(0))
+      .withColumn("sid",
+        sum("ns").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("s"), max("us").as("e"))
+    val seg = sess
+      .select(explode(sequence(expr(s"s div $dayUs"),
+        expr(s"e div $dayUs"))).as("day"), col("s"), col("e"))
+      .select(col("day"),
+        greatest(col("s"), col("day") * dayUs).as("lo"),
+        least(col("e"), (col("day") + 1) * dayUs - 1).as("hi"))
+    val deltas = seg
+      .select(col("day"), col("lo").as("us"), lit(1L).as("delta"))
+      .unionAll(seg.select(col("day"), (col("hi") + 1).as("us"),
+        lit(-1L).as("delta")))
+    val wd = Window.partitionBy("day").orderBy(col("us"), col("delta").desc)
+    deltas
+      .withColumn("running",
+        sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("day")
+      .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
+        max("running").as("peak_concurrent"))
+      .select(to_date(timestamp_micros(col("day") * dayUs)).as("day"),
+        col("n_sessions"), col("peak_concurrent"))
+  }
+
   /** Per-type VALUE-DISTRIBUTION drift: a binned two-sample
     * Kolmogorov-Smirnov statistic between the first and second half
     * of the stream's time range. [[anomaly]] models mean/σ — a

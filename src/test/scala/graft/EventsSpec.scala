@@ -261,6 +261,27 @@ class EventsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("concurrency sweep: overlaps, same-instant touch, midnight clip") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(sec: Long, id: Long, user: Long) =
+      (id, new Timestamp(sec * 1000), user, "click", 1.0)
+    val rows = Seq(
+      at(1000, 1, 1), at(2000, 2, 1),   // u1 session [1000, 2000]
+      at(1500, 3, 2), at(2500, 4, 2),   // u2 session [1500, 2500]
+      at(10000, 5, 3),                  // u3 point session
+      at(86100, 6, 4), at(86700, 7, 4), // u4 spans midnight
+      at(5000, 8, 5), at(5000, 9, 6))   // u5/u6 touch at one instant
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.concurrency(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("peak_concurrent"))).toMap
+    // day 0: six sessions touch it; u1∩u2 overlap and the u5/u6
+    // same-instant touch both peak at 2. day 1: only u4's clipped tail
+    assert(out == Map("1970-01-01" -> (6L, 2L), "1970-01-02" -> (1L, 1L)),
+      s"got $out")
+  }
+
   test("value drift: a shifted second half fires KS, a stable one does not") {
     import spark.implicits._
     import java.sql.Timestamp
