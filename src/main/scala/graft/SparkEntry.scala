@@ -86,6 +86,10 @@ object SparkEntry {
     // sweep-line interval aggregation: peak concurrent sessions/day
     "events_concurrency" -> ((s, d) =>
       graft.ops.Events.concurrency(Tables.events(s, d)).orderBy("day")),
+    // banded interval-OVERLAP join: who is online together
+    "events_coactivity" -> ((s, d) =>
+      graft.ops.Events.coactivity(Tables.events(s, d))
+        .orderBy("user_a", "user_b")),
     "events_rolling_actives" -> ((s, d) =>
       graft.ops.Events.rollingActives(Tables.events(s, d)).orderBy("day")),
     "events_markov" -> ((s, d) =>
@@ -2373,6 +2377,32 @@ object SparkEntry {
         |        FROM exp e JOIN days USING (day) GROUP BY e.day)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
+    // interval-overlap replay: same session CTEs, DuckDB's NATIVE
+    // inequality join stands oracle for the banded Spark plan
+    "events_coactivity" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, event_id, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           AS prev
+        |       FROM o),
+        |s2 AS (SELECT user_id, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |       FROM s1),
+        |s3 AS (SELECT user_id, us,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS sid
+        |       FROM s2),
+        |sess AS (SELECT user_id, sid, min(us) AS s, max(us) AS e
+        |         FROM s3 GROUP BY 1, 2)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       count(*) AS n_overlaps,
+        |       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+        |         AS shared_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin,
     // sweep-line replay: q16 session rule, day clipping, half-open
     // +1/-1 deltas, day-partitioned running max — integer micros
     "events_concurrency" ->

@@ -362,11 +362,16 @@ object Events {
     * ordering among equal (time, delta) rows. Everything is integer
     * micros end to end.
     */
-  def concurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+  private val DayUs = 86400000000L
+
+  /** Per-user session spans under the q16 gap rule: one row per
+    * session with its [s, e] micro bounds. Shared by the sweep-line
+    * and interval-join consumers so the session definition cannot
+    * drift between them. */
+  private def sessionSpans(events: DataFrame, gapSec: Long): DataFrame = {
     require(gapSec > 0)
-    val dayUs = 86400000000L
     val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val sess = events
+    events
       .withColumn("us", expr("unix_micros(ts)"))
       .withColumn("prev", lag(col("us"), 1).over(wo))
       .withColumn("ns", when(col("prev").isNull ||
@@ -375,6 +380,11 @@ object Events {
         sum("ns").over(wo.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sid")
       .agg(min("us").as("s"), max("us").as("e"))
+  }
+
+  def concurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val dayUs = DayUs
+    val sess = sessionSpans(events, gapSec)
     val seg = sess
       .select(explode(sequence(expr(s"s div $dayUs"),
         expr(s"e div $dayUs"))).as("day"), col("s"), col("e"))
@@ -394,6 +404,42 @@ object Events {
         max("running").as("peak_concurrent"))
       .select(to_date(timestamp_micros(col("day") * dayUs)).as("day"),
         col("n_sessions"), col("peak_concurrent"))
+  }
+
+  /** User CO-ACTIVITY by interval-OVERLAP join — the third member of
+    * the temporal-join family (as-of: latest-before; trailing range:
+    * fixed lookback; this: two SPANS intersecting). Session pairs of
+    * DIFFERENT users whose [s, e] intervals overlap, rolled up per
+    * user pair with total shared micros — the "who is online
+    * together" / correlated-automation signal. Spark has no interval
+    * join, and the naive formulation is a nested-loop cartesian; the
+    * q30 banding discipline applies: day bands manufacture the
+    * equi-key (two overlapping intervals both touch the band holding
+    * the overlap's START, so a shared-band equi-join misses
+    * nothing), the exact overlap predicate rides inside the hash
+    * join, and one `distinct` removes the multi-band double-counts
+    * of midnight-spanning overlaps. Candidate fan-out is bounded by
+    * per-band session counts, never the corpus.
+    */
+  def coactivity(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val bands = sessionSpans(events, gapSec)
+      .select(col("user_id"), col("sid"), col("s"), col("e"),
+        explode(sequence(expr(s"s div $DayUs"), expr(s"e div $DayUs")))
+          .as("band"))
+    val a = bands.select(col("band"), col("user_id").as("user_a"),
+      col("sid").as("sid_a"), col("s").as("s_a"), col("e").as("e_a"))
+    val b = bands.select(col("band"), col("user_id").as("user_b"),
+      col("sid").as("sid_b"), col("s").as("s_b"), col("e").as("e_b"))
+    a.join(b.hint("shuffle_hash"),
+        a("band") === b("band") && col("user_a") < col("user_b") &&
+          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("user_a"), col("user_b"), col("sid_a"), col("sid_b"),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b")) + 1).as("overlap_us"))
+      .distinct()
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum("overlap_us").as("shared_us"))
   }
 
   /** Per-type VALUE-DISTRIBUTION drift: a binned two-sample

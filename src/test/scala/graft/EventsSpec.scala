@@ -282,6 +282,32 @@ class EventsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("coactivity joins overlapping sessions once, even across midnight") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(sec: Long, id: Long, user: Long) =
+      (id, new Timestamp(sec * 1000), user, "click", 1.0)
+    val rows = Seq(
+      // u1/u2 overlap [1500, 2000] (501s); u3 disjoint
+      at(1000, 1, 1), at(2000, 2, 1),
+      at(1500, 3, 2), at(2500, 4, 2),
+      at(9000, 5, 3),
+      // u4/u5 overlap STRADDLES midnight: one overlap, not two
+      // (both sessions touch bands day0 and day1 — distinct dedupes)
+      at(86100, 6, 4), at(86700, 7, 4),
+      at(86200, 8, 5), at(86800, 9, 5))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.coactivity(ev).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("shared_us"))).toMap
+    assert(out == Map(
+      (1L, 2L) -> (1L, 500000001L),
+      (4L, 5L) -> (1L, 500000001L)), s"got $out")
+    // the banded plan never degenerates into a cartesian product
+    val plan = Events.coactivity(ev).queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("value drift: a shifted second half fires KS, a stable one does not") {
     import spark.implicits._
     import java.sql.Timestamp
