@@ -386,7 +386,10 @@ object Graph {
     val dSum = deg.join(lab.hint("shuffle_hash"), "node")
       .groupBy("label").agg(sum("d").as("d_sum"),
         count(lit(1)).as("n_nodes"))
-    val per = dSum.join(eIn, Seq("label"), "left")
+    // both sides are per-label aggregates (≤ |labels| rows — model
+    // constants): broadcast the intra-edge counts instead of letting
+    // the planner sort-merge two tiny frames
+    val per = dSum.join(broadcast(eIn), Seq("label"), "left")
       .crossJoin(broadcast(m))
       .select(col("label"), col("n_nodes"),
         coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
