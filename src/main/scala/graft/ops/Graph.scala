@@ -308,7 +308,7 @@ object Graph {
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
     canon
       .join(wedges.select(col("u").as("src"), col("v").as("dst"),
-        col("support")), Seq("src", "dst"), "left")
+        col("support")).hint("shuffle_hash"), Seq("src", "dst"), "left")
       .join(deg.select(col("src"), col("d").as("d_src"))
         .hint("shuffle_hash"), "src")
       .join(deg.select(col("src").as("dst"), col("d").as("d_dst"))
@@ -335,7 +335,8 @@ object Graph {
       .filter(col("u") < col("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("common"))
     val nonAdj = wedges.join(
-      und.select(col("src").as("u"), col("dst").as("v")),
+      und.select(col("src").as("u"), col("dst").as("v"))
+        .hint("shuffle_hash"),
       Seq("u", "v"), "left_anti")
     nonAdj
       .join(deg.select(col("src").as("u"), col("d").as("du"))
