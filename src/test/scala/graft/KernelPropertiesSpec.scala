@@ -183,4 +183,54 @@ class KernelPropertiesSpec extends SparkSpec {
       .forall { case (x, y) => x == y })
     assert(a.forall(_.getSeq[Long](0).length == 16))
   }
+
+  test("bin_entropy on UTF-8 bytes equals byte_entropy on the text") {
+    import spark.implicits._
+    import graft.functions.expressions.{bin_entropy, byte_entropy}
+    val texts = (1 to 200).flatMap(_ => textGen.sample).distinct
+    val rows = texts.toDF("text")
+      .select(byte_entropy(col("text")).as("t"),
+        bin_entropy(encode(col("text"), "UTF-8")).as("b")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("shard assignment is near-uniform over arbitrary long keys") {
+    import spark.implicits._
+    // md5 of the decimal rendering has no visible structure: over 16k
+    // sequential AND scattered keys each of 8 shards holds ~1/8 ± 20%
+    val keys = ((0L until 8000L) ++ (0L until 8000L).map(_ * 1000003L + 7L))
+      .toDF("doc_id")
+    val counts = keys
+      .groupBy(graft.ops.Sampling.shardId(col("doc_id"), 8).as("s"))
+      .count().collect().map(r => r.getAs[Int]("s") -> r.getAs[Long]("count"))
+      .toMap
+    assert(counts.keySet == (0 until 8).toSet)
+    val expect = 16000.0 / 8
+    counts.values.foreach(n =>
+      assert(math.abs(n - expect) < expect * 0.2, s"skewed: $counts"))
+  }
+
+  test("redaction is idempotent: a second pass changes nothing") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).limit(100)
+    val once = graft.text.TextAnalysis.redact(docs)
+      .select(col("doc_id"), col("redacted_md5").as("m1"))
+    // re-redact the already-redacted text by rebuilding a documents
+    // frame whose text IS the redacted output — the tags contain no
+    // digits and no lowercase email shape, so nothing changes
+    val redactedText = docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"),
+        "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>"), "[0-9]+", "<NUM>")
+        .as("text"))
+    val twice = graft.text.TextAnalysis.redact(redactedText)
+      .select(col("doc_id"), col("redacted_md5").as("m2"),
+        col("n_emails"), col("n_nums"))
+    val joined = once.join(twice, "doc_id").collect()
+    assert(joined.length == 100)
+    joined.foreach { r =>
+      assert(r.getAs[String]("m1") == r.getAs[String]("m2"))
+      assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_nums") == 0L)
+    }
+  }
 }
