@@ -103,7 +103,29 @@ object Manifest {
     new org.apache.hadoop.fs.Path(p).toString
 
   def update(spark: SparkSession, dataDir: String, manifestDir: String,
-             statsCols: Seq[String]): Long = {
+             statsCols: Seq[String]): Long =
+    updateWith(spark, dataDir, manifestDir)(statsOf(_, statsCols))
+
+  /** [[update]] for a bloom-indexed manifest: the fresh files get the
+    * same stats + `bloom_<c>` schema as [[buildWithBloom]], so the
+    * incremental union stays schema-compatible (a plain [[update]]
+    * against a bloom manifest fails loudly on the column mismatch —
+    * the tracked-column set is fixed per manifest dir).
+    */
+  def updateWithBloom(spark: SparkSession, dataDir: String,
+                      manifestDir: String, statsCols: Seq[String],
+                      bloomCols: Seq[String],
+                      expectedPerFile: Long = 100000L,
+                      fpp: Double = 0.03): Long =
+    updateWith(spark, dataDir, manifestDir)(
+      bloomStatsOf(_, statsCols, bloomCols, expectedPerFile, fpp))
+
+  /** The shared incremental-upkeep choreography: diff the data dir's
+    * files against the latest manifest, stat ONLY the new ones with
+    * `stats`, publish the union as the next version. */
+  private def updateWith(spark: SparkSession, dataDir: String,
+                         manifestDir: String)
+                        (stats: DataFrame => DataFrame): Long = {
     val current = load(spark, manifestDir)
     val versions = VersionedStore.listVersions(spark, manifestDir, VersionPrefix)
     val known: Set[String] = current match {
@@ -116,8 +138,8 @@ object Manifest {
     if (newFiles.isEmpty && current.isDefined)
       return versions.max
     val fresh =
-      if (newFiles.isEmpty) build(spark, dataDir, statsCols)
-      else statsOf(spark.read.parquet(newFiles: _*), statsCols)
+      if (newFiles.isEmpty) stats(spark.read.parquet(dataDir))
+      else stats(spark.read.parquet(newFiles: _*))
     val next = versions.foldLeft(0L)(math.max) + 1
     VersionedStore.commit(spark, manifestDir, s"$VersionPrefix$next") {
       staging =>
@@ -218,7 +240,15 @@ object Manifest {
   def buildWithBloom(spark: SparkSession, dataDir: String,
                      statsCols: Seq[String], bloomCols: Seq[String],
                      expectedPerFile: Long = 100000L,
-                     fpp: Double = 0.03): DataFrame = {
+                     fpp: Double = 0.03): DataFrame =
+    bloomStatsOf(spark.read.parquet(dataDir), statsCols, bloomCols,
+      expectedPerFile, fpp)
+
+  /** [[statsOf]] plus the bloom columns — shared by the full build
+    * and the incremental update's fresh-files branch. */
+  private def bloomStatsOf(df: DataFrame, statsCols: Seq[String],
+                           bloomCols: Seq[String], expectedPerFile: Long,
+                           fpp: Double): DataFrame = {
     require(statsCols.nonEmpty, "at least one stats column")
     require(bloomCols.nonEmpty, "at least one bloom column")
     // the same build construction as BloomPrefilter.keyBloom — the
@@ -230,8 +260,7 @@ object Manifest {
         Seq(min(col(c)).as(minCol(c)), max(col(c)).as(maxCol(c))))) ++
       bloomCols.map(c =>
         BloomPrefilter.bloomAgg(col(c), expectedPerFile, fpp).as(bloomCol(c)))
-    spark.read.parquet(dataDir)
-      .select(col("_metadata.file_path").as("file_path") +:
+    df.select(col("_metadata.file_path").as("file_path") +:
         col("_metadata.file_size").as("__fsize") +:
         (statsCols ++ bloomCols).distinct.map(col): _*)
       .groupBy("file_path")

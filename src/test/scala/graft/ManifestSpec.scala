@@ -188,6 +188,37 @@ class ManifestSpec extends SparkSpec {
     assert(absent.count() == 0L)
   }
 
+  test("bloom manifest incremental update stats only the new files") {
+    val dataDir = freshDir("bloom-inc")
+    val manifestDir = freshDir("bloom-inc-m")
+    Tables.documents(spark, sf).filter(col("doc_id") < 250)
+      .repartition(3, md5(col("doc_id").cast("string")))
+      .write.mode("overwrite").parquet(dataDir)
+    val v1 = Manifest.updateWithBloom(spark, dataDir, manifestDir,
+      Seq("doc_id"), Seq("doc_id"), expectedPerFile = 1000L)
+    assert(v1 == 1L)
+    // second batch lands; upkeep must stat ONLY its files and the
+    // unioned manifest must still answer point lookups over BOTH
+    Tables.documents(spark, sf).filter(col("doc_id") >= 250)
+      .repartition(3, md5(col("doc_id").cast("string")))
+      .write.mode("append").parquet(dataDir)
+    val v2 = Manifest.updateWithBloom(spark, dataDir, manifestDir,
+      Seq("doc_id"), Seq("doc_id"), expectedPerFile = 1000L)
+    assert(v2 == 2L)
+    val m = Manifest.load(spark, manifestDir).get
+    assert(m.count() == spark.read.parquet(dataDir).inputFiles.length)
+    val oldId = spark.read.parquet(dataDir)
+      .filter(col("doc_id") < 250).select("doc_id").head().getLong(0)
+    val newId = spark.read.parquet(dataDir)
+      .filter(col("doc_id") >= 250).select("doc_id").head().getLong(0)
+    Seq(oldId, newId).foreach { id =>
+      assert(Manifest.readPoint(spark, dataDir, m, "doc_id", id)
+        .count() == 1L, s"id $id") }
+    // a no-op upkeep returns the current version
+    assert(Manifest.updateWithBloom(spark, dataDir, manifestDir,
+      Seq("doc_id"), Seq("doc_id"), expectedPerFile = 1000L) == 2L)
+  }
+
   test("bloom manifest survives the versioned write/load round trip") {
     val dataDir = freshDir("bloom-rt")
     val manifestDir = freshDir("bloom-rt-m")
