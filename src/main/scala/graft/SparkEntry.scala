@@ -90,6 +90,9 @@ object SparkEntry {
     "events_coactivity" -> ((s, d) =>
       graft.ops.Events.coactivity(Tables.events(s, d))
         .orderBy("user_a", "user_b")),
+    // telemetry debounce: duplicate-chatter rate per event type
+    "events_debounce" -> ((s, d) =>
+      graft.ops.Events.debounce(Tables.events(s, d)).orderBy("event_type")),
     "events_rolling_actives" -> ((s, d) =>
       graft.ops.Events.rollingActives(Tables.events(s, d)).orderBy("day")),
     "events_markov" -> ((s, d) =>
@@ -2377,6 +2380,21 @@ object SparkEntry {
         |        FROM exp e JOIN days USING (day) GROUP BY e.day)
         |SELECT day, dau, wau FROM dau JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
+    // burst = gap-session per (user, type); kept = session openers
+    "events_debounce" ->
+      """WITH o AS (SELECT user_id, event_type, event_id,
+        |             epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_type,
+        |        us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY us, event_id) AS gap
+        |      FROM o)
+        |SELECT event_type, count(*) AS n_total,
+        |       count(*) FILTER (WHERE gap IS NULL OR gap > 5000000)
+        |         AS n_kept,
+        |       round(CAST(count(*) FILTER (WHERE gap IS NOT NULL
+        |                                     AND gap <= 5000000) AS DOUBLE)
+        |             / count(*), 4) AS drop_rate
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
     // interval-overlap replay: same session CTEs, DuckDB's NATIVE
     // inequality join stands oracle for the banded Spark plan
     "events_coactivity" ->

@@ -442,6 +442,34 @@ object Events {
         sum("overlap_us").as("shared_us"))
   }
 
+  /** Telemetry DEBOUNCE audit: collapse each (user, type) burst —
+    * consecutive same-type events under `gapSec` apart — to its
+    * FIRST event (the q16/sessionSpans gap rule applied per (user,
+    * type), keeping the session-opening rows), and report per type
+    * how much of the stream was duplicate chatter. Retry storms and
+    * double-fire clients inflate counts and poison per-event models;
+    * this is the cleaning rate a pipeline inspects before trusting
+    * raw event volumes. Anchor-to-burst-start semantics (not a
+    * pairwise lag rule): a chain a-b-c at sub-gap spacing keeps only
+    * `a`, however long the chain. One per-(user, type) window pass;
+    * output is |types| rows.
+    */
+  def debounce(events: DataFrame, gapSec: Long = 5L): DataFrame = {
+    require(gapSec > 0)
+    val wo = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev", lag(col("us"), 1).over(wo))
+      .withColumn("keep", col("prev").isNull ||
+        col("us") - col("prev") > gapSec * 1000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("keep"), 0L).otherwise(1L)).cast("double") /
+          count(lit(1)), 4).as("drop_rate"))
+  }
+
   /** Per-type VALUE-DISTRIBUTION drift: a binned two-sample
     * Kolmogorov-Smirnov statistic between the first and second half
     * of the stream's time range. [[anomaly]] models mean/σ — a

@@ -282,6 +282,27 @@ class EventsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("debounce keeps one event per burst, chains included") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(sec: Long, id: Long, user: Long, typ: String) =
+      (id, new Timestamp(sec * 1000), user, typ, 1.0)
+    val rows = Seq(
+      // u1 clicks: chain 0-3-6s (sub-gap links) keeps ONLY the first,
+      // then a fresh burst at 100s
+      at(0, 1, 1, "click"), at(3, 2, 1, "click"), at(6, 3, 1, "click"),
+      at(100, 4, 1, "click"),
+      // same instants, different type/user: independent streams
+      at(0, 5, 1, "view"), at(3, 6, 2, "click"))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.debounce(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"),
+          r.getAs[Double]("drop_rate"))).toMap
+    assert(out("click") == ((5L, 3L, 0.4)), s"got $out")
+    assert(out("view") == ((1L, 1L, 0.0)), s"got $out")
+  }
+
   test("coactivity joins overlapping sessions once, even across midnight") {
     import spark.implicits._
     import java.sql.Timestamp
