@@ -389,6 +389,52 @@ object EventStreams {
     l.join(r, cond, if (leftOuter) "left_outer" else "inner")
   }
 
+  /** One debounced emission: the kept event's key coordinates. */
+  case class DebounceEmit(user_id: Long, event_type: String,
+                          event_id: Long, ts_us: Long)
+
+  /** Streaming twin of [[graft.ops.Events.debounce]] — the live form
+    * a telemetry ingest actually runs: per-(user, type) keyed state
+    * holds ONE long (the latest event time seen) and an arriving
+    * event is emitted iff it opens a new burst (no prior event, or
+    * gap exceeded). Same gap-session rule as the batch auditor, so
+    * on an in-order replay the emitted set is exactly the batch
+    * keep-set (spec-pinned across a burst-splitting batch boundary).
+    * State is one fixed-size row per live (user, type) — bounded by
+    * key cardinality, never stream length. Late rows at or before
+    * the key's high-water mark DROP (the tsMatchState
+    * watermark-at-source policy): a late duplicate must not re-open
+    * a burst it actually belongs inside.
+    */
+  def debounceState(events: DataFrame, gapSec: Long = 5L)
+                   (implicit spark: SparkSession): Dataset[DebounceEmit] = {
+    import spark.implicits._
+    require(gapSec > 0)
+    val gapUs = gapSec * 1000000L
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[Long]) =>
+          // micro-batch arrival order is not event order: sort the
+          // batch's rows like the batch operator's window does
+          val ordered = rows.toSeq.sortBy(r => (r._4, r._3))
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = ordered.flatMap { case (u, t, id, us) =>
+            if (us <= last && last != Long.MinValue) None // late: drop
+            else {
+              val keep = last == Long.MinValue || us - last > gapUs
+              last = us
+              if (keep) Some(DebounceEmit(u, t, id, us)) else None
+            }
+          }
+          state.update(last)
+          out.iterator
+      }
+  }
+
   /** One distribution-drift emission: the type's rows-so-far and the
     * current binned-KS distance to the reference ECDF. */
   case class ValueDriftEmit(event_type: String, n_cur: Long, ks: Double)

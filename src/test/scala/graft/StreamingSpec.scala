@@ -680,6 +680,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.keySet == Set("click", "view", "direct"))
   }
 
+  test("streaming debounce emits exactly the batch keep-set across a burst split") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    def row(id: Long, sec: Long, user: Long, typ: String) =
+      EventRow(id, new Timestamp(1700000000000L + sec * 1000L), user, typ,
+        1.0, "{}")
+    // u1 click chain 0-3-6-9s (one burst), fresh burst at 100s; the
+    // BATCH BOUNDARY splits the first burst mid-chain (3|6), so the
+    // carry state must suppress the second half
+    val all = Seq(row(1, 0, 1, "click"), row(2, 3, 1, "click"),
+      row(3, 6, 1, "click"), row(4, 9, 1, "click"),
+      row(5, 100, 1, "click"), row(6, 0, 1, "view"), row(7, 3, 2, "click"))
+    val batchKeep = graft.ops.Events.debounce(all.toDF())
+      .collect().map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_kept")).toMap
+    val input = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.debounceState(input.toDF())
+      .writeStream.format("memory").queryName("deb")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(all.take(2)); q.processAllAvailable()
+      input.addData(all.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("deb").collect()
+      .map(r => r.getAs[Long]("event_id")).toSet
+    assert(emitted == Set(1L, 5L, 6L, 7L), s"got $emitted")
+    val perType = spark.table("deb").collect()
+      .groupBy(_.getAs[String]("event_type")).map { case (t, rs) => t -> rs.length.toLong }
+    assert(perType == batchKeep, s"stream $perType vs batch $batchKeep")
+    // a late duplicate at-or-before the high-water mark drops
+    val input2 = MemoryStream[EventRow]
+    val q2 = graft.streaming.EventStreams.debounceState(input2.toDF())
+      .writeStream.format("memory").queryName("deb2")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input2.addData(Seq(row(10, 50, 9, "click"))); q2.processAllAvailable()
+      input2.addData(Seq(row(11, 20, 9, "click"))); q2.processAllAvailable()
+    } finally q2.stop()
+    val em2 = spark.table("deb2").collect().map(_.getAs[Long]("event_id")).toSet
+    assert(em2 == Set(10L), s"got $em2")
+  }
+
   test("streaming value drift converges to the batch KS across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
