@@ -183,6 +183,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).distinct.length == streamed.length)
   }
 
+  test("debounce state survives kill + restart: the burst carry holds") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-deb-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-deb-out").toString
+    def row(id: Long, sec: Long) =
+      EventRow(id, new Timestamp(1700000000000L + sec * 1000L), 1L, "click",
+        1.0, "{}")
+    val input = MemoryStream[EventRow]
+    def start() =
+      graft.streaming.EventStreams.debounceState(input.toDF())
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("b", lit(id)).write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).start()
+    val q1 = start()
+    try { input.addData(Seq(row(1, 0), row(2, 3))); q1.processAllAvailable() }
+    finally q1.stop()
+    // while the query is down, the burst continues (6s — still inside
+    // the carry from the pre-kill event at 3s) and a fresh burst lands
+    input.addData(Seq(row(3, 6), row(4, 100)))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // a restart that LOST the 3s carry would wrongly re-emit id 3
+    val emitted = spark.read.parquet(out).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(emitted == Set(1L, 4L), s"got $emitted")
+  }
+
   test("heavy hitters state survives kill + restart from checkpoint") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
