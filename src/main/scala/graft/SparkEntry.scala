@@ -320,6 +320,12 @@ object SparkEntry {
     // cosine reduction for the ANN paths is spec-pinned rank-equal
     "sim_mips" -> ((s, d) =>
       Similarity.mipsTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    // the reduction RUNNING the production ANN path: IVF over the
+    // augmented frame does dot-product retrieval with cosine machinery
+    "sim_mips_ivf" -> ((s, d) =>
+      Similarity.annIvf(
+        Similarity.mipsAugment(Tables.embeddings(s, d), col("vec_id") < 10),
+        col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ivf" -> ((s, d) =>
@@ -1038,6 +1044,48 @@ object SparkEntry {
       |  JOIN assigned a USING (cell_id)
       |  JOIN corpus cq ON cq.vec_id = p.q_id
       |  JOIN corpus cv ON cv.vec_id = a.vec_id
+      |  WHERE a.vec_id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** MIPS-through-IVF replay: the asymmetric augmentation (queries
+    * get a 0 coordinate, corpus gets sqrt(M²−‖x‖²), REAL-cast like
+    * the float kernel) feeding the standard IVF pipeline. */
+  private val simMipsIvfSql: String =
+    """WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |             FROM embeddings),
+      |nsq AS (SELECT vec_id, emb, list_inner_product(emb, emb) AS n2 FROM raw),
+      |mx AS (SELECT max(n2) AS m2 FROM nsq),
+      |aug AS (SELECT vec_id, list_append(emb,
+      |          CAST(CAST(CASE WHEN vec_id < 10 THEN 0.0
+      |               ELSE sqrt(greatest(m2 - n2, 0)) END AS REAL) AS DOUBLE))
+      |          AS emb
+      |        FROM nsq CROSS JOIN mx),
+      |cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM aug
+      |          WHERE vec_id % 50 = 0),
+      |asg AS (
+      |  SELECT vec_id, cell_id,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+      |  FROM aug CROSS JOIN cents),
+      |assigned AS (SELECT vec_id, cell_id FROM asg WHERE rn = 1),
+      |qc AS (
+      |  SELECT q.vec_id AS q_id, cell_id,
+      |         row_number() OVER (PARTITION BY q.vec_id
+      |                            ORDER BY list_cosine_similarity(q.emb, c_emb) DESC, cell_id) AS rn
+      |  FROM aug q CROSS JOIN cents WHERE q.vec_id < 10),
+      |probes AS (SELECT q_id, cell_id FROM qc WHERE rn <= 2),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id,
+      |         round(list_cosine_similarity(cq.emb, cv.emb), 6) AS cos
+      |  FROM probes p
+      |  JOIN assigned a USING (cell_id)
+      |  JOIN aug cq ON cq.vec_id = p.q_id
+      |  JOIN aug cv ON cv.vec_id = a.vec_id
       |  WHERE a.vec_id <> p.q_id),
       |ranked AS (
       |  SELECT q_id, vec_id, cos,
@@ -2926,6 +2974,7 @@ object SparkEntry {
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
     "sim_cell_balance" -> simCellBalanceSql,
+    "sim_mips_ivf" -> simMipsIvfSql,
     // the IVF replay's top-k left-joined under the brute ground truth
     "sim_recall_audit" ->
       """WITH cents AS (
