@@ -391,6 +391,9 @@ object Events {
       .select(col("day"),
         greatest(col("s"), col("day") * dayUs).as("lo"),
         least(col("e"), (col("day") + 1) * dayUs - 1).as("hi"))
+      // referenced twice by the +1/−1 union: materialize so the
+      // events scan + session window runs once, not per branch
+      .localCheckpoint()
     val deltas = seg
       .select(col("day"), col("lo").as("us"), lit(1L).as("delta"))
       .unionAll(seg.select(col("day"), (col("hi") + 1).as("us"),
@@ -426,6 +429,9 @@ object Events {
       .select(col("user_id"), col("sid"), col("s"), col("e"),
         explode(sequence(expr(s"s div $DayUs"), expr(s"e div $DayUs")))
           .as("band"))
+      // both sides of the self-join read this: materialize so the
+      // events scan + session window runs once, not per side
+      .localCheckpoint()
     val a = bands.select(col("band"), col("user_id").as("user_a"),
       col("sid").as("sid_a"), col("s").as("s_a"), col("e").as("e_a"))
     val b = bands.select(col("band"), col("user_id").as("user_b"),
@@ -449,10 +455,15 @@ object Events {
     * how much of the stream was duplicate chatter. Retry storms and
     * double-fire clients inflate counts and poison per-event models;
     * this is the cleaning rate a pipeline inspects before trusting
-    * raw event volumes. Anchor-to-burst-start semantics (not a
-    * pairwise lag rule): a chain a-b-c at sub-gap spacing keeps only
-    * `a`, however long the chain. One per-(user, type) window pass;
-    * output is |types| rows.
+    * raw event volumes. CONSECUTIVE-GAP (session-opener) semantics:
+    * a burst is a maximal chain of events each under `gapSec` from
+    * its predecessor, and only the chain's opener survives — so a
+    * chain a-b-c at sub-gap spacing keeps only `a` even when the
+    * chain's total span exceeds the gap (chained retries collapse
+    * entirely; a rule that re-emits once the distance from the
+    * opener exceeds the gap would be a different — rate-limit —
+    * semantics). One per-(user, type) window pass; output is
+    * |types| rows.
     */
   def debounce(events: DataFrame, gapSec: Long = 5L): DataFrame = {
     require(gapSec > 0)

@@ -34,14 +34,6 @@ object Manifest {
   private def maxCol(c: String) = s"max_$c"
   private def bloomCol(c: String) = s"bloom_$c"
 
-  /** One row per data file under `dataDir`: `file_path`, `n_rows`,
-    * and `min_<c>`/`max_<c>` for each tracked column. One distributed
-    * scan of the tracked columns (column-pruned: the scan reads only
-    * `statsCols`); the `_metadata.file_path` grouping key is Spark's
-    * public hidden file-metadata column, so no per-file driver loop
-    * touches the filesystem. In production this runs incrementally on
-    * the files a write just produced, not the whole table.
-    */
   /** The per-file stats aggregation — one definition for the full
     * build and the incremental update's fresh-files branch. */
   private def statsOf(df: DataFrame, statsCols: Seq[String]): DataFrame = {
@@ -57,6 +49,15 @@ object Manifest {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** One row per data file under `dataDir`: `file_path`, `n_rows`,
+    * `file_bytes`, and `min_<c>`/`max_<c>` for each tracked column.
+    * One distributed scan of the tracked columns (column-pruned: the
+    * scan reads only `statsCols`); the `_metadata.file_path` grouping
+    * key is Spark's public hidden file-metadata column, so no
+    * per-file driver loop touches the filesystem. In production this
+    * runs incrementally on the files a write just produced, not the
+    * whole table.
+    */
   def build(spark: SparkSession, dataDir: String,
             statsCols: Seq[String]): DataFrame =
     statsOf(spark.read.parquet(dataDir), statsCols)
@@ -143,7 +144,13 @@ object Manifest {
     val next = versions.foldLeft(0L)(math.max) + 1
     VersionedStore.commit(spark, manifestDir, s"$VersionPrefix$next") {
       staging =>
-        current.map(_.unionByName(fresh)).getOrElse(fresh)
+        // allowMissingColumns: a manifest published before a schema
+        // widening (e.g. pre-file_bytes versions) upkeeps instead of
+        // bricking — its old rows carry nulls for the new columns,
+        // and size-dependent consumers ([[compactionPlan]]) skip
+        // null-sized rows until a full [[write]] refreshes them
+        current.map(_.unionByName(fresh, allowMissingColumns = true))
+          .getOrElse(fresh)
           .coalesce(1)
           .write.parquet(staging.toString)
     }
@@ -193,6 +200,9 @@ object Manifest {
     * file's tail — bounded by `smallBytes`, not by corpus skew.
     * Output: one row per job (job id, file count, total bytes,
     * path range) — the work order a maintenance fleet executes.
+    * Rows with a null `file_bytes` (a manifest version written
+    * before sizes were tracked) are skipped; run a full [[write]]
+    * to refresh them.
     */
   def compactionPlan(manifest: DataFrame, smallBytes: Long,
                      budgetBytes: Long): DataFrame = {

@@ -188,6 +188,33 @@ class ManifestSpec extends SparkSpec {
     assert(absent.count() == 0L)
   }
 
+  test("upkeep survives a manifest written before the schema widened") {
+    val dataDir = freshDir("widen")
+    val manifestDir = freshDir("widen-m")
+    Tables.documents(spark, sf).limit(200)
+      .repartition(3).write.mode("overwrite").parquet(dataDir)
+    // simulate a pre-file_bytes manifest version on disk
+    val legacy = Manifest.build(spark, dataDir, Seq("doc_id"))
+      .drop("file_bytes")
+    graft.ops.VersionedStore.commit(spark, manifestDir, "v=1") { staging =>
+      legacy.coalesce(1).write.parquet(staging.toString)
+    }
+    // new files land; upkeep must WIDEN, not brick
+    Tables.documents(spark, sf).filter(col("doc_id") >= 200).limit(100)
+      .repartition(2).write.mode("append").parquet(dataDir)
+    val v = Manifest.update(spark, dataDir, manifestDir, Seq("doc_id"))
+    assert(v == 2L)
+    val m = Manifest.load(spark, manifestDir).get
+    assert(m.count() == spark.read.parquet(dataDir).inputFiles.length)
+    // legacy rows carry null sizes; fresh rows carry real ones — and
+    // the compaction planner skips the nulls instead of crashing
+    assert(m.filter(col("file_bytes").isNull).count() == 3L)
+    assert(m.filter(col("file_bytes").isNotNull).count() == 2L)
+    val jobs = Manifest.compactionPlan(m, smallBytes = Long.MaxValue / 4,
+      budgetBytes = Long.MaxValue / 2)
+    assert(jobs.agg(sum("n_files")).head().getLong(0) == 2L)
+  }
+
   test("bloom manifest incremental update stats only the new files") {
     val dataDir = freshDir("bloom-inc")
     val manifestDir = freshDir("bloom-inc-m")
