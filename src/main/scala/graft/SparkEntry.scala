@@ -2095,7 +2095,8 @@ object SparkEntry {
         |           FROM documents),
         |g AS (SELECT shard, source, count(*) AS n, sum(len) AS chars
         |      FROM s GROUP BY 1, 2)
-        |SELECT shard, sum(n) AS n_docs, sum(chars) AS n_chars,
+        |SELECT shard, CAST(sum(n) AS BIGINT) AS n_docs,
+        |       CAST(sum(chars) AS BIGINT) AS n_chars,
         |       count(*) AS n_sources,
         |       round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_source_share
         |FROM g GROUP BY shard ORDER BY shard""".stripMargin,
@@ -2341,13 +2342,15 @@ object SparkEntry {
     // final bytes — the oracle certifies the exact redacted output
     "text_redact" ->
       """WITH e AS (SELECT doc_id, text,
-        |    regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g')
-        |      AS em FROM documents)
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |      '<EMAIL>', 'g') AS em FROM documents)
         |SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS orig_len,
         |       CAST(length(regexp_replace(em, '[0-9]+', '<NUM>', 'g')) AS BIGINT)
         |         AS redacted_len,
-        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT)
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT)
         |         AS n_emails,
         |       CAST(len(regexp_extract_all(em, '[0-9]+')) AS BIGINT) AS n_nums,
         |       md5(regexp_replace(em, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
@@ -2356,7 +2359,8 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
         |       CAST(len(regexp_extract_all(text, '[A-Z][a-z]+')) AS BIGINT) AS n_capitalized,
-        |       CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails,
         |       CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS redacted_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     // integer fixed-point replay: every sum is exact, so the oracle

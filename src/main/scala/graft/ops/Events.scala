@@ -354,9 +354,14 @@ object Events {
     * by the q16 gap rule, clip at UTC day boundaries (bounded
     * per-day fan-out — a span of d days becomes d segments), and
     * each day sweeps its own +1/−1 boundary events with a running
-    * sum — the window is day-partitioned, so no everything-to-one-
-    * task global sort exists anywhere (the PlanLint rule this shape
-    * is usually guilty of). Half-open [start, end+1µs) deltas make
+    * sum on the composite (day, sub-day band) key — a calendar day
+    * is NOT a scale-safe partition (one day of a 100 TB stream is
+    * one task), so the in-band prefix sums are carried across band
+    * boundaries by an exclusive prefix of band totals over the
+    * band-summary frame (the ts_match offsets discipline; `bandSec`
+    * bounds per-task work and provably never changes the result —
+    * spec-pinned band-width invariance). Half-open [start, end+1µs)
+    * deltas make
     * same-instant touches count as concurrent in both engines
     * without tie-order sensitivity: the running MAX is invariant to
     * ordering among equal (time, delta) rows. Everything is integer
@@ -382,8 +387,11 @@ object Events {
       .agg(min("us").as("s"), max("us").as("e"))
   }
 
-  def concurrency(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+  def concurrency(events: DataFrame, gapSec: Long = 1800L,
+                  bandSec: Long = 3600L): DataFrame = {
+    require(bandSec > 0, s"bandSec ($bandSec) must be positive")
     val dayUs = DayUs
+    val bandUs = bandSec * 1000000L
     val sess = sessionSpans(events, gapSec)
     val seg = sess
       .select(explode(sequence(expr(s"s div $dayUs"),
@@ -398,13 +406,37 @@ object Events {
       .select(col("day"), col("lo").as("us"), lit(1L).as("delta"))
       .unionAll(seg.select(col("day"), (col("hi") + 1).as("us"),
         lit(-1L).as("delta")))
-    val wd = Window.partitionBy("day").orderBy(col("us"), col("delta").desc)
-    deltas
-      .withColumn("running",
-        sum("delta").over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      // sub-day bands: the running sum below partitions on the
+      // COMPOSITE (day, band) key, so one calendar day of boundary
+      // deltas never sorts in a single task (a year of telemetry is
+      // not 365 tasks — it is days × bands, each bounded by the
+      // band's traffic, with `bandSec` the knob that bounds it).
+      // Band index is monotone in `us` within a day, so ordering by
+      // (band, us, delta) equals the day-wide (us, delta) order and
+      // the sweep decomposes exactly: running(row) = the band's
+      // in-band prefix + the exclusive sum of earlier bands' deltas.
+      // The hi+1 delta of a day-end-clipped segment lands at offset
+      // dayUs — one band past the last — which stays monotone.
+      .withColumn("band", expr(s"(us - day * $dayUs) div ${bandUs}L"))
+    val wb = Window.partitionBy("day", "band")
+      .orderBy(col("us"), col("delta").desc)
+    val perBand = deltas
+      .withColumn("run_in",
+        sum("delta").over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("day", "band")
+      .agg(sum("delta").as("bsum"), max("run_in").as("bmax"),
+        count(lit(1)).as("n"))
+    // carry the sweep across band boundaries: exclusive prefix of
+    // band delta-sums, over the band-summary frame (≤ bands-per-day
+    // rows per partition — the ts_match offsets discipline, bounded
+    // by construction, never corpus-scale)
+    val wd = Window.partitionBy("day").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBand
+      .withColumn("off", coalesce(sum("bsum").over(wd), lit(0L)))
       .groupBy("day")
-      .agg((count(lit(1)) / 2).cast("long").as("n_sessions"),
-        max("running").as("peak_concurrent"))
+      .agg((sum("n") / 2).cast("long").as("n_sessions"),
+        max(col("off") + col("bmax")).as("peak_concurrent"))
       .select(to_date(timestamp_micros(col("day") * dayUs)).as("day"),
         col("n_sessions"), col("peak_concurrent"))
   }
@@ -416,19 +448,31 @@ object Events {
     * user pair with total shared micros — the "who is online
     * together" / correlated-automation signal. Spark has no interval
     * join, and the naive formulation is a nested-loop cartesian; the
-    * q30 banding discipline applies: day bands manufacture the
-    * equi-key (two overlapping intervals both touch the band holding
-    * the overlap's START, so a shared-band equi-join misses
-    * nothing), the exact overlap predicate rides inside the hash
-    * join, and one `distinct` removes the multi-band double-counts
-    * of midnight-spanning overlaps. Candidate fan-out is bounded by
-    * per-band session counts, never the corpus.
+    * q30 banding discipline applies: fixed-width time bands
+    * manufacture the equi-key (two overlapping intervals both touch
+    * the band holding the overlap's START, so a shared-band
+    * equi-join misses nothing at ANY band width), the exact overlap
+    * predicate rides inside the join, and one `distinct` removes
+    * the multi-band double-counts
+    * of band-spanning overlaps. Candidate fan-out is Σ_band n_band²
+    * — bounded by per-band session counts, never the corpus — and
+    * `bandSec` is the knob that bounds n_band: a calendar-day band
+    * holds every session of that day (memory-unbounded hash-join
+    * build sides at scale), so the default is an HOUR, and the band
+    * width provably never changes the result (spec-pinned
+    * invariance; any shared band admits the pair once, `distinct`
+    * collapses the rest). No join-strategy hint: the planner (and
+    * AQE's skew-join splitting, which a hard `shuffle_hash` hint
+    * would disable at runtime) stays free to re-plan a hot band.
     */
-  def coactivity(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+  def coactivity(events: DataFrame, gapSec: Long = 1800L,
+                 bandSec: Long = 3600L): DataFrame = {
+    require(bandSec > 0, s"bandSec ($bandSec) must be positive")
+    val bandUs = bandSec * 1000000L
     val bands = sessionSpans(events, gapSec)
       .select(col("user_id"), col("sid"), col("s"), col("e"),
-        explode(sequence(expr(s"s div $DayUs"), expr(s"e div $DayUs")))
-          .as("band"))
+        explode(sequence(expr(s"s div ${bandUs}L"),
+          expr(s"e div ${bandUs}L"))).as("band"))
       // both sides of the self-join read this: materialize so the
       // events scan + session window runs once, not per side
       .localCheckpoint()
@@ -436,7 +480,7 @@ object Events {
       col("sid").as("sid_a"), col("s").as("s_a"), col("e").as("e_a"))
     val b = bands.select(col("band"), col("user_id").as("user_b"),
       col("sid").as("sid_b"), col("s").as("s_b"), col("e").as("e_b"))
-    a.join(b.hint("shuffle_hash"),
+    a.join(b,
         a("band") === b("band") && col("user_a") < col("user_b") &&
           col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
       .select(col("user_a"), col("user_b"), col("sid_a"), col("sid_b"),
@@ -506,10 +550,16 @@ object Events {
     // split is a conditional sum, not a key — no self-join of the
     // two sides, one window pass computes both ECDFs
     val isRef = col("us") * 2 <= col("t0") + col("t1")
+    // degenerate value range (every value identical): the bin
+    // quotient divides by zero — short-circuit all rows to bin 0
+    // (both ECDFs step 0→1 at the same edge, ks = 0: a constant
+    // column has not drifted), mirroring driftReference's explicit
+    // hi > lo contract instead of silently NULLing every bin
+    val binOf = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor(((col("value") - col("lo")) * bins) /
+        (col("hi") - col("lo"))), lit(bins - 1L)).cast("long"))
     val counts = ev.crossJoin(broadcast(bounds))
-      .select(col("etype"), isRef.as("is_ref"),
-        least(floor(((col("value") - col("lo")) * bins) /
-          (col("hi") - col("lo"))), lit(bins - 1L)).cast("long").as("bin"))
+      .select(col("etype"), isRef.as("is_ref"), binOf.as("bin"))
       .groupBy("etype", "bin")
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
         sum(when(col("is_ref"), 0L).otherwise(1L)).as("nc"))

@@ -289,26 +289,40 @@ object Manifest {
       .asInstanceOf[Long]
   }
 
+  /** The admitted-files frame behind [[pruneFilesPoint]]: manifest
+    * rows whose `bloom_<c>` might contain the pre-hashed needle,
+    * projected to `file_path` ONLY. The membership test runs
+    * in-cluster as a filter over the manifest frame (the same shape
+    * [[pruneFiles]] uses for range stats) — the bloom bytes are
+    * deserialized and probed where the manifest rows live, and only
+    * the admitted paths ever reach the driver. The driver-side
+    * alternative (collect every row's bloom, probe locally) pulls
+    * O(files) × ~KB of sketch bytes per needle query — hundreds of
+    * MB of driver heap at millions of files — for a test that is a
+    * pure per-row predicate.
+    */
+  private[graft] def pointCandidates(manifest: DataFrame, c: String,
+                                     h: Long): DataFrame = {
+    val probe = udf((bytes: Array[Byte]) =>
+      bytes != null && org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+        .mightContainLong(h))
+    manifest.filter(probe(col(bloomCol(c)))).select("file_path")
+  }
+
   /** Files whose `bloom_<c>` might contain `value` (typed `dt`, the
     * data column's type — hashing an INT literal against a BIGINT
     * column's bloom would silently admit nothing). The manifest is
-    * the O(files) planning table, so this membership walk IS the
-    * planning step. Null blooms (all-null files) are dropped: a null
-    * cell never equals a point value.
+    * the O(files) planning table and this membership walk IS the
+    * planning step — but only the ADMITTED `file_path`s are
+    * collected; the bloom bytes stay in-cluster (see
+    * [[pointCandidates]]). Null blooms (all-null files) are
+    * dropped: a null cell never equals a point value.
     */
   def pruneFilesPoint(manifest: DataFrame, c: String, value: Any,
-                      dt: org.apache.spark.sql.types.DataType): Seq[String] = {
-    val h = pointHash(value, dt)
-    manifest.select(col("file_path"), col(bloomCol(c)))
-      .collect()
-      .filter { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        bytes != null && org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(bytes))
-          .mightContainLong(h)
-      }
-      .map(_.getString(0)).toSeq.sorted
-  }
+                      dt: org.apache.spark.sql.types.DataType): Seq[String] =
+    pointCandidates(manifest, c, pointHash(value, dt))
+      .collect().map(_.getString(0)).toSeq.sorted
 
   /** Exact equivalent of
     * `spark.read.parquet(dataDir).where(col(c) === value)` that opens
@@ -318,8 +332,12 @@ object Manifest {
     * the result is identical to the full scan by construction.
     */
   def readPoint(spark: SparkSession, dataDir: String, manifest: DataFrame,
-                c: String, value: Any): DataFrame = {
-    val dt = spark.read.parquet(dataDir).schema(c).dataType
+                c: String, value: Any,
+                dtHint: Option[org.apache.spark.sql.types.DataType] = None)
+      : DataFrame = {
+    // a caller that knows the column type passes it and skips the
+    // footer/listing pass a schema inference costs on a large dir
+    val dt = dtHint.getOrElse(spark.read.parquet(dataDir).schema(c).dataType)
     val files = pruneFilesPoint(manifest, c, value, dt)
     val base =
       if (files.isEmpty) spark.read.parquet(dataDir).where(lit(false))

@@ -40,6 +40,15 @@ object PlanLint extends AdaptiveSparkPlanHelper {
 
   final case class Finding(rule: String, severity: String, detail: String)
 
+  /** Calendar-bucket column names for the time-key-window rule —
+    * keys whose distinct count tracks the CALENDAR, not the data
+    * volume. A name heuristic by necessity: a static plan carries
+    * no cardinality. Composite names (`cohort_week`) and banded
+    * keys (`day, band`) deliberately do not match.
+    */
+  private val TimeKeyName = java.util.regex.Pattern.compile(
+    "(?i)(day|date|dt|week|wk|month|mon|year|yr|dow|hour|hr)s?")
+
   def audit(ds: Dataset[_]): Seq[Finding] =
     auditPlan(ds.queryExecution.sparkPlan) :+ {
       val shuffles = collectWithSubqueries(ds.queryExecution.executedPlan) {
@@ -85,6 +94,27 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         case w: WindowExec if w.partitionSpec.isEmpty =>
           findings += Finding("single-partition-window", "error",
             "window with no PARTITION BY moves every row to one task")
+        case w: WindowExec if w.partitionSpec.forall {
+            case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+              TimeKeyName.matcher(a.name).matches
+            case _ => false
+          } =>
+          // the day-only-window trap: partition keys whose distinct
+          // count grows with CALENDAR TIME, not with traffic — one
+          // task absorbs an entire day/week/month of rows however
+          // large the input gets. Caught by NAME (the static plan
+          // cannot see cardinality), so this fires on two shapes:
+          // a corpus-scale window (the bug — add a sub-period band
+          // to the key and carry prefixes across bands, see
+          // Events.concurrency / tsMatch) and a window over a
+          // band-summary frame already bounded by construction
+          // (fine — the carry step itself looks like this). Hence
+          // warn, not error.
+          findings += Finding("time-key-window", "warn",
+            s"window partitioned only by calendar-cardinality key(s) [" +
+              w.partitionSpec.map(_.sql).mkString(", ") +
+              "]: per-key volume is unbounded at scale unless the " +
+              "input frame is itself a bounded summary")
         case s: SortExec if s.global =>
           findings += Finding("global-sort", "info",
             s"full-data range exchange + sort on ${s.sortOrder.map(_.sql).mkString(", ")}")

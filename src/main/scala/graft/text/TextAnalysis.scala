@@ -60,12 +60,26 @@ object TextAnalysis {
       octet_length(col("text")).cast("long").as("n_bytes"),
       round(byte_entropy(col("text")), 4).as("entropy"))
 
+  /** The email shape the PII passes recognize, shared by
+    * [[patternScan]] and [[redact]] so the measuring and rewriting
+    * passes can never disagree: mixed-case dotted/plus/percent/
+    * hyphen-tagged local parts, multi-label domains, a ≥2-letter
+    * TLD (`First.Last+tag@sub.example.com` matches whole). Exotic
+    * RFC shapes (quoted local parts, IP-literal domains, IDN)
+    * are OUT of this shape by design — the pattern stays in the
+    * Java∩RE2 subset (no lookaround/backrefs) so both engines
+    * rewrite byte-identically.
+    */
+  private[graft] val EmailRe =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+
   /** Pattern scan — the pre-redaction pass of a PII/quality sweep:
     * counts of digit runs, capitalized tokens, and email-shaped
-    * spans per document, plus the redacted length (digits stripped).
-    * All single-pass codegen'd regex ops on the scan; map-only at
-    * any corpus size. Patterns stay in the character-class subset
-    * where Java regex and RE2 agree, so the oracle is exact.
+    * spans ([[EmailRe]]) per document, plus the redacted length
+    * (digits stripped). All single-pass codegen'd regex ops on the
+    * scan; map-only at any corpus size. Patterns stay in the
+    * character-class subset where Java regex and RE2 agree, so the
+    * oracle is exact.
     */
   def patternScan(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
@@ -73,33 +87,31 @@ object TextAnalysis {
         .cast("long").as("n_digit_runs"),
       size(regexp_extract_all(col("text"), lit("[A-Z][a-z]+"), lit(0)))
         .cast("long").as("n_capitalized"),
-      size(regexp_extract_all(col("text"),
-        lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
       length(regexp_replace(col("text"), "[0-9]", "")).cast("long")
         .as("redacted_len"))
 
   /** PII REDACTION — the rewrite [[patternScan]] only measures:
-    * email spans then digit runs replaced with fixed-width tags, in
-    * that order (emails first — the digit pass would otherwise
-    * shred an address's local part and hide it from the email
-    * pattern). Patterns stay in the Java∩RE2 dialect subset so both
-    * engines rewrite identically, and the output carries the
-    * md5 of the REDACTED TEXT — the oracle certifies the entire
-    * rewritten byte stream, not just counts, which is the audit a
-    * privacy review actually wants ("prove the exact output"). Pure
-    * map-only pass; the full redacted text never shuffles, only its
-    * hash and lengths.
+    * email spans ([[EmailRe]] — exactly that shape, no more: the
+    * md5 certificate proves the OUTPUT bytes, not that every
+    * RFC-exotic address form was recognized) then digit runs
+    * replaced with fixed-width tags, in that order (emails first —
+    * the digit pass would otherwise shred an address's local part
+    * and hide it from the email pattern). Patterns stay in the
+    * Java∩RE2 dialect subset so both engines rewrite identically,
+    * and the output carries the md5 of the REDACTED TEXT — the
+    * oracle certifies the entire rewritten byte stream, not just
+    * counts. Pure map-only pass; the full redacted text never
+    * shuffles, only its hash and lengths.
     */
   def redact(documents: DataFrame): DataFrame = {
-    val emails = regexp_replace(col("text"),
-      "[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "<EMAIL>")
+    val emails = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     val redacted = regexp_replace(emails, "[0-9]+", "<NUM>")
     documents.select(col("doc_id"),
       length(col("text")).cast("long").as("orig_len"),
       length(redacted).cast("long").as("redacted_len"),
-      size(regexp_extract_all(col("text"),
-        lit("[a-z0-9]+@[a-z0-9]+\\.[a-z]+"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
         .cast("long").as("n_emails"),
       // counted on the email-redacted intermediate = exactly the
       // number of <NUM> tags the second pass inserted

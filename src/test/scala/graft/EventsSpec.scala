@@ -282,6 +282,28 @@ class EventsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("concurrency is invariant to the sweep band width") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(sec: Long, id: Long, user: Long) =
+      (id, new Timestamp(sec * 1000), user, "click", 1.0)
+    val rows = Seq(
+      at(1000, 1, 1), at(2000, 2, 1), at(1500, 3, 2), at(2500, 4, 2),
+      at(10000, 5, 3), at(86100, 6, 4), at(86700, 7, 4),
+      at(5000, 8, 5), at(5000, 9, 6))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run(bandSec: Long) = Events.concurrency(ev, bandSec = bandSec)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("peak_concurrent")))
+      .toMap
+    val base = run(3600L)
+    // a width that does NOT divide the day, a tiny one that splits
+    // every session, and one band per day (the old day-wide sweep)
+    assert(run(7L) == base)
+    assert(run(777L) == base)
+    assert(run(86400L) == base)
+  }
+
   test("debounce keeps one event per burst, chains included") {
     import spark.implicits._
     import java.sql.Timestamp
@@ -327,6 +349,16 @@ class EventsSpec extends SparkSpec {
     // the banded plan never degenerates into a cartesian product
     val plan = Events.coactivity(ev).queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct"), plan.take(400))
+    // band width shapes the join's fan-out, never the result: a
+    // width that splits the u1/u2 overlap across many bands, one
+    // that spans both days, and one that doesn't divide the day
+    def run(bandSec: Long) = Events.coactivity(ev, bandSec = bandSec)
+      .collect().map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) ->
+        (r.getAs[Long]("n_overlaps"), r.getAs[Long]("shared_us"))).toMap
+    val base = run(3600L)
+    assert(run(60L) == base)
+    assert(run(777L) == base)
+    assert(run(172800L) == base)
   }
 
   test("value drift: a shifted second half fires KS, a stable one does not") {

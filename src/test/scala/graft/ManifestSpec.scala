@@ -188,6 +188,46 @@ class ManifestSpec extends SparkSpec {
     assert(absent.count() == 0L)
   }
 
+  test("bloom point probe stays in-cluster: only admitted paths reach the driver") {
+    val dataDir = freshDir("bloom-dist")
+    Tables.documents(spark, sf).limit(300)
+      .repartition(4, md5(col("doc_id").cast("string")))
+      .write.mode("overwrite").parquet(dataDir)
+    val m = Manifest.buildWithBloom(spark, dataDir,
+      Seq("doc_id"), Seq("doc_id"), expectedPerFile = 1000L)
+    val id = spark.read.parquet(dataDir).select("doc_id").head().getLong(0)
+    // the probe frame projects file_path ONLY — the per-file bloom
+    // bytes are tested where the manifest rows live and never land
+    // on the driver (at millions of files that collect is GBs of
+    // driver heap per needle query)
+    val frame = Manifest.pointCandidates(m, "doc_id", 0L)
+    assert(frame.schema.fieldNames.sameElements(Array("file_path")),
+      frame.schema.treeString)
+    // distributed probe ≡ a driver-side reference probe over the
+    // same blooms (hash mirrored: cast to the column type, xxhash64
+    // seed 42 — the build convention)
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val h = XxHash64(Seq(Cast(Literal(id),
+      org.apache.spark.sql.types.LongType)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+    val reference = m.select(col("file_path"), col("bloom_doc_id"))
+      .collect()
+      .filter { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        bytes != null && org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(h)
+      }.map(_.getString(0)).toSeq.sorted
+    assert(Manifest.pruneFilesPoint(m, "doc_id", id,
+      org.apache.spark.sql.types.LongType) == reference)
+    // a caller-supplied type hint skips schema inference and reads
+    // the same rows
+    val hinted = Manifest.readPoint(spark, dataDir, m, "doc_id", id,
+      dtHint = Some(org.apache.spark.sql.types.LongType))
+    assert(hinted.count() == 1L)
+  }
+
   test("upkeep survives a manifest written before the schema widened") {
     val dataDir = freshDir("widen")
     val manifestDir = freshDir("widen-m")

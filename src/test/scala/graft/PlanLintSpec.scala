@@ -60,6 +60,27 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.errors(ok).isEmpty, PlanLint.report(ok))
   }
 
+  test("a calendar-key-only window warns; a banded composite key is clean") {
+    val ev = Tables.events(spark, sf)
+    // partitioned ONLY by a day key: distinct-count tracks the
+    // calendar, so one task absorbs a whole day of rows at scale
+    val dayed = ev.withColumn("day", to_date(col("ts")))
+      .withColumn("rn",
+        sum("value").over(Window.partitionBy("day").orderBy("ts")))
+    val f = PlanLint.audit(dayed).find(_.rule == "time-key-window")
+    assert(f.exists(_.severity == "warn"), PlanLint.report(dayed))
+    // the fix shape — a sub-period band in the composite key — and
+    // an entity-keyed window both pass
+    val banded = ev.withColumn("day", to_date(col("ts")))
+      .withColumn("band", unix_micros(col("ts")) / lit(3600000000L))
+      .withColumn("rn",
+        sum("value").over(Window.partitionBy("day", "band").orderBy("ts")))
+    assert(!rules(banded).contains("time-key-window"), PlanLint.report(banded))
+    val keyed = ev.withColumn("rn",
+      sum("value").over(Window.partitionBy("user_id").orderBy("ts")))
+    assert(!rules(keyed).contains("time-key-window"), PlanLint.report(keyed))
+  }
+
   test("a scan-unpushable filter is flagged; a pushable one is not") {
     val docs = Tables.documents(spark, sf)
     val unpushed = docs.filter(length(col("text")) > lit(5))

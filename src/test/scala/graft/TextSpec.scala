@@ -133,6 +133,20 @@ class TextSpec extends SparkSpec {
     assert(r.getAs[String]("redacted_md5") == md5)
   }
 
+  test("redaction recognizes dotted/tagged/mixed-case multi-label emails") {
+    import spark.implicits._
+    // the documented EmailRe shape: uppercase, dotted + plus-tagged
+    // local part with digits, multi-label domain — ONE whole-span
+    // match (a narrower pattern would shred it and leak fragments)
+    val docs = Seq((1L, "mail First.Last+tag42@sub.example.com today"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redact(docs).collect().head
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_nums") == 0L) // no digit survived the email pass
+    assert(r.getAs[Long]("redacted_len") ==
+      "mail <EMAIL> today".length.toLong)
+  }
+
   test("hashed features bucket by the md5 byte and conserve token counts") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
