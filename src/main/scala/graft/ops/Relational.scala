@@ -278,40 +278,81 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** Exact linear-interpolation percentiles per group via RANK
-    * SELECTION, not value buffering. Spark's exact `percentile`
-    * aggregate holds every value of a group in its aggregation
-    * buffer, so the final merge concentrates an entire group's value
-    * multiset in one task — with 3 order-status groups over a 100 TB
-    * fact column that is an executor OOM by construction, invisible
-    * at bench SF (the r7 plan-audit flag). This formulation computes
-    * the same numbers with BOUNDED aggregation state: a per-group
-    * window sort assigns 0-based ranks (Spark's sort is
-    * spill-to-disk — an ExternalSorter, never an in-memory
-    * multiset), a filter keeps only the ≤2 boundary rows per
-    * requested percentile (the floor/ceil order statistics of
-    * rank p·(n−1)), and a constant-width aggregate interpolates
-    * `lo + frac·(hi − lo)` — algebraically the interpolation
-    * `percentile` itself performs. Exactness is unchanged; the
-    * memory profile drops from O(group) heap to O(1) heap +
-    * spillable sort.
+  /** Exact linear-interpolation percentiles per group by TWO-PASS
+    * HISTOGRAM RANK SELECTION. Spark's exact `percentile` aggregate
+    * holds every value of a group in its buffer (an executor OOM by
+    * construction over a 100 TB fact column with 3 status groups —
+    * the r7 plan-audit flag), and the r7 fix — a per-group window
+    * sort feeding boundary-rank selection — was memory-safe but
+    * still serialized each GROUP into one sorted task chain. This
+    * formulation gets the same exact numbers with per-task work
+    * bounded by a histogram BIN, not a group (the q33 fixed-width
+    * bin machinery):
+    *
+    *   pass 1 — per-group (lo, hi, n) bounds, then a fixed-width
+    *   `Bins`-bucket histogram (one map-side-combined aggregate).
+    *   Bins are value-ordered, so the cumulative histogram locates
+    *   the bin holding each requested boundary rank floor/ceil of
+    *   p·(n−1) — all on a ≤ groups×Bins summary frame.
+    *
+    *   pass 2 — only rows of LOCATED bins survive a broadcast
+    *   semi-join (≤ 6 bins/group of the full corpus), a window sort
+    *   per (group, bin) ranks within the bin, and in-bin rank +
+    *   cumulative-below recovers the exact global rank: every
+    *   earlier bin holds strictly smaller values, ties share a bin
+    *   and a value, so the selected order statistic is identical to
+    *   a whole-group sort. The ≤ 2 boundary rows per percentile
+    *   then feed the constant-width interpolation aggregate.
+    *
+    * `Bins` is the parallelism/selectivity knob: per-task sort work
+    * is the hottest candidate bin, ~n/Bins under any non-degenerate
+    * spread (an all-one-value bin costs nothing to rank — ties make
+    * every in-bin rank the same value). Exactness unchanged; the
+    * whole-group sort chain is gone.
     */
   def q17Quantiles(s: SparkSession, dir: String): DataFrame = {
     val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
-    val wRank = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    val wAll = Window.partitionBy("o_orderstatus")
-    val ranked = Tables.orders(s, dir)
-      .select(col("o_orderstatus"), col("o_totalprice"))
-      .withColumn("rn", row_number().over(wRank).cast("long") - 1L)
-      .withColumn("n", count(lit(1)).over(wAll))
+    val bins = 256
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"))
+    val bounds = o.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n"))
+    // q33 bin convention (top edge closed into the last bin; a
+    // degenerate single-value group short-circuits to bin 0)
+    val binOf = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor(((col("v") - col("lo")) * bins) /
+        (col("hi") - col("lo"))), lit(bins - 1L)).cast("long"))
+    val binned = o.join(broadcast(bounds), Seq("g")).withColumn("bin", binOf)
+    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"))
+    val wc = Window.partitionBy("g").orderBy("bin")
+    val cum = hist.withColumn("cb",
+      coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    def rpOf(p: Double) = (col("n") - 1L).cast("double") * p
+    // the ≤ 6 boundary ranks per group (floor+ceil per percentile),
+    // derived on the group-bounds frame — never the corpus
+    val ranks = bounds
+      .select(col("g"), explode(array(
+        ps.flatMap { case (p, _) =>
+          Seq(floor(rpOf(p)).cast("long"), ceil(rpOf(p)).cast("long"))
+        }: _*)).as("r"))
+      .distinct()
+    val located = ranks.join(cum, Seq("g"))
+      .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
+      .select("g", "bin", "r", "cb")
+    // pass 2: rank only within located bins; cb + in-bin rank IS the
+    // global rank (bins are value-ordered)
+    val wb = Window.partitionBy("g", "bin").orderBy("v")
+    val sel = binned
+      .join(broadcast(located.select("g", "bin").distinct()), Seq("g", "bin"))
+      .withColumn("rib", row_number().over(wb).cast("long") - 1L)
+      .join(broadcast(located), Seq("g", "bin"))
+      .filter(col("cb") + col("rib") === col("r"))
+      .select(col("g"), col("r"), col("v"))
     def rp(p: Double) = (col("n") - 1L).cast("double") * p
-    val boundary = ps.map { case (p, _) =>
-      col("rn") === floor(rp(p)).cast("long") ||
-        col("rn") === ceil(rp(p)).cast("long")
-    }.reduce(_ || _)
     val pcts = ps.map { case (p, name) =>
-      val lo = max(when(col("rn") === floor(rp(p)).cast("long"), col("o_totalprice")))
-      val hi = max(when(col("rn") === ceil(rp(p)).cast("long"), col("o_totalprice")))
+      val lo = max(when(col("r") === floor(rp(p)).cast("long"), col("v")))
+      val hi = max(when(col("r") === ceil(rp(p)).cast("long"), col("v")))
       // bit-exact mirror of Percentile.getPercentile's interpolation:
       // (higher − pos)·lo + (pos − lower)·hi, lower==higher → lo —
       // the algebraic twin lo + frac·(hi − lo) differs by an ulp and
@@ -320,8 +361,8 @@ object Relational {
         .otherwise((ceil(rp(p)) - rp(p)) * lo + (rp(p) - floor(rp(p))) * hi), 2)
         .as(name)
     }
-    ranked.filter(boundary)
-      .groupBy("o_orderstatus", "n")
+    sel.join(broadcast(bounds.select("g", "n")), Seq("g"))
+      .groupBy(col("g").as("o_orderstatus"), col("n"))
       .agg(pcts.head, pcts.tail: _*)
       .select(col("o_orderstatus"), col("p25"), col("p50"), col("p90"), col("n"))
       .orderBy("o_orderstatus")

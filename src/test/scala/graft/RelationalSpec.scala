@@ -63,6 +63,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("histogram rank selection equals Spark's own exact percentile") {
+    // the two-pass (histogram → in-bin rank) formulation must
+    // reproduce the whole-group-sort numbers bit-for-bit: same
+    // boundary order statistics, same interpolation, same 2dp round
+    val got = Relational.q17Quantiles(spark, sf).collect().map(r =>
+      r.getAs[String]("o_orderstatus") ->
+        ((r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p90"), r.getAs[Long]("n")))).toMap
+    import org.apache.spark.sql.functions.{count, expr, lit, round}
+    val exp = Tables.orders(spark, sf).groupBy("o_orderstatus")
+      .agg(round(expr("percentile(o_totalprice, 0.25)"), 2).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .collect().map(r =>
+        r.getAs[String]("o_orderstatus") ->
+          ((r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+            r.getAs[Double]("p90"), r.getAs[Long]("n")))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
   test("approx quantiles sit inside the exact p±0.005 rank bands") {
     val exact = Relational.q17Quantiles(spark, sf).collect()
       .map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Double]("p50")).toMap
