@@ -90,6 +90,9 @@ object SparkEntry {
     "events_coactivity" -> ((s, d) =>
       graft.ops.Events.coactivity(Tables.events(s, d))
         .orderBy("user_a", "user_b")),
+    // session DURATION histogram: the engagement-shape audit
+    "events_session_lengths" -> ((s, d) =>
+      graft.ops.Events.sessionLengths(Tables.events(s, d)).orderBy("bin")),
     // telemetry debounce: duplicate-chatter rate per event type
     "events_debounce" -> ((s, d) =>
       graft.ops.Events.debounce(Tables.events(s, d)).orderBy("event_type")),
@@ -202,6 +205,10 @@ object SparkEntry {
     // training-shard balance + mixing audit (md5-byte assignment)
     "sample_shards" -> ((s, d) =>
       Sampling.shardAudit(Tables.documents(s, d)).orderBy("shard")),
+    // per-source length-curriculum phases: NTILE boundaries found by
+    // histogram rank selection, phases assigned map-side — no sort
+    "sample_curriculum" -> ((s, d) =>
+      Sampling.curriculum(Tables.documents(s, d))),
     "sample_temperature" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
     // split on the near-dup keeper id so duplicate clusters never
@@ -2100,6 +2107,21 @@ object SparkEntry {
         |       count(*) AS n_sources,
         |       round(CAST(max(n) AS DOUBLE) / sum(n), 4) AS top_source_share
         |FROM g GROUP BY shard ORDER BY shard""".stripMargin,
+    // NTILE-boundary curriculum replay: the window rank formulation
+    // ⌊(P·rank + P − 1)/n⌋ is provably identical to the Spark side's
+    // count-of-boundary-pairs assignment (see Sampling.curriculum)
+    "sample_curriculum" ->
+      """WITH s AS (SELECT source, doc_id,
+        |             CAST(length(text) AS BIGINT) AS len FROM documents),
+        |r AS (SELECT source, len,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY len, doc_id) - 1 AS rk,
+        |        count(*) OVER (PARTITION BY source) AS n
+        |      FROM s)
+        |SELECT source, CAST((rk * 10 + 9) // n AS BIGINT) AS phase,
+        |       count(*) AS n_docs, min(len) AS min_len,
+        |       max(len) AS max_len, round(avg(len), 4) AS avg_len
+        |FROM r GROUP BY 1, 2 ORDER BY source, phase""".stripMargin,
     "sample_stratified" ->
       """WITH s AS (SELECT source,
         |             strpos('0123456789abcdef',
@@ -2473,6 +2495,36 @@ object SparkEntry {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
         |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin,
+    // session-duration histogram replay: q16 session CTEs, the same
+    // integer-exact bin arithmetic — everything BIGINT until `share`
+    "events_session_lengths" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, event_id, us,
+        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           AS prev
+        |       FROM o),
+        |s2 AS (SELECT user_id, event_id, us,
+        |         CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |              THEN 1 ELSE 0 END AS ns
+        |       FROM s1),
+        |s3 AS (SELECT user_id, us,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING
+        |                       AND CURRENT ROW) AS sid
+        |       FROM s2),
+        |sess AS (SELECT user_id, sid, min(us) AS s, max(us) AS e
+        |         FROM s3 GROUP BY 1, 2),
+        |d AS (SELECT e - s AS dur FROM sess),
+        |b AS (SELECT min(dur) AS lo, max(dur) AS hi, count(*) AS n FROM d),
+        |g AS (SELECT (dur - b.lo) * 20 // (b.hi - b.lo + 1) AS bin,
+        |             b.lo, b.hi, b.n
+        |      FROM d CROSS JOIN b)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |       CAST(min(lo) + bin * (min(hi) - min(lo) + 1) // 20 AS BIGINT)
+        |         AS dur_lo_us,
+        |       count(*) AS n_sessions,
+        |       round(CAST(count(*) AS DOUBLE) / min(n), 4) AS share
+        |FROM g GROUP BY bin ORDER BY bin""".stripMargin,
     // sweep-line replay: q16 session rule, day clipping, half-open
     // +1/-1 deltas, day-partitioned running max — integer micros
     "events_concurrency" ->

@@ -441,6 +441,38 @@ object Events {
         col("n_sessions"), col("peak_concurrent"))
   }
 
+  /** Session DURATION distribution — the third consumer of the
+    * shared q16 session definition (sweep-line concurrency asks "how
+    * many at once", the overlap join "who together", this "how
+    * LONG"): fixed-width histogram of session spans in the q33 bin
+    * convention, integer micros end to end (integer-exact binning —
+    * the +1 denominator keeps indices in [0, bins) with no float
+    * edge), with each bin's inclusive lower duration bound and its
+    * share of all sessions. The engagement-shape audit (bot bursts
+    * pile into bin 0, humans spread) that sizes the `gapSec` knob
+    * itself. One session pass + one map-side-combined count to a
+    * ≤ `bins`-row frame; the bounds ride a single-row broadcast.
+    */
+  def sessionLengths(events: DataFrame, gapSec: Long = 1800L,
+                     bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins ($bins) must be positive")
+    val durs = sessionSpans(events, gapSec)
+      .select((col("e") - col("s")).as("dur"))
+    val b = durs.agg(min("dur").as("lo"), max("dur").as("hi"),
+      count(lit(1)).as("n"))
+    durs.crossJoin(broadcast(b))
+      .select(expr(s"(dur - lo) * $bins div (hi - lo + 1)").as("bin"),
+        col("lo"), col("hi"), col("n"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_sessions"), max("lo").as("lo"),
+        max("hi").as("hi"), max("n").as("n"))
+      .withColumn("dur_lo_us",
+        col("lo") + expr(s"bin * (hi - lo + 1) div $bins"))
+      .withColumn("share",
+        round(col("n_sessions").cast("double") / col("n"), 4))
+      .select("bin", "dur_lo_us", "n_sessions", "share")
+  }
+
   /** User CO-ACTIVITY by interval-OVERLAP join — the third member of
     * the temporal-join family (as-of: latest-before; trailing range:
     * fixed lookback; this: two SPANS intersecting). Session pairs of

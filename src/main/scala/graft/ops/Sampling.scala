@@ -361,4 +361,72 @@ object Sampling {
         count(lit(1)).as("n_sources"),
         round(max("n").cast("double") / sum("n"), 4).as("top_source_share"))
   }
+
+  /** CURRICULUM PHASES: per-source equal-population difficulty
+    * buckets (short → long documents, the classic length curriculum)
+    * with NTILE-boundary semantics — phase `d` covers in-source
+    * ranks `[⌊d·n/P⌋, ⌊(d+1)·n/P⌋)` under the total (len, doc_id)
+    * order — but computed WITHOUT any per-source sort: a window
+    * `row_number` over 3-5 sources serializes the whole corpus into
+    * a handful of sorted task chains at 100 TB. Instead the
+    * q17-style two-pass histogram rank selection finds only the
+    * P−1 BOUNDARY documents per source (pass 1: per-source bounds +
+    * integer-exact 256-bin length histogram locates each boundary
+    * rank's bin on a summary frame; pass 2 ranks only inside
+    * located bins), the boundary (len, doc_id) pairs broadcast as a
+    * sources×(P−1) array, and every document computes its phase
+    * MAP-SIDE as the count of boundary pairs at or below it —
+    * `(len,id) ≥ p_k ⟺ rank ≥ r_k` because the order is total.
+    * Identical to `⌊(P·rank + P − 1)/n⌋` (the count-of-boundaries
+    * identity: `#{k ≥ 1: ⌊k·n/P⌋ ≤ r} = ⌊(P·r + P − 1)/n⌋`), which
+    * is what the oracle replays. One corpus aggregate after a
+    * broadcast join; output is sources × P rows.
+    */
+  def curriculum(documents: DataFrame, phases: Int = 10): DataFrame = {
+    require(phases > 1, s"phases ($phases) must exceed 1")
+    val bins = 256
+    val w = org.apache.spark.sql.expressions.Window
+    val s = documents.select(col("source").as("g"), col("doc_id"),
+      length(col("text")).cast("long").as("len"))
+    val bounds = s.groupBy("g").agg(min("len").as("lo"), max("len").as("hi"),
+      count(lit(1)).as("n"))
+    // integer-exact fixed-width binning (no float edge cases): the
+    // +1 denominator keeps every bin index inside [0, bins)
+    val binned = s.join(broadcast(bounds), Seq("g"))
+      .withColumn("bin", expr(s"(len - lo) * $bins div (hi - lo + 1)"))
+    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"))
+    val wc = w.partitionBy("g").orderBy("bin")
+    val cum = hist.withColumn("cb",
+      coalesce(sum("bn").over(wc.rowsBetween(w.unboundedPreceding, -1)),
+        lit(0L)))
+    // boundary ranks k·n div P, k = 1..P−1, kept PER k (small n dups
+    // several k onto one rank — each still counts one phase step)
+    val ranks = bounds
+      .select(col("g"), col("n"),
+        explode(array((1 until phases).map(lit(_)): _*)).as("k"))
+      .withColumn("r", expr(s"k * n div $phases"))
+      .select("g", "k", "r")
+    val located = ranks.join(cum, Seq("g"))
+      .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
+      .select("g", "bin", "k", "r", "cb")
+    val wb = w.partitionBy("g", "bin").orderBy("len", "doc_id")
+    val th = binned
+      .join(broadcast(located.select("g", "bin").distinct()), Seq("g", "bin"))
+      .withColumn("rib", row_number().over(wb).cast("long") - 1L)
+      .join(broadcast(located), Seq("g", "bin"))
+      .filter(col("cb") + col("rib") === col("r"))
+      .select(col("g"), col("len").as("t_len"), col("doc_id").as("t_id"))
+    val thArr = th.groupBy("g")
+      .agg(sort_array(collect_list(struct(col("t_len"), col("t_id"))))
+        .as("ths"))
+    s.join(broadcast(thArr), Seq("g"))
+      .withColumn("phase", size(filter(col("ths"), t =>
+        col("len") > t.getField("t_len") ||
+          (col("len") === t.getField("t_len") &&
+            col("doc_id") >= t.getField("t_id")))).cast("long"))
+      .groupBy(col("g").as("source"), col("phase"))
+      .agg(count(lit(1)).as("n_docs"), min("len").as("min_len"),
+        max("len").as("max_len"), round(avg("len"), 4).as("avg_len"))
+      .orderBy("source", "phase")
+  }
 }

@@ -435,6 +435,95 @@ object EventStreams {
       }
   }
 
+  /** One session boundary emission: `delta` is +1 at a session's
+    * first event time, −1 at its end + 1µs (the half-open
+    * [s, e+1µs) convention of [[graft.ops.Events.concurrency]]'s
+    * sweep), so the running sum of deltas in `us` order IS the live
+    * concurrent-session gauge.
+    */
+  case class SessionDelta(user_id: Long, us: Long, delta: Int)
+
+  /** Streaming twin of [[graft.ops.Events.concurrency]]'s sweep
+    * input — live session OPEN/CLOSE deltas under the q16 gap rule.
+    * Per-user keyed state holds ONE long (the session's latest
+    * event time). An arrival that opens a session emits +1 at its
+    * time; an arrival more than `gapSec` past the carry closes the
+    * old session (−1 at last + 1µs, the batch sweep's half-open
+    * convention) and opens a new one. A session whose user goes
+    * quiet closes by EVENT-TIME TIMEOUT once the watermark passes
+    * last + gap — so every −1 eventually emits and state holds one
+    * row per ACTIVE user only (quiet users are removed, unlike the
+    * debounce carry which lives forever). Downstream, a running sum
+    * of deltas in time order is the live concurrency gauge, and a
+    * windowed sum/max reproduces the batch per-day profile.
+    * Spec-pinned: the emitted delta multiset equals the batch
+    * session spans' boundaries across a session-splitting batch
+    * boundary. Late rows drop on two fences: at or before the
+    * user's high-water mark (inside the live span — no boundary
+    * moves) and at or before the watermark (the state may already
+    * be timeout-closed and removed; reprocessing such a straggler
+    * would reopen a phantom session inside a reported span).
+    */
+  def concurrencyState(events: DataFrame, gapSec: Long = 1800L,
+                       watermark: String = "30 minutes")
+                      (implicit spark: SparkSession): Dataset[SessionDelta] = {
+    import spark.implicits._
+    require(gapSec > 0)
+    val gapUs = gapSec * 1000000L
+    events.withWatermark("ts", watermark)
+      // the watermarked `ts` column must SURVIVE into the stateful
+      // operator's input — projecting it away drops the event-time
+      // tag and the analyzer rejects the event-time timeout
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is over
+            val last = state.get
+            state.remove()
+            Iterator.single(SessionDelta(user, last + 1L, -1))
+          } else {
+            // rows at or before the watermark DROP explicitly:
+            // flatMapGroupsWithState never auto-drops late data, and
+            // after a timeout-close removed the state a beyond-
+            // watermark straggler would otherwise reopen a phantom
+            // session inside an already-reported span
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            // micro-batch arrival order is not event order: sort the
+            // batch's rows like the batch session window does
+            val ordered = rows.toSeq.filter(_._3 > wmUs)
+              .sortBy(r => (r._3, r._2))
+            val out = Seq.newBuilder[SessionDelta]
+            var last = state.getOption.getOrElse(Long.MinValue)
+            ordered.foreach { case (_, _, us, _) =>
+              if (last == Long.MinValue) {
+                out += SessionDelta(user, us, 1); last = us
+              } else if (us <= last) { // late: inside the span
+              } else if (us - last > gapUs) {
+                out += SessionDelta(user, last + 1L, -1)
+                out += SessionDelta(user, us, 1)
+                last = us
+              } else last = us
+            }
+            if (last != Long.MinValue) {
+              state.update(last)
+              // timeout must sit past the current watermark; a
+              // session already expired by this batch's watermark
+              // fires on the next trigger
+              state.setTimeoutTimestamp(
+                math.max(last / 1000L + gapSec * 1000L + 1L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** One distribution-drift emission: the type's rows-so-far and the
     * current binned-KS distance to the reference ECDF. */
   case class ValueDriftEmit(event_type: String, n_cur: Long, ks: Double)

@@ -282,6 +282,28 @@ class EventsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("session lengths bin durations exactly, point sessions in bin 0") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(sec: Long, id: Long, user: Long) =
+      (id, new Timestamp(sec * 1000), user, "click", 1.0)
+    // durations (µs): u1/u2 1e9, u3/u5/u6 points (0), u4 6e8
+    val rows = Seq(
+      at(1000, 1, 1), at(2000, 2, 1), at(1500, 3, 2), at(2500, 4, 2),
+      at(10000, 5, 3), at(86100, 6, 4), at(86700, 7, 4),
+      at(5000, 8, 5), at(5000, 9, 6))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.sessionLengths(ev).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("dur_lo_us"), r.getAs[Long]("n_sessions"),
+          r.getAs[Double]("share")))).toMap
+    // lo=0, hi=1e9, width unit hi−lo+1: bin = dur·20 div (1e9+1)
+    assert(out == Map(
+      0L -> ((0L, 3L, 0.5)),
+      11L -> ((550000000L, 1L, 0.1667)),
+      19L -> ((950000000L, 2L, 0.3333))), s"got $out")
+  }
+
   test("concurrency is invariant to the sweep band width") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -254,4 +254,47 @@ class SamplingSpec extends SparkSpec {
       .map(_.getString(0))
     assert(shard0.sameElements(shard0.sorted), "shard 0 not in hash order")
   }
+
+  test("curriculum phases match the window-rank NTILE boundaries exactly") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    // reference: the per-source window-rank formulation the operator
+    // deliberately avoids at scale — must agree row for row
+    val w = Window.partitionBy("source").orderBy("len", "doc_id")
+    val ref = docs
+      .select(col("source"), col("doc_id"),
+        length(col("text")).cast("long").as("len"))
+      .withColumn("rk", row_number().over(w).cast("long") - 1L)
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("phase", expr("(rk * 10 + 9) div n"))
+      .groupBy("source", "phase")
+      .agg(count(lit(1)).as("n_docs"), min("len").as("min_len"),
+        max("len").as("max_len"), round(avg("len"), 4).as("avg_len"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("phase")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("min_len"),
+          r.getAs[Long]("max_len"), r.getAs[Double]("avg_len")))).toMap
+    val got = Sampling.curriculum(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("phase")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("min_len"),
+          r.getAs[Long]("max_len"), r.getAs[Double]("avg_len")))).toMap
+    assert(got == ref, s"got $got\nref $ref")
+    // phases partition each source: counts sum to the corpus, and
+    // populations per source differ by at most 1 (NTILE-equal)
+    val bySource = got.toSeq.groupBy(_._1._1)
+    val totals = docs.groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    bySource.foreach { case (src, phs) =>
+      assert(phs.map(_._2._1).sum == totals(src), src)
+      val sizes = phs.map(_._2._1)
+      assert(sizes.max - sizes.min <= 1, s"$src sizes $sizes")
+    }
+    // a tiny corpus (n < phases) still covers every doc, dup ranks
+    // skipping phases by design
+    import spark.implicits._
+    val tiny = Seq((1L, "s", "aa"), (2L, "s", "bbbb"), (3L, "s", "c"))
+      .toDF("doc_id", "source", "text")
+    val t = Sampling.curriculum(tiny, phases = 10).collect()
+    assert(t.map(_.getAs[Long]("n_docs")).sum == 3L)
+  }
 }

@@ -757,6 +757,58 @@ class StreamingSpec extends SparkSpec {
     assert(em2 == Set(10L), s"got $em2")
   }
 
+  test("streaming concurrency deltas mirror the batch session boundaries") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    def row(id: Long, sec: Long, user: Long) =
+      EventRow(id, new Timestamp(1700000000000L + sec * 1000L), user,
+        "click", 1.0, "{}")
+    def tUs(sec: Long) = (1700000000000L + sec * 1000L) * 1000L
+    val input = MemoryStream[EventRow]
+    // delay 1800s: u2's batch-2 arrival at 300s stays ahead of the
+    // batch-1 watermark (600 − 1800 < 0), while u3's 100000s event
+    // still drives the watermark far past every other timeout
+    val q = graft.streaming.EventStreams
+      .concurrencyState(input.toDF(), watermark = "1800 seconds")
+      .writeStream.format("memory").queryName("conc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1 session [0, 600] SPLIT across the batch boundary; batch 2
+      // closes it by the gap rule (10000s > 600 + 1800) and opens a
+      // new one; u2 is a point session; u3 pushes the watermark
+      input.addData(Seq(row(1, 0, 1), row(2, 600, 1)))
+      q.processAllAvailable()
+      input.addData(Seq(row(3, 10000, 1), row(4, 300, 2),
+        row(5, 100000, 3)))
+      q.processAllAvailable()
+      // watermark (100000s) is now past u1/u2's last + gap: their
+      // open sessions close by event-time TIMEOUT on this trigger
+      input.addData(Seq(row(6, 100001, 3)))
+      q.processAllAvailable()
+      // a straggler behind the watermark must NOT reopen a phantom
+      // session inside u1's already-closed-and-reported span
+      input.addData(Seq(row(7, 5000, 1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conc").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Int]("delta")))
+    // exactly the batch sessionization's half-open boundaries:
+    // +1 at each session start, −1 at end + 1µs
+    val expected = Seq(
+      (1L, tUs(0), 1), (1L, tUs(600) + 1L, -1),
+      (1L, tUs(10000), 1), (1L, tUs(10000) + 1L, -1),
+      (2L, tUs(300), 1), (2L, tUs(300) + 1L, -1),
+      (3L, tUs(100000), 1)) // u3 still active: no close yet
+    assert(got.sorted.toSeq == expected.sorted,
+      s"got ${got.sorted.toSeq}\nexp ${expected.sorted}")
+    // the running sum in time order IS the live gauge: u1/u2 overlap
+    // peaks at 2, and the gauge never goes negative
+    val gauge = got.sortBy(d => (d._2, -d._3)).scanLeft(0)(_ + _._3).drop(1)
+    assert(gauge.max == 2 && gauge.min >= 0, s"gauge $gauge")
+  }
+
   test("streaming value drift converges to the batch KS across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
