@@ -379,6 +379,12 @@ object SparkEntry {
         Tables.embeddings(s, d).filter(col("vec_id") % 35 === 0)
           .select(col("vec_id").as("node")),
         rounds = 6).orderBy("node")),
+    // majority-vote communities: what a single bridge edge must NOT
+    // glue together (the components view's false-merge antidote)
+    "graph_label_prop" -> ((s, d) =>
+      graft.ops.Graph.labelPropagation(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"), iters = 3).orderBy("node")),
     // one-glance shape report of the radius graph: nodes per degree
     "graph_degree_stats" -> ((s, d) =>
       graft.ops.Graph.degreeHistogram(
@@ -783,6 +789,40 @@ object SparkEntry {
     """comp AS (SELECT lab, count(*) AS sz FROM l6 GROUP BY lab)
       |SELECT sz AS component_size, count(*) AS n_components
       |FROM comp GROUP BY sz ORDER BY component_size""".stripMargin
+
+  /** One synchronous majority-vote round: per-(node, label) vote
+    * counts over the deduped undirected edges, rank-1 by
+    * (count DESC, label ASC) — the row_number twin of the Spark
+    * side's max(struct(c, −lab)) integer argmax. */
+  private def lpStepSql(i: Int): String =
+    s"""nb$i AS (SELECT u.doc_a AS node, l.lab, count(*) AS c
+       |        FROM und u JOIN l${i - 1} l ON l.node = u.doc_b
+       |        GROUP BY 1, 2),
+       |rk$i AS (SELECT node, lab,
+       |          row_number() OVER (PARTITION BY node
+       |                             ORDER BY c DESC, lab) AS rn
+       |        FROM nb$i),
+       |l$i AS MATERIALIZED (SELECT p.node, coalesce(r.lab, p.lab) AS lab
+       |       FROM l${i - 1} p
+       |       LEFT JOIN rk$i r ON r.node = p.node AND r.rn = 1),
+       |""".stripMargin
+
+  /** Label-propagation replay over the knn edges: dedup the
+    * undirected edges (a doubled edge must not vote twice), 3
+    * synchronous majority rounds, per-row community audit. */
+  private val graphLabelPropSql: String = knnRankedCte +
+    """, e AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM
+      |        (SELECT src AS doc_a, dst AS doc_b FROM e
+      |         UNION ALL SELECT dst AS doc_a, src AS doc_b FROM e)),
+      |nodes AS MATERIALIZED (SELECT DISTINCT doc_a AS node FROM und),
+      |l0 AS (SELECT node, node AS lab FROM nodes),
+      |""".stripMargin +
+      (1 to 3).map(lpStepSql).mkString +
+    """cs AS (SELECT lab, count(*) AS sz FROM l3 GROUP BY 1),
+      |aud AS (SELECT count(*) AS n_comms, max(sz) AS max_comm FROM cs)
+      |SELECT node, lab AS community, n_comms, max_comm
+      |FROM l3 CROSS JOIN aud ORDER BY node""".stripMargin
 
   /** Degree-ordered triangle replay over the knn edges: canonical
     * dedup, (degree, id) orientation via row-value compares, wedge
@@ -2390,6 +2430,7 @@ object SparkEntry {
     // one helper so the three rounds cannot diverge
     "graph_pagerank" -> graphPagerankSql,
     "graph_components" -> graphComponentsSql,
+    "graph_label_prop" -> graphLabelPropSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_bfs" -> graphBfsSql,

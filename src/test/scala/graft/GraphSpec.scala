@@ -293,4 +293,34 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 2L,
       6L -> 1L, 7L -> 0L), s"got $d")
   }
+
+  test("label propagation keeps bridged triangles as separate communities") {
+    import spark.implicits._
+    // two triangles joined by ONE bridge edge (3-4): components would
+    // glue everything into one blob; majority voting must not — the
+    // bridge loses 1-vote-to-2 on both sides. Hand-replayed: after 3
+    // synchronous rounds {1,2,3} -> 1 and {4,5,6} -> 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, iters = 3).collect()
+    val comm = out.map(r => r.getAs[Long]("node") ->
+      r.getAs[Long]("community")).toMap
+    assert(comm == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"got $comm")
+    // the per-row audit numbers: 2 communities, largest of size 3
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_comms") == 2L)
+      assert(r.getAs[Long]("max_comm") == 3L)
+    }
+    // duplicate + reversed edges must not double any vote
+    val doubled = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val comm2 = Graph.labelPropagation(doubled, iters = 3).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+    assert(comm2 == comm, s"got $comm2")
+    // fixpoint early exit returns the same labels as the full bound
+    val comm3 = Graph.labelPropagation(edges, iters = 6).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+    assert(comm3 == comm, s"got $comm3")
+  }
 }
