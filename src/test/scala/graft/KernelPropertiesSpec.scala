@@ -233,4 +233,31 @@ class KernelPropertiesSpec extends SparkSpec {
       assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_nums") == 0L)
     }
   }
+
+  test("curriculum boundary-count identity holds for arbitrary (P, n, r)") {
+    // Sampling.curriculum rests on one arithmetic identity: counting
+    // the NTILE boundary ranks at or below a rank equals the closed
+    // form the oracle replays —
+    //   #{k in 1..P-1 : (k*n) div P <= r}  ==  (P*r + P - 1) div n
+    // for every 0 <= r < n. The operator computes the left side
+    // (broadcast boundary pairs, map-side counting); the DuckDB twin
+    // computes the right; this pins them equal on arbitrary inputs
+    // including the degenerate n < P regime where boundary ranks
+    // collide and phases skip by design.
+    val gen = for {
+      p <- Gen.choose(2, 16)
+      n <- Gen.choose(1L, 10000L)
+      r <- Gen.choose(0L, n - 1)
+    } yield (p, n, r)
+    (1 to 500).flatMap(_ => gen.sample).foreach { case (p, n, r) =>
+      val byCount = (1 until p).count(k => (k.toLong * n) / p <= r)
+      val closed = ((p.toLong * r + p - 1) / n).toInt
+      assert(byCount == closed, s"p=$p n=$n r=$r")
+    }
+    // exhaustive sweep of the small regime on top of the random one
+    for (p <- 2 to 12; n <- 1L to 40L; r <- 0L until n) {
+      val byCount = (1 until p).count(k => (k.toLong * n) / p <= r)
+      assert(byCount == ((p * r + p - 1) / n).toInt, s"p=$p n=$n r=$r")
+    }
+  }
 }

@@ -216,6 +216,44 @@ class StreamingSpec extends SparkSpec {
     assert(emitted == Set(1L, 4L), s"got $emitted")
   }
 
+  test("concurrency state survives kill + restart: the session carry holds") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-conc-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-conc-out").toString
+    def row(id: Long, sec: Long) =
+      EventRow(id, new Timestamp(1700000000000L + sec * 1000L), 1L, "click",
+        1.0, "{}")
+    def tUs(sec: Long) = (1700000000000L + sec * 1000L) * 1000L
+    val input = MemoryStream[EventRow]
+    def start() =
+      graft.streaming.EventStreams
+        .concurrencyState(input.toDF(), watermark = "1800 seconds")
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("b", lit(id)).write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try { input.addData(Seq(row(1, 0))); q1.processAllAvailable() }
+    finally q1.stop()
+    // while the query is down the session CONTINUES (600s is inside
+    // the 1800s gap from the pre-kill event) and a later event opens
+    // a fresh session; a restart that lost the 0s carry would wrongly
+    // emit a second +1 at 600s — and the −1 must sit at the carried
+    // span's end (600s + 1µs), provable only with recovered state
+    input.addData(Seq(row(2, 600), row(3, 10000)))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Int]("delta"))).toSet
+    assert(got == Set((tUs(0), 1), (tUs(600) + 1L, -1), (tUs(10000), 1)),
+      s"got $got")
+  }
+
   test("heavy hitters state survives kill + restart from checkpoint") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -113,4 +113,39 @@ class StressSpec extends SparkSpec {
         (h256(r.getAs[Long]("doc_id")) * r.getAs[Long]("cluster_size") < 256L)) }
     assert(secs < 300.0, s"soft-dedup stress took ${secs}s")
   }
+
+  test("ring of cliques: label propagation resolves every clique, bridges lose") {
+    import org.apache.spark.sql.functions._
+    // 2000 10-cliques chained by single bridge edges: majority voting
+    // must settle every clique on its min node and never let a bridge
+    // (1 vote against 9) merge neighbors — the shape where components
+    // would collapse the whole ring into ONE blob. Also the hot-shape
+    // check: 92k edges, per-round joins keyed on node ids
+    val cliques = 2000L
+    val size = 10L
+    val base = spark.range(cliques).select(col("id").as("c"))
+    val intra = base
+      .select(col("c"), explode(sequence(lit(0L), lit(size - 2))).as("i"))
+      .select(col("c"), col("i"),
+        explode(sequence(col("i") + 1L, lit(size - 1))).as("j"))
+      .select((col("c") * size + col("i")).as("src"),
+        (col("c") * size + col("j")).as("dst"))
+    val bridges = base.filter(col("c") < cliques - 1)
+      .select((col("c") * size + size - 1).as("src"),
+        ((col("c") + 1L) * size).as("dst"))
+    val t0 = System.nanoTime()
+    val out = Graph.labelPropagation(intra.unionAll(bridges), iters = 4)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"ring of cliques labelProp: $secs%.1fs")
+    assert(out.length == cliques * size)
+    // every node labeled by its own clique's min; audits agree
+    out.foreach { r =>
+      val node = r.getAs[Long]("node")
+      assert(r.getAs[Long]("community") == (node / size) * size, s"node $node")
+      assert(r.getAs[Long]("n_comms") == cliques)
+      assert(r.getAs[Long]("max_comm") == size)
+    }
+    assert(secs < 180.0, s"ring-of-cliques stress took ${secs}s")
+  }
 }
