@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectPlannerStrategy(_ => graft.plans.AsofStrategy)
     e.injectPlannerStrategy(_ => graft.plans.RangeStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseRepartitionIntoTopK)
   }
 }

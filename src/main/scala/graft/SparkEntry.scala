@@ -90,6 +90,10 @@ object SparkEntry {
     "events_coactivity" -> ((s, d) =>
       graft.ops.Events.coactivity(Tables.events(s, d))
         .orderBy("user_a", "user_b")),
+    // the same overlap aggregate on the NATIVE plane-sweep exec
+    "events_coactivity_native" -> ((s, d) =>
+      graft.ops.Events.coactivityNative(Tables.events(s, d))
+        .orderBy("user_a", "user_b")),
     // session DURATION histogram: the engagement-shape audit
     "events_session_lengths" -> ((s, d) =>
       graft.ops.Events.sessionLengths(Tables.events(s, d)).orderBy("bin")),
@@ -705,6 +709,35 @@ object SparkEntry {
     * operator, but propagation maximizes the packed (q_bp, ~doc_id)
     * BIGINT label; quality is the curate formula's integer basis
     * points from the shared `docs` token split. */
+  /** Interval-overlap replay: q16 session CTEs, DuckDB's NATIVE
+    * inequality join — the one oracle standing behind BOTH the
+    * banded coactivity plan and the plane-sweep native exec (their
+    * contract is bit-identical output). */
+  private val coactivitySql: String =
+    """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, event_id, us,
+      |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |           AS prev
+      |       FROM o),
+      |s2 AS (SELECT user_id, event_id, us,
+      |         CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |              THEN 1 ELSE 0 END AS ns
+      |       FROM s1),
+      |s3 AS (SELECT user_id, us,
+      |         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                       ROWS BETWEEN UNBOUNDED PRECEDING
+      |                       AND CURRENT ROW) AS sid
+      |       FROM s2),
+      |sess AS (SELECT user_id, sid, min(us) AS s, max(us) AS e
+      |         FROM s3 GROUP BY 1, 2)
+      |SELECT a.user_id AS user_a, b.user_id AS user_b,
+      |       count(*) AS n_overlaps,
+      |       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
+      |         AS shared_us
+      |FROM sess a JOIN sess b
+      |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+      |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin
+
   private val keepersBestSql: String = lshEdgesCte +
     s"""qual AS (SELECT d.doc_id, ${qBpSql("d.toks")} AS q_bp
       |         FROM docs d),
@@ -2512,30 +2545,10 @@ object SparkEntry {
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
     // interval-overlap replay: same session CTEs, DuckDB's NATIVE
     // inequality join stands oracle for the banded Spark plan
-    "events_coactivity" ->
-      """WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |s1 AS (SELECT user_id, event_id, us,
-        |         lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
-        |           AS prev
-        |       FROM o),
-        |s2 AS (SELECT user_id, event_id, us,
-        |         CASE WHEN prev IS NULL OR us - prev > 1800000000
-        |              THEN 1 ELSE 0 END AS ns
-        |       FROM s1),
-        |s3 AS (SELECT user_id, us,
-        |         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING
-        |                       AND CURRENT ROW) AS sid
-        |       FROM s2),
-        |sess AS (SELECT user_id, sid, min(us) AS s, max(us) AS e
-        |         FROM s3 GROUP BY 1, 2)
-        |SELECT a.user_id AS user_a, b.user_id AS user_b,
-        |       count(*) AS n_overlaps,
-        |       CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1) AS BIGINT)
-        |         AS shared_us
-        |FROM sess a JOIN sess b
-        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
-        |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin,
+    "events_coactivity" -> coactivitySql,
+    // the plane-sweep exec must produce the identical aggregate —
+    // same oracle, word for word
+    "events_coactivity_native" -> coactivitySql,
     // session-duration histogram replay: q16 session CTEs, the same
     // integer-exact bin arithmetic — everything BIGINT until `share`
     "events_session_lengths" ->

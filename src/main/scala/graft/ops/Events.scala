@@ -524,6 +524,39 @@ object Events {
         sum("overlap_us").as("shared_us"))
   }
 
+  /** [[coactivity]] on the NATIVE plane-sweep interval join
+    * ([[graft.plans.IntervalJoinExec]]): same output, strictly
+    * tighter execution — the banded hash join builds each band's
+    * whole session set and post-filters candidate pairs, then
+    * `distinct`s multi-band duplicates; the sweep pairs each arriving
+    * session only with the currently-ACTIVE set (memory = the band's
+    * peak concurrency, not its population), produces no discarded
+    * candidates, and emits each pair exactly once by construction
+    * (only the band owning max(s_a, s_b) emits), so no `distinct`
+    * ever runs. `bandSec` bounds per-task sweep state and provably
+    * never changes the result.
+    */
+  def coactivityNative(events: DataFrame, gapSec: Long = 1800L,
+                       bandSec: Long = 3600L): DataFrame = {
+    val sess = sessionSpans(events, gapSec)
+      // both sides of the self-join read this: materialize so the
+      // events scan + session window runs once, not per side
+      .localCheckpoint()
+    val a = sess.select(col("user_id").as("user_a"), col("sid").as("sid_a"),
+      col("s").as("s_a"), col("e").as("e_a"))
+    val b = sess.select(col("user_id").as("user_b"), col("sid").as("sid_b"),
+      col("s").as("s_b"), col("e").as("e_b"))
+    graft.plans.IntervalNative.join(a, b, ("s_a", "e_a"), ("s_b", "e_b"),
+        bandSec * 1000000L)
+      .filter(col("user_a") < col("user_b"))
+      .select(col("user_a"), col("user_b"), col("sid_a"), col("sid_b"),
+        (least(col("e_a"), col("e_b")) -
+          greatest(col("s_a"), col("s_b")) + 1).as("overlap_us"))
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum("overlap_us").as("shared_us"))
+  }
+
   /** Telemetry DEBOUNCE audit: collapse each (user, type) burst —
     * consecutive same-type events under `gapSec` apart — to its
     * FIRST event (the q16/sessionSpans gap rule applied per (user,
