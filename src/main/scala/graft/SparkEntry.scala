@@ -2622,8 +2622,9 @@ object SparkEntry {
         |c AS (SELECT event_type AS etype,
         |        CASE WHEN epoch_us(ts) * 2 <= b.t0 + b.t1
         |             THEN 'ref' ELSE 'cur' END AS win,
-        |        CAST(least(floor(((value - b.lo) * 20) / (b.hi - b.lo)),
-        |                   19) AS BIGINT) AS bin,
+        |        CAST(CASE WHEN b.hi = b.lo THEN 0
+        |             ELSE least(floor(((value - b.lo) * 20) / (b.hi - b.lo)),
+        |                        19) END AS BIGINT) AS bin,
         |        count(*) AS n
         |      FROM events CROSS JOIN b GROUP BY 1, 2, 3),
         |grid AS (SELECT etype, bin, win

@@ -458,6 +458,9 @@ object Events {
     require(bins > 0, s"bins ($bins) must be positive")
     val durs = sessionSpans(events, gapSec)
       .select((col("e") - col("s")).as("dur"))
+      // referenced twice (bounds + binning): materialize so the
+      // events scan + session window runs once, not per consumer
+      .localCheckpoint()
     val b = durs.agg(min("dur").as("lo"), max("dur").as("hi"),
       count(lit(1)).as("n"))
     durs.crossJoin(broadcast(b))

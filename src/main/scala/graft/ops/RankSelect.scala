@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-pass HISTOGRAM RANK SELECTION — the shared engine behind
+  * exact per-group quantiles ([[Relational.q17Quantiles]]) and
+  * curriculum boundaries ([[Sampling.curriculum]]). Finds the rows
+  * at requested per-group 0-based ranks under a total order WITHOUT
+  * ever sorting a whole group (a per-group window sort serializes
+  * each group into one task chain at 100 TB):
+  *
+  *   pass 1 — per-group (lo, hi, n) bounds, then a fixed-width
+  *   `bins`-bucket histogram (one map-side-combined aggregate); the
+  *   cumulative histogram locates each requested rank's bin on the
+  *   groups×bins summary frame.
+  *
+  *   pass 2 — only rows of LOCATED bins survive a broadcast
+  *   semi-join, a window sort per (group, bin) ranks within the bin,
+  *   and cumulative-below + in-bin rank recovers the exact global
+  *   rank: every earlier bin holds strictly smaller values (the bin
+  *   expression must be monotone in the value), ties share a bin, so
+  *   the selected order statistics are identical to a whole-group
+  *   sort. Per-task sort work is the hottest candidate bin.
+  *
+  * The subtle invariants (bin monotonicity, exclusive-cumulative
+  * rank recovery `cb + rib === r`, tie handling, the n < #ranks
+  * regime where boundary ranks collide) live HERE once — both
+  * consumers were hand-rolled copies before r10's review pass.
+  */
+object RankSelect {
+
+  /** Rows of `scored` at the requested per-group ranks.
+    *
+    * @param scored  frame with group key `g`, numeric value `v`, and
+    *                any `tie` columns completing the total order
+    * @param bins    histogram width — the parallelism/selectivity
+    *                knob; per-task pass-2 work is the hottest bin
+    * @param binOf   bin-index expression over columns `(v, lo, hi)`:
+    *                monotone in `v`, landing in `[0, bins)` (callers
+    *                pick the float q33 or integer-exact convention)
+    * @param mkRanks bounds `(g, lo, hi, n)` → requested ranks: a
+    *                frame with `g` and a long `r` per requested row,
+    *                plus any rider columns carried into the output
+    *                (duplicate ranks allowed — one output row each)
+    * @param tie     tiebreak column names after `v`
+    * @return (selected, bounds): `selected` has one row per `mkRanks`
+    *         row — `(g, v, tie..., r, riders...)`; `bounds` is the
+    *         materialized `(g, lo, hi, n)` frame for downstream use
+    */
+  def at(scored: DataFrame, bins: Int, binOf: Column,
+         mkRanks: DataFrame => DataFrame,
+         tie: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+    require(bins > 0, s"bins ($bins) must be positive")
+    val bounds = scored.groupBy("g")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      // ONE corpus aggregation with many consumers (both binned
+      // references, the ranks frame, callers' final joins):
+      // materialize the groups-sized frame so each reference reads
+      // rows, not re-runs the corpus lineage
+      .localCheckpoint()
+    val binned = scored.join(broadcast(bounds), Seq("g"))
+      .withColumn("bin", binOf)
+    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"))
+    val wc = Window.partitionBy("g").orderBy("bin")
+    val cum = hist.withColumn("cb",
+      coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val ranks = mkRanks(bounds)
+    val located = ranks.join(cum, Seq("g"))
+      .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
+      .drop("bn")
+    val wb = Window.partitionBy("g", "bin").orderBy("v", tie: _*)
+    val selected = binned
+      .join(broadcast(located.select("g", "bin").distinct()), Seq("g", "bin"))
+      .withColumn("rib", row_number().over(wb).cast("long") - 1L)
+      .join(broadcast(located), Seq("g", "bin"))
+      .filter(col("cb") + col("rib") === col("r"))
+      .drop("bin", "cb", "rib", "lo", "hi", "n")
+    (selected, bounds)
+  }
+}

@@ -286,69 +286,34 @@ object Relational {
     * sort feeding boundary-rank selection — was memory-safe but
     * still serialized each GROUP into one sorted task chain. This
     * formulation gets the same exact numbers with per-task work
-    * bounded by a histogram BIN, not a group (the q33 fixed-width
-    * bin machinery):
-    *
-    *   pass 1 — per-group (lo, hi, n) bounds, then a fixed-width
-    *   `Bins`-bucket histogram (one map-side-combined aggregate).
-    *   Bins are value-ordered, so the cumulative histogram locates
-    *   the bin holding each requested boundary rank floor/ceil of
-    *   p·(n−1) — all on a ≤ groups×Bins summary frame.
-    *
-    *   pass 2 — only rows of LOCATED bins survive a broadcast
-    *   semi-join (≤ 6 bins/group of the full corpus), a window sort
-    *   per (group, bin) ranks within the bin, and in-bin rank +
-    *   cumulative-below recovers the exact global rank: every
-    *   earlier bin holds strictly smaller values, ties share a bin
-    *   and a value, so the selected order statistic is identical to
-    *   a whole-group sort. The ≤ 2 boundary rows per percentile
-    *   then feed the constant-width interpolation aggregate.
-    *
-    * `Bins` is the parallelism/selectivity knob: per-task sort work
-    * is the hottest candidate bin, ~n/Bins under any non-degenerate
-    * spread (an all-one-value bin costs nothing to rank — ties make
-    * every in-bin rank the same value). Exactness unchanged; the
-    * whole-group sort chain is gone.
+    * bounded by a histogram BIN, not a group: the shared
+    * [[RankSelect]] engine (pass 1: bounds + fixed-width histogram
+    * locate each requested rank's bin on a summary frame; pass 2:
+    * rank only inside located bins — cumulative-below + in-bin rank
+    * IS the global rank) pointed at the floor/ceil order statistics
+    * of rank p·(n−1), whose ≤ 2 boundary rows per percentile feed
+    * the constant-width interpolation aggregate. Exactness
+    * unchanged; the whole-group sort chain is gone.
     */
   def q17Quantiles(s: SparkSession, dir: String): DataFrame = {
     val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
     val bins = 256
     val o = Tables.orders(s, dir)
       .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"))
-    val bounds = o.groupBy("g").agg(min("v").as("lo"), max("v").as("hi"),
-      count(lit(1)).as("n"))
     // q33 bin convention (top edge closed into the last bin; a
     // degenerate single-value group short-circuits to bin 0)
     val binOf = when(col("hi") === col("lo"), lit(0L))
       .otherwise(least(floor(((col("v") - col("lo")) * bins) /
         (col("hi") - col("lo"))), lit(bins - 1L)).cast("long"))
-    val binned = o.join(broadcast(bounds), Seq("g")).withColumn("bin", binOf)
-    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"))
-    val wc = Window.partitionBy("g").orderBy("bin")
-    val cum = hist.withColumn("cb",
-      coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
     def rpOf(p: Double) = (col("n") - 1L).cast("double") * p
     // the ≤ 6 boundary ranks per group (floor+ceil per percentile),
     // derived on the group-bounds frame — never the corpus
-    val ranks = bounds
-      .select(col("g"), explode(array(
+    val (sel, bounds) = RankSelect.at(o, bins, binOf, bounds =>
+      bounds.select(col("g"), explode(array(
         ps.flatMap { case (p, _) =>
           Seq(floor(rpOf(p)).cast("long"), ceil(rpOf(p)).cast("long"))
         }: _*)).as("r"))
-      .distinct()
-    val located = ranks.join(cum, Seq("g"))
-      .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
-      .select("g", "bin", "r", "cb")
-    // pass 2: rank only within located bins; cb + in-bin rank IS the
-    // global rank (bins are value-ordered)
-    val wb = Window.partitionBy("g", "bin").orderBy("v")
-    val sel = binned
-      .join(broadcast(located.select("g", "bin").distinct()), Seq("g", "bin"))
-      .withColumn("rib", row_number().over(wb).cast("long") - 1L)
-      .join(broadcast(located), Seq("g", "bin"))
-      .filter(col("cb") + col("rib") === col("r"))
-      .select(col("g"), col("r"), col("v"))
+        .distinct())
     def rp(p: Double) = (col("n") - 1L).cast("double") * p
     val pcts = ps.map { case (p, name) =>
       val lo = max(when(col("r") === floor(rp(p)).cast("long"), col("v")))

@@ -385,48 +385,32 @@ object Sampling {
   def curriculum(documents: DataFrame, phases: Int = 10): DataFrame = {
     require(phases > 1, s"phases ($phases) must exceed 1")
     val bins = 256
-    val w = org.apache.spark.sql.expressions.Window
     val s = documents.select(col("source").as("g"), col("doc_id"),
-      length(col("text")).cast("long").as("len"))
-    val bounds = s.groupBy("g").agg(min("len").as("lo"), max("len").as("hi"),
-      count(lit(1)).as("n"))
+      length(col("text")).cast("long").as("v"))
     // integer-exact fixed-width binning (no float edge cases): the
     // +1 denominator keeps every bin index inside [0, bins)
-    val binned = s.join(broadcast(bounds), Seq("g"))
-      .withColumn("bin", expr(s"(len - lo) * $bins div (hi - lo + 1)"))
-    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"))
-    val wc = w.partitionBy("g").orderBy("bin")
-    val cum = hist.withColumn("cb",
-      coalesce(sum("bn").over(wc.rowsBetween(w.unboundedPreceding, -1)),
-        lit(0L)))
+    val binOf = expr(s"(v - lo) * $bins div (hi - lo + 1)")
     // boundary ranks k·n div P, k = 1..P−1, kept PER k (small n dups
     // several k onto one rank — each still counts one phase step)
-    val ranks = bounds
-      .select(col("g"), col("n"),
+    val (th0, _) = RankSelect.at(s, bins, binOf, bounds =>
+      bounds.select(col("g"), col("n"),
         explode(array((1 until phases).map(lit(_)): _*)).as("k"))
-      .withColumn("r", expr(s"k * n div $phases"))
-      .select("g", "k", "r")
-    val located = ranks.join(cum, Seq("g"))
-      .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
-      .select("g", "bin", "k", "r", "cb")
-    val wb = w.partitionBy("g", "bin").orderBy("len", "doc_id")
-    val th = binned
-      .join(broadcast(located.select("g", "bin").distinct()), Seq("g", "bin"))
-      .withColumn("rib", row_number().over(wb).cast("long") - 1L)
-      .join(broadcast(located), Seq("g", "bin"))
-      .filter(col("cb") + col("rib") === col("r"))
-      .select(col("g"), col("len").as("t_len"), col("doc_id").as("t_id"))
+        .withColumn("r", expr(s"k * n div $phases"))
+        .select("g", "k", "r"),
+      tie = Seq("doc_id"))
+    val th = th0.select(col("g"), col("v").as("t_len"),
+      col("doc_id").as("t_id"))
     val thArr = th.groupBy("g")
       .agg(sort_array(collect_list(struct(col("t_len"), col("t_id"))))
         .as("ths"))
     s.join(broadcast(thArr), Seq("g"))
       .withColumn("phase", size(filter(col("ths"), t =>
-        col("len") > t.getField("t_len") ||
-          (col("len") === t.getField("t_len") &&
+        col("v") > t.getField("t_len") ||
+          (col("v") === t.getField("t_len") &&
             col("doc_id") >= t.getField("t_id")))).cast("long"))
       .groupBy(col("g").as("source"), col("phase"))
-      .agg(count(lit(1)).as("n_docs"), min("len").as("min_len"),
-        max("len").as("max_len"), round(avg("len"), 4).as("avg_len"))
+      .agg(count(lit(1)).as("n_docs"), min("v").as("min_len"),
+        max("v").as("max_len"), round(avg("v"), 4).as("avg_len"))
       .orderBy("source", "phase")
   }
 }

@@ -13,8 +13,9 @@ import org.apache.spark.sql.types.LongType
 /** Native INTERVAL-OVERLAP join by distributed PLANE SWEEP — the
   * third temporal join made native (as-of: [[AsofJoinExec]]; trailing
   * range: [[RangeJoinExec]]; this: two SPANS intersecting). Emits
-  * every (left, right) pair with equal band keys whose half-closed
-  * spans overlap (`ls ≤ re && rs ≤ le`), each pair EXACTLY ONCE.
+  * every (left, right) pair with equal band keys whose CLOSED
+  * [s, e] spans overlap (`ls ≤ re && rs ≤ le` — touching endpoints
+  * match, the sessionSpans convention), each pair EXACTLY ONCE.
   *
   * The banded hash-join composition ([[graft.ops.Events.coactivity]])
   * builds each band's ENTIRE interval set as a hash-join side and

@@ -456,13 +456,22 @@ object EventStreams {
     * debounce carry which lives forever). Downstream, a running sum
     * of deltas in time order is the live concurrency gauge, and a
     * windowed sum/max reproduces the batch per-day profile.
-    * Spec-pinned: the emitted delta multiset equals the batch
-    * session spans' boundaries across a session-splitting batch
-    * boundary. Late rows drop on two fences: at or before the
-    * user's high-water mark (inside the live span — no boundary
-    * moves) and at or before the watermark (the state may already
-    * be timeout-closed and removed; reprocessing such a straggler
-    * would reopen a phantom session inside a reported span).
+    * Spec-pinned: the NET deltas (summed per (user, time) — exact
+    * cancellation, since every delta is ±1 at an integer micro)
+    * equal the batch session spans' boundaries across a
+    * session-splitting batch boundary. Out-of-order arrivals are
+    * honored within the span they can still reach: a row inside the
+    * live span moves no boundary; a row BEFORE the open session's
+    * published start but within its gap reach retro-extends it with
+    * a COMPENSATING pair (−1 at the stale start cancels the emitted
+    * +1 in any event-time-ordered sum, +1 lands at the true start) —
+    * so consumers aggregating by event time converge to the batch
+    * answer. Two arrivals stay out of scope by construction and
+    * drop: rows at or before the watermark (the state may already be
+    * timeout-closed and removed — reprocessing would reopen a
+    * phantom span), and rows older than the open start's gap reach
+    * (a separate earlier session, or a bridge into one already
+    * closed and reported — both need multi-span state).
     */
   def concurrencyState(events: DataFrame, gapSec: Long = 1800L,
                        watermark: String = "30 minutes")
@@ -481,10 +490,10 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
-         state: GroupState[Long]) =>
+         state: GroupState[(Long, Long)]) => // (session start, latest event)
           if (state.hasTimedOut) {
             // watermark passed last + gap: the open session is over
-            val last = state.get
+            val (_, last) = state.get
             state.remove()
             Iterator.single(SessionDelta(user, last + 1L, -1))
           } else {
@@ -499,19 +508,38 @@ object EventStreams {
             val ordered = rows.toSeq.filter(_._3 > wmUs)
               .sortBy(r => (r._3, r._2))
             val out = Seq.newBuilder[SessionDelta]
-            var last = state.getOption.getOrElse(Long.MinValue)
+            var start = Long.MinValue
+            var last = Long.MinValue
+            state.getOption.foreach { case (s0, l0) => start = s0; last = l0 }
             ordered.foreach { case (_, _, us, _) =>
               if (last == Long.MinValue) {
-                out += SessionDelta(user, us, 1); last = us
-              } else if (us <= last) { // late: inside the span
+                out += SessionDelta(user, us, 1); start = us; last = us
+              } else if (us >= start && us <= last) {
+                // inside the live span: no boundary moves
+              } else if (us < start) {
+                // in-watermark out-of-order arrival BEFORE the open
+                // session's published start. Gap-reachable → the
+                // batch session truly starts here: publish the
+                // COMPENSATING pair (−1 at the stale start cancels
+                // the already-emitted +1 in any event-time-ordered
+                // sum; +1 at the true start replaces it). A row
+                // older than start − gap would be a separate earlier
+                // session (or a bridge into one already closed and
+                // reported) — reconstructing those needs multi-span
+                // state, so they drop; the spec pins this scope.
+                if (start - us <= gapUs) {
+                  out += SessionDelta(user, start, -1)
+                  out += SessionDelta(user, us, 1)
+                  start = us
+                }
               } else if (us - last > gapUs) {
                 out += SessionDelta(user, last + 1L, -1)
                 out += SessionDelta(user, us, 1)
-                last = us
+                start = us; last = us
               } else last = us
             }
             if (last != Long.MinValue) {
-              state.update(last)
+              state.update((start, last))
               // timeout must sit past the current watermark; a
               // session already expired by this batch's watermark
               // fires on the next trigger

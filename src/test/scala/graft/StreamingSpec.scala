@@ -847,6 +847,47 @@ class StreamingSpec extends SparkSpec {
     assert(gauge.max == 2 && gauge.min >= 0, s"gauge $gauge")
   }
 
+  test("concurrency retro-extends an open session for an in-watermark straggler") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    def row(id: Long, sec: Long, user: Long) =
+      EventRow(id, new Timestamp(1700000000000L + sec * 1000L), user,
+        "click", 1.0, "{}")
+    def tUs(sec: Long) = (1700000000000L + sec * 1000L) * 1000L
+    val input = MemoryStream[EventRow]
+    // watermark delay WIDER than the gap, so the second straggler
+    // below is dropped by the GAP-REACH fence, not the watermark one
+    val q = graft.streaming.EventStreams
+      .concurrencyState(input.toDF(), watermark = "10000 seconds")
+      .writeStream.format("memory").queryName("conc_retro")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session opens at 600s (+1 published)...
+      input.addData(Seq(row(1, 600, 1))); q.processAllAvailable()
+      // ...then an IN-WATERMARK straggler stamped 0s arrives: the
+      // batch session truly starts at 0s (gap 1800s reaches 600s).
+      // The stream must publish the compensating pair, not drop it
+      input.addData(Seq(row(2, 0, 1))); q.processAllAvailable()
+      // a straggler beyond the open start's gap reach (a separate
+      // earlier session for u2's timeline) is out of scope and drops
+      input.addData(Seq(row(3, 9000, 2))); q.processAllAvailable()
+      input.addData(Seq(row(4, 5000, 2))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("conc_retro").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("us"),
+        r.getAs[Int]("delta")))
+    // raw emissions: the stale +1@600 plus its compensating −1@600
+    assert(got.count(d => d._1 == 1L) == 3, s"got ${got.toSeq}")
+    // NET deltas (summed per (user, us), zeros dropped) equal the
+    // batch boundaries: u1's session now opens at 0s, nothing else
+    val net = got.groupBy(d => (d._1, d._2))
+      .map { case (k, ds) => k -> ds.map(_._3).sum }
+      .filter(_._2 != 0).toMap
+    assert(net == Map((1L, tUs(0)) -> 1, (2L, tUs(9000)) -> 1),
+      s"net $net from ${got.toSeq}")
+  }
+
   test("streaming value drift converges to the batch KS across batches") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
