@@ -80,6 +80,10 @@ object SparkEntry {
       graft.ops.Events.retention(Tables.events(s, d)).orderBy("cohort_week", "week_offset")),
     "events_anomaly" -> ((s, d) =>
       graft.ops.Events.anomaly(Tables.events(s, d)).orderBy("event_id")),
+    // median/MAD robust outliers: exact order statistics, no sort
+    "events_anomaly_robust" -> ((s, d) =>
+      graft.ops.Events.anomalyRobust(Tables.events(s, d))
+        .orderBy("event_type")),
     // full-distribution drift: binned two-sample KS per event type
     "events_drift" -> ((s, d) =>
       graft.ops.Events.valueDrift(Tables.events(s, d)).orderBy("etype")),
@@ -2613,6 +2617,32 @@ object SparkEntry {
         |       CAST(count(*) // 2 AS BIGINT) AS n_sessions,
         |       CAST(max(running) AS BIGINT) AS peak_concurrent
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+    // median/MAD replay: both statistics are the VALUE at 0-based
+    // rank (n-1)//2 — raw order statistics, so no rounding is needed
+    // anywhere except the final rate (subtract/abs/multiply are
+    // single IEEE ops, identical on both engines)
+    "events_anomaly_robust" ->
+      """WITH v AS (SELECT event_type AS g, value AS v FROM events),
+        |c AS (SELECT g, count(*) AS n FROM v GROUP BY 1),
+        |r1 AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) - 1
+        |         AS rk FROM v),
+        |med AS (SELECT r1.g, r1.v AS med FROM r1 JOIN c ON c.g = r1.g
+        |        WHERE r1.rk = (c.n - 1) // 2),
+        |d AS (SELECT v.g, abs(v.v - med.med) AS dv
+        |      FROM v JOIN med ON med.g = v.g),
+        |r2 AS (SELECT g, dv, row_number() OVER (PARTITION BY g ORDER BY dv) - 1
+        |         AS rk FROM d),
+        |mad AS (SELECT r2.g, r2.dv AS mad FROM r2 JOIN c ON c.g = r2.g
+        |        WHERE r2.rk = (c.n - 1) // 2)
+        |SELECT v.g AS event_type, count(*) AS n,
+        |       min(med.med) AS med, min(mad.mad) AS mad,
+        |       count(*) FILTER (WHERE abs(v.v - med.med) > 3 * mad.mad)
+        |         AS n_outliers,
+        |       round(CAST(count(*) FILTER
+        |               (WHERE abs(v.v - med.med) > 3 * mad.mad) AS DOUBLE)
+        |             / count(*), 4) AS outlier_rate
+        |FROM v JOIN med ON med.g = v.g JOIN mad ON mad.g = v.g
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     // binned two-sample KS replay: q33 bin convention, integer time
     // split, dense grid cumulative ECDFs, 6dp round AFTER the max
     "events_drift" ->

@@ -593,6 +593,48 @@ object Events {
           count(lit(1)), 4).as("drop_rate"))
   }
 
+  /** ROBUST per-type anomaly audit — median/MAD instead of mean/σ:
+    * [[anomaly]]'s z-score model is itself dragged by the outliers
+    * it hunts (one corrupted 1e12 reading inflates σ until nothing
+    * else alarms); the median and the median absolute deviation
+    * have a 50% breakdown point, so the contamination this audit
+    * exists to find cannot hide itself. Both statistics are EXACT
+    * ORDER STATISTICS (the value at 0-based rank ⌊(n−1)/2⌋ — raw
+    * data values, no interpolation arithmetic), selected by the
+    * shared [[RankSelect]] two-pass histogram engine — no per-type
+    * sort chain anywhere — which also makes the whole audit
+    * bit-reproducible across engines: med is a data value, each
+    * deviation is one subtract+abs, the outlier compare
+    * `|v − med| > k·mad` is one multiply, so the DuckDB twin
+    * matches with zero rounding anywhere except the final rate.
+    * Cost shape: two chained rank selections over a 2-column
+    * projection (~3 narrow scans each) + one scoring pass; MAD is
+    * inherently two-pass (deviations need the median first).
+    */
+  def anomalyRobust(events: DataFrame, k: Double = 3.0,
+                    bins: Int = 256): DataFrame = {
+    val vals = events.select(col("event_type").as("g"), col("value").as("v"))
+    val binOf = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor(((col("v") - col("lo")) * bins) /
+        (col("hi") - col("lo"))), lit(bins - 1L)).cast("long"))
+    def midRank(bounds: DataFrame) =
+      bounds.select(col("g"), expr("(n - 1) div 2").as("r"))
+    val (m1, _) = RankSelect.at(vals, bins, binOf, midRank)
+    val med = m1.select(col("g"), col("v").as("med"))
+    val dev = vals.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("v"))
+    val (m2, _) = RankSelect.at(dev, bins, binOf, midRank)
+    val mad = m2.select(col("g"), col("v").as("mad"))
+    vals.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+      .groupBy(col("g").as("event_type"))
+      .agg(count(lit(1)).as("n"), max("med").as("med"),
+        max("mad").as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(k) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        round(col("n_outliers").cast("double") / col("n"), 4))
+  }
+
   /** Per-type VALUE-DISTRIBUTION drift: a binned two-sample
     * Kolmogorov-Smirnov statistic between the first and second half
     * of the stream's time range. [[anomaly]] models mean/σ — a

@@ -282,6 +282,29 @@ class EventsSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("robust anomaly: median/MAD shrug off the outlier that drags mean/sigma") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def at(id: Long, typ: String, v: Double) =
+      (id, new Timestamp(id * 1000), 1L, typ, v)
+    // type t: [1,2,3,4,100] → med = 3 (rank 2), deviations sorted
+    // [0,1,1,2,97] → mad = 1; only the 100 exceeds med ± 3·mad.
+    // (mean/σ would put the mean at 22 and σ at ~43 — NOTHING alarms
+    // there, which is exactly the failure this operator fixes.)
+    // type c is constant: mad = 0 and nothing is an outlier
+    val rows = Seq(at(1, "t", 1), at(2, "t", 2), at(3, "t", 3),
+      at(4, "t", 4), at(5, "t", 100),
+      at(6, "c", 5), at(7, "c", 5), at(8, "c", 5))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.anomalyRobust(ev).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers"), r.getAs[Double]("outlier_rate"))))
+      .toMap
+    assert(out("t") == ((5L, 3.0, 1.0, 1L, 0.2)), s"got $out")
+    assert(out("c") == ((3L, 5.0, 0.0, 0L, 0.0)), s"got $out")
+  }
+
   test("session lengths bin durations exactly, point sessions in bin 0") {
     import spark.implicits._
     import java.sql.Timestamp
