@@ -68,7 +68,10 @@ object RankSelect {
       coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     val ranks = mkRanks(bounds)
-    val located = ranks.join(cum, Seq("g"))
+    // cum is the groups×bins summary frame — broadcast explicitly
+    // (left to the planner this occasionally came out a sort-merge
+    // join when the checkpointed lineage hid the size)
+    val located = ranks.join(broadcast(cum), Seq("g"))
       .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
       .drop("bn")
     val wb = Window.partitionBy("g", "bin").orderBy("v", tie: _*)
