@@ -614,22 +614,23 @@ object Events {
   def anomalyRobust(events: DataFrame, k: Double = 3.0,
                     bins: Int = 256): DataFrame = {
     val vals = events.select(col("event_type").as("g"), col("value").as("v"))
-    val binOf = when(col("hi") === col("lo"), lit(0L))
-      .otherwise(least(floor(((col("v") - col("lo")) * bins) /
-        (col("hi") - col("lo"))), lit(bins - 1L)).cast("long"))
+    val binOf = RankSelect.floatBin(bins)
     def midRank(bounds: DataFrame) =
       bounds.select(col("g"), expr("(n - 1) div 2").as("r"))
     val (m1, _) = RankSelect.at(vals, bins, binOf, midRank)
     val med = m1.select(col("g"), col("v").as("med"))
-    val dev = vals.join(broadcast(med), Seq("g"))
-      .select(col("g"), abs(col("v") - col("med")).as("v"))
-    val (m2, _) = RankSelect.at(dev, bins, binOf, midRank)
+    // ONE definition of the deviation feeds both the MAD selection
+    // and the outlier scoring — the metric cannot drift between them
+    val scored = vals.join(broadcast(med), Seq("g"))
+      .withColumn("dv", abs(col("v") - col("med")))
+    val (m2, _) = RankSelect.at(
+      scored.select(col("g"), col("dv").as("v")), bins, binOf, midRank)
     val mad = m2.select(col("g"), col("v").as("mad"))
-    vals.join(broadcast(med), Seq("g")).join(broadcast(mad), Seq("g"))
+    scored.join(broadcast(mad), Seq("g"))
       .groupBy(col("g").as("event_type"))
       .agg(count(lit(1)).as("n"), max("med").as("med"),
         max("mad").as("mad"),
-        sum(when(abs(col("v") - col("med")) > lit(k) * col("mad"), 1L)
+        sum(when(col("dv") > lit(k) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_rate",
         round(col("n_outliers").cast("double") / col("n"), 4))

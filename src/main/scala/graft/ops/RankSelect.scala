@@ -31,6 +31,24 @@ import org.apache.spark.sql.functions._
   */
 object RankSelect {
 
+  /** The q33 float bin convention over the helper's `(v, lo, hi)`
+    * columns: fixed-width buckets, top edge closed into the last
+    * bin, a degenerate single-value group short-circuited to bin 0.
+    * Defined ONCE here — the consumers (q17 quantiles, robust
+    * median/MAD) previously each carried a byte-identical copy, and
+    * a future edge-behavior fix must not have five places to miss.
+    */
+  def floatBin(bins: Int): Column =
+    when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor(((col("v") - col("lo")) * bins) /
+        (col("hi") - col("lo"))), lit(bins - 1L)).cast("long"))
+
+  /** Integer-exact fixed-width binning for long values: the +1
+    * denominator keeps every index inside [0, bins) with no float
+    * edge cases (the curriculum convention). */
+  def intBin(bins: Int): Column =
+    expr(s"(v - lo) * $bins div (hi - lo + 1)")
+
   /** Rows of `scored` at the requested per-group ranks.
     *
     * @param scored  frame with group key `g`, numeric value `v`, and
@@ -68,10 +86,12 @@ object RankSelect {
       coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
     val ranks = mkRanks(bounds)
-    // cum is the groups×bins summary frame — broadcast explicitly
-    // (left to the planner this occasionally came out a sort-merge
-    // join when the checkpointed lineage hid the size)
-    val located = ranks.join(broadcast(cum), Seq("g"))
+    // broadcast the RANKS side — strictly the smaller frame (a
+    // handful of rows per group vs cum's groups×bins): left to the
+    // planner this join occasionally came out a sort-merge join
+    // when the checkpointed lineage hid the sizes, and broadcasting
+    // cum would put the 256×-larger side on the driver
+    val located = cum.join(broadcast(ranks), Seq("g"))
       .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
       .drop("bn")
     val wb = Window.partitionBy("g", "bin").orderBy("v", tie: _*)

@@ -300,11 +300,8 @@ object Relational {
     val bins = 256
     val o = Tables.orders(s, dir)
       .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"))
-    // q33 bin convention (top edge closed into the last bin; a
-    // degenerate single-value group short-circuits to bin 0)
-    val binOf = when(col("hi") === col("lo"), lit(0L))
-      .otherwise(least(floor(((col("v") - col("lo")) * bins) /
-        (col("hi") - col("lo"))), lit(bins - 1L)).cast("long"))
+    // q33 bin convention — the SHARED definition (RankSelect.floatBin)
+    val binOf = RankSelect.floatBin(bins)
     def rpOf(p: Double) = (col("n") - 1L).cast("double") * p
     // the ≤ 6 boundary ranks per group (floor+ceil per percentile),
     // derived on the group-bounds frame — never the corpus

@@ -387,9 +387,8 @@ object Sampling {
     val bins = 256
     val s = documents.select(col("source").as("g"), col("doc_id"),
       length(col("text")).cast("long").as("v"))
-    // integer-exact fixed-width binning (no float edge cases): the
-    // +1 denominator keeps every bin index inside [0, bins)
-    val binOf = expr(s"(v - lo) * $bins div (hi - lo + 1)")
+    // integer-exact fixed-width binning (RankSelect.intBin — shared)
+    val binOf = RankSelect.intBin(bins)
     // boundary ranks k·n div P, k = 1..P−1, kept PER k (small n dups
     // several k onto one rank — each still counts one phase step)
     val (th0, _) = RankSelect.at(s, bins, binOf, bounds =>

@@ -291,10 +291,14 @@ class EventsSpec extends SparkSpec {
     // [0,1,1,2,97] → mad = 1; only the 100 exceeds med ± 3·mad.
     // (mean/σ would put the mean at 22 and σ at ~43 — NOTHING alarms
     // there, which is exactly the failure this operator fixes.)
-    // type c is constant: mad = 0 and nothing is an outlier
+    // type c is constant: mad = 0 and nothing is an outlier.
+    // type e has EVEN n: the LOWER median convention (rank
+    // (n−1) div 2 — [1,2,3,4] → 2, never 2.5 or 3) is the one knob
+    // where engines could silently disagree, so pin it directly
     val rows = Seq(at(1, "t", 1), at(2, "t", 2), at(3, "t", 3),
       at(4, "t", 4), at(5, "t", 100),
-      at(6, "c", 5), at(7, "c", 5), at(8, "c", 5))
+      at(6, "c", 5), at(7, "c", 5), at(8, "c", 5),
+      at(9, "e", 1), at(10, "e", 2), at(11, "e", 3), at(12, "e", 4))
     val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
     val out = Events.anomalyRobust(ev).collect()
       .map(r => r.getAs[String]("event_type") ->
@@ -303,6 +307,8 @@ class EventsSpec extends SparkSpec {
       .toMap
     assert(out("t") == ((5L, 3.0, 1.0, 1L, 0.2)), s"got $out")
     assert(out("c") == ((3L, 5.0, 0.0, 0L, 0.0)), s"got $out")
+    // deviations from med=2: [1,0,1,2] sorted rank 1 → mad = 1
+    assert(out("e") == ((4L, 2.0, 1.0, 0L, 0.0)), s"got $out")
   }
 
   test("session lengths bin durations exactly, point sessions in bin 0") {
