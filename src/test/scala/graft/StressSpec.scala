@@ -148,4 +148,25 @@ class StressSpec extends SparkSpec {
     }
     assert(secs < 180.0, s"ring-of-cliques stress took ${secs}s")
   }
+
+  test("interval sweep: 50k chained overlaps, closed-form pair count") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.IntervalNative
+    // intervals [10i, 10i+25]: each overlaps exactly the neighbors
+    // within 2 steps (|i-j|*10 <= 25), so the L x R inner pair count
+    // has the closed form 5n - 6 — and the sweep's active sets never
+    // hold more than ~3 intervals however long the chain runs
+    val n = 50000L
+    val left = spark.range(n).select(col("id").as("lid"),
+      (col("id") * 10).as("ls"), (col("id") * 10 + 25).as("le"))
+    val right = spark.range(n).select(col("id").as("rid"),
+      (col("id") * 10).as("rs"), (col("id") * 10 + 25).as("re"))
+    val t0 = System.nanoTime()
+    val cnt = IntervalNative.join(left, right, ("ls", "le"), ("rs", "re"),
+      bandMicros = 1000L).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"interval sweep 50k chain: $secs%.1fs")
+    assert(cnt == 5 * n - 6, s"got $cnt")
+    assert(secs < 180.0, s"interval stress took ${secs}s")
+  }
 }
