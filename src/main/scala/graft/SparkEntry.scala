@@ -709,10 +709,6 @@ object SparkEntry {
       s" + len(list_distinct($t)) * 3000 // len($t)" +
       s" + (len($t) - len(list_filter($t, x -> x IN ('the','a','and','of','to','in')))) * 3000 // len($t) AS BIGINT)"
 
-  /** Quality-weighted keeper replay: same LSH edges as the min-label
-    * operator, but propagation maximizes the packed (q_bp, ~doc_id)
-    * BIGINT label; quality is the curate formula's integer basis
-    * points from the shared `docs` token split. */
   /** Interval-overlap replay: q16 session CTEs, DuckDB's NATIVE
     * inequality join — the one oracle standing behind BOTH the
     * banded coactivity plan and the plane-sweep native exec (their
@@ -742,6 +738,10 @@ object SparkEntry {
       |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
       |GROUP BY 1, 2 ORDER BY user_a, user_b""".stripMargin
 
+  /** Quality-weighted keeper replay: same LSH edges as the min-label
+    * operator, but propagation maximizes the packed (q_bp, ~doc_id)
+    * BIGINT label; quality is the curate formula's integer basis
+    * points from the shared `docs` token split. */
   private val keepersBestSql: String = lshEdgesCte +
     s"""qual AS (SELECT d.doc_id, ${qBpSql("d.toks")} AS q_bp
       |         FROM docs d),

@@ -541,6 +541,7 @@ object Events {
     */
   def coactivityNative(events: DataFrame, gapSec: Long = 1800L,
                        bandSec: Long = 3600L): DataFrame = {
+    require(bandSec > 0, s"bandSec ($bandSec) must be positive")
     val sess = sessionSpans(events, gapSec)
       // both sides of the self-join read this: materialize so the
       // events scan + session window runs once, not per side

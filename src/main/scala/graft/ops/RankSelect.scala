@@ -51,10 +51,29 @@ object RankSelect {
 
   /** Rows of `scored` at the requested per-group ranks.
     *
+    * Nulls in `v` have no defined rank under the numeric order — and
+    * the engines disagree on where a sort puts them (Spark's window
+    * orders them FIRST, DuckDB's row_number LAST) — so they are
+    * excluded up front: order statistics are over non-null values
+    * only, and the bounds `n` counts non-null rows.
+    *
+    * POINT-MASS SHORT-CIRCUIT: a located bin whose in-bin min equals
+    * its max is a point mass (a money column full of 0.00, clipped
+    * sensor readings) — every row ties on `v`, so any requested rank
+    * landing there is answerable from the groups×bins summary alone:
+    * the selected value IS the bin's single value. Without this, the
+    * per-(group, bin) pass-2 sort degenerates to one task sorting
+    * the mass — and a median is LIKELY to land in the heavy bin.
+    * The short-circuit applies only when no `tie` columns ride the
+    * output (the tie-ful caller consumes the selected row's tie
+    * VALUES downstream, and the rank-r tie value within an all-tied
+    * bin still requires ordering by the tie columns).
+    *
     * @param scored  frame with group key `g`, numeric value `v`, and
     *                any `tie` columns completing the total order
     * @param bins    histogram width — the parallelism/selectivity
-    *                knob; per-task pass-2 work is the hottest bin
+    *                knob; per-task pass-2 work is the hottest
+    *                NON-point-mass candidate bin
     * @param binOf   bin-index expression over columns `(v, lo, hi)`:
     *                monotone in `v`, landing in `[0, bins)` (callers
     *                pick the float q33 or integer-exact convention)
@@ -71,16 +90,20 @@ object RankSelect {
          mkRanks: DataFrame => DataFrame,
          tie: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
     require(bins > 0, s"bins ($bins) must be positive")
-    val bounds = scored.groupBy("g")
+    val nn = scored.filter(col("v").isNotNull)
+    val bounds = nn.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
       // ONE corpus aggregation with many consumers (both binned
       // references, the ranks frame, callers' final joins):
       // materialize the groups-sized frame so each reference reads
       // rows, not re-runs the corpus lineage
       .localCheckpoint()
-    val binned = scored.join(broadcast(bounds), Seq("g"))
+    val binned = nn.join(broadcast(bounds), Seq("g"))
       .withColumn("bin", binOf)
-    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"))
+    // per-bin min/max ride the SAME map-side-combined aggregate as
+    // the counts — they are what detects a point-mass bin for free
+    val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"),
+      min("v").as("bmin"), max("v").as("bmax"))
     val wc = Window.partitionBy("g").orderBy("bin")
     val cum = hist.withColumn("cb",
       coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
@@ -94,13 +117,32 @@ object RankSelect {
     val located = cum.join(broadcast(ranks), Seq("g"))
       .filter(col("cb") <= col("r") && col("r") < col("cb") + col("bn"))
       .drop("bn")
+    // the summary-only answer needs scored ≡ (g, v): any extra
+    // column would have to come from an actual row of the bin
+    val shortCircuit =
+      tie.isEmpty && nn.columns.sorted.sameElements(Array("g", "v"))
+    val locSort =
+      if (shortCircuit) located.filter(col("bmin") =!= col("bmax"))
+      else located
     val wb = Window.partitionBy("g", "bin").orderBy("v", tie: _*)
-    val selected = binned
-      .join(broadcast(located.select("g", "bin").distinct()), Seq("g", "bin"))
+    // only rows of located NON-point-mass bins ever reach the window
+    // sort — the bmin =!= bmax filter above is a structural guarantee
+    // (PointMassSpec pins it in the plan), not a runtime fast path
+    val sorted = binned
+      .join(broadcast(locSort.select("g", "bin").distinct()), Seq("g", "bin"))
       .withColumn("rib", row_number().over(wb).cast("long") - 1L)
-      .join(broadcast(located), Seq("g", "bin"))
+      .join(broadcast(locSort), Seq("g", "bin"))
       .filter(col("cb") + col("rib") === col("r"))
-      .drop("bin", "cb", "rib", "lo", "hi", "n")
+      .drop("bin", "cb", "rib", "lo", "hi", "n", "bmin", "bmax")
+    val selected =
+      if (!shortCircuit) sorted
+      else {
+        val riders = ranks.columns.toSeq.filterNot(Set("g", "r"))
+        val heavy = located.filter(col("bmin") === col("bmax"))
+          .select(col("g") +: col("bmin").as("v") +: col("r") +:
+            riders.map(col): _*)
+        sorted.unionByName(heavy)
+      }
     (selected, bounds)
   }
 }

@@ -154,7 +154,14 @@ case class IntervalJoinExec(leftBand: Expression, rightBand: Expression,
                 else joined(p.row, row)).copy())
             }
           }
+          // drain this side's own dead entries too — the sweep is at
+          // s, so end < s is dead for any future arrival on EITHER
+          // side; pruning only on partner arrivals lets a one-sided
+          // band grow the heap toward its population
           val mine = if (takeLeft) actL else actR
+          while (mine.nonEmpty && mine.head.end < s) {
+            mine.dequeue(); ()
+          }
           mine.enqueue(Active(e, (if (takeLeft) lBuf.next() else rBuf.next()).copy()))
         }
       }
