@@ -373,7 +373,7 @@ object Events {
     * session with its [s, e] micro bounds. Shared by the sweep-line
     * and interval-join consumers so the session definition cannot
     * drift between them. */
-  private def sessionSpans(events: DataFrame, gapSec: Long): DataFrame = {
+  private[graft] def sessionSpans(events: DataFrame, gapSec: Long): DataFrame = {
     require(gapSec > 0)
     val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events

@@ -552,6 +552,120 @@ object EventStreams {
       }
   }
 
+  /** One interval buffered in a band group's symmetric join state:
+    * the caller's long key payload plus the closed [s_us, e_us] span.
+    */
+  case class IntervalBuf(key: Long, s_us: Long, e_us: Long)
+
+  /** One emitted overlap pair, left-stream fields first. Spans are
+    * long microseconds, the batch [[graft.plans.IntervalNative]]
+    * convention. */
+  case class IntervalPairEmit(l_key: Long, l_s: Long, l_e: Long,
+                              r_key: Long, r_s: Long, r_e: Long)
+
+  /** Streaming twin of the native plane-sweep interval join
+    * ([[graft.plans.IntervalJoinExec]]) — completes the temporal
+    * triad live (as-of: [[keyedRangeJoinStream]]; trailing range:
+    * [[bandedRangeJoinStream]]; this: two SPANS intersecting, the
+    * who-is-online-together view). Both inputs carry `(key: long,
+    * s: timestamp, e: timestamp)` closed spans; every (left, right)
+    * pair whose spans overlap (`ls ≤ re && rs ≤ le` — touching
+    * endpoints match) emits EXACTLY ONCE, with no dedup state:
+    *
+    *  - each interval explodes to the time bands its span covers and
+    *    the union of both sides groups by band — SYMMETRIC keyed
+    *    state, two buffers per band, shardable on the band key;
+    *  - an arriving interval probes the OPPOSITE buffer and a pair
+    *    emits only in the band owning `max(l_s, r_s)` (both partners
+    *    provably span that band — the IntervalJoinExec discipline),
+    *    so multi-band pairs never duplicate; within the owning band
+    *    the pair emits when its SECOND member arrives (the first is
+    *    already buffered), so cross-batch arrival never duplicates
+    *    either;
+    *  - eviction is WATERMARK-DRIVEN: the watermark rides the START
+    *    column, so once it passes a band's end no future arrival can
+    *    own a pair in that band, and the whole band group retires by
+    *    event-time timeout. Per-band state is the band's arriving
+    *    interval population until the watermark closes it —
+    *    `bandSec` is the state/replication knob exactly as in the
+    *    batch exec.
+    *
+    * Ordering contract (the per-file twin discipline): rows fold in
+    * (start, end, side, key) order within a micro-batch; a row whose
+    * START is at or before the watermark drops explicitly — its
+    * owner bands may already be retired, and a phantom re-pairing
+    * after eviction would under- or re-emit. A source emitting
+    * intervals at CLOSE time should therefore set `watermark` to at
+    * least the longest expected span plus arrival disorder: the
+    * watermark is driven by starts, so that slack is what keeps a
+    * long-lived session's start inside the window when it finally
+    * closes.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         bandSec: Long, watermark: String = "1 hour")
+                        (implicit spark: SparkSession): Dataset[IntervalPairEmit] = {
+    import spark.implicits._
+    require(bandSec > 0, s"bandSec ($bandSec) must be positive")
+    val W = bandSec * 1000000L
+    def floorBand(c: String) =
+      s"($c div ${W}L - (case when $c % ${W}L < 0 then 1 else 0 end))"
+    def prep(df: DataFrame, isLeft: Boolean) =
+      df.withWatermark("s", watermark)
+        .select(lit(isLeft).as("is_left"), col("key"),
+          expr("unix_micros(s)").as("s_us"), expr("unix_micros(e)").as("e_us"),
+          // the watermarked column must SURVIVE into the stateful
+          // operator's input (the concurrencyState gotcha)
+          col("s"))
+        .withColumn("band", explode(expr(
+          s"sequence(${floorBand("s_us")}, ${floorBand("e_us")})")))
+    val both = prep(left, isLeft = true).unionByName(prep(right, isLeft = false))
+      .as[(Boolean, Long, Long, Long, java.sql.Timestamp, Long)]
+    both.groupByKey(_._6)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (band: Long,
+         rows: Iterator[(Boolean, Long, Long, Long, java.sql.Timestamp, Long)],
+         state: GroupState[(Seq[IntervalBuf], Seq[IntervalBuf])]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the band's end: no future arrival can
+            // own a pair here — the band's buffers retire wholesale
+            state.remove()
+            Iterator.empty
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            var (lb, rb) = state.getOption.getOrElse((Seq.empty[IntervalBuf],
+              Seq.empty[IntervalBuf]))
+            val fresh = rows.toSeq.filter(_._3 > wmUs)
+              .sortBy(r => (r._3, r._4, r._1, r._2))
+            val out = Seq.newBuilder[IntervalPairEmit]
+            fresh.foreach { case (isLeft, key, sUs, eUs, _, _) =>
+              val opp = if (isLeft) rb else lb
+              opp.foreach { o =>
+                if (sUs <= o.e_us && o.s_us <= eUs &&
+                    Math.floorDiv(math.max(sUs, o.s_us), W) == band) {
+                  out += (if (isLeft)
+                    IntervalPairEmit(key, sUs, eUs, o.key, o.s_us, o.e_us)
+                  else
+                    IntervalPairEmit(o.key, o.s_us, o.e_us, key, sUs, eUs))
+                }
+              }
+              if (isLeft) lb = lb :+ IntervalBuf(key, sUs, eUs)
+              else rb = rb :+ IntervalBuf(key, sUs, eUs)
+            }
+            if (lb.nonEmpty || rb.nonEmpty) {
+              state.update((lb, rb))
+              // retire at band end; a band the watermark already
+              // passed (all its rows just dropped as late) arms for
+              // the next trigger
+              state.setTimeoutTimestamp(
+                math.max((band + 1L) * W / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** One distribution-drift emission: the type's rows-so-far and the
     * current binned-KS distance to the reference ECDF. */
   case class ValueDriftEmit(event_type: String, n_cur: Long, ks: Double)

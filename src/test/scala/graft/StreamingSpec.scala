@@ -952,4 +952,96 @@ class StreamingSpec extends SparkSpec {
     assert(em2.keySet == Set("steady", "unseen"))
     assert(em2("unseen") == 1.0)
   }
+
+  test("streaming interval join equals batch coactivityNative across a band-straddling boundary") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    // sessions engineered so one overlap (user2 x user3) STRADDLES
+    // the 11:00 band boundary — the multi-band pair that would
+    // duplicate without the owner-band discipline
+    def ev(id: Long, user: Long, hm: String) = EventRow(id,
+      Timestamp.valueOf(s"2024-01-01 $hm:00"), user, "click", 1.0, "{}")
+    val events = Seq(
+      ev(1, 1, "10:00"), ev(2, 1, "10:20"), ev(3, 1, "10:40"), // u1 [10:00,10:40]
+      ev(4, 1, "12:00"),                                       // u1 [12:00,12:00]
+      ev(5, 2, "10:50"), ev(6, 2, "11:10"), ev(7, 2, "11:30"), // u2 [10:50,11:30]
+      ev(8, 3, "10:30"), ev(9, 3, "11:00"), ev(10, 3, "11:05")) // u3 [10:30,11:05]
+    val expected = graft.ops.Events
+      .coactivityNative(events.toDF(), gapSec = 1800L, bandSec = 3600L)
+      .collect().map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b"),
+        r.getAs[Long]("n_overlaps"), r.getAs[Long]("shared_us"))).toSet
+    assert(expected.nonEmpty)
+
+    // the same session intervals, keyed user*100+sid, fed as BOTH
+    // stream sides — the left side in batch 1, the right in batch 2,
+    // so every pair crosses the micro-batch boundary through state
+    val ivs = graft.ops.Events.sessionSpans(events.toDF(), 1800L)
+      .collect().map(r => (r.getAs[Long]("user_id") * 100L + r.getAs[Long]("sid"),
+        r.getAs[Long]("s"), r.getAs[Long]("e"))).toSeq
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    def shape(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().select(col("_1").as("key"),
+        expr("timestamp_micros(_2)").as("s"), expr("timestamp_micros(_3)").as("e"))
+    val joined = graft.streaming.EventStreams.intervalJoinStream(
+      shape(lIn), shape(rIn), bandSec = 3600L, watermark = "4 hours")
+    val q = joined.toDF().writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      lIn.addData(ivs); q.processAllAvailable()
+      rIn.addData(ivs); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ivj").collect()
+      .map(r => (r.getAs[Long]("l_key"), r.getAs[Long]("l_s"), r.getAs[Long]("l_e"),
+        r.getAs[Long]("r_key"), r.getAs[Long]("r_s"), r.getAs[Long]("r_e")))
+    // one orientation per unordered pair, distinct users, aggregated
+    // exactly like the batch operator
+    val agg = got.filter(t => t._1 < t._4 && t._1 / 100L != t._4 / 100L)
+      .groupBy(t => (t._1 / 100L, t._4 / 100L)).map { case ((ua, ub), ps) =>
+        (ua, ub, ps.size.toLong,
+          ps.map(p => math.min(p._3, p._6) - math.max(p._2, p._5) + 1L).sum)
+      }.toSet
+    assert(agg == expected, s"stream $agg vs batch $expected")
+    // the band-straddling u2 x u3 overlap emitted exactly once
+    assert(got.count(t => Set(t._1 / 100L, t._4 / 100L) == Set(2L, 3L)) == 2,
+      "expected exactly one emission per orientation for the straddling pair")
+  }
+
+  test("interval join state survives kill + restart: buffered side still pairs") {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivj-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ivj-out").toString
+    val base = 1700000000000000L // µs
+    def us(sec: Long) = base + sec * 1000000L
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    def shape(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().select(col("_1").as("key"),
+        expr("timestamp_micros(_2)").as("s"), expr("timestamp_micros(_3)").as("e"))
+    def start() = graft.streaming.EventStreams.intervalJoinStream(
+        shape(lIn), shape(rIn), bandSec = 3600L, watermark = "2 hours")
+      .toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.withColumn("b", lit(id)).write.mode("append").parquet(out): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try { lIn.addData(Seq((7L, us(0), us(100)))); q1.processAllAvailable() }
+    finally q1.stop()
+    // the partner arrives while the query is down; a restart that
+    // lost the buffered left interval would emit nothing
+    rIn.addData(Seq((9L, us(50), us(150))))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val pairs = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("l_key"), r.getAs[Long]("r_key"),
+        r.getAs[Long]("l_s"), r.getAs[Long]("r_e"))).toSet
+    assert(pairs == Set((7L, 9L, us(0), us(150))), s"got $pairs")
+  }
 }
