@@ -657,10 +657,9 @@ object Dedup {
     // dedupe the (expensive) candidate-generation lineage across
     // rounds — without this the LSH pipeline re-executes per round
     // (measured 6x on the keeper bench entries)
-    val e = edges.localCheckpoint()
-    // checkpointed init keeps each round's fixpoint compare a join of
-    // two materialized frames
-    var labels = init.localCheckpoint()
+    val e = graft.ops.Rounds.materialize(edges)
+    // checkpointed init keeps each round a join of materialized frames
+    var labels = graft.ops.Rounds.materialize(init)
     var converged = false
     var round = 0
     while (round < iters && !converged) {
@@ -670,36 +669,29 @@ object Dedup {
         .agg(aggFn.as("nbr"))
       val prop = labels.as("l")
         .join(neighborAgg.as("n").hint("shuffle_hash"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("lab").as("lab0"),
           combine(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
-      val next = prop.as("p")
-        .join(prop.select(col("doc_id").as("lnode"), col("lab").as("lab2"))
-          .hint("shuffle_hash"), decode(col("p.lab")) === col("lnode"), "left")
-        .select(col("p.doc_id").as("doc_id"),
-          combine(col("p.lab"), coalesce(col("lab2"), col("p.lab"))).as("lab"))
       // the shortcut references prop TWICE, so the unresolved plan
       // doubles per round (2^iters subplans — analysis explodes at
       // ~2^6); truncate lineage every round. The label frame is one
       // row per doc, so the eager materialization is cheap — measured
       // FASTER than letting exchange reuse dedupe the doubled plan
-      // even at iters=2 (0.99s vs 1.27s on the keeper bench entry)
-        .localCheckpoint()
-      // fixpoint early exit (the componentSizes discipline): labels
+      // even at iters=2 (0.99s vs 1.27s on the keeper bench entry).
+      // Fixpoint early exit (the componentSizes discipline): labels
       // move monotonically toward the combine direction, so an
       // unchanged round proves the rest are no-ops — bit-identical
-      // results. Round 1 always changes labels when any edge exists
-      // (distinct init labels), so comparing before round 2 is pure
-      // cost — at the production iters=2 the compare never fires and
-      // this degrades gracefully to the fixed-round loop; at deeper
-      // radii (chain-heavy corpora fit with iters≥3) a settled graph
-      // stops paying its bound. Compare also skipped on the final
-      // round, where nothing is left to save.
+      // results, and the changed-count rides the checkpoint job as an
+      // observed metric instead of a separate per-round action
+      val (next, changed) = graft.ops.Rounds.materializeChanged(prop.as("p")
+        .join(prop.select(col("doc_id").as("lnode"), col("lab").as("lab2"))
+          .hint("shuffle_hash"), decode(col("p.lab")) === col("lnode"), "left")
+        .select(col("p.doc_id").as("doc_id"),
+          combine(col("p.lab"), coalesce(col("lab2"), col("p.lab"))).as("lab"),
+          col("p.lab0").as("lab0"))
+        .select(col("doc_id"), col("lab"),
+          (col("lab") =!= col("lab0")).as("chg")))
       round += 1
-      converged = round >= 2 && round < iters && next.as("n")
-        .join(labels.select(col("doc_id"), col("lab").as("old_lab"))
-          .hint("shuffle_hash"), Seq("doc_id"))
-        .filter(col("lab") =!= col("old_lab"))
-        .isEmpty
+      converged = changed == 0L
       labels = next
     }
     labels

@@ -158,8 +158,11 @@ object Graph {
     * core member), and the round count is a model constant like
     * every other iterative operator here, so the plan depth never
     * depends on data. Each round is one degree aggregation and one
-    * semi-join per endpoint on integer keys; per-round
-    * localCheckpoint truncates the 3-reference round lineage.
+    * semi-join per endpoint on integer keys; per-round [[Rounds]]
+    * materialization truncates the 3-reference round lineage, and
+    * the observed surviving-edge count exits early at the peel's
+    * fixpoint (a no-removal round proves all later rounds no-ops —
+    * bit-identical results, zero extra actions).
     * Output: surviving (node, degree) — degree within the core —
     * plus a `converged` flag on every row: TRUE iff the final round
     * removed no edge (the peel reached its fixpoint, so the result
@@ -173,21 +176,29 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, iters: Int = 6): DataFrame = {
     require(k >= 1 && iters >= 1, s"k ($k) and iters ($iters) must be positive")
     val e = edges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
-    var und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    var (und, nUnd) = Rounds.materializeCounted(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     var prev = und
-    for (_ <- 0 until iters) {
+    var round = 0
+    var converged = false
+    while (round < iters && !converged) {
       val keep = und.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
       prev = und
-      und = und
+      val before = nUnd
+      // each round references `und` three times (degrees + both
+      // endpoint semi-joins): truncate lineage per round, the
+      // componentSizes lesson. The surviving-edge count rides the
+      // checkpoint job as an observed metric — a round that removed
+      // nothing is the peel's fixpoint, every later round a no-op
+      val (next, after) = Rounds.materializeCounted(und
         .join(keep.select(col("node").as("src")).hint("shuffle_hash"), "src")
         .join(keep.select(col("node").as("dst")).hint("shuffle_hash"), "dst")
-        .select("src", "dst")
-        // each round references `und` three times (degrees + both
-        // endpoint semi-joins): truncate lineage per round, the
-        // componentSizes lesson
-        .localCheckpoint()
+        .select("src", "dst"))
+      und = next
+      nUnd = after
+      round += 1
+      converged = after == before
     }
     val conv = prev.agg(count(lit(1)).as("n_prev"))
       .crossJoin(und.agg(count(lit(1)).as("n_last")))
@@ -214,48 +225,42 @@ object Graph {
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    // checkpointed so each round's fixpoint compare reads a
-    // materialized frame instead of re-deriving the node set
-    var labels = nodes.select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+    // checkpointed so each round reads a materialized frame instead
+    // of re-deriving the node set
+    var labels = Rounds.materialize(
+      nodes.select(col("node"), col("node").as("lab")))
     var converged = false
     var round = 0
     while (round < iters && !converged) {
       // propagate: min label over the in-neighborhood (und is
-      // symmetric, so this is the full neighborhood)
+      // symmetric, so this is the full neighborhood); the old label
+      // rides along as lab0 so the round's changed-count can ride
+      // the checkpoint job
       val nbrMin = und
         .join(labels.select(col("node").as("src"), col("lab")).hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("node")).agg(min("lab").as("nbr"))
       val prop = labels.join(nbrMin.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lab").as("lab0"),
           least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"))
-      // shortcut: adopt the label of your label (path doubling)
-      val next = prop.as("p")
+      // shortcut: adopt the label of your label (path doubling). The
+      // shortcut references `prop` twice, so the unresolved plan
+      // would DOUBLE every round (2^iters subplans — Catalyst
+      // analysis explodes long before the data does). Iterative
+      // graph algorithms truncate lineage per round (Rounds
+      // materializes without touching the driver); labels only ever
+      // decrease, so an unchanged round proves every later round is
+      // a no-op — the observed changed-count costs no extra action
+      // and the result is bit-identical to running all `iters`
+      // rounds
+      val (next, changed) = Rounds.materializeChanged(prop.as("p")
         .join(prop.select(col("node").as("lnode"), col("lab").as("lab2"))
           .hint("shuffle_hash"), col("p.lab") === col("lnode"), "left")
         .select(col("p.node").as("node"),
-          least(col("p.lab"), coalesce(col("lab2"), col("p.lab"))).as("lab"))
-        // the shortcut references `prop` twice, so the unresolved plan
-        // would DOUBLE every round (2^iters subplans — Catalyst
-        // analysis explodes long before the data does). Iterative
-        // graph algorithms truncate lineage per round; localCheckpoint
-        // materializes on executors without touching the driver.
-        .localCheckpoint()
-      // fixpoint early exit: labels only ever decrease, so an
-      // unchanged round proves every later round is a no-op — the
-      // result is bit-identical to running all `iters` rounds, and a
-      // small-diameter graph stops paying for its bound (one cheap
-      // join of two materialized frames per completed round; at
-      // 100 TB each skipped round saves two corpus-scale joins).
-      // Round 1 always changes labels when any edge exists (distinct
-      // init), and the final round has nothing left to save — compare
-      // only in between
+          least(col("p.lab"), coalesce(col("lab2"), col("p.lab"))).as("lab"),
+          col("p.lab0").as("lab0"))
+        .select(col("node"), col("lab"), (col("lab") =!= col("lab0")).as("chg")))
       round += 1
-      converged = round >= 2 && round < iters && next.as("n")
-        .join(labels.select(col("node"), col("lab").as("old_lab"))
-          .hint("shuffle_hash"), Seq("node"))
-        .filter(col("lab") =!= col("old_lab"))
-        .isEmpty
+      converged = changed == 0L
       labels = next
     }
     labels.groupBy("lab").agg(count(lit(1)).as("sz"))
@@ -424,14 +429,13 @@ object Graph {
     require(rounds >= 1, s"rounds ($rounds) must be positive")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val und = Rounds.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val nodes = und.select(col("src").as("node")).distinct()
-    var dist = nodes
+    var dist = Rounds.materialize(nodes
       .join(seeds.select(col("node")).distinct()
         .withColumn("d0", lit(0L)), Seq("node"), "left")
-      .select(col("node"), col("d0").as("dist"))
-      .localCheckpoint()
+      .select(col("node"), col("d0").as("dist")))
     var prev = dist
     var converged = false
     var round = 0
@@ -442,19 +446,17 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(min(col("dist") + 1L).as("cand"))
       prev = dist
-      dist = dist.join(relax.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("dist"), col("cand")).as("dist"))
-        .localCheckpoint()
       // fixpoint early exit: assignments only fill nulls, so a round
       // that reaches no new node proves the rest are no-ops — skip
-      // them without changing a single output bit (the final round
-      // has nothing left to save, so compare only before it)
+      // them without changing a single output bit. The newly-reached
+      // count rides the checkpoint job as an observed metric
+      val (next, reached) = Rounds.materializeChanged(
+        dist.join(relax.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"), coalesce(col("dist"), col("cand")).as("dist"),
+            (col("dist").isNull && col("cand").isNotNull).as("chg")))
+      dist = next
       round += 1
-      converged = round < rounds && dist.as("n")
-        .join(prev.select(col("node"), col("dist").as("old_dist"))
-          .hint("shuffle_hash"), Seq("node"))
-        .filter(col("dist").isNotNull && col("old_dist").isNull)
-        .isEmpty
+      converged = reached == 0L
     }
     // in-plan convergence flag over the two checkpointed frames —
     // identical to the loop's own compare (and to it at the bound,
@@ -492,11 +494,11 @@ object Graph {
     require(iters >= 1, s"iters ($iters) must be positive")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+    val und = Rounds.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val nodes = und.select(col("src").as("node")).distinct()
-    var labels = nodes.select(col("node"), col("node").as("lab"))
-      .localCheckpoint()
+    var labels = Rounds.materialize(
+      nodes.select(col("node"), col("node").as("lab")))
     var round = 0
     var converged = false
     while (round < iters && !converged) {
@@ -508,16 +510,16 @@ object Graph {
       val top = votes.groupBy("node")
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("top_lab"))
-      val next = labels.join(top.hint("shuffle_hash"), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("top_lab"), col("lab")).as("lab"))
-        .localCheckpoint()
+      // the fixpoint probe rides the checkpoint job as an observed
+      // metric — no separate per-round isEmpty action
+      val (next, changed) = Rounds.materializeChanged(
+        labels.join(top.hint("shuffle_hash"), Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("top_lab"), col("lab")).as("lab"),
+            (col("top_lab").isNotNull && col("top_lab") =!= col("lab"))
+              .as("chg")))
       round += 1
-      converged = round >= 2 && round < iters && next.as("n")
-        .join(labels.select(col("node"), col("lab").as("old_lab"))
-          .hint("shuffle_hash"), Seq("node"))
-        .filter(col("lab") =!= col("old_lab"))
-        .isEmpty
+      converged = changed == 0L
       labels = next
     }
     val audit = labels.groupBy("lab").agg(count(lit(1)).as("sz"))
