@@ -9,7 +9,7 @@ import graft.dedup.Dedup
 import graft.mm.Multimodal
 import graft.ops.{Relational, Sampling}
 import graft.sim.Similarity
-import graft.text.TextAnalysis
+import graft.text.{Bpe, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -268,6 +268,9 @@ object SparkEntry {
       TextAnalysis.boilerplate(Tables.documents(s, d)).orderBy("doc_id")),
     "text_zipf" -> ((s, d) =>
       TextAnalysis.zipf(Tables.documents(s, d)).orderBy("source")),
+    // distributed BPE: train the merge table / re-segment under it
+    "text_bpe_merges" -> ((s, d) => Bpe.merges(Tables.documents(s, d), 8)),
+    "text_bpe_apply" -> ((s, d) => Bpe.tokenCounts(Tables.documents(s, d), 8, 30)),
     // §2c dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -690,6 +693,55 @@ object SparkEntry {
        |       FROM kp$i p LEFT JOIN kp$i s ON s.doc_id = ${decode("p.lab")}),
        |""".stripMargin
   }
+
+  /** BPE training replay (graft.text.Bpe): the double-delimiter word
+    * encoding, one (pairs → argmax → replace-rewrite) CTE triple per
+    * merge step. `replace`'s left-to-right non-overlapping scan over
+    * the `_a__b_` pattern IS the canonical leftmost-greedy merge
+    * (outer delimiter halves survive for run-adjacent occurrences),
+    * and the argmax replays `max(struct(cnt, a, b))` as ORDER BY
+    * cnt/a/b DESC LIMIT 1 — both total orders, so training is
+    * bit-identical across engines. */
+  private def bpeChainCte(steps: Int): String = {
+    val v0 =
+      """v0 AS (SELECT '__' || regexp_replace(tok, '(.)', '\1__', 'g') AS w,
+        |             count(*) AS freq
+        |      FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+        |            FROM documents)
+        |      WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1),
+        |""".stripMargin
+    val stepCtes = (1 to steps).map { i =>
+      s"""p$i AS (SELECT p[1] AS a, p[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |      FROM (SELECT unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p, freq
+         |            FROM (SELECT list_filter(string_split(w, '_'), x -> x <> '') AS s,
+         |                         freq
+         |                  FROM v${i - 1})
+         |            WHERE len(s) >= 2)
+         |      GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a DESC, b DESC LIMIT 1),
+         |v$i AS (SELECT CASE WHEN b.a IS NULL THEN v.w
+         |             ELSE replace(v.w, '_' || b.a || '__' || b.b || '_',
+         |                          '_' || b.a || b.b || '_') END AS w, v.freq
+         |      FROM v${i - 1} v LEFT JOIN b$i b ON true),
+         |""".stripMargin
+    }.mkString
+    "WITH " + v0 + stepCtes.stripSuffix(",\n") + "\n"
+  }
+
+  private def bpeMergesSql(steps: Int): String =
+    bpeChainCte(steps) +
+      (1 to steps).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS step, a AS sym_a, b AS sym_b, cnt AS pair_cnt FROM b$i"
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  private def bpeApplySql(steps: Int, k: Int): String =
+    bpeChainCte(steps) +
+      s"""SELECT sym AS token, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+         |       CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM (SELECT w, freq,
+         |             unnest(list_filter(string_split(w, '_'), x -> x <> '')) AS sym
+         |      FROM v$steps)
+         |GROUP BY 1 ORDER BY cnt DESC, token LIMIT $k""".stripMargin
 
   private val keepersNearCte: String = lshEdgesCte +
     "kl0 AS (SELECT doc_id, doc_id AS lab FROM documents),\n" +
@@ -2974,6 +3026,8 @@ object SparkEntry {
         |       round(regr_slope(ln(n), ln(rk)), 4) AS zipf_slope,
         |       round(regr_intercept(ln(n), ln(rk)), 4) AS zipf_intercept
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "text_bpe_merges" -> bpeMergesSql(8),
+    "text_bpe_apply" -> bpeApplySql(8, 30),
     "dedup_semdedup" ->
       """WITH p AS (SELECT a.vec_id,
         |        round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
