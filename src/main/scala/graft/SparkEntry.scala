@@ -271,6 +271,9 @@ object SparkEntry {
     // distributed BPE: train the merge table / re-segment under it
     "text_bpe_merges" -> ((s, d) => Bpe.merges(Tables.documents(s, d), 8)),
     "text_bpe_apply" -> ((s, d) => Bpe.tokenCounts(Tables.documents(s, d), 8, 30)),
+    // sliding-window substring-duplication audit (tile-blind copies)
+    "text_dup_spans" -> ((s, d) =>
+      TextAnalysis.dupSpans(Tables.documents(s, d), 5).orderBy("doc_id")),
     // §2c dedup
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("text_hash")),
     "dedup_ngram_jaccard" -> ((s, d) =>
@@ -396,6 +399,12 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"), iters = 3).orderBy("node")),
+    // hubs vs authorities over the DIRECTED knn graph — the two
+    // centrality lists pageRank conflates
+    "graph_hits" -> ((s, d) =>
+      graft.ops.Graph.hits(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"), iters = 2).orderBy("node")),
     // one-glance shape report of the radius graph: nodes per degree
     "graph_degree_stats" -> ((s, d) =>
       graft.ops.Graph.degreeHistogram(
@@ -848,6 +857,76 @@ object SparkEntry {
     """fin AS (SELECT node, CAST(pr AS BIGINT) AS pr FROM p3),
       |tot AS (SELECT CAST(sum(pr) AS BIGINT) AS pr_sum FROM fin)
       |SELECT node, pr, pr_sum FROM fin CROSS JOIN tot ORDER BY node""".stripMargin
+
+  /** One HITS round over CTEs `e`/`nodes`: authority = in-edge hub
+    * sum, hub = out-edge authority sum, each L∞-rescaled to the
+    * integer `scale` off a single-row max — the product runs in
+    * HUGEINT exactly as Spark runs it in DECIMAL(38,0). */
+  private def hitsStepSql(i: Int): String = {
+    val p = i - 1
+    s"""ar$i AS (SELECT e.dst AS node, sum(h.h) AS a
+       |       FROM e JOIN h$p h ON h.node = e.src GROUP BY e.dst),
+       |af$i AS (SELECT n.node, coalesce(ar$i.a, 0) AS a
+       |       FROM nodes n LEFT JOIN ar$i ON ar$i.node = n.node),
+       |am$i AS (SELECT max(a) AS mx FROM af$i),
+       |a$i AS (SELECT node, CASE WHEN mx > 0
+       |             THEN CAST(CAST(a AS HUGEINT) * 1000000000000 // mx AS BIGINT)
+       |             ELSE CAST(0 AS BIGINT) END AS a
+       |      FROM af$i CROSS JOIN am$i),
+       |hr$i AS (SELECT e.src AS node, sum(a.a) AS h
+       |       FROM e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+       |hf$i AS (SELECT n.node, coalesce(hr$i.h, 0) AS h
+       |       FROM nodes n LEFT JOIN hr$i ON hr$i.node = n.node),
+       |hm$i AS (SELECT max(h) AS mx FROM hf$i),
+       |h$i AS (SELECT node, CASE WHEN mx > 0
+       |             THEN CAST(CAST(h AS HUGEINT) * 1000000000000 // mx AS BIGINT)
+       |             ELSE CAST(0 AS BIGINT) END AS h
+       |      FROM hf$i CROSS JOIN hm$i),
+       |""".stripMargin
+  }
+
+  private val graphHitsSql: String = knnRankedCte +
+    """, e AS (SELECT DISTINCT src, dst FROM ranked
+      |        WHERE rank <= 3 AND src <> dst),
+      |nodes AS (SELECT DISTINCT node FROM
+      |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+      |h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS h FROM nodes),
+      |""".stripMargin +
+    hitsStepSql(1) + hitsStepSql(2) +
+    """fin AS (SELECT h2.node, h2.h AS hub, a2.a AS auth
+      |        FROM h2 JOIN a2 ON a2.node = h2.node)
+      |SELECT node, hub, auth FROM fin ORDER BY node""".stripMargin
+
+  /** md5 15-nibble BIGINT replay of Spark's
+    * `conv(substring(md5(x), 1, 15), 16, 10)` — DuckDB has no conv,
+    * so the value is rebuilt positionally (sample_shards recipe). */
+  private def md5Nib15(x: String): String =
+    (1 to 15).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5($x), $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
+      .mkString("(", "\n             + ", ")")
+
+  private val dupSpansSql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t FROM t0),
+       |pos AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS pos
+       |        FROM base WHERE len(t) >= 5),
+       |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |             ${md5Nib15("array_to_string(t[pos:pos+4], ' ')")} AS h
+       |      FROM pos),
+       |d AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dp AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM d)),
+       |cov AS (SELECT doc_id, pos,
+       |               max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+       |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM dp),
+       |c2 AS (SELECT doc_id,
+       |              greatest(0, pos + 4 - greatest(pos, coalesce(prev_end + 1, pos)) + 1) AS contrib
+       |       FROM cov),
+       |agg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dup_tokens FROM c2 GROUP BY 1)
+       |SELECT b.doc_id, b.n_tokens,
+       |       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |       round(CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 4) AS dup_ratio
+       |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
   /** One propagate+shortcut component round over the undirected CTE
     * `und`: neighborhood minimum from `prev`, then pointer-doubling
@@ -2518,6 +2597,7 @@ object SparkEntry {
     // needs no float-ordering care at all; iterations generated by
     // one helper so the three rounds cannot diverge
     "graph_pagerank" -> graphPagerankSql,
+    "graph_hits" -> graphHitsSql,
     "graph_components" -> graphComponentsSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_triangles" -> graphTrianglesSql,
@@ -3028,6 +3108,7 @@ object SparkEntry {
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(8),
     "text_bpe_apply" -> bpeApplySql(8, 30),
+    "text_dup_spans" -> dupSpansSql,
     "dedup_semdedup" ->
       """WITH p AS (SELECT a.vec_id,
         |        round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

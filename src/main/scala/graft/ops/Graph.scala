@@ -469,6 +469,64 @@ object Graph {
     dist.crossJoin(broadcast(conv))
   }
 
+  /** Bounded-iteration HITS (hubs & authorities) in FIXED-POINT
+    * integer arithmetic — the directed-graph complement of
+    * [[pageRank]]: on a citation/link/reference graph, authorities
+    * are the pages good hubs point AT, hubs the pages that point at
+    * good authorities (for corpus curation: authoritative domains vs
+    * link-farm hubs — the two are different lists, and pageRank
+    * conflates them). Classic HITS normalizes by L2 norm — floats,
+    * engine-irreproducible at scale; this variant normalizes by the
+    * MAXIMUM (L∞) instead: every round is integer sums plus one
+    * integer `scale·x div max(x)` rescale off a broadcast single-row
+    * aggregate, so scores are exact integers on any engine, any
+    * partitioning (the [[pageRank]] reproducibility argument; the
+    * induced ranking equals L2-normalized HITS — normalization never
+    * reorders). Each half-round is one keyed join + one aggregation;
+    * both frames are referenced once per round, so the plan grows
+    * linearly in `iters` and no checkpoint is needed (the pageRank
+    * loop-shape discipline). Nodes with no in-edges carry authority
+    * 0, no out-edges hub 0 — every graph node appears.
+    */
+  def hits(edges: DataFrame, iters: Int = 2,
+           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    // the rescale product (raw · scale) exceeds int64 the moment a
+    // hub's in-degree does raw ≈ scale·degree — widen to DECIMAL for
+    // the one multiply (DuckDB replays it in HUGEINT), floor-divide,
+    // land back in exact int64 ≤ scale
+    def renorm(df: DataFrame, c: String): DataFrame =
+      df.crossJoin(broadcast(df.agg(max(col(c)).as("mx"))))
+        .select(col("node"),
+          when(col("mx") > 0,
+            expr(s"CAST((CAST($c AS DECIMAL(38, 0)) * $scale) div mx AS BIGINT)"))
+            .otherwise(lit(0L)).as(c))
+    var hub = nodes.select(col("node"), lit(scale).as("h"))
+    var auth = nodes.select(col("node"), lit(0L).as("a"))
+    for (_ <- 0 until iters) {
+      auth = renorm(nodes.join(
+        e.join(hub.select(col("node").as("src"), col("h"))
+            .hint("shuffle_hash"), "src")
+          .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+          .hint("shuffle_hash"),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+      hub = renorm(nodes.join(
+        e.join(auth.select(col("node").as("dst"), col("a"))
+            .hint("shuffle_hash"), "dst")
+          .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+          .hint("shuffle_hash"),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+    }
+    hub.join(auth.hint("shuffle_hash"), Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   /** Deterministic synchronous LABEL PROPAGATION — community
     * detection by neighborhood MAJORITY VOTE, the curation view
     * [[componentSizes]] cannot give: components glue everything a

@@ -384,6 +384,55 @@ object TextAnalysis {
           .otherwise(0L)).cast("double") / sum("seg_toks"), 4).as("retained_ratio"))
   }
 
+  /** Cross-document DUPLICATED-SPAN audit — the token-level exact
+    * substring-duplication signal (the "dedup training data at the
+    * substring level" measurement): for every document, how many of
+    * its tokens sit inside at least one `n`-gram that also occurs in
+    * ANOTHER document. [[boilerplate]] tiles disjoint segments (a
+    * shifted copy escapes it); this slides the window at stride 1,
+    * so any verbatim cross-document run of ≥ n tokens is caught at
+    * every alignment. Only (doc_id, pos, 60-bit gram hash) rows ever
+    * shuffle — gram text stays in its scan partition; duplicated
+    * positions collapse per document by the classic sorted interval
+    * union (running max-end window, partitioned by doc_id — per-task
+    * work bounded by document length). The gram key is the md5
+    * 15-nibble BIGINT on BOTH engines, so even a collision replays
+    * identically. Output: one row per document, dup-token count and
+    * 4dp ratio.
+    */
+  def dupSpans(documents: DataFrame, n: Int = 5): DataFrame = {
+    require(n >= 2, s"n ($n) must be at least 2")
+    val base = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n_tokens"))
+    val grams = base
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), col("n_tokens"), explode(expr(
+        s"transform(sequence(1, size(t) - ${n - 1}), i -> named_struct(" +
+          s"'pos', CAST(i AS BIGINT), " +
+          s"'h', CAST(conv(substring(md5(concat_ws(' ', slice(t, i, $n))), 1, 15), 16, 10) AS BIGINT)))"))
+        .as("p"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("p.pos").as("pos"), col("p.h").as("h"))
+    val dupH = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val covered = grams.join(dupH.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .withColumn("prev_end", max(col("pos") + lit(n - 1L))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("contrib", greatest(lit(0L),
+        col("pos") + lit(n - 1L) -
+          greatest(col("pos"), coalesce(col("prev_end") + 1L, col("pos"))) + 1L))
+      .groupBy("doc_id").agg(sum("contrib").as("dup_tokens"))
+    base.join(covered.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as("dup_ratio"))
+  }
+
   /** Zipf rank-frequency audit: per-source top-`k` term histogram,
     * ranked deterministically by (count desc, term asc), fitted with
     * an OLS line over (ln rank, ln count) — slope ≈ −1 is the

@@ -323,4 +323,44 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
     assert(comm3 == comm, s"got $comm3")
   }
+
+  test("hits separates hubs from authorities and matches the exact integer recurrence") {
+    import spark.implicits._
+    // 1, 2, 3 are hubs of decreasing reach into authorities 10-12;
+    // the backlink 10→1 makes node 1 carry (small) authority too
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 11L), (3L, 10L), (10L, 1L))
+
+    // bit-exact reference: the same L∞-normalized integer recurrence
+    val scale = BigInt(1000000000000L)
+    def ref(iters: Int): Map[Long, (Long, Long)] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var h = nodes.map(_ -> scale).toMap
+      var a = nodes.map(_ -> BigInt(0)).toMap
+      def norm(m: Map[Long, BigInt]) = {
+        val mx = m.values.max
+        if (mx > 0) m.map { case (k, v) => k -> v * scale / mx } else m
+      }
+      for (_ <- 0 until iters) {
+        a = norm(nodes.map(n =>
+          n -> edges.filter(_._2 == n).map(e => h(e._1)).sum).toMap)
+        h = norm(nodes.map(n =>
+          n -> edges.filter(_._1 == n).map(e => a(e._2)).sum).toMap)
+      }
+      nodes.map(n => n -> (h(n).toLong, a(n).toLong)).toMap
+    }
+
+    for (iters <- Seq(1, 2)) {
+      val got = Graph.hits(edges.toDF("src", "dst"), iters).collect()
+        .map(r => r.getAs[Long]("node") ->
+          (r.getAs[Long]("hub"), r.getAs[Long]("auth"))).toMap
+      assert(got === ref(iters), s"iters=$iters")
+    }
+    val two = ref(2)
+    // hubs rank 1 > 2 > 3; authorities 10 > 11 > 12; the two lists
+    // really are different orderings of the graph
+    assert(two(1L)._1 > two(2L)._1 && two(2L)._1 > two(3L)._1)
+    assert(two(10L)._2 > two(11L)._2 && two(11L)._2 > two(12L)._2)
+    assert(two(10L)._1 < two(3L)._1) // a pure authority is a poor hub
+  }
 }

@@ -174,4 +174,32 @@ class TextSpec extends SparkSpec {
     assert(mass.join(toks, "doc_id").filter(col("m") =!= col("n")).count() == 0L)
     intercept[IllegalArgumentException](TextAnalysis.hashedFeatures(docs, 15))
   }
+
+  test("dup spans: sliding 5-grams catch shifted copies and union overlapping hits") {
+    import spark.implicits._
+    val docs = Seq(
+      // A and B share the run "one two three four five" (exactly one
+      // 5-gram, shifted by one position in B — the tile-aligned
+      // boilerplate segmenter misses this)
+      (1L, "one two three four five six seven"),
+      (2L, "zero one two three four five end tail"),
+      (3L, "totally unrelated words appear here often enough"),
+      // D and E share a 7-token run → three overlapping dup 5-grams
+      // whose intervals must UNION, not sum
+      (4L, "a b c d e f g h"),
+      (5L, "p a b c d e f g q"),
+      // repeated run inside ONE doc only: not a cross-doc duplicate
+      (6L, "r s t u v r s t u v")).toDF("doc_id", "text")
+    val got = TextAnalysis.dupSpans(docs, n = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_tokens"),
+          r.getAs[Double]("dup_ratio"))).toMap
+    assert(got(1L) === (7L, 5L, 0.7143))
+    assert(got(2L) === (8L, 5L, 0.625))
+    assert(got(3L) === (7L, 0L, 0.0))
+    assert(got(4L) === (8L, 7L, 0.875))  // [1,5]∪[2,6]∪[3,7] = 7 tokens
+    assert(got(5L) === (9L, 7L, 0.7778))
+    assert(got(6L) === (10L, 0L, 0.0))   // same-doc repeat is not dup
+    assert(got.size === 6)
+  }
 }
