@@ -482,46 +482,58 @@ object Graph {
     * aggregate, so scores are exact integers on any engine, any
     * partitioning (the [[pageRank]] reproducibility argument; the
     * induced ranking equals L2-normalized HITS — normalization never
-    * reorders). Each half-round is one keyed join + one aggregation;
-    * both frames are referenced once per round, so the plan grows
-    * linearly in `iters` and no checkpoint is needed (the pageRank
-    * loop-shape discipline). Nodes with no in-edges carry authority
-    * 0, no out-edges hub 0 — every graph node appears.
+    * reorders). Sums and the rescale run WIDE (DECIMAL(38,0) —
+    * HUGEINT in the oracle): a hub's raw score is scale·degree, and
+    * an int64 sum overflows at in-degree ≈ 9·10⁶, which real link
+    * graphs exceed. Each half-round is one keyed join + one
+    * aggregation, materialized through [[Rounds]] — the rescale
+    * references its frame twice (rows + max), so an unmaterialized
+    * loop would quadruple the plan per iteration (the componentSizes
+    * lesson). Nodes with no in-edges carry authority 0, no
+    * out-edges hub 0 — every graph node appears.
     */
   def hits(edges: DataFrame, iters: Int = 2,
            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be positive")
-    val e = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    // the rescale product (raw · scale) exceeds int64 the moment a
-    // hub's in-degree does raw ≈ scale·degree — widen to DECIMAL for
-    // the one multiply (DuckDB replays it in HUGEINT), floor-divide,
-    // land back in exact int64 ≤ scale
+    // loop-INVARIANT inputs materialize ONCE: every half-round job
+    // re-reads both, and the edge lineage (a knn self-join upstream)
+    // must not re-execute per round (the keeper-loop lesson)
+    val e = Rounds.materialize(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    val nodes = Rounds.materialize(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    // raw score = Σ scale-sized partners ≈ scale·degree: both the
+    // SUM and the rescale product run in DECIMAL(38,0) (DuckDB
+    // replays them in HUGEINT) — an int64 sum wraps/errors at hub
+    // in-degree ≈ 9·10⁶; floor-divide lands back in exact int64
     def renorm(df: DataFrame, c: String): DataFrame =
-      df.crossJoin(broadcast(df.agg(max(col(c)).as("mx"))))
-        .select(col("node"),
-          when(col("mx") > 0,
-            expr(s"CAST((CAST($c AS DECIMAL(38, 0)) * $scale) div mx AS BIGINT)"))
-            .otherwise(lit(0L)).as(c))
+      Rounds.materialize(
+        df.crossJoin(broadcast(df.agg(max(col(c)).as("mx"))))
+          .select(col("node"),
+            when(col("mx") > 0,
+              expr(s"CAST(($c * $scale) div mx AS BIGINT)"))
+              .otherwise(lit(0L)).as(c)))
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth = nodes.select(col("node"), lit(0L).as("a"))
     for (_ <- 0 until iters) {
       auth = renorm(nodes.join(
         e.join(hub.select(col("node").as("src"), col("h"))
             .hint("shuffle_hash"), "src")
-          .groupBy(col("dst").as("node")).agg(sum("h").as("a"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("h").cast("decimal(38,0)")).as("a"))
           .hint("shuffle_hash"),
         Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0L)).as("a")), "a")
+        .select(col("node"),
+          coalesce(col("a"), lit(0L).cast("decimal(38,0)")).as("a")), "a")
       hub = renorm(nodes.join(
         e.join(auth.select(col("node").as("dst"), col("a"))
             .hint("shuffle_hash"), "dst")
-          .groupBy(col("src").as("node")).agg(sum("a").as("h"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("a").cast("decimal(38,0)")).as("h"))
           .hint("shuffle_hash"),
         Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0L)).as("h")), "h")
+        .select(col("node"),
+          coalesce(col("h"), lit(0L).cast("decimal(38,0)")).as("h")), "h")
     }
     hub.join(auth.hint("shuffle_hash"), Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))

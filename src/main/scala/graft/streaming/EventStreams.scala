@@ -335,13 +335,19 @@ object EventStreams {
     * `in_window=true` rows); both inputs must already carry distinct
     * column names, as with the batch API.
     */
+  /** Negative-safe floor-division band of a microsecond expression —
+    * ONE definition for every banded streaming operator (the batch
+    * twin keeps its own in [[graft.plans.IntervalNative]]): `div`
+    * truncates toward zero and would mis-band pre-epoch times. */
+  private def bandFloorSql(us: String, widthUs: Long): String =
+    s"(($us div ${widthUs}L) - (case when $us % ${widthUs}L < 0 then 1 else 0 end))"
+
   def bandedRangeJoinStream(left: DataFrame, right: DataFrame,
                             leftTs: String, rightTs: String,
                             windowSec: Long,
                             watermark: String = "10 minutes"): DataFrame = {
     val wUs = windowSec * 1000000L
-    def bandOf(us: String) = expr(
-      s"(($us div ${wUs}L) - (case when $us % ${wUs}L < 0 then 1 else 0 end))")
+    def bandOf(us: String) = expr(bandFloorSql(us, wUs))
     val l = left.withWatermark(leftTs, watermark)
       .withColumn("__lband", explode(array_distinct(array(
         bandOf(s"(unix_micros($leftTs) - ${wUs}L)"),
@@ -582,13 +588,14 @@ object EventStreams {
     *    the pair emits when its SECOND member arrives (the first is
     *    already buffered), so cross-batch arrival never duplicates
     *    either;
-    *  - eviction is WATERMARK-DRIVEN: the watermark rides the START
-    *    column, so once it passes a band's end no future arrival can
-    *    own a pair in that band, and the whole band group retires by
-    *    event-time timeout. Per-band state is the band's arriving
-    *    interval population until the watermark closes it —
-    *    `bandSec` is the state/replication knob exactly as in the
-    *    batch exec.
+    *  - eviction is WATERMARK-DRIVEN at two grains: buffered
+    *    intervals whose END the watermark has passed drop at every
+    *    trigger (no future admitted arrival can overlap them — the
+    *    batch exec's own-side prune, streamed), and once the
+    *    watermark passes a band's end the whole band group retires
+    *    by event-time timeout. Per-band state is the band's
+    *    watermark-LIVE interval set, with `bandSec` the
+    *    state/replication knob exactly as in the batch exec.
     *
     * Ordering contract (the per-file twin discipline): rows fold in
     * (start, end, side, key) order within a micro-batch; a row whose
@@ -607,8 +614,7 @@ object EventStreams {
     import spark.implicits._
     require(bandSec > 0, s"bandSec ($bandSec) must be positive")
     val W = bandSec * 1000000L
-    def floorBand(c: String) =
-      s"($c div ${W}L - (case when $c % ${W}L < 0 then 1 else 0 end))"
+    def floorBand(c: String) = bandFloorSql(c, W)
     def prep(df: DataFrame, isLeft: Boolean) =
       df.withWatermark("s", watermark)
         .select(lit(isLeft).as("is_left"), col("key"),
@@ -632,10 +638,23 @@ object EventStreams {
             state.remove()
             Iterator.empty
           } else {
+            // watermark 0 means NOT YET SET (Spark's initial value):
+            // nothing can be late before any watermark exists, and
+            // a strict s_us > 0 gate would silently drop pre-epoch
+            // spans the batch twin's negative-safe banding supports
             val wmUs = state.getCurrentWatermarkMs() * 1000L
-            var (lb, rb) = state.getOption.getOrElse((Seq.empty[IntervalBuf],
-              Seq.empty[IntervalBuf]))
-            val fresh = rows.toSeq.filter(_._3 > wmUs)
+            val (lb0, rb0) = state.getOption.getOrElse(
+              (Seq.empty[IntervalBuf], Seq.empty[IntervalBuf]))
+            // drop buffered intervals the watermark has killed: any
+            // future admitted arrival has s_us > wmUs, so an entry
+            // with e_us <= wmUs can never overlap again — without
+            // this a one-sided band's buffer grows toward its
+            // population (the batch exec's own-side prune, streamed)
+            val lb = scala.collection.mutable.ArrayBuffer.from(
+              if (wmUs > 0L) lb0.filter(_.e_us > wmUs) else lb0)
+            val rb = scala.collection.mutable.ArrayBuffer.from(
+              if (wmUs > 0L) rb0.filter(_.e_us > wmUs) else rb0)
+            val fresh = rows.toSeq.filter(r => wmUs == 0L || r._3 > wmUs)
               .sortBy(r => (r._3, r._4, r._1, r._2))
             val out = Seq.newBuilder[IntervalPairEmit]
             fresh.foreach { case (isLeft, key, sUs, eUs, _, _) =>
@@ -649,17 +668,19 @@ object EventStreams {
                     IntervalPairEmit(o.key, o.s_us, o.e_us, key, sUs, eUs))
                 }
               }
-              if (isLeft) lb = lb :+ IntervalBuf(key, sUs, eUs)
-              else rb = rb :+ IntervalBuf(key, sUs, eUs)
+              (if (isLeft) lb else rb) += IntervalBuf(key, sUs, eUs)
             }
             if (lb.nonEmpty || rb.nonEmpty) {
-              state.update((lb, rb))
+              state.update((lb.toSeq, rb.toSeq))
               // retire at band end; a band the watermark already
               // passed (all its rows just dropped as late) arms for
               // the next trigger
               state.setTimeoutTimestamp(
                 math.max((band + 1L) * W / 1000L,
                   state.getCurrentWatermarkMs() + 1L))
+            } else if (state.exists) {
+              // the prune emptied both buffers: nothing left to pair
+              state.remove()
             }
             out.result().iterator
           }
