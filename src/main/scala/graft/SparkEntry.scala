@@ -145,6 +145,9 @@ object SparkEntry {
     "q15_asof" -> Relational.q15AsOf _,
     "q16_sessionize" -> Relational.q16Sessionize _,
     "q17_quantiles" -> Relational.q17Quantiles _,
+    // discrete measure: every located bin is a point mass — the
+    // rank-selection summary arm answers everything, zero bin sorts
+    "q35_quantiles_disc" -> Relational.q35QuantilesDisc _,
     "q17_approx_quantiles" -> Relational.q17ApproxQuantiles _,
     "q18_asof_join" -> Relational.q18AsofAttribution _,
     "q19_range_window" -> Relational.q19RangeWindow _,
@@ -2096,6 +2099,13 @@ object SparkEntry {
         |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
         |       count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q35_quantiles_disc" ->
+      """SELECT l_returnflag,
+        |       round(percentile_cont(0.1) WITHIN GROUP (ORDER BY l_quantity), 2) AS p10,
+        |       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 2) AS p50,
+        |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity), 2) AS p90,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // quantile-sketch certification: exact p25/p50/p90 (the same
     // percentile_cont replay as q17_quantiles) + TRUE rank-band
     // flags; the Spark side checks its estimates against the exact
