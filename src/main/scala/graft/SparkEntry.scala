@@ -148,6 +148,9 @@ object SparkEntry {
     // discrete measure: every located bin is a point mass — the
     // rank-selection summary arm answers everything, zero bin sorts
     "q35_quantiles_disc" -> Relational.q35QuantilesDisc _,
+    // equal-population buckets with no per-group sort: boundary rows
+    // via rank selection, buckets assigned map-side
+    "q36_histogram_eqdepth" -> ((s, d) => Relational.q36HistogramEqDepth(s, d)),
     "q17_approx_quantiles" -> Relational.q17ApproxQuantiles _,
     "q18_asof_join" -> Relational.q18AsofAttribution _,
     "q19_range_window" -> Relational.q19RangeWindow _,
@@ -2099,6 +2102,20 @@ object SparkEntry {
         |       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
         |       count(*) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // NTILE identity replay: bucket = (B·rank + B−1) // n under the
+    // total (v, o_orderkey) order — the curriculum identity on an
+    // OLAP measure
+    "q36_histogram_eqdepth" ->
+      """WITH r AS (SELECT o_orderstatus AS g, o_totalprice AS v,
+        |                  row_number() OVER (PARTITION BY o_orderstatus
+        |                                     ORDER BY o_totalprice, o_orderkey) - 1 AS r,
+        |                  count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |           FROM orders)
+        |SELECT g AS o_orderstatus, CAST((8 * r + 7) // n AS BIGINT) AS bucket,
+        |       count(*) AS n_rows,
+        |       round(min(v), 2) AS min_v, round(max(v), 2) AS max_v,
+        |       round(avg(v), 4) AS avg_v
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q35_quantiles_disc" ->
       """SELECT l_returnflag,
         |       round(percentile_cont(0.1) WITHIN GROUP (ORDER BY l_quantity), 2) AS p10,

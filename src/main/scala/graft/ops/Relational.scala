@@ -368,6 +368,49 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Per-group EQUI-DEPTH histogram — the optimizer-statistics
+    * operator (equal-POPULATION buckets expose where the value mass
+    * actually lives; the fixed-width q33 histogram starves dense
+    * regions of resolution). NTILE bucket semantics under the total
+    * (v, o_orderkey) order, computed WITHOUT any per-group sort —
+    * the [[Sampling.curriculum]] machinery pointed at an OLAP
+    * measure: [[RankSelect]] finds only the B−1 boundary rows per
+    * group, the boundary (v, tie) pairs broadcast as a groups×(B−1)
+    * array, and every row computes its bucket MAP-SIDE as the count
+    * of boundary pairs at or below it (`(v,tie) ≥ p_k ⟺ rank ≥ r_k`
+    * because the order is total) — identical to `⌊(B·rank+B−1)/n⌋`,
+    * which is what the oracle replays. One corpus aggregate after a
+    * broadcast join; output is groups × B rows.
+    */
+  def q36HistogramEqDepth(s: SparkSession, dir: String,
+                          buckets: Int = 8): DataFrame = {
+    require(buckets > 1, s"buckets ($buckets) must exceed 1")
+    val bins = 256
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderstatus").as("g"), col("o_totalprice").as("v"),
+        col("o_orderkey"))
+    val (th0, _) = RankSelect.at(o, bins, RankSelect.floatBin(bins), bounds =>
+      bounds.select(col("g"), col("n"),
+        explode(array((1 until buckets).map(lit(_)): _*)).as("k"))
+        .withColumn("r", expr(s"k * n div $buckets"))
+        .select("g", "k", "r"),
+      tie = Seq("o_orderkey"))
+    val thArr = th0.select(col("g"), col("v").as("t_v"),
+        col("o_orderkey").as("t_id"))
+      .groupBy("g")
+      .agg(sort_array(collect_list(struct(col("t_v"), col("t_id")))).as("ths"))
+    o.join(broadcast(thArr), Seq("g"))
+      .withColumn("bucket", size(filter(col("ths"), t =>
+        col("v") > t.getField("t_v") ||
+          (col("v") === t.getField("t_v") &&
+            col("o_orderkey") >= t.getField("t_id")))).cast("long"))
+      .groupBy(col("g").as("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min("v"), 2).as("min_v"), round(max("v"), 2).as("max_v"),
+        round(avg("v"), 4).as("avg_v"))
+      .orderBy("o_orderstatus", "bucket")
+  }
+
   /** Sketch-based quantiles (approx_percentile): the 100 TB path —
     * bounded-size sketches merge instead of sorting raw values.
     *

@@ -1009,6 +1009,51 @@ class StreamingSpec extends SparkSpec {
       "expected exactly one emission per orientation for the straddling pair")
   }
 
+  test("streaming interval join equals the naive batch join on fuzzed multi-band intervals") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val base = 1700000000000000L
+    def mk(n: Int, keyBase: Long): Seq[(Long, Long, Long)] =
+      (0 until n).map { i =>
+        val st = base + rnd.nextInt(3600) * 1000000L
+        // spans up to ~5 of the 60s bands, point intervals included
+        (keyBase + i, st, st + rnd.nextInt(300) * 1000000L)
+      }
+    val ls = mk(250, 1000L)
+    val rs = mk(250, 500000L)
+    val expected = (for {
+      l <- ls; r <- rs
+      if l._2 <= r._3 && r._2 <= l._3 // closed-span overlap
+    } yield (l._1, r._1)).toSet
+
+    val lIn = MemoryStream[(Long, Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Long)]
+    def shape(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().select(col("_1").as("key"),
+        expr("timestamp_micros(_2)").as("s"), expr("timestamp_micros(_3)").as("e"))
+    val q = graft.streaming.EventStreams.intervalJoinStream(
+        shape(lIn), shape(rIn), bandSec = 60L, watermark = "24 hours")
+      .toDF().writeStream.format("memory").queryName("ivjf")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // arrival order is adversarial: shuffled, split mid-stream on
+      // BOTH sides so pairs form within and across micro-batches
+      val lSh = rnd.shuffle(ls); val rSh = rnd.shuffle(rs)
+      lIn.addData(lSh.take(125)); rIn.addData(rSh.take(125))
+      q.processAllAvailable()
+      lIn.addData(lSh.drop(125)); rIn.addData(rSh.drop(125))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ivjf").collect()
+      .map(r => (r.getAs[Long]("l_key"), r.getAs[Long]("r_key"))).toSeq
+    assert(got.size === got.distinct.size, "a pair emitted twice")
+    assert(got.toSet === expected,
+      s"missing ${(expected -- got.toSet).take(5)}; extra ${(got.toSet -- expected).take(5)}")
+  }
+
   test("interval join state survives kill + restart: buffered side still pairs") {
     import org.apache.spark.sql.functions.{col, expr, lit}
     import spark.implicits._
