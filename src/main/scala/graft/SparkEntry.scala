@@ -101,6 +101,17 @@ object SparkEntry {
     // session DURATION histogram: the engagement-shape audit
     "events_session_lengths" -> ((s, d) =>
       graft.ops.Events.sessionLengths(Tables.events(s, d)).orderBy("bin")),
+    // lag-k autocorrelation of per-type daily volume: cadence audit
+    "events_autocorr" -> ((s, d) =>
+      graft.ops.Events.autocorrelation(Tables.events(s, d))
+        .orderBy("event_type", "lag")),
+    // prefix-sum mean-shift scan: the level-shift day per type
+    "events_changepoint" -> ((s, d) =>
+      graft.ops.Events.changepoint(Tables.events(s, d))
+        .orderBy("event_type")),
+    // closed-form OLS daily-volume trend + one-step forecast per type
+    "events_trend" -> ((s, d) =>
+      graft.ops.Events.trend(Tables.events(s, d)).orderBy("event_type")),
     // telemetry debounce: duplicate-chatter rate per event type
     "events_debounce" -> ((s, d) =>
       graft.ops.Events.debounce(Tables.events(s, d)).orderBy("event_type")),
@@ -1120,6 +1131,25 @@ object SparkEntry {
 
   /** Degree histogram over the same cosine-radius edge list as the
     * k-core replay. */
+  /** Shared dense per-type daily count series — the DuckDB replay of
+    * `Events.dailySeries`: day-grain aggregation, per-type calendar
+    * span, missing days as explicit zero rows.
+    */
+  private val denseDailyCte: String =
+    """WITH daily AS (SELECT event_type AS etype,
+      |                 CAST(date_trunc('day', ts) AS DATE) AS day,
+      |                 count(*) AS n
+      |               FROM events GROUP BY 1, 2),
+      |span AS (SELECT etype, min(day) AS d0, max(day) AS d1
+      |         FROM daily GROUP BY 1),
+      |grid AS (SELECT etype,
+      |           d0 + CAST(unnest(generate_series(0, d1 - d0)) AS INTEGER)
+      |             AS day
+      |         FROM span),
+      |dense AS (SELECT g.etype, g.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |          FROM grid g
+      |          LEFT JOIN daily d ON d.etype = g.etype AND d.day = g.day)""".stripMargin
+
   private val graphDegreeStatsSql: String =
     """WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
       |             FROM embeddings WHERE vec_id % 7 = 0),
@@ -2841,6 +2871,70 @@ object SparkEntry {
         |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0 ELSE ks0 END > 0.1
         |         AS drifted
         |FROM g ORDER BY etype""".stripMargin,
+    // dense-grid lag join + Pearson corr, the operator's exact shape
+    "events_autocorr" -> (denseDailyCte +
+      """, lags AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS lag),
+        |m AS (SELECT a.etype AS event_type, l.lag, count(*) AS n_pairs,
+        |        covar_pop(a.n, b.n) AS cab,
+        |        var_pop(CAST(a.n AS DOUBLE)) AS va,
+        |        var_pop(CAST(b.n AS DOUBLE)) AS vb
+        |      FROM dense a CROSS JOIN lags l
+        |      JOIN dense b ON b.etype = a.etype
+        |                  AND b.day = a.day - CAST(l.lag AS INTEGER)
+        |      GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs,
+        |       CASE WHEN va = 0 OR vb = 0 THEN NULL
+        |            ELSE round(cab / sqrt(va * vb), 4) END AS acf
+        |FROM m ORDER BY 1, 2""".stripMargin),
+    // prefix-sum mean-shift replay: integer cumulative sums, the
+    // same division/multiplication order as the operator, argmax
+    // BEFORE rounding (bit-identical inputs make it replayable)
+    "events_changepoint" -> (denseDailyCte +
+      """, sc AS (SELECT etype, day,
+        |           CAST(row_number() OVER w AS BIGINT) AS t,
+        |           sum(n) OVER w AS s_t,
+        |           CAST(count(*) OVER (PARTITION BY etype) AS BIGINT)
+        |             AS n_days,
+        |           sum(n) OVER (PARTITION BY etype) AS s_tot
+        |         FROM dense
+        |         WINDOW w AS (PARTITION BY etype ORDER BY day)),
+        |st AS (SELECT etype, day, t, n_days,
+        |         CAST(s_t AS DOUBLE) / t AS mean_l,
+        |         CAST(s_tot - s_t AS DOUBLE) / (n_days - t) AS mean_r,
+        |         abs(CAST(s_t AS DOUBLE) / t
+        |             - CAST(s_tot - s_t AS DOUBLE) / (n_days - t))
+        |           * sqrt(CAST(t * (n_days - t) AS DOUBLE) / n_days) AS stat
+        |       FROM sc WHERE t < n_days),
+        |pick AS (SELECT *, row_number() OVER (PARTITION BY etype
+        |                    ORDER BY stat DESC, day) AS rn FROM st)
+        |SELECT etype AS event_type, day AS split_day, t AS n_left, n_days,
+        |       round(mean_l, 4) AS mean_left, round(mean_r, 4) AS mean_right,
+        |       round(stat, 4) AS shift_stat
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin),
+    // closed-form OLS replay: same moment aggregates, same
+    // degenerate-series NULL contract
+    "events_trend" -> (denseDailyCte +
+      """, x AS (SELECT etype,
+        |          CAST(day - min(day) OVER (PARTITION BY etype) AS DOUBLE)
+        |            AS x,
+        |          CAST(n AS DOUBLE) AS y
+        |        FROM dense),
+        |a AS (SELECT etype, CAST(count(*) AS BIGINT) AS n_days,
+        |        covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy,
+        |        avg(x) AS mx, avg(y) AS my
+        |      FROM x GROUP BY 1),
+        |b AS (SELECT etype, n_days, vx, vy, cxy,
+        |        CASE WHEN vx = 0 THEN NULL ELSE cxy / vx END AS slope_raw,
+        |        my - (CASE WHEN vx = 0 THEN NULL ELSE cxy / vx END) * mx
+        |          AS icpt_raw
+        |      FROM a)
+        |SELECT etype AS event_type, n_days,
+        |       round(slope_raw, 4) AS slope,
+        |       round(icpt_raw, 4) AS intercept,
+        |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |            ELSE round(cxy * cxy / (vx * vy), 4) END AS r2,
+        |       round(icpt_raw + slope_raw * n_days, 4) AS forecast_next
+        |FROM b ORDER BY event_type""".stripMargin),
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

@@ -713,4 +713,143 @@ object Events {
           .otherwise(col("ks")))
       .withColumn("drifted", col("ks") > tau)
   }
+
+  /** Dense per-type daily count series: one map-side-combined scan
+    * aggregation down to |types| × |days| rows (a model-sized frame —
+    * at 100 TB this is the ONLY pass that touches the corpus; every
+    * time-series consumer below works on the aggregate), then a
+    * per-type calendar grid left-joined so quiet days appear as
+    * explicit zeros — autocorrelation and change-point statistics
+    * over a series with silently missing days are biased toward
+    * whatever the gaps hide.
+    */
+  private def dailySeries(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy("etype")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    span
+      .select(col("etype"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(broadcast(daily), Seq("etype", "day"), "left")
+      .select(col("etype"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Lag-k autocorrelation of the per-type daily volume series, k =
+    * 1..`maxLag` — the periodicity detector that sizes seasonal
+    * models and alarms on cadence breaks (a weekly product rhythm
+    * shows as an acf spike at lag 7; a flat acf says yesterday's
+    * volume predicts nothing). Runs entirely on the [[dailySeries]]
+    * model frame: the lag dimension is a broadcast tiny frame, the
+    * shifted series is a broadcast self-equi-join on (type, day −
+    * lag) — never a window whose frame depends on k — and each
+    * (type, lag) cell is one Pearson `corr` over the overlapping
+    * pairs. Corpus cost stays the single dailySeries scan regardless
+    * of maxLag.
+    */
+  def autocorrelation(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    require(maxLag > 0, s"maxLag ($maxLag) must be positive")
+    // two consumers of the model frame (the a/b sides of the lag
+    // join) — materialize once so the corpus scan+agg runs once
+    val s = dailySeries(events).localCheckpoint()
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    s.as("a").crossJoin(broadcast(lags))
+      .join(broadcast(s.as("b")),
+        col("a.etype") === col("b.etype") &&
+          col("b.day") === date_sub(col("a.day"), col("lag").cast("int")))
+      .groupBy(col("a.etype").as("event_type"), col("lag"))
+      // Pearson from population moments instead of `corr`: ANSI mode
+      // turns corr's zero-variance divide into a runtime error, while
+      // a constant series should read as an explicit NULL acf (the
+      // same answer DuckDB's corr gives, so the oracle still matches)
+      .agg(count(lit(1)).as("n_pairs"),
+        covar_pop(col("a.n"), col("b.n")).as("cab"),
+        var_pop(col("a.n").cast("double")).as("va"),
+        var_pop(col("b.n").cast("double")).as("vb"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        when(col("va") === 0 || col("vb") === 0, lit(null).cast("double"))
+          .otherwise(round(col("cab") / sqrt(col("va") * col("vb")), 4))
+          .as("acf"))
+  }
+
+  /** Single change-point detection on the per-type daily volume
+    * series: for every split point t the scaled two-sample mean-shift
+    * statistic |mean(1..t) − mean(t+1..N)| · √(t·(N−t)/N) — the
+    * CUSUM-equivalent scan statistic, computed for ALL splits at once
+    * from one cumulative sum (prefix sums turn the O(N²) naive scan
+    * into one window pass; no recursion, so the whole detector is
+    * declarative and cross-engine replayable). Emits the argmax
+    * split per type (ties broken by earliest day): the day the
+    * level shifted, both segment means, and the shift statistic. The
+    * corpus cost is the [[dailySeries]] scan; the window runs over
+    * the model frame keyed per type. Inputs to the argmax are exact
+    * integer prefix sums divided once per side — bit-identical
+    * across engines, so the argmax itself is replayable, not just
+    * the rounded output.
+    */
+  def changepoint(events: DataFrame): DataFrame = {
+    val s = dailySeries(events)
+    val wcum = Window.partitionBy("etype").orderBy("day")
+    val wtot = Window.partitionBy("etype")
+    val scored = s
+      .withColumn("t", row_number().over(wcum).cast("long"))
+      .withColumn("s_t", sum("n").over(wcum))
+      .withColumn("n_days", count(lit(1)).over(wtot).cast("long"))
+      .withColumn("s_tot", sum("n").over(wtot))
+      .filter(col("t") < col("n_days"))
+      .withColumn("mean_l", col("s_t").cast("double") / col("t"))
+      .withColumn("mean_r",
+        (col("s_tot") - col("s_t")).cast("double") / (col("n_days") - col("t")))
+      .withColumn("stat",
+        abs(col("mean_l") - col("mean_r")) *
+          sqrt((col("t") * (col("n_days") - col("t"))).cast("double") /
+            col("n_days")))
+    val pick = Window.partitionBy("etype")
+      .orderBy(col("stat").desc, col("day"))
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("etype").as("event_type"), col("day").as("split_day"),
+        col("t").as("n_left"), col("n_days"),
+        round(col("mean_l"), 4).as("mean_left"),
+        round(col("mean_r"), 4).as("mean_right"),
+        round(col("stat"), 4).as("shift_stat"))
+  }
+
+  /** Per-type linear trend of daily volume: OLS of count against the
+    * 0-based day index via closed-form moment aggregates (slope =
+    * cov/var, intercept from the means, r² from Pearson corr) plus
+    * the one-step-ahead forecast — the capacity-planning readout of
+    * the [[dailySeries]] frame. One corpus scan, then |types| rows
+    * of constant-size aggregates; no iteration, no model state. A
+    * degenerate series (one day, or constant counts) yields NULL
+    * slope/r² explicitly rather than an engine-specific NaN.
+    */
+  def trend(events: DataFrame): DataFrame = {
+    val s = dailySeries(events)
+      .withColumn("x", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy("etype"))).cast("double"))
+    s.groupBy(col("etype").as("event_type"))
+      // r² from the moments rather than `corr` — ANSI mode errors on
+      // corr's zero-variance division; the moments make the
+      // degenerate case an explicit NULL instead
+      .agg(count(lit(1)).as("n_days"),
+        covar_pop(col("x"), col("n")).as("cxy"),
+        var_pop(col("x")).as("vx"),
+        var_pop(col("n").cast("double")).as("vy"),
+        avg(col("x")).as("mx"), avg(col("n")).as("my"))
+      .withColumn("slope_raw",
+        when(col("vx") === 0, lit(null).cast("double"))
+          .otherwise(col("cxy") / col("vx")))
+      .withColumn("icpt_raw", col("my") - col("slope_raw") * col("mx"))
+      .select(col("event_type"), col("n_days"),
+        round(col("slope_raw"), 4).as("slope"),
+        round(col("icpt_raw"), 4).as("intercept"),
+        when(col("vx") === 0 || col("vy") === 0, lit(null).cast("double"))
+          .otherwise(round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 4))
+          .as("r2"),
+        round(col("icpt_raw") + col("slope_raw") * col("n_days"), 4)
+          .as("forecast_next"))
+  }
 }

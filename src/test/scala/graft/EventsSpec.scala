@@ -479,4 +479,90 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("ks") - 0.5) < 1e-9, s"got $r")
     assert(r.getAs[Boolean]("drifted"))
   }
+
+  /** (day, count) pairs → that many same-type events on each day. */
+  private def dailyEv(etype: String, dayCounts: (Int, Int)*) = {
+    var id = 0L
+    ev(dayCounts.flatMap { case (day, n) =>
+      (0 until n).map { i =>
+        id += 1
+        (id, day.toLong * 86400L + i, id, etype)
+      }
+    }: _*)
+  }
+
+  test("autocorrelation nails a planted period-2 series") {
+    // counts 1,3,1,3,1,3,1,3: perfectly anti-correlated at lag 1,
+    // perfectly correlated at lag 2
+    val events = dailyEv("t", (0 to 7).map(d => (d, if (d % 2 == 0) 1 else 3)): _*)
+    val rows = Events.autocorrelation(events).orderBy("lag")
+      .collect().map(r => (r.getAs[Long]("lag"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("acf"))).toList
+    assert(rows == List((1L, 7L, -1.0), (2L, 6L, 1.0), (3L, 5L, -1.0)))
+  }
+
+  test("autocorrelation's dense grid counts a silent day as zero") {
+    // days 0,1,3 have events, day 2 is quiet: the span is 4 days, so
+    // lag-1 has 3 pairs and the zero day participates in them
+    val events = dailyEv("t", (0, 2), (1, 4), (3, 4))
+    val lag1 = Events.autocorrelation(events, maxLag = 1).collect().head
+    assert(lag1.getAs[Long]("n_pairs") == 3L)
+    // series 2,4,0,4: pairs (4,2),(0,4),(4,0) → corr computed over
+    // a-side mean 8/3 — just pin it against a direct computation
+    val xs = Seq(4.0, 0.0, 4.0); val ys = Seq(2.0, 4.0, 0.0)
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val expected = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(lag1.getAs[Double]("acf") -
+      BigDecimal(expected).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+  }
+
+  test("changepoint finds a planted level shift with the exact statistic") {
+    // 5 days at 2/day then 5 days at 8/day: split after day 4,
+    // stat = |2-8|·sqrt(5·5/10)
+    val events = dailyEv("t",
+      ((0 to 4).map(d => (d, 2)) ++ (5 to 9).map(d => (d, 8))): _*)
+    val r = Events.changepoint(events).collect().head
+    assert(r.getAs[Long]("n_left") == 5L && r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Double]("mean_left") == 2.0)
+    assert(r.getAs[Double]("mean_right") == 8.0)
+    val stat = 6.0 * math.sqrt(25.0 / 10.0)
+    assert(math.abs(r.getAs[Double]("shift_stat") -
+      BigDecimal(stat).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    assert(r.getAs[java.sql.Date]("split_day").toString == "1970-01-05")
+  }
+
+  test("changepoint tie-breaks a flat series to the earliest split day") {
+    val events = dailyEv("t", (0 to 4).map(d => (d, 3)): _*)
+    val r = Events.changepoint(events).collect().head
+    assert(r.getAs[Double]("shift_stat") == 0.0)
+    assert(r.getAs[Long]("n_left") == 1L)
+    assert(r.getAs[java.sql.Date]("split_day").toString == "1970-01-01")
+  }
+
+  test("trend recovers a planted line exactly and forecasts one step out") {
+    // counts 3 + 2x for x = 0..5 → slope 2, intercept 3, r² 1,
+    // forecast at x = 6 is 15
+    val events = dailyEv("t", (0 to 5).map(d => (d, 3 + 2 * d)): _*)
+    val r = Events.trend(events).collect().head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 3.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+    assert(r.getAs[Double]("forecast_next") == 15.0)
+  }
+
+  test("trend on a degenerate series keeps the NULL contract") {
+    // one day → var(x) = 0 → slope/intercept/forecast NULL; constant
+    // counts over many days → slope 0 but r² NULL (var(y) = 0)
+    val one = Events.trend(dailyEv("t", (0, 4))).collect().head
+    assert(one.isNullAt(one.fieldIndex("slope")))
+    assert(one.isNullAt(one.fieldIndex("forecast_next")))
+    val const = Events.trend(dailyEv("t", (0, 3), (1, 3), (2, 3))).collect().head
+    assert(const.getAs[Double]("slope") == 0.0)
+    assert(const.isNullAt(const.fieldIndex("r2")))
+  }
 }
