@@ -299,6 +299,11 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) =>
       Dedup.containment(Tables.documents(s, d), 0.8, col("doc_id") < 300)
         .orderBy("doc_a", "doc_b")),
+    // EXACT corpus-wide all-pairs Jaccard via prefix filtering: no
+    // probe subset, no LSH recall loss — rarest-shingle candidates
+    "dedup_prefix" -> ((s, d) =>
+      Dedup.prefixJaccard(Tables.documents(s, d), 0.4)
+        .orderBy("doc_a", "doc_b")),
     "dedup_keepers" -> ((s, d) => Dedup.exactKeepers(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_keepers_near" -> ((s, d) => Dedup.nearDupKeepers(keeperModel(s, d)).orderBy("doc_id")),
     // incremental maintenance: fit on 3/4 of the corpus (cached — the
@@ -2501,6 +2506,26 @@ object SparkEntry {
         |      JOIN sizes sa ON doc_a = sa.doc_id
         |      JOIN sizes sb ON doc_b = sb.doc_id)
         |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // the prefix-filter join's ground truth is the UNFILTERED exact
+    // all-pairs join over the whole corpus — a survived hash compare
+    // certifies the candidate rule lost no qualifying pair
+    "dedup_prefix" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |              FROM documents),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+        |                               for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |j AS (SELECT doc_a, doc_b,
+        |        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+        |      FROM common
+        |      JOIN sizes sa ON doc_a = sa.doc_id
+        |      JOIN sizes sb ON doc_b = sb.doc_id)
+        |SELECT * FROM j WHERE jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
     // asymmetric containment over the same inverted index: both
     // direction ratios, kept when either reaches tau
     "dedup_containment" ->

@@ -128,6 +128,63 @@ object Dedup {
         round(col("common").cast("double") / col("sz_b"), 4).as("cont_b_in_a"))
       .filter(col("cont_a_in_b") >= tau || col("cont_b_in_a") >= tau)
 
+  /** EXACT corpus-wide all-pairs Jaccard ≥ τ via PREFIX FILTERING
+    * (the PPJoin family's candidate rule) — the exact complement of
+    * [[minhashLsh]]: LSH is probabilistic (recall < 1, measured by
+    * [[lshRecall]]), [[ngramJaccard]] is exact but joins on EVERY
+    * shingle so its cost is Σ df² over shingle document frequencies —
+    * at corpus scale the boilerplate shingles with huge df dominate
+    * and blow the join up, which is why it runs on bounded probe
+    * subsets. Prefix filtering keeps exactness AND prunes: order
+    * each doc's shingles by global rarity (df asc, shingle asc — one
+    * consistent total order), and join only on each doc's first
+    * p = sz − ⌈τ·sz⌉ + 1 RAREST shingles. Any pair with J ≥ τ has
+    * overlap ≥ ⌈τ·max(sz_a, sz_b)⌉, and two sets whose overlap is c
+    * must collide within their first sz − c + 1 elements under ANY
+    * shared total order — so every qualifying pair survives while
+    * the hot boilerplate shingles (high df → ranked LAST) mostly
+    * vanish from the join. Candidates are then verified with the
+    * exact intersection restricted to candidate pairs (fan-out
+    * Σ_cand sz_a, not Σ df²). All stages are keyed equi-joins: df is
+    * one map-side-combined agg, rarity ranks one per-doc window, the
+    * candidate join is keyed on the prefix shingle. The ⌈τ·sz⌉ is
+    * computed with a −1e-9 guard so fp noise in τ·sz can only
+    * LENGTHEN the prefix (extra candidates get verified away), never
+    * shorten it into false negatives.
+    */
+  def prefixJaccard(documents: DataFrame, tau: Double, n: Int = 3): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau ($tau) must be in (0, 1]")
+    val sh = shingles(documents, n)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val wdoc = Window.partitionBy("doc_id")
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rk",
+        row_number().over(wdoc.orderBy(col("df"), col("shingle"))))
+      .withColumn("sz", count(lit(1)).over(wdoc))
+    val prefix = ranked
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
+      .select("doc_id", "shingle")
+    val cand = prefix.as("pa")
+      .join(prefix.as("pb"),
+        col("pa.shingle") === col("pb.shingle") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
+        Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+  }
+
   /** Banded MinHash signatures as a skinny (doc_id, band, band_hash)
     * frame — the LSH bucketing key of the whole near-dup family and
     * the only per-doc state [[mergeKeepers]] needs to probe an

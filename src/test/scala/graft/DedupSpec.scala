@@ -468,4 +468,51 @@ class DedupSpec extends SparkSpec {
     assert(labelMap(reloaded) == labelMap(full))
     assert(labelMap(reloaded)(4L) == 1L) // delta doc joined the base family
   }
+
+  test("prefix-filter join equals the unfiltered exact join at every tau") {
+    import spark.implicits._
+    // corpus with heavy shared boilerplate (the shingles prefix
+    // filtering prunes) plus planted near-dups and unrelated docs
+    val docs = Seq(
+      (1L, "terms of service apply to all users of this site today"),
+      (2L, "terms of service apply to all users of this site now"),
+      (3L, "terms of service apply to some users of this site today"),
+      (4L, "a completely unrelated sentence about brown foxes jumping"),
+      (5L, "a completely unrelated sentence about lazy dogs sleeping"),
+      (6L, "short one"),
+      (7L, "terms of service apply to all users of this site today")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (tau <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val exact = pairs(Dedup.ngramJaccard(docs, tau, lit(true)))
+      val pref = pairs(Dedup.prefixJaccard(docs, tau))
+      assert(pref == exact, s"tau=$tau: prefix $pref vs exact $exact")
+    }
+    // the one exact-dup pair (7 copies 1; 2 ends differently) survives
+    // tau = 1.0, where the prefix shrinks to a single rarest shingle
+    assert(pairs(Dedup.prefixJaccard(docs, 1.0))
+      .map { case (a, b, _) => (a, b) } == Set((1L, 7L)))
+  }
+
+  test("prefix join catches a pair sitting exactly AT the threshold") {
+    import spark.implicits._
+    // A has 10 distinct 3-gram shingles, B's 5 shingles are all
+    // contained in A: J = 5 / (10 + 5 - 5) = 0.5 exactly — the fp
+    // guard on ceil(tau*sz) must not shorten the prefix past it
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"   // 10 shingles
+    val b = "w1 w2 w3 w4 w5 w6 w7"                      // 5 shingles
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.prefixJaccard(docs, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 0.5)
+  }
+
+  test("prefix join on the real corpus equals the bounded exact join") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 120)
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key(Dedup.prefixJaccard(docs, 0.4)) ==
+      key(Dedup.ngramJaccard(docs, 0.4, lit(true))))
+  }
 }
