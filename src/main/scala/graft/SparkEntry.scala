@@ -188,6 +188,9 @@ object SparkEntry {
     // bloom-prefiltered exact semi-join: the broadcast membership cut
     "q34_bloom_semijoin" -> ((s, d) =>
       Relational.q34BloomSemiJoin(s, d).orderBy("l_returnflag")),
+    // single-scan per-column data-quality profile: the ingest gate
+    "q35_dq_profile" -> ((s, d) =>
+      Relational.dqProfile(s, d).orderBy("col_name")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -456,6 +459,11 @@ object SparkEntry {
       graft.ops.Graph.neighborSimilarity(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"))),
+    // one-number degree-mixing audit: do hubs link to hubs?
+    "graph_assortativity" -> ((s, d) =>
+      graft.ops.Graph.assortativity(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")).orderBy("n_nodes")),
     // false-merge audit: per-edge triangle support, weak ties flagged
     "graph_weak_ties" -> ((s, d) =>
       graft.ops.Graph.edgeSupport(
@@ -1136,6 +1144,46 @@ object SparkEntry {
 
   /** Degree histogram over the same cosine-radius edge list as the
     * k-core replay. */
+  /** Column-profiler replay: one exact-aggregate arm per column,
+    * UNION ALL'd — the certification flags are literal TRUE (the
+    * q7_approx_distinct discipline: the oracle asserts the sketch
+    * sits within its rated error, it cannot reproduce the estimate).
+    */
+  private val dqProfileSql: String = {
+    val nums = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strs = Seq("l_returnflag", "l_linestatus")
+    def arm(c: String, kind: String): String = {
+      val bounds = kind match {
+        case "num" =>
+          s"""round(CAST(min($c) AS DOUBLE), 4) AS min_num,
+             |  round(CAST(max($c) AS DOUBLE), 4) AS max_num,
+             |  round(avg($c), 4) AS avg_num,
+             |  CAST(NULL AS VARCHAR) AS min_str,
+             |  CAST(NULL AS VARCHAR) AS max_str""".stripMargin
+        case "str" =>
+          s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |  CAST(NULL AS DOUBLE) AS avg_num,
+             |  min($c) AS min_str, max($c) AS max_str""".stripMargin
+        case _ =>
+          s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |  CAST(NULL AS DOUBLE) AS avg_num,
+             |  strftime(min($c), '%Y-%m-%d') AS min_str,
+             |  strftime(max($c), '%Y-%m-%d') AS max_str""".stripMargin
+      }
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  TRUE AS distinct_within_3rsd,
+         |  $bounds
+         |FROM lineitem""".stripMargin
+    }
+    val arms = nums.map(arm(_, "num")) ++ strs.map(arm(_, "str")) ++
+      Seq(arm("l_shipdate", "ts"))
+    arms.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY col_name")
+  }
+
   /** Shared dense per-type daily count series — the DuckDB replay of
     * `Events.dailySeries`: day-grain aggregation, per-type calendar
     * span, missing days as explicit zero rows.
@@ -1206,6 +1254,28 @@ object SparkEntry {
       |JOIN deg ds ON ds.src = c.src
       |JOIN deg dd ON dd.src = c.dst
       |ORDER BY c.src, c.dst""".stripMargin
+
+  /** Degree-assortativity replay: undirected stubs, degree joins,
+    * the same population-moment Pearson as the operator. */
+  private val graphAssortativitySql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS (SELECT DISTINCT src, dst FROM
+      |          (SELECT src, dst FROM e WHERE src <> dst
+      |           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+      |deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
+      |stubs AS (SELECT CAST(ds.d AS DOUBLE) AS x, CAST(dd.d AS DOUBLE) AS y
+      |          FROM und u
+      |          JOIN deg ds ON ds.src = u.src
+      |          JOIN deg dd ON dd.src = u.dst),
+      |m AS (SELECT count(*) AS n_stubs, covar_pop(x, y) AS cxy,
+      |             var_pop(x) AS vx, var_pop(y) AS vy FROM stubs),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+      |             round(avg(d), 4) AS avg_degree FROM deg)
+      |SELECT n.n_nodes, CAST(m.n_stubs / 2 AS BIGINT) AS n_edges,
+      |       n.avg_degree,
+      |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
+      |            ELSE round(cxy / sqrt(vx * vy), 4) END AS assortativity
+      |FROM m CROSS JOIN n ORDER BY n_nodes""".stripMargin
 
   /** IVF range-search replay: the simIvfSql pipeline with the rank
     * cut replaced by the cosine-radius filter. */
@@ -3085,6 +3155,7 @@ object SparkEntry {
     "graph_degree_stats" -> graphDegreeStatsSql,
     "graph_neighbor_sim" -> graphNeighborSimSql,
     "graph_weak_ties" -> graphWeakTiesSql,
+    "graph_assortativity" -> graphAssortativitySql,
     // last-touch attribution: running non-purchase carry per user,
     // purchase rows credited to it (IGNORE NULLS window carry)
     "events_attribution" ->
@@ -3164,6 +3235,7 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q35_dq_profile" -> dqProfileSql,
     "q32_skew_profile" ->
       """WITH t AS (SELECT count(*) AS n_total FROM lineitem),
         |c AS (SELECT 'l_orderkey' AS col_name, l_orderkey AS key, count(*) AS cnt

@@ -372,6 +372,46 @@ object Graph {
     * missing from `labels` count toward m and degrees but form no
     * community (their mass only lowers Q, never crashes the audit).
     */
+  /** Degree ASSORTATIVITY: the Pearson correlation of endpoint
+    * degrees over every directed edge stub — the one-number mixing
+    * audit of a similarity graph (positive: hubs link to hubs, the
+    * template-family signature where boilerplate clusters
+    * interconnect; negative: hub-and-spoke, one template with many
+    * one-off variants). Both directions of each undirected edge
+    * count once as a stub, so the statistic is symmetric without a
+    * canonicalization pass. One degree aggregation + two keyed joins
+    * onto the edge list + one moment aggregate to a single row — no
+    * iteration, nothing all-pairs; Pearson from population moments
+    * (NOT `corr`: ANSI errors on its zero-variance divide; a
+    * REGULAR graph — every degree equal — answers an explicit NULL,
+    * the same verdict DuckDB's corr gives).
+    */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    val stubs = und
+      .join(deg.select(col("src"), col("d").as("d_src"))
+        .hint("shuffle_hash"), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("d_dst"))
+        .hint("shuffle_hash"), "dst")
+      .select(col("d_src").cast("double").as("x"),
+        col("d_dst").cast("double").as("y"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      round(avg("d"), 4).as("avg_degree"))
+    val m = stubs.agg(count(lit(1)).as("n_stubs"),
+      covar_pop(col("x"), col("y")).as("cxy"),
+      var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"))
+    m.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), (col("n_stubs") / 2).cast("long").as("n_edges"),
+        col("avg_degree"),
+        when(col("vx") === 0 || col("vy") === 0, lit(null).cast("double"))
+          .otherwise(round(col("cxy") / sqrt(col("vx") * col("vy")), 4))
+          .as("assortativity"))
+  }
+
   def labelModularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     val canon = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

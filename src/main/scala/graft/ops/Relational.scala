@@ -833,4 +833,60 @@ object Relational {
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
   }
+
+  /** Single-scan DATA-QUALITY PROFILE of the fact table: per column,
+    * null count, exact distinct cardinality, a CERTIFIED
+    * approx-distinct flag (the [[q7ApproxDistinct]] discipline —
+    * |HLL est − exact| ≤ 3·rsd·exact with the default rsd 0.05; the
+    * oracle asserts the flag literally TRUE, so a sketch drifting
+    * outside its rated error fails the hash compare), and
+    * type-appropriate bounds: numeric columns get min/max/avg,
+    * string columns lexicographic min/max, the timestamp column its
+    * day-grain bounds — the ingest-gate report a pipeline runs
+    * before trusting a new drop of data. ALL metrics ride ONE
+    * aggregation over one scan (the per-column layout is a
+    * driver-side unpivot of the single aggregate row — |cols|
+    * structs, zero extra jobs); the exact countDistincts exist for
+    * certification only and are what the multi-distinct Expand pays
+    * for — the production profile at 100 TB runs the sketch side
+    * alone and stays a plain single-pass aggregate.
+    */
+  def dqProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val nums = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strs = Seq("l_returnflag", "l_linestatus")
+    val times = Seq("l_shipdate")
+    val all = nums ++ strs ++ times
+    val aggs = all.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        approx_count_distinct(col(c)).as(s"${c}__ad"))
+    } ++ nums.flatMap { c =>
+      Seq(round(min(col(c)).cast("double"), 4).as(s"${c}__mn"),
+        round(max(col(c)).cast("double"), 4).as(s"${c}__mx"),
+        round(avg(col(c)), 4).as(s"${c}__av"))
+    } ++ strs.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__mns"), max(col(c)).as(s"${c}__mxs"))
+    } ++ times.flatMap { c =>
+      Seq(date_format(min(col(c)), "yyyy-MM-dd").as(s"${c}__mns"),
+        date_format(max(col(c)), "yyyy-MM-dd").as(s"${c}__mxs"))
+    }
+    val one = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val dnull = lit(null).cast("double")
+    val snull = lit(null).cast("string")
+    val rows = all.map { c =>
+      val (mn, mx, av, mns, mxs) =
+        if (nums.contains(c))
+          (col(s"${c}__mn"), col(s"${c}__mx"), col(s"${c}__av"), snull, snull)
+        else (dnull, dnull, dnull, col(s"${c}__mns"), col(s"${c}__mxs"))
+      struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"${c}__nn").as("n_nulls"), col(s"${c}__nd").as("n_distinct"),
+        (abs(col(s"${c}__ad") - col(s"${c}__nd")) <=
+          lit(0.15) * col(s"${c}__nd")).as("distinct_within_3rsd"),
+        mn.as("min_num"), mx.as("max_num"), av.as("avg_num"),
+        mns.as("min_str"), mxs.as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
 }

@@ -363,4 +363,27 @@ class GraphSpec extends SparkSpec {
     assert(two(10L)._2 > two(11L)._2 && two(11L)._2 > two(12L)._2)
     assert(two(10L)._1 < two(3L)._1) // a pure authority is a poor hub
   }
+
+  test("assortativity: a star is perfectly disassortative, a clique NULL") {
+    import spark.implicits._
+    // star K1,4: every edge joins the degree-4 hub to a degree-1 leaf
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    val s = Graph.assortativity(star).collect().head
+    assert(s.getAs[Long]("n_nodes") == 5L && s.getAs[Long]("n_edges") == 4L)
+    assert(s.getAs[Double]("avg_degree") == 1.6)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    // a REGULAR graph has zero degree variance: explicit NULL, the
+    // ANSI-safe verdict (and what DuckDB's corr answers)
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val t = Graph.assortativity(tri).collect().head
+    assert(t.getAs[Long]("n_edges") == 3L)
+    assert(t.isNullAt(t.fieldIndex("assortativity")))
+    // direction/duplication of the input edge list must not matter:
+    // reversed + duplicated edges land on the same undirected stubs
+    val messy = Seq((1L, 9L), (9L, 1L), (9L, 2L), (3L, 9L), (9L, 4L))
+      .toDF("src", "dst")
+    val m = Graph.assortativity(messy).collect().head
+    assert(m.getAs[Double]("assortativity") == -1.0)
+    assert(m.getAs[Long]("n_edges") == 4L)
+  }
 }

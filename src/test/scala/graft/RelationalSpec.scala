@@ -246,4 +246,34 @@ class RelationalSpec extends SparkSpec {
     // the max value lands in the clamped top bin
     assert(bins.last == 19L)
   }
+
+  test("dq profile: one row per column, typed bounds, certified sketches") {
+    val rows = Relational.dqProfile(spark, sf).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(rows.size == 11)
+    val n = rows("l_orderkey").getAs[Long]("n_rows")
+    assert(n > 0 && rows.values.forall(_.getAs[Long]("n_rows") == n))
+    // generator emits no nulls; every sketch must sit within 3·rsd
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Boolean]("distinct_within_3rsd"), r.toString)
+    }
+    // numeric columns carry numeric bounds and NULL string bounds...
+    val q = rows("l_discount")
+    assert(q.getAs[Double]("min_num") >= 0.0 &&
+      q.getAs[Double]("max_num") <= 0.1 + 1e-9)
+    assert(q.getAs[Double]("avg_num") > 0.0)
+    assert(q.isNullAt(q.fieldIndex("min_str")))
+    // ...string columns the reverse, with sensible cardinality
+    val f = rows("l_returnflag")
+    assert(f.isNullAt(f.fieldIndex("min_num")))
+    assert(f.getAs[String]("min_str") <= f.getAs[String]("max_str"))
+    assert(f.getAs[Long]("n_distinct") <= 3L)
+    // the timestamp column reports day-grain ISO bounds
+    val d = rows("l_shipdate")
+    assert(d.getAs[String]("min_str").matches("\\d{4}-\\d{2}-\\d{2}"))
+    assert(d.getAs[String]("min_str") <= d.getAs[String]("max_str"))
+    // a primary-key-like column: distinct count near the order count
+    assert(rows("l_orderkey").getAs[Long]("n_distinct") > n / 10)
+  }
 }
