@@ -459,6 +459,11 @@ object SparkEntry {
       graft.ops.Graph.neighborSimilarity(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"))),
+    // landmark harmonic closeness: centrality ranking in k BFS sweeps
+    "graph_closeness" -> ((s, d) =>
+      graft.ops.Graph.landmarkCloseness(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"), k = 4, rounds = 6).orderBy("node")),
     // one-number degree-mixing audit: do hubs link to hubs?
     "graph_assortativity" -> ((s, d) =>
       graft.ops.Graph.assortativity(
@@ -1254,6 +1259,42 @@ object SparkEntry {
       |JOIN deg ds ON ds.src = c.src
       |JOIN deg dd ON dd.src = c.dst
       |ORDER BY c.src, c.dst""".stripMargin
+
+  /** One (node, seed)-keyed BFS relaxation round of the landmark-
+    * closeness replay — [[bfsStepSql]] with the composite key. */
+  private def lcStepSql(i: Int): String = {
+    val prev = s"d${i - 1}"
+    s"""r$i AS (SELECT u.dst AS node, p.seed, min(p.dist + 1) AS cand
+       |       FROM und u JOIN $prev p ON p.node = u.src GROUP BY 1, 2),
+       |d$i AS MATERIALIZED (SELECT coalesce(p.node, r.node) AS node,
+       |         coalesce(p.seed, r.seed) AS seed,
+       |         coalesce(p.dist, r.cand) AS dist
+       |       FROM $prev p FULL JOIN r$i r
+       |         ON r.node = p.node AND r.seed = p.seed),
+       |""".stripMargin
+  }
+
+  /** Landmark harmonic-closeness replay: 6 unrolled (node, seed)
+    * BFS rounds from the 4 smallest-id nodes, integer ppm harmonic
+    * sum, pair-count convergence flag. */
+  private val graphClosenessSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+      |        (SELECT src, dst FROM e WHERE src <> dst
+      |         UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+      |lm AS (SELECT DISTINCT src AS node FROM und ORDER BY node LIMIT 4),
+      |d0 AS MATERIALIZED (SELECT node, node AS seed,
+      |        CAST(0 AS BIGINT) AS dist FROM lm),
+      |""".stripMargin +
+    (1 to 6).map(lcStepSql).mkString +
+    """conv AS (SELECT (SELECT count(*) FROM d5) = (SELECT count(*) FROM d6)
+      |           AS converged)
+      |SELECT node, count(*) AS n_reached,
+      |       CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist
+      |                     ELSE 0 END) AS BIGINT) AS harmonic_ppm,
+      |       round(avg(dist), 4) AS avg_dist,
+      |       (SELECT converged FROM conv) AS converged
+      |FROM d6 GROUP BY node ORDER BY node""".stripMargin
 
   /** Degree-assortativity replay: undirected stubs, degree joins,
     * the same population-moment Pearson as the operator. */
@@ -3156,6 +3197,7 @@ object SparkEntry {
     "graph_neighbor_sim" -> graphNeighborSimSql,
     "graph_weak_ties" -> graphWeakTiesSql,
     "graph_assortativity" -> graphAssortativitySql,
+    "graph_closeness" -> graphClosenessSql,
     // last-touch attribution: running non-purchase carry per user,
     // purchase rows credited to it (IGNORE NULLS window carry)
     "events_attribution" ->

@@ -509,6 +509,65 @@ object Graph {
     dist.crossJoin(broadcast(conv))
   }
 
+  /** LANDMARK harmonic closeness: per-landmark hop distances from
+    * the k smallest-id nodes (a deterministic landmark set — real
+    * deployments sample or degree-weight; determinism makes the
+    * selection itself replayable), aggregated per node into harmonic
+    * centrality Σ 1/d — the which-docs-sit-central ranking exact
+    * closeness needs all-pairs BFS for, approximated with k sweeps.
+    * Harmonic (not classic closeness) so disconnection is a small
+    * term, not a divide-by-zero, and the sum runs in exact INTEGER
+    * parts-per-million (`1000000 div d` — order-independent, so the
+    * score is engine- and shuffle-reproducible, the pageRank
+    * fixed-point discipline). One BFS with state keyed on (node,
+    * seed) instead of k sequential sweeps: state is reached pairs
+    * only (≤ k·N rows — k is a model constant), each round one keyed
+    * join + one min-aggregation + one full-outer merge, [[Rounds]]
+    * materialization + the observed zero-new-pairs fixpoint exit.
+    * Every row carries `n_reached` (landmarks seeing the node) and
+    * the `converged` flag (the k-core discipline: bound-exhausted
+    * sweeps are labeled, never silently partial).
+    */
+  def landmarkCloseness(edges: DataFrame, k: Int = 4,
+                        rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k ($k) must be positive")
+    require(rounds >= 1, s"rounds ($rounds) must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = Rounds.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val lm = und.select(col("src").as("node")).distinct()
+      .orderBy("node").limit(k)
+    var dist = Rounds.materialize(
+      lm.select(col("node"), col("node").as("seed"), lit(0L).as("dist")))
+    var converged = false
+    var it = 0
+    while (it < rounds && !converged) {
+      val relax = und
+        .join(dist.select(col("node").as("src"), col("seed"), col("dist"))
+          .hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node"), col("seed"))
+        .agg(min(col("dist") + 1L).as("cand"))
+      // full-outer merge on the composite key: existing pairs keep
+      // their (already-minimal) distance, relax-only pairs are the
+      // round's newly-reached frontier
+      val (next, reached) = Rounds.materializeChanged(
+        dist.join(relax.hint("shuffle_hash"), Seq("node", "seed"), "full")
+          .select(col("node"), col("seed"),
+            coalesce(col("dist"), col("cand")).as("dist"),
+            col("dist").isNull.as("chg")))
+      dist = next
+      it += 1
+      converged = reached == 0L
+    }
+    dist.groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(when(col("dist") > 0, expr("1000000 div dist"))
+          .otherwise(0L)).as("harmonic_ppm"),
+        round(avg("dist"), 4).as("avg_dist"))
+      .withColumn("converged", lit(converged))
+  }
+
   /** Bounded-iteration HITS (hubs & authorities) in FIXED-POINT
     * integer arithmetic — the directed-graph complement of
     * [[pageRank]]: on a citation/link/reference graph, authorities

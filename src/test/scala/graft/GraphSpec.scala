@@ -364,6 +364,32 @@ class GraphSpec extends SparkSpec {
     assert(two(10L)._1 < two(3L)._1) // a pure authority is a poor hub
   }
 
+  test("landmark closeness: exact harmonic ppm on a planted path") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a disconnected pair {10,11}; k=2 picks
+    // landmarks {1,2}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val rows = Graph.landmarkCloseness(edges, k = 2, rounds = 6).collect()
+      .map(r => r.getAs[Long]("node") -> r).toMap
+    // node 3: dist 2 from 1, dist 1 from 2 → 500000 + 1000000
+    assert(rows(3L).getAs[Long]("harmonic_ppm") == 1500000L)
+    assert(rows(3L).getAs[Double]("avg_dist") == 1.5)
+    assert(rows(3L).getAs[Long]("n_reached") == 2L)
+    // node 5: dists 4 and 3 → 250000 + 333333 (integer floor)
+    assert(rows(5L).getAs[Long]("harmonic_ppm") == 583333L)
+    // a landmark scores its own distance-0 as zero harmonic mass
+    assert(rows(1L).getAs[Long]("harmonic_ppm") == 1000000L)
+    assert(rows(1L).getAs[Double]("avg_dist") == 0.5)
+    // the disconnected pair is unreached: absent, not zero-scored
+    assert(!rows.contains(10L) && !rows.contains(11L))
+    assert(rows.values.forall(_.getAs[Boolean]("converged")))
+    // a bound tighter than the diameter reports itself
+    val tight = Graph.landmarkCloseness(edges, k = 2, rounds = 2).collect()
+    assert(tight.forall(!_.getAs[Boolean]("converged")))
+    assert(!tight.map(_.getAs[Long]("node")).contains(5L))
+  }
+
   test("assortativity: a star is perfectly disassortative, a clique NULL") {
     import spark.implicits._
     // star K1,4: every edge joins the degree-4 hub to a degree-1 leaf
