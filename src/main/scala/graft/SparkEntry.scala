@@ -1189,6 +1189,30 @@ object SparkEntry {
       "\n) ORDER BY col_name")
   }
 
+  /** Exact shingle-inverted-index all-pairs Jaccard ground truth —
+    * ONE definition for every oracle that brute-forces set
+    * similarity (`dedup_ngram_jaccard` on its bounded probe subset,
+    * `dedup_prefix` corpus-wide): 3-gram distinct shingles, shingle
+    * self-join, per-pair intersection over joined sizes.
+    */
+  private def exactJaccardSql(docWhere: String, tau: Double): String =
+    s"""WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+       |              FROM documents$docWhere),
+       |sh AS (SELECT doc_id,
+       |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+       |                               for i in range(1, len(toks) - 1)])) AS shingle
+       |       FROM docs WHERE len(toks) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b,
+       |        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+       |      FROM common
+       |      JOIN sizes sa ON doc_a = sa.doc_id
+       |      JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT * FROM j WHERE jaccard >= $tau ORDER BY doc_a, doc_b""".stripMargin
+
   /** Shared dense per-type daily count series — the DuckDB replay of
     * `Events.dailySeries`: day-grain aggregation, per-type calendar
     * span, missing days as explicit zero rows.
@@ -2600,43 +2624,11 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
-    "dedup_ngram_jaccard" ->
-      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-        |              FROM documents WHERE doc_id < 300),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
-        |                               for i in range(1, len(toks) - 1)])) AS shingle
-        |       FROM docs WHERE len(toks) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b,
-        |        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
-        |      FROM common
-        |      JOIN sizes sa ON doc_a = sa.doc_id
-        |      JOIN sizes sb ON doc_b = sb.doc_id)
-        |SELECT * FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> exactJaccardSql(" WHERE doc_id < 300", 0.5),
     // the prefix-filter join's ground truth is the UNFILTERED exact
     // all-pairs join over the whole corpus — a survived hash compare
     // certifies the candidate rule lost no qualifying pair
-    "dedup_prefix" ->
-      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
-        |              FROM documents),
-        |sh AS (SELECT doc_id,
-        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
-        |                               for i in range(1, len(toks) - 1)])) AS shingle
-        |       FROM docs WHERE len(toks) >= 3),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-        |           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |           GROUP BY 1, 2),
-        |j AS (SELECT doc_a, doc_b,
-        |        round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
-        |      FROM common
-        |      JOIN sizes sa ON doc_a = sa.doc_id
-        |      JOIN sizes sb ON doc_b = sb.doc_id)
-        |SELECT * FROM j WHERE jaccard >= 0.4 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_prefix" -> exactJaccardSql("", 0.4),
     // asymmetric containment over the same inverted index: both
     // direction ratios, kept when either reaches tau
     "dedup_containment" ->

@@ -154,31 +154,45 @@ object Dedup {
     */
   def prefixJaccard(documents: DataFrame, tau: Double, n: Int = 3): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau ($tau) must be in (0, 1]")
-    val sh = shingles(documents, n)
+    // the OUTPUT contract keeps pairs whose 4dp-ROUNDED Jaccard
+    // reaches τ, so candidate generation must cover true J down to
+    // τ − 5e-5 (a pair at J = τ − 1e-5 rounds UP into the output);
+    // widen by the full rounding half-width — the prefix only ever
+    // gets longer, and over-generation is verified away
+    val tauEff = math.max(tau - 1e-4, 1e-6)
+    // the shingle frame feeds the df aggregation, the rarity ranking,
+    // and both sides of the verification join; materialize it once —
+    // recomputing the shingling scan 4-6x dominates the job
+    // otherwise. (At cluster scale this is the recompute-vs-persist
+    // knob: the exploded frame is ~n× the corpus, and a preemptible
+    // fleet may prefer re-scanning parquet; locally the blocks win.)
+    val sh = shingles(documents, n).localCheckpoint()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wdoc = Window.partitionBy("doc_id")
     val ranked = sh.join(freq, "shingle")
       .withColumn("rk",
         row_number().over(wdoc.orderBy(col("df"), col("shingle"))))
       .withColumn("sz", count(lit(1)).over(wdoc))
+    // prefix is joined as both candidate sides: materialize so the
+    // scan+agg+join+window subtree above runs once, not twice
     val prefix = ranked
       .filter(col("rk") <=
-        col("sz") - ceil(lit(tau) * col("sz") - lit(1e-9)) + 1)
-      .select("doc_id", "shingle")
+        col("sz") - ceil(lit(tauEff) * col("sz") - lit(1e-9)) + 1)
+      .select("doc_id", "shingle", "sz")
+      .localCheckpoint()
     val cand = prefix.as("pa")
       .join(prefix.as("pb"),
         col("pa.shingle") === col("pb.shingle") &&
           col("pa.doc_id") < col("pb.doc_id"))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
+        col("pa.sz").as("sz_a"), col("pb.sz").as("sz_b"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
         Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
