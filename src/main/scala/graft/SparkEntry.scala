@@ -476,6 +476,10 @@ object SparkEntry {
           .select("src", "dst")).orderBy("src", "dst")),
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
+    // ColBERT-style multi-vector MaxSim: late-interaction retrieval
+    "sim_maxsim" -> ((s, d) =>
+      Similarity.maxSim(Tables.embeddings(s, d), col("grp") < 2)
+        .orderBy("q_grp", "rank")),
     "sim_pq" -> ((s, d) =>
       Similarity.annPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ivfpq" -> ((s, d) =>
@@ -2805,6 +2809,26 @@ object SparkEntry {
         |           FROM scored)
         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // MaxSim replay: per-query-vector best match in integer
+    // micro-units, exact long sums, same tie-break
+    "sim_maxsim" ->
+      """WITH v AS (SELECT vec_id, vec_id // 10 AS grp,
+        |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_vec, grp AS q_grp, emb AS q_emb
+        |      FROM v WHERE grp < 2),
+        |pm AS (SELECT q.q_grp, q.q_vec, v.grp AS d_grp,
+        |         max(CAST(round(round(list_cosine_similarity(q.q_emb, v.emb), 6)
+        |                        * 1000000, 0) AS BIGINT)) AS mx
+        |       FROM q JOIN v ON v.grp <> q.q_grp
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_grp, d_grp, CAST(sum(mx) AS BIGINT) AS score_u
+        |       FROM pm GROUP BY 1, 2),
+        |rk AS (SELECT q_grp, d_grp, score_u,
+        |         row_number() OVER (PARTITION BY q_grp
+        |                            ORDER BY score_u DESC, d_grp) AS rank
+        |       FROM sc)
+        |SELECT q_grp, rank, d_grp, round(score_u / 1000000.0, 6) AS maxsim
+        |FROM rk WHERE rank <= 5 ORDER BY q_grp, rank""".stripMargin,
     "sim_mips" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

@@ -530,6 +530,49 @@ object Similarity {
     * truth is exact only over the query subset, the audited path is
     * the full production pipeline. Output is one row per query.
     */
+  /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim
+    * family): both queries and documents are SETS of vectors
+    * (`vec_id div groupSize` manufactures the grouping over the flat
+    * embeddings table — in production the group key is the doc id of
+    * a token/chunk-level encoder), and a document scores
+    * Σ_{q∈Q} max_{d∈D} cos(q, d): each query vector credits its best
+    * match in the doc, so one strong aligned chunk can't be drowned
+    * by the doc's unrelated mass the way a single pooled vector
+    * averages it away. Shape: the query side is model-sized and
+    * broadcast; the corpus streams once; the per-(query-vector, doc)
+    * max and the per-(query, doc) sum are both map-side-combined
+    * aggregations on the (q, d) key; the final cut rides the native
+    * TopKPerKey heaps. Scores accumulate in exact INTEGER
+    * micro-units (6dp cosine × 1e6 — sums of doubles are
+    * order-dependent, sums of longs are not; the pageRank
+    * fixed-point discipline), so ranking AND the reported score are
+    * engine- and shuffle-reproducible. At 100 TB the same kernel
+    * runs after an IVF/LSH candidate cut; this exact form is the
+    * rerank core and its own ground truth.
+    */
+  def maxSim(embeddings: DataFrame, queryGroups: Column,
+             groupSize: Int = 10, k: Int = 5): DataFrame = {
+    require(groupSize >= 1 && k >= 1)
+    val v = embeddings.select(col("vec_id"),
+      expr(s"vec_id div $groupSize").as("grp"), col("embedding"))
+    val q = v.filter(queryGroups)
+      .select(col("vec_id").as("q_vec"), col("grp").as("q_grp"),
+        col("embedding").as("q_emb"))
+    val pm = v.join(broadcast(q), col("grp") =!= col("q_grp"))
+      .select(col("q_grp"), col("q_vec"), col("grp").as("d_grp"),
+        round(round(cosine_sim(col("q_emb"), col("embedding")), 6) * 1e6, 0)
+          .cast("long").as("u"))
+      .groupBy("q_grp", "q_vec", "d_grp").agg(max("u").as("mx"))
+    val sc = pm.groupBy("q_grp", "d_grp").agg(sum("mx").as("score_u"))
+    val w = Window.partitionBy("q_grp")
+      .orderBy(col("score_u").desc, col("d_grp"))
+    graft.plans.TopK.perKey(sc, Seq("q_grp"),
+        Seq(col("score_u").desc, col("d_grp").asc), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("q_grp"), col("rank"), col("d_grp"),
+        round(col("score_u") / 1e6, 6).as("maxsim"))
+  }
+
   def annRecallAudit(embeddings: DataFrame, queryFilter: Column,
                      k: Int = 5): DataFrame = {
     val exact = bruteTopK(embeddings, queryFilter, k)

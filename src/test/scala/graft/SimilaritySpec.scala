@@ -405,4 +405,28 @@ class SimilaritySpec extends SparkSpec {
     mips.foreach { case (q, expect) =>
       assert(augCos(q) == expect, s"query $q: aug=${augCos(q)} mips=$expect") }
   }
+
+  test("maxsim: each query vector credits its best match, sums exactly") {
+    import spark.implicits._
+    // groups of 2 in 2-d. query group 0 = {[1,0], [0,1]}.
+    // doc 1 = {[1,0],[1,0]} → 1 + 0 = 1.0 (redundant doc: second
+    // query vector finds nothing); doc 2 = {[1,0],[0,1]} → 2.0
+    // (each query vector has an aligned chunk); doc 3 =
+    // {[.6,.8],[.6,.8]} → 0.6 + 0.8 = 1.4 (uniformly mediocre)
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(1f, 0f)), (3L, Array(1f, 0f)),
+      (4L, Array(1f, 0f)), (5L, Array(0f, 1f)),
+      (6L, Array(0.6f, 0.8f)), (7L, Array(0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.maxSim(vecs, col("grp") === 0, groupSize = 2, k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("d_grp"),
+      r.getAs[Double]("maxsim"))).toList ==
+      List((1L, 2L, 2.0), (2L, 3L, 1.4), (3L, 1L, 1.0)))
+    // the pooled single-vector ranking would TIE docs 1 and 2 at the
+    // mean-vector level only when redundancy is averaged away —
+    // maxsim separates them by exactly the second query vector's
+    // credit, which is the late-interaction point
+  }
 }
