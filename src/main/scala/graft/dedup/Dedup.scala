@@ -178,12 +178,25 @@ object Dedup {
     val prefix = ranked
       .filter(col("rk") <=
         col("sz") - ceil(lit(tauEff) * col("sz") - lit(1e-9)) + 1)
-      .select("doc_id", "shingle", "sz")
+      .select("doc_id", "shingle", "sz", "rk")
       .localCheckpoint()
+    // POSITIONAL filter (the PPJoin upgrade to the plain prefix
+    // rule): a collision at rarity positions (ra, rb) bounds the
+    // pair's overlap by 1 + min(sz_a−ra, sz_b−rb) — everything
+    // before the FIRST common token is disjoint under the shared
+    // total order, so only the tails can still intersect. Filtering
+    // every collision row by its own bound is lossless: a
+    // qualifying pair's first collision carries the loosest (and
+    // valid) bound and always survives; later collisions of the
+    // same pair may be wrongly tight, but the pair is already in.
     val cand = prefix.as("pa")
       .join(prefix.as("pb"),
         col("pa.shingle") === col("pb.shingle") &&
-          col("pa.doc_id") < col("pb.doc_id"))
+          col("pa.doc_id") < col("pb.doc_id") &&
+          lit(1) + least(col("pa.sz") - col("pa.rk"),
+            col("pb.sz") - col("pb.rk")) >=
+            ceil(lit(tauEff) * greatest(col("pa.sz"), col("pb.sz"))
+              - lit(1e-9)))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
         col("pa.sz").as("sz_a"), col("pb.sz").as("sz_b"))
       .distinct()
