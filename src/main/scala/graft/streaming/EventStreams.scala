@@ -786,4 +786,68 @@ object EventStreams {
           }
       }
   }
+
+  /** One live daily-volume cell: the running count for (type, day),
+    * `is_final` once the watermark closed the day for good.
+    * `day_epoch` is days since the epoch (UTC) — the TZ-free key the
+    * batch `dailySeries` day column reduces to under the UTC
+    * session.
+    */
+  case class DailyVolumeEmit(event_type: String, day_epoch: Long,
+                             n: Long, is_final: Boolean)
+
+  /** Streaming twin of `Events.dailySeries`'s observed cells — the
+    * live feed under the batch trend/change-point/autocorrelation
+    * consumers: per (type, UTC day) counts carried as ONE long of
+    * keyed state, running cells emitted every touched batch, the
+    * cell FINALIZED (emitted with `is_final` and state dropped) by
+    * EVENT-TIME TIMEOUT once the watermark passes the day's end plus
+    * `allowanceSec`. Arrivals at-or-before the watermark drop
+    * explicitly (the concurrencyState fence: after a finalize a
+    * straggler would otherwise reopen a phantom partial cell inside
+    * an already-reported day); arrivals after the fence for a
+    * still-open day accumulate normally however they interleave.
+    * State is bounded by the live (type, day) cells inside the
+    * watermark horizon — |types| × O(1) days, regardless of stream
+    * length. The dense zero-day grid stays a read-side concern
+    * (exactly as in the batch operator, where the calendar join
+    * manufactures it after the corpus agg).
+    */
+  def dailyVolumeState(events: DataFrame,
+                       watermark: String = "1 hour",
+                       allowanceSec: Long = 3600L)
+                      (implicit spark: SparkSession): Dataset[DailyVolumeEmit] = {
+    import spark.implicits._
+    require(allowanceSec >= 0, s"allowanceSec ($allowanceSec) must be >= 0")
+    val dayUs = 86400000000L
+    events.withWatermark("ts", watermark)
+      // the watermarked ts column must survive into the stateful
+      // operator's input (event-time timeout analysis requirement)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"), col("ts"))
+      .as[(String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, math.floorDiv(r._2, dayUs)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long), rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          val (etype, day) = key
+          if (state.hasTimedOut) {
+            val n = state.get
+            state.remove()
+            Iterator.single(DailyVolumeEmit(etype, day, n, is_final = true))
+          } else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val fresh = rows.count(_._2 > wmUs).toLong
+            if (fresh == 0L) Iterator.empty
+            else {
+              val n = state.getOption.getOrElse(0L) + fresh
+              state.update(n)
+              state.setTimeoutTimestamp(
+                math.max((day + 1) * 86400000L + allowanceSec * 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
+              Iterator.single(DailyVolumeEmit(etype, day, n, is_final = false))
+            }
+          }
+      }
+  }
 }

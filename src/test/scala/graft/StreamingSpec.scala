@@ -1089,4 +1089,98 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("l_s"), r.getAs[Long]("r_e"))).toSet
     assert(pairs == Set((7L, 9L, us(0), us(150))), s"got $pairs")
   }
+
+  test("daily volume cells accumulate, finalize at the watermark, " +
+      "and late rows drop") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dv-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-dv-out").toString
+    val day = 20000L // UTC epoch day
+    def row(id: Long, sec: Long, t: String) =
+      EventRow(id, new Timestamp(sec * 1000L), 1L, t, 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    def start() =
+      graft.streaming.EventStreams
+        .dailyVolumeState(input.toDF(), watermark = "1 hour")
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("b", lit(id)).write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    val d0 = day * 86400L
+    val q = start()
+    try {
+      // batch 1: two clicks on the day → one running cell n=2
+      input.addData(Seq(row(1, d0 + 10, "click"), row(2, d0 + 20, "click")))
+      q.processAllAvailable()
+      // batch 2: a third click and a first view → running cells 3, 1
+      input.addData(Seq(row(3, d0 + 30, "click"), row(4, d0 + 40, "view")))
+      q.processAllAvailable()
+      // batch 3: a row ten days out pushes the watermark far past the
+      // day's end + allowance → both cells finalize and drop state
+      input.addData(Seq(row(5, d0 + 10 * 86400, "click")))
+      q.processAllAvailable()
+      // batch 4: a straggler inside the finalized day is at-or-before
+      // the watermark → the fence drops it, no phantom cell reopens
+      input.addData(Seq(row(6, d0 + 50, "click")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_epoch"),
+        r.getAs[Long]("n"), r.getAs[Boolean]("is_final"))).toSet
+    val expected = Set(
+      ("click", day, 2L, false), ("click", day, 3L, false),
+      ("view", day, 1L, false),
+      ("click", day, 3L, true), ("view", day, 1L, true),
+      ("click", day + 10, 1L, false))
+    assert(got == expected, s"got $got")
+    // the finalized cells equal the batch day-grain counts over the
+    // surviving (non-late) rows — the dailySeries twin claim
+    val batchDf = Seq(row(1, d0 + 10, "click"), row(2, d0 + 20, "click"),
+      row(3, d0 + 30, "click"), row(4, d0 + 40, "view")).toDF()
+    val batchCounts = batchDf
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr(
+          "unix_micros(ts) div 86400000000").as("day_epoch"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val finals = got.collect { case (t, d, n, true) => (t, d, n) }
+    assert(finals == batchCounts, s"finals $finals vs batch $batchCounts")
+  }
+
+  test("daily volume state survives kill + restart: the count carries") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dv2-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-dv2-out").toString
+    val d0 = 20000L * 86400L
+    def row(id: Long, sec: Long) =
+      EventRow(id, new Timestamp(sec * 1000L), 1L, "click", 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    def start() =
+      graft.streaming.EventStreams.dailyVolumeState(input.toDF())
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("b", lit(id)).write.mode("append").parquet(out): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+    val q1 = start()
+    try { input.addData(Seq(row(1, d0 + 10), row(2, d0 + 20)))
+      q1.processAllAvailable() } finally q1.stop()
+    // the day keeps filling while the query is down
+    input.addData(Seq(row(3, d0 + 30)))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val ns = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("n")).toSet
+    // a restart that lost the 2-count would re-emit n = 1, not n = 3
+    assert(ns == Set(2L, 3L), s"got $ns")
+  }
 }
