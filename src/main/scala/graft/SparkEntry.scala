@@ -480,6 +480,10 @@ object SparkEntry {
     "sim_maxsim" -> ((s, d) =>
       Similarity.maxSim(Tables.embeddings(s, d), col("grp") < 2)
         .orderBy("q_grp", "rank")),
+    // the same kernel behind the IVF candidate cut: the scale path
+    "sim_maxsim_ivf" -> ((s, d) =>
+      Similarity.maxSimIvf(Tables.embeddings(s, d), col("grp") < 2)
+        .orderBy("q_grp", "rank")),
     "sim_pq" -> ((s, d) =>
       Similarity.annPq(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
     "sim_ivfpq" -> ((s, d) =>
@@ -2820,6 +2824,46 @@ object SparkEntry {
         |         max(CAST(round(round(list_cosine_similarity(q.q_emb, v.emb), 6)
         |                        * 1000000, 0) AS BIGINT)) AS mx
         |       FROM q JOIN v ON v.grp <> q.q_grp
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_grp, d_grp, CAST(sum(mx) AS BIGINT) AS score_u
+        |       FROM pm GROUP BY 1, 2),
+        |rk AS (SELECT q_grp, d_grp, score_u,
+        |         row_number() OVER (PARTITION BY q_grp
+        |                            ORDER BY score_u DESC, d_grp) AS rank
+        |       FROM sc)
+        |SELECT q_grp, rank, d_grp, round(score_u / 1000000.0, 6) AS maxsim
+        |FROM rk WHERE rank <= 5 ORDER BY q_grp, rank""".stripMargin,
+    // IVF-MaxSim replay: vector-level cell assignment + probes, doc
+    // groups recruited by ANY probed-cell member, exact kernel on
+    // candidates — cell/probe tie-breaks mirror the sim_ivf oracle
+    "sim_maxsim_ivf" ->
+      """WITH v AS (SELECT vec_id, vec_id // 10 AS grp,
+        |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cents AS (SELECT vec_id AS cell_id, emb AS c_emb
+        |          FROM v WHERE vec_id % 50 = 0),
+        |asg AS (SELECT vec_id, grp, cell_id,
+        |          row_number() OVER (PARTITION BY vec_id
+        |            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id)
+        |            AS rn
+        |        FROM v CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, grp, cell_id FROM asg WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_vec, grp AS q_grp, emb AS q_emb
+        |      FROM v WHERE grp < 2),
+        |qc AS (SELECT q_vec, q_grp, cell_id,
+        |         row_number() OVER (PARTITION BY q_vec
+        |           ORDER BY list_cosine_similarity(q_emb, c_emb) DESC, cell_id)
+        |           AS rn
+        |       FROM q CROSS JOIN cents),
+        |probes AS (SELECT DISTINCT q_grp, cell_id FROM qc WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT p.q_grp, a.grp AS d_grp
+        |         FROM probes p JOIN assigned a USING (cell_id)
+        |         WHERE a.grp <> p.q_grp),
+        |pm AS (SELECT c.q_grp, q.q_vec, c.d_grp,
+        |         max(CAST(round(round(list_cosine_similarity(q.q_emb, dv.emb), 6)
+        |                        * 1000000, 0) AS BIGINT)) AS mx
+        |       FROM cand c
+        |       JOIN v dv ON dv.grp = c.d_grp
+        |       JOIN q ON q.q_grp = c.q_grp
         |       GROUP BY 1, 2, 3),
         |sc AS (SELECT q_grp, d_grp, CAST(sum(mx) AS BIGINT) AS score_u
         |       FROM pm GROUP BY 1, 2),

@@ -573,6 +573,66 @@ object Similarity {
         round(col("score_u") / 1e6, 6).as("maxsim"))
   }
 
+  /** [[maxSim]] through the production IVF path — the 100 TB shape
+    * the exact kernel's doc comment promises: corpus VECTORS assign
+    * to coarse cells on the packed broadcast model (one scan, fused
+    * argmax, zero shuffles to assignment), query vectors probe their
+    * `nProbe` nearest cells, and a candidate DOC GROUP is any group
+    * with at least one vector in a probed cell — the union semantics
+    * a multi-vector doc needs (ONE aligned chunk in a probed cell
+    * recruits the whole group, exactly the late-interaction point).
+    * The exact integer-unit MaxSim kernel then runs restricted to
+    * candidate (query, doc) pairs, so corpus-scale work is the
+    * assignment scan plus candidate fan-out, never queries × docs.
+    * [[maxSim]] stands as its ground truth (the recall-audit
+    * discipline); scores of surfaced pairs are bit-equal by
+    * construction — only membership can differ, and only when every
+    * aligned chunk of a true neighbor hides outside the probed
+    * cells.
+    */
+  def maxSimIvf(embeddings: DataFrame, queryGroups: Column,
+                groupSize: Int = 10, k: Int = 5,
+                centroidStride: Long = 50L, nProbe: Int = 2): DataFrame = {
+    require(groupSize >= 1 && k >= 1 && nProbe >= 1)
+    val v = embeddings.select(col("vec_id"),
+      expr(s"vec_id div $groupSize").as("grp"), col("embedding"))
+    val centroids = v.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val packed = packCentroids(centroids)
+    val assigned = v.crossJoin(broadcast(packed))
+      .withColumn("__i", nearest_idx(col("embedding"), col("cents")) + 1)
+      .select(col("vec_id"), col("grp"),
+        element_at(col("cell_ids"), col("__i")).as("cell_id"))
+    val q = v.filter(queryGroups)
+      .select(col("vec_id").as("q_vec"), col("grp").as("q_grp"),
+        col("embedding").as("q_emb"))
+    val probes = q.crossJoin(broadcast(packed))
+      .select(col("q_grp"),
+        explode(top_idx(col("q_emb"), col("cents"), nProbe)).as("__e"),
+        col("cell_ids"))
+      .select(col("q_grp"),
+        element_at(col("cell_ids"), col("__e") + 1).as("cell_id"))
+      .distinct()
+    val candGrps = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("grp") =!= col("q_grp"))
+      .select(col("q_grp"), col("grp").as("d_grp")).distinct()
+    val pm = candGrps
+      .join(v.select(col("grp").as("d_grp"), col("embedding")), "d_grp")
+      .join(broadcast(q), Seq("q_grp"))
+      .select(col("q_grp"), col("q_vec"), col("d_grp"),
+        round(round(cosine_sim(col("q_emb"), col("embedding")), 6) * 1e6, 0)
+          .cast("long").as("u"))
+      .groupBy("q_grp", "q_vec", "d_grp").agg(max("u").as("mx"))
+    val sc = pm.groupBy("q_grp", "d_grp").agg(sum("mx").as("score_u"))
+    val w = Window.partitionBy("q_grp")
+      .orderBy(col("score_u").desc, col("d_grp"))
+    graft.plans.TopK.perKey(sc, Seq("q_grp"),
+        Seq(col("score_u").desc, col("d_grp").asc), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("q_grp"), col("rank"), col("d_grp"),
+        round(col("score_u") / 1e6, 6).as("maxsim"))
+  }
+
   def annRecallAudit(embeddings: DataFrame, queryFilter: Column,
                      k: Int = 5): DataFrame = {
     val exact = bruteTopK(embeddings, queryFilter, k)

@@ -429,4 +429,30 @@ class SimilaritySpec extends SparkSpec {
     // maxsim separates them by exactly the second query vector's
     // credit, which is the late-interaction point
   }
+
+  test("ivf maxsim equals the exact kernel under full probing, and " +
+      "surfaced pairs are always bit-equal") {
+    // probes covering every cell ⇒ every group is a candidate ⇒ the
+    // IVF path must reproduce the exact operator row for row
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_grp"), r.getAs[Long]("rank"),
+        r.getAs[Long]("d_grp"), r.getAs[Double]("maxsim"))).toSet
+    val exact = Similarity.maxSim(embeddings, col("grp") < 2)
+    val full = Similarity.maxSimIvf(embeddings, col("grp") < 2,
+      centroidStride = 100L, nProbe = 5) // 5 cells, all probed
+    assert(key(full) == key(exact))
+    // under REAL pruning (2 of 10 cells), membership may shrink but
+    // any surfaced pair's score must equal the exact kernel's for
+    // that pair — the candidate cut never changes a score
+    val exactAll = Similarity.maxSim(embeddings, col("grp") < 2, k = 1000)
+      .collect()
+      .map(r => (r.getAs[Long]("q_grp"), r.getAs[Long]("d_grp")) ->
+        r.getAs[Double]("maxsim")).toMap
+    val pruned = Similarity.maxSimIvf(embeddings, col("grp") < 2).collect()
+    assert(pruned.nonEmpty)
+    pruned.foreach { r =>
+      val k2 = (r.getAs[Long]("q_grp"), r.getAs[Long]("d_grp"))
+      assert(exactAll(k2) == r.getAs[Double]("maxsim"), s"pair $k2")
+    }
+  }
 }
