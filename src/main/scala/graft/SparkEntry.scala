@@ -1336,19 +1336,26 @@ object SparkEntry {
       |          (SELECT src, dst FROM e WHERE src <> dst
       |           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
       |deg AS (SELECT src, count(*) AS d FROM und GROUP BY src),
-      |stubs AS (SELECT CAST(ds.d AS DOUBLE) AS x, CAST(dd.d AS DOUBLE) AS y
+      |stubs AS (SELECT CAST(ds.d AS HUGEINT) AS x, CAST(dd.d AS HUGEINT) AS y
       |          FROM und u
       |          JOIN deg ds ON ds.src = u.src
       |          JOIN deg dd ON dd.src = u.dst),
-      |m AS (SELECT count(*) AS n_stubs, covar_pop(x, y) AS cxy,
-      |             var_pop(x) AS vx, var_pop(y) AS vy FROM stubs),
+      |m AS (SELECT count(*) AS n_stubs,
+      |             sum(x * y) AS sxy, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * x) AS sxx, sum(y * y) AS syy FROM stubs),
+      |t AS (SELECT n_stubs,
+      |             n_stubs * sxy - sx * sy AS num,
+      |             n_stubs * sxx - sx * sx AS vxi,
+      |             n_stubs * syy - sy * sy AS vyi FROM m),
       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
       |             round(avg(d), 4) AS avg_degree FROM deg)
-      |SELECT n.n_nodes, CAST(m.n_stubs / 2 AS BIGINT) AS n_edges,
+      |SELECT n.n_nodes, CAST(t.n_stubs / 2 AS BIGINT) AS n_edges,
       |       n.avg_degree,
-      |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
-      |            ELSE round(cxy / sqrt(vx * vy), 4) END AS assortativity
-      |FROM m CROSS JOIN n ORDER BY n_nodes""".stripMargin
+      |       CASE WHEN vxi = 0 OR vyi = 0 THEN NULL
+      |            ELSE round(CAST(num AS DOUBLE) /
+      |                   sqrt(CAST(vxi AS DOUBLE) * CAST(vyi AS DOUBLE)), 4)
+      |       END AS assortativity
+      |FROM t CROSS JOIN n ORDER BY n_nodes""".stripMargin
 
   /** IVF range-search replay: the simIvfSql pipeline with the rank
     * cut replaced by the cosine-radius filter. */
@@ -3071,17 +3078,26 @@ object SparkEntry {
     "events_autocorr" -> (denseDailyCte +
       """, lags AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS lag),
         |m AS (SELECT a.etype AS event_type, l.lag, count(*) AS n_pairs,
-        |        covar_pop(a.n, b.n) AS cab,
-        |        var_pop(CAST(a.n AS DOUBLE)) AS va,
-        |        var_pop(CAST(b.n AS DOUBLE)) AS vb
+        |        sum(CAST(a.n AS HUGEINT) * b.n) AS sxy,
+        |        sum(CAST(a.n AS HUGEINT)) AS sx,
+        |        sum(CAST(b.n AS HUGEINT)) AS sy,
+        |        sum(CAST(a.n AS HUGEINT) * a.n) AS sxx,
+        |        sum(CAST(b.n AS HUGEINT) * b.n) AS syy
         |      FROM dense a CROSS JOIN lags l
         |      JOIN dense b ON b.etype = a.etype
         |                  AND b.day = a.day - CAST(l.lag AS INTEGER)
-        |      GROUP BY 1, 2)
+        |      GROUP BY 1, 2),
+        |t AS (SELECT event_type, lag, n_pairs,
+        |        n_pairs * sxy - sx * sy AS num,
+        |        n_pairs * sxx - sx * sx AS vxi,
+        |        n_pairs * syy - sy * sy AS vyi
+        |      FROM m)
         |SELECT event_type, lag, n_pairs,
-        |       CASE WHEN va = 0 OR vb = 0 THEN NULL
-        |            ELSE round(cab / sqrt(va * vb), 4) END AS acf
-        |FROM m ORDER BY 1, 2""".stripMargin),
+        |       CASE WHEN vxi = 0 OR vyi = 0 THEN NULL
+        |            ELSE round(CAST(num AS DOUBLE) /
+        |                   sqrt(CAST(vxi AS DOUBLE) * CAST(vyi AS DOUBLE)), 4)
+        |       END AS acf
+        |FROM t ORDER BY 1, 2""".stripMargin),
     // prefix-sum mean-shift replay: integer cumulative sums, the
     // same division/multiplication order as the operator, argmax
     // BEFORE rounding (bit-identical inputs make it replayable)
@@ -3111,26 +3127,37 @@ object SparkEntry {
     // degenerate-series NULL contract
     "events_trend" -> (denseDailyCte +
       """, x AS (SELECT etype,
-        |          CAST(day - min(day) OVER (PARTITION BY etype) AS DOUBLE)
+        |          CAST(day - min(day) OVER (PARTITION BY etype) AS HUGEINT)
         |            AS x,
-        |          CAST(n AS DOUBLE) AS y
+        |          CAST(n AS HUGEINT) AS y
         |        FROM dense),
         |a AS (SELECT etype, CAST(count(*) AS BIGINT) AS n_days,
-        |        covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy,
-        |        avg(x) AS mx, avg(y) AS my
+        |        sum(x * y) AS sxy, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy
         |      FROM x GROUP BY 1),
-        |b AS (SELECT etype, n_days, vx, vy, cxy,
-        |        CASE WHEN vx = 0 THEN NULL ELSE cxy / vx END AS slope_raw,
-        |        my - (CASE WHEN vx = 0 THEN NULL ELSE cxy / vx END) * mx
+        |t AS (SELECT etype, n_days,
+        |        n_days * sxy - sx * sy AS num,
+        |        n_days * sxx - sx * sx AS vxi,
+        |        n_days * syy - sy * sy AS vyi, sx, sy
+        |      FROM a),
+        |b AS (SELECT etype, n_days, vxi, vyi, num, sx, sy,
+        |        CASE WHEN vxi = 0 THEN NULL
+        |             ELSE CAST(num AS DOUBLE) / CAST(vxi AS DOUBLE)
+        |        END AS slope_raw
+        |      FROM t),
+        |c AS (SELECT *,
+        |        (CAST(sy AS DOUBLE) - slope_raw * CAST(sx AS DOUBLE)) / n_days
         |          AS icpt_raw
-        |      FROM a)
+        |      FROM b)
         |SELECT etype AS event_type, n_days,
         |       round(slope_raw, 4) AS slope,
         |       round(icpt_raw, 4) AS intercept,
-        |       CASE WHEN vx = 0 OR vy = 0 THEN NULL
-        |            ELSE round(cxy * cxy / (vx * vy), 4) END AS r2,
+        |       CASE WHEN vxi = 0 OR vyi = 0 THEN NULL
+        |            ELSE round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+        |                   / (CAST(vxi AS DOUBLE) * CAST(vyi AS DOUBLE)), 4)
+        |       END AS r2,
         |       round(icpt_raw + slope_raw * n_days, 4) AS forecast_next
-        |FROM b ORDER BY event_type""".stripMargin),
+        |FROM c ORDER BY event_type""".stripMargin),
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

@@ -754,22 +754,37 @@ object Events {
     val s = dailySeries(events).localCheckpoint()
     val lags = events.sparkSession.range(1, maxLag + 1)
       .select(col("id").as("lag"))
+    // Pearson from EXACT INTEGER power sums, not fp moment
+    // aggregates: the counts are integers, so Σx, Σy, Σxy, Σx², Σy²
+    // are exact in DECIMAL(38,0) (HUGEINT in the oracle — int64
+    // squares overflow at day-counts ≈ 3e9, the graph_hits widening
+    // lesson) in ANY accumulation order, and the single
+    // decimal→double conversion before the final divide is
+    // IEEE-nearest on both engines — so the acf is bit-identical
+    // across engines and shuffle orders, closing the
+    // rounded-quotient-of-fp-moments divergence channel. Zero
+    // variance answers an explicit NULL (ANSI-safe; DuckDB corr's
+    // verdict too).
+    val d19 = "decimal(19,0)"
     s.as("a").crossJoin(broadcast(lags))
       .join(broadcast(s.as("b")),
         col("a.etype") === col("b.etype") &&
           col("b.day") === date_sub(col("a.day"), col("lag").cast("int")))
       .groupBy(col("a.etype").as("event_type"), col("lag"))
-      // Pearson from population moments instead of `corr`: ANSI mode
-      // turns corr's zero-variance divide into a runtime error, while
-      // a constant series should read as an explicit NULL acf (the
-      // same answer DuckDB's corr gives, so the oracle still matches)
       .agg(count(lit(1)).as("n_pairs"),
-        covar_pop(col("a.n"), col("b.n")).as("cab"),
-        var_pop(col("a.n").cast("double")).as("va"),
-        var_pop(col("b.n").cast("double")).as("vb"))
+        sum(col("a.n").cast(d19) * col("b.n").cast(d19)).as("sxy"),
+        sum(col("a.n").cast(d19)).as("sx"),
+        sum(col("b.n").cast(d19)).as("sy"),
+        sum(col("a.n").cast(d19) * col("a.n").cast(d19)).as("sxx"),
+        sum(col("b.n").cast(d19) * col("b.n").cast(d19)).as("syy"))
+      .withColumn("num", col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vxi", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vyi", col("n_pairs") * col("syy") - col("sy") * col("sy"))
       .select(col("event_type"), col("lag"), col("n_pairs"),
-        when(col("va") === 0 || col("vb") === 0, lit(null).cast("double"))
-          .otherwise(round(col("cab") / sqrt(col("va") * col("vb")), 4))
+        when(col("vxi") === 0 || col("vyi") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            sqrt(col("vxi").cast("double") * col("vyi").cast("double")), 4))
           .as("acf"))
   }
 
@@ -827,27 +842,37 @@ object Events {
     * slope/r² explicitly rather than an engine-specific NaN.
     */
   def trend(events: DataFrame): DataFrame = {
+    // exact integer power sums (x is the integer day index, y the
+    // integer count) — the [[autocorrelation]] bit-reproducibility
+    // discipline: every aggregate is order-independent, the one
+    // decimal→double conversion is IEEE-nearest on both engines,
+    // and the OLS quotients derive deterministically from there
+    val d19 = "decimal(19,0)"
     val s = dailySeries(events)
       .withColumn("x", datediff(col("day"),
-        min(col("day")).over(Window.partitionBy("etype"))).cast("double"))
+        min(col("day")).over(Window.partitionBy("etype"))).cast(d19))
     s.groupBy(col("etype").as("event_type"))
-      // r² from the moments rather than `corr` — ANSI mode errors on
-      // corr's zero-variance division; the moments make the
-      // degenerate case an explicit NULL instead
       .agg(count(lit(1)).as("n_days"),
-        covar_pop(col("x"), col("n")).as("cxy"),
-        var_pop(col("x")).as("vx"),
-        var_pop(col("n").cast("double")).as("vy"),
-        avg(col("x")).as("mx"), avg(col("n")).as("my"))
+        sum(col("x") * col("n").cast(d19)).as("sxy"),
+        sum(col("x")).as("sx"), sum(col("n").cast(d19)).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("n").cast(d19) * col("n").cast(d19)).as("syy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vxi", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vyi", col("n_days") * col("syy") - col("sy") * col("sy"))
       .withColumn("slope_raw",
-        when(col("vx") === 0, lit(null).cast("double"))
-          .otherwise(col("cxy") / col("vx")))
-      .withColumn("icpt_raw", col("my") - col("slope_raw") * col("mx"))
+        when(col("vxi") === 0, lit(null).cast("double"))
+          .otherwise(col("num").cast("double") / col("vxi").cast("double")))
+      .withColumn("icpt_raw",
+        (col("sy").cast("double") - col("slope_raw") * col("sx").cast("double"))
+          / col("n_days"))
       .select(col("event_type"), col("n_days"),
         round(col("slope_raw"), 4).as("slope"),
         round(col("icpt_raw"), 4).as("intercept"),
-        when(col("vx") === 0 || col("vy") === 0, lit(null).cast("double"))
-          .otherwise(round(col("cxy") * col("cxy") / (col("vx") * col("vy")), 4))
+        when(col("vxi") === 0 || col("vyi") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") * col("num").cast("double")
+            / (col("vxi").cast("double") * col("vyi").cast("double")), 4))
           .as("r2"),
         round(col("icpt_raw") + col("slope_raw") * col("n_days"), 4)
           .as("forecast_next"))

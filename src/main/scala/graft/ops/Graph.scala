@@ -392,23 +392,34 @@ object Graph {
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+    // exact integer power sums over the stubs (degrees are integers;
+    // DECIMAL(38,0)/HUGEINT so hub-degree squares can't wrap int64 —
+    // the graph_hits widening lesson), one IEEE-nearest
+    // decimal→double conversion before the final divide: the
+    // coefficient is bit-identical across engines and shuffle orders
+    val d19 = "decimal(19,0)"
     val stubs = und
       .join(deg.select(col("src"), col("d").as("d_src"))
         .hint("shuffle_hash"), "src")
       .join(deg.select(col("src").as("dst"), col("d").as("d_dst"))
         .hint("shuffle_hash"), "dst")
-      .select(col("d_src").cast("double").as("x"),
-        col("d_dst").cast("double").as("y"))
+      .select(col("d_src").cast(d19).as("x"), col("d_dst").cast(d19).as("y"))
     val nodes = deg.agg(count(lit(1)).as("n_nodes"),
       round(avg("d"), 4).as("avg_degree"))
     val m = stubs.agg(count(lit(1)).as("n_stubs"),
-      covar_pop(col("x"), col("y")).as("cxy"),
-      var_pop(col("x")).as("vx"), var_pop(col("y")).as("vy"))
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .withColumn("num", col("n_stubs") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vxi", col("n_stubs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vyi", col("n_stubs") * col("syy") - col("sy") * col("sy"))
     m.crossJoin(broadcast(nodes))
       .select(col("n_nodes"), (col("n_stubs") / 2).cast("long").as("n_edges"),
         col("avg_degree"),
-        when(col("vx") === 0 || col("vy") === 0, lit(null).cast("double"))
-          .otherwise(round(col("cxy") / sqrt(col("vx") * col("vy")), 4))
+        when(col("vxi") === 0 || col("vyi") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("num").cast("double") /
+            sqrt(col("vxi").cast("double") * col("vyi").cast("double")), 4))
           .as("assortativity"))
   }
 
