@@ -189,7 +189,7 @@ object SparkEntry {
     "q34_bloom_semijoin" -> ((s, d) =>
       Relational.q34BloomSemiJoin(s, d).orderBy("l_returnflag")),
     // single-scan per-column data-quality profile: the ingest gate
-    "q35_dq_profile" -> ((s, d) =>
+    "q37_dq_profile" -> ((s, d) =>
       Relational.dqProfile(s, d).orderBy("col_name")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
@@ -3364,7 +3364,7 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "q35_dq_profile" -> dqProfileSql,
+    "q37_dq_profile" -> dqProfileSql,
     "q32_skew_profile" ->
       """WITH t AS (SELECT count(*) AS n_total FROM lineitem),
         |c AS (SELECT 'l_orderkey' AS col_name, l_orderkey AS key, count(*) AS cnt
