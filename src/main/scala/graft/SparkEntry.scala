@@ -74,6 +74,10 @@ object SparkEntry {
       Changelog.rebuildDocs(changelog(s, d)).orderBy("doc_id")),
     "cdc_disorder" -> ((s, d) =>
       Changelog.disorderAudit(changelog(s, d)).orderBy("doc_id")),
+    // the disorder measurement turned into the streaming knob: exact
+    // lateness quantiles via RankSelect + the recommended watermark
+    "cdc_watermark_plan" -> ((s, d) =>
+      Changelog.watermarkPlan(changelog(s, d)).orderBy("op")),
     "events_funnel" -> ((s, d) =>
       graft.ops.Events.funnel(Tables.events(s, d)).orderBy("stage_idx")),
     "events_retention" -> ((s, d) =>
@@ -2023,6 +2027,43 @@ object SparkEntry {
         |FROM lagged GROUP BY doc_id
         |HAVING count(*) > 1
         |ORDER BY doc_id""".stripMargin),
+    // lateness-distribution replay: basis-point integer ranks over
+    // the late-lag population, the RankSelect convention
+    "cdc_watermark_plan" -> (clCte +
+      """, lagged AS (
+        |  SELECT doc_id, op, ts_us,
+        |         max(ts_us) OVER (PARTITION BY doc_id ORDER BY seq
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS max_prior_ts
+        |  FROM changelog),
+        |lv AS (SELECT op, max_prior_ts - ts_us AS v FROM lagged
+        |       WHERE ts_us < max_prior_ts),
+        |b AS (SELECT op, CAST(count(*) AS BIGINT) AS n_late,
+        |             max(v) AS max_lag_us, count(*) AS n
+        |      FROM lv GROUP BY op),
+        |r AS (SELECT op, v,
+        |             row_number() OVER (PARTITION BY op ORDER BY v) - 1 AS rk
+        |      FROM lv),
+        |sel AS (SELECT r.op,
+        |    max(CASE WHEN rk = (b.n - 1) * 5000 // 10000 THEN v END)
+        |      AS p50_lag_us,
+        |    max(CASE WHEN rk = (b.n - 1) * 9500 // 10000 THEN v END)
+        |      AS p95_lag_us,
+        |    max(CASE WHEN rk = (b.n - 1) * 9900 // 10000 THEN v END)
+        |      AS p99_lag_us
+        |  FROM r JOIN b ON b.op = r.op GROUP BY r.op),
+        |t AS (SELECT op, count(*) AS n_events FROM changelog GROUP BY op)
+        |SELECT t.op, t.n_events,
+        |       coalesce(b.n_late, 0) AS n_late,
+        |       round(CAST(coalesce(b.n_late, 0) AS DOUBLE) / t.n_events, 6)
+        |         AS late_share,
+        |       coalesce(sel.p50_lag_us, 0) AS p50_lag_us,
+        |       coalesce(sel.p95_lag_us, 0) AS p95_lag_us,
+        |       coalesce(sel.p99_lag_us, 0) AS p99_lag_us,
+        |       coalesce(b.max_lag_us, 0) AS max_lag_us,
+        |       coalesce(sel.p99_lag_us, 0) // 1000000 + 1 AS wm_rec_sec
+        |FROM t LEFT JOIN b ON b.op = t.op LEFT JOIN sel ON sel.op = t.op
+        |ORDER BY t.op""".stripMargin),
     "cdc_scd2" -> (clCte +
       """SELECT doc_id, field_path, payload AS value, seq AS valid_from,
         |       lead(seq) OVER w AS valid_to,

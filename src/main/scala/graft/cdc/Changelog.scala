@@ -321,6 +321,63 @@ object Changelog {
       .filter(col("n_changes") > 1)
   }
 
+  /** WATERMARK SIZING from the measured disorder — [[disorderAudit]]
+    * reports per-doc lateness; this turns the corpus-wide lateness
+    * DISTRIBUTION into the streaming knob itself: exact p50/p95/p99
+    * of every late event's lag (how far behind the doc's
+    * high-water mark it arrived), selected by the shared
+    * [[graft.ops.RankSelect]] engine — no global sort, ranks in
+    * exact integer basis points (`(n−1)·bp div 10000`, replayable
+    * with zero fp anywhere) — plus the recommended watermark
+    * `p99 div 1s + 1` in whole seconds: the allowance that admits
+    * 99% of observed stragglers, with the max lag alongside so the
+    * operator can see what the last 1% would cost. One window pass
+    * to the per-row lags, one RankSelect over the single-group lag
+    * column, one model-sized assembly row out.
+    */
+  def watermarkPlan(changelog: DataFrame, bins: Int = 256): DataFrame = {
+    val seen = Window.partitionBy("doc_id").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // group by OP CLASS: inserts/updates/deletes often ride different
+    // producer paths (a tombstone sweep batches differently than a
+    // hot-field update), so their lateness profiles differ — and the
+    // stream's watermark is the max over the per-op recommendations
+    val lags = changelog
+      .withColumn("max_prior_ts", max(col("ts_us")).over(seen))
+      .filter(col("ts_us") < col("max_prior_ts"))
+      .select(col("op").as("g"),
+        (col("max_prior_ts") - col("ts_us")).as("v"))
+    val tot = changelog.groupBy(col("op").as("g"))
+      .agg(count(lit(1)).as("n_events"))
+    val (sel, bounds) = graft.ops.RankSelect.at(lags, bins,
+      graft.ops.RankSelect.intBin(bins), bounds =>
+        bounds
+          .select(col("g"), col("n"),
+            explode(array(lit(5000L), lit(9500L), lit(9900L))).as("q_bp"))
+          .select(col("g"), col("q_bp"),
+            expr("(n - 1) * q_bp div 10000").as("r")))
+    val stats = sel.groupBy("g").agg(
+      max(when(col("q_bp") === 5000L, col("v"))).as("p50_lag_us"),
+      max(when(col("q_bp") === 9500L, col("v"))).as("p95_lag_us"),
+      max(when(col("q_bp") === 9900L, col("v"))).as("p99_lag_us"))
+      .join(broadcast(bounds.select(col("g"), col("hi").as("max_lag_us"),
+        col("n").as("n_late"))), Seq("g"))
+    // an in-order op class has NO late rows: its stats side is empty,
+    // and the plan must still answer (zero lateness, the 1-second
+    // floor watermark) instead of dropping the row
+    tot.join(broadcast(stats), Seq("g"), "left")
+      .withColumn("p99c", coalesce(col("p99_lag_us"), lit(0L)))
+      .select(col("g").as("op"), col("n_events"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        round(coalesce(col("n_late"), lit(0L)).cast("double") /
+          col("n_events"), 6).as("late_share"),
+        coalesce(col("p50_lag_us"), lit(0L)).as("p50_lag_us"),
+        coalesce(col("p95_lag_us"), lit(0L)).as("p95_lag_us"),
+        coalesce(col("p99_lag_us"), lit(0L)).as("p99_lag_us"),
+        coalesce(col("max_lag_us"), lit(0L)).as("max_lag_us"),
+        expr("p99c div 1000000 + 1").as("wm_rec_sec"))
+  }
+
   /** Hot-field detection: change frequency per field path. */
   def fieldFreq(changelog: DataFrame): DataFrame =
     changelog.filter(col("field_path") =!= "")

@@ -134,4 +134,40 @@ class CdcSpec extends SparkSpec {
     // the statuses partition the compacted state exactly
     assert(out.values.map(_._1).sum == Changelog.compactState(cl).count())
   }
+
+  test("watermark plan: exact lateness quantiles size the allowance") {
+    import spark.implicits._
+    // one op class with 100 updates on one doc: every 10th change's
+    // event time regresses, with lags 1s, 2s, ..., 10s — exact
+    // basis-point ranks over the 10 late rows are then hand-checkable
+    val rows = Seq.newBuilder[(String, Long, Long, String, String, String, Double)]
+    rows += (("d1", 0L, 0L, Changelog.Insert, "", "{}", 0.0))
+    var t = 0L
+    (1 to 100).foreach { i =>
+      t += 100000000L // +100s per change
+      val ts = if (i % 10 == 0) t - (i / 10) * 1000000L - 100000000L else t
+      rows += (("d1", i.toLong, ts, Changelog.Update, "firstName", "{}", 0.0))
+    }
+    val log = rows.result()
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
+    val out = Changelog.watermarkPlan(log).orderBy("op").collect()
+      .map(r => r.getAs[String]("op") -> r).toMap
+    val u = out(Changelog.Update)
+    // each regressed row sits (i/10)·1s behind the prior change at
+    // t−100s, so the late-lag population is exactly 1s..10s
+    assert(u.getAs[Long]("n_late") == 10L)
+    assert(u.getAs[Long]("n_events") == 100L)
+    val (p50, p95, p99, mx) = (u.getAs[Long]("p50_lag_us"),
+      u.getAs[Long]("p95_lag_us"), u.getAs[Long]("p99_lag_us"),
+      u.getAs[Long]("max_lag_us"))
+    // rank (n−1)·bp div 10000 over the 10 sorted lags: r4, r8, r8
+    val lags = (1 to 10).map(k => k * 1000000L).sorted
+    assert(p50 == lags(4) && p95 == lags(8) && p99 == lags(8))
+    assert(mx == lags.last)
+    assert(u.getAs[Long]("wm_rec_sec") == lags(8) / 1000000L + 1L)
+    // the in-order op class reports the zero profile + 1s floor
+    val ins = out(Changelog.Insert)
+    assert(ins.getAs[Long]("n_late") == 0L)
+    assert(ins.getAs[Long]("wm_rec_sec") == 1L)
+  }
 }
