@@ -105,6 +105,9 @@ object SparkEntry {
     // session DURATION histogram: the engagement-shape audit
     "events_session_lengths" -> ((s, d) =>
       graft.ops.Events.sessionLengths(Tables.events(s, d)).orderBy("bin")),
+    // exact inter-event gap quantiles: the measured q16 gapSec knob
+    "events_gap_plan" -> ((s, d) =>
+      graft.ops.Events.gapPlan(Tables.events(s, d)).orderBy("event_type")),
     // lag-k autocorrelation of per-type daily volume: cadence audit
     "events_autocorr" -> ((s, d) =>
       graft.ops.Events.autocorrelation(Tables.events(s, d))
@@ -3115,6 +3118,33 @@ object SparkEntry {
         |       CASE WHEN n_ref = 0 OR n_cur = 0 THEN 1.0 ELSE ks0 END > 0.1
         |         AS drifted
         |FROM g ORDER BY etype""".stripMargin,
+    // per-opening-type basis-point rank replay over the per-user
+    // consecutive-gap population
+    "events_gap_plan" ->
+      """WITH g0 AS (SELECT event_type AS g,
+        |        lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                 ORDER BY ts, event_id)
+        |          - epoch_us(ts) AS v
+        |      FROM events),
+        |gv AS (SELECT g, v FROM g0 WHERE v IS NOT NULL),
+        |b AS (SELECT g, count(*) AS n, max(v) AS max_gap_us
+        |      FROM gv GROUP BY g),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk
+        |      FROM gv),
+        |sel AS (SELECT r.g,
+        |    max(CASE WHEN rk = (b.n - 1) * 5000 // 10000 THEN v END)
+        |      AS p50_gap_us,
+        |    max(CASE WHEN rk = (b.n - 1) * 9000 // 10000 THEN v END)
+        |      AS p90_gap_us,
+        |    max(CASE WHEN rk = (b.n - 1) * 9900 // 10000 THEN v END)
+        |      AS p99_gap_us
+        |  FROM r JOIN b ON b.g = r.g GROUP BY r.g)
+        |SELECT sel.g AS event_type, CAST(b.n AS BIGINT) AS n_gaps,
+        |       sel.p50_gap_us, sel.p90_gap_us, sel.p99_gap_us,
+        |       b.max_gap_us,
+        |       sel.p99_gap_us // 1000000 + 1 AS gap_rec_sec
+        |FROM sel JOIN b ON b.g = sel.g ORDER BY event_type""".stripMargin,
     // dense-grid lag join + Pearson corr, the operator's exact shape
     "events_autocorr" -> (denseDailyCte +
       """, lags AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS lag),

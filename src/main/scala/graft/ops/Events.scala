@@ -735,6 +735,46 @@ object Events {
       .select(col("etype"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** GAP SIZING for the q16 session rule — the
+    * [[graft.cdc.Changelog.watermarkPlan]] discipline pointed at the
+    * OTHER streaming knob: the session gap / state TTL. Exact
+    * p50/p90/p99 of the per-user inter-event gap, faceted by the
+    * type of the gap's OPENING event (cadence after a click differs
+    * from cadence after an error — the facet is a real partition
+    * key, and the session knob reads the conservative row), selected
+    * by the shared [[RankSelect]] engine with integer basis-point
+    * ranks (`(n−1)·bp div 10000` — zero fp, replayable), plus the
+    * recommended `gapSec` = p99 div 1s + 1: the gap that keeps 99%
+    * of observed consecutive pairs inside one session. One per-user
+    * window pass to the gaps, one RankSelect, |types| rows out.
+    */
+  def gapPlan(events: DataFrame, bins: Int = 256): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .withColumn("nxt", lead(col("us"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("event_type").as("g"), (col("nxt") - col("us")).as("v"))
+    val (sel, bounds) = RankSelect.at(gaps, bins,
+      RankSelect.intBin(bins), bounds =>
+        bounds
+          .select(col("g"), col("n"),
+            explode(array(lit(5000L), lit(9000L), lit(9900L))).as("q_bp"))
+          .select(col("g"), col("q_bp"),
+            expr("(n - 1) * q_bp div 10000").as("r")))
+    sel.groupBy("g").agg(
+      max(when(col("q_bp") === 5000L, col("v"))).as("p50_gap_us"),
+      max(when(col("q_bp") === 9000L, col("v"))).as("p90_gap_us"),
+      max(when(col("q_bp") === 9900L, col("v"))).as("p99_gap_us"))
+      .join(broadcast(bounds.select(col("g"), col("hi").as("max_gap_us"),
+        col("n").as("n_gaps"))), Seq("g"))
+      .withColumn("gap_rec_sec", expr("p99_gap_us div 1000000 + 1"))
+      .select("g", "n_gaps", "p50_gap_us", "p90_gap_us", "p99_gap_us",
+        "max_gap_us", "gap_rec_sec")
+      .withColumnRenamed("g", "event_type")
+  }
+
   /** Lag-k autocorrelation of the per-type daily volume series, k =
     * 1..`maxLag` — the periodicity detector that sizes seasonal
     * models and alarms on cadence breaks (a weekly product rhythm

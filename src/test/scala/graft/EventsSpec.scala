@@ -491,6 +491,33 @@ class EventsSpec extends SparkSpec {
     }: _*)
   }
 
+  test("gap plan facets gaps by opening type with exact bp ranks") {
+    // one user: A@0 → B@10s → A@30s → A@100s. Gaps attribute to the
+    // OPENING event's type: A opens 10s and 70s, B opens 20s
+    val events = ev(
+      (1L, 0L, 1L, "A"), (2L, 10L, 1L, "B"),
+      (3L, 30L, 1L, "A"), (4L, 100L, 1L, "A"))
+    val out = Events.gapPlan(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n_gaps") == 2L)
+    // ranks over n=2: (n−1)·bp div 10000 = 0 for all three → 10s
+    assert(a.getAs[Long]("p50_gap_us") == 10000000L)
+    assert(a.getAs[Long]("p99_gap_us") == 10000000L)
+    assert(a.getAs[Long]("max_gap_us") == 70000000L)
+    assert(a.getAs[Long]("gap_rec_sec") == 11L)
+    val b = out("B")
+    assert(b.getAs[Long]("n_gaps") == 1L)
+    assert(b.getAs[Long]("p50_gap_us") == 20000000L)
+    assert(b.getAs[Long]("gap_rec_sec") == 21L)
+    // gaps never cross users: a second user's lone event adds nothing
+    val out2 = Events.gapPlan(events.unionByName(
+      ev((9L, 50L, 2L, "A")))).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Long]("n_gaps")).toMap
+    assert(out2("A") == 2L)
+  }
+
   test("autocorrelation nails a planted period-2 series") {
     // counts 1,3,1,3,1,3,1,3: perfectly anti-correlated at lag 1,
     // perfectly correlated at lag 2
