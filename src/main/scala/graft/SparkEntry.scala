@@ -112,6 +112,10 @@ object SparkEntry {
     "events_autocorr" -> ((s, d) =>
       graft.ops.Events.autocorrelation(Tables.events(s, d))
         .orderBy("event_type", "lag")),
+    // exact dyadic EWMA + burst flags over the daily series
+    "events_ema" -> ((s, d) =>
+      graft.ops.Events.ema(Tables.events(s, d))
+        .orderBy("event_type", "day")),
     // prefix-sum mean-shift scan: the level-shift day per type
     "events_changepoint" -> ((s, d) =>
       graft.ops.Events.changepoint(Tables.events(s, d))
@@ -3169,6 +3173,30 @@ object SparkEntry {
         |                   sqrt(CAST(vxi AS DOUBLE) * CAST(vyi AS DOUBLE)), 4)
         |       END AS acf
         |FROM t ORDER BY 1, 2""".stripMargin),
+    // dyadic-weight replay: integer shifts, exact truncated
+    // denominator, one double division
+    "events_ema" -> (denseDailyCte +
+      """, offs AS (SELECT CAST(unnest(range(1, 17)) AS INTEGER) AS off),
+        |j AS (SELECT a.etype, a.day, a.n,
+        |        sum(CASE WHEN b.n IS NOT NULL
+        |                 THEN b.n * (CAST(1 AS BIGINT) << (16 - off)) END)
+        |          AS scaled,
+        |        sum(CASE WHEN b.n IS NOT NULL
+        |                 THEN CAST(1 AS BIGINT) << (16 - off) END) AS denom
+        |      FROM dense a CROSS JOIN offs o
+        |      LEFT JOIN dense b ON b.etype = a.etype
+        |                       AND b.day = a.day - o.off
+        |      GROUP BY 1, 2, 3),
+        |e AS (SELECT etype, day, n,
+        |        CAST(scaled AS DOUBLE) / denom AS ema_raw FROM j)
+        |SELECT etype AS event_type, day, n,
+        |       round(ema_raw, 4) AS ema,
+        |       CASE WHEN ema_raw IS NULL OR ema_raw = 0 THEN NULL
+        |            ELSE round(n / ema_raw, 4) END AS burst_ratio,
+        |       coalesce(CASE WHEN ema_raw IS NULL OR ema_raw = 0 THEN NULL
+        |                     ELSE round(n / ema_raw, 4) END > 2.0, FALSE)
+        |         AS is_burst
+        |FROM e ORDER BY event_type, day""".stripMargin),
     // prefix-sum mean-shift replay: integer cumulative sums, the
     // same division/multiplication order as the operator, argmax
     // BEFORE rounding (bit-identical inputs make it replayable)

@@ -828,6 +828,49 @@ object Events {
           .as("acf"))
   }
 
+  /** Exponentially-weighted daily-volume smoothing in EXACT DYADIC
+    * arithmetic: α = 1/2 makes every EWMA weight a power of two, so
+    * the weighted sum over the trailing `window` days is an exact
+    * integer (`n·2^(w−1−off)` — shifts, never fp powers) and the
+    * smoothed level is ONE deterministic double division at the end
+    * — the same zero-fp-accumulation discipline as the power-sum
+    * Pearson family, applied to smoothing. The baseline window ends
+    * YESTERDAY (a spike must not launder itself into its own
+    * baseline — an in-window today caps the ratio below 2 by
+    * construction); early days use the truncated window with its
+    * exact truncated denominator, and the series' first day, with
+    * no history at all, answers NULL rather than a fabricated
+    * level. `burst_ratio` = today / baseline flags volume spikes
+    * against the series' own recent history — the complementary
+    * alarm to [[changepoint]]'s sustained level shift. Runs
+    * entirely on the [[dailySeries]] model frame: offsets are a
+    * broadcast tiny dimension, the trailing window a broadcast
+    * self-equi-join, one map-side-combined aggregation out.
+    */
+  def ema(events: DataFrame, window: Int = 16): DataFrame = {
+    require(window >= 1 && window <= 62, s"window ($window) out of range")
+    // two consumers (the a/b sides): materialize the model frame once
+    val s = dailySeries(events).localCheckpoint()
+    val offs = events.sparkSession.range(1, window + 1)
+      .select(col("id").cast("int").as("off"))
+    val sh = expr(s"shiftleft(1L, $window - off)")
+    s.as("a").crossJoin(broadcast(offs))
+      .join(broadcast(s.as("b")),
+        col("a.etype") === col("b.etype") &&
+          col("b.day") === date_sub(col("a.day"), col("off")), "left")
+      .groupBy(col("a.etype").as("event_type"), col("a.day").as("day"),
+        col("a.n").as("n"))
+      .agg(sum(when(col("b.n").isNotNull, col("b.n") * sh)).as("scaled"),
+        sum(when(col("b.n").isNotNull, sh)).as("denom"))
+      .withColumn("ema_raw", col("scaled").cast("double") / col("denom"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("ema_raw"), 4).as("ema"),
+        when(col("ema_raw").isNull || col("ema_raw") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(col("n") / col("ema_raw"), 4)).as("burst_ratio"))
+      .withColumn("is_burst", coalesce(col("burst_ratio") > 2.0, lit(false)))
+  }
+
   /** Single change-point detection on the per-type daily volume
     * series: for every split point t the scaled two-sample mean-shift
     * statistic |mean(1..t) − mean(t+1..N)| · √(t·(N−t)/N) — the

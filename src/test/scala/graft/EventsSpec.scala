@@ -518,6 +518,25 @@ class EventsSpec extends SparkSpec {
     assert(out2("A") == 2L)
   }
 
+  test("ema baseline excludes today, weights recent days double, " +
+      "flags bursts") {
+    val events = dailyEv("t", (0, 2), (1, 6), (2, 40))
+    val rows = Events.ema(events).orderBy("day").collect()
+    // first day has no history: NULL level, no burst
+    assert(rows(0).isNullAt(rows(0).fieldIndex("ema")))
+    assert(!rows(0).getAs[Boolean]("is_burst"))
+    // day1 baseline is day0 alone
+    assert(rows(1).getAs[Double]("ema") == 2.0)
+    assert(rows(1).getAs[Double]("burst_ratio") == 3.0)
+    assert(rows(1).getAs[Boolean]("is_burst"))
+    // day2 baseline: (6·2^15 + 2·2^14)/(2^15 + 2^14) = 14/3 —
+    // yesterday counts double vs the day before
+    val expected = BigDecimal(14.0 / 3.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows(2).getAs[Double]("ema") == expected)
+    assert(rows(2).getAs[Boolean]("is_burst")) // 40 ≫ 2×(14/3)
+  }
+
   test("autocorrelation nails a planted period-2 series") {
     // counts 1,3,1,3,1,3,1,3: perfectly anti-correlated at lag 1,
     // perfectly correlated at lag 2
