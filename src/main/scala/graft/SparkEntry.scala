@@ -116,6 +116,11 @@ object SparkEntry {
     "events_ema" -> ((s, d) =>
       graft.ops.Events.ema(Tables.events(s, d))
         .orderBy("event_type", "day")),
+    // first-seen identity: daily new/returning actives + exact
+    // cumulative distinct users with zero cumulative-distinct work
+    "events_cumulative_uniques" -> ((s, d) =>
+      graft.ops.Events.cumulativeUniques(Tables.events(s, d))
+        .orderBy("day")),
     // prefix-sum mean-shift scan: the level-shift day per type
     "events_changepoint" -> ((s, d) =>
       graft.ops.Events.changepoint(Tables.events(s, d))
@@ -231,6 +236,10 @@ object SparkEntry {
       TextAnalysis.contaminationBloom(Tables.documents(s, d)).orderBy("doc_id")),
     "text_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLmScore(Tables.documents(s, d)).orderBy("doc_id")),
+    // CCNet-shaped per-language quality terciles: integer-ppm LM
+    // scores, RankSelect boundaries, head/middle/tail per doc
+    "text_lm_buckets" -> ((s, d) =>
+      TextAnalysis.lmBuckets(Tables.documents(s, d)).orderBy("doc_id")),
     // top-PMI collocations: the multi-word-term / boilerplate-phrase
     // list a tokenizer-training pass wants
     "text_collocations" -> ((s, d) =>
@@ -435,6 +444,12 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"), iters = 3).orderBy("node")),
+    // conductance of the majority-vote communities: which labels are
+    // knit tight and which leak across a thin neck
+    "graph_conductance" -> ((s, d) =>
+      graft.ops.Graph.conductance(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"), iters = 3).orderBy("community")),
     // hubs vs authorities over the DIRECTED knn graph — the two
     // centrality lists pageRank conflates
     "graph_hits" -> ((s, d) =>
@@ -1045,6 +1060,37 @@ object SparkEntry {
       |aud AS (SELECT count(*) AS n_comms, max(sz) AS max_comm FROM cs)
       |SELECT node, lab AS community, n_comms, max_comm
       |FROM l3 CROSS JOIN aud ORDER BY node""".stripMargin
+
+  /** Conductance replay over the LPA labels: same 3 synchronous
+    * rounds, then vol/cut as row counts over the doubled edges —
+    * exact integers, one 6dp division, whole-graph community NULL. */
+  private val graphConductanceSql: String = knnRankedCte +
+    """, e AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM
+      |        (SELECT src AS doc_a, dst AS doc_b FROM e
+      |         UNION ALL SELECT dst AS doc_a, src AS doc_b FROM e)),
+      |nodes AS MATERIALIZED (SELECT DISTINCT doc_a AS node FROM und),
+      |l0 AS (SELECT node, node AS lab FROM nodes),
+      |""".stripMargin +
+      (1 to 3).map(lpStepSql).mkString +
+    """mk AS (SELECT la.lab AS cs, lb.lab AS cd
+      |       FROM und u
+      |       JOIN l3 la ON la.node = u.doc_a
+      |       JOIN l3 lb ON lb.node = u.doc_b),
+      |per AS (SELECT cs AS community, CAST(count(*) AS BIGINT) AS vol,
+      |          CAST(sum(CASE WHEN cs <> cd THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS cut
+      |        FROM mk GROUP BY 1),
+      |szs AS (SELECT lab AS community, CAST(count(*) AS BIGINT) AS members
+      |        FROM l3 GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM und)
+      |SELECT p.community, s.members, p.vol, p.cut,
+      |       CASE WHEN least(p.vol, t.m2 - p.vol) = 0 THEN NULL
+      |            ELSE round(CAST(p.cut AS DOUBLE)
+      |                       / least(p.vol, t.m2 - p.vol), 6)
+      |       END AS conductance
+      |FROM per p JOIN szs s ON s.community = p.community
+      |CROSS JOIN tot t ORDER BY p.community""".stripMargin
 
   /** Degree-ordered triangle replay over the knn edges: canonical
     * dedup, (degree, id) orientation via row-value compares, wedge
@@ -2491,6 +2537,51 @@ object SparkEntry {
         |JOIN bgc USING (bg)
         |JOIN unic ON string_split(b.bg, ' ')[1] = unic.tok
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // integer-ppm conditional probabilities + per-lang basis-point
+    // tercile replay; unscored docs kept as explicit rows
+    "text_lm_buckets" ->
+      """WITH docs AS (SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+        |              FROM documents),
+        |bg AS (SELECT doc_id, lang,
+        |         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                 for i in range(1, len(toks))]) AS bg
+        |       FROM docs WHERE len(toks) >= 2),
+        |dbg AS MATERIALIZED (SELECT doc_id, lang, bg, count(*) AS k
+        |       FROM bg GROUP BY 1, 2, 3),
+        |bgc AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c_bg
+        |        FROM dbg GROUP BY 1),
+        |pref AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |           CAST(sum(c_bg) AS BIGINT) AS c_pref
+        |         FROM bgc GROUP BY 1),
+        |ppm AS (SELECT bg, c_bg * 1000000 // c_pref AS ppm
+        |        FROM bgc JOIN pref ON pref.w1 = string_split(bgc.bg, ' ')[1]),
+        |sc AS MATERIALIZED (SELECT doc_id, lang,
+        |        CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |        CAST(sum(k * ppm) AS BIGINT) // CAST(sum(k) AS BIGINT)
+        |          AS score_ppm
+        |      FROM dbg JOIN ppm USING (bg) GROUP BY 1, 2),
+        |b AS (SELECT lang, count(*) AS n FROM sc GROUP BY 1),
+        |r AS (SELECT lang, score_ppm,
+        |        row_number() OVER (PARTITION BY lang ORDER BY score_ppm) - 1
+        |          AS rk
+        |      FROM sc),
+        |cuts AS (SELECT r.lang,
+        |    max(CASE WHEN rk = (b.n - 1) * 3333 // 10000
+        |             THEN score_ppm END) AS b1,
+        |    max(CASE WHEN rk = (b.n - 1) * 6667 // 10000
+        |             THEN score_ppm END) AS b2
+        |  FROM r JOIN b USING (lang) GROUP BY r.lang)
+        |SELECT d.doc_id, d.lang,
+        |       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |       sc.score_ppm,
+        |       CASE WHEN sc.score_ppm IS NULL THEN 'unscored'
+        |            WHEN sc.score_ppm <= c.b1 THEN 'tail'
+        |            WHEN sc.score_ppm <= c.b2 THEN 'middle'
+        |            ELSE 'head' END AS bucket
+        |FROM (SELECT doc_id, lang FROM documents) d
+        |LEFT JOIN sc USING (doc_id, lang)
+        |LEFT JOIN cuts c ON c.lang = d.lang
+        |ORDER BY d.doc_id""".stripMargin,
     // PMI collocations: same bigram/unigram extraction as bigram_lm,
     // ln at 4dp like every other log-scored oracle
     "text_collocations" ->
@@ -2848,6 +2939,7 @@ object SparkEntry {
     "graph_hits" -> graphHitsSql,
     "graph_components" -> graphComponentsSql,
     "graph_label_prop" -> graphLabelPropSql,
+    "graph_conductance" -> graphConductanceSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_bfs" -> graphBfsSql,
@@ -3197,6 +3289,30 @@ object SparkEntry {
         |                     ELSE round(n / ema_raw, 4) END > 2.0, FALSE)
         |         AS is_burst
         |FROM e ORDER BY event_type, day""".stripMargin),
+    // first-seen replay: cumulative distinct users ≡ count of
+    // first-seen days ≤ d; all-integer, grid zeros carried flat
+    "events_cumulative_uniques" ->
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |              user_id
+        |            FROM events),
+        |act AS (SELECT day, count(*) AS actives FROM du GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM du GROUP BY 1),
+        |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM du),
+        |grid AS (SELECT d0 + CAST(unnest(generate_series(0, d1 - d0))
+        |                          AS INTEGER) AS day
+        |         FROM span),
+        |g AS (SELECT gr.day,
+        |        CAST(coalesce(a.actives, 0) AS BIGINT) AS actives,
+        |        CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users
+        |      FROM grid gr
+        |      LEFT JOIN act a ON a.day = gr.day
+        |      LEFT JOIN nu n ON n.day = gr.day)
+        |SELECT a.day, a.actives, a.new_users,
+        |       a.actives - a.new_users AS returning,
+        |       CAST(sum(b.new_users) AS BIGINT) AS cum_uniques
+        |FROM g a JOIN g b ON b.day <= a.day
+        |GROUP BY 1, 2, 3, 4 ORDER BY a.day""".stripMargin,
     // prefix-sum mean-shift replay: integer cumulative sums, the
     // same division/multiplication order as the operator, argmax
     // BEFORE rounding (bit-identical inputs make it replayable)

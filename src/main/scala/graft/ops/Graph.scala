@@ -707,4 +707,52 @@ object Graph {
     labels.select(col("node"), col("lab").as("community"))
       .crossJoin(broadcast(audit))
   }
+
+  /** CONDUCTANCE audit of the [[labelPropagation]] communities — the
+    * quality number the partition itself can't show: cut(S) /
+    * min(vol(S), 2m − vol(S)), low = densely knit and well separated
+    * (a real template family), high = a label that leaks — majority
+    * voting merged across a thin neck, or a community too sparse to
+    * hold together. On the DOUBLED edge representation both terms
+    * are plain row counts: vol(S) = directed rows leaving S-members
+    * (= Σ degrees), cut(S) = directed rows from S whose far end
+    * wears another label (each crossing undirected edge contributes
+    * exactly one such row per side) — so the statistic is exact
+    * integers until one 6dp division, bit-identical across engines
+    * and partitionings. Cost beyond the LPA fit: one edge dedup +
+    * two node-keyed shuffle-hash joins + one map-side-combined
+    * aggregate down to a communities-sized frame; 2m rides a
+    * broadcast single-row aggregate. A community holding the WHOLE
+    * doubled volume (one label swallowed the graph) has
+    * min(vol, 2m − vol) = 0 and answers an explicit NULL.
+    */
+  def conductance(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val labels = labelPropagation(edges, iters)
+      .select(col("node"), col("community"))
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      // three consumers (both label joins read it, 2m counts it)
+      .localCheckpoint()
+    val marked = und
+      .join(labels.select(col("node").as("src"), col("community").as("cs"))
+        .hint("shuffle_hash"), "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("cd"))
+        .hint("shuffle_hash"), "dst")
+    val per = marked.groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("cs") =!= col("cd"), lit(1L)).otherwise(lit(0L)))
+          .as("cut"))
+    val sizes = labels.groupBy(col("community"))
+      .agg(count(lit(1)).as("members"))
+    val tot = und.agg(count(lit(1)).as("m2"))
+    per.join(sizes.hint("shuffle_hash"), Seq("community"))
+      .crossJoin(broadcast(tot))
+      .withColumn("denom", least(col("vol"), col("m2") - col("vol")))
+      .select(col("community"), col("members"), col("vol"), col("cut"),
+        when(col("denom") === 0, lit(null).cast("double"))
+          .otherwise(round(col("cut").cast("double") / col("denom"), 6))
+          .as("conductance"))
+  }
 }

@@ -32,6 +32,13 @@ case class RetentionHit(user_id: Long, cohort_week: java.sql.Date,
   */
 case class HeavyHitter(bucket: Int, token: String, cnt: Long)
 
+/** One first-seen emission: `first_day` is the user's earliest
+  * event-time day observed so far (epoch days); `is_correction`
+  * marks a re-attribution after a late earlier-day arrival — the
+  * downstream fold keeps each user's LATEST row.
+  */
+case class FirstSeen(user_id: Long, first_day: Long, is_correction: Boolean)
+
 /** Per-series subsequence-match state: the last L−1 values of the
   * series in (ts, event_id) order (`tail`), plus the high-water
   * (ts, id) mark used to drop late arrivals. Fixed size per key —
@@ -847,6 +854,46 @@ object EventStreams {
                   state.getCurrentWatermarkMs() + 1L))
               Iterator.single(DailyVolumeEmit(etype, day, n, is_final = false))
             }
+          }
+      }
+  }
+
+  /** Streaming twin of [[graft.ops.Events.cumulativeUniques]]'s
+    * first-seen identity: one emission per user when first observed,
+    * carrying the first-seen EVENT-TIME day — so daily new-user
+    * counts (and through them the exact cumulative distinct-user
+    * curve) fold from the emissions without any distinct work.
+    * State per user is ONE long (the current first day); a late
+    * event carrying an EARLIER day than the recorded one re-attributes
+    * the user with an `is_correction` emission (the downstream fold
+    * takes each user's latest row — the compensating-pair discipline
+    * of [[concurrencyState]], specialized to a min that only ever
+    * moves back). The latest emission per user always equals the
+    * batch operator's per-user `min(day)` over the rows seen so far,
+    * whatever the arrival order — pinned across a batch boundary by
+    * the spec.
+    */
+  def firstSeenState(events: DataFrame)
+                    (implicit spark: SparkSession): Dataset[FirstSeen] = {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    events
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[Long]) =>
+          val md = rows.map(r => math.floorDiv(r._2, dayUs)).min
+          state.getOption match {
+            case None =>
+              state.update(md)
+              Iterator.single(FirstSeen(userId, md, is_correction = false))
+            case Some(cur) if md < cur =>
+              state.update(md)
+              Iterator.single(FirstSeen(userId, md, is_correction = true))
+            case _ => Iterator.empty
           }
       }
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.FreqItemsAgg.freq_items
 import graft.functions.expressions.{byte_entropy, rolling_hash64}
+import graft.ops.RankSelect
 
 /** Text-analysis operators for the training-data pipeline, over the
   * `documents` table (doc_id, text, lang, source, n_chars).
@@ -748,5 +749,68 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("c_bg").cast("double") / col("c_uni"))), 4)
           .as("avg_logp"))
+  }
+
+  /** CCNet-shaped QUALITY BUCKETING — per-language head/middle/tail
+    * terciles of an in-corpus bigram language-model score, the
+    * curation construct behind "train on head, sample middle, drop
+    * tail". Two disciplines make it bit-reproducible where the real
+    * CCNet (fp perplexity) is not: (1) the document score is the
+    * mean bigram CONDITIONAL PROBABILITY in exact integer ppm —
+    * `ppm(w1 w2) = c(w1 w2)·10⁶ div c(w1 ·)` over corpus counts, a
+    * per-doc sum of longs divided once, so scores are exact integers
+    * in any aggregation order; (2) the tercile boundaries are exact
+    * order statistics from the shared [[graft.ops.RankSelect]]
+    * engine with integer basis-point ranks — no per-language sort
+    * ever materializes. Cost: one bigram scan, model-keyed count
+    * joins (the count tables ARE the model), one RankSelect over the
+    * (lang, score) projection, one broadcast cuts join back. A doc
+    * too short to score (< 2 tokens, zero bigrams) stays in the
+    * output as an explicit `unscored` row — a curation pass that
+    * silently drops rows poisons every downstream ratio.
+    */
+  def lmBuckets(documents: DataFrame): DataFrame = {
+    val bigrams = graft.functions.expressions.shingle_list(col("text"), 2)
+    // collapse per-(doc, bigram) repeats before the model join: the
+    // corpus-side join carries distinct keys per doc, repeats ride
+    // the integer weight k
+    val docBg = documents
+      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("lang"), col("bg"))
+      .agg(count(lit(1)).as("k"))
+    val model = docBg.groupBy("bg").agg(sum("k").as("c_bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    // conditional denominator: bigram instances sharing the prefix
+    val pref = model.groupBy("w1").agg(sum("c_bg").as("c_pref"))
+    val ppm = model.join(pref.hint("shuffle_hash"), "w1")
+      .select(col("bg"), expr("c_bg * 1000000 div c_pref").as("ppm"))
+    val scored = docBg.join(ppm.hint("shuffle_hash"), "bg")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k") * col("ppm")).as("sum_ppm"),
+        sum("k").as("n_bigrams"))
+      .withColumn("score_ppm", expr("sum_ppm div n_bigrams"))
+      .localCheckpoint() // two consumers: the cuts fit + the output
+    val (sel, _) = RankSelect.at(
+      scored.select(col("lang").as("g"), col("score_ppm").as("v")),
+      bins = 256, RankSelect.intBin(256), bounds =>
+        bounds
+          .select(col("g"), col("n"),
+            explode(array(lit(3333L), lit(6667L))).as("q_bp"))
+          .select(col("g"), col("q_bp"),
+            expr("(n - 1) * q_bp div 10000").as("r")))
+    val cuts = sel.groupBy(col("g").as("lang"))
+      .agg(max(when(col("q_bp") === 3333L, col("v"))).as("b1"),
+        max(when(col("q_bp") === 6667L, col("v"))).as("b2"))
+    documents.select(col("doc_id"), col("lang"))
+      .join(scored.drop("sum_ppm").hint("shuffle_hash"),
+        Seq("doc_id", "lang"), "left")
+      .join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("score_ppm"),
+        when(col("score_ppm").isNull, lit("unscored"))
+          .when(col("score_ppm") <= col("b1"), lit("tail"))
+          .when(col("score_ppm") <= col("b2"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
   }
 }

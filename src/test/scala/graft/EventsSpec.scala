@@ -611,4 +611,21 @@ class EventsSpec extends SparkSpec {
     assert(const.getAs[Double]("slope") == 0.0)
     assert(const.isNullAt(const.fieldIndex("r2")))
   }
+
+  test("cumulative uniques: first-seen identity, quiet day carries flat") {
+    // u1 on days 0,1,3 (two events day0 — dedup within day); u2 on
+    // day1; u3 on day3; day2 silent
+    val events = ev(
+      (1L, 10L, 1L, "a"), (2L, 20L, 1L, "a"),
+      (3L, 86410L, 1L, "a"), (4L, 86420L, 2L, "a"),
+      (5L, 3 * 86400L + 10L, 1L, "a"), (6L, 3 * 86400L + 20L, 3L, "a"))
+    val rows = Events.cumulativeUniques(events).orderBy("day").collect()
+      .map(r => (r.getAs[Long]("actives"), r.getAs[Long]("new_users"),
+        r.getAs[Long]("returning"), r.getAs[Long]("cum_uniques"))).toList
+    assert(rows == List(
+      (1L, 1L, 0L, 1L),  // u1 arrives
+      (2L, 1L, 1L, 2L),  // u2 new, u1 returns
+      (0L, 0L, 0L, 2L),  // silent day: explicit zeros, cum flat
+      (2L, 1L, 1L, 3L))) // u3 new, u1 returns
+  }
 }

@@ -324,6 +324,36 @@ class GraphSpec extends SparkSpec {
     assert(comm3 == comm, s"got $comm3")
   }
 
+  test("conductance: bridged triangles score 1/7 each, whole-graph NULL, " +
+      "clean split zero") {
+    import spark.implicits._
+    // the label-prop graph: communities {1,2,3} and {4,5,6}, one
+    // bridge 3-4. Each side: vol = 2+2+3 = 7 directed rows, cut = 1
+    // (its own end of the bridge), 2m = 14 → 1/min(7,7) = 1/7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val rows = Graph.conductance(edges, iters = 3).orderBy("community")
+      .collect().map(r => (r.getAs[Long]("community"),
+        r.getAs[Long]("members"), r.getAs[Long]("vol"),
+        r.getAs[Long]("cut"), r.getAs[Double]("conductance"))).toList
+    val sc = BigDecimal(1.0 / 7.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows == List((1L, 3L, 7L, 1L, sc), (3L, 3L, 7L, 1L, sc)),
+      s"got $rows")
+    // one community holding the whole doubled volume: denominator 0,
+    // explicit NULL — not Infinity, not NaN
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val whole = Graph.conductance(tri, iters = 3).collect()
+    assert(whole.length == 1 &&
+      whole.head.isNullAt(whole.head.fieldIndex("conductance")))
+    // two disjoint triangles: perfectly separated labels, zero cut
+    val split = Graph.conductance(
+      tri.union(Seq((4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")),
+      iters = 3).collect()
+      .map(r => (r.getAs[Long]("cut"), r.getAs[Double]("conductance")))
+    assert(split.toSet == Set((0L, 0.0)))
+  }
+
   test("hits separates hubs from authorities and matches the exact integer recurrence") {
     import spark.implicits._
     // 1, 2, 3 are hubs of decreasing reach into authorities 10-12;

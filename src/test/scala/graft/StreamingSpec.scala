@@ -1183,4 +1183,43 @@ class StreamingSpec extends SparkSpec {
     // a restart that lost the 2-count would re-emit n = 1, not n = 3
     assert(ns == Set(2L, 3L), s"got $ns")
   }
+
+  test("first-seen state: one emission per user, late earlier day corrects") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    def row(id: Long, user: Long, day: Long) =
+      EventRow(id, new Timestamp(day * 86400000L + id), user, "click", 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.firstSeenState(input.toDF())
+      .toDF().writeStream.format("memory").queryName("fsn")
+      .outputMode(OutputMode.Append).start()
+    val all = scala.collection.mutable.ListBuffer.empty[Seq[EventRow]]
+    try {
+      // u1@d5, u2@d6; u4 arrives twice in ONE batch, days 9 then 8 —
+      // the in-batch min emits once
+      all += Seq(row(1, 1, 5), row(2, 2, 6), row(3, 4, 9), row(4, 4, 8))
+      input.addData(all.last); q.processAllAvailable()
+      // u1 again later (silent), u3 new, u2 late with an EARLIER day
+      // (correction), u4 late with a LATER day (silent)
+      all += Seq(row(5, 1, 7), row(6, 3, 6), row(7, 2, 4), row(8, 4, 9))
+      input.addData(all.last); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM fsn").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("first_day"),
+        r.getAs[Boolean]("is_correction"))).toSet
+    assert(got == Set((1L, 5L, false), (2L, 6L, false), (4L, 8L, false),
+      (3L, 6L, false), (2L, 4L, true)), s"got $got")
+    // latest emission per user == the batch operator's first-seen
+    // identity over everything streamed, whatever the arrival order
+    val latest = got.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.collect { case (_, d, c) => (c, d) }.toSeq
+        .sortBy(_._1).last._2 } // corrections (true) sort after
+    val batch = all.flatten.toSeq.toDF()
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.expr(
+        "min(unix_micros(ts) div 86400000000)").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest == batch, s"stream $latest vs batch $batch")
+  }
 }

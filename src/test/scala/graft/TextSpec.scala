@@ -202,4 +202,33 @@ class TextSpec extends SparkSpec {
     assert(got(6L) === (10L, 0L, 0.0))   // same-doc repeat is not dup
     assert(got.size === 6)
   }
+
+  test("lm buckets: exact ppm scores, per-lang terciles, unscored kept") {
+    import spark.implicits._
+    // en model: c(a b)=2, c(b a)=1, c(a c)=2; prefixes a→4, b→1 →
+    // ppm(a b)=ppm(a c)=500000, ppm(b a)=1000000
+    val docs = Seq(
+      (1L, "a b a c", "en"), // (500000+1000000+500000) div 3 = 666666
+      (2L, "a b", "en"),     // 500000
+      (3L, "a c", "en"),     // 500000
+      (4L, "c", "en"),       // no bigrams: unscored, stays in output
+      (5L, "x y", "fr"),     // fr ppm(x y)=1000000 → 1000000
+      (6L, "x y x y", "fr")  // (3·1000000) div 3 = 1000000
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.lmBuckets(docs).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        ((if (r.isNullAt(r.fieldIndex("score_ppm"))) -1L
+          else r.getAs[Long]("score_ppm")),
+          r.getAs[Long]("n_bigrams"), r.getAs[String]("bucket"))).toMap
+    // en scores sorted [500000, 500000, 666666]: b1 = rank 0, b2 =
+    // rank 1 → both cuts 500000; d1 sits above both cuts
+    assert(out(1L) == ((666666L, 3L, "head")), s"got ${out(1L)}")
+    assert(out(2L) == ((500000L, 1L, "tail")))
+    assert(out(3L) == ((500000L, 1L, "tail")))
+    assert(out(4L) == ((-1L, 0L, "unscored")))
+    // fr is a point mass at 1000000: every doc lands at-or-under b1
+    assert(out(5L) == ((1000000L, 1L, "tail")))
+    assert(out(6L) == ((1000000L, 3L, "tail")))
+    assert(out.size == 6)
+  }
 }
