@@ -327,6 +327,11 @@ object SparkEntry {
     "dedup_prefix" -> ((s, d) =>
       Dedup.prefixJaccard(Tables.documents(s, d), 0.4)
         .orderBy("doc_a", "doc_b")),
+    // exact Levenshtein ≤ k pairs via Ed-Join rare-gram prefixes +
+    // banded verification — the typo/near-verbatim fuzzy matcher
+    "dedup_editdist" -> ((s, d) =>
+      Dedup.editDistance(Tables.documents(s, d), 5)
+        .orderBy("doc_a", "doc_b")),
     "dedup_keepers" -> ((s, d) => Dedup.exactKeepers(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_keepers_near" -> ((s, d) => Dedup.nearDupKeepers(keeperModel(s, d)).orderBy("doc_id")),
     // incremental maintenance: fit on 3/4 of the corpus (cached — the
@@ -2783,6 +2788,18 @@ object SparkEntry {
     // all-pairs join over the whole corpus — a survived hash compare
     // certifies the candidate rule lost no qualifying pair
     "dedup_prefix" -> exactJaccardSql("", 0.4),
+    // edit-distance ground truth: UNFILTERED brute length-banded
+    // all-pairs levenshtein (the band is part of the definition —
+    // ed >= |len_a - len_b|); a survived hash compare certifies the
+    // Ed-Join prefix rule lost zero pairs
+    "dedup_editdist" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON b.doc_id > a.doc_id
+        |  AND abs(a.len - b.len) <= 5
+        |  AND levenshtein(a.text, b.text) <= 5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // asymmetric containment over the same inverted index: both
     // direction ratios, kept when either reaches tau
     "dedup_containment" ->

@@ -870,4 +870,99 @@ object Dedup {
       .join(prior.hint("shuffle_hash"), Seq("vec_id"), "left_outer")
       .withColumn("kept", coalesce(col("max_prior_cos") < tau, lit(true)))
   }
+
+  /** EXACT corpus-wide EDIT-DISTANCE join: all pairs with character
+    * Levenshtein distance ≤ k — the typo/near-verbatim regime
+    * Jaccard is blunt on (one swapped word barely moves a shingle
+    * set; five scattered character edits sink it) and the standard
+    * fuzzy-match primitive for template drift and OCR noise.
+    *
+    * Ed-Join candidate rule (the [[prefixJaccard]] discipline moved
+    * from set overlap to edit operations): one edit touches at most
+    * q positional q-grams, so two strings within distance k share
+    * at least max(|G_a|, |G_b|) − k·q gram OCCURRENCES — elements
+    * are (gram, occurrence-index) so repeats can't double-match
+    * (shared count per gram is min of the two multiplicities, which
+    * the survivor argument bounds) — and under ANY shared total
+    * order two sets with overlap c collide inside their first
+    * sz − c + 1 elements: prefix length k·q + 1, a CONSTANT. Rarity
+    * order (df asc) makes the joined prefix grams the corpus's
+    * coldest keys, so hot boilerplate grams never drive the join's
+    * Σ df². The length band |len_a − len_b| ≤ k rides the join
+    * (ed ≥ length difference). Candidates verify with the built-in
+    * banded `levenshtein(a, b, k)` kernel (O(k·len) per pair, −1
+    * past the threshold — never the full DP matrix).
+    *
+    * Strings too short for the gram machinery (threshold
+    * max(len) − (q−1) − k·q ≤ 0 admits everything) take an explicit
+    * SHORT ARM: all length-banded pairs where BOTH sides have
+    * len ≤ q−1+k·q — a constant-length regime joined on exploded
+    * length keys, never a cartesian. The arms are disjoint (the gram
+    * arm requires max(len) > q−1+k·q), so no cross-arm dedup runs.
+    *
+    * Oracle: the UNFILTERED brute-force length-banded all-pairs
+    * `levenshtein` join — a survived hash compare certifies the
+    * candidate rule lost zero pairs.
+    */
+  def editDistance(documents: DataFrame, k: Int = 5, q: Int = 3): DataFrame = {
+    require(k >= 0, s"k ($k) must be non-negative")
+    require(q >= 1, s"q ($q) must be positive")
+    val shortMax = q - 1 + k * q
+    // feeds the gram explode, the short arm, and both verify sides
+    val d = documents
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .localCheckpoint()
+    // positional q-grams computed INSIDE the generator lambda — the
+    // text never rides the exploded frame (the dup_spans discipline)
+    val grams = d.filter(col("len") >= q)
+      .select(col("doc_id"), col("len"),
+        explode(expr(s"transform(sequence(1, len - $q + 1), " +
+          s"i -> struct(i AS p, substring(text, i, $q) AS g))")).as("pg"))
+      .select(col("doc_id"), col("len"),
+        col("pg.p").as("p"), col("pg.g").as("g"))
+    // occurrence index per (doc, gram): the element key (g, occ) —
+    // per-task window work bounded by one document's repeats
+    val elems = grams.withColumn("occ",
+      row_number().over(Window.partitionBy("doc_id", "g").orderBy("p")))
+      .drop("p")
+    val freq = elems.groupBy("g", "occ").agg(count(lit(1)).as("df"))
+    // rank by global rarity, keep the constant k·q+1 prefix; both
+    // candidate sides read it — materialize the scan+agg+join+window
+    val prefix = elems.join(freq.hint("shuffle_hash"), Seq("g", "occ"))
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("df"), col("g"), col("occ"))))
+      .filter(col("rk") <= k * q + 1)
+      .select("doc_id", "len", "g", "occ")
+      .localCheckpoint()
+    val gramCand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= k &&
+          // pairs entirely inside the short regime belong to the
+          // short arm — keeps the two arms disjoint
+          greatest(col("a.len"), col("b.len")) > shortMax)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // short arm: exploded length keys manufacture the band equi-join
+    // (each left doc emits len−k..len+k; the right key len is unique
+    // per doc, so each unordered pair arises exactly once after the
+    // id-order filter)
+    val shortD = d.filter(col("len") <= shortMax)
+    val shortCand = shortD
+      .select(col("doc_id").as("doc_a"),
+        explode(sequence(col("len") - k, col("len") + k)).as("lk"))
+      .join(shortD.select(col("doc_id").as("doc_b"), col("len").as("lk")),
+        Seq("lk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    gramCand.unionByName(shortCand)
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"levenshtein(ta, tb, $k)").cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

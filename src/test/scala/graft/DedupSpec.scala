@@ -515,4 +515,63 @@ class DedupSpec extends SparkSpec {
     assert(key(Dedup.prefixJaccard(docs, 0.4)) ==
       key(Dedup.ngramJaccard(docs, 0.4, lit(true))))
   }
+
+  private def bruteEd(docs: org.apache.spark.sql.DataFrame,
+                      k: Int): Set[(Long, Long, Long)] =
+    docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      .crossJoin(docs.select(col("doc_id").as("doc_b"), col("text").as("tb")))
+      .filter(col("doc_a") < col("doc_b") &&
+        levenshtein(col("ta"), col("tb")) <= k)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def edPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("edit-distance join equals brute force at every k, incl. boundary") {
+    import spark.implicits._
+    // 1-2 at distance 1, 1-3 at 2 (one substitution + one insert),
+    // 4 repeated-gram stress (occurrence elements: 'aaa' x many),
+    // 5 its single-deletion neighbor, 6 unrelated same-length noise
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the hazy dog"),
+      (3L, "the quick brown foxx jumps over the hazy dog"),
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (6L, "zq xw vu ts rq po nm lk ji hg fe dc ba zy xv")
+    ).toDF("doc_id", "text")
+    for (k <- Seq(0, 1, 2, 5)) {
+      val got = edPairs(Dedup.editDistance(docs, k))
+      assert(got == bruteEd(docs, k), s"k=$k: $got")
+    }
+    // boundary: the 1-3 pair sits at distance exactly 2 (one
+    // substitution + one insertion) — present at k = 2, absent at k = 1
+    assert(edPairs(Dedup.editDistance(docs, 2)).contains((1L, 3L, 2L)))
+    assert(!edPairs(Dedup.editDistance(docs, 1)).exists(
+      p => p._1 == 1L && p._2 == 3L))
+  }
+
+  test("edit-distance short arm covers the sub-gram-threshold regime") {
+    import spark.implicits._
+    // at q=3, k=2 the gram threshold dies at len <= 8: every pair
+    // here must come from the short arm (or the mixed boundary)
+    val docs = Seq(
+      (1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xbd"),
+      (5L, "abcdefgh"),            // len 8: short-arm ceiling
+      (6L, "abcdefghij"),          // len 10: gram arm, ed(5,6)=2
+      (7L, "")                     // empty doc: pairs via deletions
+    ).toDF("doc_id", "text")
+    for (k <- Seq(1, 2)) {
+      val got = edPairs(Dedup.editDistance(docs, k, q = 3))
+      assert(got == bruteEd(docs, k), s"k=$k: $got")
+    }
+  }
+
+  test("edit-distance on the real corpus equals brute force") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 150)
+      .select("doc_id", "text")
+    assert(edPairs(Dedup.editDistance(docs, 5)) == bruteEd(docs, 5))
+  }
 }
