@@ -257,6 +257,10 @@ object SparkEntry {
     // histogram rank selection, phases assigned map-side — no sort
     "sample_curriculum" -> ((s, d) =>
       Sampling.curriculum(Tables.documents(s, d))),
+    // weight-proportional systematic sample: exact-integer tickets
+    // on the weight line, banded prefix sums, zero RNG state
+    "sample_systematic" -> ((s, d) =>
+      Sampling.systematic(Tables.documents(s, d), 50).orderBy("doc_id")),
     "sample_temperature" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
     // split on the near-dup keeper id so duplicate clusters never
@@ -2686,6 +2690,27 @@ object SparkEntry {
         |       count(*) AS n_docs, min(len) AS min_len,
         |       max(len) AS max_len, round(avg(len), 4) AS avg_len
         |FROM r GROUP BY 1, 2 ORDER BY source, phase""".stripMargin,
+    // PPS-systematic replay: one global window cumsum stands in for
+    // the banded prefix (same integers), ticket interval arithmetic
+    // in integer division exactly as the operator computes it
+    "sample_systematic" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(length(text) AS BIGINT) AS w FROM documents),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM d),
+        |c AS (SELECT doc_id, source, w,
+        |        CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |             0) AS BIGINT) AS c
+        |      FROM d),
+        |s AS (SELECT c.*, greatest(1, tw // 50) AS step
+        |      FROM c CROSS JOIN tot)
+        |SELECT doc_id, source, w AS weight,
+        |       CAST(least((c + w - 1) // step, 49)
+        |            - ((c + step - 1) // step) + 1 AS BIGINT) AS n_picks
+        |FROM s
+        |WHERE w > 0
+        |  AND least((c + w - 1) // step, 49) >= (c + step - 1) // step
+        |ORDER BY doc_id""".stripMargin,
     "sample_stratified" ->
       """WITH s AS (SELECT source,
         |             strpos('0123456789abcdef',

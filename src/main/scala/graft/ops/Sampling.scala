@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and sampling for training
@@ -382,6 +383,67 @@ object Sampling {
     * is what the oracle replays. One corpus aggregate after a
     * broadcast join; output is sources × P rows.
     */
+  /** Deterministic WEIGHT-PROPORTIONAL SYSTEMATIC SAMPLE — the
+    * token-budget sampler: lay every document's weight (here its
+    * char length — the token proxy) end to end on an integer line in
+    * doc_id order, drop n equally-spaced tickets at multiples of
+    * `step = W div n`, and a document is picked once per ticket its
+    * interval [c, c+w) swallows. Inclusion probability is exactly
+    * proportional to weight (the classic PPS-systematic estimator),
+    * heavy documents carry `n_picks` > 1 (with-replacement
+    * multiplicity at fixed tickets), zero-weight documents can never
+    * be picked — and the whole construct is EXACT INTEGER arithmetic
+    * with no seed, no RNG state, no fp: any engine replays the
+    * identical sample, which is what makes a 100 TB training-mix
+    * draw auditable.
+    *
+    * Scale shape: the only order-dependent quantity is the exclusive
+    * prefix sum of weights, computed BANDED (the ts_match offsets
+    * discipline) — monotone doc_id bands, in-band window cumsum
+    * (per-task work = one band), band totals' exclusive prefix on a
+    * ≤ bands summary frame, never a global single-task window. The
+    * ticket interval arithmetic is map-side per row against a
+    * broadcast single-row total.
+    *
+    * Degenerate regimes kept well-defined: W < n drives step to the
+    * floor of 1 (tickets 0..n−1, only the first W land — the sample
+    * is every weighted unit); an all-empty corpus answers zero rows.
+    */
+  def systematic(documents: DataFrame, n: Int, bands: Int = 64): DataFrame = {
+    require(n > 0, s"n ($n) must be positive")
+    require(bands > 0, s"bands ($bands) must be positive")
+    val d = documents.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("w"))
+    val tot = d.agg(min("doc_id").as("i0"), max("doc_id").as("i1"),
+      sum("w").as("tw"))
+    // monotone id bands: band order == id order, so band-offset +
+    // in-band cumsum IS the global prefix sum; width via div keeps
+    // the arithmetic overflow-free for any id range
+    val banded = d.crossJoin(broadcast(tot))
+      .withColumn("bw", expr(s"(i1 - i0) div $bands + 1"))
+      .withColumn("band", expr("(doc_id - i0) div bw"))
+    val inBand = banded.withColumn("cum",
+      sum("w").over(Window.partitionBy("band").orderBy("doc_id")))
+    // exclusive band offsets on the ≤ bands summary frame via a
+    // broadcast inequality self-join (the cumulativeUniques prefix
+    // pattern: O(bands²) pairs on a model frame, no global window)
+    val bsums = banded.groupBy("band").agg(sum("w").as("bsum"))
+      .localCheckpoint() // both prefix-join sides
+    val offs = bsums.as("a")
+      .join(broadcast(bsums.select(col("band").as("pb"),
+        col("bsum").as("pw")).as("b")), col("pb") < col("band"), "left")
+      .groupBy("band").agg(coalesce(sum("pw"), lit(0L)).as("off"))
+    inBand.join(broadcast(offs), Seq("band"))
+      .withColumn("c", col("off") + col("cum") - col("w"))
+      .withColumn("step", greatest(lit(1L), expr(s"tw div $n")))
+      .withColumn("j_lo", expr("(c + step - 1) div step"))
+      .withColumn("j_hi",
+        least(expr("(c + w - 1) div step"), lit(n - 1L)))
+      .filter(col("w") > 0 && col("j_hi") >= col("j_lo"))
+      .select(col("doc_id"), col("source"), col("w").as("weight"),
+        (col("j_hi") - col("j_lo") + 1).as("n_picks"))
+  }
+
   def curriculum(documents: DataFrame, phases: Int = 10): DataFrame = {
     require(phases > 1, s"phases ($phases) must exceed 1")
     val bins = 256

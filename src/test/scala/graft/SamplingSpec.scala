@@ -297,4 +297,41 @@ class SamplingSpec extends SparkSpec {
     val t = Sampling.curriculum(tiny, phases = 10).collect()
     assert(t.map(_.getAs[Long]("n_docs")).sum == 3L)
   }
+
+  test("systematic sample: hand-computed tickets, multiplicity, zero-weight") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // weights 4,0,10,2,4 in id order → W=20, n=4 → step=5, tickets
+    // 0,5,10,15. intervals: d1 [0,4) ⊃ {0}; d2 empty; d3 [4,14) ⊃
+    // {5,10}; d4 [14,16) ⊃ {15}; d5 [16,20) ⊃ {} — heavy doc picked
+    // twice, zero-weight never, ticket 15 lands in the 2-char doc
+    val docs = Seq(
+      (1L, "s", "aaaa"), (2L, "s", ""), (3L, "s", "bbbbbbbbbb"),
+      (4L, "s", "cc"), (5L, "s", "dddd")).toDF("doc_id", "source", "text")
+    val got = Sampling.systematic(docs, 4).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_picks"))).toList
+    assert(got == List((1L, 1L), (3L, 2L), (4L, 1L)), s"got $got")
+    // total picks always equal n when W >= n
+    assert(got.map(_._2).sum == 4L)
+  }
+
+  test("systematic sample: band-count invariance and W < n floor") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    def key(bands: Int): Map[Long, Long] =
+      Sampling.systematic(docs, 50, bands).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_picks")).toMap
+    // the banded prefix is the same integer line at any band count —
+    // including the degenerate single band (one global cumsum)
+    val b64 = key(64)
+    assert(b64 == key(1) && b64 == key(7))
+    assert(b64.values.sum == 50L)
+    // W < n: step floors at 1 — every weighted unit is a ticket, so
+    // each doc is picked weight times (until tickets run out)
+    val tiny = Seq((10L, "s", "ab"), (20L, "s", "c"))
+      .toDF("doc_id", "source", "text")
+    val t = Sampling.systematic(tiny, 10).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_picks"))).toList
+    assert(t == List((10L, 2L), (20L, 1L)), s"got $t")
+  }
 }
