@@ -316,6 +316,10 @@ object SparkEntry {
     "text_bpe_merges" -> ((s, d) => Bpe.merges(Tables.documents(s, d), 8)),
     "text_bpe_apply" -> ((s, d) => Bpe.tokenCounts(Tables.documents(s, d), 8, 30)),
     // sliding-window substring-duplication audit (tile-blind copies)
+    // MOSS winnowing: ~2/(w+1) of grams stored, guaranteed detection
+    // of shared runs >= w+q-1 tokens — the budget-bounded dup index
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(Tables.documents(s, d)).orderBy("doc_id")),
     "text_dup_spans" -> ((s, d) =>
       TextAnalysis.dupSpans(Tables.documents(s, d), 5).orderBy("doc_id")),
     // §2c dedup
@@ -982,6 +986,44 @@ object SparkEntry {
     (1 to 15).map(i =>
       s"(strpos('0123456789abcdef', substring(md5($x), $i, 1)) - 1) * ${BigInt(16).pow(15 - i)}")
       .mkString("(", "\n             + ", ")")
+
+  /** Winnowing replay: same md5 15-nibble gram hash, the packed
+    * `h·2²⁰ + (2²⁰−1−pos)` selection key in HUGEINT, per-window min
+    * over the identical CURRENT..w−1 FOLLOWING frame, valid starts
+    * only, then the shared-hash audit. */
+  private val winnowSql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+       |base AS (SELECT doc_id,
+       |           CAST(greatest(0, len(t) - 3) AS BIGINT) AS n_grams, t
+       |         FROM t0),
+       |pos AS (SELECT doc_id, n_grams, t,
+       |          unnest(generate_series(1, len(t) - 3)) AS pos
+       |        FROM base WHERE len(t) >= 4),
+       |g AS (SELECT doc_id, n_grams, CAST(pos AS BIGINT) AS pos,
+       |             ${md5Nib15("array_to_string(t[pos:pos+3], ' ')")} AS h
+       |      FROM pos),
+       |k AS (SELECT doc_id, n_grams, pos,
+       |        CAST(h AS HUGEINT) * 1048576 + (1048575 - pos) AS key
+       |      FROM g),
+       |sel AS (SELECT doc_id, n_grams, pos,
+       |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+       |        FROM k),
+       |fp AS (SELECT DISTINCT doc_id, sel FROM sel
+       |       WHERE pos <= greatest(1, n_grams - 3)),
+       |fh AS (SELECT doc_id, CAST(sel // 1048576 AS BIGINT) AS h FROM fp),
+       |sh AS (SELECT h FROM fh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |cnt AS (SELECT doc_id, count(*) AS n_fps FROM fh GROUP BY 1),
+       |shr AS (SELECT doc_id, count(*) AS n_shared FROM fh
+       |        WHERE h IN (SELECT h FROM sh) GROUP BY 1)
+       |SELECT b.doc_id, b.n_grams,
+       |       CAST(coalesce(c.n_fps, 0) AS BIGINT) AS n_fps,
+       |       CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+       |       CASE WHEN c.n_fps IS NULL THEN NULL
+       |            ELSE round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+       |                       / c.n_fps, 4) END AS shared_ratio
+       |FROM base b LEFT JOIN cnt c USING (doc_id)
+       |LEFT JOIN shr s USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
   private val dupSpansSql: String =
     s"""WITH t0 AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
@@ -3713,6 +3755,7 @@ object SparkEntry {
     "text_bpe_merges" -> bpeMergesSql(8),
     "text_bpe_apply" -> bpeApplySql(8, 30),
     "text_dup_spans" -> dupSpansSql,
+    "text_winnow" -> winnowSql,
     "dedup_semdedup" ->
       """WITH p AS (SELECT a.vec_id,
         |        round(max(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

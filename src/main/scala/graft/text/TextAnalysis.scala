@@ -443,6 +443,79 @@ object TextAnalysis {
     * operator (bounded heaps — the full vocabulary never sorts), so
     * the regression runs over a constant-size frame per source.
     */
+  /** WINNOWING fingerprint selection (the MOSS algorithm, Schleimer
+    * et al. SIGMOD'03) — the bounded-size alternative to
+    * [[dupSpans]]'s every-gram index: slide a window of `w`
+    * consecutive token-`q`-gram hashes and keep each window's
+    * MINIMUM (ties → rightmost position, the robust-winnowing rule),
+    * so stored fingerprints are ~2/(w+1) of the grams yet any shared
+    * run of ≥ w+q−1 tokens is GUARANTEED to surface a common
+    * fingerprint — the detection floor is a tunable contract, not
+    * luck. Per doc this reports the fingerprint count and how many
+    * fingerprints are shared with ANOTHER document (the plagiarism /
+    * verbatim-reuse signal at index-size budget).
+    *
+    * Determinism discipline: the per-window argmin is ONE exact
+    * integer `min` — hash and tie-break packed as
+    * `h·2²⁰ + (2²⁰−1−pos)` in DECIMAL(38,0)/HUGEINT (positions up to
+    * 2²⁰−1 per doc; longer docs would widen the tie field), so both
+    * engines select identical fingerprints with no argmin
+    * tie ambiguity. The gram key is the md5 15-nibble BIGINT of
+    * [[dupSpans]]; windows are per-doc `rowsBetween` frames
+    * (per-task work bounded by document length); only (doc, pos,
+    * hash) rows ever shuffle. Docs shorter than w grams winnow their
+    * single short window; docs with zero grams stay as explicit
+    * zero rows.
+    */
+  def winnow(documents: DataFrame, q: Int = 4, w: Int = 4): DataFrame = {
+    require(q >= 1, s"q ($q) must be positive")
+    require(w >= 1, s"w ($w) must be positive")
+    val base = documents
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        greatest(lit(0L), (size(col("t")) - (q - 1)).cast("long"))
+          .as("n_grams"), col("t"))
+    val grams = base.filter(col("n_grams") >= 1)
+      .select(col("doc_id"), col("n_grams"), explode(expr(
+        s"transform(sequence(1, size(t) - ${q - 1}), i -> named_struct(" +
+          s"'pos', CAST(i AS BIGINT), " +
+          s"'h', CAST(conv(substring(md5(concat_ws(' ', slice(t, i, $q))), " +
+          s"1, 15), 16, 10) AS BIGINT)))")).as("p"))
+      .select(col("doc_id"), col("n_grams"),
+        col("p.pos").as("pos"), col("p.h").as("h"))
+    val wWin = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(0, w - 1)
+    val fps = grams
+      .withColumn("key",
+        expr("CAST(h AS DECIMAL(38,0)) * 1048576 + (1048575 - pos)"))
+      .withColumn("sel", min("key").over(wWin))
+      // valid window starts only; a doc with < w grams keeps its one
+      // short window at pos 1
+      .filter(col("pos") <= greatest(lit(1L), col("n_grams") - (w - 1)))
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"), expr("CAST(sel div 1048576 AS BIGINT)").as("h"))
+      // feeds the shared-hash aggregate, the semi-join probe, and
+      // the per-doc count
+      .localCheckpoint()
+    val shared = fps.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fps"))
+    val nShared = fps.join(shared.hint("shuffle_hash"), Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    base.select(col("doc_id"), col("n_grams"))
+      .join(counts.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(nShared.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        // gram-less docs have no fingerprint population: explicit
+        // NULL ratio, never a 0/0
+        when(col("n_fps").isNotNull,
+          round(coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_fps"), 4)).as("shared_ratio"))
+  }
+
   def zipf(documents: DataFrame, k: Int = 100): DataFrame = {
     val counts = documents
       .select(col("source"), explode(tokens(col("text"))).as("token"))

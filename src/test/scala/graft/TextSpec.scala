@@ -203,6 +203,47 @@ class TextSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("winnow: guaranteed detection, density bounds, short/empty docs") {
+    import spark.implicits._
+    // docs 1-2 share the run "a b c d e f g h" (8 tokens >= w+q-1=7):
+    // winnowing GUARANTEES a common fingerprint. doc 3 is unrelated,
+    // doc 4 has 5 tokens (2 grams < w: one short window, 1 fp),
+    // doc 5 has 3 tokens (0 grams: explicit zero row, NULL ratio)
+    val docs = Seq(
+      (1L, "p q r a b c d e f g h s t u v w"),
+      (2L, "m n a b c d e f g h k l"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"),
+      (4L, "y1 y2 y3 y4 y5"),
+      (5L, "x1 x2 x3")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnow(docs).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_fps"),
+        r.getAs[Long]("n_shared")))).toMap
+    assert(byId(1L)._3 >= 1 && byId(2L)._3 >= 1,
+      s"shared run must fingerprint on both sides: $byId")
+    assert(byId(3L)._3 == 0 && byId(3L)._2 >= 1)
+    assert(byId(4L) == ((2L, 1L, 0L)), s"got ${byId(4L)}")
+    assert(byId(5L)._1 == 0L && byId(5L)._2 == 0L &&
+      out.find(_.getAs[Long]("doc_id") == 5L).get
+        .isNullAt(out.head.fieldIndex("shared_ratio")))
+    // density: one fingerprint can be the min of at most w
+    // consecutive windows, so n_fps >= ceil(valid/w); and never
+    // exceeds the valid-window count
+    out.filter(_.getAs[Long]("n_grams") > 0).foreach { r =>
+      val valid = math.max(1L, r.getAs[Long]("n_grams") - 3L)
+      val fps = r.getAs[Long]("n_fps")
+      assert(fps >= (valid + 3) / 4 && fps <= valid,
+        s"doc ${r.getAs[Long]("doc_id")}: $fps of $valid")
+    }
+    // partitioning invariance: the selection is a pure per-doc fold
+    val re = TextAnalysis.winnow(docs.repartition(7)).orderBy("doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_fps")).toMap
+    assert(out.map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Long]("n_fps")).toMap == re)
+  }
+
   test("lm buckets: exact ppm scores, per-lang terciles, unscored kept") {
     import spark.implicits._
     // en model: c(a b)=2, c(b a)=1, c(a c)=2; prefixes a→4, b→1 →
