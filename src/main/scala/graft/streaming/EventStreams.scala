@@ -448,6 +448,52 @@ object EventStreams {
       }
   }
 
+  /** One observed transition: the user stepped from `prev_type` to
+    * `next_type` at event time `ts_us`. */
+  case class TransitionEmit(user_id: Long, prev_type: String,
+                            next_type: String, ts_us: Long)
+
+  /** Streaming twin of [[graft.ops.Events.markov]]'s transition
+    * extraction — live (prev → next) behavior steps, ready for the
+    * downstream count/normalize that builds the transition matrix.
+    * Per-user keyed state is ONE fixed-size row — the latest (ts,
+    * event_id, type) triple, the same composite high-water mark the
+    * batch window orders by — so each in-order arrival emits exactly
+    * one transition from the carried type. Late rows at or before
+    * the (ts, id) mark DROP (the debounceState fence: a transition
+    * already emitted must not re-fire with a different predecessor);
+    * on in-order replay the emitted pair multiset is exactly the
+    * batch operator's lag-window pairs (spec-pinned across a
+    * sequence-splitting batch boundary, shuffled in-batch arrival
+    * included).
+    */
+  def markovState(events: DataFrame)
+                 (implicit spark: SparkSession): Dataset[TransitionEmit] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          // micro-batch arrival order is not event order: sort like
+          // the batch operator's (ts, event_id) window
+          val ordered = rows.toSeq.sortBy(r => (r._4, r._3))
+          var carry = state.getOption.orNull
+          val out = Seq.newBuilder[TransitionEmit]
+          ordered.foreach { case (_, t, id, us) =>
+            if (carry == null) carry = (us, id, t)
+            else if (us > carry._1 || (us == carry._1 && id > carry._2)) {
+              out += TransitionEmit(userId, carry._3, t, us)
+              carry = (us, id, t)
+            } // else: at or before the high-water mark — drop
+          }
+          state.update(carry)
+          out.result().iterator
+      }
+  }
+
   /** One session boundary emission: `delta` is +1 at a session's
     * first event time, −1 at its end + 1µs (the half-open
     * [s, e+1µs) convention of [[graft.ops.Events.concurrency]]'s

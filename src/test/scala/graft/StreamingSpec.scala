@@ -1184,6 +1184,42 @@ class StreamingSpec extends SparkSpec {
     assert(ns == Set(2L, 3L), s"got $ns")
   }
 
+  test("markov state: streamed transitions equal the batch lag pairs") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    def row(id: Long, user: Long, us: Long, t: String) =
+      EventRow(id, new Timestamp(us / 1000L), user, t, 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams.markovState(input.toDF())
+      .toDF().writeStream.format("memory").queryName("mkv")
+      .outputMode(OutputMode.Append).start()
+    val all = scala.collection.mutable.ListBuffer.empty[Seq[EventRow]]
+    try {
+      // u1: a(1s) b(2s) in batch 1 — shuffled arrival within the
+      // batch; u2: x(1s) alone
+      all += Seq(row(2, 1, 2000000, "b"), row(1, 1, 1000000, "a"),
+        row(3, 2, 1000000, "x"))
+      input.addData(all.last); q.processAllAvailable()
+      // batch 2 continues u1's chain across the boundary (b->c),
+      // extends u2 (x->y), and a LATE row at-or-before u1's mark
+      // drops (no phantom a->z / z->c rewrite)
+      all += Seq(row(4, 1, 3000000, "c"), row(5, 2, 2000000, "y"),
+        row(6, 1, 1500000, "z"))
+      input.addData(all.last); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT prev_type, next_type FROM mkv").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // batch twin over the SURVIVING rows (the late z dropped)
+    val surviving = all.flatten.toSeq.filterNot(_.event_id == 6L)
+    val batch = graft.ops.Events.markov(surviving.toDF())
+      .collect().map(r => (r.getAs[String]("prev_type"),
+        r.getAs[String]("next_type")) -> r.getAs[Long]("n")).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got == Map(("a", "b") -> 1L, ("b", "c") -> 1L, ("x", "y") -> 1L))
+  }
+
   test("first-seen state: one emission per user, late earlier day corrects") {
     import spark.implicits._
     implicit val s = spark
