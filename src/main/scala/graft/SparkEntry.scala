@@ -121,6 +121,11 @@ object SparkEntry {
     "events_cumulative_uniques" -> ((s, d) =>
       graft.ops.Events.cumulativeUniques(Tables.events(s, d))
         .orderBy("day")),
+    // rolling-origin backtest: per-cutoff OLS refit from prefix
+    // power sums, scored against the persistence baseline
+    "events_backtest" -> ((s, d) =>
+      graft.ops.Events.backtest(Tables.events(s, d))
+        .orderBy("event_type")),
     // prefix-sum mean-shift scan: the level-shift day per type
     "events_changepoint" -> ((s, d) =>
       graft.ops.Events.changepoint(Tables.events(s, d))
@@ -3457,6 +3462,42 @@ object SparkEntry {
         |       END AS r2,
         |       round(icpt_raw + slope_raw * n_days, 4) AS forecast_next
         |FROM c ORDER BY event_type""".stripMargin),
+    // rolling-origin replay: HUGEINT prefix power sums per cutoff,
+    // one double conversion per fold, persistence baseline alongside
+    "events_backtest" -> (denseDailyCte +
+      """, x AS (SELECT etype, n,
+        |          CAST(day - min(day) OVER (PARTITION BY etype) AS HUGEINT)
+        |            AS x,
+        |          CAST(n AS HUGEINT) AS y
+        |        FROM dense),
+        |p AS (SELECT etype, x, n,
+        |        CAST(count(*) OVER w AS HUGEINT) AS m,
+        |        sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |        sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+        |        lead(n, 1) OVER (PARTITION BY etype ORDER BY x) AS next_y
+        |      FROM x
+        |      WINDOW w AS (PARTITION BY etype ORDER BY x
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f0 AS (SELECT etype, x, n, m, sx, sy, next_y,
+        |         CAST(m * sxy - sx * sy AS DOUBLE)
+        |           / CAST(m * sxx - sx * sx AS DOUBLE) AS slope
+        |       FROM p WHERE next_y IS NOT NULL AND m >= 2),
+        |f1 AS (SELECT etype, x, n, next_y, slope,
+        |         (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+        |           / CAST(m AS DOUBLE) AS icpt
+        |       FROM f0),
+        |f AS (SELECT etype,
+        |        abs(icpt + slope * (CAST(x AS DOUBLE) + 1.0)
+        |            - CAST(next_y AS DOUBLE)) AS err,
+        |        CAST(abs(next_y - n) AS DOUBLE) AS err_naive
+        |      FROM f1),
+        |a AS (SELECT etype AS event_type, count(*) AS n_folds,
+        |        round(avg(err), 4) AS mae_model,
+        |        round(avg(err_naive), 4) AS mae_naive
+        |      FROM f GROUP BY 1)
+        |SELECT event_type, n_folds, mae_model, mae_naive,
+        |       mae_model < mae_naive AS beats_naive
+        |FROM a ORDER BY event_type""".stripMargin),
     "events_anomaly" ->
       """WITH s AS (SELECT event_type, round(avg(value), 6) AS mu,
         |             round(stddev_samp(value), 6) AS sigma

@@ -961,6 +961,61 @@ object Events {
           .as("forecast_next"))
   }
 
+  /** ROLLING-ORIGIN BACKTEST of the [[trend]] forecaster — the
+    * validation readout a capacity model needs before anyone trusts
+    * `forecast_next`: for every cutoff day t (all history through t
+    * as training), refit the OLS line and score its one-step-ahead
+    * forecast of day t+1 against the actual, alongside the
+    * PERSISTENCE baseline (tomorrow = today — the bar any forecaster
+    * must clear). Reports per type the fold count, model MAE,
+    * naive MAE, and whether the model wins on the rounded numbers.
+    *
+    * Every cutoff's OLS moments are PREFIX power sums of the one
+    * pass [[trend]] already takes — one cumulative window over the
+    * |types|×|days| dailySeries model frame (the changepoint
+    * prefix-scan discipline; never a per-cutoff refit job), exact
+    * integers in DECIMAL/HUGEINT until each fold's one double
+    * conversion, so every fold's forecast is bit-identical across
+    * engines. Folds need ≥ 2 training days and an actual to score:
+    * a type with < 3 days has zero scoreable folds and is absent.
+    */
+  def backtest(events: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val wt = Window.partitionBy("etype").orderBy("x")
+    val cum = wt.rowsBetween(Window.unboundedPreceding, 0)
+    val s = dailySeries(events)
+      .withColumn("x", datediff(col("day"),
+        min(col("day")).over(Window.partitionBy("etype"))).cast(d19))
+    val pre = s
+      .withColumn("m", count(lit(1)).over(cum))
+      .withColumn("sx", sum(col("x")).over(cum))
+      .withColumn("sy", sum(col("n").cast(d19)).over(cum))
+      .withColumn("sxy", sum(col("x") * col("n").cast(d19)).over(cum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(cum))
+      .withColumn("next_y", lead(col("n"), 1).over(wt))
+      .filter(col("next_y").isNotNull && col("m") >= 2)
+    val folds = pre
+      .withColumn("num", col("m") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("vxi", col("m") * col("sxx") - col("sx") * col("sx"))
+      // vxi > 0 whenever m >= 2 (training x are distinct integers)
+      .withColumn("slope",
+        col("num").cast("double") / col("vxi").cast("double"))
+      .withColumn("icpt", (col("sy").cast("double") -
+        col("slope") * col("sx").cast("double")) / col("m").cast("double"))
+      .withColumn("fcst",
+        col("icpt") + col("slope") * (col("x").cast("double") + 1.0))
+      .withColumn("err", abs(col("fcst") - col("next_y").cast("double")))
+      .withColumn("err_naive",
+        abs(col("next_y") - col("n")).cast("double"))
+    folds.groupBy(col("etype").as("event_type"))
+      .agg(count(lit(1)).as("n_folds"),
+        round(avg("err"), 4).as("mae_model"),
+        round(avg("err_naive"), 4).as("mae_naive"))
+      // the verdict compares the two ROUNDED numbers — deterministic
+      // on both engines where the raw doubles might differ in ulps
+      .withColumn("beats_naive", col("mae_model") < col("mae_naive"))
+  }
+
   /** Daily NEW vs RETURNING actives plus the exact CUMULATIVE
     * distinct-user count — the audience-growth readout — via the
     * FIRST-SEEN identity: the cumulative distinct count through day

@@ -612,6 +612,37 @@ class EventsSpec extends SparkSpec {
     assert(const.isNullAt(const.fieldIndex("r2")))
   }
 
+  test("backtest: perfect line beats persistence, alternator loses") {
+    val day = 86400L
+    // type "lin": counts 1,2,3,4 over days 0-3 — every refit is the
+    // exact line (model MAE 0), persistence always off by 1.
+    // type "alt": counts 10,0,10,1 (the zero day is dailySeries'
+    // grid fill — the span must END on an observed day)
+    def mk(t: String, day0: Long, perDay: Seq[Int], base: Long) =
+      perDay.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(i =>
+          (base + d * 100L + i, day0 + d * day + i, 1L, t))
+      }
+    val rows = mk("lin", 0L, Seq(1, 2, 3, 4), 1000L) ++
+      mk("alt", 0L, Seq(10, 0, 10, 1), 2000L)
+    val got = graft.ops.Events.backtest(ev(rows: _*))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_folds"), r.getAs[Double]("mae_model"),
+          r.getAs[Double]("mae_naive"),
+          r.getAs[Boolean]("beats_naive")))).toMap
+    assert(got("lin") == ((2L, 0.0, 1.0, true)), s"got ${got("lin")}")
+    // alt folds: t=1 trains (10,0) → fcst(2) = -10, actual 10, err
+    // 20 (naive 10); t=2 trains (10,0,10) → slope 0, icpt 20/3,
+    // actual 1, err 17/3 (naive 9). mae = (20 + 17/3)/2 = 77/6
+    val m = got("alt")
+    assert(m._1 == 2L && m._2 == 12.8333 && m._3 == 9.5 && !m._4,
+      s"got $m")
+    // a 2-day type has zero scoreable folds and is absent
+    val two = graft.ops.Events.backtest(
+      ev(mk("t2", 0L, Seq(1, 1), 1L): _*)).collect()
+    assert(two.isEmpty)
+  }
+
   test("cumulative uniques: first-seen identity, quiet day carries flat") {
     // u1 on days 0,1,3 (two events day0 — dedup within day); u2 on
     // day1; u3 on day3; day2 silent
