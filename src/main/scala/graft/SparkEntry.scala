@@ -483,6 +483,10 @@ object SparkEntry {
     // IVF cell-balance audit: the ANN twin of the q32 skew profile
     "sim_cell_balance" -> ((s, d) =>
       Similarity.cellBalance(Tables.embeddings(s, d)).orderBy("cell_id")),
+    // background-cosine threshold plan: deterministic null pairs,
+    // exact per-label quantiles — where every tau must clear
+    "sim_threshold_plan" -> ((s, d) =>
+      Similarity.thresholdPlan(Tables.embeddings(s, d)).orderBy("label")),
     // measured recall@k of the production IVF path vs brute ground
     // truth on the probe query set
     "sim_recall_audit" -> ((s, d) =>
@@ -2780,6 +2784,42 @@ object SparkEntry {
         |       round(min(norm), 4) AS min_norm,
         |       round(max(norm), 4) AS max_norm
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // deterministic null-pair cosine quantiles: md5-nibble buckets,
+    // odd/even rank pairing, basis-point rank replay per label
+    "sim_threshold_plan" ->
+      """WITH b AS (SELECT vec_id, label, embedding,
+        |        16 * (strpos('0123456789abcdef',
+        |               substring(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1)
+        |        + strpos('0123456789abcdef',
+        |               substring(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1
+        |          AS bucket
+        |      FROM embeddings),
+        |rk AS (SELECT label, bucket, embedding,
+        |         row_number() OVER (PARTITION BY label, bucket
+        |                            ORDER BY vec_id) AS rk
+        |       FROM b),
+        |p AS (SELECT a.label AS g,
+        |        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(e.embedding AS DOUBLE[])),
+        |              6) AS v
+        |      FROM rk a JOIN rk e
+        |        ON e.label = a.label AND e.bucket = a.bucket
+        |       AND a.rk % 2 = 1 AND e.rk = a.rk + 1),
+        |n AS (SELECT g, count(*) AS n, max(v) AS max_cos FROM p GROUP BY g),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rnk
+        |      FROM p),
+        |sel AS (SELECT r.g,
+        |    max(CASE WHEN rnk = (n.n - 1) * 5000 // 10000 THEN v END)
+        |      AS p50_cos,
+        |    max(CASE WHEN rnk = (n.n - 1) * 9000 // 10000 THEN v END)
+        |      AS p90_cos,
+        |    max(CASE WHEN rnk = (n.n - 1) * 9900 // 10000 THEN v END)
+        |      AS p99_cos
+        |  FROM r JOIN n ON n.g = r.g GROUP BY r.g)
+        |SELECT sel.g AS label, CAST(n.n AS BIGINT) AS n_pairs,
+        |       sel.p50_cos, sel.p90_cos, sel.p99_cos, n.max_cos
+        |FROM sel JOIN n ON n.g = sel.g ORDER BY label""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_ws_tokens,

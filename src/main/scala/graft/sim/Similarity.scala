@@ -116,6 +116,65 @@ object Similarity {
         round(max("norm"), 4).as("max_norm"))
   }
 
+  /** Background-similarity THRESHOLD PLAN — the calibration readout
+    * every cosine cutoff in the near-dup family silently assumes:
+    * the distribution of cosine between UNRELATED vectors. A τ below
+    * the background's upper quantiles drowns in false positives; the
+    * plan reports, per label stratum, the exact p50/p90/p99 of a
+    * deterministic null-pair sample plus the observed max — read
+    * "τ must clear p99 to hold false-positive mass under ~1%".
+    *
+    * The null pairs are DETERMINISTIC, not RNG-sampled (the
+    * [[graft.ops.Sampling]] no-seed discipline): vectors bucket by
+    * an md5-nibble hash of vec_id — scrambling any id locality — and
+    * rank-adjacent vectors within a (label, bucket) pair up
+    * (odd 2i−1 with even 2i), so both engines draw the identical
+    * ~n/2 pairs with zero sampling state. Per-task window work is
+    * one (label, bucket) group — `nibbles` sizes buckets at 16^k so
+    * the per-bucket rank never serializes a stratum. Quantiles are
+    * exact order statistics from the shared [[graft.ops.RankSelect]]
+    * engine at integer basis-point ranks over the 6dp-rounded
+    * cosines (no per-label sort; both engines threshold the same
+    * rounded number).
+    */
+  def thresholdPlan(embeddings: DataFrame, bins: Int = 256,
+                    nibbles: Int = 2): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 8,
+      s"nibbles ($nibbles) must be in [1, 8]")
+    val v = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("bucket",
+        expr(s"conv(substring(md5(cast(vec_id as string)), 1, $nibbles), " +
+          "16, 10)").cast("long"))
+    val ranked = v.withColumn("rk",
+      row_number().over(Window.partitionBy("label", "bucket")
+        .orderBy("vec_id")).cast("long"))
+      .localCheckpoint() // both pair sides read the ranked frame
+    val pairs = ranked.filter(col("rk") % 2 === 1)
+      .select(col("label"), col("bucket"), (col("rk") + 1).as("rk"),
+        col("embedding").as("ea"))
+      .join(ranked.filter(col("rk") % 2 === 0)
+        .select(col("label"), col("bucket"), col("rk"),
+          col("embedding").as("eb")),
+        Seq("label", "bucket", "rk"))
+      .select(col("label").as("g"),
+        round(cosine_sim(col("ea"), col("eb")), 6).as("v"))
+    val (sel, bounds) = graft.ops.RankSelect.at(pairs, bins,
+      graft.ops.RankSelect.floatBin(bins), bounds =>
+        bounds
+          .select(col("g"), col("n"),
+            explode(array(lit(5000L), lit(9000L), lit(9900L))).as("q_bp"))
+          .select(col("g"), col("q_bp"),
+            expr("(n - 1) * q_bp div 10000").as("r")))
+    sel.groupBy("g").agg(
+      max(when(col("q_bp") === 5000L, col("v"))).as("p50_cos"),
+      max(when(col("q_bp") === 9000L, col("v"))).as("p90_cos"),
+      max(when(col("q_bp") === 9900L, col("v"))).as("p99_cos"))
+      .join(broadcast(bounds.select(col("g"), col("hi").as("max_cos"),
+        col("n").as("n_pairs"))), Seq("g"))
+      .select(col("g").as("label"), col("n_pairs"), col("p50_cos"),
+        col("p90_cos"), col("p99_cos"), col("max_cos"))
+  }
+
   private def subvectors(v: Column, m: Int, sub: Int): Column =
     array((0 until m).map(s => slice(v, s * sub + 1, sub)): _*)
 

@@ -455,4 +455,51 @@ class SimilaritySpec extends SparkSpec {
       assert(exactAll(k2) == r.getAs[Double]("maxsim"), s"pair $k2")
     }
   }
+
+  test("threshold plan: identical stratum at 1.0, quantiles ordered, " +
+      "matches a driver-side replay") {
+    import spark.implicits._
+    // label "same": 64 identical vectors — every null pair has
+    // cosine exactly 1.0. label "mix": a spread of directions. One
+    // nibble (16 buckets) pigeonholes both strata into collisions.
+    val vecs =
+      (0L until 64L).map(i => (i, "same", Array(1.0f, 2.0f, 2.0f))) ++
+      (100L until 300L).map(i => (i, "mix",
+        Array(math.cos(i.toDouble).toFloat, math.sin(i.toDouble).toFloat,
+          ((i % 7).toDouble / 7.0).toFloat)))
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val out = Similarity.thresholdPlan(emb, nibbles = 1).collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("p50_cos"),
+          r.getAs[Double]("p90_cos"), r.getAs[Double]("p99_cos"),
+          r.getAs[Double]("max_cos")))).toMap
+    val s = out("same")
+    assert(s._2 == 1.0 && s._3 == 1.0 && s._4 == 1.0 && s._5 == 1.0, s"$s")
+    val m = out("mix")
+    assert(m._2 <= m._3 && m._3 <= m._4 && m._4 <= m._5, s"$m")
+    // driver-side replay of the deterministic pairing + quantiles
+    def md5b(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (d(0).toInt >> 4) & 0xf // first hex nibble = 16 buckets
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ref = vecs.groupBy(_._2).map { case (lab, vs) =>
+      val pairs = vs.groupBy(v => md5b(v._1)).toSeq.flatMap { case (_, g) =>
+        g.sortBy(_._1).grouped(2).filter(_.size == 2)
+          .map(p => cos(p.head._3, p.last._3))
+      }.sorted.toIndexedSeq
+      val n = pairs.length
+      lab -> ((n.toLong, pairs((n - 1) * 5000 / 10000),
+        pairs((n - 1) * 9000 / 10000), pairs((n - 1) * 9900 / 10000),
+        pairs.last))
+    }
+    assert(out == ref, s"got $out\nref $ref")
+  }
 }
