@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.RangeStrategy)
     e.injectPlannerStrategy(_ => graft.plans.IntervalStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseRepartitionIntoTopK)
+    e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }
 

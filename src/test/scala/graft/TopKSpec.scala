@@ -68,4 +68,75 @@ class TopKSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       .collect().map(r => (r.getString(0), r.getInt(1))).toSet
     assert(out == Set(("a", 1), ("a", 2), ("b", 9)))
   }
+
+  private def topkExecs(df: org.apache.spark.sql.DataFrame) =
+    collectWithSubqueries(df.queryExecution.executedPlan) {
+      case t: TopKPerKeyExec => t
+    }
+
+  test("rank-filter window idiom auto-rewrites onto the native operator") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val df = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    assert(topkExecs(df).nonEmpty, "rewrite did not fire")
+    // the rank column survives and rows equal the un-rewritten window
+    // formulation (total order — no tie ambiguity)
+    val expect = Tables.orders(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("rn") >= 1 && lit(1) === 1)
+      .collect().map(_.toSeq).toSet
+    assert(df.collect().map(_.toSeq).toSet == expect && expect.nonEmpty)
+    // the SQL-spelled idiom rewrites identically
+    Tables.orders(spark, sf).createOrReplaceTempView("rw_orders")
+    def sqlTop(extra: String) = spark.sql(
+      s"""SELECT * FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |  row_number() OVER (PARTITION BY o_orderpriority
+         |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM rw_orders) WHERE rn < 4$extra""".stripMargin)
+    val sqlDf = sqlTop("")
+    assert(topkExecs(sqlDf).nonEmpty, "SQL-path rewrite did not fire")
+    // reference: the same query with an rn-reading conjunct appended,
+    // which blocks the rewrite and keeps the plain window plan
+    val sqlRef = sqlTop(" AND rn % 1 = 0")
+    assert(topkExecs(sqlRef).isEmpty)
+    assert(sqlDf.collect().map(_.toSeq).toSet ==
+      sqlRef.collect().map(_.toSeq).toSet)
+  }
+
+  test("rank-filter rewrite declines every unsafe shape") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val base = Tables.orders(spark, sf)
+    // a second window expression needs the full partition
+    val two = base.select(col("o_orderpriority"),
+        row_number().over(w).as("rn"), sum("o_totalprice").over(w).as("s"))
+      .filter(col("rn") <= 3)
+    assert(topkExecs(two).isEmpty)
+    // a lower bound alone retains nothing boundable
+    val lower = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= 2)
+    assert(topkExecs(lower).isEmpty)
+    // a bound past MaxK stays on the window path
+    val big = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= graft.plans.RewriteRankFilterToTopK.MaxK + 1)
+    assert(topkExecs(big).isEmpty)
+    // a residual conjunct that READS the rank blocks the rewrite
+    // only if un-boundable; rn % 2 = 0 references rn non-bound-ly
+    val parity = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3 && col("rn") % 2 === 0)
+    assert(topkExecs(parity).isEmpty)
+    // rank = k equality still fires (top-k retains the k-th row)
+    val eq = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 2)
+    assert(topkExecs(eq).nonEmpty)
+    val eqRows = eq.collect()
+    val ref = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") * 1 === 2).collect()
+    assert(eqRows.map(_.toSeq).toSet == ref.map(_.toSeq).toSet &&
+      eqRows.nonEmpty)
+  }
 }
