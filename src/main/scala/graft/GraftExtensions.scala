@@ -25,7 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.RangeStrategy)
     e.injectPlannerStrategy(_ => graft.plans.IntervalStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseRepartitionIntoTopK)
-    e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
+    // operational kill-switch: plan-rewrite rules can be disabled
+    // without a rebuild if a workload ever hits an unforeseen shape
+    if (!sys.env.contains("GRAFT_DISABLE_RANK_REWRITE"))
+      e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }
 

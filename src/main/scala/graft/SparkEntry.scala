@@ -266,6 +266,15 @@ object SparkEntry {
     // on the weight line, banded prefix sums, zero RNG state
     "sample_systematic" -> ((s, d) =>
       Sampling.systematic(Tables.documents(s, d), 50).orderBy("doc_id")),
+    // sequential-Poisson PPS without replacement: smallest u/w
+    // priorities per stratum on the native top-k heaps
+    "sample_pps" -> ((s, d) =>
+      Sampling.ppsSample(Tables.documents(s, d))
+        .orderBy("source", "doc_id")),
+    // temperature mix priced in repeats: integer-ppm shares, exact
+    // decimal targets, the over-4-epochs memorization flag
+    "sample_epochs" -> ((s, d) =>
+      Sampling.epochsPlan(Tables.documents(s, d)).orderBy("source")),
     "sample_temperature" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
     // split on the near-dup keeper id so duplicate clusters never
@@ -2741,6 +2750,43 @@ object SparkEntry {
         |       count(*) AS n_docs, min(len) AS min_len,
         |       max(len) AS max_len, round(avg(len), 4) AS avg_len
         |FROM r GROUP BY 1, 2 ORDER BY source, phase""".stripMargin,
+    // sequential-Poisson replay: same md5-nibble uniform, one IEEE
+    // division, per-source row_number over (priority, doc_id)
+    "sample_pps" -> (
+      s"""WITH d AS (SELECT doc_id, source,
+         |             CAST(length(text) AS BIGINT) AS weight,
+         |             CAST(${md5Nib15("CAST(doc_id AS VARCHAR)")}
+         |                  AS DOUBLE) / length(text) AS priority
+         |           FROM documents WHERE length(text) > 0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |                ORDER BY priority, doc_id) AS rk
+         |      FROM d)
+         |SELECT source, doc_id, weight, priority
+         |FROM r WHERE rk <= 25 ORDER BY source, doc_id""".stripMargin),
+    // ppm share snap via floor(x + 0.5) (identical IEEE product both
+    // engines — round() would be half-up vs half-even), then exact
+    // HUGEINT target arithmetic
+    "sample_epochs" ->
+      """WITH s AS (SELECT source,
+        |             CAST(sum(length(text)) AS BIGINT) AS chars
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(chars) AS BIGINT) AS tot_chars,
+        |        sum(pow(chars, 0.5)) AS tot_temp
+        |      FROM s),
+        |p AS (SELECT source, chars, tot_chars,
+        |        CAST(floor(pow(chars, 0.5) / tot_temp * 1e6 + 0.5)
+        |             AS BIGINT) AS share_ppm
+        |      FROM s CROSS JOIN t),
+        |g AS (SELECT source, chars, share_ppm,
+        |        CAST(CAST(share_ppm AS HUGEINT) * tot_chars * 100
+        |             // 100000000 AS BIGINT) AS target_chars
+        |      FROM p),
+        |e AS (SELECT *, round(CAST(target_chars AS DOUBLE) / chars, 4)
+        |               AS epochs
+        |      FROM g)
+        |SELECT source, chars, share_ppm, target_chars, epochs,
+        |       epochs > 4.0 AS over_cap
+        |FROM e ORDER BY source""".stripMargin,
     // PPS-systematic replay: one global window cumsum stands in for
     // the banded prefix (same integers), ticket interval arithmetic
     // in integer division exactly as the operator computes it

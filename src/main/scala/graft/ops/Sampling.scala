@@ -325,6 +325,49 @@ object Sampling {
         round(tempShare / rawShare, 4).as("boost"))
   }
 
+  /** EPOCHS PLAN — what a temperature mix actually costs in REPEATS:
+    * [[temperatureMix]] says what share of the training budget each
+    * source should fill; this turns the shares into the numbers a
+    * run plans with — per source, the target char volume under a
+    * `budget` of `multiple ×` the corpus, the implied EPOCH count
+    * (target / available — how many times the source repeats), and
+    * a flag when the repeats exceed `maxEpochs` (the empirically
+    * risky regime where upsampling a small source turns into
+    * memorizing it; the Muennighoff et al. ~4-epoch guidance). The
+    * whole operator is one map-side-combined per-source aggregate +
+    * a broadcast totals row — the [[temperatureMix]] shape with char
+    * weights. Libm discipline: the temperature share is snapped to
+    * an exact integer PPM once (the 6dp rounding grain that absorbs
+    * sub-ulp `pow` differences — the banding_plan precedent), the
+    * budget `multiplePct` is an exact integer percent, and the
+    * target volume is then pure DECIMAL arithmetic — so the targets,
+    * epochs, and the over-cap flag are bit-identical across engines
+    * (a raw `floor(pow(...)·tot)` could flip at an fp boundary).
+    */
+  def epochsPlan(documents: DataFrame, alpha: Double = 0.5,
+                 multiplePct: Int = 100, maxEpochs: Double = 4.0): DataFrame = {
+    require(multiplePct > 0, s"multiplePct ($multiplePct) must be positive")
+    val bySource = documents.groupBy("source")
+      .agg(sum(length(col("text")).cast("long")).as("chars"))
+    val totals = bySource.agg(sum("chars").as("tot_chars"),
+      sum(pow(col("chars"), alpha)).as("tot_temp"))
+    val tempShare = pow(col("chars"), alpha) / col("tot_temp")
+    bySource.crossJoin(broadcast(totals))
+      // floor(x+0.5), not round(x): round-to-integer of a raw double
+      // is half-up on Spark but half-even in DuckDB — floor of the
+      // identical IEEE product is the same number everywhere
+      .withColumn("share_ppm",
+        floor(tempShare * 1e6d + 0.5d).cast("long"))
+      .withColumn("target_chars",
+        expr(s"CAST(share_ppm AS DECIMAL(38,0)) * tot_chars " +
+          s"* $multiplePct div 100000000").cast("long"))
+      .withColumn("epochs", round(
+        col("target_chars").cast("double") / col("chars").cast("double"), 4))
+      .select(col("source"), col("chars"), col("share_ppm"),
+        col("target_chars"), col("epochs"),
+        (col("epochs") > maxEpochs).as("over_cap"))
+  }
+
   /** Training-shard assignment: the first md5 byte of the key, mod
     * `nShards`. A training run wants its input globally shuffled —
     * curated corpora arrive clustered by source/time, and a model
@@ -383,6 +426,40 @@ object Sampling {
     * is what the oracle replays. One corpus aggregate after a
     * broadcast join; output is sources × P rows.
     */
+  /** Sequential-Poisson PPS sample (Ohlsson) — the WITHOUT-
+    * replacement complement of [[systematic]]: per source stratum,
+    * keep the `n` documents with the SMALLEST priority `u/w`, where
+    * `u` is the md5-derived uniform of the doc id and `w` the char
+    * weight; inclusion probability is ≈ n·w/W (probability-
+    * proportional-to-size), each doc appears at most once, and the
+    * draw is a pure function of the ids — no RNG, no seed, no state
+    * (the [[hashSplit]] discipline).
+    *
+    * Determinism across engines: the priority is ONE IEEE division
+    * of two exactly-representable integers (the 60-bit md5 nibble
+    * value cast to double — same nearest rounding everywhere — over
+    * the integer weight), so both engines compute the bit-identical
+    * double; ties (possible only for equal (u, w) pairs) break on
+    * doc_id. Selection runs on the native bounded-heap
+    * [[graft.plans.TopK]] operator — O(n·|sources|) memory, no
+    * per-stratum sort, map-side partial heaps bound the shuffle.
+    * Zero-weight docs have undefined priority and are excluded up
+    * front (they can never be drawn under PPS).
+    */
+  def ppsSample(documents: DataFrame, n: Int = 25): DataFrame = {
+    require(n > 0, s"n ($n) must be positive")
+    val d = documents
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("priority",
+        expr("CAST(conv(substring(md5(cast(doc_id as string)), 1, 15), " +
+          "16, 10) AS BIGINT)").cast("double") / col("weight").cast("double"))
+    graft.plans.TopK.perKey(d, Seq("source"),
+      Seq(col("priority").asc, col("doc_id").asc), n)
+      .select("source", "doc_id", "weight", "priority")
+  }
+
   /** Deterministic WEIGHT-PROPORTIONAL SYSTEMATIC SAMPLE — the
     * token-budget sampler: lay every document's weight (here its
     * char length — the token proxy) end to end on an integer line in

@@ -842,27 +842,38 @@ object TextAnalysis {
     * output as an explicit `unscored` row — a curation pass that
     * silently drops rows poisons every downstream ratio.
     */
-  def lmBuckets(documents: DataFrame): DataFrame = {
-    val bigrams = graft.functions.expressions.shingle_list(col("text"), 2)
-    // collapse per-(doc, bigram) repeats before the model join: the
-    // corpus-side join carries distinct keys per doc, repeats ride
-    // the integer weight k
-    val docBg = documents
-      .select(col("doc_id"), col("lang"), explode(bigrams).as("bg"))
+  /** Per-(doc, bigram) occurrence weights — shared by the model
+    * build and the scoring join. Repeats ride the integer weight k
+    * so the corpus-side join carries distinct keys per doc. */
+  private def lmDocBg(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.expressions.shingle_list(col("text"), 2))
+          .as("bg"))
       .groupBy(col("doc_id"), col("lang"), col("bg"))
       .agg(count(lit(1)).as("k"))
+
+  /** The (bg, ppm) conditional-probability table in exact integer
+    * ppm: `c(w1 w2)·10⁶ div c(w1 ·)` over corpus counts. */
+  private[graft] def lmPpm(docBg: DataFrame): DataFrame = {
     val model = docBg.groupBy("bg").agg(sum("k").as("c_bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     // conditional denominator: bigram instances sharing the prefix
     val pref = model.groupBy("w1").agg(sum("c_bg").as("c_pref"))
-    val ppm = model.join(pref.hint("shuffle_hash"), "w1")
+    model.join(pref.hint("shuffle_hash"), "w1")
       .select(col("bg"), expr("c_bg * 1000000 div c_pref").as("ppm"))
-    val scored = docBg.join(ppm.hint("shuffle_hash"), "bg")
+  }
+
+  /** Per-doc exact-integer LM scores under a (bg, ppm) table. */
+  private[graft] def lmScored(docBg: DataFrame, ppm: DataFrame): DataFrame =
+    docBg.join(ppm.hint("shuffle_hash"), "bg")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("k") * col("ppm")).as("sum_ppm"),
         sum("k").as("n_bigrams"))
       .withColumn("score_ppm", expr("sum_ppm div n_bigrams"))
-      .localCheckpoint() // two consumers: the cuts fit + the output
+
+  /** Per-language tercile cuts from the shared RankSelect engine. */
+  private[graft] def lmCuts(scored: DataFrame): DataFrame = {
     val (sel, _) = RankSelect.at(
       scored.select(col("lang").as("g"), col("score_ppm").as("v")),
       bins = 256, RankSelect.intBin(256), bounds =>
@@ -871,9 +882,37 @@ object TextAnalysis {
             explode(array(lit(3333L), lit(6667L))).as("q_bp"))
           .select(col("g"), col("q_bp"),
             expr("(n - 1) * q_bp div 10000").as("r")))
-    val cuts = sel.groupBy(col("g").as("lang"))
+    sel.groupBy(col("g").as("lang"))
       .agg(max(when(col("q_bp") === 3333L, col("v"))).as("b1"),
         max(when(col("q_bp") === 6667L, col("v"))).as("b2"))
+  }
+
+  /** The fitted gate artifact for the STREAMING twin
+    * ([[graft.streaming.TextStreams.lmGateStream]]): the ppm table
+    * collected to a driver map (bounded by the bigram vocabulary —
+    * at open-web scale a production fit caps it to the top-k counts
+    * first; unseen bigrams then score 0 ppm, maximum surprise) plus
+    * the per-language cuts frame for the stream-static join.
+    */
+  case class LmGateModel(ppm: Map[String, Long], cuts: DataFrame)
+
+  /** Fit the [[LmGateModel]] batch-side — the out-of-band refresh
+    * artifact of the anomalyStream contract. */
+  def lmFit(documents: DataFrame): LmGateModel = {
+    val docBg = lmDocBg(documents).localCheckpoint()
+    val ppm = lmPpm(docBg).localCheckpoint()
+    val cuts = lmCuts(lmScored(docBg, ppm).localCheckpoint())
+      .localCheckpoint()
+    LmGateModel(
+      ppm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, cuts)
+  }
+
+  def lmBuckets(documents: DataFrame): DataFrame = {
+    val docBg = lmDocBg(documents)
+    val ppm = lmPpm(docBg)
+    val scored = lmScored(docBg, ppm)
+      .localCheckpoint() // two consumers: the cuts fit + the output
+    val cuts = lmCuts(scored)
     documents.select(col("doc_id"), col("lang"))
       .join(scored.drop("sum_ppm").hint("shuffle_hash"),
         Seq("doc_id", "lang"), "left")

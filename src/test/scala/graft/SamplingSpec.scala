@@ -334,4 +334,62 @@ class SamplingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_picks"))).toList
     assert(t == List((10L, 2L), (20L, 1L)), s"got $t")
   }
+
+  test("pps sample: smallest u/w priorities, zero-weight excluded, " +
+      "matches the window reference") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val got = Sampling.ppsSample(docs, 10).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("priority"))).toSet
+    // window reference with an rn-reading guard so the optimizer
+    // rule keeps the plain window plan
+    val pr = expr("CAST(conv(substring(md5(cast(doc_id as string)), 1, " +
+      "15), 16, 10) AS BIGINT)").cast("double") /
+      length(col("text")).cast("double")
+    val ref = docs.filter(length(col("text")) > 0)
+      .select(col("source"), col("doc_id"), pr.as("priority"))
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("priority"), col("doc_id"))))
+      .filter(col("rk") <= 10 && col("rk") % 1 === 0)
+      .drop("rk").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("priority"))).toSet
+    assert(got == ref && got.nonEmpty)
+    // every source contributes exactly min(n, population) rows
+    val perSrc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perSrc.values.forall(_ == 10), s"$perSrc")
+    // zero-weight docs can never be drawn
+    import spark.implicits._
+    val withEmpty = Seq((1L, "s", ""), (2L, "s", "abc"), (3L, "s", "d"))
+      .toDF("doc_id", "source", "text")
+    val drawn = Sampling.ppsSample(withEmpty, 5).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(drawn == Set(2L, 3L))
+  }
+
+  test("epochs plan: hand-computed shares, targets, and the over-cap flag") {
+    import spark.implicits._
+    def doc(id: Long, src: String, len: Int) = (id, src, "x" * len)
+    // chars 100 vs 400 → sqrt weights 10, 20 → shares 1/3, 2/3
+    val even = Seq(doc(1, "a", 100), doc(2, "b", 400))
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.epochsPlan(even).orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("share_ppm"),
+        r.getAs[Long]("target_chars"), r.getAs[Double]("epochs"),
+        r.getAs[Boolean]("over_cap"))).toList
+    // 333333·500·100 div 1e8 = 166; 666667·500·100 div 1e8 = 333
+    assert(got == List(("a", 333333L, 166L, 1.66, false),
+      ("b", 666667L, 333L, 0.8325, false)), s"got $got")
+    // a tiny source under sqrt temperature gets boosted into repeat
+    // territory: the flag is the point of the readout
+    val skewed = Seq(doc(1, "tiny", 4), doc(2, "big", 10000))
+      .toDF("doc_id", "source", "text")
+    val caps = Sampling.epochsPlan(skewed).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("epochs"), r.getAs[Boolean]("over_cap")))).toMap
+    assert(caps("tiny")._2 && caps("tiny")._1 > 4.0, s"$caps")
+    assert(!caps("big")._2)
+  }
 }

@@ -203,6 +203,58 @@ class TextSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("lm gate stream: scores its own fit identically to the batch buckets") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b a c", "en"), (2L, "a b", "en"), (3L, "b a a c a b", "en"),
+      (4L, "x", "en"),                    // sub-bigram: unscored
+      (5L, "p q p q", "fr"), (6L, "q p", "fr"), (7L, "p p q q p", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val model = TextAnalysis.lmFit(corpus)
+    val batch = TextAnalysis.lmBuckets(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Long]("score_ppm")),
+        r.getAs[String]("bucket"))).toSet
+    // stream the same corpus across two micro-batches
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = graft.streaming.TextStreams.lmGateStream(
+      input.toDF().toDF("doc_id", "text", "lang"), model)
+      .writeStream.format("memory").queryName("lmg")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(Seq((1L, "a b a c", "en"), (5L, "p q p q", "fr"),
+        (4L, "x", "en")))
+      q.processAllAvailable()
+      input.addData(Seq((2L, "a b", "en"), (3L, "b a a c a b", "en"),
+        (6L, "q p", "fr"), (7L, "p p q q p", "fr")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM lmg").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Long]("score_ppm")),
+        r.getAs[String]("bucket"))).toSet
+    assert(streamed == batch, s"stream $streamed\nbatch $batch")
+    // novel text: unseen bigrams score 0 ppm (maximum surprise) and
+    // an unknown language falls to head like the batch left join
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q2 = graft.streaming.TextStreams.lmGateStream(
+      input2.toDF().toDF("doc_id", "text", "lang"), model)
+      .writeStream.format("memory").queryName("lmg2")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input2.addData(Seq((10L, "zz yy zz", "en"), (11L, "a b", "de")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val novel = spark.sql("SELECT * FROM lmg2").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_ppm"),
+        r.getAs[String]("bucket"))).toSet
+    assert(novel.contains((10L, 0L, "tail")) ||
+      novel.exists(t => t._1 == 10L && t._2 == 0L), s"$novel")
+    assert(novel.exists(t => t._1 == 11L && t._3 == "head"), s"$novel")
+  }
+
   test("winnow: guaranteed detection, density bounds, short/empty docs") {
     import spark.implicits._
     // docs 1-2 share the run "a b c d e f g h" (8 tokens >= w+q-1=7):
