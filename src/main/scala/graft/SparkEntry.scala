@@ -54,6 +54,12 @@ object SparkEntry {
     "cdc_scd2" -> ((s, d) => Changelog.scd2(changelog(s, d)).orderBy("doc_id", "field_path", "valid_from")),
     "cdc_op_counts" -> ((s, d) => Changelog.opCounts(changelog(s, d)).orderBy("op")),
     // what a horizon compaction would reclaim from the tombstone set
+    // seq-continuity audit on the routed topic: the holes are exactly
+    // the records the route filtered — oracle-checkable ground truth
+    // for the banded gap detector
+    "cdc_seq_gaps" -> ((s, d) =>
+      Changelog.seqGaps(Changelog.ftsRoute(changelog(s, d)))
+        .orderBy("gap_len")),
     "cdc_tombstone_gc" -> ((s, d) =>
       Changelog.tombstoneGc(changelog(s, d)).orderBy("status")),
     "cdc_field_freq" -> ((s, d) => Changelog.fieldFreq(changelog(s, d)).orderBy("field_path")),
@@ -245,6 +251,10 @@ object SparkEntry {
     // scores, RankSelect boundaries, head/middle/tail per doc
     "text_lm_buckets" -> ((s, d) =>
       TextAnalysis.lmBuckets(Tables.documents(s, d)).orderBy("doc_id")),
+    // per-source KS of the LM-score distribution vs the rest of the
+    // corpus: the shape-migration detector mean audits miss
+    "text_quality_drift" -> ((s, d) =>
+      TextAnalysis.qualityDrift(Tables.documents(s, d)).orderBy("source")),
     // top-PMI collocations: the multi-word-term / boilerplate-phrase
     // list a tokenizer-training pass wants
     "text_collocations" -> ((s, d) =>
@@ -2052,6 +2062,17 @@ object SparkEntry {
     // the compact-then-merge plan must be replay-equivalent, so its
     // oracle IS the full-replay latest-state query
     "cdc_compact" -> (clCte + latestStateSql),
+    // global lead-over-seq replay of the banded gap detector, holes
+    // folded to the same (gap_len, n_gaps, missing) histogram
+    "cdc_seq_gaps" -> (clCte +
+      """, topic AS (SELECT seq FROM changelog
+        |            WHERE op = 'RECORD_DELETE' OR op = 'RECORD_INSERT'
+        |               OR field_path IN ('firstName','lastName')),
+        |g AS (SELECT lead(seq) OVER (ORDER BY seq) - seq - 1 AS gap_len
+        |      FROM topic)
+        |SELECT gap_len, count(*) AS n_gaps,
+        |       CAST(sum(gap_len) AS BIGINT) AS missing_seqs
+        |FROM g WHERE gap_len > 0 GROUP BY 1 ORDER BY gap_len""".stripMargin),
     "cdc_tombstone_gc" -> (clCte +
       """, r AS (SELECT doc_id, seq, op,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn,
@@ -2651,6 +2672,60 @@ object SparkEntry {
         |LEFT JOIN sc USING (doc_id, lang)
         |LEFT JOIN cuts c ON c.lang = d.lang
         |ORDER BY d.doc_id""".stripMargin,
+    // same ppm scoring chain, then per-source integer ECDFs on the
+    // dense grid, HUGEINT cross-products, one 6dp division
+    "text_quality_drift" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |              FROM documents),
+        |bg AS (SELECT doc_id,
+        |         unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                 for i in range(1, len(toks))]) AS bg
+        |       FROM docs WHERE len(toks) >= 2),
+        |dbg AS MATERIALIZED (SELECT doc_id, bg, count(*) AS k
+        |       FROM bg GROUP BY 1, 2),
+        |bgc AS (SELECT bg, CAST(sum(k) AS BIGINT) AS c_bg
+        |        FROM dbg GROUP BY 1),
+        |pref AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |           CAST(sum(c_bg) AS BIGINT) AS c_pref
+        |         FROM bgc GROUP BY 1),
+        |ppm AS (SELECT bg, c_bg * 1000000 // c_pref AS ppm
+        |        FROM bgc JOIN pref ON pref.w1 = string_split(bgc.bg, ' ')[1]),
+        |sc0 AS MATERIALIZED (SELECT doc_id,
+        |        CAST(sum(k * ppm) AS BIGINT) // CAST(sum(k) AS BIGINT) AS v
+        |      FROM dbg JOIN ppm USING (bg) GROUP BY 1),
+        |sv AS (SELECT d.source, sc0.v
+        |       FROM sc0 JOIN documents d USING (doc_id)),
+        |b AS (SELECT CAST(min(v) AS BIGINT) AS lo,
+        |        CAST(max(v) AS BIGINT) AS hi,
+        |        CAST(count(*) AS BIGINT) AS n_total FROM sv),
+        |bn AS (SELECT source, (v - lo) * 64 // (hi - lo + 1) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n
+        |       FROM sv CROSS JOIN b GROUP BY 1, 2),
+        |grid AS (SELECT source, CAST(unnest(generate_series(0, 63)) AS BIGINT)
+        |                          AS bin
+        |         FROM (SELECT DISTINCT source FROM bn)),
+        |pb AS (SELECT bin, CAST(sum(n) AS BIGINT) AS tn FROM bn GROUP BY 1),
+        |ps AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM bn GROUP BY 1),
+        |c AS (SELECT g.source, g.bin,
+        |        CAST(sum(coalesce(bn.n, 0)) OVER w AS BIGINT) AS cs,
+        |        CAST(sum(coalesce(pb.tn, 0)) OVER w AS BIGINT) AS ct
+        |      FROM grid g
+        |      LEFT JOIN bn USING (source, bin) LEFT JOIN pb USING (bin)
+        |      WINDOW w AS (PARTITION BY g.source ORDER BY g.bin
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT c.source, ps.ns AS n_docs, b.n_total - ps.ns AS nr,
+        |        max(abs(CAST(cs AS HUGEINT) * (b.n_total - ps.ns)
+        |                - CAST(ct - cs AS HUGEINT) * ps.ns)) AS ks_num
+        |      FROM c JOIN ps USING (source) CROSS JOIN b
+        |      GROUP BY 1, 2, 3),
+        |f AS (SELECT source, n_docs,
+        |        CASE WHEN nr = 0 THEN NULL
+        |             ELSE round(CAST(ks_num AS DOUBLE)
+        |                        / (CAST(n_docs AS DOUBLE) * nr), 6)
+        |        END AS ks
+        |      FROM k)
+        |SELECT source, n_docs, ks, ks >= 0.1 AS drifted
+        |FROM f ORDER BY source""".stripMargin,
     // PMI collocations: same bigram/unigram extraction as bigram_lm,
     // ln at 4dp like every other log-scored oracle
     "text_collocations" ->

@@ -489,4 +489,52 @@ object Changelog {
         min("last_seq").as("oldest_seq"),
         max("last_seq").as("newest_seq"))
   }
+
+  /** SEQUENCE-CONTINUITY audit — the lost-message detector a
+    * changelog consumer runs: a topic that should carry every `seq`
+    * in its span is scanned for the seqs that never arrived, and the
+    * holes report as a GAP-LENGTH HISTOGRAM (gap_len, n_gaps,
+    * missing_seqs) — single dropped records read differently from a
+    * bulk hole (an offset reset, a dead producer epoch), and the
+    * histogram keeps the output bounded where a raw missing-range
+    * list could be half the span.
+    *
+    * No global sort: seqs band by `seq div B` (width from the
+    * observed span over a broadcast bounds row — monotone, so band
+    * order is seq order), in-band neighbor gaps come from a lead
+    * window per band (per-task work = one band), and cross-band gaps
+    * from the ≤ `bands` summary frame joined to its next PRESENT
+    * band (a broadcast inequality self-join — empty bands between
+    * two present ones are part of the hole, not a lost join row).
+    * Exact integers end to end.
+    */
+  def seqGaps(changelog: DataFrame, bands: Int = 64): DataFrame = {
+    require(bands > 0, s"bands ($bands) must be positive")
+    val s = changelog.select(col("seq"))
+    val bounds = s.agg(min("seq").as("s0"), max("seq").as("s1"))
+    val banded = s.crossJoin(broadcast(bounds))
+      .withColumn("bw", expr(s"(s1 - s0) div $bands + 1"))
+      .withColumn("band", expr("(seq - s0) div bw"))
+      // the in-band window and the band summary both read it
+      .localCheckpoint()
+    val inBand = banded
+      .withColumn("nxt", lead(col("seq"), 1)
+        .over(Window.partitionBy("band").orderBy("seq")))
+      .filter(col("nxt") - col("seq") > 1)
+      .select((col("nxt") - col("seq") - 1).as("gap_len"))
+    val summary = banded.groupBy("band")
+      .agg(min("seq").as("bmin"), max("seq").as("bmax"))
+      .localCheckpoint() // both sides of the next-present-band join
+    val crossBand = summary.as("a")
+      .join(broadcast(summary.select(col("band").as("nb"),
+        col("bmin").as("nmin"))), col("nb") > col("band"), "left")
+      .groupBy(col("band"), col("bmax"))
+      .agg(min("nmin").as("next_min"))
+      .filter(col("next_min") - col("bmax") > 1)
+      .select((col("next_min") - col("bmax") - 1).as("gap_len"))
+    inBand.unionByName(crossBand)
+      .groupBy("gap_len")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_len").as("missing_seqs"))
+  }
 }

@@ -907,6 +907,72 @@ object TextAnalysis {
       ppm.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, cuts)
   }
 
+  /** Per-source QUALITY-DISTRIBUTION drift — which source's LM-score
+    * distribution deviates from the rest of the corpus: a binned
+    * two-sample Kolmogorov–Smirnov of each source's integer-ppm
+    * scores against ALL OTHER sources ([[graft.ops.Events.drift]]'s
+    * discipline pointed at the quality axis). A drifted source is
+    * the one to re-crawl, re-filter, or re-weight before it skews
+    * the mix — and the mean-based audits miss shape migrations
+    * (bimodal template floods, tail growth) entirely.
+    *
+    * Exactness: scores are the integer-ppm LM scores (shared
+    * [[lmScored]] model), binning is the integer-exact `div`
+    * convention, both ECDFs stay exact integer cumulative counts on
+    * a sources×bins dense grid (explicit zero bins — a silent gap
+    * breaks the cumulative), the KS max compares the integer
+    * cross-products `|cum_s·n_r − cum_r·n_s|`, and ONE 6dp division
+    * lands at the end — so the statistic and the flag replay
+    * bit-identically. The rest-of-corpus ECDF costs nothing extra:
+    * it is the per-bin total minus the source's own counts, off the
+    * same aggregate. Sub-bigram docs have no score and are outside
+    * the population; a single-source corpus answers NULL (no rest
+    * to compare against).
+    */
+  def qualityDrift(documents: DataFrame, bins: Int = 64,
+                   tau: Double = 0.1): DataFrame = {
+    require(bins > 0, s"bins ($bins) must be positive")
+    val docBg = lmDocBg(documents)
+    val sc = lmScored(docBg, lmPpm(docBg))
+      .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"), col("score_ppm").as("v"))
+      .localCheckpoint() // bounds + binned both read the scored frame
+    val bounds = sc.agg(min("v").as("lo"), max("v").as("hi"),
+      count(lit(1)).as("n_total"))
+    val binned = sc.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(s"(v - lo) * $bins div (hi - lo + 1)"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid + per-bin totals + per-source totals
+    val grid = binned.select("source").distinct()
+      .select(col("source"),
+        explode(sequence(lit(0L), lit(bins - 1L))).as("bin"))
+    val perBin = binned.groupBy("bin").agg(sum("n").as("tn"))
+    val perSrc = binned.groupBy("source").agg(sum("n").as("ns"))
+    val w = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .join(binned.hint("shuffle_hash"), Seq("source", "bin"), "left")
+      .join(broadcast(perBin), Seq("bin"), "left")
+      .withColumn("cs", sum(coalesce(col("n"), lit(0L))).over(w))
+      .withColumn("ct", sum(coalesce(col("tn"), lit(0L))).over(w))
+      .join(broadcast(perSrc), Seq("source"))
+      .crossJoin(broadcast(bounds.select(col("n_total"))))
+      .withColumn("nr", col("n_total") - col("ns"))
+      // DECIMAL-widened cross-products: cum·n products square the
+      // corpus count and wrap int64 at scale (the graph_hits rule)
+      .withColumn("num", expr(
+        "abs(CAST(cs AS DECIMAL(38,0)) * nr - " +
+          "(ct - cs) * CAST(ns AS DECIMAL(38,0)))"))
+      .groupBy(col("source"), col("ns").as("n_docs"), col("nr"))
+      .agg(max("num").as("ks_num"))
+      .select(col("source"), col("n_docs"),
+        when(col("nr") === 0, lit(null).cast("double"))
+          .otherwise(round(col("ks_num").cast("double") /
+            (col("n_docs").cast("double") * col("nr").cast("double")), 6))
+          .as("ks"))
+      .withColumn("drifted", col("ks") >= tau)
+  }
+
   def lmBuckets(documents: DataFrame): DataFrame = {
     val docBg = lmDocBg(documents)
     val ppm = lmPpm(docBg)

@@ -170,4 +170,26 @@ class CdcSpec extends SparkSpec {
     assert(ins.getAs[Long]("n_late") == 0L)
     assert(ins.getAs[Long]("wm_rec_sec") == 1L)
   }
+  test("seq gaps: planted holes, band invariance, gapless is empty") {
+    import spark.implicits._
+    // seqs 0..9, 15, 16, 40..42: holes of 5 (10..14) and 23 (17..39)
+    val seqs = ((0L to 9L) ++ Seq(15L, 16L) ++ (40L to 42L)).toSeq
+    val log = seqs.map(s => ("d", s, s, Changelog.Update, "firstName",
+      "{}", 0.0))
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
+    def hist(bands: Int) = Changelog.seqGaps(log, bands).collect()
+      .map(r => (r.getAs[Long]("gap_len"), r.getAs[Long]("n_gaps"),
+        r.getAs[Long]("missing_seqs"))).toSet
+    val expect = Set((5L, 1L, 5L), (23L, 1L, 23L))
+    // 4 bands (width 11): the 23-hole spans EMPTY band 2 entirely --
+    // the next-present-band join must bridge it; 1 band = the global
+    // window degenerate; 64 bands = mostly singleton bands
+    assert(hist(4) == expect, s"got ${hist(4)}")
+    assert(hist(1) == expect && hist(64) == expect)
+    // a dense topic reports nothing
+    val dense = (0L to 20L).map(s => ("d", s, s, Changelog.Update,
+      "firstName", "{}", 0.0))
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
+    assert(Changelog.seqGaps(dense).collect().isEmpty)
+  }
 }

@@ -203,6 +203,36 @@ class TextSpec extends SparkSpec {
     assert(got.size === 6)
   }
 
+  test("quality drift: a template flood drifts, peers stay calm, " +
+      "single source is NULL") {
+    import spark.implicits._
+    // two organic sources with the same mixed text population; one
+    // "flood" source of identical high-probability templates — its
+    // score distribution is a point mass the others don't have
+    val organic = (1 to 20).flatMap { i =>
+      Seq((100L + i, s"alpha beta w$i gamma delta", "en", "a"),
+        (200L + i, s"alpha beta v$i gamma delta", "en", "b"))
+    }
+    val flood = (1 to 20).map(i =>
+      (300L + i, "alpha beta gamma delta alpha beta gamma delta", "en",
+        "flood"))
+    val docs = (organic ++ flood).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.qualityDrift(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("ks"), r.getAs[Boolean]("drifted")))).toMap
+    assert(out("flood")._2, s"$out")
+    assert(out("flood")._1 > out("a")._1 && out("flood")._1 > out("b")._1)
+    out.values.foreach { case (ks, _) => assert(ks >= 0.0 && ks <= 1.0) }
+    // a and b are drawn from the same population: near-identical
+    // distributions, far from the flood's statistic
+    assert(math.abs(out("a")._1 - out("b")._1) < 0.2)
+    // one source: no rest-of-corpus to compare against
+    val single = (1 to 5).map(i => (i.toLong, s"a b c$i", "en", "only"))
+      .toDF("doc_id", "text", "lang", "source")
+    val s1 = TextAnalysis.qualityDrift(single).collect()
+    assert(s1.length == 1 && s1.head.isNullAt(s1.head.fieldIndex("ks")))
+  }
+
   test("lm gate stream: scores its own fit identically to the batch buckets") {
     import spark.implicits._
     implicit val s = spark
