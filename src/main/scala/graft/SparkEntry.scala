@@ -1016,7 +1016,7 @@ object SparkEntry {
       .mkString("(", "\n             + ", ")")
 
   /** Winnowing replay: same md5 15-nibble gram hash, the packed
-    * `h·2²⁰ + (2²⁰−1−pos)` selection key in HUGEINT, per-window min
+    * `h·2⁴⁰ + (2⁴⁰−1−pos)` selection key in HUGEINT, per-window min
     * over the identical CURRENT..w−1 FOLLOWING frame, valid starts
     * only, then the shared-hash audit. */
   private val winnowSql: String =
@@ -1031,7 +1031,8 @@ object SparkEntry {
        |             ${md5Nib15("array_to_string(t[pos:pos+3], ' ')")} AS h
        |      FROM pos),
        |k AS (SELECT doc_id, n_grams, pos,
-       |        CAST(h AS HUGEINT) * 1048576 + (1048575 - pos) AS key
+       |        CAST(h AS HUGEINT) * 1099511627776
+       |          + (1099511627775 - pos) AS key
        |      FROM g),
        |sel AS (SELECT doc_id, n_grams, pos,
        |          min(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -1039,7 +1040,8 @@ object SparkEntry {
        |        FROM k),
        |fp AS (SELECT DISTINCT doc_id, sel FROM sel
        |       WHERE pos <= greatest(1, n_grams - 3)),
-       |fh AS (SELECT doc_id, CAST(sel // 1048576 AS BIGINT) AS h FROM fp),
+       |fh AS (SELECT doc_id, CAST(sel // 1099511627776 AS BIGINT) AS h
+       |       FROM fp),
        |sh AS (SELECT h FROM fh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
        |cnt AS (SELECT doc_id, count(*) AS n_fps FROM fh GROUP BY 1),
        |shr AS (SELECT doc_id, count(*) AS n_shared FROM fh

@@ -925,6 +925,10 @@ object Dedup {
     val elems = grams.withColumn("occ",
       row_number().over(Window.partitionBy("doc_id", "g").orderBy("p")))
       .drop("p")
+      // the df aggregate and the rarity-ranking join both read it —
+      // the explode + occurrence window is the heaviest pre-join
+      // stage and must not run twice
+      .localCheckpoint()
     val freq = elems.groupBy("g", "occ").agg(count(lit(1)).as("df"))
     // rank by global rarity, keep the constant k·q+1 prefix; both
     // candidate sides read it — materialize the scan+agg+join+window

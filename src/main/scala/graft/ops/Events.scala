@@ -1036,14 +1036,17 @@ object Events {
     */
   def cumulativeUniques(events: DataFrame): DataFrame = {
     val dayUser = events.select(to_date(col("ts")).as("day"), col("user_id"))
-    // (day, user) distinct then per-day count — daily active users
+    // (day, user) distinct then per-day count — daily active users;
+    // materialized so the calendar span reads this days-sized frame
+    // instead of re-aggregating the corpus a third time
     val actives = dayUser.groupBy("day", "user_id").agg(count(lit(1)).as("_c"))
       .groupBy("day").agg(count(lit(1)).as("actives"))
+      .localCheckpoint()
     // first-seen day per user: the ONE corpus aggregate the
     // cumulative identity needs
     val firstSeen = dayUser.groupBy("user_id").agg(min("day").as("day"))
       .groupBy("day").agg(count(lit(1)).as("new_users"))
-    val span = dayUser.agg(min("day").as("d0"), max("day").as("d1"))
+    val span = actives.agg(min("day").as("d0"), max("day").as("d1"))
     val grid = span
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
       .join(broadcast(actives), Seq("day"), "left")
@@ -1052,13 +1055,13 @@ object Events {
         coalesce(col("actives"), lit(0L)).as("actives"),
         coalesce(col("new_users"), lit(0L)).as("new_users"))
       .localCheckpoint() // two consumers (both prefix-join sides)
-    grid.as("a")
-      .join(broadcast(grid.as("b")), col("b.day") <= col("a.day"))
-      .groupBy(col("a.day").as("day"), col("a.actives").as("actives"),
-        col("a.new_users").as("new_users"))
-      .agg(sum(col("b.new_users")).as("cum_uniques"))
+    // cumulative distinct users through day d = exclusive prefix of
+    // new_users + the day's own (the shared model-frame construct)
+    grid.join(broadcast(
+        ModelFrames.exclusivePrefixSum(grid, "day", "new_users")),
+        Seq("day"))
       .select(col("day"), col("actives"), col("new_users"),
         (col("actives") - col("new_users")).as("returning"),
-        col("cum_uniques"))
+        (col("off") + col("new_users")).as("cum_uniques"))
   }
 }

@@ -499,17 +499,13 @@ object Sampling {
     val banded = d.crossJoin(broadcast(tot))
       .withColumn("bw", expr(s"(i1 - i0) div $bands + 1"))
       .withColumn("band", expr("(doc_id - i0) div bw"))
+      // the in-band window and the band-sum aggregate both read it
+      .localCheckpoint()
     val inBand = banded.withColumn("cum",
       sum("w").over(Window.partitionBy("band").orderBy("doc_id")))
-    // exclusive band offsets on the ≤ bands summary frame via a
-    // broadcast inequality self-join (the cumulativeUniques prefix
-    // pattern: O(bands²) pairs on a model frame, no global window)
     val bsums = banded.groupBy("band").agg(sum("w").as("bsum"))
-      .localCheckpoint() // both prefix-join sides
-    val offs = bsums.as("a")
-      .join(broadcast(bsums.select(col("band").as("pb"),
-        col("bsum").as("pw")).as("b")), col("pb") < col("band"), "left")
-      .groupBy("band").agg(coalesce(sum("pw"), lit(0L)).as("off"))
+      .localCheckpoint() // both sides of the shared prefix join
+    val offs = ModelFrames.exclusivePrefixSum(bsums, "band", "bsum")
     inBand.join(broadcast(offs), Seq("band"))
       .withColumn("c", col("off") + col("cum") - col("w"))
       .withColumn("step", greatest(lit(1L), expr(s"tw div $n")))

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
 
-/** One scored document: the gate's integer-ppm LM score and the
-  * head/middle/tail verdict (`unscored` for sub-bigram docs). */
+/** One scored document: bigram-occurrence count and the integer-ppm
+  * LM score (the bucket verdict joins on downstream from the cuts
+  * frame; sub-bigram docs carry no LmScore at all). */
 case class LmScore(n_bigrams: Long, score_ppm: Long)
 
 /** Streaming text-quality operators. */
@@ -34,10 +35,20 @@ object TextStreams {
                   (implicit spark: SparkSession): DataFrame = {
     val bPpm = spark.sparkContext.broadcast(model.ppm)
     // bounded-model probe (the contamination-bloom UDF precedent):
-    // tokenization mirrors shingle_list(text, 2) — split(trim, ' ')
-    // with empties kept, adjacent pairs joined by one space
+    // tokenization mirrors shingle_list(text, 2) EXACTLY — trim of
+    // ASCII space 0x20 ONLY (Java String.trim also strips tabs and
+    // newlines, which the batch expression keeps inside tokens),
+    // split on single spaces with empties kept, pairs joined by one
+    // space
+    def trimSpaces(s: String): String = {
+      var b = 0
+      var e = s.length
+      while (b < e && s.charAt(b) == ' ') b += 1
+      while (e > b && s.charAt(e - 1) == ' ') e -= 1
+      s.substring(b, e)
+    }
     val score = udf { text: String =>
-      val t = Option(text).getOrElse("").trim.split(" ", -1)
+      val t = trimSpaces(Option(text).getOrElse("")).split(" ", -1)
       if (t.length < 2) None
       else {
         val m = bPpm.value

@@ -457,8 +457,11 @@ object TextAnalysis {
     *
     * Determinism discipline: the per-window argmin is ONE exact
     * integer `min` — hash and tie-break packed as
-    * `h·2²⁰ + (2²⁰−1−pos)` in DECIMAL(38,0)/HUGEINT (positions up to
-    * 2²⁰−1 per doc; longer docs would widen the tie field), so both
+    * `h·2⁴⁰ + (2⁴⁰−1−pos)` in DECIMAL(38,0)/HUGEINT (a 40-bit tie
+    * field holds ~10¹² gram positions — beyond any document; the
+    * 60-bit hash times 2⁴⁰ stays inside both decimal types, and a
+    * narrower field would let a long doc's position bleed into the
+    * hash band and silently select a non-minimum), so both
     * engines select identical fingerprints with no argmin
     * tie ambiguity. The gram key is the md5 15-nibble BIGINT of
     * [[dupSpans]]; windows are per-doc `rowsBetween` frames
@@ -487,13 +490,15 @@ object TextAnalysis {
       .rowsBetween(0, w - 1)
     val fps = grams
       .withColumn("key",
-        expr("CAST(h AS DECIMAL(38,0)) * 1048576 + (1048575 - pos)"))
+        expr("CAST(h AS DECIMAL(38,0)) * 1099511627776 + " +
+          "(1099511627775 - pos)"))
       .withColumn("sel", min("key").over(wWin))
       // valid window starts only; a doc with < w grams keeps its one
       // short window at pos 1
       .filter(col("pos") <= greatest(lit(1L), col("n_grams") - (w - 1)))
       .select(col("doc_id"), col("sel")).distinct()
-      .select(col("doc_id"), expr("CAST(sel div 1048576 AS BIGINT)").as("h"))
+      .select(col("doc_id"),
+        expr("CAST(sel div 1099511627776 AS BIGINT)").as("h"))
       // feeds the shared-hash aggregate, the semi-join probe, and
       // the per-doc count
       .localCheckpoint()
@@ -932,7 +937,7 @@ object TextAnalysis {
   def qualityDrift(documents: DataFrame, bins: Int = 64,
                    tau: Double = 0.1): DataFrame = {
     require(bins > 0, s"bins ($bins) must be positive")
-    val docBg = lmDocBg(documents)
+    val docBg = lmDocBg(documents).localCheckpoint() // model + scoring
     val sc = lmScored(docBg, lmPpm(docBg))
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("score_ppm").as("v"))
@@ -974,7 +979,9 @@ object TextAnalysis {
   }
 
   def lmBuckets(documents: DataFrame): DataFrame = {
-    val docBg = lmDocBg(documents)
+    // the model build and the scoring join both read the bigram
+    // frame — the corpus explode must not run twice
+    val docBg = lmDocBg(documents).localCheckpoint()
     val ppm = lmPpm(docBg)
     val scored = lmScored(docBg, ppm)
       .localCheckpoint() // two consumers: the cuts fit + the output

@@ -240,7 +240,13 @@ class TextSpec extends SparkSpec {
     val corpus = Seq(
       (1L, "a b a c", "en"), (2L, "a b", "en"), (3L, "b a a c a b", "en"),
       (4L, "x", "en"),                    // sub-bigram: unscored
-      (5L, "p q p q", "fr"), (6L, "q p", "fr"), (7L, "p p q q p", "fr")
+      (5L, "p q p q", "fr"), (6L, "q p", "fr"), (7L, "p p q q p", "fr"),
+      // whitespace regime: batch shingle_list trims ONLY ascii
+      // spaces (tabs/newlines stay inside tokens) and keeps empty
+      // tokens from double spaces — the stream must tokenize
+      // byte-identically or scores silently diverge
+      (8L, "a\tb c a\tb c", "en"), (9L, "  a b  ", "en"),
+      (10L, "a  b a  b", "en")
     ).toDF("doc_id", "text", "lang")
     val model = TextAnalysis.lmFit(corpus)
     val batch = TextAnalysis.lmBuckets(corpus).collect()
@@ -255,10 +261,11 @@ class TextSpec extends SparkSpec {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
     try {
       input.addData(Seq((1L, "a b a c", "en"), (5L, "p q p q", "fr"),
-        (4L, "x", "en")))
+        (4L, "x", "en"), (8L, "a\tb c a\tb c", "en")))
       q.processAllAvailable()
       input.addData(Seq((2L, "a b", "en"), (3L, "b a a c a b", "en"),
-        (6L, "q p", "fr"), (7L, "p p q q p", "fr")))
+        (6L, "q p", "fr"), (7L, "p p q q p", "fr"),
+        (9L, "  a b  ", "en"), (10L, "a  b a  b", "en")))
       q.processAllAvailable()
     } finally q.stop()
     val streamed = spark.sql("SELECT * FROM lmg").collect()
