@@ -15,6 +15,10 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "plans"
+    // optional comma-separated name filter for fast single-query
+    // iteration (a full 197-query dump re-executes every eager
+    // checkpoint); substring match against the query key
+    val only = if (args.length > 2) args(2).split(",").toSeq else Seq.empty
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master("local[4]")
@@ -26,7 +30,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        only.isEmpty || only.exists(name.contains) }
+      .foreach { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       Files.write(Paths.get(outDir, s"$name.txt"),

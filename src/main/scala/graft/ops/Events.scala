@@ -610,7 +610,12 @@ object Events {
     * matches with zero rounding anywhere except the final rate.
     * Cost shape: two chained rank selections over a 2-column
     * projection (~3 narrow scans each) + one scoring pass; MAD is
-    * inherently two-pass (deviations need the median first).
+    * inherently two-pass (deviations need the median first). The
+    * chaining leans on RankSelect materializing its ranks-sized
+    * selection: `med` rides inside pass-2's corpus lineage AND the
+    * final scoring join, and with lazy selection lineage each
+    * reference replicated pass-1's whole multi-scan tree (the r11
+    * committed plan re-read the events parquet 50×).
     */
   def anomalyRobust(events: DataFrame, k: Double = 3.0,
                     bins: Int = 256): DataFrame = {

@@ -82,13 +82,27 @@ object RankSelect {
     *                plus any rider columns carried into the output
     *                (duplicate ranks allowed — one output row each)
     * @param tie     tiebreak column names after `v`
+    * @param materialize when true (the default) the returned
+    *                `selected` frame is materialized
+    *                ([[Rounds.materialize]]) before it leaves: it is
+    *                ranks-sized (one row per request), but its LINEAGE
+    *                is the whole two-pass corpus computation — a
+    *                caller that references it twice (anomalyRobust's
+    *                median feeds both the MAD selection and the final
+    *                scoring join) would otherwise replicate every
+    *                corpus scan per reference. The r11 committed
+    *                events_anomaly_robust plan re-read the events
+    *                parquet 50× this way. `false` is for plan-shape
+    *                inspection only (PointMassSpec pins the pass-2
+    *                fence structurally).
     * @return (selected, bounds): `selected` has one row per `mkRanks`
     *         row — `(g, v, tie..., r, riders...)`; `bounds` is the
     *         materialized `(g, lo, hi, n)` frame for downstream use
     */
   def at(scored: DataFrame, bins: Int, binOf: Column,
          mkRanks: DataFrame => DataFrame,
-         tie: Seq[String] = Seq.empty): (DataFrame, DataFrame) = {
+         tie: Seq[String] = Seq.empty,
+         materialize: Boolean = true): (DataFrame, DataFrame) = {
     require(bins > 0, s"bins ($bins) must be positive")
     val nn = scored.filter(col("v").isNotNull)
     val bounds = nn.groupBy("g")
@@ -97,7 +111,7 @@ object RankSelect {
       // references, the ranks frame, callers' final joins):
       // materialize the groups-sized frame so each reference reads
       // rows, not re-runs the corpus lineage
-      .localCheckpoint()
+      .transform(Rounds.materialize)
     val binned = nn.join(broadcast(bounds), Seq("g"))
       .withColumn("bin", binOf)
     // per-bin min/max ride the SAME map-side-combined aggregate as
@@ -105,9 +119,15 @@ object RankSelect {
     val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("bn"),
       min("v").as("bmin"), max("v").as("bmax"))
     val wc = Window.partitionBy("g").orderBy("bin")
-    val cum = hist.withColumn("cb",
+    // the SECOND (and last) corpus pass under summary lineage: the
+    // cumulative histogram is groups×bins rows but its plan re-runs
+    // the corpus binning aggregate per reference — and `located`
+    // below is referenced by the pass-2 semi-join, the rank-recovery
+    // join AND the point-mass arm. Materialize once; everything
+    // downstream of here except pass-2's own bin sort reads rows.
+    val cum = Rounds.materialize(hist.withColumn("cb",
       coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
+        lit(0L))))
     val ranks = mkRanks(bounds)
     // broadcast the RANKS side — strictly the smaller frame (a
     // handful of rows per group vs cum's groups×bins): left to the
@@ -143,6 +163,9 @@ object RankSelect {
             riders.map(col): _*)
         sorted.unionByName(heavy)
       }
-    (selected, bounds)
+    // ranks-sized rows, corpus-sized lineage: hand callers a frame
+    // they can reference freely (broadcast joins, chained RankSelect
+    // passes) without replicating pass-2's corpus scan per reference
+    (if (materialize) Rounds.materialize(selected) else selected, bounds)
   }
 }

@@ -75,10 +75,29 @@ object PlanLint extends AdaptiveSparkPlanHelper {
     }
   }
 
+  /** Same-table scan count above which `duplicate-scan` fires. A
+    * handful of repeats is normal (a self-join, a two-pass
+    * aggregate); dozens means an unmaterialized summary frame is
+    * being referenced from many subtrees and each reference re-runs
+    * the corpus lineage — the r11 events_anomaly_robust plan
+    * re-read the events parquet 50× this way, visible statically
+    * for two rounds with no rule to catch it. The fix is always the
+    * same: materialize the small frame (Rounds.materialize /
+    * localCheckpoint), not restructure the query.
+    */
+  val DuplicateScanThreshold = 6
+
   def auditPlan(plan: SparkPlan): Seq[Finding] = {
     val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    val scans = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def walk(p: SparkPlan): Unit = {
+      p match {
+        case s: FileSourceScanExec =>
+          scans += s.relation.location.rootPaths.map(_.toString)
+            .sorted.mkString(",")
+        case _ => ()
+      }
       p match {
         case _: CartesianProductExec =>
           findings += Finding("cartesian-product", "error",
@@ -162,6 +181,18 @@ object PlanLint extends AdaptiveSparkPlanHelper {
         }
     }
     walk(plan)
+    // per-table scan multiplicity over the WHOLE plan (subqueries
+    // included): one plan scanning one table dozens of times is the
+    // unmaterialized-summary-lineage signature, not a join pattern
+    scans.groupBy(identity).foreach { case (table, hits) =>
+      if (hits.size > DuplicateScanThreshold)
+        findings += Finding("duplicate-scan", "warn",
+          s"${hits.size} scans of the same table in one plan " +
+            s"(> $DuplicateScanThreshold) — an unmaterialized frame " +
+            "is referenced from many subtrees and each reference " +
+            "re-runs its corpus lineage; materialize the small frame " +
+            s"(Rounds.materialize). Table: ${table.take(120)}")
+    }
     findings.toSeq
   }
 

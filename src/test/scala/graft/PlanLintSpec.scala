@@ -101,6 +101,37 @@ class PlanLintSpec extends SparkSpec {
     assert(g.detail.startsWith("1 "))
   }
 
+  test("a plan scanning one table past the threshold fires duplicate-scan") {
+    // the r11 events_anomaly_robust regression shape: one physical
+    // plan reading the same parquet table dozens of times because an
+    // unmaterialized summary frame is referenced from many subtrees.
+    // Synthesized here as a union fan-out over one table — the rule
+    // counts per-TABLE multiplicity, whatever the join/union shape.
+    val docs = Tables.documents(spark, sf)
+    val fanout = (0 to PlanLint.DuplicateScanThreshold)
+      .map(i => docs.filter(col("doc_id") % 100 === i)
+        .groupBy("lang").agg(count(lit(1)).as("n")))
+      .reduce(_ unionAll _)
+    val f = PlanLint.audit(fanout).find(_.rule == "duplicate-scan")
+    assert(f.exists(_.severity == "warn"), PlanLint.report(fanout))
+
+    // two DIFFERENT tables at 4 scans each (8 total) stay clean —
+    // multiplicity is per table, not per plan
+    val emb = Tables.embeddings(spark, sf)
+    val mixed = (0 to 3).map(i =>
+      docs.filter(col("doc_id") % 100 === i).select(col("doc_id"))
+        .unionAll(emb.filter(col("vec_id") % 100 === i).select(col("vec_id"))))
+      .reduce(_ unionAll _)
+    assert(!rules(mixed).contains("duplicate-scan"), PlanLint.report(mixed))
+  }
+
+  test("the fixed anomalyRobust plan is clean of duplicate-scan") {
+    // the motivating defect: before RankSelect materialized its
+    // selection, this exact operator re-read the events parquet 50×
+    val df = graft.ops.Events.anomalyRobust(Tables.events(spark, sf))
+    assert(!rules(df).contains("duplicate-scan"), PlanLint.report(df))
+  }
+
   test("the ENTIRE query surface passes the lint at error severity") {
     // the repo's own discipline, applied through the public API to
     // every registered query: no cartesian products, no

@@ -33,11 +33,13 @@ class PointMassSpec extends SparkSpec {
 
   private def bruteRank(rows: Seq[Double], r: Int): Double = rows.sorted.apply(r)
 
-  private def select(df: DataFrame, rs: Seq[Long]): DataFrame =
+  private def select(df: DataFrame, rs: Seq[Long],
+                     materialize: Boolean = true): DataFrame =
     RankSelect.at(df, bins, RankSelect.floatBin(bins), bounds =>
       bounds.select(col("g"),
         explode(array(rs.map(lit(_)): _*)).as("r"))
-        .filter(col("r") < col("n")))._1
+        .filter(col("r") < col("n")),
+      materialize = materialize)._1
 
   test("ranks in a 90%-one-value bin and in normal bins both select exactly") {
     val df = planted()
@@ -67,7 +69,10 @@ class PointMassSpec extends SparkSpec {
   }
 
   test("the window sort is structurally fenced off from point-mass bins") {
-    val sel = select(planted(), Seq(499L))
+    // materialize = false: the production default checkpoints the
+    // ranks-sized selection (its optimizedPlan is a LogicalRDD scan);
+    // the fence lives in the plan BEHIND that checkpoint
+    val sel = select(planted(), Seq(499L), materialize = false)
     val plan = sel.queryExecution.optimizedPlan
     // only the pass-2 row_number window sorts bin ROWS — the
     // cumulative-histogram window runs on the groups×bins summary
@@ -105,7 +110,7 @@ class PointMassSpec extends SparkSpec {
     val df = (1 to 100).map(i => ("t", 3.0, f"id$i%03d")).toDF("g", "v", "id")
     val (sel, _) = RankSelect.at(df, bins, RankSelect.floatBin(bins),
       bounds => bounds.select(col("g"), lit(42L).as("r")),
-      tie = Seq("id"))
+      tie = Seq("id"), materialize = false)
     val got = sel.select("v", "id").as[(Double, String)].collect().toSeq
     assert(got === Seq((3.0, "id043"))) // 0-based rank 42 under (v, id)
     assert(sel.queryExecution.optimizedPlan.collect {
