@@ -26,8 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.IntervalStrategy)
     e.injectOptimizerRule(_ => graft.plans.CollapseRepartitionIntoTopK)
     // operational kill-switch: plan-rewrite rules can be disabled
-    // without a rebuild if a workload ever hits an unforeseen shape
-    if (!sys.env.contains("GRAFT_DISABLE_RANK_REWRITE"))
+    // without a rebuild if a workload ever hits an unforeseen shape.
+    // Gated on the VALUE, not presence — an operator re-enabling
+    // with =false/=0 must get the rewrite back, not the opposite
+    val disabled = sys.env.get("GRAFT_DISABLE_RANK_REWRITE")
+      .map(_.trim.toLowerCase)
+      .exists(v => v == "1" || v == "true" || v == "yes")
+    if (!disabled)
       e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }
 }

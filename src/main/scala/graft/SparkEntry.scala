@@ -40,6 +40,20 @@ object SparkEntry {
     keeperModelCache.computeIfAbsent(s.sparkContext.applicationId + ":" + d,
       _ => Dedup.fitKeepers(Tables.documents(s, d), 0.9, 2))
 
+  /** Fit-once cache for the BPE training recurrence, keyed by
+    * (application, sf dir, steps): text_bpe_apply otherwise re-runs
+    * the full K-round fit that text_bpe_merges just trained. The fit
+    * is deterministic (reuse only removes recompute) and its frames
+    * are materialized in the SparkContext — hence the application id
+    * in the key, like the keeper model. */
+  private val bpeFitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def bpeFit(s: SparkSession, d: String, steps: Int) =
+    bpeFitCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + d + ":" + steps,
+      _ => Bpe.fit(Tables.documents(s, d), steps))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a CDC core
@@ -337,8 +351,8 @@ object SparkEntry {
     "text_zipf" -> ((s, d) =>
       TextAnalysis.zipf(Tables.documents(s, d)).orderBy("source")),
     // distributed BPE: train the merge table / re-segment under it
-    "text_bpe_merges" -> ((s, d) => Bpe.merges(Tables.documents(s, d), 8)),
-    "text_bpe_apply" -> ((s, d) => Bpe.tokenCounts(Tables.documents(s, d), 8, 30)),
+    "text_bpe_merges" -> ((s, d) => Bpe.mergeTable(bpeFit(s, d, 8))),
+    "text_bpe_apply" -> ((s, d) => Bpe.tokenCountsOf(bpeFit(s, d, 8), 30)),
     // sliding-window substring-duplication audit (tile-blind copies)
     // MOSS winnowing: ~2/(w+1) of grams stored, guaranteed detection
     // of shared runs >= w+q-1 tokens — the budget-bounded dup index

@@ -908,13 +908,19 @@ object Dedup {
     require(k >= 0, s"k ($k) must be non-negative")
     require(q >= 1, s"q ($q) must be positive")
     val shortMax = q - 1 + k * q
-    // feeds the gram explode, the short arm, and both verify sides
-    val d = documents
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    // SKINNY checkpoint only (doc_id, len) — the family discipline:
+    // persisted frames hold ids/lengths/hashes, never corpus text.
+    // Text is re-read from the source where needed (the gram explode
+    // once, each verify side once): two extra columnar scans beat an
+    // executor-memory-resident full-text corpus at 100 TB
+    val dl = documents
+      .select(col("doc_id"), length(col("text")).as("len"))
       .localCheckpoint()
+    val txt = documents.select(col("doc_id"), col("text"))
     // positional q-grams computed INSIDE the generator lambda — the
     // text never rides the exploded frame (the dup_spans discipline)
-    val grams = d.filter(col("len") >= q)
+    val grams = txt.withColumn("len", length(col("text")))
+      .filter(col("len") >= q)
       .select(col("doc_id"), col("len"),
         explode(expr(s"transform(sequence(1, len - $q + 1), " +
           s"i -> struct(i AS p, substring(text, i, $q) AS g))")).as("pg"))
@@ -952,7 +958,7 @@ object Dedup {
     // (each left doc emits len−k..len+k; the right key len is unique
     // per doc, so each unordered pair arises exactly once after the
     // id-order filter)
-    val shortD = d.filter(col("len") <= shortMax)
+    val shortD = dl.filter(col("len") <= shortMax)
     val shortCand = shortD
       .select(col("doc_id").as("doc_a"),
         explode(sequence(col("len") - k, col("len") + k)).as("lk"))
@@ -961,9 +967,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
     gramCand.unionByName(shortCand)
-      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")),
+      .join(txt.select(col("doc_id").as("doc_a"), col("text").as("ta")),
         Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")),
+      .join(txt.select(col("doc_id").as("doc_b"), col("text").as("tb")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr(s"levenshtein(ta, tb, $k)").cast("long").as("dist"))

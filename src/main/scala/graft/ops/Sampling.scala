@@ -465,14 +465,19 @@ object Sampling {
     * char length — the token proxy) end to end on an integer line in
     * doc_id order, drop n equally-spaced tickets at multiples of
     * `step = W div n`, and a document is picked once per ticket its
-    * interval [c, c+w) swallows. Inclusion probability is exactly
-    * proportional to weight (the classic PPS-systematic estimator),
-    * heavy documents carry `n_picks` > 1 (with-replacement
-    * multiplicity at fixed tickets), zero-weight documents can never
-    * be picked — and the whole construct is EXACT INTEGER arithmetic
-    * with no seed, no RNG state, no fp: any engine replays the
-    * identical sample, which is what makes a 100 TB training-mix
-    * draw auditable.
+    * interval [c, c+w) swallows. Inclusion probability follows the
+    * classic PPS-systematic estimator UP TO the integer-step floor
+    * and the fixed origin: `step = W div n` truncates, so the
+    * trailing `W mod n` weight units carry no ticket, and ticket 0
+    * sits at position 0, so the first weighted unit is always
+    * sampled — a deliberate determinism-over-unbiasedness trade (a
+    * production draw wanting the textbook estimator derives a
+    * pseudo-random offset in [0, step) from a corpus hash). Heavy
+    * documents carry `n_picks` > 1 (with-replacement multiplicity at
+    * fixed tickets), zero-weight documents can never be picked — and
+    * the whole construct is EXACT INTEGER arithmetic with no seed,
+    * no RNG state, no fp: any engine replays the identical sample,
+    * which is what makes a 100 TB training-mix draw auditable.
     *
     * Scale shape: the only order-dependent quantity is the exclusive
     * prefix sum of weights, computed BANDED (the ts_match offsets

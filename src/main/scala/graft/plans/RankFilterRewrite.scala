@@ -46,16 +46,35 @@ object RewriteRankFilterToTopK extends Rule[LogicalPlan] with PredicateHelper {
   /** Rank bounds above this stay on the window path. */
   val MaxK: Int = 4096
 
+  /** Integral widths for the widening-cast check. Non-integral
+    * types are absent: a cast to/from them never strips. */
+  private val intWidth: Map[org.apache.spark.sql.types.DataType, Int] = {
+    import org.apache.spark.sql.types._
+    Map(ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+  }
+
+  /** Only WIDENING integral casts are transparent. A narrowing cast
+    * (`CAST(rn AS SMALLINT) <= 3S`, or a wrapped narrow literal)
+    * that survived constant folding can change the comparison's
+    * value set under non-ANSI wrap semantics — treating it as a
+    * plain bound would let TopKPerKey(k) drop high ranks the
+    * original filter admits. Unreachable from normal type coercion
+    * (comparisons widen), so this is edge-hardening only.
+    */
+  private def widening(c: Cast): Boolean =
+    intWidth.get(c.dataType).exists(w =>
+      intWidth.get(c.child.dataType).exists(_ <= w))
+
   private def intLit(e: Expression): Option[Long] = e match {
     case Literal(v: Int, _) => Some(v.toLong)
     case Literal(v: Long, _) => Some(v)
     case Literal(v: Short, _) => Some(v.toLong)
-    case Cast(inner, _, _, _) => intLit(inner)
+    case c @ Cast(inner, _, _, _) if widening(c) => intLit(inner)
     case _ => None
   }
 
   private def stripCast(e: Expression): Expression = e match {
-    case Cast(inner, _, _, _) => stripCast(inner)
+    case c @ Cast(inner, _, _, _) if widening(c) => stripCast(inner)
     case other => other
   }
 

@@ -102,15 +102,27 @@ object Bpe {
 
   /** The learned merge table, in training order. */
   def merges(documents: DataFrame, steps: Int = 8): DataFrame =
-    fit(documents, steps)._1.orderBy("step")
+    mergeTable(fit(documents, steps))
+
+  /** [[merges]] over an already-trained [[fit]] result — the K-round
+    * recurrence is the expensive part, so a caller consuming both
+    * the merge table and the segmentation (SparkEntry's bpe queries)
+    * fits ONCE and reads both views (the fit's frames are
+    * materialized, so re-reading them is row-scan cheap). */
+  def mergeTable(fitted: (DataFrame, DataFrame)): DataFrame =
+    fitted._1.orderBy("step")
 
   /** Corpus segment counts under the learned merges: for each final
     * token, the distinct word types containing it and its total
     * corpus occurrences (frequency-weighted, multiplicity counted).
     */
   def tokenCounts(documents: DataFrame, steps: Int = 8,
-                  k: Int = 30): DataFrame = {
-    val (_, vocab) = fit(documents, steps)
+                  k: Int = 30): DataFrame =
+    tokenCountsOf(fit(documents, steps), k)
+
+  /** [[tokenCounts]] over an already-trained [[fit]] result. */
+  def tokenCountsOf(fitted: (DataFrame, DataFrame), k: Int): DataFrame = {
+    val (_, vocab) = fitted
     vocab
       .select(col("w"), col("freq"), explode(syms(col("w"))).as("token"))
       .groupBy("token")

@@ -850,7 +850,7 @@ object TextAnalysis {
   /** Per-(doc, bigram) occurrence weights — shared by the model
     * build and the scoring join. Repeats ride the integer weight k
     * so the corpus-side join carries distinct keys per doc. */
-  private def lmDocBg(documents: DataFrame): DataFrame =
+  private[graft] def lmDocBg(documents: DataFrame): DataFrame =
     documents
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.expressions.shingle_list(col("text"), 2))
@@ -869,11 +869,17 @@ object TextAnalysis {
       .select(col("bg"), expr("c_bg * 1000000 div c_pref").as("ppm"))
   }
 
-  /** Per-doc exact-integer LM scores under a (bg, ppm) table. */
+  /** Per-doc exact-integer LM scores under a (bg, ppm) table. LEFT
+    * join: a bigram absent from the model scores 0 ppm but still
+    * counts in the denominator — with the full in-corpus model every
+    * key matches (identical to the former inner join); under a
+    * capped model ([[lmFit]]'s `topK`) this is what makes the batch
+    * scores equal the streaming gate's, where past-cap bigrams score
+    * 0 exactly like novel text. */
   private[graft] def lmScored(docBg: DataFrame, ppm: DataFrame): DataFrame =
-    docBg.join(ppm.hint("shuffle_hash"), "bg")
+    docBg.join(ppm.hint("shuffle_hash"), Seq("bg"), "left")
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(col("k") * col("ppm")).as("sum_ppm"),
+      .agg(sum(col("k") * coalesce(col("ppm"), lit(0L))).as("sum_ppm"),
         sum("k").as("n_bigrams"))
       .withColumn("score_ppm", expr("sum_ppm div n_bigrams"))
 
@@ -894,18 +900,43 @@ object TextAnalysis {
 
   /** The fitted gate artifact for the STREAMING twin
     * ([[graft.streaming.TextStreams.lmGateStream]]): the ppm table
-    * collected to a driver map (bounded by the bigram vocabulary —
-    * at open-web scale a production fit caps it to the top-k counts
-    * first; unseen bigrams then score 0 ppm, maximum surprise) plus
-    * the per-language cuts frame for the stream-static join.
+    * collected to a driver map plus the per-language cuts frame for
+    * the stream-static join. The map is bounded by [[lmFit]]'s
+    * `topK` — bigrams outside it score 0 ppm, maximum surprise.
     */
   case class LmGateModel(ppm: Map[String, Long], cuts: DataFrame)
 
   /** Fit the [[LmGateModel]] batch-side — the out-of-band refresh
-    * artifact of the anomalyStream contract. */
-  def lmFit(documents: DataFrame): LmGateModel = {
+    * artifact of the anomalyStream contract.
+    *
+    * @param topK cap on the collected bigram vocabulary: the model
+    *             keeps the `topK` highest-count bigrams (ties broken
+    *             by bigram text — deterministic refit), selected by
+    *             distributed top-k heaps (TakeOrderedAndProject),
+    *             never a full sort. The default keeps everything —
+    *             fine for a bounded domain; an open-web fit MUST cap
+    *             (the bigram vocabulary grows with the corpus and
+    *             this map lands on the driver and in every executor's
+    *             broadcast). The tercile cuts are fitted on scores
+    *             under the CAPPED model, so the stream's bucket
+    *             boundaries describe the distribution it actually
+    *             scores: past-cap bigrams contribute 0 ppm on both
+    *             sides (see [[lmScored]]).
+    */
+  def lmFit(documents: DataFrame, topK: Int = Int.MaxValue): LmGateModel = {
+    require(topK > 0, s"topK ($topK) must be positive")
     val docBg = lmDocBg(documents).localCheckpoint()
-    val ppm = lmPpm(docBg).localCheckpoint()
+    val full = lmPpm(docBg).localCheckpoint()
+    val ppm =
+      if (topK == Int.MaxValue) full
+      else {
+        val counts = docBg.groupBy("bg").agg(sum("k").as("c_bg"))
+        full.join(counts.hint("shuffle_hash"), "bg")
+          .orderBy(col("c_bg").desc, col("bg").asc)
+          .limit(topK)
+          .select("bg", "ppm")
+          .localCheckpoint()
+      }
     val cuts = lmCuts(lmScored(docBg, ppm).localCheckpoint())
       .localCheckpoint()
     LmGateModel(

@@ -292,6 +292,89 @@ class TextSpec extends SparkSpec {
     assert(novel.exists(t => t._1 == 11L && t._3 == "head"), s"$novel")
   }
 
+  test("lm gate: a capped fit scores past-cap bigrams as 0 ppm on both sides") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "a b a c", "en"), (2L, "a b", "en"), (3L, "b a a c a b", "en"),
+      (4L, "x", "en"), (5L, "p q p q", "fr"), (6L, "q p", "fr"),
+      (7L, "p p q q p", "fr"), (9L, "  a b  ", "en"), (10L, "a  b a  b", "en")
+    ).toDF("doc_id", "text", "lang")
+    val topK = 3
+    val model = TextAnalysis.lmFit(corpus, topK = topK)
+    assert(model.ppm.size === topK)
+
+    // INDEPENDENT Scala replay of the capped fit: full-corpus ppm
+    // (the cap selects entries, it does not re-estimate), top-k by
+    // (count desc, bigram asc), scores under the capped map with
+    // past-cap bigrams at 0, per-language tercile cuts as exact
+    // order statistics of the capped scores
+    def toks(t: String): Array[String] = {
+      var b = 0; var e = t.length
+      while (b < e && t.charAt(b) == ' ') b += 1
+      while (e > b && t.charAt(e - 1) == ' ') e -= 1
+      t.substring(b, e).split(" ", -1)
+    }
+    val docs = Seq(
+      (1L, "a b a c", "en"), (2L, "a b", "en"), (3L, "b a a c a b", "en"),
+      (4L, "x", "en"), (5L, "p q p q", "fr"), (6L, "q p", "fr"),
+      (7L, "p p q q p", "fr"), (9L, "  a b  ", "en"), (10L, "a  b a  b", "en"))
+    val occ = docs.flatMap { case (_, t, _) =>
+      toks(t).sliding(2).filter(_.length == 2).map(_.mkString(" ")) }
+    val cnt = occ.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pref = cnt.groupBy(_._1.split(" ", -1)(0)).view
+      .mapValues(_.values.sum).toMap
+    val fullPpm = cnt.map { case (bg, c) =>
+      bg -> c * 1000000L / pref(bg.split(" ", -1)(0)) }
+    val capped = cnt.toSeq.sortBy { case (bg, c) => (-c, bg) }.take(topK)
+      .map { case (bg, _) => bg -> fullPpm(bg) }.toMap
+    assert(model.ppm === capped)
+
+    val scored = docs.flatMap { case (id, t, lang) =>
+      val bg = toks(t).sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      if (bg.isEmpty) None
+      else Some((id, lang, bg.size.toLong,
+        bg.map(b => capped.getOrElse(b, 0L)).sum / bg.size)) }
+    val cuts = scored.groupBy(_._2).map { case (lang, xs) =>
+      val v = xs.map(_._4).sorted
+      val n = v.size.toLong
+      lang -> (v(((n - 1) * 3333L / 10000L).toInt),
+        v(((n - 1) * 6667L / 10000L).toInt)) }
+    val expect = docs.map { case (id, t, lang) =>
+      scored.find(_._1 == id) match {
+        case None => (id, lang, 0L, Option.empty[Long], "unscored")
+        case Some((_, _, n, sc)) =>
+          val (b1, b2) = cuts(lang)
+          val b = if (sc <= b1) "tail" else if (sc <= b2) "middle" else "head"
+          (id, lang, n, Some(sc), b)
+      } }.toSet
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = graft.streaming.TextStreams.lmGateStream(
+      input.toDF().toDF("doc_id", "text", "lang"), model)
+      .writeStream.format("memory").queryName("lmgc")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(docs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM lmgc").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_bigrams"), Option(r.getAs[java.lang.Long]("score_ppm")).map(_.toLong),
+        r.getAs[String]("bucket"))).toSet
+    assert(streamed === expect, s"stream $streamed\nexpect $expect")
+
+    // and the batch scorer under the same capped model agrees doc
+    // for doc (lmScored's left join is what makes this hold)
+    val docBg = TextAnalysis.lmDocBg(corpus)
+    val ppmDf = model.ppm.toSeq.toDF("bg", "ppm")
+    val batch = TextAnalysis.lmScored(docBg, ppmDf)
+      .select("doc_id", "score_ppm").as[(Long, Long)].collect().toMap
+    scored.foreach { case (id, _, _, sc) => assert(batch(id) === sc, s"doc $id") }
+  }
+
   test("winnow: guaranteed detection, density bounds, short/empty docs") {
     import spark.implicits._
     // docs 1-2 share the run "a b c d e f g h" (8 tokens >= w+q-1=7):
