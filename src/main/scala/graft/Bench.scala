@@ -49,7 +49,13 @@ object Bench {
     // round-over-round comparison most (r7 verdict #3), and one more
     // sample of the few slow queries costs far less than the noise
     // it removes from the headline.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c times just the named queries (substring
+    // match) — single-query profiling without a 197-query sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+      .map { case (name, fn) =>
       def attempt(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }

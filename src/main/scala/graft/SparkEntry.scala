@@ -76,6 +76,10 @@ object SparkEntry {
         .orderBy("gap_len")),
     "cdc_tombstone_gc" -> ((s, d) =>
       Changelog.tombstoneGc(changelog(s, d)).orderBy("status")),
+    // per-op hottest documents via the plain rank-filter idiom — the
+    // RewriteRankFilterToTopK rewrite moves it onto bounded heaps
+    "cdc_hot_docs" -> ((s, d) =>
+      Changelog.hotDocs(changelog(s, d), 5).orderBy("op", "rk")),
     "cdc_field_freq" -> ((s, d) => Changelog.fieldFreq(changelog(s, d)).orderBy("field_path")),
     "cdc_window_counts" -> ((s, d) =>
       Changelog.windowCounts(changelog(s, d)).orderBy("window_start_us", "op")),
@@ -337,6 +341,13 @@ object SparkEntry {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d)).orderBy("doc_id", "rk")),
     "text_pipeline" -> ((s, d) =>
       TextAnalysis.curationManifest(Tables.documents(s, d)).orderBy("source", "split")),
+    // context-window truncation audit: docs/tokens lost per cap,
+    // all caps in one conditional-sum pass
+    "text_truncation" -> ((s, d) =>
+      TextAnalysis.truncationAudit(Tables.documents(s, d)).orderBy("cap")),
+    // per-language tokenizer fertility under the memoized BPE fit
+    "text_bpe_fertility" -> ((s, d) =>
+      Bpe.fertility(Tables.documents(s, d), bpeFit(s, d, 8)).orderBy("lang")),
     // the production manifest: soft dedup + quality bar + keeper-keyed
     // leakage-safe split in one pass
     "text_pipeline_soft" -> ((s, d) =>
@@ -520,6 +531,10 @@ object SparkEntry {
     // exact per-label quantiles — where every tau must clear
     "sim_threshold_plan" -> ((s, d) =>
       Similarity.thresholdPlan(Tables.embeddings(s, d)).orderBy("label")),
+    // per-label dispersion from two integer moments — the mode-collapse
+    // / template-flood audit, no pairwise join anywhere
+    "sim_diversity" -> ((s, d) =>
+      Similarity.diversity(Tables.embeddings(s, d)).orderBy("label")),
     // measured recall@k of the production IVF path vs brute ground
     // truth on the probe query set
     "sim_recall_audit" -> ((s, d) =>
@@ -875,6 +890,41 @@ object SparkEntry {
          |             unnest(list_filter(string_split(w, '_'), x -> x <> '')) AS sym
          |      FROM v$steps)
          |GROUP BY 1 ORDER BY cnt DESC, token LIMIT $k""".stripMargin
+
+  /** Fertility replay: the same K-round training recurrence, its
+    * merge rows (b1..bK) applied in order to a per-LANGUAGE word
+    * vocabulary — the left-join-on-true + NULL guard mirrors the
+    * exhausted-corpus case exactly like the training chain. */
+  private def bpeFertilitySql(steps: Int): String = {
+    val lv0 =
+      """lv0 AS (SELECT lang,
+        |               '__' || regexp_replace(tok, '(.)', '\1__', 'g') AS w,
+        |               length(tok) AS chars, count(*) AS freq
+        |        FROM (SELECT lang, unnest(string_split(trim(text), ' ')) AS tok
+        |              FROM documents)
+        |        WHERE regexp_matches(tok, '^[a-z]+$') GROUP BY 1, 2, 3),
+        |""".stripMargin
+    val applied = (1 to steps).map { i =>
+      s"""lv$i AS (SELECT lang, CASE WHEN b.a IS NULL THEN v.w
+         |              ELSE replace(v.w, '_' || b.a || '__' || b.b || '_',
+         |                           '_' || b.a || b.b || '_') END AS w,
+         |              chars, freq
+         |       FROM lv${i - 1} v LEFT JOIN b$i b ON true),
+         |""".stripMargin
+    }.mkString
+    bpeChainCte(steps).stripSuffix("\n") + ",\n" + lv0 +
+      applied.stripSuffix(",\n") + "\n" +
+      s"""SELECT lang, CAST(sum(freq) AS BIGINT) AS n_words,
+         |       CAST(sum(freq * len(list_filter(string_split(w, '_'), x -> x <> ''))) AS BIGINT)
+         |         AS n_tokens,
+         |       CAST(sum(freq * chars) AS BIGINT) AS n_chars,
+         |       CAST(sum(freq * len(list_filter(string_split(w, '_'), x -> x <> ''))) * 1000000
+         |            // sum(freq) AS BIGINT) AS fertility_ppm,
+         |       CAST(sum(freq * chars) * 1000000
+         |            // sum(freq * len(list_filter(string_split(w, '_'), x -> x <> ''))) AS BIGINT)
+         |         AS chars_per_token_ppm
+         |FROM lv$steps GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   private val keepersNearCte: String = lshEdgesCte +
     "kl0 AS (SELECT doc_id, doc_id AS lab FROM documents),\n" +
@@ -2078,6 +2128,19 @@ object SparkEntry {
     // the compact-then-merge plan must be replay-equivalent, so its
     // oracle IS the full-replay latest-state query
     "cdc_compact" -> (clCte + latestStateSql),
+    // hottest docs per op class: plain window replay of the
+    // heap-rewritten rank filter
+    "cdc_hot_docs" -> (clCte +
+      """, c AS (SELECT op, doc_id, count(*) AS n_changes,
+        |          max(seq) AS last_seq
+        |        FROM changelog GROUP BY 1, 2),
+        |r AS (SELECT op, doc_id, n_changes, last_seq,
+        |        row_number() OVER (PARTITION BY op
+        |                           ORDER BY n_changes DESC, doc_id) AS rk
+        |      FROM c)
+        |SELECT op, doc_id, CAST(n_changes AS BIGINT) AS n_changes,
+        |       last_seq, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY op, rk""".stripMargin),
     // global lead-over-seq replay of the banded gap detector, holes
     // folded to the same (gap_len, n_gaps, missing) histogram
     "cdc_seq_gaps" -> (clCte +
@@ -2923,6 +2986,28 @@ object SparkEntry {
         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     // deterministic null-pair cosine quantiles: md5-nibble buckets,
     // odd/even rank pairing, basis-point rank replay per label
+    // micro-unit moment replay: per-dim Σx and Σx² via positional
+    // unnest, HUGEINT widening mirrors the Spark DECIMAL(38,0)
+    "sim_diversity" ->
+      """WITH m AS (SELECT label,
+        |             [CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)
+        |              for v in embedding] AS e
+        |           FROM embeddings),
+        |ix AS (SELECT label, e,
+        |         unnest(generate_series(1, len(e))) AS j
+        |       FROM m),
+        |ex AS (SELECT label, j, e[j] AS x FROM ix),
+        |pd AS (SELECT label, j, sum(x) AS sj, sum(x * x) AS ssj
+        |       FROM ex GROUP BY 1, 2),
+        |mo AS (SELECT label, sum(ssj) AS s, sum(sj * sj) AS q
+        |       FROM pd GROUP BY 1),
+        |nn AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+        |SELECT nn.label, CAST(nn.n AS BIGINT) AS n,
+        |       CAST((nn.n * mo.s - mo.q) // (nn.n * nn.n) AS BIGINT)
+        |         AS trace_cov_u2,
+        |       CAST((2 * (nn.n * mo.s - mo.q)) // (nn.n * nn.n) AS BIGINT)
+        |         AS mean_pair_sqdist_u2
+        |FROM nn JOIN mo USING (label) ORDER BY label""".stripMargin,
     "sim_threshold_plan" ->
       """WITH b AS (SELECT vec_id, label, embedding,
         |        16 * (strpos('0123456789abcdef',
@@ -2964,6 +3049,25 @@ object SparkEntry {
         |       round(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS DOUBLE) /
         |             len(string_split(trim(text), ' ')), 4) AS tokens_per_word
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-cap conditional sums over one token-count pass; cross join
+    // against the 4-row caps list is the oracle's (not the plan's)
+    // shape
+    "text_truncation" ->
+      """WITH t AS (SELECT len(string_split(trim(text), ' ')) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT unnest([64, 256, 1024, 4096]) AS cap)
+        |SELECT CAST(cap AS BIGINT) AS cap,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN n_tok > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_docs_over,
+        |       round(CAST(sum(CASE WHEN n_tok > cap THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 4) AS pct_docs_over,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN n_tok > cap THEN n_tok - cap ELSE 0 END) AS BIGINT)
+        |         AS tokens_lost,
+        |       round(CAST(sum(CASE WHEN n_tok > cap THEN n_tok - cap ELSE 0 END) AS DOUBLE)
+        |             / sum(n_tok), 4) AS pct_tokens_lost
+        |FROM c, t GROUP BY cap ORDER BY cap""".stripMargin,
     "text_vocab" ->
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
@@ -3972,6 +4076,7 @@ object SparkEntry {
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(8),
     "text_bpe_apply" -> bpeApplySql(8, 30),
+    "text_bpe_fertility" -> bpeFertilitySql(8),
     "text_dup_spans" -> dupSpansSql,
     "text_winnow" -> winnowSql,
     "dedup_semdedup" ->

@@ -537,4 +537,27 @@ object Changelog {
       .agg(count(lit(1)).as("n_gaps"),
         sum("gap_len").as("missing_seqs"))
   }
+
+  /** HOT-DOCUMENT audit — the k most-changed documents per operation
+    * class, with their change count and latest seq: the skew report
+    * an operator reads before sizing state stores and compactions (a
+    * handful of hot keys dominates update volume in every real CDC
+    * feed — see [[graft.ops.Relational.skewProfile]] for the
+    * key-distribution side of the same story).
+    *
+    * Deliberately written as the PLAIN row_number-filter idiom: the
+    * [[graft.plans.RewriteRankFilterToTopK]] optimizer rule moves it
+    * onto the bounded-heap [[graft.plans.TopKPerKey]] path, so per-op
+    * work is a k-heap per input partition, never a per-op sort — the
+    * committed plan snapshot pins the rewrite firing on exactly this
+    * user-shaped query.
+    */
+  def hotDocs(changelog: DataFrame, k: Int = 5): DataFrame = {
+    val counts = changelog.groupBy("op", "doc_id")
+      .agg(count(lit(1)).as("n_changes"), max("seq").as("last_seq"))
+    val w = Window.partitionBy("op")
+      .orderBy(col("n_changes").desc, col("doc_id"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -950,4 +950,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "cos")
   }
+
+  /** EMBEDDING-SPACE DIVERSITY audit — per-label dispersion WITHOUT
+    * any pairwise join: the mean pairwise squared distance over a
+    * label's vectors is a closed form of two moments,
+    * `E‖x−y‖² = 2(n·Σ‖xᵢ‖² − ‖Σxᵢ‖²)/n²` (ordered pairs, self-pairs
+    * included at distance 0), and the trace of the covariance is the
+    * same numerator over n². A collapsed/duplicated stratum (mode
+    * collapse, template floods, a mis-configured encoder emitting
+    * one point) reads as dispersion ≈ 0; this is the per-source
+    * diversity number a training-mix review wants NEXT TO the
+    * near-dup rate, at one-scan cost where a sampled pairwise
+    * estimate needs a join and an RNG.
+    *
+    * Exactness discipline: elements quantize to integer MICRO-UNITS
+    * (round(x·10⁶) — float→double is exact, so the quantization is
+    * engine-identical), every sum is integer (order-independent:
+    * the maxSim/pageRank discipline), the per-dim sums and square
+    * sums ride ONE map-side-combined (label, dim) aggregate, widened
+    * through DECIMAL(38,0) where n·Σ‖x‖² exceeds int64 (the
+    * graph_hits convention, DuckDB HUGEINT on the oracle side), and
+    * ONE integer division lands at the end. Outputs are micro²-unit
+    * longs (1e-12 of the float² scale).
+    */
+  def diversity(embeddings: DataFrame): DataFrame = {
+    val m = embeddings.select(col("label"),
+      expr("transform(embedding, v -> " +
+        "CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("e"))
+    // (label, dim) partials: Σx and Σx² per coordinate — explode
+    // compresses immediately under partial aggregation, no row ever
+    // carries more than (label, j, x)
+    val perDim = m
+      .select(col("label"), posexplode(col("e")).as(Seq("j", "x")))
+      .groupBy("label", "j")
+      .agg(sum("x").as("sj"), sum(expr("x * x")).as("ssj"))
+    val moments = perDim.groupBy("label")
+      .agg(sum(col("ssj").cast("decimal(38,0)")).as("s"),
+        sum(col("sj").cast("decimal(38,0)") * col("sj")).as("q"))
+    val counts = embeddings.groupBy("label").agg(count(lit(1)).as("n"))
+    counts.join(moments, Seq("label"))
+      .select(col("label"), col("n"),
+        expr("CAST((n * s - q) div (n * n) AS BIGINT)")
+          .as("trace_cov_u2"),
+        expr("CAST((2 * (n * s - q)) div (n * n) AS BIGINT)")
+          .as("mean_pair_sqdist_u2"))
+  }
 }

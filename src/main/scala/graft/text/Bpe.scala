@@ -120,6 +120,55 @@ object Bpe {
                   k: Int = 30): DataFrame =
     tokenCountsOf(fit(documents, steps), k)
 
+  /** A learned merge table applied to a delimited-word expression:
+    * the K replaces nest IN TRAINING ORDER inside one expression, so
+    * application is a single codegen'd projection — the model
+    * re-enters the plan as literal strings (the PCA-apply
+    * convention), no join, no shuffle, no per-row state. Symbols are
+    * lowercase alphabetic by [[wordVocab]] construction, so inlining
+    * them into the SQL text is quote-safe. */
+  def applyMergesCol(wCol: String, merges: Seq[(String, String)]): Column =
+    expr(merges.foldLeft(wCol) { case (e, (a, b)) =>
+      s"replace($e, '_${a}__${b}_', '_$a${b}_')" })
+
+  /** Per-language TOKENIZER FERTILITY under the fitted merges —
+    * tokens-per-word and chars-per-token, the numbers that decide
+    * whether a tokenizer is fair to each language in the mix (a
+    * high-fertility language pays more sequence positions for the
+    * same text, so it is implicitly down-weighted at a fixed token
+    * budget; the usual remedy is vocabulary rebalancing, and THIS is
+    * the audit that triggers it). Both ratios are exact integer ppm
+    * (`·10⁶ div`), over the alphabetic-word vocabulary the BPE
+    * trains on.
+    *
+    * Cost: one corpus scan to the per-(lang, word) vocabulary, one
+    * projection applying the K merges ([[applyMergesCol]] — the
+    * merge table is model-sized and already on the driver), one
+    * language-keyed aggregate of the vocabulary. The corpus is never
+    * re-segmented row by row.
+    */
+  def fertility(documents: DataFrame,
+                fitted: (DataFrame, DataFrame)): DataFrame = {
+    val mergeRows = fitted._1.orderBy("step")
+      .select("sym_a", "sym_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    documents
+      .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("freq"))
+      .select(col("lang"), col("freq"), length(col("tok")).as("chars"),
+        concat(lit("__"), regexp_replace(col("tok"), "(.)", "$1__")).as("w"))
+      .withColumn("n_syms",
+        size(syms(applyMergesCol("w", mergeRows))).cast("long"))
+      .groupBy("lang")
+      .agg(sum("freq").as("n_words"),
+        sum(col("freq") * col("n_syms")).as("n_tokens"),
+        sum(col("freq") * col("chars")).as("n_chars"))
+      .withColumn("fertility_ppm", expr("n_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 div n_tokens"))
+  }
+
   /** [[tokenCounts]] over an already-trained [[fit]] result. */
   def tokenCountsOf(fitted: (DataFrame, DataFrame), k: Int): DataFrame = {
     val (_, vocab) = fitted

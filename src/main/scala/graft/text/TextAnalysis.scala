@@ -258,6 +258,43 @@ object TextAnalysis {
       round(size(bpe).cast("double") / size(ws), 4).as("tokens_per_word"))
   }
 
+  /** CONTEXT-WINDOW TRUNCATION audit — what a fixed sequence-length
+    * cap costs on this corpus: for each candidate cap L (whitespace
+    * tokens, the repo's token-budget proxy), how many documents
+    * exceed L and how many tokens fall off the end of a truncating
+    * loader. The curation decision this feeds — truncate vs split
+    * vs drop — is made per cap from one table, BEFORE an expensive
+    * tokenize-and-pack run; pct_tokens_lost at the chosen context
+    * length is the headline number.
+    *
+    * Shape: ONE corpus scan computes per-doc token counts; all caps
+    * aggregate in the SAME map-side-combined pass as conditional
+    * sums (never |caps| passes, never a caps×docs explode); the
+    * single-row result unpivots to |caps| rows on the driver-side
+    * model frame. Ratios divide once at the end, rounded 4dp.
+    */
+  def truncationAudit(documents: DataFrame,
+                      caps: Seq[Int] = Seq(64, 256, 1024, 4096)): DataFrame = {
+    require(caps.nonEmpty && caps.forall(_ > 0), s"caps ($caps) must be positive")
+    val n = documents.select(size(tokens(col("text"))).cast("long").as("n_tok"))
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")) ++
+      caps.flatMap(l => Seq(
+        sum(when(col("n_tok") > l, 1L).otherwise(0L)).as(s"docs_over_$l"),
+        sum(when(col("n_tok") > l, col("n_tok") - l).otherwise(0L))
+          .as(s"lost_$l")))
+    n.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), col("n_tokens"), explode(array(caps.map(l =>
+        struct(lit(l.toLong).as("cap"), col(s"docs_over_$l").as("nd"),
+          col(s"lost_$l").as("tl"))): _*)).as("c"))
+      .select(col("c.cap").as("cap"), col("n_docs"),
+        col("c.nd").as("n_docs_over"),
+        round(col("c.nd").cast("double") / col("n_docs"), 4)
+          .as("pct_docs_over"),
+        col("n_tokens"), col("c.tl").as("tokens_lost"),
+        round(col("c.tl").cast("double") / col("n_tokens"), 4)
+          .as("pct_tokens_lost"))
+  }
+
   /** Hashing-trick bag-of-words: each token buckets by its first md5
     * byte mod `dim`, emitting the SPARSE (doc_id, bucket, n_tokens)
     * triplet matrix — the fixed-width feature map a linear

@@ -59,6 +59,43 @@ class BpeSpec extends SparkSpec {
     assert(toks === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("fertility: per-language ratios replay against a pure-Scala apply") {
+    // two languages sharing a corpus-wide fit: the merge table is
+    // global, fertility is per-language — replayed independently
+    // with java String.replace (same leftmost non-overlapping
+    // semantics as the SQL replace the operator nests)
+    val docs = Seq(
+      (1L, "low low lower low", "en"), (2L, "low newest newest", "en"),
+      (3L, "widest newest low lower", "de"), (4L, "low newest", "de"))
+      .toDF("doc_id", "text", "lang")
+    val fitted = Bpe.fit(docs, 8)
+    val got = Bpe.fertility(docs, fitted).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"), r.getAs[Long]("fertility_ppm"),
+          r.getAs[Long]("chars_per_token_ppm")))).toMap
+
+    val merges = fitted._1.orderBy("step").collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    def enc(tok: String) = "__" + tok.flatMap(c => c.toString + "__")
+    def applySeq(w: String) = merges.foldLeft(w) { case (s, (a, b)) =>
+      s.replace(s"_${a}__${b}_", s"_$a${b}_") }
+    def nSyms(w: String) = w.split("_").count(_.nonEmpty)
+    val corpus = Seq(("low low lower low", "en"), ("low newest newest", "en"),
+      ("widest newest low lower", "de"), ("low newest", "de"))
+    val byLang = corpus.flatMap { case (t, l) =>
+      t.split(" ").map(l -> _) }.groupBy(_._1)
+    byLang.foreach { case (lang, toks) =>
+      val words = toks.map(_._2)
+      val nw = words.size.toLong
+      val nt = words.map(w => nSyms(applySeq(enc(w))).toLong).sum
+      val nc = words.map(_.length.toLong).sum
+      assert(got(lang) === ((nw, nt, nc, nt * 1000000L / nw,
+        nc * 1000000L / nt)), s"lang $lang")
+    }
+    assert(got.size === 2)
+  }
+
   test("merge multiplicity counts repeated pairs inside one word") {
     // 'aaaa' ×2: pairs (a,a) appear 3 times per word → cnt 6; after
     // the merge the leftmost-greedy rewrite gives [aa, aa]

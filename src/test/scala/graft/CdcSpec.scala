@@ -8,7 +8,8 @@ import graft.cdc.Changelog
 /** Compaction/merge algebra: the incremental-view-maintenance path
   * must be indistinguishable from full replay, split anywhere.
   */
-class CdcSpec extends SparkSpec {
+class CdcSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   private def cl: DataFrame = Changelog.fromEvents(Tables.events(spark, sf))
 
@@ -191,5 +192,31 @@ class CdcSpec extends SparkSpec {
       "firstName", "{}", 0.0))
       .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
     assert(Changelog.seqGaps(dense).collect().isEmpty)
+  }
+
+  test("hotDocs: exact top-k per op, heap-rewritten, count ties break by id") {
+    import spark.implicits._
+    // op U: d1×4, d2×3, d3×3, d4×1 — k=2 keeps d1 and the TIE at 3
+    // resolved to the smaller doc_id (d2); op D: a single doc
+    val rows =
+      Seq.fill(4)(("d1", Changelog.Update)) ++
+        Seq.fill(3)(("d2", Changelog.Update)) ++
+        Seq.fill(3)(("d3", Changelog.Update)) ++
+        Seq(("d4", Changelog.Update), ("d9", Changelog.Delete))
+    val log = rows.zipWithIndex.map { case ((d, op), i) =>
+      (d, i.toLong, i.toLong, op, "firstName", "{}", 0.0) }
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
+    val got = Changelog.hotDocs(log, 2).collect()
+      .map(r => (r.getAs[String]("op"), r.getAs[String]("doc_id"),
+        r.getAs[Long]("n_changes"), r.getAs[Long]("rk"))).toSet
+    assert(got === Set(
+      (Changelog.Update, "d1", 4L, 1L), (Changelog.Update, "d2", 3L, 2L),
+      (Changelog.Delete, "d9", 1L, 1L)))
+    // the plain row_number idiom landed on the bounded-heap operator
+    val execs = collectWithSubqueries(
+      Changelog.hotDocs(log, 2).queryExecution.executedPlan) {
+      case t: graft.plans.TopKPerKeyExec => t
+    }
+    assert(execs.nonEmpty, "rank-filter rewrite did not fire on hotDocs")
   }
 }

@@ -502,4 +502,36 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(out == ref, s"got $out\nref $ref")
   }
+
+  test("diversity: moment identity equals the brute pairwise mean") {
+    import spark.implicits._
+    // label 0: spread points; label 1: a COLLAPSED stratum (all
+    // identical) must read dispersion 0 — the audit's whole point
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), 0), (2L, Array(0.0f, 3.0f, 1.0f), 0),
+      (3L, Array(2.0f, 1.0f, 0.5f), 0),
+      (4L, Array(0.5f, 0.5f, 0.5f), 1), (5L, Array(0.5f, 0.5f, 0.5f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.diversity(df).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("trace_cov_u2"),
+          r.getAs[Long]("mean_pair_sqdist_u2")))).toMap
+    // brute reference in exact integer micro-units over ALL ordered
+    // pairs (self-pairs at 0) — the identity the operator implements
+    def micro(v: Array[Float]) = v.map(x => math.round(x.toDouble * 1e6))
+    val ref = vecs.groupBy(_._3).map { case (lab, vs) =>
+      val ms = vs.map(v => micro(v._2))
+      val n = ms.size.toLong
+      val pairSum = (for (a <- ms; b <- ms) yield
+        a.zip(b).map { case (x, y) => val d = x - y; BigInt(d) * d }.sum).sum
+      val mean = pairSum / BigInt(n * n)
+      lab -> mean.toLong
+    }
+    assert(got.keySet === Set(0, 1))
+    ref.foreach { case (lab, mp) =>
+      assert(got(lab)._3 === mp, s"label $lab")
+      assert(got(lab)._2 === mp / 2)
+    }
+    assert(got(1) === ((2L, 0L, 0L))) // collapsed stratum reads zero
+  }
 }

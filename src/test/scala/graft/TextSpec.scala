@@ -375,6 +375,30 @@ class TextSpec extends SparkSpec {
     scored.foreach { case (id, _, _, sc) => assert(batch(id) === sc, s"doc $id") }
   }
 
+  test("truncation audit: per-cap losses match a hand count, one pass") {
+    import spark.implicits._
+    // token counts: 2, 5, 9 → caps 4 and 8 cut different subsets
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b c d e"), (3L, "a b c d e f g h i"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.truncationAudit(docs, Seq(4, 8)).collect()
+      .map(r => (r.getAs[Long]("cap"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_docs_over"), r.getAs[Double]("pct_docs_over"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tokens_lost"),
+        r.getAs[Double]("pct_tokens_lost"))).toSet
+    // cap 4: docs 2,3 over, lost (5-4)+(9-4)=6 of 16; cap 8: doc 3,
+    // lost 1 of 16
+    assert(got === Set(
+      (4L, 3L, 2L, 0.6667, 16L, 6L, 0.375),
+      (8L, 3L, 1L, 0.3333, 16L, 1L, 0.0625)))
+    // single scan, single aggregation pass (all caps ride one agg)
+    val plan = TextAnalysis.truncationAudit(docs, Seq(4, 8))
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size === 1, s"expected ONE aggregate:\n$plan")
+  }
+
   test("winnow: guaranteed detection, density bounds, short/empty docs") {
     import spark.implicits._
     // docs 1-2 share the run "a b c d e f g h" (8 tokens >= w+q-1=7):
