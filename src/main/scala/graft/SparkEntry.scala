@@ -305,6 +305,10 @@ object SparkEntry {
       Sampling.epochsPlan(Tables.documents(s, d)).orderBy("source")),
     "sample_temperature" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
+    // DSIR-flavored selection: hashed-unigram target/raw ratios in
+    // integer ppm, top-n most-target-like docs per source
+    "sample_dsir" -> ((s, d) =>
+      Sampling.dsirSample(Tables.documents(s, d)).orderBy("source", "rk")),
     // split on the near-dup keeper id so duplicate clusters never
     // straddle the train/val boundary (contamination guard)
     "sample_split_safe" -> ((s, d) =>
@@ -2920,6 +2924,41 @@ object SparkEntry {
     // ppm share snap via floor(x + 0.5) (identical IEEE product both
     // engines — round() would be half-up vs half-even), then exact
     // HUGEINT target arithmetic
+    // nibble-replay of the hashed buckets, HUGEINT ratio arithmetic,
+    // same (score desc, doc_id) window as the heap operator
+    "sample_dsir" ->
+      """WITH t AS (SELECT doc_id, source, lang,
+        |             unnest(string_split(trim(text), ' ')) AS tok
+        |           FROM documents),
+        |bk AS (SELECT doc_id, source, lang,
+        |         CAST((16 * (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1)
+        |               + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)
+        |              % 16 AS INTEGER) AS b
+        |       FROM t),
+        |db AS (SELECT doc_id, source, lang, b, count(*) AS k
+        |       FROM bk GROUP BY 1, 2, 3, 4),
+        |bc AS (SELECT b,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN k ELSE 0 END) AS HUGEINT) AS ct,
+        |         CAST(sum(k) AS HUGEINT) AS cr
+        |       FROM db GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
+        |r AS (SELECT b, CAST(CASE WHEN tt = 0 THEN 0
+        |               ELSE (ct * tr * 1000000) // (cr * tt) END AS BIGINT)
+        |          AS ratio_ppm
+        |      FROM bc, tot),
+        |sc AS (SELECT doc_id, source,
+        |         CAST(sum(k * ratio_ppm) AS BIGINT) AS sum_ratio,
+        |         CAST(sum(k) AS BIGINT) AS n_tokens
+        |       FROM db JOIN r USING (b) GROUP BY 1, 2),
+        |rr AS (SELECT source, doc_id, n_tokens,
+        |         sum_ratio // n_tokens AS score_ppm,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY sum_ratio // n_tokens DESC,
+        |                                     doc_id) AS rk
+        |       FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens,
+        |       CAST(score_ppm AS BIGINT) AS score_ppm
+        |FROM rr WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "sample_epochs" ->
       """WITH s AS (SELECT source,
         |             CAST(sum(length(text)) AS BIGINT) AS chars

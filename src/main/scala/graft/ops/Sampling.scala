@@ -552,4 +552,69 @@ object Sampling {
         max("v").as("max_len"), round(avg("v"), 4).as("avg_len"))
       .orderBy("source", "phase")
   }
+
+  /** DSIR-flavored DATA SELECTION — importance resampling on hashed
+    * n-gram features (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by
+    * how target-like its hashed-unigram distribution is, keep the
+    * top n per source. The published method fits bag-of-hashed-ngram
+    * models for target and raw and weighs by the log-likelihood
+    * ratio; this re-expression keeps the same structure — hashed
+    * features, target/raw ratio per feature, per-doc aggregation —
+    * but LINEARIZES the weight to the mean per-occurrence
+    * probability RATIO in exact integer ppm (logs are fp and
+    * order-sensitive; integer sums replay bit-identically on any
+    * engine, the lm-gate discipline). Monotone per feature, so the
+    * ranking tells the same target-likeness story.
+    *
+    * The target here is the `targetLang` slice of the corpus itself
+    * (the stand-in for "trusted reference corpus" in this schema —
+    * production points the same shape at a curated table). Features
+    * are md5-bucketed unigrams ([[graft.text.TextAnalysis
+    * .hashedFeatures]]'s convention): no vocabulary is built or
+    * broadcast, the model is ≤ `dim` ratio rows.
+    *
+    * Shape: ONE corpus explode compresses immediately to the
+    * (doc, bucket) multiplicity frame (materialized — the model
+    * build and the scoring join both read it); everything between it
+    * and the final TopKPerKey heaps is model-sized. The per-feature
+    * ratio `(c_T·total_R·10⁶) div (c_R·total_T)` widens through
+    * DECIMAL(38,0) (HUGEINT on the oracle side); an empty target
+    * scores every bucket 0 rather than erroring.
+    */
+  def dsirSample(documents: DataFrame, targetLang: String = "en",
+                 dim: Int = 16, n: Int = 10): DataFrame = {
+    require(dim > 0 && 256 % dim == 0,
+      s"dim ($dim) must divide 256 for exactly-even hash classes")
+    require(n > 0, s"n ($n) must be positive")
+    val docB = documents
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10)
+          .cast("int") % dim).as("b"))
+      .groupBy("doc_id", "source", "lang", "b")
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val bucketCounts = docB.groupBy("b").agg(
+      sum(when(col("lang") === targetLang, col("k")).otherwise(0L)).as("ct"),
+      sum("k").as("cr"))
+    val totals = bucketCounts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val ratios = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("b"), expr(
+        "CAST(CASE WHEN tt = 0 THEN 0 ELSE " +
+          "(CAST(ct AS DECIMAL(38,0)) * tr * 1000000) div (cr * tt) " +
+          "END AS BIGINT)").as("ratio_ppm"))
+    val scored = docB.join(broadcast(ratios), Seq("b"))
+      .groupBy("doc_id", "source")
+      .agg(sum(col("k") * col("ratio_ppm")).as("sum_ratio"),
+        sum("k").as("n_tokens"))
+      .withColumn("score_ppm", expr("sum_ratio div n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    graft.plans.TopK.perKey(scored, Seq("source"),
+        Seq(col("score_ppm").desc, col("doc_id").asc), n)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select("source", "rk", "doc_id", "n_tokens", "score_ppm")
+  }
 }

@@ -392,4 +392,50 @@ class SamplingSpec extends SparkSpec {
     assert(caps("tiny")._2 && caps("tiny")._1 > 4.0, s"$caps")
     assert(!caps("big")._2)
   }
+
+  test("dsir: integer ratio weights replay exactly; empty target scores 0") {
+    import spark.implicits._
+    // en docs share 'alpha beta'; the fr doc that ALSO uses them must
+    // outrank the fr doc of never-in-target tokens
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en", "s1"), (2L, "alpha beta", "en", "s1"),
+      (3L, "alpha beta beta", "fr", "s1"), (4L, "zulu yankee zulu", "fr", "s1"),
+      (5L, "beta zulu", "fr", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Sampling.dsirSample(docs, "en", 16, 10).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("rk")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("score_ppm")))).toMap
+
+    // independent replay: md5 first-byte buckets, HUGEINT-free exact
+    // BigInt arithmetic, same (score desc, doc_id) order
+    def bucket(tok: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      (d(0) & 0xff) % 16
+    }
+    val corpus = Seq((1L, "alpha beta alpha", "en", "s1"),
+      (2L, "alpha beta", "en", "s1"), (3L, "alpha beta beta", "fr", "s1"),
+      (4L, "zulu yankee zulu", "fr", "s1"), (5L, "beta zulu", "fr", "s2"))
+    val occ = corpus.flatMap { case (id, t, l, src) =>
+      t.split(" ").map(tok => (id, src, l, bucket(tok))) }
+    val cr = occ.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val ct = occ.filter(_._3 == "en").groupBy(_._4).view
+      .mapValues(_.size.toLong).toMap
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    val ratio = cr.keys.map(b => b ->
+      (BigInt(ct.getOrElse(b, 0L)) * tr * 1000000 / (BigInt(cr(b)) * tt))
+        .toLong).toMap
+    val scores = corpus.map { case (id, t, _, src) =>
+      val bs = t.split(" ").map(bucket)
+      (src, id, bs.length.toLong, bs.map(ratio).sum / bs.length) }
+    val expect = scores.groupBy(_._1).flatMap { case (src, xs) =>
+      xs.sortBy(x => (-x._4, x._2)).zipWithIndex.map { case ((s, id, n, sc), i) =>
+        (s, i + 1L) -> ((id, n, sc)) } }
+    assert(got === expect, s"got $got\nexpect $expect")
+
+    // no target slice: every ratio (and so every score) is exactly 0
+    val zero = Sampling.dsirSample(docs, "xx", 16, 10).collect()
+    assert(zero.nonEmpty && zero.forall(_.getAs[Long]("score_ppm") == 0L))
+  }
 }
