@@ -145,6 +145,9 @@ object SparkEntry {
     "events_cumulative_uniques" -> ((s, d) =>
       graft.ops.Events.cumulativeUniques(Tables.events(s, d))
         .orderBy("day")),
+    // rate-spike audit: peak minute vs active-minute baseline in ppm
+    "events_burst" -> ((s, d) =>
+      graft.ops.Events.burst(Tables.events(s, d)).orderBy("event_type")),
     // rolling-origin backtest: per-cutoff OLS refit from prefix
     // power sums, scored against the persistence baseline
     "events_backtest" -> ((s, d) =>
@@ -309,6 +312,10 @@ object SparkEntry {
     // integer ppm, top-n most-target-like docs per source
     "sample_dsir" -> ((s, d) =>
       Sampling.dsirSample(Tables.documents(s, d)).orderBy("source", "rk")),
+    // whole-doc greedy prefix under an equal-split corpus-relative
+    // token budget, banded per-source prefix sums
+    "sample_token_budget" -> ((s, d) =>
+      Sampling.tokenBudget(Tables.documents(s, d)).orderBy("source")),
     // split on the near-dup keeper id so duplicate clusters never
     // straddle the train/val boundary (contamination guard)
     "sample_split_safe" -> ((s, d) =>
@@ -365,6 +372,9 @@ object SparkEntry {
       TextAnalysis.boilerplate(Tables.documents(s, d)).orderBy("doc_id")),
     "text_zipf" -> ((s, d) =>
       TextAnalysis.zipf(Tables.documents(s, d)).orderBy("source")),
+    // vocabulary-coverage curve: top-k type share of all occurrences
+    "text_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d)).orderBy("k")),
     // distributed BPE: train the merge table / re-segment under it
     "text_bpe_merges" -> ((s, d) => Bpe.mergeTable(bpeFit(s, d, 8))),
     "text_bpe_apply" -> ((s, d) => Bpe.tokenCountsOf(bpeFit(s, d, 8), 30)),
@@ -2924,6 +2934,29 @@ object SparkEntry {
     // ppm share snap via floor(x + 0.5) (identical IEEE product both
     // engines — round() would be half-up vs half-even), then exact
     // HUGEINT target arithmetic
+    // equal-split allocation, per-source window cumsum replay of the
+    // banded prefix line, explicit zero rows via the left join
+    "sample_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+        |           FROM documents),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+        |               count(DISTINCT source) AS ns FROM d),
+        |a AS (SELECT tw * 250000 // 1000000 // ns AS alloc FROM tot),
+        |c AS (SELECT doc_id, source, w,
+        |        sum(w) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |      FROM d),
+        |s AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(w) AS BIGINT) AS tokens_taken
+        |      FROM c, a WHERE c.cum <= a.alloc GROUP BY 1)
+        |SELECT d2.source, CAST(a.alloc AS BIGINT) AS alloc_tokens,
+        |       CAST(coalesce(s.n_docs, 0) AS BIGINT) AS n_docs,
+        |       CAST(coalesce(s.tokens_taken, 0) AS BIGINT) AS tokens_taken,
+        |       CAST(coalesce(s.tokens_taken, 0) * 1000000 // a.alloc AS BIGINT)
+        |         AS utilization_ppm
+        |FROM (SELECT DISTINCT source FROM d) d2 CROSS JOIN a
+        |LEFT JOIN s ON s.source = d2.source
+        |ORDER BY d2.source""".stripMargin,
     // nibble-replay of the hashed buckets, HUGEINT ratio arithmetic,
     // same (score desc, doc_id) window as the heap operator
     "sample_dsir" ->
@@ -3111,6 +3144,29 @@ object SparkEntry {
       """SELECT tok AS token, count(*) AS cnt
         |FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
         |GROUP BY tok ORDER BY cnt DESC, token LIMIT 10""".stripMargin,
+    // full-vocabulary rank replay (the operator's heap cut is the
+    // optimization, not the semantics), per-k conditional sums
+    "text_vocab_coverage" ->
+      """WITH c AS (SELECT tok, count(*) AS n
+        |           FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+        |                 FROM documents)
+        |           GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_occurrences,
+        |               CAST(count(*) AS BIGINT) AS total_types FROM c),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank
+        |      FROM c),
+        |k AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT CAST(k.k AS BIGINT) AS k,
+        |       CAST(sum(CASE WHEN r.rank <= k.k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_types_in_k,
+        |       CAST(sum(CASE WHEN r.rank <= k.k THEN r.n ELSE 0 END) AS BIGINT)
+        |         AS covered_occurrences,
+        |       CAST(max(tot.total_occurrences) AS BIGINT) AS total_occurrences,
+        |       CAST(max(tot.total_types) AS BIGINT) AS total_types,
+        |       CAST(sum(CASE WHEN r.rank <= k.k THEN r.n ELSE 0 END) * 1000000
+        |            // max(tot.total_occurrences) AS BIGINT) AS coverage_ppm
+        |FROM k CROSS JOIN r CROSS JOIN tot
+        |GROUP BY k.k ORDER BY k.k""".stripMargin,
     // exact while maxTracked exceeds the true vocabulary — same oracle
     // as the Misra-Gries path
     "text_vocab_sketch" ->
@@ -3698,6 +3754,27 @@ object SparkEntry {
         |                     ELSE round(n / ema_raw, 4) END > 2.0, FALSE)
         |         AS is_burst
         |FROM e ORDER BY event_type, day""".stripMargin),
+    // minute-grid replay: peak = max count, earliest peak minute via
+    // the equality join, HUGEINT ratio against the active baseline
+    "events_burst" ->
+      """WITH m AS (SELECT event_type, epoch_us(ts) // 60000000 AS minute
+        |           FROM events),
+        |g AS (SELECT event_type, minute, count(*) AS c FROM m GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |        CAST(count(*) AS BIGINT) AS n_active_minutes,
+        |        max(c) AS mc
+        |      FROM g GROUP BY 1),
+        |p AS (SELECT g.event_type, min(g.minute) AS peak_minute
+        |      FROM g JOIN t ON g.event_type = t.event_type AND g.c = t.mc
+        |      GROUP BY 1)
+        |SELECT t.event_type, t.n_events, t.n_active_minutes,
+        |       CAST(t.mc AS BIGINT) AS peak_count, p.peak_minute,
+        |       CAST(CAST(t.mc AS HUGEINT) * 1000000 * t.n_active_minutes
+        |            // t.n_events AS BIGINT) AS burst_ratio_ppm,
+        |       CAST(CAST(t.mc AS HUGEINT) * 1000000 * t.n_active_minutes
+        |            // t.n_events AS BIGINT) > 3000000 AS is_burst
+        |FROM t JOIN p ON p.event_type = t.event_type
+        |ORDER BY t.event_type""".stripMargin,
     // first-seen replay: cumulative distinct users ≡ count of
     // first-seen days ≤ d; all-integer, grid zeros carried flat
     "events_cumulative_uniques" ->

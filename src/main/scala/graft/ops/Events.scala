@@ -1069,4 +1069,38 @@ object Events {
         (col("actives") - col("new_users")).as("returning"),
         (col("off") + col("new_users")).as("cum_uniques"))
   }
+
+  /** BURST detection — per type, the peak minute's event count
+    * against the type's own active-minute baseline: `burst_ratio =
+    * peak / (n_events / n_active_minutes)` in exact integer ppm, the
+    * rate-spike audit that catches replayed batches, retry storms,
+    * and bot floods that [[anomaly]]'s VALUE statistics never see
+    * (a burst of perfectly normal values is invisible there).
+    * Baselining on ACTIVE minutes, not the calendar span, keeps a
+    * sparse type honest: an hourly heartbeat is flat (every active
+    * minute looks like the peak), not a 60× "burst" against a
+    * mostly-empty wall clock.
+    *
+    * One (type, minute) map-side-combined aggregate of the corpus;
+    * the per-type rollup runs on that model frame (≤ types×minutes
+    * rows) with the integer-argmax struct picking the EARLIEST peak
+    * minute on ties. The ratio widens through DECIMAL(38,0) (peak ×
+    * 10⁶ × minutes exceeds int64 on a long-lived corpus) and lands
+    * as one integer division.
+    */
+  def burst(events: DataFrame, thresholdPpm: Long = 3000000L): DataFrame = {
+    val mins = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .groupBy("event_type", "minute").agg(count(lit(1)).as("c"))
+    mins.groupBy("event_type")
+      .agg(sum("c").as("n_events"),
+        count(lit(1)).as("n_active_minutes"),
+        max(struct(col("c"), (-col("minute")).as("nm"))).as("mx"))
+      .select(col("event_type"), col("n_events"), col("n_active_minutes"),
+        col("mx.c").as("peak_count"), (-col("mx.nm")).as("peak_minute"),
+        expr("CAST(CAST(mx.c AS DECIMAL(38,0)) * 1000000 * " +
+          "n_active_minutes div n_events AS BIGINT)").as("burst_ratio_ppm"))
+      .withColumn("is_burst", col("burst_ratio_ppm") > thresholdPpm)
+  }
 }

@@ -553,6 +553,59 @@ object Sampling {
       .orderBy("source", "phase")
   }
 
+  /** TOKEN-BUDGET PREFIX materialization — turn a corpus-relative
+    * token budget into the concrete per-source document prefix a
+    * loader reads: the total budget is `multiplePpm` of the corpus'
+    * token mass, split equally across sources (compose with
+    * [[temperatureMix]] for weighted splits), and each source
+    * contributes its doc_id-order prefix of WHOLE documents whose
+    * inclusive cumulative token count fits the allocation (greedy
+    * whole-doc packing — the loader never splits a document). A
+    * source whose first document alone overflows contributes an
+    * explicit zero row, never a silently missing one.
+    *
+    * Exact and deterministic end to end: token counts, the
+    * allocation, and the cumulative line are all integers; the only
+    * order-dependent quantity is the per-source exclusive prefix
+    * sum, computed BANDED exactly like [[systematic]] (in-band
+    * window cumsum + band-offset join on the sources×bands summary
+    * frame — no per-source single-task window at 100 TB).
+    */
+  def tokenBudget(documents: DataFrame, multiplePpm: Long = 250000,
+                  bands: Int = 64): DataFrame = {
+    require(multiplePpm > 0, s"multiplePpm ($multiplePpm) must be positive")
+    require(bands > 0, s"bands ($bands) must be positive")
+    val d = documents.select(col("doc_id"), col("source"),
+      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("w"))
+    val tot = d.agg(sum("w").as("tw"), countDistinct("source").as("ns"),
+      min("doc_id").as("i0"), max("doc_id").as("i1"))
+    val banded = d.crossJoin(broadcast(tot))
+      .withColumn("bw", expr(s"(i1 - i0) div $bands + 1"))
+      .withColumn("band", expr("(doc_id - i0) div bw"))
+      .withColumn("alloc", expr(s"tw * $multiplePpm div 1000000 div ns"))
+      // the in-band window, the band-sum aggregate, and the source
+      // list all read it
+      .localCheckpoint()
+    val inBand = banded.withColumn("cum",
+      sum("w").over(Window.partitionBy("source", "band").orderBy("doc_id")))
+    val bsums = banded.groupBy("source", "band").agg(sum("w").as("bsum"))
+      .localCheckpoint() // both sides of the shared prefix join
+    val offs = bsums
+      .join(broadcast(bsums.select(col("source").as("_ps"),
+        col("band").as("_pb"), col("bsum").as("_pv"))),
+        col("_ps") === col("source") && col("_pb") < col("band"), "left")
+      .groupBy("source", "band").agg(coalesce(sum("_pv"), lit(0L)).as("off"))
+    val taken = inBand.join(broadcast(offs), Seq("source", "band"))
+      .filter(col("off") + col("cum") <= col("alloc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("tokens_taken"))
+    banded.groupBy("source").agg(max("alloc").as("alloc_tokens"))
+      .join(taken, Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs", "tokens_taken"))
+      .withColumn("utilization_ppm",
+        expr("tokens_taken * 1000000 div alloc_tokens"))
+  }
+
   /** DSIR-flavored DATA SELECTION — importance resampling on hashed
     * n-gram features (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every raw document by

@@ -572,6 +572,47 @@ object TextAnalysis {
         round(expr("regr_intercept(log(n), log(rank))"), 4).as("zipf_intercept"))
   }
 
+  /** VOCABULARY COVERAGE curve — what fraction of corpus token
+    * occurrences the top-k word types cover, for each candidate k:
+    * the readout that sizes a tokenizer vocabulary (coverage at the
+    * proposed size IS the OOV budget) and quantifies how head-heavy
+    * the corpus is beyond [[zipf]]'s slope summary.
+    *
+    * Scale shape: the type-count aggregate is the only corpus pass;
+    * the top-max(k) cut rides the bounded-heap [[graft.plans.TopK]]
+    * (never a vocabulary sort — the vocabulary is itself huge at
+    * 100 TB), ranking happens on the ≤ max(k)-row model frame (the
+    * constant grouping key makes that window's single partition
+    * bounded by construction), and all k's aggregate as conditional
+    * sums in one pass, unpivoted driver-side like
+    * [[truncationAudit]]. Coverage divides once, in integer ppm.
+    */
+  def vocabCoverage(documents: DataFrame,
+                    ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks ($ks) must be positive")
+    val counts = documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum("n").as("total_occurrences"),
+      count(lit(1)).as("total_types"))
+    val w = Window.partitionBy("g").orderBy(col("n").desc, col("token").asc)
+    val ranked = graft.plans.TopK.perKey(counts.withColumn("g", lit(0)),
+        Seq("g"), Seq(col("n").desc, col("token").asc), ks.max)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val aggs = ks.flatMap(k => Seq(
+      sum(when(col("rank") <= k, 1L).otherwise(0L)).as(s"types_$k"),
+      sum(when(col("rank") <= k, col("n")).otherwise(0L)).as(s"cov_$k")))
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(totals))
+      .select(col("total_occurrences"), col("total_types"),
+        explode(array(ks.map(k => struct(lit(k.toLong).as("k"),
+          col(s"types_$k").as("ty"), col(s"cov_$k").as("cv"))): _*)).as("c"))
+      .select(col("c.k").as("k"), col("c.ty").as("n_types_in_k"),
+        col("c.cv").as("covered_occurrences"),
+        col("total_occurrences"), col("total_types"),
+        expr("c.cv * 1000000 div total_occurrences").as("coverage_ppm"))
+  }
+
   /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-
     * checkable) plus the Rabin-Karp rolling hash from the custom
     * Catalyst expression (the scale-path fingerprint).

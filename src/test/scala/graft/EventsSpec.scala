@@ -659,4 +659,31 @@ class EventsSpec extends SparkSpec {
       (0L, 0L, 0L, 2L),  // silent day: explicit zeros, cum flat
       (2L, 1L, 1L, 3L))) // u3 new, u1 returns
   }
+
+  test("burst: active-minute baseline, earliest tied peak, flat heartbeat") {
+    // type a: 8 events in 4 active minutes — peak minute 0 holds 4 →
+    // ratio 4/(8/4) = 2.0 exactly; minutes 2 and 3 hold 1 each
+    // type b: an hourly heartbeat (1 event/active minute) must read
+    // ratio exactly 1.0 — never a "burst" against the empty calendar
+    // type c: a tie at 2 events (minutes 0 and 1) keeps the EARLIEST
+    val events = ev(
+      (Seq.fill(4)(0L) ++ Seq(60L, 61L) ++ Seq(120L, 180L)).zipWithIndex
+        .map { case (s, i) => (i.toLong, s, 1L, "a") } ++
+      Seq((100L, 0L, 1L, "b"), (101L, 3600L, 1L, "b"), (102L, 7200L, 1L, "b")) ++
+      Seq((200L, 0L, 1L, "c"), (201L, 1L, 1L, "c"),
+        (202L, 60L, 1L, "c"), (203L, 61L, 1L, "c")): _*)
+    val got = Events.burst(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_active_minutes"),
+          r.getAs[Long]("peak_count"), r.getAs[Long]("peak_minute"),
+          r.getAs[Long]("burst_ratio_ppm"), r.getAs[Boolean]("is_burst")))).toMap
+    assert(got("a") === ((8L, 4L, 4L, 0L, 2000000L, false)))
+    assert(got("b") === ((3L, 3L, 1L, 0L, 1000000L, false)))
+    assert(got("c") === ((4L, 2L, 2L, 0L, 1000000L, false)))
+    // the threshold knob flips the verdict
+    val hot = Events.burst(events, thresholdPpm = 1500000L).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Boolean]("is_burst"))
+      .toMap
+    assert(hot === Map("a" -> true, "b" -> false, "c" -> false))
+  }
 }

@@ -399,6 +399,27 @@ class TextSpec extends SparkSpec {
     }.size === 1, s"expected ONE aggregate:\n$plan")
   }
 
+  test("vocab coverage: hand-counted curve, heap cut instead of a sort") {
+    import spark.implicits._
+    // counts: a×5, b×3, c×2, d×1, e×1 → total 12 occurrences, 5 types
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c d e"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, Seq(1, 2, 4)).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_types_in_k"),
+        r.getAs[Long]("covered_occurrences"), r.getAs[Long]("total_occurrences"),
+        r.getAs[Long]("total_types"), r.getAs[Long]("coverage_ppm"))).toSet
+    assert(got === Set(
+      (1L, 1L, 5L, 12L, 5L, 416666L),   // a
+      (2L, 2L, 8L, 12L, 5L, 666666L),   // a, b
+      (4L, 4L, 11L, 12L, 5L, 916666L))) // a, b, c, d (tie d<e)
+    // the vocabulary is cut by the bounded-heap operator, never
+    // globally sorted: no SortExec outside the ≤max(k)-row window
+    val df = TextAnalysis.vocabCoverage(docs, Seq(1, 2, 4))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TopKPerKey"),
+      "vocabulary cut not on the heap operator")
+  }
+
   test("winnow: guaranteed detection, density bounds, short/empty docs") {
     import spark.implicits._
     // docs 1-2 share the run "a b c d e f g h" (8 tokens >= w+q-1=7):
