@@ -239,6 +239,13 @@ object SparkEntry {
     // single-scan per-column data-quality profile: the ingest gate
     "q37_dq_profile" -> ((s, d) =>
       Relational.dqProfile(s, d).orderBy("col_name")),
+    // wide→long melt on the native Expand-backed unpivot
+    "q38_unpivot" -> ((s, d) =>
+      Relational.q38Unpivot(s, d).orderBy("l_returnflag", "measure")),
+    // merge_asof(direction='nearest'): closest click either way
+    // within tolerance, ties backward, unmatched rows explicit
+    "q39_asof_nearest" -> ((s, d) =>
+      Relational.q39AsofNearest(s, d).orderBy("purchase_id")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -458,6 +465,10 @@ object SparkEntry {
     // §2d similarity search
     "sim_brute_topk" -> ((s, d) =>
       Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    // contrastive-training negatives: banded cross-label top-k
+    "sim_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), col("vec_id") < 10, 5)
+        .orderBy("q_id", "rank")),
     // exact inner-product top-k (norm-aware retrieval); the augmented
     // cosine reduction for the ANN paths is spec-pinned rank-equal
     "sim_mips" -> ((s, d) =>
@@ -532,6 +543,12 @@ object SparkEntry {
       graft.ops.Graph.hits(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"), iters = 2).orderBy("node")),
+    // mutual-edge share of the directed knn graph: the hub-attraction
+    // warning light for downstream clustering
+    "graph_reciprocity" -> ((s, d) =>
+      graft.ops.Graph.reciprocity(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"))),
     // one-glance shape report of the radius graph: nodes per degree
     "graph_degree_stats" -> ((s, d) =>
       graft.ops.Graph.degreeHistogram(
@@ -3414,6 +3431,20 @@ object SparkEntry {
     "sim_knn_graph" -> (knnRankedCte +
       """SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
         |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
+    // same brute replay restricted to cross-label pairs in the band
+    "sim_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+        |             CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q_id, e.vec_id,
+        |             round(list_cosine_similarity(q_emb, CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |           FROM q JOIN embeddings e ON e.label <> q.q_label),
+        |band AS (SELECT * FROM scored WHERE cos >= 0.3 AND cos <= 0.9),
+        |ranked AS (SELECT q_id, vec_id, cos,
+        |             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |           FROM band)
+        |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
+        |ORDER BY q_id, rank""".stripMargin,
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
@@ -4018,6 +4049,20 @@ object SparkEntry {
         |             AND c.cus > p.pus - 600000000 AND c.cus <= p.pus
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     "graph_degree_stats" -> graphDegreeStatsSql,
+    // reversed-pair left join over the replayed knn edges
+    "graph_reciprocity" -> (knnRankedCte +
+      """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+        |r AS (SELECT e.src, e.dst,
+        |        CASE WHEN e2.src IS NULL THEN 0 ELSE 1 END AS has_rev
+        |      FROM e LEFT JOIN e e2 ON e2.src = e.dst AND e2.dst = e.src),
+        |nodes AS (SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+        |          FROM (SELECT src AS node FROM e
+        |                UNION ALL SELECT dst FROM e))
+        |SELECT n_nodes, CAST(count(*) AS BIGINT) AS n_edges,
+        |       CAST(sum(has_rev) AS BIGINT) AS n_reciprocal,
+        |       CAST(sum(has_rev) * 1000000 // count(*) AS BIGINT)
+        |         AS reciprocity_ppm
+        |FROM r CROSS JOIN nodes GROUP BY n_nodes""".stripMargin),
     "graph_neighbor_sim" -> graphNeighborSimSql,
     "graph_weak_ties" -> graphWeakTiesSql,
     "graph_assortativity" -> graphAssortativitySql,
@@ -4102,6 +4147,46 @@ object SparkEntry {
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q37_dq_profile" -> dqProfileSql,
+    // manual-union melt (the oracle's shape; the plan's is Expand)
+    "q38_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |       round(sum(value), 2) AS sum_value,
+        |       round(avg(value), 4) AS avg_value
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // both-direction window carry replay: IGNORE NULLS struct
+    // last/first, the same (ts, event_id) total order and tie rule
+    "q39_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT *,
+        |        last_value(CASE WHEN event_type = 'click'
+        |                        THEN {'us': us, 'id': event_id} END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+        |        first_value(CASE WHEN event_type = 'click'
+        |                         THEN {'us': us, 'id': event_id} END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+        |      FROM e),
+        |p AS (SELECT event_id AS purchase_id, user_id,
+        |        us - prev_c['us'] AS gb, next_c['us'] - us AS gf,
+        |        prev_c['id'] AS bid, next_c['id'] AS fid,
+        |        prev_c IS NOT NULL AND us - prev_c['us'] <= 604800000000 AS bok,
+        |        next_c IS NOT NULL AND next_c['us'] - us <= 604800000000 AS fok
+        |      FROM m WHERE event_type = 'purchase')
+        |SELECT purchase_id, user_id,
+        |       CASE WHEN bok AND (NOT fok OR gb <= gf) THEN bid
+        |            WHEN fok THEN fid END AS click_id,
+        |       CASE WHEN bok AND (NOT fok OR gb <= gf) THEN 'back'
+        |            WHEN fok THEN 'fwd' END AS direction,
+        |       CASE WHEN bok AND (NOT fok OR gb <= gf) THEN gb
+        |            WHEN fok THEN gf END AS gap_us
+        |FROM p ORDER BY purchase_id""".stripMargin,
     "q32_skew_profile" ->
       """WITH t AS (SELECT count(*) AS n_total FROM lineitem),
         |c AS (SELECT 'l_orderkey' AS col_name, l_orderkey AS key, count(*) AS cnt

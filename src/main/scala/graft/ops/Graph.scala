@@ -755,4 +755,31 @@ object Graph {
           .otherwise(round(col("cut").cast("double") / col("denom"), 6))
           .as("conductance"))
   }
+
+  /** EDGE RECIPROCITY of the directed knn graph — what fraction of
+    * a→b edges are answered by b→a. Mutual-knn edges are the
+    * high-precision core of a similarity graph (both endpoints rank
+    * each other into their top k — the usual prefilter before
+    * clustering trusts an edge), so a LOW reciprocity warns that the
+    * knn graph is dominated by asymmetric hub attraction (a few
+    * centroids absorb everyone's edge budget; see [[degreeHistogram]]
+    * for which nodes) and cluster quality will suffer. One equi-join
+    * of the edge set against its own reversal — never a pairwise
+    * construct — plus two model-frame counts; exact integer ppm.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    // the edge set feeds both join sides and the node count
+    val e = edges.select("src", "dst").localCheckpoint()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1L).as("has_rev"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .agg(countDistinct("node").as("n_nodes"))
+    e.join(rev.hint("shuffle_hash"), Seq("src", "dst"), "left")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocal"))
+      .crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
+        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_ppm"))
+  }
 }

@@ -889,4 +889,70 @@ object Relational {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** UNPIVOT (melt) — the wide→long reshape: lineitem's four measure
+    * columns become (measure, value) rows, profiled per return flag.
+    * Uses Spark's native `Dataset.unpivot` (an Expand under the
+    * hood — one scan emits all measure rows map-side, no union of N
+    * self-scans, which is the shape a hand-rolled melt degrades to).
+    * The aggregate keeps the output bounded: flags × measures rows.
+    */
+  def q38Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 2).as("sum_value"),
+        round(avg("value"), 4).as("avg_value"))
+
+  /** NEAREST-in-time join — the as-of family's third direction: each
+    * purchase pairs with its temporally CLOSEST click (backward OR
+    * forward) within a tolerance, ties to the backward side (the
+    * as-of convention: what the user had already seen wins over what
+    * came after). pandas calls this merge_asof(direction='nearest');
+    * neither Spark nor the warehouse engines ship it, but it falls
+    * out of ONE tagged-union window pass per user — the q28 generic
+    * as-of construct run both ways: last preceding click and first
+    * following click as conditional struct carries, then a three-way
+    * compare. Unmatched purchases stay as explicit null rows (a
+    * silently dropped row poisons downstream attribution ratios).
+    * Total order (ts, event_id) makes equal-timestamp ties exact:
+    * an equal-ts click with a smaller id is "backward" at gap 0.
+    */
+  def q39AsofNearest(s: SparkSession, dir: String,
+                     tolUs: Long = 604800000000L): DataFrame =
+    asofNearest(Tables.events(s, dir), tolUs)
+
+  /** [[q39AsofNearest]]'s core over any events-shaped frame. */
+  def asofNearest(events: DataFrame,
+                  tolUs: Long = 604800000000L): DataFrame = {
+    val ev = events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val click = when(col("event_type") === "click",
+      struct(col("us"), col("event_id")))
+    val marked = ev
+      .withColumn("prev_c", last(click, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("next_c", first(click, ignoreNulls = true)
+        .over(w.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+    val gapB = col("us") - col("prev_c.us")
+    val gapF = col("next_c.us") - col("us")
+    val backOk = col("prev_c").isNotNull && gapB <= tolUs
+    val fwdOk = col("next_c").isNotNull && gapF <= tolUs
+    val useBack = backOk && (!fwdOk || gapB <= gapF)
+    marked.select(col("event_id").as("purchase_id"), col("user_id"),
+      when(useBack, col("prev_c.event_id"))
+        .when(fwdOk, col("next_c.event_id")).as("click_id"),
+      when(useBack, lit("back")).when(fwdOk, lit("fwd")).as("direction"),
+      when(useBack, gapB).when(fwdOk, gapF).as("gap_us"))
+  }
 }

@@ -951,6 +951,38 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data op: for
+    * each query vector, the k most similar vectors from OTHER labels
+    * inside a similarity band [lo, hi]. The band is the point: below
+    * `lo` the negative is trivial (no gradient signal); above `hi`
+    * it is so close it is likely a mislabeled positive, and training
+    * on it actively hurts (the false-negative hazard every
+    * contrastive recipe warns about — calibrate `hi` against
+    * [[thresholdPlan]]'s null quantiles). Exact brute form over the
+    * bounded probe set, selection on the native bounded-heap
+    * [[graft.plans.TopK]]; at 100 TB the same kernel runs after the
+    * IVF candidate cut exactly like [[maxSim]]'s rerank core, and
+    * this exact form is its ground truth.
+    */
+  def hardNegatives(embeddings: DataFrame, queryFilter: Column,
+                    k: Int = 5, lo: Double = 0.3,
+                    hi: Double = 0.9): DataFrame = {
+    require(k >= 1 && lo <= hi, s"need k >= 1 and lo ($lo) <= hi ($hi)")
+    val corpus = embeddings.select(col("vec_id"), col("label"), col("embedding"))
+    val q = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val scored = corpus.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .filter(col("cos") >= lo && col("cos") <= hi)
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    graft.plans.TopK.perKey(scored, Seq("q_id"),
+        Seq(col("cos").desc, col("vec_id").asc), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
   /** EMBEDDING-SPACE DIVERSITY audit — per-label dispersion WITHOUT
     * any pairwise join: the mean pairwise squared distance over a
     * label's vectors is a closed form of two moments,

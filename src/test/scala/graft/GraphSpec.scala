@@ -442,4 +442,19 @@ class GraphSpec extends SparkSpec {
     assert(m.getAs[Double]("assortativity") == -1.0)
     assert(m.getAs[Long]("n_edges") == 4L)
   }
+
+  test("reciprocity: mutual pairs counted both ways, hub reads low") {
+    import spark.implicits._
+    // 1↔2 mutual (2 reciprocated edges), 3→1 and 4→1 unanswered
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val r = Graph.reciprocity(e).collect().head
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_reciprocal"), r.getAs[Long]("reciprocity_ppm")) ===
+      ((4L, 4L, 2L, 500000L)))
+    // a fully mutual clique reads 1e6 exactly
+    val clique = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val c = Graph.reciprocity(clique).collect().head
+    assert(c.getAs[Long]("reciprocity_ppm") === 1000000L)
+  }
 }

@@ -1,9 +1,12 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.Relational
 import graft.text.TextAnalysis
 
-class RelationalSpec extends SparkSpec {
+class RelationalSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   test("flagship q1 aggregates are sane") {
     val rows = Relational.q1Agg(spark, sf).collect()
@@ -275,5 +278,66 @@ class RelationalSpec extends SparkSpec {
     assert(d.getAs[String]("min_str") <= d.getAs[String]("max_str"))
     // a primary-key-like column: distinct count near the order count
     assert(rows("l_orderkey").getAs[Long]("n_distinct") > n / 10)
+  }
+
+  test("unpivot: equals the 4-way union melt, plans as ONE Expand scan") {
+    val df = Relational.q38Unpivot(spark, sf)
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("n"), r.getAs[Double]("sum_value"),
+      r.getAs[Double]("avg_value"))).toSet
+    val li = Tables.lineitem(spark, sf)
+    val ref = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => li.select(col("l_returnflag"), lit(c).as("measure"),
+        col(c).as("value")))
+      .reduce(_ unionAll _)
+      .groupBy("l_returnflag", "measure")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"),
+        round(avg("value"), 4).as("a"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n"), r.getAs[Double]("s"), r.getAs[Double]("a"))).toSet
+    assert(got === ref && got.size === 12) // 3 flags × 4 measures
+    // the native unpivot is an Expand over ONE scan — the union
+    // formulation above reads the table four times
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty)
+    assert(collectWithSubqueries(plan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size === 1)
+  }
+
+  test("asof nearest: tie to backward, tolerance fence, explicit null row") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toDF("event_id", "secs", "user_id", "event_type")
+        .select(col("event_id"), col("secs").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+    // u1: clicks at 10 and 30, purchase at 20 — equidistant, backward
+    //     wins; second purchase at 29 — forward click at 30 is nearer
+    // u2: only a click 100s after the purchase — forward match
+    // u3: a click 50s BEFORE the purchase, forward none — backward
+    // u4: purchase with no clicks at all — explicit null row
+    // u5: click 2000s away, tolerance 1000s — fenced out, null row
+    val events = ev(
+      (1L, 10L, 1L, "click"), (2L, 20L, 1L, "purchase"),
+      (3L, 30L, 1L, "click"), (4L, 29L, 1L, "purchase"),
+      (10L, 200L, 2L, "purchase"), (11L, 300L, 2L, "click"),
+      (20L, 50L, 3L, "click"), (21L, 100L, 3L, "purchase"),
+      (30L, 10L, 4L, "purchase"),
+      (40L, 10L, 5L, "purchase"), (41L, 2010L, 5L, "click"))
+    val got = Relational.asofNearest(events, tolUs = 1000000000L).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        ((Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong),
+          Option(r.getAs[String]("direction")),
+          Option(r.getAs[java.lang.Long]("gap_us")).map(_.toLong)))).toMap
+    assert(got(2L) === ((Some(1L), Some("back"), Some(10000000L))))
+    assert(got(4L) === ((Some(3L), Some("fwd"), Some(1000000L))))
+    assert(got(10L) === ((Some(11L), Some("fwd"), Some(100000000L))))
+    assert(got(21L) === ((Some(20L), Some("back"), Some(50000000L))))
+    assert(got(30L) === ((None, None, None)))
+    assert(got(40L) === ((None, None, None)))
+    assert(got.size === 6) // every purchase present, matched or not
   }
 }

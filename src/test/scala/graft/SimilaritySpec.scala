@@ -534,4 +534,25 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got(1) === ((2L, 0L, 0L))) // collapsed stratum reads zero
   }
+
+  test("hard negatives: cross-label only, band fences both ends, top-k order") {
+    import spark.implicits._
+    // query q (label 0). candidates: same-label near-identical (must
+    // be excluded however similar), cross-label in band (kept),
+    // cross-label near-dup above hi (excluded — false-negative
+    // hazard), cross-label orthogonal below lo (excluded — trivial)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // the query
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),  // same label: out
+      (3L, Array(0.8f, 0.6f, 0.0f), 1),   // cos .8: in band
+      (4L, Array(0.6f, 0.8f, 0.0f), 1),   // cos .6: in band
+      (5L, Array(1.0f, 0.01f, 0.0f), 1),  // cos ~.99995 > hi: out
+      (6L, Array(0.0f, 1.0f, 0.0f), 1))   // cos 0 < lo: out
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, col("vec_id") === 1, 5,
+        lo = 0.3, hi = 0.9).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toList
+    assert(got === List((1L, 1L, 3L, 0.8), (1L, 2L, 4L, 0.6)), s"$got")
+  }
 }
