@@ -27,11 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => graft.plans.CollapseRepartitionIntoTopK)
     // operational kill-switch: plan-rewrite rules can be disabled
     // without a rebuild if a workload ever hits an unforeseen shape.
-    // Gated on the VALUE, not presence — an operator re-enabling
-    // with =false/=0 must get the rewrite back, not the opposite
+    // Gated on the VALUE, not presence — =false/=0/=no/empty
+    // re-enables — but FAIL-SAFE in the disable direction: any other
+    // set value (=on, =y, a typo) still disables, because silently
+    // re-enabling a rewrite someone reached for the kill-switch to
+    // stop is the one wrong default for a kill-switch
     val disabled = sys.env.get("GRAFT_DISABLE_RANK_REWRITE")
       .map(_.trim.toLowerCase)
-      .exists(v => v == "1" || v == "true" || v == "yes")
+      .exists(v => !Set("", "0", "false", "no").contains(v))
     if (!disabled)
       e.injectOptimizerRule(_ => graft.plans.RewriteRankFilterToTopK)
   }

@@ -2959,7 +2959,8 @@ object SparkEntry {
         |           FROM documents),
         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
         |               count(DISTINCT source) AS ns FROM d),
-        |a AS (SELECT tw * 250000 // 1000000 // ns AS alloc FROM tot),
+        |a AS (SELECT CAST(tw AS HUGEINT) * 250000 // 1000000 // ns AS alloc
+        |      FROM tot),
         |c AS (SELECT doc_id, source, w,
         |        sum(w) OVER (PARTITION BY source ORDER BY doc_id) AS cum
         |      FROM d),
@@ -2969,8 +2970,8 @@ object SparkEntry {
         |SELECT d2.source, CAST(a.alloc AS BIGINT) AS alloc_tokens,
         |       CAST(coalesce(s.n_docs, 0) AS BIGINT) AS n_docs,
         |       CAST(coalesce(s.tokens_taken, 0) AS BIGINT) AS tokens_taken,
-        |       CAST(coalesce(s.tokens_taken, 0) * 1000000 // a.alloc AS BIGINT)
-        |         AS utilization_ppm
+        |       CAST(CAST(coalesce(s.tokens_taken, 0) AS HUGEINT) * 1000000
+        |            // a.alloc AS BIGINT) AS utilization_ppm
         |FROM (SELECT DISTINCT source FROM d) d2 CROSS JOIN a
         |LEFT JOIN s ON s.source = d2.source
         |ORDER BY d2.source""".stripMargin,

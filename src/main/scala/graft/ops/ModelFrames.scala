@@ -21,12 +21,23 @@ object ModelFrames {
     * groupBy summary): both join sides read it, and an
     * unmaterialized corpus lineage would re-run twice.
     *
-    * @return one row per distinct `key`: (key, off)
+    * @param within optional grouping columns: the prefix restarts at
+    *               0 inside each `within` group (a per-source band
+    *               line), matched by equality in the self-join
+    * @return one row per distinct (within..., key): (within..., key, off)
     */
   def exclusivePrefixSum(summary: DataFrame, key: String, value: String,
-                         as: String = "off"): DataFrame =
-    summary.select(col(key), col(value))
-      .join(broadcast(summary.select(col(key).as("_pk"),
-        col(value).as("_pv"))), col("_pk") < col(key), "left")
-      .groupBy(key).agg(coalesce(sum("_pv"), lit(0L)).as(as))
+                         as: String = "off",
+                         within: Seq[String] = Seq.empty): DataFrame = {
+    val probe = summary.select((within :+ key :+ value).map(col): _*)
+    val build = summary.select(
+      within.map(c => col(c).as(s"_g_$c")) ++
+        Seq(col(key).as("_pk"), col(value).as("_pv")): _*)
+    val cond = within.foldLeft(col("_pk") < col(key)) {
+      (acc, c) => acc && col(s"_g_$c") === col(c)
+    }
+    probe.join(broadcast(build), cond, "left")
+      .groupBy((within :+ key).map(col): _*)
+      .agg(coalesce(sum("_pv"), lit(0L)).as(as))
+  }
 }

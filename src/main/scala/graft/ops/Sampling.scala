@@ -582,7 +582,11 @@ object Sampling {
     val banded = d.crossJoin(broadcast(tot))
       .withColumn("bw", expr(s"(i1 - i0) div $bands + 1"))
       .withColumn("band", expr("(doc_id - i0) div bw"))
-      .withColumn("alloc", expr(s"tw * $multiplePpm div 1000000 div ns"))
+      // tw·multiplePpm leaves int64 around 2.5e13 corpus tokens at
+      // the default ppm — exactly this operator's design point —
+      // so the product widens (Events.burst's ratio discipline)
+      .withColumn("alloc", expr("CAST(CAST(tw AS DECIMAL(38,0)) * " +
+        s"$multiplePpm div 1000000 div ns AS BIGINT)"))
       // the in-band window, the band-sum aggregate, and the source
       // list all read it
       .localCheckpoint()
@@ -590,11 +594,8 @@ object Sampling {
       sum("w").over(Window.partitionBy("source", "band").orderBy("doc_id")))
     val bsums = banded.groupBy("source", "band").agg(sum("w").as("bsum"))
       .localCheckpoint() // both sides of the shared prefix join
-    val offs = bsums
-      .join(broadcast(bsums.select(col("source").as("_ps"),
-        col("band").as("_pb"), col("bsum").as("_pv"))),
-        col("_ps") === col("source") && col("_pb") < col("band"), "left")
-      .groupBy("source", "band").agg(coalesce(sum("_pv"), lit(0L)).as("off"))
+    val offs = ModelFrames.exclusivePrefixSum(bsums, "band", "bsum",
+      within = Seq("source"))
     val taken = inBand.join(broadcast(offs), Seq("source", "band"))
       .filter(col("off") + col("cum") <= col("alloc"))
       .groupBy("source")
@@ -603,7 +604,8 @@ object Sampling {
       .join(taken, Seq("source"), "left")
       .na.fill(0L, Seq("n_docs", "tokens_taken"))
       .withColumn("utilization_ppm",
-        expr("tokens_taken * 1000000 div alloc_tokens"))
+        expr("CAST(CAST(tokens_taken AS DECIMAL(38,0)) * 1000000 " +
+          "div alloc_tokens AS BIGINT)"))
   }
 
   /** DSIR-flavored DATA SELECTION — importance resampling on hashed
@@ -654,9 +656,13 @@ object Sampling {
       sum("k").as("cr"))
     val totals = bucketCounts.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val ratios = bucketCounts.crossJoin(broadcast(totals))
+      // both sides of the division widen: cr·tt is itself a
+      // BIGINT×BIGINT product that wraps around ~3e9 × 3e9 token
+      // corpora (the oracle casts ct AND cr to HUGEINT)
       .select(col("b"), expr(
         "CAST(CASE WHEN tt = 0 THEN 0 ELSE " +
-          "(CAST(ct AS DECIMAL(38,0)) * tr * 1000000) div (cr * tt) " +
+          "(CAST(ct AS DECIMAL(38,0)) * tr * 1000000) div " +
+          "(CAST(cr AS DECIMAL(38,0)) * tt) " +
           "END AS BIGINT)").as("ratio_ppm"))
     val scored = docB.join(broadcast(ratios), Seq("b"))
       .groupBy("doc_id", "source")

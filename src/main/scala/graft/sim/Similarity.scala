@@ -1015,9 +1015,15 @@ object Similarity {
     val perDim = m
       .select(col("label"), posexplode(col("e")).as(Seq("j", "x")))
       .groupBy("label", "j")
-      .agg(sum("x").as("sj"), sum(expr("x * x")).as("ssj"))
+      // ssj accumulates x² terms of ~1e12 each: the SUM leaves int64
+      // around 1e7 same-label vectors, so it widens at the term, not
+      // one aggregation level too late (the oracle's sum(BIGINT) is
+      // HUGEINT from the first row). sj sums ~1e6-magnitude terms —
+      // int64 holds to ~9e12 vectors per label, far past any stratum
+      .agg(sum("x").as("sj"),
+        sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("ssj"))
     val moments = perDim.groupBy("label")
-      .agg(sum(col("ssj").cast("decimal(38,0)")).as("s"),
+      .agg(sum("ssj").as("s"),
         sum(col("sj").cast("decimal(38,0)") * col("sj")).as("q"))
     val counts = embeddings.groupBy("label").agg(count(lit(1)).as("n"))
     counts.join(moments, Seq("label"))

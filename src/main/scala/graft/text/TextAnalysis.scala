@@ -936,15 +936,18 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("lang"), col("bg"))
       .agg(count(lit(1)).as("k"))
 
-  /** The (bg, ppm) conditional-probability table in exact integer
-    * ppm: `c(w1 w2)·10⁶ div c(w1 ·)` over corpus counts. */
+  /** The (bg, ppm, c_bg) conditional-probability table in exact
+    * integer ppm: `c(w1 w2)·10⁶ div c(w1 ·)` over corpus counts. The
+    * raw count rides along so [[lmFit]]'s top-k cap orders by it
+    * without re-running the vocabulary aggregate. */
   private[graft] def lmPpm(docBg: DataFrame): DataFrame = {
     val model = docBg.groupBy("bg").agg(sum("k").as("c_bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     // conditional denominator: bigram instances sharing the prefix
     val pref = model.groupBy("w1").agg(sum("c_bg").as("c_pref"))
     model.join(pref.hint("shuffle_hash"), "w1")
-      .select(col("bg"), expr("c_bg * 1000000 div c_pref").as("ppm"))
+      .select(col("bg"), expr("c_bg * 1000000 div c_pref").as("ppm"),
+        col("c_bg"))
   }
 
   /** Per-doc exact-integer LM scores under a (bg, ppm) table. LEFT
@@ -955,7 +958,8 @@ object TextAnalysis {
     * scores equal the streaming gate's, where past-cap bigrams score
     * 0 exactly like novel text. */
   private[graft] def lmScored(docBg: DataFrame, ppm: DataFrame): DataFrame =
-    docBg.join(ppm.hint("shuffle_hash"), Seq("bg"), "left")
+    docBg.join(ppm.select("bg", "ppm").hint("shuffle_hash"),
+        Seq("bg"), "left")
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("k") * coalesce(col("ppm"), lit(0L))).as("sum_ppm"),
         sum("k").as("n_bigrams"))
@@ -1004,17 +1008,14 @@ object TextAnalysis {
   def lmFit(documents: DataFrame, topK: Int = Int.MaxValue): LmGateModel = {
     require(topK > 0, s"topK ($topK) must be positive")
     val docBg = lmDocBg(documents).localCheckpoint()
-    val full = lmPpm(docBg).localCheckpoint()
-    val ppm =
-      if (topK == Int.MaxValue) full
-      else {
-        val counts = docBg.groupBy("bg").agg(sum("k").as("c_bg"))
-        full.join(counts.hint("shuffle_hash"), "bg")
-          .orderBy(col("c_bg").desc, col("bg").asc)
-          .limit(topK)
-          .select("bg", "ppm")
-          .localCheckpoint()
-      }
+    val full = lmPpm(docBg) // lazy: referenced exactly once below
+    // the kept (bg, ppm) table has two consumers (the cuts scoring
+    // join + the driver collect) — that is what materializes, never
+    // the full vocabulary-sized table the cap exists to avoid
+    val ppm = (if (topK == Int.MaxValue) full
+      else full.orderBy(col("c_bg").desc, col("bg").asc).limit(topK))
+      .select("bg", "ppm")
+      .localCheckpoint()
     val cuts = lmCuts(lmScored(docBg, ppm).localCheckpoint())
       .localCheckpoint()
     LmGateModel(
