@@ -323,6 +323,10 @@ object SparkEntry {
     // token budget, banded per-source prefix sums
     "sample_token_budget" -> ((s, d) =>
       Sampling.tokenBudget(Tables.documents(s, d)).orderBy("source")),
+    // deterministic proportional-interleave epoch order (head only —
+    // the full schedule is a Layout write, not an ordered collect)
+    "sample_interleave" -> ((s, d) =>
+      Sampling.interleave(Tables.documents(s, d)).orderBy("pos")),
     // split on the near-dup keeper id so duplicate clusters never
     // straddle the train/val boundary (contamination guard)
     "sample_split_safe" -> ((s, d) =>
@@ -543,6 +547,12 @@ object SparkEntry {
       graft.ops.Graph.hits(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"), iters = 2).orderBy("node")),
+    // mutual-knn clustering: components over the reciprocal subset —
+    // hubs can't glue unrelated neighborhoods into a mega-component
+    "graph_mutual_components" -> ((s, d) =>
+      graft.ops.Graph.componentSizes(graft.ops.Graph.mutualEdges(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"))).orderBy("component_size")),
     // mutual-edge share of the directed knn graph: the hub-attraction
     // warning light for downstream clustering
     "graph_reciprocity" -> ((s, d) =>
@@ -1186,6 +1196,24 @@ object SparkEntry {
        |       FROM q$i p LEFT JOIN q$i s ON s.node = p.lab),
        |""".stripMargin
   }
+
+  /** [[graphComponentsSql]] restricted to the MUTUAL edge subset:
+    * same 6 propagate+shortcut rounds over edges present in both
+    * directions (one undirected row per src < dst pair). */
+  private val graphMutualComponentsSql: String = knnRankedCte +
+    """, e AS MATERIALIZED (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |me AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN e e2
+      |       ON e2.src = e.dst AND e2.dst = e.src WHERE e.src < e.dst),
+      |und AS MATERIALIZED (SELECT src AS doc_a, dst AS doc_b FROM me
+      |        UNION ALL SELECT dst AS doc_a, src AS doc_b FROM me),
+      |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+      |            (SELECT src AS node FROM me UNION ALL SELECT dst FROM me)),
+      |l0 AS (SELECT node, node AS lab FROM nodes),
+      |""".stripMargin +
+      (1 to 6).map(i => ccStepSql(s"l${i - 1}", i)).mkString +
+    """comp AS (SELECT lab, count(*) AS sz FROM l6 GROUP BY lab)
+      |SELECT sz AS component_size, count(*) AS n_components
+      |FROM comp GROUP BY sz ORDER BY component_size""".stripMargin
 
   /** Component-size histogram replay over the knn edges: 6
     * propagate+shortcut rounds (helper-generated), then
@@ -2975,6 +3003,25 @@ object SparkEntry {
         |FROM (SELECT DISTINCT source FROM d) d2 CROSS JOIN a
         |LEFT JOIN s ON s.source = d2.source
         |ORDER BY d2.source""".stripMargin,
+    // full-order window replay of the heap-selected schedule head
+    "sample_interleave" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |t AS (SELECT count(*) AS n FROM d),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |          AS rank_in_source,
+        |        count(*) OVER (PARTITION BY source) AS ns
+        |      FROM d),
+        |k AS (SELECT doc_id, source, rank_in_source,
+        |        CAST(CAST(rank_in_source AS HUGEINT) * n // ns AS BIGINT)
+        |          AS pos_key
+        |      FROM r CROSS JOIN t),
+        |s AS (SELECT *, row_number() OVER (ORDER BY pos_key, source,
+        |                                   rank_in_source) AS pos
+        |      FROM k)
+        |SELECT CAST(pos AS BIGINT) AS pos, source, doc_id,
+        |       CAST(rank_in_source AS BIGINT) AS rank_in_source, pos_key
+        |FROM s WHERE pos <= 50 ORDER BY pos""".stripMargin,
     // nibble-replay of the hashed buckets, HUGEINT ratio arithmetic,
     // same (score desc, doc_id) window as the heap operator
     "sample_dsir" ->
@@ -3421,6 +3468,7 @@ object SparkEntry {
     "graph_pagerank" -> graphPagerankSql,
     "graph_hits" -> graphHitsSql,
     "graph_components" -> graphComponentsSql,
+    "graph_mutual_components" -> graphMutualComponentsSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_conductance" -> graphConductanceSql,
     "graph_triangles" -> graphTrianglesSql,

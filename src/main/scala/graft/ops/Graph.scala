@@ -767,6 +767,22 @@ object Graph {
     * of the edge set against its own reversal — never a pairwise
     * construct — plus two model-frame counts; exact integer ppm.
     */
+  /** The RECIPROCAL (mutual-knn) edge subset, one undirected row per
+    * pair (src < dst): the high-precision core [[reciprocity]]
+    * measures — both endpoints rank each other into their top k, so
+    * hub-attraction edges (answered by nothing) drop out. Feeding
+    * [[componentSizes]] with this subset is the classic
+    * mutual-knn clustering: clusters bind only through edges BOTH
+    * sides agree on, which is what keeps one hub from gluing
+    * unrelated neighborhoods into a mega-component.
+    */
+  def mutualEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").localCheckpoint()
+    e.join(e.select(col("dst").as("src"), col("src").as("dst"))
+        .hint("shuffle_hash"), Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+  }
+
   def reciprocity(edges: DataFrame): DataFrame = {
     // the edge set feeds both join sides and the node count
     val e = edges.select("src", "dst").localCheckpoint()

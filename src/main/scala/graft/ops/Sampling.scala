@@ -608,6 +608,60 @@ object Sampling {
           "div alloc_tokens AS BIGINT)"))
   }
 
+  /** PROPORTIONAL-INTERLEAVE training schedule — the deterministic
+    * materialization of "stream the sources mixed, not concatenated":
+    * a training run that reads source A to exhaustion before source B
+    * bakes an ordering curriculum nobody asked for, so the loader
+    * wants source s's rank-r document at global position ≈ r/share_s.
+    * The integer position key `r·N div n_s` realizes exactly that
+    * (each source's documents spread evenly across the N-slot
+    * schedule), with (key, source, rank) completing a total order —
+    * no RNG, no seed: any engine, any partitioning, any restart
+    * replays the identical epoch order, which is what makes a
+    * training run reproducible at 100 TB.
+    *
+    * Scale shape: the per-source rank is the BANDED line (in-band
+    * row_number + band-count offsets from the shared
+    * [[ModelFrames.exclusivePrefixSum]] — no per-source single-task
+    * window); the schedule HEAD (`k` rows) comes off distributed
+    * top-k heaps (TakeOrderedAndProject), never a global sort — a
+    * loader materializing the whole epoch writes the keyed frame
+    * with [[graft.ops.Layout]] instead of asking for all N rows
+    * ordered. The key product widens through DECIMAL(38,0)
+    * (rank·N exceeds int64 near 10⁹·10⁹).
+    */
+  def interleave(documents: DataFrame, k: Int = 50,
+                 bands: Int = 64): DataFrame = {
+    require(k > 0 && bands > 0, s"need k ($k) > 0 and bands ($bands) > 0")
+    val d = documents.select(col("doc_id"), col("source"))
+    val tot = d.agg(min("doc_id").as("i0"), max("doc_id").as("i1"),
+      count(lit(1)).as("n"))
+    val banded = d.crossJoin(broadcast(tot))
+      .withColumn("bw", expr(s"(i1 - i0) div $bands + 1"))
+      .withColumn("band", expr("(doc_id - i0) div bw"))
+      .localCheckpoint()
+    val inBand = banded.withColumn("rib", row_number()
+      .over(Window.partitionBy("source", "band").orderBy("doc_id"))
+      .cast("long"))
+    val bcounts = banded.groupBy("source", "band")
+      .agg(count(lit(1)).as("bc")).localCheckpoint()
+    val offs = ModelFrames.exclusivePrefixSum(bcounts, "band", "bc",
+      within = Seq("source"))
+    val ns = banded.groupBy("source").agg(count(lit(1)).as("ns"))
+    val keyed = inBand.join(broadcast(offs), Seq("source", "band"))
+      .withColumn("rank_in_source", col("off") + col("rib"))
+      .join(broadcast(ns), Seq("source"))
+      .withColumn("pos_key", expr(
+        "CAST(CAST(rank_in_source AS DECIMAL(38,0)) * n div ns AS BIGINT)"))
+    val w = Window.partitionBy("g")
+      .orderBy(col("pos_key"), col("source"), col("rank_in_source"))
+    keyed.orderBy(col("pos_key"), col("source"), col("rank_in_source"))
+      .limit(k)
+      .withColumn("g", lit(0))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("pos", "source", "doc_id", "rank_in_source", "pos_key")
+  }
+
   /** DSIR-flavored DATA SELECTION — importance resampling on hashed
     * n-gram features (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): score every raw document by

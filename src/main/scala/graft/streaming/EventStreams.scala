@@ -320,6 +320,33 @@ object EventStreams {
     * frame). Stateless: scoring adds no store, no watermark, and
     * composes with any upstream dedup/window stage.
     */
+  /** Streaming twin of [[graft.ops.Events.burst]]'s scoring side —
+    * the live rate gate: watermarked 1-minute tumbling counts per
+    * type, each FINALIZED window scored against a batch-fitted
+    * active-minute baseline (the [[anomalyStream]] out-of-band
+    * model-refresh contract: `baseline` is [[graft.ops.Events.burst]]
+    * output, swapped in per refresh) with the identical
+    * DECIMAL-widened integer-ppm arithmetic — a minute the gate
+    * flags live is exactly a minute the batch audit would flag.
+    * Append mode: a window emits once the watermark closes it, so
+    * the gate reports completed minutes, never partial counts; state
+    * is the open windows inside the watermark horizon.
+    */
+  def burstGateStream(events: DataFrame, baseline: DataFrame,
+                      thresholdPpm: Long = 3000000L,
+                      watermark: String = "2 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        expr("unix_micros(w.start) div 60000000").as("minute"), col("c"))
+      .join(broadcast(baseline
+        .select("event_type", "n_events", "n_active_minutes")), Seq("event_type"))
+      .withColumn("ratio_ppm", expr(
+        "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 * n_active_minutes " +
+          "div n_events AS BIGINT)"))
+      .withColumn("is_burst", col("ratio_ppm") > thresholdPpm)
+
   def anomalyStream(events: DataFrame, model: DataFrame,
                     tau: Double = 2.0): DataFrame =
     events.join(broadcast(model), "event_type")

@@ -457,4 +457,23 @@ class GraphSpec extends SparkSpec {
     val c = Graph.reciprocity(clique).collect().head
     assert(c.getAs[Long]("reciprocity_ppm") === 1000000L)
   }
+
+  test("mutual edges drop hub attraction; components bind only mutual pairs") {
+    import spark.implicits._
+    // 1↔2 and 3↔4 mutual; hub 9 is pointed at by everyone but
+    // answers nobody — WITHOUT the mutual cut the hub glues all five
+    // nodes into one component, WITH it the true pair structure shows
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L),
+      (1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L)).toDF("src", "dst")
+    val mutual = Graph.mutualEdges(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mutual === Set((1L, 2L), (3L, 4L)))
+    val sizes = Graph.componentSizes(Graph.mutualEdges(e)).collect()
+      .map(r => (r.getAs[Long]("component_size"),
+        r.getAs[Long]("n_components"))).toSet
+    assert(sizes === Set((2L, 2L))) // two pair-components, no hub glue
+    val glued = Graph.componentSizes(e).collect()
+      .map(r => r.getAs[Long]("component_size")).toSet
+    assert(glued === Set(5L)) // the un-cut graph is one mega-component
+  }
 }

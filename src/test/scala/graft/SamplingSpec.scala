@@ -420,6 +420,33 @@ class SamplingSpec extends SparkSpec {
     assert(run(1) === expect && run(7) === expect)
   }
 
+  test("interleave: proportional spread, deterministic order, band invariance") {
+    import spark.implicits._
+    // big: 8 docs, small: 4 docs (2:1) — the schedule must alternate
+    // roughly big,big,small so small never starves or floods
+    val docs = ((1L to 8L).map(i => (i, "big")) ++
+      (101L to 104L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def run(bands: Int) = Sampling.interleave(docs, k = 12, bands = bands)
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[String]("source"),
+        r.getAs[Long]("doc_id"))).toList
+    val got = run(64)
+    assert(got === run(1) && got === run(5)) // banding is invisible
+    assert(got.map(_._1) === (1L to 12L).toList)
+    // independent replay of the position-key order
+    val n = 12L
+    val keyed = ((1L to 8L).map(i => ("big", i, i * n / 8L)) ++
+      (1L to 4L).map(i => ("small", 100L + i, i * n / 4L)))
+    val expect = keyed.sortBy { case (s, _, k) => (k, s) }
+      .zipWithIndex.map { case ((s, id, _), i) => (i + 1L, s, id) }.toList
+    assert(got === expect, s"got $got\nexpect $expect")
+    // every 3-slot window of the schedule carries both sources'
+    // proportional share (2 big + 1 small) — the interleave property
+    got.grouped(3).foreach { w =>
+      assert(w.count(_._2 == "big") === 2 && w.count(_._2 == "small") === 1,
+        s"window $w")
+    }
+  }
+
   test("dsir: integer ratio weights replay exactly; empty target scores 0") {
     import spark.implicits._
     // en docs share 'alpha beta'; the fr doc that ALSO uses them must

@@ -489,6 +489,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming burst gate: finalized minutes equal the batch audit's arithmetic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    def ev(id: Long, sec: Long, tp: String) =
+      EventRow(id, new Timestamp(sec * 1000L), 1L, tp, 0.0, "{}")
+    // history the baseline is fitted on: type a = 8 events over 4
+    // active minutes (baseline rate 2/min), type b = 1/min heartbeat
+    val history = (
+      Seq.fill(4)(0L) ++ Seq(60L, 61L, 120L, 180L)).zipWithIndex
+        .map { case (s, i) => ev(i.toLong, s, "a") } ++
+      Seq(ev(100L, 0L, "b"), ev(101L, 60L, "b"), ev(102L, 120L, "b"))
+    val baseline = graft.ops.Events.burst(history.toDF())
+
+    // live traffic: minute 100 holds 6 'a' events (ratio 3e6 vs the
+    // 2/min baseline = threshold-exceeded) and 1 'b' (ratio 1e6)
+    val live = (0 until 6).map(i => ev(200L + i, 6000L + i, "a")) :+
+      ev(300L, 6010L, "b")
+    val input = MemoryStream[EventRow]
+    val gated = graft.streaming.EventStreams.burstGateStream(
+      input.toDF(), baseline, thresholdPpm = 2500000L)
+    val q = gated.writeStream.format("memory").queryName("bgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(live); q.processAllAvailable()
+      // a far-future sentinel advances the watermark past minute
+      // 100's end so its window finalizes; the sentinel's own window
+      // stays open and must NOT emit
+      input.addData(Seq(ev(999L, 100000L, "a"))); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("bgate").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("minute"),
+        r.getAs[Long]("c"), r.getAs[Long]("ratio_ppm"),
+        r.getAs[Boolean]("is_burst"))).toSet
+    assert(rows === Set(
+      ("a", 100L, 6L, 3000000L, true),
+      ("b", 100L, 1L, 1000000L, false)), s"got $rows")
+  }
+
   test("streaming banded range join matches the batch operator's inner pairs") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
