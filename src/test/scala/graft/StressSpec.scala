@@ -169,4 +169,33 @@ class StressSpec extends SparkSpec {
     assert(cnt == 5 * n - 6, s"got $cnt")
     assert(secs < 180.0, s"interval stress took ${secs}s")
   }
+
+  test("dominant-source interleave: 200k docs, banded rank lines hold") {
+    // one source holds 99.5% of documents — without banding, the
+    // per-source rank window would put the dominant source's whole
+    // mass in one task; banded, the hottest window key is ONE band of
+    // one source (≤ n/bands rows). The schedule head must also be
+    // EXACTLY proportional: rare's first key is 200 (rank·N div n_s =
+    // 1·200000 div 1000), so a 40-slot head is all-dominant in pure
+    // rank order — starving the head of a 0.5% source is correct
+    // proportionality, not a bug.
+    import graft.ops.Sampling
+    val n = 200000L
+    val docs = spark.range(0L, n)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 200 === 0, "rare")
+          .otherwise("dominant").as("source"))
+    val t0 = System.nanoTime()
+    val head = Sampling.interleave(docs, k = 40, bands = 64).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"dominant-source interleave n=$n: $secs%.1fs")
+    assert(head.length == 40)
+    assert(head.forall(_.getAs[String]("source") == "dominant"))
+    // dominant ids are the non-multiples of 200 in id order: the
+    // head is its first 40 ranks exactly
+    val expectIds = (0L until n).filter(_ % 200 != 0).take(40)
+    assert(head.sortBy(_.getAs[Long]("pos"))
+      .map(_.getAs[Long]("doc_id")).toSeq == expectIds)
+    assert(secs < 180.0, s"interleave stress took ${secs}s")
+  }
 }
