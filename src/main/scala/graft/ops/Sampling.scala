@@ -653,12 +653,26 @@ object Sampling {
       .join(broadcast(ns), Seq("source"))
       .withColumn("pos_key", expr(
         "CAST(CAST(rank_in_source AS DECIMAL(38,0)) * n div ns AS BIGINT)"))
-    val w = Window.partitionBy("g")
+    // schedule head off distributed top-k heaps; `pos` is then the
+    // rank within the ≤k-row head — computed BANDED on the real
+    // pos_key column (in-key row_number + key-count offsets), never
+    // a constant-partition window (the optimizer folds a literal
+    // key out of the partition spec, leaving the single-task shape
+    // PlanLint errors on)
+    val head = keyed
       .orderBy(col("pos_key"), col("source"), col("rank_in_source"))
-    keyed.orderBy(col("pos_key"), col("source"), col("rank_in_source"))
       .limit(k)
-      .withColumn("g", lit(0))
-      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("source", "doc_id", "rank_in_source", "pos_key")
+      .localCheckpoint()
+    val inKey = head.withColumn("krib", row_number()
+      .over(Window.partitionBy("pos_key")
+        .orderBy("source", "rank_in_source")).cast("long"))
+    val kc = head.groupBy("pos_key").agg(count(lit(1)).as("kc"))
+      .localCheckpoint()
+    val kOffs = ModelFrames.exclusivePrefixSum(kc, "pos_key", "kc",
+      as = "koff")
+    inKey.join(broadcast(kOffs), Seq("pos_key"))
+      .withColumn("pos", col("koff") + col("krib"))
       .select("pos", "source", "doc_id", "rank_in_source", "pos_key")
   }
 
