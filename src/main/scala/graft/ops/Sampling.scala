@@ -647,7 +647,9 @@ object Sampling {
       .agg(count(lit(1)).as("bc")).localCheckpoint()
     val offs = ModelFrames.exclusivePrefixSum(bcounts, "band", "bc",
       within = Seq("source"))
-    val ns = banded.groupBy("source").agg(count(lit(1)).as("ns"))
+    // per-source totals fold off the band-counts MODEL frame — the
+    // corpus is never re-aggregated for a number the summary holds
+    val ns = bcounts.groupBy("source").agg(sum("bc").as("ns"))
     val keyed = inBand.join(broadcast(offs), Seq("source", "band"))
       .withColumn("rank_in_source", col("off") + col("rib"))
       .join(broadcast(ns), Seq("source"))
