@@ -319,6 +319,11 @@ object SparkEntry {
     // integer ppm, top-n most-target-like docs per source
     "sample_dsir" -> ((s, d) =>
       Sampling.dsirSample(Tables.documents(s, d)).orderBy("source", "rk")),
+    // the paper's actual feature class — hashed BIGRAMS — via the
+    // shared shingle kernel; same integer-ppm ratio model
+    "sample_dsir_bigram" -> ((s, d) =>
+      Sampling.dsirSample(Tables.documents(s, d), ngram = 2)
+        .orderBy("source", "rk")),
     // whole-doc greedy prefix under an equal-split corpus-relative
     // token budget, banded per-source prefix sums
     "sample_token_budget" -> ((s, d) =>
@@ -3046,6 +3051,45 @@ object SparkEntry {
         |      FROM bc, tot),
         |sc AS (SELECT doc_id, source,
         |         CAST(sum(k * ratio_ppm) AS BIGINT) AS sum_ratio,
+        |         CAST(sum(k) AS BIGINT) AS n_tokens
+        |       FROM db JOIN r USING (b) GROUP BY 1, 2),
+        |rr AS (SELECT source, doc_id, n_tokens,
+        |         sum_ratio // n_tokens AS score_ppm,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY sum_ratio // n_tokens DESC,
+        |                                     doc_id) AS rk
+        |       FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens,
+        |       CAST(score_ppm AS BIGINT) AS score_ppm
+        |FROM rr WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // bigram features: the text_bigram_lm shingle replay feeding the
+    // same nibble-bucket + HUGEINT ratio pipeline as sample_dsir
+    "sample_dsir_bigram" ->
+      """WITH docs AS (SELECT doc_id, source, lang,
+        |                string_split(trim(text), ' ') AS toks
+        |              FROM documents),
+        |t AS (SELECT doc_id, source, lang,
+        |        unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+        |                for i in range(1, len(toks))]) AS tok
+        |      FROM docs WHERE len(toks) >= 2),
+        |bk AS (SELECT doc_id, source, lang,
+        |         CAST((16 * (strpos('0123456789abcdef', substring(md5(tok), 1, 1)) - 1)
+        |               + strpos('0123456789abcdef', substring(md5(tok), 2, 1)) - 1)
+        |              % 16 AS INTEGER) AS b
+        |       FROM t),
+        |db AS (SELECT doc_id, source, lang, b, count(*) AS k
+        |       FROM bk GROUP BY 1, 2, 3, 4),
+        |bc AS (SELECT b,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN k ELSE 0 END) AS HUGEINT) AS ct,
+        |         CAST(sum(k) AS HUGEINT) AS cr
+        |       FROM db GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bc),
+        |r AS (SELECT b, CAST(CASE WHEN tt = 0 THEN 0
+        |               ELSE (ct * tr * 1000000) // (cr * tt) END AS BIGINT)
+        |          AS ratio_ppm
+        |      FROM bc, tot),
+        |sc AS (SELECT doc_id, source,
+        |         sum(CAST(k AS HUGEINT) * ratio_ppm) AS sum_ratio,
         |         CAST(sum(k) AS BIGINT) AS n_tokens
         |       FROM db JOIN r USING (b) GROUP BY 1, 2),
         |rr AS (SELECT source, doc_id, n_tokens,

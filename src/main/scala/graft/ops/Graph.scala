@@ -796,6 +796,9 @@ object Graph {
         sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocal"))
       .crossJoin(broadcast(nodes))
       .select(col("n_nodes"), col("n_edges"), col("n_reciprocal"),
-        expr("n_reciprocal * 1000000 div n_edges").as("reciprocity_ppm"))
+        // n_reciprocal·10⁶ wraps int64 past ~9.2e12 edges; widen
+        // like every other ppm ratio in the repo
+        expr("CAST(CAST(n_reciprocal AS DECIMAL(38,0)) * 1000000 " +
+          "div n_edges AS BIGINT)").as("reciprocity_ppm"))
   }
 }

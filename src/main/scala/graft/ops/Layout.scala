@@ -110,6 +110,47 @@ object Layout {
     shardLayout(df, key, nShards)
       .write.partitionBy("shard").mode("overwrite").parquet(path)
 
+  /** Materialize the FULL proportional-interleave epoch
+    * ([[Sampling.interleaveKeys]] — the deterministic `r·N div n_s`
+    * schedule [[Sampling.interleave]] exposes the head of) as
+    * `shard=K` parquet directories a sequential loader streams in
+    * shard order: shard K holds the CONTIGUOUS pos_key slice
+    * `[K·(N+1)/nShards, (K+1)·(N+1)/nShards)`, sorted inside by the
+    * total order (pos_key, source, rank_in_source), so reading
+    * shard 0's rows, then shard 1's, … replays the exact epoch.
+    *
+    * Zero global sort and zero sampling: the shard id is a pure
+    * integer function of pos_key (near-uniform over [0, N] by the
+    * interleave's own construction, so shards balance), the exchange
+    * is ONE hash repartition on it, and the order inside each shard
+    * is a sortWithinPartitions — the writeTrainingShards shape, not
+    * an `ORDER BY` (no range-boundary sampling job, bit-identical
+    * layout on every engine/restart). The shard product widens
+    * through DECIMAL(38,0) (pos_key·nShards wraps int64 near
+    * 10¹²·10⁷).
+    */
+  def writeInterleaved(documents: DataFrame, path: String, nShards: Int,
+                       bands: Int = 64): Unit =
+    interleavedLayout(documents, nShards, bands)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** The interleaved-epoch layout transform (the frame
+    * [[writeInterleaved]] persists) — exposed so `LayoutSpec` pins
+    * its plan: one hash exchange on the shard id, local sorts only,
+    * never a global Sort / range-boundary sampling job.
+    */
+  private[graft] def interleavedLayout(documents: DataFrame, nShards: Int,
+                                       bands: Int): DataFrame = {
+    require(nShards > 0, s"nShards ($nShards) must be positive")
+    Sampling.interleaveKeys(documents, bands)
+      .withColumn("shard", expr(
+        s"CAST(CAST(pos_key AS DECIMAL(38,0)) * $nShards " +
+          "div (n + 1) AS INT)"))
+      .drop("n")
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos_key", "source", "rank_in_source")
+  }
+
   /** The shard-layout transform itself — ONE definition shared by the
     * batch writer above and the streaming
     * [[graft.streaming.AppendSink.commitShardedBatch]] sink, so the

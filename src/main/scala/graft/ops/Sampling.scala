@@ -601,7 +601,10 @@ object Sampling {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("w").as("tokens_taken"))
     banded.groupBy("source").agg(max("alloc").as("alloc_tokens"))
-      .join(taken, Seq("source"), "left")
+      // both sides are |sources|-sized aggregates but the
+      // checkpointed lineage hides that from the planner — broadcast
+      // explicitly (the RankSelect discipline) or this plans as SMJ
+      .join(broadcast(taken), Seq("source"), "left")
       .na.fill(0L, Seq("n_docs", "tokens_taken"))
       .withColumn("utilization_ppm",
         expr("CAST(CAST(tokens_taken AS DECIMAL(38,0)) * 1000000 " +
@@ -625,14 +628,24 @@ object Sampling {
     * [[ModelFrames.exclusivePrefixSum]] — no per-source single-task
     * window); the schedule HEAD (`k` rows) comes off distributed
     * top-k heaps (TakeOrderedAndProject), never a global sort — a
-    * loader materializing the whole epoch writes the keyed frame
-    * with [[graft.ops.Layout]] instead of asking for all N rows
-    * ordered. The key product widens through DECIMAL(38,0)
-    * (rank·N exceeds int64 near 10⁹·10⁹).
+    * loader materializing the whole epoch calls
+    * [[graft.ops.Layout.writeInterleaved]] (sharded pos_key-slice
+    * layout, sequential shard reads replay the epoch) instead of
+    * asking for all N rows ordered. The key product widens through
+    * DECIMAL(38,0) (rank·N exceeds int64 near 10⁹·10⁹).
     */
-  def interleave(documents: DataFrame, k: Int = 50,
-                 bands: Int = 64): DataFrame = {
-    require(k > 0 && bands > 0, s"need k ($k) > 0 and bands ($bands) > 0")
+  /** The FULL interleave key frame — every document with its
+    * deterministic `pos_key = rank_in_source · N div n_s` schedule
+    * position (plus `n`, the epoch size, for consumers that bucket
+    * the key range) — shared by [[interleave]] (the queryable head)
+    * and [[graft.ops.Layout.writeInterleaved]] (the epoch
+    * materialization the interleave doc promises: a sharded Layout
+    * write a sequential loader streams, never an ordered collect).
+    * Same banded rank lines, no global sort, no window over a
+    * corpus-sized single partition.
+    */
+  def interleaveKeys(documents: DataFrame, bands: Int = 64): DataFrame = {
+    require(bands > 0, s"bands ($bands) must be positive")
     val d = documents.select(col("doc_id"), col("source"))
     val tot = d.agg(min("doc_id").as("i0"), max("doc_id").as("i1"),
       count(lit(1)).as("n"))
@@ -650,11 +663,18 @@ object Sampling {
     // per-source totals fold off the band-counts MODEL frame — the
     // corpus is never re-aggregated for a number the summary holds
     val ns = bcounts.groupBy("source").agg(sum("bc").as("ns"))
-    val keyed = inBand.join(broadcast(offs), Seq("source", "band"))
+    inBand.join(broadcast(offs), Seq("source", "band"))
       .withColumn("rank_in_source", col("off") + col("rib"))
       .join(broadcast(ns), Seq("source"))
       .withColumn("pos_key", expr(
         "CAST(CAST(rank_in_source AS DECIMAL(38,0)) * n div ns AS BIGINT)"))
+      .select("source", "doc_id", "rank_in_source", "pos_key", "n")
+  }
+
+  def interleave(documents: DataFrame, k: Int = 50,
+                 bands: Int = 64): DataFrame = {
+    require(k > 0 && bands > 0, s"need k ($k) > 0 and bands ($bands) > 0")
+    val keyed = interleaveKeys(documents, bands)
     // schedule head off distributed top-k heaps; `pos` is then the
     // rank within the ≤k-row head — computed BANDED on the real
     // pos_key column (in-key row_number + key-count offsets), never
@@ -695,9 +715,10 @@ object Sampling {
     * The target here is the `targetLang` slice of the corpus itself
     * (the stand-in for "trusted reference corpus" in this schema —
     * production points the same shape at a curated table). Features
-    * are md5-bucketed unigrams ([[graft.text.TextAnalysis
-    * .hashedFeatures]]'s convention): no vocabulary is built or
-    * broadcast, the model is ≤ `dim` ratio rows.
+    * are md5-bucketed word n-grams (`ngram` knob; default unigrams,
+    * [[graft.text.TextAnalysis.hashedFeatures]]'s convention): no
+    * vocabulary is built or broadcast, the model is ≤ `dim` ratio
+    * rows regardless of n-gram order.
     *
     * Shape: ONE corpus explode compresses immediately to the
     * (doc, bucket) multiplicity frame (materialized — the model
@@ -708,13 +729,21 @@ object Sampling {
     * scores every bucket 0 rather than erroring.
     */
   def dsirSample(documents: DataFrame, targetLang: String = "en",
-                 dim: Int = 16, n: Int = 10): DataFrame = {
+                 dim: Int = 16, n: Int = 10, ngram: Int = 1): DataFrame = {
     require(dim > 0 && 256 % dim == 0,
       s"dim ($dim) must divide 256 for exactly-even hash classes")
     require(n > 0, s"n ($n) must be positive")
+    require(ngram >= 1, s"ngram ($ngram) must be >= 1")
+    // the published method's features are hashed n-GRAMS; ngram > 1
+    // rides the shared shingle kernel (one pass over the UTF-8
+    // bytes, stream order, duplicates kept — the bigram-LM feature
+    // convention), ngram = 1 keeps the whitespace tokenizer
+    val featCol =
+      if (ngram == 1) graft.text.TextAnalysis.tokens(col("text"))
+      else graft.functions.expressions.shingle_list(col("text"), ngram)
     val docB = documents
       .select(col("doc_id"), col("source"), col("lang"),
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+        explode(featCol).as("tok"))
       .select(col("doc_id"), col("source"), col("lang"),
         (conv(substring(md5(col("tok")), 1, 2), 16, 10)
           .cast("int") % dim).as("b"))
@@ -736,9 +765,14 @@ object Sampling {
           "END AS BIGINT)").as("ratio_ppm"))
     val scored = docB.join(broadcast(ratios), Seq("b"))
       .groupBy("doc_id", "source")
-      .agg(sum(col("k") * col("ratio_ppm")).as("sum_ratio"),
-        sum("k").as("n_tokens"))
-      .withColumn("score_ppm", expr("sum_ratio div n_tokens"))
+      // ratio_ppm is unbounded above when the target slice is tiny
+      // relative to the corpus, so the k·ratio sum widens through
+      // DECIMAL(38,0) (BIGINT sums wrap silently under non-ANSI
+      // semantics; the oracle's SUM is HUGEINT)
+      .agg(sum(expr("CAST(k AS DECIMAL(38,0)) * ratio_ppm"))
+        .as("sum_ratio"), sum("k").as("n_tokens"))
+      .withColumn("score_ppm",
+        expr("CAST(sum_ratio div n_tokens AS BIGINT)"))
     val w = Window.partitionBy("source")
       .orderBy(col("score_ppm").desc, col("doc_id"))
     graft.plans.TopK.perKey(scored, Seq("source"),

@@ -340,12 +340,18 @@ object EventStreams {
       .agg(count(lit(1)).as("c"))
       .select(col("event_type"),
         expr("unix_micros(w.start) div 60000000").as("minute"), col("c"))
+      // LEFT join: an event type absent from the batch baseline is
+      // exactly the novel bot-flood/retry-storm the gate exists to
+      // flag — the gate fails CLOSED (is_burst=true, null ratio)
+      // rather than silently dropping the row an inner join would
       .join(broadcast(baseline
-        .select("event_type", "n_events", "n_active_minutes")), Seq("event_type"))
+          .select("event_type", "n_events", "n_active_minutes")),
+        Seq("event_type"), "left")
       .withColumn("ratio_ppm", expr(
         "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 * n_active_minutes " +
           "div n_events AS BIGINT)"))
-      .withColumn("is_burst", col("ratio_ppm") > thresholdPpm)
+      .withColumn("is_burst",
+        coalesce(col("ratio_ppm") > thresholdPpm, lit(true)))
 
   def anomalyStream(events: DataFrame, model: DataFrame,
                     tau: Double = 2.0): DataFrame =

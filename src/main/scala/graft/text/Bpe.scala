@@ -164,9 +164,15 @@ object Bpe {
       .agg(sum("freq").as("n_words"),
         sum(col("freq") * col("n_syms")).as("n_tokens"),
         sum(col("freq") * col("chars")).as("n_chars"))
-      .withColumn("fertility_ppm", expr("n_tokens * 1000000 div n_words"))
-      .withColumn("chars_per_token_ppm",
-        expr("n_chars * 1000000 div n_tokens"))
+      // per-language corpus token counts exceed int64/10⁶ at the
+      // 100 TB design point — both products widen through
+      // DECIMAL(38,0) (the Events.burst / tokenBudget convention)
+      .withColumn("fertility_ppm", expr(
+        "CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1000000 " +
+          "div n_words AS BIGINT)"))
+      .withColumn("chars_per_token_ppm", expr(
+        "CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000 " +
+          "div n_tokens AS BIGINT)"))
   }
 
   /** [[tokenCounts]] over an already-trained [[fit]] result. */

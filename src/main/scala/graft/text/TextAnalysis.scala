@@ -610,7 +610,11 @@ object TextAnalysis {
       .select(col("c.k").as("k"), col("c.ty").as("n_types_in_k"),
         col("c.cv").as("covered_occurrences"),
         col("total_occurrences"), col("total_types"),
-        expr("c.cv * 1000000 div total_occurrences").as("coverage_ppm"))
+        // covered·10⁶ wraps int64 past ~9.2e12 token occurrences —
+        // below this operator's own 100 TB design point — so the
+        // product widens (the tokenBudget/burst ratio discipline)
+        expr("CAST(CAST(c.cv AS DECIMAL(38,0)) * 1000000 " +
+          "div total_occurrences AS BIGINT)").as("coverage_ppm"))
   }
 
   /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-

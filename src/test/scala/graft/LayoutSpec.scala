@@ -102,6 +102,47 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(plain.nonEmpty)
   }
 
+  test("interleaved epoch: sequential shard reads replay the exact order; no global sort") {
+    import java.nio.file.Files
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val dir = Files.createTempDirectory("graft-interleave").toString
+    val nShards = 8
+    Layout.writeInterleaved(docs, dir, nShards)
+
+    // the epoch order the loader must see = the shared key frame
+    // (whose head is the sample_interleave query) fully ordered
+    val expect = graft.ops.Sampling.interleaveKeys(docs)
+      .orderBy(col("pos_key"), col("source"), col("rank_in_source"))
+      .select("source", "doc_id", "rank_in_source", "pos_key")
+      .collect().map(_.toSeq).toSeq
+
+    // a sequential loader: shard dirs in shard order, each shard one
+    // sorted file, file row order preserved by the offset-ordered scan
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard="))
+      .sortBy(_.getName.stripPrefix("shard=").toInt)
+    assert(shardDirs.length > 1 && shardDirs.length <= nShards)
+    val got = shardDirs.toSeq.flatMap { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"one sorted file per shard, got ${files.length} in $d")
+      spark.read.parquet(files.head.getPath)
+        .select("source", "doc_id", "rank_in_source", "pos_key")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(got.nonEmpty && got === expect)
+
+    // the write plan: local sorts only — a global Sort would mean a
+    // range-boundary sampling job and a sampled (non-reproducible)
+    // shard split
+    val layout = Layout.interleavedLayout(docs, nShards, 64)
+    layout.collect()
+    val globalSorts = collectWithSubqueries(layout.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty,
+      s"global sort in layout plan:\n${layout.queryExecution.executedPlan}")
+  }
+
   test("z-ordered files are narrow in BOTH dimensions; linear sort is not") {
     import java.nio.file.Files
     val orders = Tables.orders(spark, sf)

@@ -492,4 +492,33 @@ class SamplingSpec extends SparkSpec {
     val zero = Sampling.dsirSample(docs, "xx", 16, 10).collect()
     assert(zero.nonEmpty && zero.forall(_.getAs[Long]("score_ppm") == 0L))
   }
+
+  test("dsir bigrams: target-PHRASE reuse outranks target-unigram soup") {
+    import spark.implicits._
+    // the en target repeats the phrase 'alpha beta'; fr doc 3 reuses
+    // the exact phrase, fr doc 4 has the same UNIGRAMS but never
+    // adjacent, fr doc 5 shares nothing. Hashed-bigram features must
+    // separate 3 from 4 — the distinction the unigram model cannot
+    // see (verified below: under ngram=1 doc 4 scores target-like)
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en", "s1"),
+      (2L, "alpha beta", "en", "s1"),
+      (3L, "alpha beta alpha", "fr", "s1"),
+      (4L, "beta gamma alpha", "fr", "s1"),
+      (5L, "zulu yankee zulu", "fr", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    def scores(ngram: Int): Map[Long, Long] =
+      Sampling.dsirSample(docs, "en", 16, 10, ngram = ngram).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_ppm"))
+        .toMap
+    val bi = scores(2)
+    // planted buckets are collision-free at dim=16 (md5 first bytes:
+    // target bigrams → {3, 2}; doc 4 → {4, 11}; doc 5 → {4, 0}), so
+    // the never-in-target docs score EXACTLY 0 and the phrase doc
+    // scores strictly target-like
+    assert(bi(3L) > 0L && bi(4L) === 0L && bi(5L) === 0L, s"bigram $bi")
+    val uni = scores(1)
+    assert(uni(4L) > 0L, s"unigram soup should fool the unigram model: $uni")
+    assert(uni(3L) > uni(5L))
+  }
 }

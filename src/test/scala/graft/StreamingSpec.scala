@@ -504,9 +504,11 @@ class StreamingSpec extends SparkSpec {
     val baseline = graft.ops.Events.burst(history.toDF())
 
     // live traffic: minute 100 holds 6 'a' events (ratio 3e6 vs the
-    // 2/min baseline = threshold-exceeded) and 1 'b' (ratio 1e6)
-    val live = (0 until 6).map(i => ev(200L + i, 6000L + i, "a")) :+
-      ev(300L, 6010L, "b")
+    // 2/min baseline = threshold-exceeded), 1 'b' (ratio 1e6), and
+    // 1 'z' — a type the baseline has never seen: the gate must fail
+    // CLOSED on it (flagged, null ratio), never drop the row
+    val live = (0 until 6).map(i => ev(200L + i, 6000L + i, "a")) ++
+      Seq(ev(300L, 6010L, "b"), ev(400L, 6020L, "z"))
     val input = MemoryStream[EventRow]
     val gated = graft.streaming.EventStreams.burstGateStream(
       input.toDF(), baseline, thresholdPpm = 2500000L)
@@ -521,11 +523,14 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val rows = spark.table("bgate").collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("minute"),
-        r.getAs[Long]("c"), r.getAs[Long]("ratio_ppm"),
+        r.getAs[Long]("c"),
+        if (r.isNullAt(r.fieldIndex("ratio_ppm"))) None
+        else Some(r.getAs[Long]("ratio_ppm")),
         r.getAs[Boolean]("is_burst"))).toSet
     assert(rows === Set(
-      ("a", 100L, 6L, 3000000L, true),
-      ("b", 100L, 1L, 1000000L, false)), s"got $rows")
+      ("a", 100L, 6L, Some(3000000L), true),
+      ("b", 100L, 1L, Some(1000000L), false),
+      ("z", 100L, 1L, None, true)), s"got $rows")
   }
 
   test("streaming banded range join matches the batch operator's inner pairs") {
