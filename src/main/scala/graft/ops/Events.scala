@@ -210,14 +210,19 @@ object Events {
       .select("event_type", "event_id", "value", "idx")
     // level 2: home segment idx div S, plus a copy of the trailing
     // L−1 rows into the next segment so its first windows see their
-    // full history; windows keep only home-row endings
+    // full history; windows keep only home-row endings. The copy is
+    // an EXPLODE into 1-or-2 segment ids, not a union — a union
+    // duplicates the whole upstream (scan + offsets join + rank
+    // window twice); the explode replicates just the ≤(L−1)/S row
+    // fraction in one pass
     val S = segmentSize.toLong
-    val home = indexed.withColumn("seg", expr(s"idx div ${S}L"))
-    val overlap = home.filter(col("idx") % S >= S - (L - 1))
-      .withColumn("seg", col("seg") + 1L)
+    val segmented = indexed.withColumn("seg", explode(
+      when(col("idx") % S >= S - (L - 1),
+        array(expr(s"idx div ${S}L"), expr(s"idx div ${S}L + 1L")))
+        .otherwise(array(expr(s"idx div ${S}L")))))
     val w = Window.partitionBy("event_type", "seg")
       .orderBy("idx").rowsBetween(-(L - 1), Window.currentRow)
-    val scored = home.unionByName(overlap)
+    val scored = segmented
       .select(col("event_type"), col("event_id"), col("idx"), col("seg"),
         collect_list(col("value")).over(w).as("win"))
       .filter(col("seg") === expr(s"idx div ${S}L")) // home endings only

@@ -1051,7 +1051,12 @@ object TextAnalysis {
   def qualityDrift(documents: DataFrame, bins: Int = 64,
                    tau: Double = 0.1): DataFrame = {
     require(bins > 0, s"bins ($bins) must be positive")
-    val docBg = lmDocBg(documents).localCheckpoint() // model + scoring
+    // model + scoring both read the bigram frame; the checkpoint
+    // trades one corpus-shuffle recompute for one serialize. An r13
+    // A/B at sf0.1 measured the cut a wash (2.15s without vs 2.10s
+    // with, at comparable load) — the ambient swing the r12 verdict
+    // flagged lives in the multi-job chain itself, not this barrier
+    val docBg = lmDocBg(documents).localCheckpoint()
     val sc = lmScored(docBg, lmPpm(docBg))
       .join(documents.select(col("doc_id"), col("source")), Seq("doc_id"))
       .select(col("source"), col("score_ppm").as("v"))

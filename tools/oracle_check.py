@@ -2,6 +2,13 @@
 """Local stand-in for the driver's correctness gate.
 
 Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir> [query...]
+       python3 tools/oracle_check.py <verify_out_dir> <sf_dir> --json <path> [query...]
+
+With --json, additionally writes the driver's CORRECTNESS artifact
+shape — {name: {rows_match, schema_match, hash_match, err}} — to
+<path>, flushed incrementally after EVERY query so a crash or timeout
+partway still leaves the completed entries on disk (round 12 shipped
+an empty driver artifact; the committed self-run is the backstop).
 
 Reads each <out_dir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from <out_dir>/oracle_sql.json in DuckDB over the sf_dir
@@ -60,7 +67,24 @@ def cells_equal(a, b):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    rest = sys.argv[3:]
+    json_path = None
+    if rest and rest[0] == "--json":
+        json_path = rest[1]
+        rest = rest[2:]
+    only = set(rest)
+    results = {}
+
+    def record(name, rows_m, schema_m, hash_m, err=None):
+        results[name] = {"rows_match": rows_m, "schema_match": schema_m,
+                         "hash_match": hash_m, "err": err}
+        if json_path:  # incremental flush: a crash keeps what finished
+            tmp = json_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+            import os
+            os.replace(tmp, json_path)
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -80,16 +104,19 @@ def main():
             exp_rows = exp_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            record(name, False, False, False, err=str(e))
             n_fail += 1
             continue
         g_rows, g_cols = frame(got_rows, got_cols)
         e_rows, e_cols = frame(exp_rows, exp_cols)
         if g_cols != e_cols:
             print(f"FAIL {name}: columns {g_cols} != {e_cols}")
+            record(name, len(g_rows) == len(e_rows), False, False)
             n_fail += 1
             continue
         if len(g_rows) != len(e_rows):
             print(f"FAIL {name}: rows {len(g_rows)} != {len(e_rows)}")
+            record(name, False, True, False)
             n_fail += 1
             continue
         bad = fp_risk = 0
@@ -103,10 +130,12 @@ def main():
                 fp_risk += 1
         if bad:
             print(f"FAIL {name}: {bad}/{len(g_rows)} rows differ")
+            record(name, True, True, False)
             n_fail += 1
         else:
             tag = f" (fp-risk rows: {fp_risk})" if fp_risk else ""
             print(f"PASS {name}: {len(g_rows)} rows{tag}")
+            record(name, True, True, True)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
