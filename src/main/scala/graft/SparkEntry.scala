@@ -148,6 +148,11 @@ object SparkEntry {
     // rate-spike audit: peak minute vs active-minute baseline in ppm
     "events_burst" -> ((s, d) =>
       graft.ops.Events.burst(Tables.events(s, d)).orderBy("event_type")),
+    // per-user PEAK trailing-window rate off the native range join —
+    // the grid-free rate-limit audit (burst's minute grid can be
+    // straddled; a sliding window cannot)
+    "events_rate_windows" -> ((s, d) =>
+      graft.ops.Events.rateWindows(Tables.events(s, d)).orderBy("user_id")),
     // rolling-origin backtest: per-cutoff OLS refit from prefix
     // power sums, scored against the persistence baseline
     "events_backtest" -> ((s, d) =>
@@ -618,6 +623,16 @@ object SparkEntry {
           .select("src", "dst")).orderBy("src", "dst")),
     "sim_knn_graph" -> ((s, d) =>
       Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3).orderBy("src", "rank")),
+    // embedding-quality eval: majority label of the 5 nearest
+    // neighbors vs the actual label, per-label accuracy in ppm
+    "sim_knn_label_vote" -> ((s, d) =>
+      Similarity.knnLabelVote(Tables.embeddings(s, d), col("vec_id") % 7 === 0)
+        .orderBy("label")),
+    // Matryoshka audit: recall@k of prefix-dimension cosine rankings
+    // against the full-dimension exact top-k
+    "emb_truncation_recall" -> ((s, d) =>
+      Similarity.truncationRecall(Tables.embeddings(s, d), col("vec_id") < 10)
+        .orderBy("d")),
     // ColBERT-style multi-vector MaxSim: late-interaction retrieval
     "sim_maxsim" -> ((s, d) =>
       Similarity.maxSim(Tables.embeddings(s, d), col("grp") < 2)
@@ -3524,6 +3539,58 @@ object SparkEntry {
     "sim_knn_graph" -> (knnRankedCte +
       """SELECT src, CAST(rank AS BIGINT) AS rank, dst, cos
         |FROM ranked WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
+    // same knn replay at k=5; majority vote via (v desc, label) window
+    "sim_knn_label_vote" -> (knnRankedCte +
+      """, e AS (SELECT src, dst FROM ranked WHERE rank <= 5),
+        |lab AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 7 = 0),
+        |votes AS (SELECT e.src, l.label AS dst_label, count(*) AS v
+        |          FROM e JOIN lab l ON l.vec_id = e.dst GROUP BY 1, 2),
+        |pred AS (SELECT src, dst_label AS pred_label,
+        |           row_number() OVER (PARTITION BY src
+        |                              ORDER BY v DESC, dst_label) AS rn
+        |         FROM votes),
+        |acc AS (SELECT l.label, count(*) AS n,
+        |          CAST(sum(CASE WHEN p.pred_label = l.label
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |        FROM pred p JOIN lab l ON l.vec_id = p.src
+        |        WHERE p.rn = 1 GROUP BY 1)
+        |SELECT label, n, n_correct,
+        |       CAST(CAST(n_correct AS HUGEINT) * 1000000 // n AS BIGINT)
+        |         AS acc_ppm
+        |FROM acc ORDER BY label""".stripMargin),
+    // prefix-slice cosine rankings per candidate dim (0 = the full-
+    // dimension reference), recall against the d=0 cut
+    "emb_truncation_recall" ->
+      """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |                FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM corpus WHERE vec_id < 10),
+        |pairs AS (SELECT q_id, c.vec_id, q_emb, c.emb
+        |          FROM q JOIN corpus c ON c.vec_id <> q.q_id),
+        |scored AS (SELECT q_id, vec_id, d,
+        |             CASE WHEN d = 0
+        |               THEN round(list_cosine_similarity(q_emb, emb), 6)
+        |               ELSE round(list_cosine_similarity(
+        |                 list_slice(q_emb, 1, d), list_slice(emb, 1, d)), 6)
+        |             END AS cos
+        |           FROM pairs CROSS JOIN (SELECT unnest([0, 8, 16, 32]) AS d)),
+        |top AS (SELECT q_id, vec_id, d,
+        |          row_number() OVER (PARTITION BY q_id, d
+        |                             ORDER BY cos DESC, vec_id) AS rk
+        |        FROM scored),
+        |tk AS (SELECT q_id, vec_id, d FROM top WHERE rk <= 5),
+        |fl AS (SELECT q_id, vec_id FROM tk WHERE d = 0),
+        |den AS (SELECT count(*) AS n_pairs,
+        |          CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM fl),
+        |hit AS (SELECT t.d, count(*) AS n_hit
+        |        FROM tk t JOIN fl ON fl.q_id = t.q_id AND fl.vec_id = t.vec_id
+        |        WHERE t.d <> 0 GROUP BY 1),
+        |dims AS (SELECT unnest([8, 16, 32]) AS d)
+        |SELECT CAST(dims.d AS INTEGER) AS d, n_queries, n_pairs,
+        |       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+        |       CAST(CAST(coalesce(n_hit, 0) AS HUGEINT) * 1000000
+        |            // n_pairs AS BIGINT) AS recall_ppm
+        |FROM dims LEFT JOIN hit ON hit.d = dims.d CROSS JOIN den
+        |ORDER BY d""".stripMargin,
     // same brute replay restricted to cross-label pairs in the band
     "sim_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS q_id, label AS q_label,
@@ -3899,6 +3966,21 @@ object SparkEntry {
         |            // t.n_events AS BIGINT) > 3000000 AS is_burst
         |FROM t JOIN p ON p.event_type = t.event_type
         |ORDER BY t.event_type""".stripMargin,
+    // trailing-window inequality join replay; earliest-tie peak via
+    // the (n desc, us, event_id) window
+    "events_rate_windows" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT a.user_id, a.event_id, a.us, count(*) AS n_in_window
+        |      FROM e a JOIN e b ON b.user_id = a.user_id
+        |                       AND b.us > a.us - 86400000000
+        |                       AND b.us <= a.us
+        |      GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY n_in_window DESC, us, event_id) AS rn
+        |      FROM c)
+        |SELECT user_id, CAST(n_in_window AS BIGINT) AS peak_count,
+        |       us AS peak_at_us, event_id AS peak_event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // first-seen replay: cumulative distinct users ≡ count of
     // first-seen days ≤ d; all-integer, grid zeros carried flat
     "events_cumulative_uniques" ->

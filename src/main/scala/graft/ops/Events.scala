@@ -1108,4 +1108,38 @@ object Events {
           "n_active_minutes div n_events AS BIGINT)").as("burst_ratio_ppm"))
       .withColumn("is_burst", col("burst_ratio_ppm") > thresholdPpm)
   }
+
+  /** PER-USER PEAK SLIDING-WINDOW RATE — the rate-limit/abuse audit
+    * [[burst]] cannot see (burst is per-TYPE on a fixed minute
+    * grid; a user spreading a spike across two adjacent minutes
+    * halves its apparent rate there — the sliding window has no
+    * grid to straddle): for every event, the count of the same
+    * user's events in the trailing `(ts − W, ts]` window (the event
+    * itself included), then each user's PEAK with the earliest
+    * (ts, event_id) on ties — exactly what a token-bucket limiter
+    * at rate `peak_count / W` would have flagged.
+    *
+    * Scale shape: the trailing count rides the native keyed range
+    * join ([[graft.plans.RangeNative.join]] — per-(user, band)
+    * sliding deque, memory bounded by the densest single window,
+    * never an unbanded self-join); fan-out is the in-window event
+    * count, a data-rate constant. The per-user peak is the
+    * TopKPerKey bounded heap, so nothing user-sized sorts. Output:
+    * one row per user.
+    */
+  def rateWindows(events: DataFrame, windowSec: Long = 86400L): DataFrame = {
+    require(windowSec > 0, s"windowSec ($windowSec) must be positive")
+    val left = events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val right = events.select(col("user_id").as("r_user"),
+      unix_micros(col("ts")).as("r_us"))
+    val counts = graft.plans.RangeNative.join(left, right,
+        Seq(("user_id", "r_user")), ("us", "r_us"), windowSec * 1000000L)
+      .groupBy("user_id", "event_id", "us")
+      .agg(count(lit(1)).as("n_in_window"))
+    graft.plans.TopK.perKey(counts, Seq("user_id"),
+        Seq(col("n_in_window").desc, col("us").asc, col("event_id").asc), 1)
+      .select(col("user_id"), col("n_in_window").as("peak_count"),
+        col("us").as("peak_at_us"), col("event_id").as("peak_event_id"))
+  }
 }

@@ -1005,6 +1005,103 @@ object Similarity {
     * ONE integer division lands at the end. Outputs are micro²-unit
     * longs (1e-12 of the float² scale).
     */
+  /** k-NN LABEL-VOTE accuracy — the standard embedding-quality eval
+    * (does the geometry respect the labels?): every node's label is
+    * predicted by the MAJORITY label of its k nearest cosine
+    * neighbors (ties → the smaller label, deterministic on any
+    * engine), rolled up to per-label n / n_correct / accuracy in
+    * integer ppm. A label whose accuracy craters was embedded
+    * poorly — or its taxonomy overlaps a neighbor's — and that is
+    * the go/no-go signal before the embeddings feed dedup, ANN
+    * serving, or curriculum strata.
+    *
+    * Runs on the exact [[knnGraph]] over the bounded probe subset
+    * (the eval-kernel discipline of [[annRecallAudit]]): at 100 TB
+    * the same vote + rollup runs unchanged over IVF/LSH candidate
+    * edges — the vote is keyed on (src, label) with ≤ k rows per
+    * src, the argmax is a bounded TopKPerKey heap, labels ride
+    * broadcasts, and the output is |labels| rows.
+    */
+  def knnLabelVote(embeddings: DataFrame, nodeFilter: Column,
+                   k: Int = 5): DataFrame = {
+    val labels = embeddings.filter(nodeFilter)
+      .select(col("vec_id"), col("label"))
+    val votes = knnGraph(embeddings, nodeFilter, k)
+      .join(broadcast(labels.select(col("vec_id").as("dst"),
+        col("label").as("dst_label"))), Seq("dst"))
+      .groupBy("src", "dst_label").agg(count(lit(1)).as("v"))
+    val pred = graft.plans.TopK.perKey(votes, Seq("src"),
+        Seq(col("v").desc, col("dst_label").asc), 1)
+      .select(col("src"), col("dst_label").as("pred_label"))
+    pred.join(broadcast(labels.select(col("vec_id").as("src"),
+        col("label"))), Seq("src"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred_label") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      // n_correct·10⁶ wraps int64 past ~9.2e12 nodes per label
+      .withColumn("acc_ppm", expr(
+        "CAST(CAST(n_correct AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"))
+  }
+
+  /** MATRYOSHKA TRUNCATION-RECALL audit: for each candidate prefix
+    * dimension d, recall@k of top-k-by-cosine over the FIRST d
+    * coordinates against the full-dimension exact top-k — the
+    * adopt-or-don't readout for MRL-style truncated embeddings
+    * (Kusupati et al. 2022), where serving at d costs dim/d less
+    * memory and the only question is how much recall that buys back.
+    *
+    * ONE broadcast join scores every (query, candidate) pair at
+    * every prefix AND the full dimension in the same projection
+    * (the pair set is never re-joined per d — the explode carries
+    * |dims|+1 struct rows per pair, each (d, cos)); per-(q, d)
+    * top-k rides the bounded TopKPerKey heaps; the recall join and
+    * rollup run on the queries×k model frame. Exact integer ppm at
+    * the end. The brute pair scoring is the eval kernel over the
+    * bounded probe subset ([[annRecallAudit]]'s discipline) — the
+    * production path cuts candidates with IVF first, same audit on
+    * top.
+    */
+  def truncationRecall(embeddings: DataFrame, queryFilter: Column,
+                       k: Int = 5, dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(dims.nonEmpty && dims.forall(_ > 0), s"dims ($dims) must be positive")
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // d = 0 encodes the full-dimension reference ranking
+    val dimCos = dims.map(d => struct(lit(d).as("d"),
+      round(cosine_sim(slice(col("q_emb"), 1, d),
+        slice(col("embedding"), 1, d)), 6).as("cos"))) :+
+      struct(lit(0).as("d"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        explode(array(dimCos: _*)).as("dc"))
+      .select(col("q_id"), col("vec_id"),
+        col("dc.d").as("d"), col("dc.cos").as("cos"))
+    val top = graft.plans.TopK.perKey(scored, Seq("q_id", "d"),
+      Seq(col("cos").desc, col("vec_id").asc), k)
+      .localCheckpoint() // reference cut + every per-d cut read it
+    val full = top.filter(col("d") === 0).select("q_id", "vec_id")
+    val denom = full.agg(count(lit(1)).as("n_pairs"),
+      countDistinct("q_id").as("n_queries"))
+    val hits = top.filter(col("d") =!= 0)
+      .join(broadcast(full), Seq("q_id", "vec_id"))
+      .groupBy("d").agg(count(lit(1)).as("n_hit"))
+    val spark = embeddings.sparkSession
+    val dimsDf = spark.createDataset(dims)(
+      org.apache.spark.sql.Encoders.scalaInt).toDF("d")
+    // both sides are ≤|dims| rows but the checkpointed lineage hides
+    // that — broadcast explicitly or this plans as SMJ
+    dimsDf.join(broadcast(hits), Seq("d"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .crossJoin(broadcast(denom))
+      .select(col("d"), col("n_queries"), col("n_pairs"), col("n_hit"),
+        expr("CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 " +
+          "div n_pairs AS BIGINT)").as("recall_ppm"))
+  }
+
   def diversity(embeddings: DataFrame): DataFrame = {
     val m = embeddings.select(col("label"),
       expr("transform(embedding, v -> " +

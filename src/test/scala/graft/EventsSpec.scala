@@ -686,4 +686,25 @@ class EventsSpec extends SparkSpec {
       .toMap
     assert(hot === Map("a" -> true, "b" -> false, "c" -> false))
   }
+
+  test("rate windows: trailing peak per user, earliest tie, window edges") {
+    // user 1: 0s, 30s, 50s, 200s under a 60s window — trailing counts
+    // 1, 2, 3, 1 (the 200s event sees nobody: 140s < t ≤ 200s is
+    // empty besides itself). user 2: two isolated events, counts tie
+    // at 1 — the EARLIEST one must be the peak. user 3: exactly-60s
+    // spacing — the window is (t−60, t], so the earlier event is OUT
+    val events = ev(
+      (1L, 0L, 1L, "a"), (2L, 30L, 1L, "a"), (3L, 50L, 1L, "a"),
+      (4L, 200L, 1L, "a"),
+      (5L, 0L, 2L, "a"), (6L, 1000L, 2L, "a"),
+      (7L, 0L, 3L, "a"), (8L, 60L, 3L, "a"))
+    val got = Events.rateWindows(events, windowSec = 60).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("peak_count"), r.getAs[Long]("peak_at_us"),
+          r.getAs[Long]("peak_event_id")))).toMap
+    assert(got === Map(
+      1L -> ((3L, 50000000L, 3L)),
+      2L -> ((1L, 0L, 5L)),
+      3L -> ((1L, 0L, 7L))), s"$got")
+  }
 }

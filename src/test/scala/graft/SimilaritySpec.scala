@@ -555,4 +555,44 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))).toList
     assert(got === List((1L, 1L, 3L, 0.8), (1L, 2L, 4L, 0.6)), s"$got")
   }
+
+  test("knn label vote: a mislabeled point is outvoted by its true cluster") {
+    import spark.implicits._
+    // cluster A = (1,0) ids 1-3 labeled 0; cluster B = (0,1) ids 4-6
+    // labeled 1; id 7 sits IN cluster B but carries label 0 — its 2
+    // nearest (ids 4,5 by the vec_id tiebreak) both vote 1, so it is
+    // the one miss: label 0 accuracy 3/4, label 1 accuracy 3/3
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(1f, 0f), 0), (3L, Array(1f, 0f), 0),
+      (4L, Array(0f, 1f), 1), (5L, Array(0f, 1f), 1), (6L, Array(0f, 1f), 1),
+      (7L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelVote(vecs, lit(true), k = 2).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_correct"),
+          r.getAs[Long]("acc_ppm")))).toMap
+    assert(got === Map(0 -> ((4L, 3L, 750000L)), 1 -> ((3L, 3L, 1000000L))),
+      s"$got")
+  }
+
+  test("truncation recall: a prefix that inverts the ranking reads 0, " +
+    "one that preserves it reads 1e6") {
+    import spark.implicits._
+    // full-dim top-1 of the query is id 2 (cos 1.0). On the first 2
+    // coordinates both candidates tie at cos 1.0 and the vec_id
+    // tiebreak picks id 1 — recall@1 drops to 0 at d=2; at d=3 the
+    // third coordinate separates them again and recall is 1e6
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0f, 0.9f, 0f)),
+      (2L, Array(0.95f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.truncationRecall(vecs, col("vec_id") === 0,
+        k = 1, dims = Seq(2, 3)).collect()
+      .map(r => r.getAs[Int]("d") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_hit"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(got === Map(2 -> ((1L, 1L, 0L, 0L)), 3 -> ((1L, 1L, 1L, 1000000L))),
+      s"$got")
+  }
 }
