@@ -67,6 +67,14 @@ object SparkEntry {
     "cdc_field_state" -> ((s, d) => Changelog.fieldState(changelog(s, d)).orderBy("doc_id", "field_path")),
     "cdc_scd2" -> ((s, d) => Changelog.scd2(changelog(s, d)).orderBy("doc_id", "field_path", "valid_from")),
     "cdc_op_counts" -> ((s, d) => Changelog.opCounts(changelog(s, d)).orderBy("op")),
+    // at-least-once ingest audit over a deterministically REPLAYED
+    // feed (every 7th seq redelivered — the crash-between-poll-and-
+    // commit shape); (doc_id, seq) is the idempotency key
+    "cdc_redelivery" -> ((s, d) => {
+      val cl = changelog(s, d)
+      Changelog.redeliveryAudit(cl.unionAll(cl.filter(col("seq") % 7 === 0)))
+        .orderBy("doc_id")
+    }),
     // what a horizon compaction would reclaim from the tombstone set
     // seq-continuity audit on the routed topic: the holes are exactly
     // the records the route filtered — oracle-checkable ground truth
@@ -2372,6 +2380,18 @@ object SparkEntry {
         |FROM changelog WHERE field_path <> ''
         |WINDOW w AS (PARTITION BY doc_id, field_path ORDER BY seq)
         |ORDER BY doc_id, field_path, valid_from""".stripMargin),
+    // the replayed feed rebuilt with the same UNION; HUGEINT dup ppm
+    "cdc_redelivery" -> (clCte +
+      """, feed AS (SELECT doc_id, seq FROM changelog
+        |           UNION ALL
+        |           SELECT doc_id, seq FROM changelog WHERE seq % 7 = 0),
+        |m AS (SELECT doc_id, seq, count(*) AS m FROM feed GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_changes,
+        |       CAST(sum(m) AS BIGINT) AS n_deliveries,
+        |       CAST(sum(m) - count(*) AS BIGINT) AS n_dupes,
+        |       CAST((CAST(sum(m) AS HUGEINT) - count(*)) * 1000000
+        |            // sum(m) AS BIGINT) AS dup_ppm
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "cdc_op_counts" -> (clCte +
       """SELECT op, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
         |       round(sum(amount), 2) AS total_amount

@@ -281,6 +281,30 @@ object Changelog {
         (lead(col("seq"), 1).over(w).isNull).as("is_current"))
   }
 
+  /** IDEMPOTENT-INGEST audit for an AT-LEAST-ONCE delivery feed: the
+    * reference consumer polls Kafka with enable.auto.commit
+    * (FtsAndGeoServiceJSONWithCDC.java:59 — a crash between poll and
+    * commit REPLAYS records), so every downstream materialization
+    * must treat (doc_id, seq) as its idempotency key. Per doc:
+    * distinct changes vs raw deliveries and the duplicate ppm — the
+    * measured redelivery pressure that sizes a dedup state TTL.
+    *
+    * Two-level map-side-combined aggregate: the (doc, seq)
+    * multiplicity frame first (the idempotency-key view itself),
+    * then the per-doc rollup on it — ONE shuffle on the key the
+    * stream is already sharded by; the duplicate product widens
+    * through DECIMAL(38,0) (the repo ppm rule).
+    */
+  def redeliveryAudit(deliveries: DataFrame): DataFrame =
+    deliveries.groupBy("doc_id", "seq")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_changes"), sum("m").as("n_deliveries"))
+      .withColumn("n_dupes", col("n_deliveries") - col("n_changes"))
+      .withColumn("dup_ppm", expr(
+        "CAST(CAST(n_deliveries - n_changes AS DECIMAL(38,0)) * 1000000 " +
+          "div n_deliveries AS BIGINT)"))
+
   /** Changelog audit: operation counts + amount totals per op type. */
   def opCounts(changelog: DataFrame): DataFrame =
     changelog.groupBy("op")

@@ -644,6 +644,88 @@ object EventStreams {
       }
   }
 
+  /** Per-user sliding-rate buffer: events the watermark has not yet
+    * finalized (`pending`, (event_id, us)) plus every event time a
+    * pending or future window can still reach (`times`, pruned at
+    * watermark − W). Bounded by the user's event count inside one
+    * watermark-plus-window horizon — a data-rate constant, never the
+    * stream's history.
+    */
+  case class RateBuf(pending: Seq[(Long, Long)], times: Seq[Long])
+
+  /** One finalized rate emission: the trailing-window count of
+    * `event_id`'s user at its event time, bit-identical to the batch
+    * [[graft.ops.Events.rateWindows]] trailing count for the same
+    * event. */
+  case class RateHit(user_id: Long, event_id: Long, us: Long,
+                     n_in_window: Long, gated: Boolean)
+
+  /** Streaming twin of [[graft.ops.Events.rateWindows]] — the LIVE
+    * per-user rate gate: every event's trailing `(ts − W, ts]`
+    * same-user count, emitted once the watermark FINALIZES the event
+    * (every row in its window carries ts ≤ us ≤ watermark and has
+    * therefore arrived — in-horizon disorder cannot change an
+    * emitted count, so a count the gate publishes is exactly the
+    * batch audit's count for that event). Append mode; beyond-
+    * watermark stragglers drop explicitly (their windows may already
+    * be finalized — flatMapGroupsWithState never auto-drops late
+    * rows); the event-time timeout drains pending events and expires
+    * idle users' time buffers without waiting for their next event.
+    */
+  def rateGateStream(events: DataFrame, windowSec: Long = 86400L,
+                     threshold: Long = 3L, watermark: String = "1 hour")
+                    (implicit spark: SparkSession): Dataset[RateHit] = {
+    import spark.implicits._
+    require(windowSec > 0, s"windowSec ($windowSec) must be positive")
+    require(threshold > 0, s"threshold ($threshold) must be positive")
+    val wUs = windowSec * 1000000L
+    events.withWatermark("ts", watermark)
+      // the watermarked ts column must survive into the stateful
+      // operator's input (the concurrencyState rule)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("us"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[RateBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(RateBuf(Seq.empty, Seq.empty))
+          // the exec itself pre-filters rows at/below the watermark;
+          // this filter restates the contract for state restored from
+          // a checkpoint whose watermark has since advanced
+          val fresh =
+            if (state.hasTimedOut) Seq.empty
+            else rows.toSeq.filter(_._3 >= wmUs).map(r => (r._2, r._3))
+          val pending = (prev.pending ++ fresh).sortBy(p => (p._2, p._1))
+          val times = (prev.times ++ fresh.map(_._2)).sorted
+          // final once the watermark passes STRICTLY above the event
+          // time: every row of the (us − W, us] window carries
+          // ts ≤ us < wm and can no longer arrive
+          val (done, still) = pending.partition(_._2 < wmUs)
+          val out = done.map { case (id, us) =>
+            val n = times.count(t => t > us - wUs && t <= us).toLong
+            RateHit(user, id, us, n, n >= threshold)
+          }
+          // a future event has us > wm, so its window floor us − W
+          // exceeds wm − W: older times are unreachable, drop them
+          val keepTimes = times.filter(_ > wmUs - wUs)
+          if (still.isEmpty && keepTimes.isEmpty) state.remove()
+          else {
+            state.update(RateBuf(still, keepTimes))
+            val target =
+              if (still.nonEmpty) still.head._2 / 1000L + 1L
+              // only finalized times remain: expire them once no
+              // future window can reach them
+              else keepTimes.max / 1000L + windowSec * 1000L + 1L
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** One interval buffered in a band group's symmetric join state:
     * the caller's long key payload plus the closed [s_us, e_us] span.
     */

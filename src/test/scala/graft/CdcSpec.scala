@@ -219,4 +219,24 @@ class CdcSpec extends SparkSpec
     }
     assert(execs.nonEmpty, "rank-filter rewrite did not fire on hotDocs")
   }
+
+  test("redelivery audit: duplicates counted per idempotency key, never per row pair") {
+    import spark.implicits._
+    // d1: change 10 delivered 3x, change 11 once → 4 deliveries, 2
+    // changes, 2 dupes (NOT 3·2/2 pairs); d2: clean; d3: one change
+    // delivered twice → 500000 ppm exactly
+    val feed = Seq(
+      ("d1", 10L), ("d1", 10L), ("d1", 10L), ("d1", 11L),
+      ("d2", 20L),
+      ("d3", 30L), ("d3", 30L))
+      .toDF("doc_id", "seq")
+    val got = Changelog.redeliveryAudit(feed).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        ((r.getAs[Long]("n_changes"), r.getAs[Long]("n_deliveries"),
+          r.getAs[Long]("n_dupes"), r.getAs[Long]("dup_ppm")))).toMap
+    assert(got === Map(
+      "d1" -> ((2L, 4L, 2L, 500000L)),
+      "d2" -> ((1L, 1L, 0L, 0L)),
+      "d3" -> ((1L, 2L, 1L, 500000L))), s"$got")
+  }
 }

@@ -839,6 +839,57 @@ class StreamingSpec extends SparkSpec {
     assert(em2 == Set(10L), s"got $em2")
   }
 
+  test("streaming rate gate: finalized counts equal the batch trailing counts") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    // realistic epoch base: rows at/below the INITIAL watermark (0)
+    // are pre-filtered by the stateful exec itself, so epoch-zero
+    // test times never reach the operator (the concurrency spec's
+    // base-offset rule)
+    val base = 1700000000000L
+    def row(id: Long, sec: Long, user: Long) =
+      EventRow(id, new Timestamp(base + sec * 1000L), user, "click", 1.0, "{}")
+    val input = MemoryStream[EventRow]
+    val q = graft.streaming.EventStreams
+      .rateGateStream(input.toDF(), windowSec = 60, threshold = 3,
+        watermark = "10 seconds")
+      .writeStream.format("memory").queryName("rgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 arrives OUT of event order; watermark after it = 40s,
+      // so nothing is final during the batch itself
+      input.addData(Seq(row(3, 50, 1), row(1, 0, 1), row(2, 30, 1),
+        row(5, 0, 2)))
+      q.processAllAvailable()
+      // batch 2: user 1's 200s row advances the watermark to 190s;
+      // user 1 finalizes 0s/30s with IN-ORDER counts, user 2 (no new
+      // data) drains its 0s row by event-time TIMEOUT
+      input.addData(Seq(row(4, 200, 1)))
+      q.processAllAvailable()
+      // the 50s event finalizes only now — with the full count of 3
+      // (both in-window peers present despite the disordered arrival)
+      input.addData(Seq(row(99, 100000, 9)))
+      q.processAllAvailable()
+      // and the 200s event drains with count 1 (its window is empty
+      // after the 60s horizon pruned the old times); the sentinel's
+      // own rows stay pending forever (watermark never passes them)
+      input.addData(Seq(row(100, 100001, 9)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rgate").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("us"), r.getAs[Long]("n_in_window"),
+        r.getAs[Boolean]("gated"))).toSet
+    def us(sec: Long) = (1700000000L + sec) * 1000000L
+    assert(got === Set(
+      (1L, 1L, us(0), 1L, false),
+      (1L, 2L, us(30), 2L, false),
+      (1L, 3L, us(50), 3L, true),
+      (1L, 4L, us(200), 1L, false),
+      (2L, 5L, us(0), 1L, false)), s"got $got")
+  }
+
   test("streaming concurrency deltas mirror the batch session boundaries") {
     import spark.implicits._
     implicit val s = spark
