@@ -259,6 +259,9 @@ object SparkEntry {
     // within tolerance, ties backward, unmatched rows explicit
     "q39_asof_nearest" -> ((s, d) =>
       Relational.q39AsofNearest(s, d).orderBy("purchase_id")),
+    // native pivot with an EXPLICIT value list (no inference pass)
+    "q40_pivot" -> ((s, d) =>
+      Relational.q40Pivot(s, d).orderBy("o_orderstatus")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -641,6 +644,11 @@ object SparkEntry {
     "emb_truncation_recall" -> ((s, d) =>
       Similarity.truncationRecall(Tables.embeddings(s, d), col("vec_id") < 10)
         .orderBy("d")),
+    // binary-embedding audit: sign-bit signatures, Hamming top-k
+    // recall vs exact cosine — the 32x-compression go/no-go
+    "emb_hamming_recall" -> ((s, d) =>
+      Similarity.hammingRecall(Tables.embeddings(s, d), col("vec_id") < 10)
+        .orderBy("q_id")),
     // ColBERT-style multi-vector MaxSim: late-interaction retrieval
     "sim_maxsim" -> ((s, d) =>
       Similarity.maxSim(Tables.embeddings(s, d), col("grp") < 2)
@@ -4353,6 +4361,20 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value,
         |       round(avg(value), 4) AS avg_value
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the pivot as conditional aggregation — absent cells NULL
+    "q40_pivot" ->
+      """SELECT o_orderstatus,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                 THEN o_totalprice END), 2) AS p1_urgent,
+        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH'
+        |                 THEN o_totalprice END), 2) AS p2_high,
+        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |                 THEN o_totalprice END), 2) AS p3_medium,
+        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |                 THEN o_totalprice END), 2) AS p4_notspec,
+        |  round(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |                 THEN o_totalprice END), 2) AS p5_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // both-direction window carry replay: IGNORE NULLS struct
     // last/first, the same (ts, event_id) total order and tie rule
     "q39_asof_nearest" ->
@@ -4659,6 +4681,35 @@ object SparkEntry {
         |       round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4) AS recall
         |FROM bt b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+    // sign-bit words replayed as positional comprehensions; 32-bit
+    // lanes keep every shift off the BIGINT sign bit
+    "emb_hamming_recall" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    CAST(list_sum([CASE WHEN CAST(embedding AS DOUBLE[])[i + 1] > 0
+        |                        THEN (1::BIGINT << i) ELSE 0::BIGINT END
+        |                   for i in range(0, 32)]) AS BIGINT) AS lo,
+        |    CAST(list_sum([CASE WHEN CAST(embedding AS DOUBLE[])[i + 33] > 0
+        |                        THEN (1::BIGINT << i) ELSE 0::BIGINT END
+        |                   for i in range(0, 32)]) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, lo AS q_lo, hi AS q_hi
+        |      FROM corpus WHERE vec_id < 10),
+        |sc AS (SELECT q_id, c.vec_id,
+        |         round(list_cosine_similarity(q_emb, c.emb), 6) AS cos,
+        |         bit_count(xor(c.lo, q_lo)) + bit_count(xor(c.hi, q_hi)) AS ham
+        |       FROM q JOIN corpus c ON c.vec_id <> q.q_id),
+        |ex AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cos DESC, vec_id) AS rk FROM sc) WHERE rk <= 5),
+        |ap AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY ham, vec_id) AS rk FROM sc) WHERE rk <= 5)
+        |SELECT e.q_id, count(*) AS k, CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+        |       CAST(CAST(count(a.vec_id) AS HUGEINT) * 1000000
+        |            // count(*) AS BIGINT) AS recall_ppm
+        |FROM ex e LEFT JOIN ap a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+        |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "sim_ivf_kmeans" -> simIvfKmeansSql,
     "sim_pq" -> simPqSql,
     "sim_ivfpq" -> simIvfpqSql,

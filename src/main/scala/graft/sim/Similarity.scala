@@ -1102,6 +1102,52 @@ object Similarity {
           "div n_pairs AS BIGINT)").as("recall_ppm"))
   }
 
+  /** SIGN-BIT BINARIZATION recall audit — the 32×-compression
+    * sibling of [[truncationRecall]] (binary embeddings: one bit per
+    * coordinate, Hamming distance by XOR+popcount — the cheapest
+    * first-stage retrieval filter there is; 64 float32 dims become
+    * TWO int64 words): recall@k of top-k-by-Hamming against the
+    * full-precision cosine top-k, per query. Signatures pack as two
+    * 32-bit words in int64 lanes (bit 31 of a 32-wide lane never
+    * touches the sign bit, so Spark longs and DuckDB BIGINTs agree
+    * bit-for-bit; a 64-wide lane would put dim 63 on the sign and
+    * DuckDB's `<<` rejects it), built by codegen'd higher-order
+    * folds in the same scan that scores the exact cosine — ONE
+    * broadcast join for both rankings, TopKPerKey cuts, ties by
+    * (distance, vec_id) so any engine replays the same cut. Exact
+    * integer ppm per query.
+    */
+  def hammingRecall(embeddings: DataFrame, queryFilter: Column,
+                    k: Int = 5): DataFrame = {
+    def word(off: Int) = expr(
+      s"aggregate(transform(sequence(0, 31), i -> " +
+        s"IF(element_at(embedding, i + $off + 1) > 0D, " +
+        s"shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)")
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      word(0).as("lo"), word(32).as("hi"))
+    val queries = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"),
+        expr("bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi)")
+          .cast("long").as("ham"))
+      .localCheckpoint() // both rankings cut the same scored pairs
+    val exact = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("cos").desc, col("vec_id").asc), k)
+      .select("q_id", "vec_id")
+    val approx = graft.plans.TopK.perKey(scored, Seq("q_id"),
+      Seq(col("ham").asc, col("vec_id").asc), k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(broadcast(approx), Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr(
+        "CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 div k AS BIGINT)"))
+  }
+
   def diversity(embeddings: DataFrame): DataFrame = {
     val m = embeddings.select(col("label"),
       expr("transform(embedding, v -> " +

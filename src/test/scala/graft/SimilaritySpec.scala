@@ -575,6 +575,37 @@ class SimilaritySpec extends SparkSpec {
       s"$got")
   }
 
+  test("hamming recall: sign-agreement beats magnitude in the binary " +
+    "ranking, and the audit reads exactly that disagreement") {
+    import spark.implicits._
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); pairs.foreach { case (i, x) => a(i) = x }; a
+    }
+    // query bits {0,1,2}. a matches ALL sign bits (ham 0) but its
+    // lopsided magnitudes give cos .6156; b flips one bit (ham 1)
+    // yet is nearly parallel (cos .8165) — the binary filter picks
+    // a, the exact ranking picks b: recall@1 = 0
+    val disagree = Seq(
+      (0L, v(0 -> 1f, 1 -> 1f, 2 -> 1f)),
+      (1L, v(0 -> 0.1f, 1 -> 0.1f, 2 -> 3f)),
+      (2L, v(0 -> 1f, 1 -> 1f, 2 -> -0.0001f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hammingRecall(disagree, col("vec_id") === 0, k = 1)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("k"),
+        r.getAs[Long]("n_hit"), r.getAs[Long]("recall_ppm"))).toList
+    assert(got === List((0L, 1L, 0L, 0L)), s"$got")
+    // a parallel candidate agrees on every bit AND on cosine
+    val agree = Seq(
+      (0L, v(0 -> 1f, 1 -> 1f, 2 -> 1f)),
+      (1L, v(0 -> 2f, 1 -> 2f, 2 -> 2f)),
+      (2L, v(5 -> 1f)))
+      .toDF("vec_id", "embedding")
+    val ok = Similarity.hammingRecall(agree, col("vec_id") === 0, k = 1)
+      .collect().map(r => (r.getAs[Long]("n_hit"),
+        r.getAs[Long]("recall_ppm"))).toList
+    assert(ok === List((1L, 1000000L)), s"$ok")
+  }
+
   test("truncation recall: a prefix that inverts the ranking reads 0, " +
     "one that preserves it reads 1e6") {
     import spark.implicits._
