@@ -75,6 +75,10 @@ object SparkEntry {
       Changelog.redeliveryAudit(cl.unionAll(cl.filter(col("seq") % 7 === 0)))
         .orderBy("doc_id")
     }),
+    // anti-entropy replica digest: commutative 60-bit-md5 sum over
+    // the live state, mod 2^62 — shards digest independently
+    "cdc_state_digest" -> ((s, d) =>
+      Changelog.stateDigest(changelog(s, d)).orderBy("last_op")),
     // what a horizon compaction would reclaim from the tombstone set
     // seq-continuity audit on the routed topic: the holes are exactly
     // the records the route filtered — oracle-checkable ground truth
@@ -161,6 +165,11 @@ object SparkEntry {
     // straddled; a sliding window cannot)
     "events_rate_windows" -> ((s, d) =>
       graft.ops.Events.rateWindows(Tables.events(s, d)).orderBy("user_id")),
+    // time-to-convert: exact discrete p50/p90 of per-user stage gaps
+    // via the RankSelect histogram (users never sort)
+    "events_funnel_latency" -> ((s, d) =>
+      graft.ops.Events.funnelLatency(Tables.events(s, d))
+        .orderBy("stage_pair")),
     // rolling-origin backtest: per-cutoff OLS refit from prefix
     // power sums, scored against the persistence baseline
     "events_backtest" -> ((s, d) =>
@@ -2388,6 +2397,28 @@ object SparkEntry {
         |FROM changelog WHERE field_path <> ''
         |WINDOW w AS (PARTITION BY doc_id, field_path ORDER BY seq)
         |ORDER BY doc_id, field_path, valid_from""".stripMargin),
+    // the live-state rows re-hashed nibble by nibble (15 hex digits =
+    // 60 bits as shifted HUGEINT terms), summed, mod 2^62
+    "cdc_state_digest" -> (clCte +
+      """, ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY seq DESC) AS rn
+        |  FROM changelog),
+        |st AS (SELECT doc_id, seq AS last_seq, op AS last_op,
+        |         field_path AS last_field, payload AS last_payload
+        |       FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'),
+        |h AS (SELECT last_op,
+        |        list_sum([(strpos('0123456789abcdef',
+        |            substring(md5(doc_id || chr(1)
+        |              || CAST(last_seq AS VARCHAR) || chr(1)
+        |              || last_field || chr(1) || last_payload), i, 1))
+        |            - 1)::HUGEINT * (1::HUGEINT << (4 * (15 - i)))
+        |          for i in range(1, 16)]) AS hv
+        |      FROM st)
+        |SELECT last_op, count(*) AS n_docs,
+        |       CAST(CAST(sum(hv) AS HUGEINT)
+        |            % 4611686018427387904 AS BIGINT) AS digest
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin),
     // the replayed feed rebuilt with the same UNION; HUGEINT dup ppm
     "cdc_redelivery" -> (clCte +
       """, feed AS (SELECT doc_id, seq FROM changelog
@@ -3994,6 +4025,44 @@ object SparkEntry {
         |            // t.n_events AS BIGINT) > 3000000 AS is_burst
         |FROM t JOIN p ON p.event_type = t.event_type
         |ORDER BY t.event_type""".stripMargin,
+    // the funnel's strict-precedence stage times, per-user gaps,
+    // discrete rank selection replayed as a row_number cut
+    "events_funnel_latency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |           FROM events),
+        |s1 AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN us END)
+        |         OVER w AS saw_signup
+        |       FROM e
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+        |                          AND saw_signup IS NOT NULL THEN us END)
+        |         OVER w AS saw_click
+        |       FROM s1
+        |       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |pu AS (SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN us END) AS t_signup,
+        |         min(CASE WHEN event_type = 'click'
+        |                  AND saw_signup IS NOT NULL THEN us END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase'
+        |                  AND saw_click IS NOT NULL THEN us END) AS t_purchase
+        |       FROM s2 GROUP BY 1),
+        |d AS (SELECT 'signup_to_click' AS g, t_click - t_signup AS v
+        |      FROM pu WHERE t_click IS NOT NULL
+        |      UNION ALL
+        |      SELECT 'click_to_purchase', t_purchase - t_click
+        |      FROM pu WHERE t_purchase IS NOT NULL),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) - 1 AS rk,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM d)
+        |SELECT g AS stage_pair, CAST(n AS BIGINT) AS n_users,
+        |       max(CASE WHEN rk = CAST(floor((n - 1) * 0.5) AS BIGINT)
+        |                THEN v END) AS p50_us,
+        |       max(CASE WHEN rk = CAST(floor((n - 1) * 0.9) AS BIGINT)
+        |                THEN v END) AS p90_us
+        |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // trailing-window inequality join replay; earliest-tie peak via
     // the (n desc, us, event_id) window
     "events_rate_windows" ->

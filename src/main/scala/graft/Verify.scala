@@ -19,17 +19,31 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
+    val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // queries run on a small worker pool: Spark schedules concurrent
+    // jobs from multiple threads fine (the model caches are
+    // ConcurrentHashMap.computeIfAbsent — fit-once under races), and
+    // the serial sweep's wall time (~11 min at sf0.01 over 200+
+    // queries, mostly eager-checkpoint job latency, not CPU) is what
+    // put the driver's r12 correctness stage at timeout risk
+    val par = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val todo = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+    val latch = new java.util.concurrent.CountDownLatch(todo.size)
+    todo.foreach { case (name, fn) =>
+      pool.execute { () =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          failures.put(name, Option(e.getMessage).getOrElse(e.getClass.getName))
+        } finally latch.countDown()
       }
     }
+    latch.await()
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -50,10 +64,11 @@ object Verify {
     // ts regression silently shrank 138 keys to 112 — nothing in the
     // artifacts said why), so record name → error where the compare
     // tooling and the next session will see it
-    val errJson = failures
+    import scala.jdk.CollectionConverters._
+    val errJson = failures.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
-    if (failures.nonEmpty)
+    if (!failures.isEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED " +
         s"(see $outDir/verify_errors.json)")
     spark.stop()

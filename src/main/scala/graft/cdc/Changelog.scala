@@ -305,6 +305,31 @@ object Changelog {
         "CAST(CAST(n_deliveries - n_changes AS DECIMAL(38,0)) * 1000000 " +
           "div n_deliveries AS BIGINT)"))
 
+  /** ORDER-INDEPENDENT state digest — the anti-entropy check between
+    * a changelog-rebuilt materialization and the source of truth
+    * (the reference's README "save back into the DB" loop has
+    * exactly this verification gap: did consumer-side state converge
+    * to the table?): per surviving op class, row count plus a
+    * COMMUTATIVE checksum — the sum of each row's 60-bit md5 prefix
+    * over its canonical SOH-joined (\u0001) (doc_id, seq, field, payload)
+    * encoding, taken mod 2⁶² so both engines land in int64. Addition
+    * commutes: shards and replicas digest independently and only the
+    * totals compare — no sort, no row shipping, ONE aggregate over
+    * the state frame; any single-row difference moves the sum. The
+    * accumulation runs in DECIMAL(38,0) (HUGEINT oracle-side) so
+    * 60-bit terms never wrap before the modulus.
+    */
+  def stateDigest(changelog: DataFrame): DataFrame =
+    latestState(changelog)
+      .select(col("last_op"),
+        conv(substring(md5(concat_ws("\u0001", col("doc_id"),
+          col("last_seq"), col("last_field"), col("last_payload"))),
+          1, 15), 16, 10).cast("decimal(38,0)").as("h"))
+      .groupBy("last_op")
+      .agg(count(lit(1)).as("n_docs"), sum("h").as("hs"))
+      .select(col("last_op"), col("n_docs"),
+        expr("CAST(hs % 4611686018427387904 AS BIGINT)").as("digest"))
+
   /** Changelog audit: operation counts + amount totals per op type. */
   def opCounts(changelog: DataFrame): DataFrame =
     changelog.groupBy("op")

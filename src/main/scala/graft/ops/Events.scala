@@ -239,6 +239,62 @@ object Events {
       .select("event_type", "rank", "event_id", "dist")
   }
 
+  /** FUNNEL LATENCY — the time-to-convert percentiles between
+    * adjacent funnel stages ([[funnel]] reports WHO converts; this
+    * reports HOW LONG conversion takes, the metric an activation
+    * team actually tunes): per stage pair, exact discrete p50/p90 of
+    * the per-user gap between first qualified stage events, under
+    * funnel's own strict precedence (first signup; first click AFTER
+    * a signup; first purchase AFTER a qualified click) — so a user
+    * counts in exactly the transitions the funnel credits them with.
+    *
+    * Scale shape: stage times fold in the same single user_id
+    * window+aggregate pass as [[funnel]]; the deltas frame is
+    * users-sized, and the percentiles come from [[RankSelect.at]]'s
+    * two-pass histogram rank selection (billions of users never
+    * sort — the q35 discipline, discrete ranks so the answers are
+    * exact integer microseconds).
+    */
+  def funnelLatency(events: DataFrame, bins: Int = 256): DataFrame = {
+    val precededBy = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("saw_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(precededBy))
+      .withColumn("saw_click",
+        min(when(col("event_type") === "click" && col("saw_signup").isNotNull,
+          col("ts"))).over(precededBy))
+    val perUser = staged.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+      min(when(col("event_type") === "click" && col("saw_signup").isNotNull,
+        col("ts"))).as("t_click"),
+      min(when(col("event_type") === "purchase" && col("saw_click").isNotNull,
+        col("ts"))).as("t_purchase"))
+    val deltas = perUser.select(explode(array(
+        struct(lit("signup_to_click").as("g"),
+          (unix_micros(col("t_click")) - unix_micros(col("t_signup")))
+            .as("v")),
+        struct(lit("click_to_purchase").as("g"),
+          (unix_micros(col("t_purchase")) - unix_micros(col("t_click")))
+            .as("v")))).as("s"))
+      .select(col("s.g").as("g"), col("s.v").as("v"))
+      .filter(col("v").isNotNull)
+    def rk(p: Double) =
+      floor((col("n") - 1L).cast("double") * p).cast("long")
+    val (sel, bounds) = graft.ops.RankSelect.at(deltas, bins,
+      graft.ops.RankSelect.floatBin(bins),
+      b => b.select(col("g"),
+        explode(array(rk(0.5), rk(0.9))).as("r")).distinct())
+    sel.join(broadcast(bounds.select("g", "n")), Seq("g"))
+      .groupBy(col("g"), col("n"))
+      .agg(max(when(col("r") === rk(0.5), col("v"))).as("p50_us"),
+        max(when(col("r") === rk(0.9), col("v"))).as("p90_us"))
+      .select(col("g").as("stage_pair"), col("n").as("n_users"),
+        col("p50_us"), col("p90_us"))
+  }
+
   def anomaly(events: DataFrame, tau: Double = 2.0): DataFrame = {
     val model = events.groupBy("event_type")
       .agg(round(avg("value"), 6).as("mu"),

@@ -220,6 +220,33 @@ class CdcSpec extends SparkSpec
     assert(execs.nonEmpty, "rank-filter rewrite did not fire on hotDocs")
   }
 
+  test("state digest: commutative across sharding, moves on any row change, " +
+    "tombstones out") {
+    import spark.implicits._
+    def log(d2payload: String) = Seq(
+      ("d1", 1L, 0L, Changelog.Insert, "", """{"a":1}""", 0.0),
+      ("d1", 2L, 1L, Changelog.Update, "firstName", "\"bob\"", 0.0),
+      ("d2", 3L, 2L, Changelog.Insert, "", d2payload, 0.0),
+      ("d3", 4L, 3L, Changelog.Insert, "", "{}", 0.0),
+      ("d3", 5L, 4L, Changelog.Delete, "", "", 0.0))
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload", "amount")
+    def digests(df: org.apache.spark.sql.DataFrame) =
+      Changelog.stateDigest(df).collect()
+        .map(r => r.getAs[String]("last_op") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("digest")))).toMap
+    val base = digests(log("{}"))
+    // the deleted d3 never contributes: only d1 (Update) + d2 (Insert)
+    assert(base.keySet === Set(Changelog.Insert, Changelog.Update))
+    assert(base(Changelog.Insert)._1 === 1L && base(Changelog.Update)._1 === 1L)
+    // addition commutes: any sharding/arrival order digests identically
+    val reshard = digests(log("{}").repartition(7, col("seq")))
+    assert(reshard === base)
+    // a single changed payload moves ITS op class and only it
+    val mutated = digests(log("""{"a":2}"""))
+    assert(mutated(Changelog.Update) === base(Changelog.Update))
+    assert(mutated(Changelog.Insert) !== base(Changelog.Insert))
+  }
+
   test("redelivery audit: duplicates counted per idempotency key, never per row pair") {
     import spark.implicits._
     // d1: change 10 delivered 3x, change 11 once → 4 deliveries, 2

@@ -687,6 +687,26 @@ class EventsSpec extends SparkSpec {
     assert(hot === Map("a" -> true, "b" -> false, "c" -> false))
   }
 
+  test("funnel latency: strict stage precedence, exact discrete ranks") {
+    // u1: 10s then 30s gaps; u2: 100s signup→click, never purchases;
+    // u3: click BEFORE signup (unqualified → contributes NO delta,
+    // and its purchase has no qualified click to follow); u4: 10s/5s
+    val events = ev(
+      (1L, 10L, 1L, "signup"), (2L, 20L, 1L, "click"), (3L, 50L, 1L, "purchase"),
+      (4L, 0L, 2L, "signup"), (5L, 100L, 2L, "click"),
+      (6L, 5L, 3L, "click"), (7L, 10L, 3L, "signup"), (8L, 20L, 3L, "purchase"),
+      (9L, 0L, 4L, "signup"), (10L, 10L, 4L, "click"), (11L, 15L, 4L, "purchase"))
+    val got = Events.funnelLatency(events).collect()
+      .map(r => r.getAs[String]("stage_pair") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("p50_us"),
+          r.getAs[Long]("p90_us")))).toMap
+    // s2c deltas sorted: [10s, 10s, 100s] → rank1 = 10s at both cuts
+    // (floor(2·.5) = floor(2·.9) = 1); c2p: [5s, 30s] → rank 0 = 5s
+    assert(got === Map(
+      "signup_to_click" -> ((3L, 10000000L, 10000000L)),
+      "click_to_purchase" -> ((2L, 5000000L, 5000000L))), s"$got")
+  }
+
   test("rate windows: trailing peak per user, earliest tie, window edges") {
     // user 1: 0s, 30s, 50s, 200s under a 60s window — trailing counts
     // 1, 2, 3, 1 (the 200s event sees nobody: 140s < t ≤ 200s is
