@@ -204,7 +204,10 @@ object Manifest {
     * before sizes were tracked) are skipped; run a full [[write]]
     * to refresh them.
     */
-  def compactionPlan(manifest: DataFrame, smallBytes: Long,
+  /** Per-small-file job assignment — ONE definition shared by the
+    * plan report and the executing [[compact]], so the work order a
+    * fleet prints and the rewrite it runs can never disagree. */
+  private def jobsOf(manifest: DataFrame, smallBytes: Long,
                      budgetBytes: Long): DataFrame = {
     require(smallBytes > 0 && budgetBytes >= smallBytes,
       s"need 0 < smallBytes ($smallBytes) <= budgetBytes ($budgetBytes)")
@@ -219,12 +222,49 @@ object Manifest {
       // ordered window is the right tool)
       .withColumn("prior", coalesce(sum("file_bytes").over(w), lit(0L)))
       .withColumn("job", (col("prior") / budgetBytes).cast("long"))
+  }
+
+  def compactionPlan(manifest: DataFrame, smallBytes: Long,
+                     budgetBytes: Long): DataFrame =
+    jobsOf(manifest, smallBytes, budgetBytes)
       .groupBy("job")
       .agg(count(lit(1)).as("n_files"),
         sum("file_bytes").as("total_bytes"),
         sum("n_rows").as("n_rows"),
         min("file_path").as("first_file"),
         max("file_path").as("last_file"))
+
+  /** EXECUTE a [[compactionPlan]]: rewrite each job's small files as
+    * ONE parquet file committed under `outDir/job<K>` through the
+    * VersionedStore atomic rename — a crashed or replayed job is a
+    * no-op, and a reader never sees a partial rewrite. Healthy files
+    * are never touched or copied: the compacted table is (original
+    * minus the subsumed small files) ∪ the job outputs, and the
+    * returned frame records exactly that mapping (one row per job:
+    * the file list it subsumed, the path it wrote, rows moved).
+    *
+    * The per-job loop is driver-side over the PLAN table — O(jobs),
+    * bounded by `small-file bytes / budgetBytes`, the table a
+    * maintenance fleet shards across workers — while each job's
+    * read+rewrite is a distributed scan of just its files. Nothing
+    * here rescans the healthy bulk of the table.
+    */
+  def compact(spark: SparkSession, manifest: DataFrame, outDir: String,
+              smallBytes: Long, budgetBytes: Long): DataFrame = {
+    import spark.implicits._
+    val jobs = jobsOf(manifest, smallBytes, budgetBytes)
+      .groupBy("job").agg(collect_list(col("file_path")).as("files"))
+      .collect() // O(jobs) — the plan table, never data
+    val done = jobs.toSeq.map { r =>
+      val job = r.getAs[Long]("job")
+      val files = r.getAs[scala.collection.Seq[String]]("files").toSeq.sorted
+      VersionedStore.commit(spark, outDir, s"job$job") { staging =>
+        spark.read.parquet(files: _*).coalesce(1)
+          .write.parquet(staging.toString)
+      }
+      (job, files, files.size.toLong, s"$outDir/job$job")
+    }
+    done.toDF("job", "subsumed_files", "n_files", "out_path")
   }
 
   // ------------------------------------------------------------------

@@ -152,6 +152,40 @@ class ManifestSpec extends SparkSpec {
       Manifest.compactionPlan(plan, 100L, 50L))
   }
 
+  test("compact executes the plan: rows preserved exactly, one file per " +
+    "job, healthy files untouched, replay a no-op") {
+    val dataDir = freshDir("compact-exec")
+    val outDir = freshDir("compact-out")
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(9).write.mode("overwrite").parquet(dataDir)
+    val m = Manifest.build(spark, dataDir, Seq("doc_id"))
+    // every file is "small": the job outputs alone must reproduce the
+    // table byte-for-byte, in ~bytes/budget files
+    val small = m.agg(max("file_bytes")).head().getLong(0) + 1
+    val budget = small * 3
+    val done = Manifest.compact(spark, m, outDir, small, budget)
+    val jobs = done.collect()
+    assert(jobs.forall(_.getAs[Long]("n_files") >= 1L))
+    assert(jobs.map(_.getAs[scala.collection.Seq[String]]("subsumed_files").size).sum == 9)
+    val outPaths = jobs.map(_.getAs[String]("out_path"))
+    // one parquet file per job
+    outPaths.foreach { p =>
+      val files = new java.io.File(new java.net.URI("file://" + p).getPath)
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"$p has ${files.length} files")
+    }
+    val compacted = spark.read.parquet(outPaths: _*)
+    assert(compacted.collect().map(_.toSeq).toSet ===
+      docs.collect().map(_.toSeq).toSet)
+    // original files untouched (a reader mid-compaction stays whole)
+    assert(spark.read.parquet(dataDir).count() == docs.count())
+    // replay: committed job dirs are immutable — second run no-ops
+    val again = Manifest.compact(spark, m, outDir, small, budget)
+    assert(again.collect().map(_.getAs[String]("out_path")).toSet ==
+      outPaths.toSet)
+    assert(spark.read.parquet(outPaths: _*).count() == docs.count())
+  }
+
   test("bloom manifest: point read is exact and opens a file subset") {
     val dataDir = freshDir("bloom")
     // UNCLUSTERED key: hash-scrambled doc_id order, so every file's
