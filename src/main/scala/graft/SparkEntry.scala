@@ -690,6 +690,11 @@ object SparkEntry {
     // garbage detector (compressed/encrypted vs padding/stuck)
     "mm_entropy" -> ((s, d) =>
       Multimodal.entropyAudit(Tables.documents(s, d)).orderBy("media_type")),
+    // corrupt-blob sweep: empty payloads, metadata violations, byte
+    // totals, commutative per-type payload digest (replica compare)
+    "mm_integrity" -> ((s, d) =>
+      Multimodal.integrityAudit(Tables.documents(s, d))
+        .orderBy("media_type")),
     "mm_dedup" -> ((s, d) =>
       Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
     // oracled: the 4-iteration power method replays exactly in SQL
@@ -4232,6 +4237,31 @@ object SparkEntry {
         |FROM m GROUP BY 1, 2 ORDER BY media_type, payload_md5""".stripMargin,
     // per-payload 4dp entropies via the text_entropy hex-nibble
     // replay, grouped by the derived media type
+    // payload bytes == utf8(text), so md5(text) replays md5(payload);
+    // the 60-bit digest is the stateDigest nibble-shift replay
+    "mm_integrity" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS media_type,
+        |    CAST(doc_id % 64 + 32 AS INTEGER) AS width,
+        |    CAST(doc_id % 48 + 24 AS INTEGER) AS height,
+        |    octet_length(encode(text)) AS nb, md5(text) AS h
+        |  FROM documents),
+        |v AS (SELECT media_type, nb, width, height,
+        |        list_sum([(strpos('0123456789abcdef', substring(h, i, 1))
+        |            - 1)::HUGEINT * (1::HUGEINT << (4 * (15 - i)))
+        |          for i in range(1, 16)]) AS hv
+        |      FROM m)
+        |SELECT media_type, count(*) AS n_items,
+        |       CAST(sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_empty,
+        |       CAST(sum(CASE WHEN width <= 0 OR height <= 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_meta,
+        |       CAST(sum(nb) AS BIGINT) AS total_bytes,
+        |       CAST(CAST(sum(hv) AS HUGEINT)
+        |            % 4611686018427387904 AS BIGINT) AS digest
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_entropy" ->
       """WITH h AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -198,4 +198,34 @@ object Multimodal {
         round(max("ent"), 4).as("max_entropy"),
         sum(when(col("ent") > highBits, 1L).otherwise(0L)).as("n_high"))
   }
+
+  /** Payload INTEGRITY audit — the corrupt-blob sweep a binary
+    * column needs precisely because nothing downstream parses the
+    * bytes until an accelerator fleet fails on them: per media type,
+    * empty/null payload count, metadata-violation count (non-positive
+    * dimensions), byte totals, and a COMMUTATIVE payload digest (the
+    * [[graft.cdc.Changelog.stateDigest]] discipline over bytes: sum
+    * of 60-bit md5 prefixes mod 2⁶²) — two replicas of a 100 TB
+    * media table compare these per-type rows instead of shipping a
+    * single payload byte. Map-only scan; only the per-type partials
+    * shuffle.
+    */
+  def integrityAudit(documents: DataFrame): DataFrame =
+    attach(documents)
+      .select(col("media_type"),
+        (col("payload").isNull || octet_length(col("payload")) === 0)
+          .as("empty"),
+        (col("width") <= 0 || col("height") <= 0).as("bad_meta"),
+        octet_length(col("payload")).cast("long").as("nb"),
+        conv(substring(md5(col("payload")), 1, 15), 16, 10)
+          .cast("decimal(38,0)").as("h"))
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("empty"), 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("bad_meta"), 1L).otherwise(0L)).as("n_bad_meta"),
+        sum("nb").as("total_bytes"),
+        sum("h").as("hs"))
+      .select(col("media_type"), col("n_items"), col("n_empty"),
+        col("n_bad_meta"), col("total_bytes"),
+        expr("CAST(hs % 4611686018427387904 AS BIGINT)").as("digest"))
 }

@@ -121,4 +121,27 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("b") =!= col("t")).count()
     assert(parity == 0L)
   }
+
+  test("integrity audit: empty payloads counted, digest moves on one byte") {
+    import spark.implicits._
+    def docs(t3: String) = Seq(
+      (0L, "alpha", "en", "s1", 5L),   // image
+      (3L, "", "en", "s1", 0L),        // image, EMPTY payload
+      (1L, "beta", "en", "s1", 4L),    // audio
+      (2L, t3, "en", "s1", 5L))        // video
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = Multimodal.integrityAudit(docs("gamma")).collect()
+      .map(r => r.getAs[String]("media_type") ->
+        ((r.getAs[Long]("n_items"), r.getAs[Long]("n_empty"),
+          r.getAs[Long]("total_bytes"), r.getAs[Long]("digest")))).toMap
+    assert(base("image")._1 === 2L && base("image")._2 === 1L)
+    assert(base("image")._3 === 5L) // the empty payload adds 0 bytes
+    assert(base("audio") === ((1L, 0L, 4L, base("audio")._4)))
+    // one changed byte in one payload moves ITS type's digest only
+    val mut = Multimodal.integrityAudit(docs("gamm0")).collect()
+      .map(r => r.getAs[String]("media_type") ->
+        r.getAs[Long]("digest")).toMap
+    assert(mut("video") !== base("video")._4)
+    assert(mut("image") === base("image")._4)
+  }
 }
