@@ -320,8 +320,21 @@ object Changelog {
     * 60-bit terms never wrap before the modulus.
     */
   def stateDigest(changelog: DataFrame): DataFrame =
-    latestState(changelog)
+    digestOfState(latestState(changelog))
+
+  /** The digest over an ALREADY-MATERIALIZED live-state frame
+    * ((doc_id, last_seq, last_op, last_field, last_payload) columns)
+    * — ONE definition shared by [[stateDigest]] (full changelog
+    * replay) and [[graft.streaming.StateTable.digest]] (the
+    * streaming materialization), so the two paths' digests are
+    * comparable BY CONSTRUCTION: equal state => equal digest rows.
+    */
+  def digestOfState(state: DataFrame): DataFrame =
+    state
       .select(col("last_op"),
+        // SOH-joined so field boundaries can never collide
+        // (("ab","c") vs ("a","bc")); every column is non-null in
+        // the live state (concat_ws would silently SKIP a null)
         conv(substring(md5(concat_ws("\u0001", col("doc_id"),
           col("last_seq"), col("last_field"), col("last_payload"))),
           1, 15), 16, 10).cast("decimal(38,0)").as("h"))

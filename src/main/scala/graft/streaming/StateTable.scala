@@ -72,6 +72,18 @@ object StateTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     readVersion(spark, dir, latestVersion(spark, dir))
 
+  /** ANTI-ENTROPY digest of the table's LIVE rows (tombstones out,
+    * matching [[Changelog.latestState]]'s live view) — the same
+    * commutative [[Changelog.digestOfState]] the batch replay
+    * produces, so "did the streaming materialization converge to the
+    * batch answer" is a comparison of two |op-classes|-row frames:
+    * equal digests ⇔ byte-equal state, no row shipping, any shard
+    * order. The check the reference's save-back loop never had.
+    */
+  def digest(spark: SparkSession, dir: String): DataFrame =
+    Changelog.digestOfState(
+      read(spark, dir).filter(col("last_op") =!= Changelog.Delete))
+
   /** Time travel: the complete state as of a PAST micro-batch —
     * versions are immutable, so yesterday's snapshot is still exactly
     * yesterday's snapshot (debugging a bad merge, reproducing a

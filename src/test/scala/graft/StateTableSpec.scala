@@ -47,6 +47,17 @@ class StateTableSpec extends SparkSpec {
     assert(StateTable.read(spark, dir).collect()
       .exists(r => r.getAs[String]("doc_id") == "user2" &&
         r.getAs[String]("last_op") == Changelog.Delete))
+
+    // anti-entropy: the streamed table's digest equals the batch
+    // replay's digest — the |op-classes|-row comparison that verifies
+    // convergence with zero row shipping
+    def dig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("last_op"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("digest"))).toSet
+    val streamDigest = dig(StateTable.digest(spark, dir))
+    val batchDigest = dig(Changelog.stateDigest(
+      Changelog.fromEvents((batch1 ++ batch2).toDF())))
+    assert(streamDigest === batchDigest && streamDigest.nonEmpty)
   }
 
   test("stateful compaction survives kill + restart from checkpoint") {
