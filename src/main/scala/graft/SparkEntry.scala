@@ -658,6 +658,11 @@ object SparkEntry {
     "emb_hamming_recall" -> ((s, d) =>
       Similarity.hammingRecall(Tables.embeddings(s, d), col("vec_id") < 10)
         .orderBy("q_id")),
+    // the IVF tuning curve: recall@k per probe count off ONE
+    // assignment pass (recall_audit is one point on this curve)
+    "sim_probe_curve" -> ((s, d) =>
+      Similarity.probeCurve(Tables.embeddings(s, d), col("vec_id") < 10)
+        .orderBy("nprobe")),
     // ColBERT-style multi-vector MaxSim: late-interaction retrieval
     "sim_maxsim" -> ((s, d) =>
       Similarity.maxSim(Tables.embeddings(s, d), col("grp") < 2)
@@ -4780,6 +4785,60 @@ object SparkEntry {
         |       round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4) AS recall
         |FROM bt b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+    // the recall_audit replay with the probe rank kept; every probe
+    // count is a filter over the same candidate set
+    "sim_probe_curve" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+        |  FROM corpus CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, cell_id FROM asg WHERE rn = 1),
+        |qc AS (
+        |  SELECT q.vec_id AS q_id, cell_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_cosine_similarity(q.emb, c_emb) DESC, cell_id) AS cell_rank
+        |  FROM corpus q CROSS JOIN cents WHERE q.vec_id < 10),
+        |probed AS (SELECT q_id, cell_id, cell_rank FROM qc WHERE cell_rank <= 4),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id, p.cell_rank,
+        |         round(list_cosine_similarity(cq.emb, cv.emb), 6) AS cos
+        |  FROM probed p
+        |  JOIN assigned a USING (cell_id)
+        |  JOIN corpus cq ON cq.vec_id = p.q_id
+        |  JOIN corpus cv ON cv.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.q_id),
+        |probes AS (SELECT unnest([1, 2, 4]) AS p),
+        |cut AS (SELECT p, q_id, vec_id FROM (
+        |          SELECT probes.p, q_id, vec_id,
+        |                 row_number() OVER (PARTITION BY probes.p, q_id
+        |                   ORDER BY cos DESC, vec_id) AS rk
+        |          FROM scored CROSS JOIN probes WHERE cell_rank <= probes.p)
+        |        WHERE rk <= 5),
+        |bscored AS (SELECT q.vec_id AS q_id, e.vec_id,
+        |              round(list_cosine_similarity(q.emb, e.emb), 6) AS cos
+        |            FROM corpus q JOIN corpus e ON e.vec_id <> q.vec_id
+        |            WHERE q.vec_id < 10),
+        |bt AS (SELECT q_id, vec_id FROM (
+        |         SELECT q_id, vec_id,
+        |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |         FROM bscored) WHERE rank <= 5),
+        |den AS (SELECT count(*) AS n_pairs,
+        |          CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM bt),
+        |hits AS (SELECT probes.p, count(c.vec_id) AS n_hit
+        |         FROM probes LEFT JOIN cut c ON c.p = probes.p
+        |           AND EXISTS (SELECT 1 FROM bt
+        |                       WHERE bt.q_id = c.q_id AND bt.vec_id = c.vec_id)
+        |         GROUP BY 1)
+        |SELECT CAST(p AS INTEGER) AS nprobe, n_queries, n_pairs,
+        |       CAST(n_hit AS BIGINT) AS n_hit,
+        |       CAST(CAST(n_hit AS HUGEINT) * 1000000 // n_pairs AS BIGINT)
+        |         AS recall_ppm
+        |FROM hits CROSS JOIN den ORDER BY nprobe""".stripMargin,
     // sign-bit words replayed as positional comprehensions; 32-bit
     // lanes keep every shift off the BIGINT sign bit
     "emb_hamming_recall" ->

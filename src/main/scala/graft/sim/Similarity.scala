@@ -951,6 +951,65 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** IVF PROBE-TUNING CURVE — recall@k as a function of nprobe, the
+    * artifact an ANN deployment actually reads to pick its
+    * latency/recall point ([[annRecallAudit]] reports ONE point on
+    * this curve; tuning needs the curve). ONE corpus assignment pass
+    * and ONE candidate-scoring join serve every probe count: each
+    * query's probed cells carry their probe RANK (the order top_idx
+    * opens them), a candidate inherits its cell's rank, and the
+    * nprobe=p cut is a filter `cell_rank <= p` over the same scored
+    * frame — never a re-assignment or re-scan per p. Per-(p, query)
+    * top-k rides the bounded TopKPerKey heaps; the brute reference
+    * is the eval kernel over the bounded probe set. Exact integer
+    * ppm per probe count.
+    */
+  def probeCurve(embeddings: DataFrame, queryFilter: Column, k: Int = 5,
+                 probes: Seq[Int] = Seq(1, 2, 4),
+                 centroidStride: Long = 50L): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    require(probes.nonEmpty && probes.forall(_ > 0),
+      s"probes ($probes) must be positive")
+    val maxP = probes.max
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    val packed = packCentroids(
+      corpus.filter(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb")))
+    val assigned = assignPacked(corpus, packed, withResidual = false)
+    val queryCells = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(packed))
+      .select(col("q_id"), col("q_emb"),
+        posexplode(top_idx(col("q_emb"), col("cents"), maxP))
+          .as(Seq("pr", "__e")),
+        col("cell_ids"))
+      .select(col("q_id"), col("q_emb"),
+        (col("pr") + 1).cast("int").as("cell_rank"),
+        element_at(col("cell_ids"), col("__e") + 1).as("cell_id"))
+    // every vector lives in exactly ONE cell, so (q, vec) appears at
+    // most once and carries the rank at which its cell is opened
+    val scored = assigned.join(broadcast(queryCells), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cell_rank"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .localCheckpoint() // every probe cut reads it
+    val exact = bruteTopK(embeddings, queryFilter, k)
+      .select("q_id", "vec_id").localCheckpoint()
+    val denom = exact.agg(count(lit(1)).as("n_pairs"),
+      countDistinct("q_id").as("n_queries"))
+    val perProbe = probes.map { p =>
+      graft.plans.TopK.perKey(scored.filter(col("cell_rank") <= p),
+          Seq("q_id"), Seq(col("cos").desc, col("vec_id").asc), k)
+        .join(broadcast(exact), Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(p).as("nprobe"), col("n_hit"))
+    }.reduce(_ unionAll _)
+    perProbe.crossJoin(broadcast(denom))
+      .select(col("nprobe"), col("n_queries"), col("n_pairs"), col("n_hit"),
+        expr("CAST(CAST(n_hit AS DECIMAL(38,0)) * 1000000 " +
+          "div n_pairs AS BIGINT)").as("recall_ppm"))
+  }
+
   /** HARD-NEGATIVE MINING — the contrastive-training data op: for
     * each query vector, the k most similar vectors from OTHER labels
     * inside a similarity band [lo, hi]. The band is the point: below

@@ -575,6 +575,31 @@ class SimilaritySpec extends SparkSpec {
       s"$got")
   }
 
+  test("probe curve: a neighbor in the SECOND-ranked cell appears exactly " +
+    "at nprobe 2") {
+    import spark.implicits._
+    // centroids (stride 2) = ids 0, 2, 4. The query's true top-1
+    // (id 3) lives in cell c2 — the query's SECOND-closest centroid —
+    // while its own cell c0 only offers worse candidates (ids 0, 5):
+    // nprobe=1 must read recall 0, nprobe=2 recall 1e6
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.95f, 0.31f)),  // the query, assigned c0
+      (2L, Array(0.7f, 0.7f)),
+      (3L, Array(0.9f, 0.42f)),   // true top-1, assigned c2
+      (4L, Array(0f, 1f)),
+      (5L, Array(1f, -0.2f)))     // c0 member, cos .87 — a decoy
+      .toDF("vec_id", "embedding")
+    val got = Similarity.probeCurve(vecs, col("vec_id") === 1, k = 1,
+        probes = Seq(1, 2), centroidStride = 2L).collect()
+      .map(r => r.getAs[Int]("nprobe") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("n_hit"), r.getAs[Long]("recall_ppm")))).toMap
+    assert(got === Map(
+      1 -> ((1L, 1L, 0L, 0L)),
+      2 -> ((1L, 1L, 1L, 1000000L))), s"$got")
+  }
+
   test("hamming recall: sign-agreement beats magnitude in the binary " +
     "ranking, and the audit reads exactly that disagreement") {
     import spark.implicits._
