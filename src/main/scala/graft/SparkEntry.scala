@@ -589,6 +589,12 @@ object SparkEntry {
       graft.ops.Graph.reciprocity(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"))),
+    // common-neighbor link prediction: top-k non-neighbor candidates
+    // by length-2 path count — the knn-graph repair/recommend op
+    "graph_link_candidates" -> ((s, d) =>
+      graft.ops.Graph.linkCandidates(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")).orderBy("src", "rank")),
     // one-glance shape report of the radius graph: nodes per degree
     "graph_degree_stats" -> ((s, d) =>
       graft.ops.Graph.degreeHistogram(
@@ -4357,6 +4363,24 @@ object SparkEntry {
         |GROUP BY purchase_id ORDER BY purchase_id""".stripMargin,
     "graph_degree_stats" -> graphDegreeStatsSql,
     // reversed-pair left join over the replayed knn edges
+    // length-2 path counts, anti-joined against existing edges, the
+    // same (count desc, cand) window cut
+    "graph_link_candidates" -> (knnRankedCte +
+      """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+        |p AS (SELECT a.src, b.dst AS cand, count(*) AS n_common
+        |      FROM e a JOIN e b ON b.src = a.dst
+        |      WHERE b.dst <> a.src
+        |      GROUP BY 1, 2),
+        |f AS (SELECT p.* FROM p
+        |      WHERE NOT EXISTS (SELECT 1 FROM e
+        |                        WHERE e.src = p.src AND e.dst = p.cand)),
+        |r AS (SELECT src, cand, n_common,
+        |        row_number() OVER (PARTITION BY src
+        |                           ORDER BY n_common DESC, cand) AS rank
+        |      FROM f)
+        |SELECT src, CAST(rank AS BIGINT) AS rank, cand,
+        |       CAST(n_common AS BIGINT) AS n_common
+        |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin),
     "graph_reciprocity" -> (knnRankedCte +
       """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
         |r AS (SELECT e.src, e.dst,

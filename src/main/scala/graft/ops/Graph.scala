@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over edge lists — the ranking pass of a curation
@@ -800,5 +801,41 @@ object Graph {
         // like every other ppm ratio in the repo
         expr("CAST(CAST(n_reciprocal AS DECIMAL(38,0)) * 1000000 " +
           "div n_edges AS BIGINT)").as("reciprocity_ppm"))
+  }
+
+  /** LINK-PREDICTION candidates by COMMON-NEIGHBOR count — the
+    * classic baseline every fancier link predictor is benchmarked
+    * against, and over a knn graph the "you might also like" /
+    * missing-edge repair op: per node, the top-k non-neighbors
+    * reachable by the most length-2 paths (src → mid → cand),
+    * existing edges and self excluded.
+    *
+    * Scale shape: on a k-out-regular knn graph the mid-node
+    * self-join fans out k² per node — a model constant, never
+    * all-pairs; existing edges drop via a LEFT ANTI join on the
+    * shuffle-hashed edge set (lineage hides sizes — the explicit
+    * hint matches the edgeSupport discipline), and the per-src cut
+    * rides the bounded TopKPerKey heaps with (count desc, cand asc)
+    * ties so any engine replays the same candidate list.
+    */
+  def linkCandidates(edges: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    // the edge set feeds the two path sides AND the anti join
+    val e = edges.select("src", "dst")
+      .filter(col("src") =!= col("dst")).localCheckpoint()
+    val paths = e.as("a")
+      .join(e.select(col("src").as("mid"), col("dst").as("cand"))
+        .hint("shuffle_hash"), col("dst") === col("mid"))
+      .filter(col("src") =!= col("cand"))
+      .groupBy("src", "cand").agg(count(lit(1)).as("n_common"))
+    val fresh = paths.join(
+      e.select(col("src"), col("dst").as("cand")).hint("shuffle_hash"),
+      Seq("src", "cand"), "left_anti")
+    val w = Window.partitionBy("src")
+      .orderBy(col("n_common").desc, col("cand").asc)
+    graft.plans.TopK.perKey(fresh, Seq("src"),
+        Seq(col("n_common").desc, col("cand").asc), k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("src", "rank", "cand", "n_common")
   }
 }

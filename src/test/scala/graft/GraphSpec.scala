@@ -476,4 +476,19 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Long]("component_size")).toSet
     assert(glued === Set(5L)) // the un-cut graph is one mega-component
   }
+
+  test("link candidates: common-neighbor count, existing edges and self out") {
+    import spark.implicits._
+    // node 1 reaches 4 by TWO length-2 paths (via 2 and via 3) — the
+    // top candidate; 5 is reachable via 2 but 1→5 already exists
+    // (anti-joined away); 1→2→1 is the self path (excluded)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 5L), (2L, 1L), (2L, 4L),
+      (2L, 5L), (3L, 4L), (4L, 6L))
+      .toDF("src", "dst")
+    val got = Graph.linkCandidates(edges, k = 3).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rank"),
+        r.getAs[Long]("cand"), r.getAs[Long]("n_common")))
+      .filter(_._1 == 1L).toList
+    assert(got === List((1L, 1L, 4L, 2L)), s"$got")
+  }
 }
