@@ -464,6 +464,10 @@ object SparkEntry {
     "dedup_keepers_best" -> ((s, d) => Dedup.nearDupKeepersBest(Tables.documents(s, d), keeperModel(s, d)).orderBy("doc_id")),
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashLsh(Tables.documents(s, d), 0.5).orderBy("doc_a", "doc_b")),
+    // tau calibration: exact-Jaccard histogram over the LSH
+    // candidates — the valley is where the dedup threshold belongs
+    "dedup_jaccard_hist" -> ((s, d) =>
+      Dedup.jaccardHistogram(Tables.documents(s, d)).orderBy("bin")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), 3).orderBy("doc_a", "doc_b")),
     "dedup_embed" -> ((s, d) =>
@@ -838,7 +842,17 @@ object SparkEntry {
       |  ((r_s2 % 4294967296) * 444984403 + (((r_s2 % 4294967296) * 3301882366 + (r_s2 // 4294967296) * 444984403) % 4294967296) * 4294967296) % 18446744073709551616 AS r_m2,
       |  (CAST(xor(CAST((r_m2) // 4294967296 AS BIGINT), CAST((r_m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296 + CAST(xor(CAST((r_m2) % 4294967296 AS BIGINT), CAST((r_m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT)) AS h
       |  FROM based CROSS JOIN seeds),
-      |sig AS MATERIALIZED (SELECT s.doc_id, r.j, min(r.h) AS sg
+      |sig AS MATERIALIZED (SELECT s.doc_id, r.j,
+      |        -- the kernel mins SIGNED longs; in the unsigned 64-bit
+      |        -- emulation signed order = unsigned order of h XOR 2^63
+      |        -- (realized as +2^63 mod 2^64, its own inverse). An
+      |        -- unsigned min here picks a DIFFERENT argmin shingle
+      |        -- whenever the lane's values straddle the sign bit —
+      |        -- invisible above tau (near-dups collide in many bands
+      |        -- under either convention), caught by the r13 sub-tau
+      |        -- jaccard histogram at sf0.1
+      |        (min((r.h + 9223372036854775808) % 18446744073709551616)
+      |         + 9223372036854775808) % 18446744073709551616 AS sg
       |        FROM sh s JOIN resh r USING (shingle) GROUP BY 1, 2),
       |bsig AS (SELECT doc_id, j // 4 AS band,
       |           CAST(xor(37, CAST(j // 4 AS BIGINT)) AS HUGEINT) + 14695981039346656000 AS h0b,
@@ -4638,6 +4652,13 @@ object SparkEntry {
         |FROM embeddings e LEFT JOIN p USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
     "dedup_minhash" -> minhashSelectSql,
+    // the same full MinHash replay, binned on the rounded jaccard
+    "dedup_jaccard_hist" -> (minhashLshCte +
+      """                    JOIN sizes zb ON doc_b = zb.doc_id)
+        |SELECT CAST(least(floor(jaccard * 20), 19) AS BIGINT) AS bin,
+        |       count(*) AS n_pairs,
+        |       round(min(jaccard), 4) AS lo, round(max(jaccard), 4) AS hi
+        |FROM jac GROUP BY 1 ORDER BY bin""".stripMargin),
     "dedup_keepers_near" -> keepersNearSql,
     // the incremental path must land exactly where the one-shot
     // full-corpus fit lands — same replay, no weaker oracle

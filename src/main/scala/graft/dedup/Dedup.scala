@@ -289,6 +289,29 @@ object Dedup {
       .filter(col("jaccard") >= tau)
   }
 
+  /** CANDIDATE-SIMILARITY HISTOGRAM — the τ-calibration artifact for
+    * the LSH dedup family ([[graft.sim.Similarity.thresholdPlan]]'s
+    * text twin): the distribution of EXACT Jaccard over the LSH
+    * candidate pairs, fixed-width bins over [0, 1]. The histogram's
+    * valley — between the near-dup mass at the top and the band-
+    * collision noise at the bottom — is where τ belongs; running
+    * dedup at a τ nobody measured is how corpora lose good data or
+    * keep templates. Cost: exactly [[minhashLsh]]'s candidate +
+    * verify stages (τ = 0, keep everything) plus one bins-sized
+    * aggregate; binning runs on the 4dp-ROUNDED jaccard so the bin
+    * edges can never straddle a float differently per engine.
+    */
+  def jaccardHistogram(documents: DataFrame, bins: Int = 20): DataFrame = {
+    require(bins > 0, s"bins ($bins) must be positive")
+    minhashLsh(documents, tau = 0.0)
+      .select(least(floor(col("jaccard") * bins), lit(bins - 1))
+        .cast("long").as("bin"), col("jaccard"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min("jaccard"), 4).as("lo"),
+        round(max("jaccard"), 4).as("hi"))
+  }
+
   /** SimHash near-dup: 64-bit signature banded into `maxHamming+1`
     * chunks — a pair within the hamming radius must agree on at
     * least one chunk (pigeonhole), so the bucket join on (chunk,

@@ -574,4 +574,22 @@ class DedupSpec extends SparkSpec {
       .select("doc_id", "text")
     assert(edPairs(Dedup.editDistance(docs, 5)) == bruteEd(docs, 5))
   }
+
+  test("jaccard histogram: covers every candidate once, identical pair " +
+    "in the top bin, bin bounds ordered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // identical: j = 1
+      (3L, "a b c d e f g z"),                          // near-dup
+      (4L, "q r s t u v w x"))                          // unrelated
+      .toDF("doc_id", "text")
+    val hist = Dedup.jaccardHistogram(docs).collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("lo"), r.getAs[Double]("hi")))
+    assert(hist.map(_._2).sum === Dedup.minhashLsh(docs, 0.0).count())
+    assert(hist.exists(h => h._1 == 19L && h._2 >= 1L && h._4 == 1.0))
+    hist.foreach { h =>
+      assert(h._1 >= 0L && h._1 <= 19L && h._3 <= h._4, s"bad bin $h")
+    }
+  }
 }
