@@ -268,9 +268,6 @@ object SparkEntry {
     // within tolerance, ties backward, unmatched rows explicit
     "q39_asof_nearest" -> ((s, d) =>
       Relational.q39AsofNearest(s, d).orderBy("purchase_id")),
-    // native pivot with an EXPLICIT value list (no inference pass)
-    "q40_pivot" -> ((s, d) =>
-      Relational.q40Pivot(s, d).orderBy("o_orderstatus")),
     // §2e text analysis
     "text_stats" -> ((s, d) => TextAnalysis.stats(Tables.documents(s, d)).orderBy("doc_id")),
     "text_langid" -> ((s, d) => TextAnalysis.langIdEval(Tables.documents(s, d)).orderBy("lang", "pred_lang")),
@@ -4503,20 +4500,6 @@ object SparkEntry {
         |       round(sum(value), 2) AS sum_value,
         |       round(avg(value), 4) AS avg_value
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    // the pivot as conditional aggregation — absent cells NULL
-    "q40_pivot" ->
-      """SELECT o_orderstatus,
-        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
-        |                 THEN o_totalprice END), 2) AS p1_urgent,
-        |  round(sum(CASE WHEN o_orderpriority = '2-HIGH'
-        |                 THEN o_totalprice END), 2) AS p2_high,
-        |  round(sum(CASE WHEN o_orderpriority = '3-MEDIUM'
-        |                 THEN o_totalprice END), 2) AS p3_medium,
-        |  round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
-        |                 THEN o_totalprice END), 2) AS p4_notspec,
-        |  round(sum(CASE WHEN o_orderpriority = '5-LOW'
-        |                 THEN o_totalprice END), 2) AS p5_low
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // both-direction window carry replay: IGNORE NULLS struct
     // last/first, the same (ts, event_id) total order and tie rule
     "q39_asof_nearest" ->

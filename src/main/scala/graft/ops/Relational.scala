@@ -910,26 +910,6 @@ object Relational {
         round(sum("value"), 2).as("sum_value"),
         round(avg("value"), 4).as("avg_value"))
 
-  /** Native PIVOT — [[q38Unpivot]]'s inverse (the melt/cast pair
-    * every OLAP surface ships): revenue per order status, spread
-    * across the five priority classes as columns. The value list is
-    * EXPLICIT — `pivot(col)` without values runs a corpus-wide
-    * distinct-and-collect job just to name the output columns, which
-    * at 100 TB is a full extra pass for schema metadata; pinning the
-    * list keeps this a single map-side-combined aggregate (Spark
-    * plans it as one groupBy over |statuses|×|priorities| pivot
-    * cells, never a cells×rows explode). Absent cells stay NULL
-    * (never zero-filled — a zero is a claim about the data).
-    */
-  def q40Pivot(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy("o_orderstatus")
-      .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
-        "4-NOT SPECIFIED", "5-LOW"))
-      .agg(round(sum("o_totalprice"), 2))
-      .toDF("o_orderstatus", "p1_urgent", "p2_high", "p3_medium",
-        "p4_notspec", "p5_low")
-
   /** NEAREST-in-time join — the as-of family's third direction: each
     * purchase pairs with its temporally CLOSEST click (backward OR
     * forward) within a tolerance, ties to the backward side (the

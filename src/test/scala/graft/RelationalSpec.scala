@@ -341,22 +341,4 @@ class RelationalSpec extends SparkSpec
     assert(got.size === 6) // every purchase present, matched or not
   }
 
-  test("pivot: one scan, no value-inference job, cells equal direct sums") {
-    val df = Relational.q40Pivot(spark, sf)
-    df.collect()
-    // the explicit value list keeps this ONE aggregate over ONE scan:
-    // pivot without values would first run a distinct-and-collect
-    // pass just to name the columns
-    assert(collectWithSubqueries(df.queryExecution.executedPlan) {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.size === 1)
-    val got = df.collect().map(r =>
-      r.getAs[String]("o_orderstatus") -> r.getAs[Double]("p2_high")).toMap
-    val ref = Tables.orders(spark, sf)
-      .filter(col("o_orderpriority") === "2-HIGH")
-      .groupBy("o_orderstatus")
-      .agg(round(sum("o_totalprice"), 2).as("s"))
-      .collect().map(r => r.getString(0) -> r.getAs[Double]("s")).toMap
-    assert(got === ref && got.size === 3)
-  }
 }
