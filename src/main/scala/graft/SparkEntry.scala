@@ -79,6 +79,12 @@ object SparkEntry {
     // the live state, mod 2^62 — shards digest independently
     "cdc_state_digest" -> ((s, d) =>
       Changelog.stateDigest(changelog(s, d)).orderBy("last_op")),
+    // dead-letter routing over a deterministically CORRUPTED feed
+    // (truncation / key drift / type regression by seq) — malformed
+    // records get a reason, never an exception in the poll loop
+    "cdc_malformed" -> ((s, d) =>
+      Changelog.dlqAudit(Changelog.corruptFeed(changelog(s, d)))
+        .orderBy("reason")),
     // what a horizon compaction would reclaim from the tombstone set
     // seq-continuity audit on the routed topic: the holes are exactly
     // the records the route filtered — oracle-checkable ground truth
@@ -118,6 +124,10 @@ object SparkEntry {
       graft.ops.Events.funnel(Tables.events(s, d)).orderBy("stage_idx")),
     "events_retention" -> ((s, d) =>
       graft.ops.Events.retention(Tables.events(s, d)).orderBy("cohort_week", "week_offset")),
+    // retention's money twin: integer-cents cohort value + LTV lines
+    "events_cohort_ltv" -> ((s, d) =>
+      graft.ops.Events.cohortValue(Tables.events(s, d))
+        .orderBy("cohort_week", "week_offset")),
     "events_anomaly" -> ((s, d) =>
       graft.ops.Events.anomaly(Tables.events(s, d)).orderBy("event_id")),
     // median/MAD robust outliers: exact order statistics, no sort
@@ -165,6 +175,11 @@ object SparkEntry {
     // straddled; a sliding window cannot)
     "events_rate_windows" -> ((s, d) =>
       graft.ops.Events.rateWindows(Tables.events(s, d)).orderBy("user_id")),
+    // whole-journey frequency table: top session paths on a bounded
+    // heap (markov/trigrams see transitions; this sees journeys)
+    "events_top_paths" -> ((s, d) =>
+      graft.ops.Events.topPaths(Tables.events(s, d))
+        .orderBy(col("n_sessions").desc, col("path"))),
     // time-to-convert: exact discrete p50/p90 of per-user stage gaps
     // via the RankSelect histogram (users never sort)
     "events_funnel_latency" -> ((s, d) =>
@@ -413,6 +428,10 @@ object SparkEntry {
     // vocabulary-coverage curve: top-k type share of all occurrences
     "text_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d)).orderBy("k")),
+    // Heaps'-law trajectory: new types + token mass per id-range
+    // prefix slice (is vocabulary still growing, or re-crawled?)
+    "text_vocab_growth" -> ((s, d) =>
+      TextAnalysis.vocabGrowth(Tables.documents(s, d)).orderBy("bucket")),
     // distributed BPE: train the merge table / re-segment under it
     "text_bpe_merges" -> ((s, d) => Bpe.mergeTable(bpeFit(s, d, 8))),
     "text_bpe_apply" -> ((s, d) => Bpe.tokenCountsOf(bpeFit(s, d, 8), 30)),
@@ -529,6 +548,25 @@ object SparkEntry {
       graft.ops.Graph.pageRank(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst")).orderBy("node")),
+    // seed-expansion: personalized PageRank from a trusted seed set
+    // — "find more like this vetted list" over the knn graph
+    "graph_ppr" -> ((s, d) =>
+      graft.ops.Graph.personalizedPageRank(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"), col("node") % 3 === 0).orderBy("node")),
+    // MRR of the IVF index vs the brute top-1: how far down the
+    // candidate list the true neighbor sits, in exact integer ppm
+    "sim_mrr" -> ((s, d) =>
+      Similarity.mrrAudit(Tables.embeddings(s, d), col("vec_id") < 25)),
+    // same-label precision per cosine band over the knn edges — the
+    // signal-side calibration next to sim_threshold_plan's null side
+    "sim_precision_curve" -> ((s, d) =>
+      Similarity.precisionCurve(Tables.embeddings(s, d),
+        col("vec_id") % 7 === 0).orderBy("bin")),
+    // margin-criterion mutual-best pair mining across label groups
+    "sim_bitext_mining" -> ((s, d) =>
+      Similarity.bitextMine(Tables.embeddings(s, d),
+        col("label") === 0, col("label") === 1).orderBy("a_id")),
     // component-size histogram: the cluster-size audit before dedup
     "graph_components" -> ((s, d) =>
       graft.ops.Graph.componentSizes(
@@ -1144,6 +1182,44 @@ object SparkEntry {
     """fin AS (SELECT node, CAST(pr AS BIGINT) AS pr FROM p3),
       |tot AS (SELECT CAST(sum(pr) AS BIGINT) AS pr_sum FROM fin)
       |SELECT node, pr, pr_sum FROM fin CROSS JOIN tot ORDER BY node""".stripMargin
+
+  /** One personalized-PageRank round: teleport mass returns ONLY to
+    * seed rows — the step's base term is seed-conditional, the
+    * denominator is the seed count. Integer trillionths like
+    * [[prStepSql]]. */
+  private def pprStepSql(prev: String, inflow: String,
+                         next: String): String =
+    s"""$inflow AS (SELECT e.dst AS node, sum(p.pr // d.outdeg) AS inflow
+       |       FROM e JOIN $prev p ON p.node = e.src JOIN deg d ON d.src = e.src
+       |       GROUP BY e.dst),
+       |$next AS (SELECT nd.node, nd.is_seed,
+       |         CASE WHEN nd.is_seed
+       |              THEN (15 * (1000000000000 // ns.ns)) // 100
+       |              ELSE 0 END
+       |       + (85 * coalesce($inflow.inflow, 0)) // 100 AS pr
+       |       FROM nodes nd CROSS JOIN ns LEFT JOIN $inflow ON $inflow.node = nd.node),
+       |""".stripMargin
+
+  /** Seed-expansion replay: the pagerank scaffolding with the
+    * seed-conditional teleport — nodes carry is_seed, p0 starts all
+    * mass on the seeds. */
+  private val graphPprSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |nodes AS (SELECT node, node % 3 = 0 AS is_seed FROM
+      |            (SELECT DISTINCT node FROM
+      |              (SELECT src AS node FROM e UNION ALL SELECT dst FROM e))),
+      |ns AS (SELECT count(*) AS ns FROM nodes WHERE is_seed),
+      |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+      |p0 AS (SELECT node, is_seed,
+      |         CASE WHEN is_seed THEN 1000000000000 // ns ELSE 0 END AS pr
+      |       FROM nodes CROSS JOIN ns),
+      |""".stripMargin +
+      pprStepSql("p0", "i1", "p1") +
+      pprStepSql("p1", "i2", "p2") +
+      pprStepSql("p2", "i3", "p3") +
+    """fin AS (SELECT node, is_seed, CAST(pr AS BIGINT) AS pr FROM p3),
+      |tot AS (SELECT CAST(sum(pr) AS BIGINT) AS pr_sum FROM fin)
+      |SELECT node, is_seed, pr, pr_sum FROM fin CROSS JOIN tot ORDER BY node""".stripMargin
 
   /** One HITS round over CTEs `e`/`nodes`: authority = in-edge hub
     * sum, hub = out-edge authority sum, each L∞-rescaled to the
@@ -2336,6 +2412,32 @@ object SparkEntry {
         |       count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN cohorts USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // integer cents from the first touch; cumulative lines as plain
+    // per-cohort ordered windows (the operator's prefix-sum join is
+    // the distribution strategy, not the semantics)
+    "events_cohort_ltv" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |cn AS (SELECT cohort_week, count(*) AS cohort_n FROM cohorts GROUP BY 1),
+        |cells AS (
+        |  SELECT cohort_week,
+        |         CAST((CAST(date_trunc('week', e.ts) AS DATE) - cohort_week) // 7
+        |              AS BIGINT) AS week_offset,
+        |         count(DISTINCT e.user_id) AS n_users,
+        |         CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |           AS value_cents
+        |  FROM events e JOIN cohorts USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT c.cohort_week, c.week_offset, c.n_users, c.value_cents,
+        |       CAST(sum(c.value_cents) OVER (PARTITION BY c.cohort_week
+        |              ORDER BY c.week_offset) AS BIGINT) AS cum_value_cents,
+        |       cn.cohort_n,
+        |       CAST(CAST(sum(c.value_cents) OVER (PARTITION BY c.cohort_week
+        |              ORDER BY c.week_offset) AS HUGEINT) // cn.cohort_n
+        |            AS BIGINT) AS ltv_per_signup_cents
+        |FROM cells c JOIN cn USING (cohort_week)
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
     "cdc_field_state" -> (clCte +
       """, ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
@@ -2458,6 +2560,31 @@ object SparkEntry {
         |       CAST((CAST(sum(m) AS HUGEINT) - count(*)) * 1000000
         |            // sum(m) AS BIGINT) AS dup_ppm
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // the corrupted feed rebuilt with the same seq rules, then the
+    // identical classification cascade (json_valid is DuckDB's
+    // whole-document parse probe; Spark's is get_json_object('$'))
+    "cdc_malformed" -> (clCte +
+      """, fed AS (
+        |  SELECT doc_id, seq,
+        |         CASE WHEN seq % 13 = 0
+        |                THEN substring(payload, 1, length(payload) - 1)
+        |              WHEN seq % 17 = 0 THEN replace(payload, '"k"', '"v"')
+        |              WHEN seq % 19 = 0 THEN '{"k": "x"}'
+        |              ELSE payload END AS payload
+        |  FROM changelog),
+        |routed AS (
+        |  SELECT doc_id, seq,
+        |         CASE WHEN NOT json_valid(payload) THEN 'not_json'
+        |              WHEN json_extract_string(payload, '$.k') IS NULL
+        |                THEN 'missing_key'
+        |              WHEN NOT regexp_full_match(
+        |                     json_extract_string(payload, '$.k'), '-?[0-9]+')
+        |                THEN 'bad_type'
+        |              ELSE 'ok' END AS reason
+        |  FROM fed)
+        |SELECT reason, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
+        |       min(seq) AS min_seq, max(seq) AS max_seq
+        |FROM routed GROUP BY reason ORDER BY reason""".stripMargin),
     "cdc_op_counts" -> (clCte +
       """SELECT op, count(*) AS n, count(DISTINCT doc_id) AS n_docs,
         |       round(sum(amount), 2) AS total_amount
@@ -3377,6 +3504,28 @@ object SparkEntry {
         |            // max(tot.total_occurrences) AS BIGINT) AS coverage_ppm
         |FROM k CROSS JOIN r CROSS JOIN tot
         |GROUP BY k.k ORDER BY k.k""".stripMargin,
+    // id-range prefix slices; a type's first bucket is min(bucket);
+    // cumulative lines replayed as plain ordered window sums (the
+    // operator's prefix-sum join is the distribution strategy, not
+    // the semantics)
+    "text_vocab_growth" ->
+      """WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+        |d AS (SELECT doc_id, (doc_id * 10) // nd AS bucket,
+        |             string_split(trim(text), ' ') AS toks
+        |      FROM documents CROSS JOIN nd),
+        |db AS (SELECT bucket, count(*) AS n_docs,
+        |              CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+        |       FROM d GROUP BY bucket),
+        |tok AS (SELECT bucket, unnest(toks) AS token FROM d),
+        |firsts AS (SELECT token, min(bucket) AS bucket FROM tok GROUP BY token),
+        |nt AS (SELECT bucket, count(*) AS new_types FROM firsts GROUP BY bucket)
+        |SELECT b.bucket, b.n_docs, b.n_tokens,
+        |       CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+        |       CAST(sum(b.n_tokens) OVER (ORDER BY b.bucket) AS BIGINT)
+        |         AS cum_tokens,
+        |       CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY b.bucket)
+        |            AS BIGINT) AS cum_types
+        |FROM db b LEFT JOIN nt USING (bucket) ORDER BY b.bucket""".stripMargin,
     // exact while maxTracked exceeds the true vocabulary — same oracle
     // as the Misra-Gries path
     "text_vocab_sketch" ->
@@ -3611,6 +3760,7 @@ object SparkEntry {
     // needs no float-ordering care at all; iterations generated by
     // one helper so the three rounds cannot diverge
     "graph_pagerank" -> graphPagerankSql,
+    "graph_ppr" -> graphPprSql,
     "graph_hits" -> graphHitsSql,
     "graph_components" -> graphComponentsSql,
     "graph_mutual_components" -> graphMutualComponentsSql,
@@ -4105,6 +4255,34 @@ object SparkEntry {
         |SELECT user_id, CAST(n_in_window AS BIGINT) AS peak_count,
         |       us AS peak_at_us, event_id AS peak_event_id
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // the q16 session rule, a step index per session, an ordered
+    // string_agg per session, then the heap cut with the same
+    // (count DESC, path) tie-break
+    "events_top_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |stepped AS (
+        |  SELECT user_id, session_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id, session_id
+        |                            ORDER BY ts, event_id) AS step
+        |  FROM sess),
+        |paths AS (
+        |  SELECT user_id, session_id,
+        |         string_agg(event_type, '>' ORDER BY step) AS path
+        |  FROM stepped WHERE step <= 8 GROUP BY user_id, session_id)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     // first-seen replay: cumulative distinct users ≡ count of
     // first-seen days ≤ d; all-integer, grid zeros carried flat
     "events_cumulative_uniques" ->
@@ -4813,6 +4991,118 @@ object SparkEntry {
         |       round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4) AS recall
         |FROM bt b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+    // the IVF replay at k=10 + the brute top-1 truth; a miss scores
+    // 0 via coalesce, the rr sum runs in HUGEINT
+    "sim_mrr" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+        |  FROM corpus CROSS JOIN cents),
+        |assigned AS (SELECT vec_id, cell_id FROM asg WHERE rn = 1),
+        |qc AS (
+        |  SELECT q.vec_id AS q_id, cell_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_cosine_similarity(q.emb, c_emb) DESC, cell_id) AS rn
+        |  FROM corpus q CROSS JOIN cents WHERE q.vec_id < 25),
+        |probes AS (SELECT q_id, cell_id FROM qc WHERE rn <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id,
+        |         round(list_cosine_similarity(cq.emb, cv.emb), 6) AS cos
+        |  FROM probes p
+        |  JOIN assigned a USING (cell_id)
+        |  JOIN corpus cq ON cq.vec_id = p.q_id
+        |  JOIN corpus cv ON cv.vec_id = a.vec_id
+        |  WHERE a.vec_id <> p.q_id),
+        |cand AS (
+        |  SELECT q_id, vec_id,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored),
+        |bs AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id,
+        |         row_number() OVER (PARTITION BY a.vec_id
+        |                            ORDER BY round(list_cosine_similarity(a.emb, b.emb), 6) DESC, b.vec_id) AS rn
+        |  FROM corpus a JOIN corpus b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 25),
+        |truth AS (SELECT q_id, vec_id FROM bs WHERE rn = 1),
+        |j AS (SELECT t.q_id, c.rank
+        |      FROM truth t LEFT JOIN cand c
+        |        ON c.q_id = t.q_id AND c.vec_id = t.vec_id AND c.rank <= 10)
+        |SELECT count(*) AS n_queries,
+        |       CAST(count(rank) AS BIGINT) AS n_found,
+        |       CAST(CAST(count(rank) AS HUGEINT) * 1000000 // count(*)
+        |            AS BIGINT) AS found_ppm,
+        |       CAST(sum(coalesce(1000000 // rank, 0)) // count(*)
+        |            AS BIGINT) AS mrr_ppm
+        |FROM j""".stripMargin,
+    // knn edges + labels; fixed-edge float bins (IEEE-identical op
+    // order); cumulative-from-the-top as a plain DESC window
+    "sim_precision_curve" -> (knnRankedCte +
+      """, lab AS (SELECT vec_id, label FROM embeddings),
+        |pairs AS (
+        |  SELECT r.cos,
+        |         CASE WHEN ls.label = ld.label THEN 1 ELSE 0 END AS same
+        |  FROM ranked r JOIN lab ls ON ls.vec_id = r.src
+        |                JOIN lab ld ON ld.vec_id = r.dst
+        |  WHERE r.rank <= 10),
+        |binned AS (
+        |  SELECT CAST(least(floor((cos + 1.0) * 20 / 2.0), 19) AS BIGINT)
+        |           AS bin, same
+        |  FROM pairs),
+        |s AS (SELECT bin, count(*) AS n_pairs,
+        |             CAST(sum(same) AS BIGINT) AS n_same
+        |      FROM binned GROUP BY bin)
+        |SELECT bin, n_pairs, n_same,
+        |       CAST(CAST(n_same AS HUGEINT) * 1000000 // n_pairs AS BIGINT)
+        |         AS precision_ppm,
+        |       CAST(sum(n_pairs) OVER wd AS BIGINT) AS cum_pairs,
+        |       CAST(sum(n_same) OVER wd AS BIGINT) AS cum_same,
+        |       CAST(CAST(sum(n_same) OVER wd AS HUGEINT) * 1000000
+        |            // sum(n_pairs) OVER wd AS BIGINT) AS cum_precision_ppm
+        |FROM s
+        |WINDOW wd AS (ORDER BY bin DESC)
+        |ORDER BY bin""".stripMargin),
+    // exact micro-unit cosines, both-direction top-4 windows, the
+    // mutual-best join, ratio margins in HUGEINT with the positive-
+    // quadrant guard
+    "sim_bitext_mining" ->
+      """WITH av AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings WHERE label = 0),
+        |bv AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS emb
+        |       FROM embeddings WHERE label = 1),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |         CAST(round(round(list_cosine_similarity(av.emb, bv.emb), 6)
+        |                    * 1000000) AS BIGINT) AS u
+        |  FROM av JOIN bv ON a_id <> b_id),
+        |fr AS (SELECT a_id, b_id, u,
+        |         row_number() OVER (PARTITION BY a_id ORDER BY u DESC, b_id) AS rn
+        |       FROM scored),
+        |fwd AS (SELECT a_id,
+        |          max(CASE WHEN rn = 1 THEN b_id END) AS best_b,
+        |          max(CASE WHEN rn = 1 THEN u END) AS best_u,
+        |          CAST(sum(u) AS BIGINT) AS s, count(*) AS n
+        |        FROM fr WHERE rn <= 4 GROUP BY a_id),
+        |br AS (SELECT a_id, b_id, u,
+        |         row_number() OVER (PARTITION BY b_id ORDER BY u DESC, a_id) AS rn
+        |       FROM scored),
+        |bwd AS (SELECT b_id,
+        |          max(CASE WHEN rn = 1 THEN a_id END) AS best_a,
+        |          CAST(sum(u) AS BIGINT) AS s, count(*) AS n
+        |        FROM br WHERE rn <= 4 GROUP BY b_id)
+        |SELECT f.a_id, w.b_id, f.best_u AS cos_micro,
+        |       CASE WHEN f.s > 0 AND f.best_u >= 0 THEN
+        |         CAST(CAST(f.best_u AS HUGEINT) * f.n * 1000000 // f.s AS BIGINT)
+        |       END AS fwd_margin_ppm,
+        |       CASE WHEN w.s > 0 AND f.best_u >= 0 THEN
+        |         CAST(CAST(f.best_u AS HUGEINT) * w.n * 1000000 // w.s AS BIGINT)
+        |       END AS bwd_margin_ppm
+        |FROM fwd f JOIN bwd w ON f.best_b = w.b_id AND w.best_a = f.a_id
+        |ORDER BY f.a_id""".stripMargin,
     // the recall_audit replay with the probe rank kept; every probe
     // count is a filter over the same candidate set
     "sim_probe_curve" ->

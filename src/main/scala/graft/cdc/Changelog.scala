@@ -305,6 +305,65 @@ object Changelog {
         "CAST(CAST(n_deliveries - n_changes AS DECIMAL(38,0)) * 1000000 " +
           "div n_deliveries AS BIGINT)"))
 
+  /** Deterministic MALFORMED-FEED generator for the DLQ audit — the
+    * three corruption classes a JSON changelog consumer actually
+    * meets, injected by seq (first matching rule wins) so any engine
+    * replays the identical feed, exactly like [[redeliveryAudit]]'s
+    * replayed duplicates:
+    *  - `seq % 13 == 0`: payload truncated mid-object (the partial
+    *    write / cut-off poll buffer);
+    *  - `seq % 17 == 0`: the required key renamed away (producer
+    *    schema drift);
+    *  - `seq % 19 == 0`: the numeric value arrives as a string (a
+    *    type regression upstream).
+    */
+  def corruptFeed(changelog: DataFrame): DataFrame =
+    changelog.withColumn("payload",
+      when(col("seq") % 13 === 0,
+        expr("substring(payload, 1, length(payload) - 1)"))
+        .when(col("seq") % 17 === 0,
+          regexp_replace(col("payload"), "\"k\"", "\"v\""))
+        .when(col("seq") % 19 === 0, lit("{\"k\": \"x\"}"))
+        .otherwise(col("payload")))
+
+  /** DEAD-LETTER ROUTING — classify every record's payload BEFORE it
+    * reaches a parser: the ingestion-robustness operator the
+    * reference consumer lacks (FtsAndGeoServiceJSONWithCDC.java:120
+    * feeds ChangeNode values straight into outbound message JSON —
+    * one malformed record throws inside the poll loop and stalls the
+    * partition; here it is ROUTED with a reason, never thrown). The
+    * cascade names the FIRST failing check: `not_json` (the payload
+    * does not parse) → `missing_key` (parses, required key absent) →
+    * `bad_type` (key present, value not an integer) → `ok`. Every
+    * probe is engine-portable — a whole-document JSON-path test, a
+    * key-path test, an anchored integer regex — so the DuckDB oracle
+    * replays the exact cascade; and every probe is a scalar
+    * projection, so the route is a pushdown-friendly narrow map with
+    * no shuffle at any corpus size.
+    */
+  def dlqRoute(changelog: DataFrame): DataFrame = {
+    val kVal = get_json_object(col("payload"), "$.k")
+    changelog.withColumn("reason",
+      when(get_json_object(col("payload"), "$").isNull, "not_json")
+        .when(kVal.isNull, "missing_key")
+        .when(!kVal.rlike("^-?[0-9]+$"), "bad_type")
+        .otherwise("ok"))
+  }
+
+  /** The DLQ rollup an ingestion operator pages on: per reason, how
+    * many records, how many distinct documents, and the seq range —
+    * one map-side-combined aggregate over [[dlqRoute]]'s projection
+    * (`n_docs` is the only exact-distinct term; it shuffles once on
+    * `reason`, a ≤4-row key space).
+    */
+  def dlqAudit(changelog: DataFrame): DataFrame =
+    dlqRoute(changelog)
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("doc_id").as("n_docs"),
+        min("seq").as("min_seq"),
+        max("seq").as("max_seq"))
+
   /** ORDER-INDEPENDENT state digest — the anti-entropy check between
     * a changelog-rebuilt materialization and the source of truth
     * (the reference's README "save back into the DB" loop has

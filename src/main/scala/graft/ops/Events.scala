@@ -81,6 +81,55 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** COHORT VALUE CURVES — [[retention]]'s money twin: per signup
+    * cohort and week offset, the active users, the week's value, the
+    * cohort's cumulative value line, and the per-signup LTV — the
+    * curve a growth/payback review actually reads (retention says
+    * WHO came back; this says what coming back was WORTH).
+    *
+    * All money runs in INTEGER CENTS from the first touch
+    * (`round(value·100)` per event): cent sums are exact integer
+    * addition in any shuffle order on any engine, where cumulative
+    * double addition drifts by order at corpus scale. Shape: one
+    * join of events onto the per-user cohort frame (both shuffle on
+    * user_id), one map-side-combined aggregate to the
+    * cohorts×offsets summary (calendar², never corpus), cumulative
+    * lines from [[graft.ops.ModelFrames.exclusivePrefixSum]] within
+    * each cohort — no single-partition window, nothing corpus-scale
+    * past the first aggregate.
+    */
+  def cohortValue(events: DataFrame): DataFrame = {
+    val cohorts = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    val cn = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("cohort_n"))
+    val cells = events.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(cast(date_trunc('week', ts) as date), cohort_week) div 7")
+          .cast("long").as("week_offset"),
+        col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        sum("cents").as("value_cents"))
+      .localCheckpoint() // the prefix line and the output join read it
+    val cum = ModelFrames.exclusivePrefixSum(cells, "week_offset",
+      "value_cents", "cum_off", within = Seq("cohort_week"))
+    cells
+      .join(broadcast(cum), Seq("cohort_week", "week_offset"))
+      .join(broadcast(cn), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("value_cents"),
+        (col("cum_off") + col("value_cents")).as("cum_value_cents"),
+        col("cohort_n"),
+        // cents are non-negative by construction (audited range), so
+        // integral division agrees across engines; widen the
+        // numerator per the ppm-product discipline
+        expr("CAST(CAST(cum_off + value_cents AS DECIMAL(38,0)) " +
+          "div cohort_n AS BIGINT)").as("ltv_per_signup_cents"))
+  }
+
   /** Rolling engagement: daily and trailing-7-day distinct active
     * users per observed day (DAU/WAU). Sliding distinct is not
     * decomposable, so each (day, user) pair is fanned out to the ≤7
@@ -1197,5 +1246,50 @@ object Events {
         Seq(col("n_in_window").desc, col("us").asc, col("event_id").asc), 1)
       .select(col("user_id"), col("n_in_window").as("peak_count"),
         col("us").as("peak_at_us"), col("event_id").as("peak_event_id"))
+  }
+
+  /** TOP USER JOURNEYS — the `k` most frequent session paths, a path
+    * being the ordered sequence of a session's first `maxSteps` event
+    * types (sessionized by the same inactivity rule as
+    * [[graft.ops.Relational.q16Sessionize]]). [[markov]] and the
+    * trigram extractor see TRANSITIONS; this is the whole-journey
+    * frequency table a product/funnel review actually reads.
+    *
+    * Shape: sessionization, the running session counter AND the
+    * in-session step index all ride ONE window partitioning on
+    * user_id (the step index is `rn − last session-start rn`, so no
+    * second exchange on (user, session) for a window); the path
+    * string materializes per session from a sorted struct collect
+    * bounded at `maxSteps` elements; path counting is map-side
+    * combined; and the final cut is TakeOrdered — a k-bounded heap,
+    * never a global sort, because distinct-path cardinality grows
+    * like |event_types|^maxSteps at corpus scale.
+    */
+  def topPaths(events: DataFrame, k: Int = 20, maxSteps: Int = 8,
+               gapSec: Long = 1800L): DataFrame = {
+    require(k > 0 && maxSteps > 0 && gapSec > 0,
+      s"k ($k), maxSteps ($maxSteps), gapSec ($gapSec) must be positive")
+    val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    val stepped = events
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(wo).isNull ||
+          col("ts").cast("double") -
+            lag(col("ts"), 1).over(wo).cast("double") > gapSec.toDouble, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(run))
+      .withColumn("step",
+        col("rn") - max(when(col("new_sess") === 1, col("rn"))).over(run) + 1)
+      .filter(col("step") <= maxSteps)
+    val paths = stepped
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("step"),
+          col("event_type")))), x => x.getField("event_type")),
+        ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -86,6 +86,57 @@ object Graph {
     // one-time constant-factor duplication of the chain, not the
     // per-round doubling the loop structure avoids
     val out = ranks.select(col("node"), col("pr"))
+    out.crossJoin(broadcast(out.agg(sum("pr").as("pr_sum"))))
+  }
+
+  /** PERSONALIZED PageRank — the SEED-EXPANSION operator of data
+    * curation: teleport mass returns only to a trusted seed set, so
+    * the stationary mass ranks every node by graph proximity to the
+    * seeds (the "find more documents like this vetted list" move,
+    * run on a knn/near-dup graph). Same fixed-point integer
+    * discipline, loop shape, and per-round single-reference
+    * structure as [[pageRank]] — the ONLY differences are the seed-
+    * conditional teleport term (non-seeds get zero base mass) and
+    * the seed-count denominator. `isSeed` is a predicate over the
+    * `node` column, evaluated once into the loop-invariant frame.
+    * Non-seed mass reachable only through dangling paths decays to
+    * 0, which is the semantics a curation consumer wants: "no path
+    * from the trusted set" means "no evidence".
+    */
+  def personalizedPageRank(edges: DataFrame, isSeed: Column,
+                           iters: Int = 3, dampingPct: Long = 85L,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters > 0 && dampingPct >= 0 && dampingPct <= 100,
+      s"iters ($iters) must be positive, dampingPct ($dampingPct) in [0, 100]")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .withColumn("is_seed", isSeed)
+    val sCount = nodes.filter(col("is_seed"))
+      .agg(count(lit(1)).as("ns"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val nodesS = nodes.crossJoin(broadcast(sCount))
+    // ranks carries is_seed through the loop (from the loop-invariant
+    // nodesS side of each round's join) so the final frame needs no
+    // node-set re-join — the inflow side still ships (node, pr) only
+    var ranks = nodesS.select(col("node"), col("is_seed"),
+      when(col("is_seed"), expr(s"$scale div ns")).otherwise(0L).as("pr"))
+    for (_ <- 0 until iters) {
+      val inflow = e
+        .join(ranks.select(col("node").as("src"), col("pr"))
+          .hint("shuffle_hash"), "src")
+        .join(deg.hint("shuffle_hash"), "src")
+        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      ranks = nodesS
+        .join(inflow.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"),
+            expr(s"((100 - $dampingPct) * ($scale div ns)) div 100"))
+            .otherwise(0L) +
+            expr(s"($dampingPct * coalesce(inflow, 0L)) div 100")).as("pr"))
+    }
+    val out = ranks.select(col("node"), col("is_seed"), col("pr"))
     out.crossJoin(broadcast(out.agg(sum("pr").as("pr_sum"))))
   }
 

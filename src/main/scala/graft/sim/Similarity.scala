@@ -1235,4 +1235,140 @@ object Similarity {
         expr("CAST((2 * (n * s - q)) div (n * n) AS BIGINT)")
           .as("mean_pair_sqdist_u2"))
   }
+
+  /** MEAN RECIPROCAL RANK of the IVF index against the brute top-1 —
+    * the second ranking metric next to [[annRecallAudit]]'s
+    * recall@k: recall asks "is the truth in the candidate set"; MRR
+    * asks "how far down the list does a user scroll to it", which is
+    * what a retrieval UI or a rerank-budget decision actually prices.
+    * One IVF pass (k candidates per query), one brute top-1 pass
+    * over the same bounded query set, a LEFT join on the
+    * (query, truth) key — a miss scores 0, never drops the query —
+    * and a single exact-integer rollup: rr = 10⁶ div rank per query,
+    * summed through DECIMAL(38,0) (the repo ppm rule — at 10¹²+
+    * queries an int64 rr sum wraps).
+    */
+  def mrrAudit(embeddings: DataFrame, queryFilter: Column,
+               k: Int = 10): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val cand = annIvf(embeddings, queryFilter, k)
+      .select(col("q_id"), col("vec_id"), col("rank"))
+    val truth = bruteTopK(embeddings, queryFilter, 1)
+      .select(col("q_id"), col("vec_id"))
+    // both sides are query-bounded (n_queries and n_queries·k rows)
+    // but the window lineage hides that from the planner — broadcast
+    // the candidate side explicitly or the join plans as SMJ (the
+    // RankSelect discipline)
+    truth.join(broadcast(cand), Seq("q_id", "vec_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("rank")).as("n_found"),
+        sum(expr("CAST(coalesce(1000000 div rank, 0) AS DECIMAL(38,0))"))
+          .as("rr"))
+      .select(col("n_queries"), col("n_found"),
+        expr("CAST(CAST(n_found AS DECIMAL(38,0)) * 1000000 " +
+          "div n_queries AS BIGINT)").as("found_ppm"),
+        expr("CAST(rr div n_queries AS BIGINT)").as("mrr_ppm"))
+  }
+
+  /** SAME-LABEL PRECISION vs COSINE THRESHOLD — the calibration
+    * curve that prices a semantic-dedup / mining threshold in the
+    * currency that matters: of the neighbor pairs scoring in each
+    * similarity band, how many are actually same-label?
+    * [[thresholdPlan]] reads the NULL distribution (how high random
+    * pairs score); this reads the SIGNAL distribution over the real
+    * knn edges, and the cumulative line from the top is directly
+    * "precision if you cut at this bin's lower edge". Pairs come
+    * from [[knnGraph]] (bounded node subset, bounded-heap top-k);
+    * binning is the same fixed-edge float arithmetic as the
+    * relational value histogram (IEEE-identical on any engine); the
+    * ≤`bins`-row summary takes its cumulative line from
+    * [[graft.ops.ModelFrames.exclusivePrefixSum]] keyed on the
+    * DESCENDING bin, so "cut here" sums come without a single-
+    * partition window.
+    */
+  def precisionCurve(embeddings: DataFrame, nodeFilter: Column,
+                     k: Int = 10, bins: Int = 20): DataFrame = {
+    require(k > 0 && bins > 0, s"k ($k), bins ($bins) must be positive")
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val pairs = knnGraph(embeddings, nodeFilter, k)
+      .join(labels.select(col("vec_id").as("src"),
+        col("label").as("l_src")), Seq("src"))
+      .join(labels.select(col("vec_id").as("dst"),
+        col("label").as("l_dst")), Seq("dst"))
+    val binned = pairs.select(
+      least(floor((col("cos") + lit(1.0d)) * bins / 2.0d),
+        lit(bins - 1L)).cast("long").as("bin"),
+      when(col("l_src") === col("l_dst"), 1L).otherwise(0L).as("same"))
+    val summary = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_pairs"), sum("same").as("n_same"))
+      .withColumn("neg_bin", -col("bin"))
+      .localCheckpoint() // both prefix lines + the join read it
+    val cumP = graft.ops.ModelFrames.exclusivePrefixSum(
+      summary, "neg_bin", "n_pairs", "p_off")
+    val cumS = graft.ops.ModelFrames.exclusivePrefixSum(
+      summary, "neg_bin", "n_same", "s_off")
+    summary
+      .join(broadcast(cumP), Seq("neg_bin"))
+      .join(broadcast(cumS), Seq("neg_bin"))
+      .select(col("bin"), col("n_pairs"), col("n_same"),
+        expr("CAST(CAST(n_same AS DECIMAL(38,0)) * 1000000 " +
+          "div n_pairs AS BIGINT)").as("precision_ppm"),
+        (col("p_off") + col("n_pairs")).as("cum_pairs"),
+        (col("s_off") + col("n_same")).as("cum_same"),
+        expr("CAST(CAST(s_off + n_same AS DECIMAL(38,0)) * 1000000 " +
+          "div (p_off + n_pairs) AS BIGINT)").as("cum_precision_ppm"))
+  }
+
+  /** MARGIN-BASED BITEXT MINING (the Artetxe & Schwenk ratio-margin
+    * criterion re-expressed in exact integers) — the parallel-pair
+    * miner of multilingual pipelines: across two disjoint groups,
+    * keep pairs that are MUTUAL nearest neighbors and score each by
+    * its margin, best·k·10⁶ div Σ(top-k), in both directions — a
+    * high margin means "closest by a clear gap over the neighborhood
+    * baseline", which separates true pairs from hubness artifacts
+    * the raw-cosine cut cannot. Cosines enter as exact micro-units
+    * (round-6 double → round → BIGINT, the engine-portable ladder);
+    * margins widen through DECIMAL(38,0) and are null unless
+    * best > 0 and the top-k sum is positive (floor vs truncate
+    * division diverges below zero — the guard keeps both engines in
+    * the agreeing quadrant). Exact form over bounded groups; at
+    * 100 TB the same mutual-best + margin algebra runs over IVF
+    * candidate lists exactly like [[hardNegatives]]' production cut.
+    */
+  def bitextMine(embeddings: DataFrame, groupA: Column, groupB: Column,
+                 k: Int = 4): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val a = embeddings.filter(groupA)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = embeddings.filter(groupB)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine_sim(col("a_emb"), col("b_emb")), 6).as("cos6"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(round(cos6 * 1000000) AS BIGINT)").as("u"))
+    def side(key: String, other: String) =
+      graft.plans.TopK.perKey(scored, Seq(key),
+          Seq(col("u").desc, col(other).asc), k)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(key).orderBy(col("u").desc, col(other))))
+        .groupBy(key)
+        .agg(max(when(col("rn") === 1, col(other))).as(s"best_$other"),
+          max(when(col("rn") === 1, col("u"))).as(s"best_u_$key"),
+          sum("u").as(s"s_$key"), count(lit(1)).as(s"n_$key"))
+    val fwd = side("a_id", "b_id")
+    val bwd = side("b_id", "a_id")
+    def margin(bu: String, s: String, n: String) =
+      expr(s"CASE WHEN $s > 0 AND $bu >= 0 THEN " +
+        s"CAST(CAST($bu AS DECIMAL(38,0)) * $n * 1000000 div $s AS BIGINT) " +
+        "END")
+    // per-vector aggregates on both sides (corpus-group-scale at
+    // 100 TB): hash exchanges on the two equi keys, never a re-sort
+    fwd.join(bwd.hint("shuffle_hash"),
+        col("best_b_id") === col("b_id") && col("best_a_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"),
+        col("best_u_a_id").as("cos_micro"),
+        margin("best_u_a_id", "s_a_id", "n_a_id").as("fwd_margin_ppm"),
+        margin("best_u_a_id", "s_b_id", "n_b_id").as("bwd_margin_ppm"))
+  }
 }

@@ -617,6 +617,55 @@ object TextAnalysis {
           "div total_occurrences AS BIGINT)").as("coverage_ppm"))
   }
 
+  /** VOCABULARY GROWTH CURVE (Heaps'-law audit) — new token types
+    * and token mass per corpus-prefix slice, in ingest-id order: the
+    * corpus-health read that says whether vocabulary is still
+    * growing (healthy diversity) or has flattened (the corpus is
+    * re-crawling itself — pair with the dedup family) and how much
+    * of a tokenizer-vocab budget each additional data slice buys
+    * (pair with [[vocabCoverage]], which reads the END state; this
+    * reads the TRAJECTORY).
+    *
+    * `bucket` is an id-RANGE slice — `doc_id·buckets div (max+1)` —
+    * so slicing is a narrow map off one broadcast max, never a
+    * global rank. A token's first bucket is `min(bucket)` over its
+    * occurrences (one map-side-combined aggregate on the token key,
+    * the same shuffle [[vocabCoverage]] pays), and the ≤`buckets`-row
+    * summary gets its cumulative lines from
+    * [[graft.ops.ModelFrames.exclusivePrefixSum]] — no single-
+    * partition window anywhere.
+    */
+  def vocabGrowth(documents: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets > 0, s"buckets ($buckets) must be positive")
+    val hi = documents.agg((max("doc_id") + 1).as("nd"))
+    val sliced = documents.crossJoin(broadcast(hi))
+      .select(expr(s"doc_id * $buckets div nd").as("bucket"),
+        tokens(col("text")).as("toks"))
+    val perBucket = sliced.groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"))
+    val firstBucket = sliced
+      .select(col("bucket"), explode(col("toks")).as("token"))
+      .groupBy("token").agg(min("bucket").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val summary = perBucket
+      .join(firstBucket, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .localCheckpoint() // the two prefix lines + the join all read it
+    val cumTok = graft.ops.ModelFrames.exclusivePrefixSum(
+      summary, "bucket", "n_tokens", "tok_off")
+    val cumTyp = graft.ops.ModelFrames.exclusivePrefixSum(
+      summary, "bucket", "new_types", "typ_off")
+    summary
+      .join(broadcast(cumTok), Seq("bucket"))
+      .join(broadcast(cumTyp), Seq("bucket"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"),
+        col("new_types"),
+        (col("tok_off") + col("n_tokens")).as("cum_tokens"),
+        (col("typ_off") + col("new_types")).as("cum_types"))
+  }
+
   /** Document fingerprints: a 64-bit hex prefix of md5 (oracle-
     * checkable) plus the Rabin-Karp rolling hash from the custom
     * Catalyst expression (the scale-path fingerprint).

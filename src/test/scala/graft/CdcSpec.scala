@@ -266,4 +266,36 @@ class CdcSpec extends SparkSpec
       "d2" -> ((1L, 1L, 0L, 0L)),
       "d3" -> ((1L, 2L, 1L, 500000L))), s"$got")
   }
+
+  test("dlq route: the cascade names the FIRST failing check, never throws") {
+    import spark.implicits._
+    val feed = Seq(
+      ("d1", 1L, """{"k": 69}"""),  // clean
+      ("d2", 2L, """{"k": 69"""),   // truncated mid-object
+      ("d3", 3L, """{"v": 69}"""),  // required key drifted away
+      ("d4", 4L, """{"k": "x"}"""), // type regression
+      ("d5", 5L, """{"k": -7}"""),  // negative integers are legal
+      ("d6", 6L, "not json at all"))
+      .toDF("doc_id", "seq", "payload")
+    val got = Changelog.dlqRoute(feed).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("reason")).toMap
+    assert(got === Map(
+      "d1" -> "ok", "d2" -> "not_json", "d3" -> "missing_key",
+      "d4" -> "bad_type", "d5" -> "ok", "d6" -> "not_json"), s"$got")
+  }
+
+  test("corrupt feed: every record keeps exactly one reason; rules hit by seq") {
+    val fed = Changelog.corruptFeed(cl)
+    val audit = Changelog.dlqAudit(fed).collect()
+      .map(r => r.getAs[String]("reason") -> r.getAs[Long]("n")).toMap
+    // the reasons partition the feed — routing drops nothing
+    assert(audit.values.sum === cl.count())
+    // every corruption class the generator plants is detected
+    assert(Set("ok", "not_json", "missing_key", "bad_type")
+      .subsetOf(audit.keySet), s"$audit")
+    // first-rule-wins: a seq divisible by 13 is truncated, not retyped
+    val r13 = Changelog.dlqRoute(fed).filter(col("seq") === 13L * 17L)
+      .select("reason").collect().map(_.getString(0))
+    assert(r13.forall(_ == "not_json"), r13.mkString(","))
+  }
 }

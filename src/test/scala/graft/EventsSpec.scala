@@ -727,4 +727,43 @@ class EventsSpec extends SparkSpec {
       2L -> ((1L, 0L, 5L)),
       3L -> ((1L, 0L, 7L))), s"$got")
   }
+
+  test("top paths: session split at the gap, step order, maxSteps cap, tie-break") {
+    // user 1, session 1: a>b>c; then a 2000s silence opens session 2: d
+    // user 2: a>b>c (same journey — count 2); user 3: ten 'x' events
+    // 1s apart — ONE session, path capped at maxSteps=8 x's
+    val tenX = (0 until 10).map(i => (100L + i, 5000L + i, 3L, "x"))
+    val events = ev((Seq(
+      (1L, 0L, 1L, "a"), (2L, 10L, 1L, "b"), (3L, 20L, 1L, "c"),
+      (4L, 2500L, 1L, "d"),
+      (5L, 0L, 2L, "a"), (6L, 5L, 2L, "b"), (7L, 9L, 2L, "c")) ++ tenX): _*)
+    val got = Events.topPaths(events, k = 10).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_sessions")).toMap
+    assert(got === Map(
+      "a>b>c" -> 2L, "d" -> 1L,
+      "x>x>x>x>x>x>x>x" -> 1L), s"$got")
+    // k cuts on (count DESC, path ASC): k=1 keeps the a>b>c journey
+    val top1 = Events.topPaths(events, k = 1).collect()
+    assert(top1.length === 1 && top1(0).getString(0) === "a>b>c")
+  }
+
+  test("cohort ltv: integer cents, per-cohort cumulative line, per-signup division") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(d: Int) = new Timestamp(d * 86400000L)
+    // two signups in the epoch week; only u1 returns in offset-1 week
+    val events = Seq(
+      (1L, t(0), 1L, "signup", 10.00),
+      (2L, t(0), 2L, "signup", 0.75),
+      (3L, t(8), 1L, "purchase", 2.50))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Events.cohortValue(events).collect()
+      .map(r => r.getAs[Long]("week_offset") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("value_cents"),
+          r.getAs[Long]("cum_value_cents"), r.getAs[Long]("cohort_n"),
+          r.getAs[Long]("ltv_per_signup_cents")))).toMap
+    assert(got === Map(
+      0L -> ((2L, 1075L, 1075L, 2L, 537L)),
+      1L -> ((1L, 250L, 1325L, 2L, 662L))), s"$got")
+  }
 }

@@ -23,6 +23,23 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("pr_sum") == pr.values.sum))
   }
 
+  test("personalized pagerank: mass flows only from the seed set; " +
+    "seed-unreachable nodes read exactly 0") {
+    import spark.implicits._
+    // seed 3 ↔ 1 two-cycle (closed: no dangling leak) plus a
+    // seedless pair 4 → 2 that never receives teleport OR inflow
+    val edges = Seq((3L, 1L), (1L, 3L), (4L, 2L)).toDF("src", "dst")
+    val rows = Graph.personalizedPageRank(edges, col("node") === 3).collect()
+    val pr = rows.map(r => r.getAs[Long]("node") ->
+      ((r.getAs[Boolean]("is_seed"), r.getAs[Long]("pr")))).toMap
+    // hand-replayed 3 rounds of 15/85 integer trillionths
+    assert(pr === Map(
+      3L -> ((true, 258375000000L)), 1L -> ((false, 741625000000L)),
+      4L -> ((false, 0L)), 2L -> ((false, 0L))), s"$pr")
+    // the closed seeded cycle conserves the whole scale exactly
+    assert(rows.forall(_.getAs[Long]("pr_sum") == 1000000000000L))
+  }
+
   test("component sizes count a planted clique and chain separately") {
     import spark.implicits._
     // 4-clique {1,2,3,4} and 2-chain {10,11}

@@ -651,4 +651,74 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Map(2 -> ((1L, 1L, 0L, 0L)), 3 -> ((1L, 1L, 1L, 1000000L))),
       s"$got")
   }
+
+  test("mrr: single-cell IVF degenerates to brute — every truth at rank 1") {
+    import spark.implicits._
+    // only id 0 is ≡0 mod 50 → ONE cell holds everything, so the
+    // candidate ranking IS the brute ranking and MRR is exactly 1e6
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.3f)),
+      (3L, Array(0.5f, 0.5f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val row = Similarity.mrrAudit(vecs, col("vec_id") < 2).collect()(0)
+    assert((row.getAs[Long]("n_queries"), row.getAs[Long]("n_found"),
+      row.getAs[Long]("found_ppm"), row.getAs[Long]("mrr_ppm")) ===
+      ((2L, 2L, 1000000L, 1000000L)))
+  }
+
+  test("mrr: a true neighbor in an unprobed cell scores 0, never drops the query") {
+    import spark.implicits._
+    // centroids c0/c1/c2 (ids 0,50,100). The query leans toward
+    // cells 0 and 2 (its two probes) but its by-far nearest vector
+    // sits in cell 1 — the IVF list can't contain it
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (50L, Array(0f, 1f, 0f, 0f)),
+      (100L, Array(0f, 0f, 1f, 0f)),
+      (7L, Array(0.1f, 0f, 0.05f, 1f)),     // the query
+      (60L, Array(0f, 0.3f, 0f, 0.95f)))    // its truth, assigned to c1
+      .toDF("vec_id", "embedding")
+    val row = Similarity.mrrAudit(vecs, col("vec_id") === 7).collect()(0)
+    assert((row.getAs[Long]("n_queries"), row.getAs[Long]("n_found"),
+      row.getAs[Long]("found_ppm"), row.getAs[Long]("mrr_ppm")) ===
+      ((1L, 0L, 0L, 0L)))
+  }
+
+  test("precision curve: same-label bands read 1e6, cross bands 0, cumulative exact") {
+    import spark.implicits._
+    // two tight same-label pairs (cos ≈ 1 → top bin), all cross
+    // pairs near-orthogonal (cos ≈ 0 → the middle bin)
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0.01f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.precisionCurve(vecs, lit(true), k = 3).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("n_same"),
+          r.getAs[Long]("precision_ppm"), r.getAs[Long]("cum_pairs"),
+          r.getAs[Long]("cum_same"), r.getAs[Long]("cum_precision_ppm")))).toMap
+    assert(got === Map(
+      19L -> ((4L, 4L, 1000000L, 4L, 4L, 1000000L)),
+      10L -> ((8L, 0L, 0L, 12L, 4L, 333333L))), s"$got")
+  }
+
+  test("bitext mining: mutual-best only, exact ratio margins, hub suitor excluded") {
+    import spark.implicits._
+    // a0↔b0 and a1↔b1 are mutual identicals; b2 courts a0 (cos .8)
+    // but a0's best is b0 — b2 must NOT produce a pair. Margins are
+    // exact: a0's top list {1e6, 8e5, 0} → 3e12 div 1.8e6 = 1666666
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (10L, Array(1f, 0f), 1), (11L, Array(0f, 1f), 1),
+      (12L, Array(0.8f, 0.6f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.bitextMine(vecs, col("label") === 0,
+        col("label") === 1).collect()
+      .map(r => r.getAs[Long]("a_id") ->
+        ((r.getAs[Long]("b_id"), r.getAs[Long]("cos_micro"),
+          r.getAs[Long]("fwd_margin_ppm"), r.getAs[Long]("bwd_margin_ppm")))).toMap
+    assert(got === Map(
+      0L -> ((10L, 1000000L, 1666666L, 2000000L)),
+      1L -> ((11L, 1000000L, 1875000L, 2000000L))), s"$got")
+  }
 }

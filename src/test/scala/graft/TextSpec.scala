@@ -489,4 +489,23 @@ class TextSpec extends SparkSpec {
     assert(out(6L) == ((1000000L, 3L, "tail")))
     assert(out.size == 6)
   }
+
+  test("vocab growth: first-bucket attribution, cumulative lines, repeat-heavy flatline") {
+    import spark.implicits._
+    // 3 docs, max+1 = 3 → buckets 0, 3, 6. doc1 re-uses 'b' (no new
+    // type but token mass grows); doc2 is ALL repeats — the Heaps
+    // flatline a re-crawled corpus shows
+    val docs = Seq(
+      (0L, "a b a"), (1L, "b c"), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabGrowth(docs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("new_types"), r.getAs[Long]("cum_tokens"),
+          r.getAs[Long]("cum_types")))).toMap
+    assert(got === Map(
+      0L -> ((1L, 3L, 2L, 3L, 2L)),
+      3L -> ((1L, 2L, 1L, 5L, 3L)),
+      6L -> ((1L, 3L, 0L, 8L, 3L))), s"$got")
+  }
 }
