@@ -352,6 +352,10 @@ object SparkEntry {
       Sampling.epochsPlan(Tables.documents(s, d)).orderBy("source")),
     "sample_temperature" -> ((s, d) =>
       Sampling.temperatureMix(Tables.documents(s, d)).orderBy("source")),
+    // UniMax waterfilling: equal per-language token allocations under
+    // a budget, capped at each language's mass — exact integers
+    "sample_unimax" -> ((s, d) =>
+      Sampling.unimax(Tables.documents(s, d), 90L).orderBy("lang")),
     // DSIR-flavored selection: hashed-unigram target/raw ratios in
     // integer ppm, top-n most-target-like docs per source
     "sample_dsir" -> ((s, d) =>
@@ -432,6 +436,12 @@ object SparkEntry {
     // prefix slice (is vocabulary still growing, or re-crawled?)
     "text_vocab_growth" -> ((s, d) =>
       TextAnalysis.vocabGrowth(Tables.documents(s, d)).orderBy("bucket")),
+    // hygiene gate over a deterministically damaged feed: mojibake /
+    // control bytes / whitespace runs routed to per-source counters
+    "text_encoding_audit" -> ((s, d) =>
+      TextAnalysis.encodingAudit(
+        TextAnalysis.corruptEncoding(Tables.documents(s, d)))
+        .orderBy("source")),
     // distributed BPE: train the merge table / re-segment under it
     "text_bpe_merges" -> ((s, d) => Bpe.mergeTable(bpeFit(s, d, 8))),
     "text_bpe_apply" -> ((s, d) => Bpe.tokenCountsOf(bpeFit(s, d, 8), 30)),
@@ -3504,6 +3514,36 @@ object SparkEntry {
         |            // max(tot.total_occurrences) AS BIGINT) AS coverage_ppm
         |FROM k CROSS JOIN r CROSS JOIN tot
         |GROUP BY k.k ORDER BY k.k""".stripMargin,
+    // the same damage rules by doc_id, then contains/translate/
+    // replace probes — chr() keeps the oracle ASCII-only
+    "text_encoding_audit" ->
+      """WITH fed AS (
+        |  SELECT source,
+        |         CASE WHEN doc_id % 11 = 0 THEN text || ' ' || chr(65533)
+        |              WHEN doc_id % 13 = 0 THEN text || chr(7)
+        |              WHEN doc_id % 17 = 0 THEN text || '  x'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |f AS (SELECT source,
+        |        CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END AS r,
+        |        CASE WHEN contains(text, chr(7)) THEN 1 ELSE 0 END AS c,
+        |        CASE WHEN contains(text, '  ') THEN 1 ELSE 0 END AS m,
+        |        length(text) - length(replace(translate(text,
+        |          chr(7) || chr(65533), ''), '  ', ' ')) AS rm
+        |      FROM fed),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |        CAST(sum(r) AS BIGINT) AS n_replacement,
+        |        CAST(sum(c) AS BIGINT) AS n_control,
+        |        CAST(sum(m) AS BIGINT) AS n_multispace,
+        |        CAST(sum(CASE WHEN r + c + m > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS dirty_docs,
+        |        CAST(sum(rm) AS BIGINT) AS chars_removed
+        |      FROM f GROUP BY source)
+        |SELECT source, n_docs, n_replacement, n_control, n_multispace,
+        |       dirty_docs, chars_removed,
+        |       CAST(CAST(dirty_docs AS HUGEINT) * 1000000 // n_docs AS BIGINT)
+        |         AS dirty_ppm
+        |FROM g ORDER BY source""".stripMargin,
     // id-range prefix slices; a type's first bucket is min(bucket);
     // cumulative lines replayed as plain ordered window sums (the
     // operator's prefix-sum join is the distribution strategy, not
@@ -4541,6 +4581,44 @@ object SparkEntry {
         |             / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)
         |         AS boost
         |FROM c ORDER BY source""".stripMargin,
+    // waterfill replay on the language model frame: same unique key
+    // (mass·2^16 + 4 md5 nibbles, HUGEINT), ordered-window prefix +
+    // rank, first capped row fixes the level
+    "sample_unimax" ->
+      """WITH pl AS (SELECT lang, count(*) AS n_docs,
+        |              CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+        |                AS n_tokens
+        |            FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot, count(*) AS m FROM pl),
+        |keyed AS (SELECT pl.lang, pl.n_docs, pl.n_tokens, t.m,
+        |            t.tot * 90 // 100 AS budget_tokens,
+        |            CAST(n_tokens AS HUGEINT) * 65536
+        |            + (strpos('0123456789abcdef', substring(md5(lang), 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substring(md5(lang), 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substring(md5(lang), 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substring(md5(lang), 4, 1)) - 1) AS k
+        |          FROM pl CROSS JOIN t),
+        |c AS (SELECT *,
+        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY k
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS BIGINT) AS p,
+        |        row_number() OVER (ORDER BY k) - 1 AS i
+        |      FROM keyed),
+        |cc AS (SELECT *, (budget_tokens - p) // (m - i) AS cand FROM c),
+        |b AS (SELECT min(k) AS jk FROM cc WHERE n_tokens > cand),
+        |lv AS (SELECT cc.cand AS level_tokens, cc.k AS jk
+        |       FROM cc JOIN b ON cc.k = b.jk)
+        |SELECT cc.lang, cc.n_docs, cc.n_tokens,
+        |       CAST(cc.budget_tokens AS BIGINT) AS budget_tokens,
+        |       CAST(lv.level_tokens AS BIGINT) AS level_tokens,
+        |       CAST(CASE WHEN lv.jk IS NULL OR cc.k < lv.jk THEN cc.n_tokens
+        |            ELSE least(cc.n_tokens, lv.level_tokens) END AS BIGINT)
+        |         AS alloc_tokens,
+        |       (CASE WHEN lv.jk IS NULL OR cc.k < lv.jk THEN cc.n_tokens
+        |        ELSE least(cc.n_tokens, lv.level_tokens) END) < cc.n_tokens
+        |         AS capped
+        |FROM cc LEFT JOIN lv ON TRUE
+        |ORDER BY cc.lang""".stripMargin,
     "q31_range_native" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
         |           FROM events WHERE event_type = 'purchase'),

@@ -780,4 +780,63 @@ object Sampling {
       .withColumn("rk", row_number().over(w).cast("long"))
       .select("source", "rk", "doc_id", "n_tokens", "score_ppm")
   }
+
+  /** UNIMAX language mixing (Chung et al. 2023) — budget-constrained
+    * WATERFILLING: spend a token budget as uniformly as possible
+    * across languages, capping each language at its available mass.
+    * The published alternative to [[temperatureMix]]'s power law:
+    * temperature still over-samples the head, UniMax gives every
+    * language the same allocation unless it simply doesn't have the
+    * tokens (then the surplus waterfalls to the rest).
+    *
+    * Exact integer algebra on the ≤|langs| model frame: languages
+    * order by an ascending unique key (token mass · 2¹⁶ + a 4-nibble
+    * md5 tie-break, widened through DECIMAL(38,0)); prefix mass and
+    * rank come from [[ModelFrames.exclusivePrefixSum]] (never a
+    * single-partition window); each row's waterfill candidate is
+    * `(budget − prefix) div (m − rank)` and the FIRST capped row
+    * (min key among `n_tokens > cand`) fixes the level. The level is
+    * provably non-negative (each earlier uncapped row leaves
+    * `budget − prefix ≥ 0`), so `div`-vs-floor divergence on
+    * negative candidates can never reach an output value — negative
+    * candidates only ever feed the `n_tokens > cand` verdict, which
+    * both engines agree on by sign alone. The corpus is touched by
+    * exactly ONE aggregate (per-lang token mass); everything after
+    * is model-frame algebra, unchanged at 100 TB.
+    */
+  def unimax(documents: DataFrame, budgetPct: Long = 60L): DataFrame = {
+    require(budgetPct >= 0 && budgetPct <= 100,
+      s"budgetPct ($budgetPct) must be in [0, 100]")
+    val perLang = documents
+      .select(col("lang"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val totals = perLang.agg(sum("n_tokens").as("tot"), count(lit(1)).as("m"))
+    val keyed = perLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("m"),
+        expr(s"tot * $budgetPct div 100").as("budget_tokens"),
+        expr("CAST(n_tokens AS DECIMAL(38,0)) * 65536 " +
+          "+ CAST(conv(substring(md5(lang), 1, 4), 16, 10) AS BIGINT)")
+          .as("k"))
+      .localCheckpoint() // prefix line, rank line, and output read it
+    val prefix = ModelFrames.exclusivePrefixSum(keyed, "k", "n_tokens", "p")
+    val rank = ModelFrames.exclusivePrefixSum(
+      keyed.withColumn("one", lit(1L)), "k", "one", "i")
+    val cand = keyed
+      .join(broadcast(prefix), Seq("k"))
+      .join(broadcast(rank), Seq("k"))
+      .withColumn("cand", expr("(budget_tokens - p) div (m - i)"))
+      .localCheckpoint() // the boundary aggregate + the output read it
+    val bound = cand.filter(col("n_tokens") > col("cand"))
+      .agg(min(struct(col("k"), col("cand"))).as("b"))
+      .select(col("b.k").as("jk"), col("b.cand").as("level_tokens"))
+    cand.crossJoin(broadcast(bound))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("budget_tokens"), col("level_tokens"),
+        when(col("jk").isNull || col("k") < col("jk"), col("n_tokens"))
+          .otherwise(least(col("n_tokens"), col("level_tokens")))
+          .as("alloc_tokens"))
+      .withColumn("capped", col("alloc_tokens") < col("n_tokens"))
+  }
 }

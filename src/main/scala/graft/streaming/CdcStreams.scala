@@ -47,6 +47,17 @@ object CdcStreams {
   def geoRoute(cl: DataFrame): DataFrame = Changelog.geoRoute(cl)
   def binaryRoute(cl: DataFrame): DataFrame = Changelog.binaryRoute(cl)
 
+  /** LIVE dead-letter routing — [[Changelog.dlqRoute]]'s cascade on
+    * the stream, stateless, so one malformed payload can never stall
+    * a partition the way it throws inside the reference's poll loop
+    * (FtsAndGeoServiceJSONWithCDC.java:120 hands ChangeNode values
+    * straight to the message builder). Split the result on
+    * `reason = 'ok'`: the clean side feeds the usual routes, the
+    * dead letters land in their own sink WITH their reason — same
+    * classification, batch and live, by construction.
+    */
+  def dlqRoute(cl: DataFrame): DataFrame = Changelog.dlqRoute(cl)
+
   private def mergeGroup(docId: String, recs: Iterator[ChangeRecord],
                          state: GroupState[DocState]): Iterator[DocState] = {
     var st = state.getOption.getOrElse(DocState(docId, -1L, "", "", "", 0L))

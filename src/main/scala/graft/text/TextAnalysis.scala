@@ -617,6 +617,56 @@ object TextAnalysis {
           "div total_occurrences AS BIGINT)").as("coverage_ppm"))
   }
 
+  /** Deterministic ENCODING-DAMAGE generator for the audit below —
+    * the three classes a web-scale text ingest actually meets,
+    * injected by doc_id (first matching rule wins) exactly like the
+    * CDC malformed feed: U+FFFD replacement chars (a double-decode /
+    * mojibake scar), stray control bytes (binary bleed-through), and
+    * whitespace runs (boilerplate stripping damage).
+    */
+  def corruptEncoding(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      when(col("doc_id") % 11 === 0, concat(col("text"), lit(" \uFFFD")))
+        .when(col("doc_id") % 13 === 0, concat(col("text"), lit("\u0007")))
+        .when(col("doc_id") % 17 === 0, concat(col("text"), lit("  x")))
+        .otherwise(col("text")))
+
+  /** ENCODING/CLEANLINESS AUDIT — per source: how many documents
+    * carry replacement characters, control characters, or
+    * whitespace runs, and how many characters the standard cleaning
+    * pass (drop control + replacement chars, collapse space runs)
+    * would remove. The C4/CCNet-style hygiene gate a corpus ingest
+    * runs BEFORE quality scoring — a source with high dirty_ppm has
+    * an extraction problem upstream, not a content problem. Pure
+    * scan-side projection (translate + replace + contains — no
+    * regex engine divergence between engines), one low-cardinality
+    * aggregate; the dirty ratio widens through DECIMAL(38,0).
+    */
+  def encodingAudit(documents: DataFrame): DataFrame = {
+    // the match set is built as a Scala literal, NOT Spark chr():
+    // Spark's chr(n) is mod-256 ASCII (chr(65533) = 'ý'), silently
+    // missing U+FFFD, while DuckDB's chr() is a code point
+    val cleaned = regexp_replace(
+      translate(col("text"), "\u0007\uFFFD", ""), "  ", " ")
+    documents
+      .select(col("source"),
+        when(col("text").contains("\uFFFD"), 1L).otherwise(0L).as("r"),
+        when(col("text").contains("\u0007"), 1L).otherwise(0L).as("c"),
+        when(col("text").contains("  "), 1L).otherwise(0L).as("m"),
+        (length(col("text")) - length(cleaned)).cast("long").as("rm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("r").as("n_replacement"),
+        sum("c").as("n_control"),
+        sum("m").as("n_multispace"),
+        sum(when(col("r") + col("c") + col("m") > 0, 1L).otherwise(0L))
+          .as("dirty_docs"),
+        sum("rm").as("chars_removed"))
+      .withColumn("dirty_ppm",
+        expr("CAST(CAST(dirty_docs AS DECIMAL(38,0)) * 1000000 " +
+          "div n_docs AS BIGINT)"))
+  }
+
   /** VOCABULARY GROWTH CURVE (Heaps'-law audit) — new token types
     * and token mass per corpus-prefix slice, in ingest-id order: the
     * corpus-health read that says whether vocabulary is still

@@ -521,4 +521,39 @@ class SamplingSpec extends SparkSpec {
     assert(uni(4L) > 0L, s"unigram soup should fool the unigram model: $uni")
     assert(uni(3L) > uni(5L))
   }
+
+  test("unimax waterfill: small languages fully taken, the surplus levels the rest") {
+    import spark.implicits._
+    // masses: aa=2, bb=6, cc=12 tokens (total 20); budget 50% = 10.
+    // aa (2) fits under 10/3=3 → taken whole; remaining 8 over 2
+    // langs = 4 each → bb (6) capped at 4, cc (12) capped at 4
+    val docs = Seq(
+      (0L, "x y", "aa"),
+      (1L, "x y z x y z", "bb"),
+      (2L, "a b c d e f g h i j k l", "cc"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.unimax(docs, 50L).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("level_tokens"),
+          r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped")))).toMap
+    assert(got === Map(
+      "aa" -> ((2L, 4L, 2L, false)),
+      "bb" -> ((6L, 4L, 4L, true)),
+      "cc" -> ((12L, 4L, 4L, true))), s"$got")
+    // allocation never exceeds the budget; the shortfall is bounded
+    // by the floor remainders (< one token per capped language)
+    assert(got.values.map(_._3).sum <= 10L)
+  }
+
+  test("unimax: a budget covering the corpus allocates everything, uncapped") {
+    import spark.implicits._
+    val docs = Seq((0L, "x y", "aa"), (1L, "p q r", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.unimax(docs, 100L).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("alloc_tokens"), r.getAs[Boolean]("capped"),
+          r.isNullAt(r.fieldIndex("level_tokens"))))).toMap
+    assert(got === Map(
+      "aa" -> ((2L, false, true)), "bb" -> ((3L, false, true))), s"$got")
+  }
 }

@@ -81,6 +81,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("live dlq route classifies malformed payloads without killing the query") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val input = MemoryStream[EventRow]
+    val routed = CdcStreams.dlqRoute(
+      CdcStreams.changelog(input.toDF()).toDF())
+    val q = routed.writeStream.format("memory").queryName("dlq")
+      .outputMode(OutputMode.Append).start()
+    val poison = Seq(
+      ev(100, 9, "view", 10).copy(props = """{"k": 100"""),   // truncated
+      ev(101, 9, "view", 11).copy(props = """{"v": 1}"""),    // key drift
+      ev(102, 9, "view", 12).copy(props = """{"k": "x"}"""))  // bad type
+    try {
+      input.addData(batch1)
+      input.addData(poison) // one bad batch must not stall the stream
+      input.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dlq").collect()
+      .map(r => r.getAs[Long]("seq") -> r.getAs[String]("reason")).toMap
+    // every record of every batch flowed through, reasons attached
+    assert(got.size === (batch1 ++ poison ++ batch2).size)
+    assert(got(100L) === "not_json" && got(101L) === "missing_key" &&
+      got(102L) === "bad_type")
+    assert(batch1.forall(e => got(e.event_id) === "ok"))
+    // batch/stream parity by construction: same classification rows
+    val batchSide = Changelog.dlqRoute(
+      Changelog.fromEvents((allEvents ++ poison).toDF()))
+      .collect().map(r => r.getAs[Long]("seq") -> r.getAs[String]("reason")).toMap
+    assert(got === batchSide)
+  }
+
   test("streaming funnel state converges to the batch funnel") {
     import spark.implicits._
     implicit val s = spark

@@ -508,4 +508,34 @@ class TextSpec extends SparkSpec {
       3L -> ((1L, 2L, 1L, 5L, 3L)),
       6L -> ((1L, 3L, 0L, 8L, 3L))), s"$got")
   }
+
+  test("encoding audit: each damage class counted once, removal chars exact") {
+    import spark.implicits._
+    // s1: mojibake doc — dropping the U+FFFD leaves its two flanking
+    // spaces adjacent, and the collapse takes one more (2 removed);
+    // s2: control byte (1) plus a 3-space run, where ONE left-to-
+    // right non-overlapping pass removes exactly one space (the
+    // replace semantics both engines share — not a full collapse)
+    val docs = Seq(
+      (1L, "good text \uFFFD here", "s1"),
+      (2L, "clean", "s1"),
+      (3L, "bell\u0007ring", "s2"),
+      (4L, "wide   gap", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.encodingAudit(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_replacement"), r.getAs[Long]("n_control"),
+          r.getAs[Long]("n_multispace"), r.getAs[Long]("dirty_docs"),
+          r.getAs[Long]("chars_removed"), r.getAs[Long]("dirty_ppm")))).toMap
+    assert(got === Map(
+      "s1" -> ((1L, 0L, 0L, 1L, 2L, 500000L)),
+      "s2" -> ((0L, 1L, 1L, 2L, 2L, 1000000L))), s"$got")
+    // the damage generator plants each class where its rule says
+    val fed = TextAnalysis.corruptEncoding(
+      Seq((11L, "a", "s"), (13L, "b", "s"), (17L, "c", "s"), (1L, "d", "s"))
+        .toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(fed(11L) === "a \uFFFD" && fed(13L) === "b\u0007" &&
+      fed(17L) === "c  x" && fed(1L) === "d")
+  }
 }
