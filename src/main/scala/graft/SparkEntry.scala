@@ -500,6 +500,11 @@ object SparkEntry {
       Dedup.embedNearDup(Tables.embeddings(s, d), 0.3, col("vec_id") % 5 === 0).orderBy("vec_a", "vec_b")),
     "dedup_chunks" -> ((s, d) =>
       TextAnalysis.chunkDedup(Tables.documents(s, d)).orderBy("doc_id")),
+    // duplication × quality contingency: are the duplicated docs
+    // also the low-quality ones? (decides if the two cuts overlap)
+    "dedup_quality_cross" -> ((s, d) =>
+      Dedup.qualityCross(keeperModel(s, d), Tables.documents(s, d))
+        .orderBy("size_class", "q_band")),
     "dedup_semdedup" -> ((s, d) =>
       Dedup.semDedup(Tables.embeddings(s, d), 0.3).orderBy("vec_id")),
     // how much duplication: histogram over keeper-cluster sizes
@@ -564,6 +569,14 @@ object SparkEntry {
       graft.ops.Graph.personalizedPageRank(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"), col("node") % 3 === 0).orderBy("node")),
+    // embedding homophily per node: cos² (ppm, exact integers) of
+    // each vector against its neighborhood sum — hub/outlier audit
+    "graph_smoothness" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ops.Graph.smoothness(
+        Similarity.knnGraph(emb, col("vec_id") % 7 === 0, 3)
+          .select("src", "dst"), emb).orderBy("node")
+    }),
     // MRR of the IVF index vs the brute top-1: how far down the
     // candidate list the true neighbor sits, in exact integer ppm
     "sim_mrr" -> ((s, d) =>
@@ -1230,6 +1243,55 @@ object SparkEntry {
     """fin AS (SELECT node, is_seed, CAST(pr AS BIGINT) AS pr FROM p3),
       |tot AS (SELECT CAST(sum(pr) AS BIGINT) AS pr_sum FROM fin)
       |SELECT node, is_seed, pr, pr_sum FROM fin CROSS JOIN tot ORDER BY node""".stripMargin
+
+  /** Duplication×quality matrix replay: keeper labels + the shared
+    * q_bp scorer, fixed 2500-bp bands, HUGEINT shares. */
+  private val dedupQualityCrossSql: String =
+    keepersNearCte.stripSuffix("\n") + ",\n" +
+    s"""qual AS (SELECT d.doc_id, ${qBpSql("d.toks")} AS q_bp FROM docs d),
+      |sz AS (SELECT keep_doc_id, count(*) AS csz FROM l2 GROUP BY 1),
+      |cells AS (
+      |  SELECT CASE WHEN sz.csz = 1 THEN 'unique'
+      |              WHEN sz.csz <= 3 THEN 'small' ELSE 'large' END AS size_class,
+      |         least(q.q_bp // 2500, 3) AS q_band,
+      |         count(*) AS n_docs
+      |  FROM l2 JOIN sz USING (keep_doc_id) JOIN qual q ON q.doc_id = l2.doc_id
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT size_class, CAST(sum(n_docs) AS BIGINT) AS class_total
+      |        FROM cells GROUP BY 1)
+      |SELECT c.size_class, CAST(c.q_band AS BIGINT) AS q_band, c.n_docs,
+      |       t.class_total,
+      |       CAST(CAST(c.n_docs AS HUGEINT) * 1000000 // t.class_total
+      |            AS BIGINT) AS share_ppm
+      |FROM cells c JOIN tot t USING (size_class)
+      |ORDER BY c.size_class, c.q_band""".stripMargin
+
+  /** Smoothness replay: micro-unit coordinate lists, positional
+    * explode over a 64-slot series, HUGEINT quadratic forms. */
+  private val graphSmoothnessSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |uv AS (SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]),
+      |           x -> CAST(round(x * 1000000) AS BIGINT)) AS u
+      |       FROM embeddings),
+      |pos AS (SELECT unnest(generate_series(1, 64)) AS j),
+      |sj AS (SELECT e.src, p.j, CAST(sum(uv.u[p.j]) AS BIGINT) AS sx
+      |       FROM e JOIN uv ON uv.vec_id = e.dst CROSS JOIN pos p
+      |       GROUP BY 1, 2),
+      |own AS (SELECT vec_id AS src, p.j, uv.u[p.j] AS ax
+      |        FROM uv CROSS JOIN pos p),
+      |t AS (SELECT s.src,
+      |        sum(CAST(o.ax AS HUGEINT) * s.sx) AS dot,
+      |        sum(CAST(o.ax AS HUGEINT) * o.ax) AS na2,
+      |        sum(CAST(s.sx AS HUGEINT) * s.sx) AS ns2
+      |      FROM sj s JOIN own o ON o.src = s.src AND o.j = s.j
+      |      GROUP BY 1),
+      |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
+      |SELECT t.src AS node, d.deg, t.dot >= 0 AS aligned,
+      |       CASE WHEN na2 > 0 AND ns2 > 0
+      |            THEN CAST(dot * dot * 1000000 // (na2 * ns2) AS BIGINT)
+      |       END AS cos2_ppm
+      |FROM t JOIN d ON d.src = t.src ORDER BY node""".stripMargin
 
   /** One HITS round over CTEs `e`/`nodes`: authority = in-edge hub
     * sum, hub = out-edge authority sum, each L∞-rescaled to the
@@ -3801,6 +3863,8 @@ object SparkEntry {
     // one helper so the three rounds cannot diverge
     "graph_pagerank" -> graphPagerankSql,
     "graph_ppr" -> graphPprSql,
+    "graph_smoothness" -> graphSmoothnessSql,
+    "dedup_quality_cross" -> dedupQualityCrossSql,
     "graph_hits" -> graphHitsSql,
     "graph_components" -> graphComponentsSql,
     "graph_mutual_components" -> graphMutualComponentsSql,

@@ -636,6 +636,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
 
+  /** DUPLICATION × QUALITY contingency — the joint answer to "are
+    * the duplicated documents also the low-quality ones?", which
+    * decides whether dedup and quality filtering are redundant cuts
+    * or orthogonal ones (if near-dup families concentrate in the
+    * bottom quality bands, the quality gate already removes most of
+    * them and the dedup budget should go to the crafty high-quality
+    * templates instead). Each doc carries its keeper-cluster size
+    * class (unique / small 2–3 / large 4+) and its integer-basis-
+    * point quality band (q_bp div 2500, the shared
+    * [[graft.text.TextAnalysis.qualityBpFrame]] scorer); the output
+    * is the size×band matrix with each cell's within-class share in
+    * ppm (DECIMAL-widened). Two hash-joins on doc-keyed frames + one
+    * aggregate to a ≤12-row matrix.
+    */
+  def qualityCross(model: KeeperModel, documents: DataFrame): DataFrame = {
+    val sizes = model.labels.groupBy("keep_doc_id")
+      .agg(count(lit(1)).as("csz"))
+    val q = graft.text.TextAnalysis.qualityBpFrame(documents)
+      .select(col("doc_id"), col("q_bp"))
+    val cells = model.labels
+      .join(sizes.hint("shuffle_hash"), "keep_doc_id")
+      .join(q.hint("shuffle_hash"), "doc_id")
+      .select(
+        when(col("csz") === 1, "unique")
+          .when(col("csz") <= 3, "small").otherwise("large")
+          .as("size_class"),
+        expr("least(q_bp div 2500, 3L)").as("q_band"))
+      .groupBy("size_class", "q_band").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // matrix + class totals both read it
+    val totals = cells.groupBy("size_class")
+      .agg(sum("n_docs").as("class_total"))
+    cells.join(broadcast(totals), Seq("size_class"))
+      .select(col("size_class"), col("q_band"), col("n_docs"),
+        col("class_total"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 " +
+          "div class_total AS BIGINT)").as("share_ppm"))
+  }
+
   /** Per-SOURCE duplication report: each source's doc count, docs
     * sitting in near-dup clusters of ≥2, and the duplication rate —
     * the table that says WHICH ingest source is template-heavy (the

@@ -140,6 +140,52 @@ object Graph {
     out.crossJoin(broadcast(out.agg(sum("pr").as("pr_sum"))))
   }
 
+  /** EMBEDDING SMOOTHNESS over a graph — per node, how aligned the
+    * node's own vector is with the SUM of its neighbors' vectors:
+    * the homophily audit of a knn/near-dup graph in the GNN-era
+    * sense (a low-alignment node is a hub stitching unrelated
+    * regions or an outlier mis-wired into a neighborhood — exactly
+    * the edges a curation pass should distrust), and the embedding
+    * twin of [[neighborSimilarity]]'s structural overlap.
+    *
+    * The float formulation (cosine against a float mean) is NOT
+    * reproducible at scale — neighbor sums change with shuffle
+    * order. Here every coordinate enters as an exact micro-unit
+    * integer (the [[graft.sim.Similarity.diversity]] ladder), the
+    * neighborhood sum is exact integer addition in any order, and
+    * alignment is emitted as `cos²` in ppm — `dot²·10⁶ div
+    * (‖a‖²·‖s‖²)` in DECIMAL(38,0) (HUGEINT oracle-side) — plus the
+    * sign bit, which together carry cosine without a square root.
+    * Shape: one (node, dim)-keyed join + partial aggregation for the
+    * neighborhood sums, one (node, dim) join against the node's own
+    * coordinates, hash exchanges throughout.
+    */
+  def smoothness(edges: DataFrame, embeddings: DataFrame): DataFrame = {
+    val micro = embeddings.select(col("vec_id"),
+      expr("transform(embedding, v -> " +
+        "CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("u"))
+    val coords = micro.select(col("vec_id"),
+      posexplode(col("u")).as(Seq("j", "x")))
+    val e = edges.select(col("src"), col("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val sj = e.join(coords.select(col("vec_id").as("dst"), col("j"),
+        col("x")).hint("shuffle_hash"), "dst")
+      .groupBy(col("src"), col("j")).agg(sum("x").as("sx"))
+    val own = coords.select(col("vec_id").as("src"), col("j"),
+      col("x").as("ax"))
+    val terms = sj.join(own.hint("shuffle_hash"), Seq("src", "j"))
+      .groupBy("src")
+      .agg(sum(expr("CAST(ax AS DECIMAL(38,0)) * sx")).as("dot"),
+        sum(expr("CAST(ax AS DECIMAL(38,0)) * ax")).as("na2"),
+        sum(expr("CAST(sx AS DECIMAL(38,0)) * sx")).as("ns2"))
+    terms.join(deg.hint("shuffle_hash"), "src")
+      .select(col("src").as("node"), col("deg"),
+        (col("dot") >= 0).as("aligned"),
+        expr("CASE WHEN na2 > 0 AND ns2 > 0 THEN " +
+          "CAST(dot * dot * 1000000 div (na2 * ns2) AS BIGINT) END")
+          .as("cos2_ppm"))
+  }
+
   /** Per-node triangle counts + local clustering coefficient over an
     * edge list — the cohesion audit of a near-dup/knn graph (dense
     * triangle neighborhoods = tight duplicate families; a high-degree

@@ -592,4 +592,34 @@ class DedupSpec extends SparkSpec {
       assert(h._1 >= 0L && h._1 <= 19L && h._3 <= h._4, s"bad bin $h")
     }
   }
+
+  test("quality cross: dup family lands in 'small', shares sum to 1e6 per class") {
+    import spark.implicits._
+    // docs 1+2 identical (a 2-family), 3 and 4 unique singletons
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight"),
+      (4L, "red green blue cyan magenta yellow black white"))
+      .toDF("doc_id", "text")
+    val model = Dedup.fitKeepers(docs, 0.9)
+    val rows = Dedup.qualityCross(model, docs).collect()
+    val byClass = rows.groupBy(_.getAs[String]("size_class"))
+    // the family is size 2 → 'small'; the singletons are 'unique'
+    assert(byClass("small").map(_.getAs[Long]("n_docs")).sum === 2L)
+    assert(byClass("unique").map(_.getAs[Long]("n_docs")).sum === 2L)
+    // within-class shares partition each class exactly (ppm floors)
+    byClass.values.foreach { cls =>
+      val total = cls.map(_.getAs[Long]("share_ppm")).sum
+      assert(total > 1000000L - cls.length && total <= 1000000L,
+        s"shares $total")
+      assert(cls.forall(r =>
+        r.getAs[Long]("class_total") === cls.map(_.getAs[Long]("n_docs")).sum))
+    }
+    // every doc carries the band the shared scorer assigns it
+    val bands = graft.text.TextAnalysis.qualityBpFrame(docs).collect()
+      .map(r => math.min(r.getAs[Long]("q_bp") / 2500, 3L))
+    val matrixDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(matrixDocs === bands.length)
+  }
 }

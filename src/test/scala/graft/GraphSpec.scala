@@ -40,6 +40,25 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("pr_sum") == 1000000000000L))
   }
 
+  test("smoothness: aligned clone-neighborhood reads 1e6, flipped reads " +
+    "1e6 with aligned=false, orthogonal reads 0") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(1f, 0f)),
+      (4L, Array(1f, 0f)), (5L, Array(-1f, 0f)),
+      (6L, Array(1f, 0f)), (7L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L)).toDF("src", "dst")
+    val got = Graph.smoothness(edges, emb).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Boolean]("aligned"),
+          r.getAs[Long]("cos2_ppm")))).toMap
+    assert(got === Map(
+      1L -> ((2L, true, 1000000L)),   // sum of two clones: perfectly aligned
+      4L -> ((1L, false, 1000000L)),  // anti-parallel: cos² still 1, sign flags it
+      6L -> ((1L, true, 0L))), s"$got") // orthogonal: zero alignment
+  }
+
   test("component sizes count a planted clique and chain separately") {
     import spark.implicits._
     // 4-clique {1,2,3,4} and 2-chain {10,11}
