@@ -356,6 +356,10 @@ object SparkEntry {
     // a budget, capped at each language's mass — exact integers
     "sample_unimax" -> ((s, d) =>
       Sampling.unimax(Tables.documents(s, d), 90L).orderBy("lang")),
+    // skyline curation: docs undominated on (quality, token mass) —
+    // the bounded q_bp domain makes the frontier a model frame
+    "sample_pareto_front" -> ((s, d) =>
+      Sampling.paretoFront(Tables.documents(s, d)).orderBy("doc_id")),
     // DSIR-flavored selection: hashed-unigram target/raw ratios in
     // integer ppm, top-n most-target-like docs per source
     "sample_dsir" -> ((s, d) =>
@@ -4645,6 +4649,21 @@ object SparkEntry {
         |             / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)
         |         AS boost
         |FROM c ORDER BY source""".stripMargin,
+    // skyline replay: per-q_bp group max, strictly-greater suffix max
+    // via the inequality self-join, tie-preserving dominance test
+    "sample_pareto_front" ->
+      s"""WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |              FROM documents),
+        |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |             ${qBpSql("toks")} AS q_bp
+        |      FROM docs),
+        |g AS (SELECT q_bp, max(n_tokens) AS my FROM q GROUP BY 1),
+        |a AS (SELECT g.q_bp, g.my, max(g2.my) AS amax
+        |      FROM g LEFT JOIN g g2 ON g2.q_bp > g.q_bp GROUP BY g.q_bp, g.my)
+        |SELECT q.doc_id, q.n_tokens, q.q_bp
+        |FROM q JOIN a USING (q_bp)
+        |WHERE (a.amax IS NULL OR a.amax < q.n_tokens) AND q.n_tokens = a.my
+        |ORDER BY q.doc_id""".stripMargin,
     // waterfill replay on the language model frame: same unique key
     // (mass·2^16 + 4 md5 nibbles, HUGEINT), ordered-window prefix +
     // rank, first capped row fixes the level

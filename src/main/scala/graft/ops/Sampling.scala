@@ -781,6 +781,40 @@ object Sampling {
       .select("source", "rk", "doc_id", "n_tokens", "score_ppm")
   }
 
+  /** PARETO-FRONT (skyline) SELECTION — the docs no other doc
+    * dominates on BOTH criteria (quality basis points AND token
+    * mass, maximize each): multi-objective curation without
+    * collapsing the objectives into one weighted score first (any
+    * fixed weighting silently discards part of the front; the front
+    * itself is every weighting's optimum set).
+    *
+    * The classic skyline operator, distributed: because the quality
+    * criterion lives on a BOUNDED integer domain (q_bp ∈ [0, 10⁴],
+    * the shared scorer's basis points), the dominance frontier
+    * collapses to a ≤10⁴-row model frame — per q_bp group the max
+    * token count, then the strictly-greater-q suffix max via a
+    * broadcast inequality self-join (the exclusivePrefixSum shape,
+    * max instead of sum). A doc survives iff nothing with more
+    * quality has at least its length (`amax < n`) and nothing with
+    * EQUAL quality is strictly longer (`n = group max`); exact ties
+    * on both axes all survive (neither dominates). One corpus scan,
+    * one bounded aggregate, one broadcast join back — no pairwise
+    * corpus join at any scale.
+    */
+  def paretoFront(documents: DataFrame): DataFrame = {
+    val q = graft.text.TextAnalysis.qualityBpFrame(documents)
+    val groups = q.groupBy("q_bp").agg(max("n_tokens").as("my"))
+      .localCheckpoint() // the suffix-max self-join + output read it
+    val amax = groups
+      .join(broadcast(groups.select(col("q_bp").as("x2"),
+        col("my").as("my2"))), col("x2") > col("q_bp"), "left")
+      .groupBy("q_bp", "my").agg(max("my2").as("amax"))
+    q.join(broadcast(amax), Seq("q_bp"))
+      .filter((col("amax").isNull || col("amax") < col("n_tokens")) &&
+        col("n_tokens") === col("my"))
+      .select(col("doc_id"), col("n_tokens"), col("q_bp"))
+  }
+
   /** UNIMAX language mixing (Chung et al. 2023) — budget-constrained
     * WATERFILLING: spend a token budget as uniformly as possible
     * across languages, capping each language at its available mass.

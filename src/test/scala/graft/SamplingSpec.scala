@@ -522,6 +522,34 @@ class SamplingSpec extends SparkSpec {
     assert(uni(3L) > uni(5L))
   }
 
+  test("pareto front equals the brute-force dominance filter, ties preserved") {
+    import spark.implicits._
+    def bruteOf(docs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val q = graft.text.TextAnalysis.qualityBpFrame(docs).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("q_bp")))
+      q.filter { case (id, n, b) =>
+        !q.exists { case (id2, n2, b2) =>
+          id2 != id && b2 >= b && n2 >= n && (b2 > b || n2 > n) }
+      }.map(_._1).toSet
+    }
+    // real corpus: the operator IS the brute dominance filter
+    val corpus = Tables.documents(spark, sf)
+    val got = Sampling.paretoFront(corpus).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got === bruteOf(corpus) && got.nonEmpty)
+    // planted: exact (n, q_bp) twins BOTH survive (no strict edge)
+    val twins = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val gotTwins = Sampling.paretoFront(twins).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gotTwins === bruteOf(twins))
+    assert(Set(1L, 2L).subsetOf(gotTwins))
+  }
+
   test("unimax waterfill: small languages fully taken, the surplus levels the rest") {
     import spark.implicits._
     // masses: aa=2, bb=6, cc=12 tokens (total 20); budget 50% = 10.
