@@ -573,6 +573,12 @@ object SparkEntry {
       graft.ops.Graph.personalizedPageRank(
         Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
           .select("src", "dst"), col("node") % 3 === 0).orderBy("node")),
+    // R-bounded pivot Brandes: who brokers the shortest paths —
+    // fixed-point δ in ppm, deterministic pivots, truncated radius
+    "graph_betweenness" -> ((s, d) =>
+      graft.ops.Graph.betweenness(
+        Similarity.knnGraph(Tables.embeddings(s, d), col("vec_id") % 7 === 0, 3)
+          .select("src", "dst")).orderBy("node")),
     // embedding homophily per node: cos² (ppm, exact integers) of
     // each vector against its neighborhood sum — hub/outlier audit
     "graph_smoothness" -> ((s, d) => {
@@ -1812,6 +1818,71 @@ object SparkEntry {
       |       round(avg(dist), 4) AS avg_dist,
       |       (SELECT converged FROM conv) AS converged
       |FROM d6 GROUP BY node ORDER BY node""".stripMargin
+
+  /** One forward Brandes level: σ relaxed from the level below over
+    * `und`, anti-joined against all already-reached (seed, node)
+    * pairs; HUGEINT path counts. */
+  private def btFwdSql(l: Int): String = {
+    val p = l - 1
+    s"""f$l AS MATERIALIZED (
+       |  SELECT u.dst AS node, f.seed,
+       |         CAST(sum(f.sigma) AS HUGEINT) AS sigma
+       |  FROM f$p f JOIN und u ON u.src = f.node
+       |  LEFT JOIN a$p a ON a.node = u.dst AND a.seed = f.seed
+       |  WHERE a.node IS NULL
+       |  GROUP BY 1, 2),
+       |a$l AS MATERIALIZED (SELECT node, seed FROM a$p
+       |       UNION ALL SELECT node, seed FROM f$l),
+       |""".stripMargin
+  }
+
+  /** One backward Brandes level: δ(v) = Σ σv·(10⁶+δw) // σw over DAG
+    * edges into the level above (floored per term, the operator's
+    * fixed-point). The top level has no successors — its δ is the
+    * implicit 0. */
+  private def btBwdSql(l: Int, top: Int): String = {
+    val up = l + 1
+    val dJoin =
+      if (up == top) ""
+      else s"LEFT JOIN b$up b ON b.node = w.node AND b.seed = w.seed\n  "
+    val dTerm =
+      if (up == top) "1000000" else "(1000000 + coalesce(b.delta, 0))"
+    s"""b$l AS MATERIALIZED (
+       |  SELECT v.node, v.seed,
+       |         sum((v.sigma * $dTerm) // w.sigma) AS delta
+       |  FROM f$l v JOIN und u ON u.src = v.node
+       |  JOIN f$up w ON w.node = u.dst AND w.seed = v.seed
+       |  ${dJoin}GROUP BY 1, 2),
+       |""".stripMargin
+  }
+
+  /** R-bounded pivot-Brandes replay: 4 forward σ levels, 4 backward
+    * fixed-point δ levels, endpoint rows dropped from the rollup. */
+  private val graphBetweennessSql: String = knnRankedCte +
+    """, e AS (SELECT src, dst FROM ranked WHERE rank <= 3),
+      |und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+      |        (SELECT src, dst FROM e WHERE src <> dst
+      |         UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+      |pv AS (SELECT DISTINCT src AS node FROM und ORDER BY node LIMIT 4),
+      |f0 AS MATERIALIZED (SELECT node, node AS seed,
+      |        CAST(1 AS HUGEINT) AS sigma FROM pv),
+      |a0 AS (SELECT node, seed FROM f0),
+      |""".stripMargin +
+    (1 to 4).map(btFwdSql).mkString +
+    (3 to 0 by -1).map(btBwdSql(_, 4)).mkString +
+    """alld AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+      |          UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3),
+      |seen AS (SELECT node, count(*) AS n_seen FROM a4 GROUP BY 1),
+      |bcv AS (SELECT node, CAST(sum(delta) AS BIGINT) AS bc_ppm
+      |        FROM alld WHERE node <> seed GROUP BY 1),
+      |nd AS (SELECT DISTINCT src AS node FROM und)
+      |SELECT nd.node,
+      |       nd.node IN (SELECT node FROM pv) AS is_pivot,
+      |       CAST(coalesce(seen.n_seen, 0) AS BIGINT) AS n_seen,
+      |       CAST(coalesce(bcv.bc_ppm, 0) AS BIGINT) AS bc_ppm
+      |FROM nd LEFT JOIN seen ON seen.node = nd.node
+      |        LEFT JOIN bcv ON bcv.node = nd.node
+      |ORDER BY nd.node""".stripMargin
 
   /** Degree-assortativity replay: undirected stubs, degree joins,
     * the same population-moment Pearson as the operator. */
@@ -3868,6 +3939,7 @@ object SparkEntry {
     "graph_pagerank" -> graphPagerankSql,
     "graph_ppr" -> graphPprSql,
     "graph_smoothness" -> graphSmoothnessSql,
+    "graph_betweenness" -> graphBetweennessSql,
     "dedup_quality_cross" -> dedupQualityCrossSql,
     "graph_hits" -> graphHitsSql,
     "graph_components" -> graphComponentsSql,

@@ -677,6 +677,105 @@ object Graph {
       .withColumn("converged", lit(converged))
   }
 
+  /** PIVOT BETWEENNESS, R-BOUNDED — Brandes' algorithm from a
+    * deterministic pivot set, radius-truncated: which nodes sit ON
+    * the shortest paths between others (the broker/bottleneck
+    * ranking — in a near-dup or knn graph, a high-betweenness node
+    * is the bridge stitching two otherwise-separate duplicate
+    * families or topical regions, exactly the doc to inspect before
+    * trusting a merge). [[pageRank]] ranks by mass received,
+    * [[landmarkCloseness]] by distance out; neither sees brokerage.
+    *
+    * Exact-with-stated-bounds, never sampled-by-RNG: pivots are the
+    * `pivots` smallest-id nodes (the [[landmarkCloseness]] landmark
+    * discipline — replayable selection), paths are truncated at
+    * `rounds` hops (k-bounded betweenness), and the backward
+    * dependency accumulation δ(v) = Σ_w σv·(1+δw)/σw runs in
+    * FIXED-POINT ppm with floored integer division at every term —
+    * the pageRank reproducibility argument: float δ at 100 TB is
+    * shuffle-order-dependent, integer δ is bit-identical on any
+    * engine, and the oracle replays the identical floors.
+    *
+    * Shape: `rounds` forward BFS rounds keyed (seed, node) carrying
+    * the path-count σ (one keyed join + partial-agg + anti-join per
+    * round, [[Rounds]]-materialized), then `rounds` backward rounds
+    * walking the BFS DAG one level up per step (level frames are
+    * already materialized — each backward step is one keyed join
+    * against the level above). State is reached (seed, node) pairs,
+    * ≤ pivots·N rows; σ sums and δ terms widen through
+    * DECIMAL(38,0) (σ is bounded by deg^rounds, which overflows
+    * int64 on real degree distributions).
+    */
+  def betweenness(edges: DataFrame, pivots: Int = 4,
+                  rounds: Int = 4): DataFrame = {
+    require(pivots >= 1 && rounds >= 1,
+      s"pivots ($pivots) and rounds ($rounds) must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = Rounds.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val nodes = und.select(col("src").as("node")).distinct()
+    val pv = nodes.orderBy("node").limit(pivots)
+    // forward: one frame per BFS level, most recent first
+    var levels = List(Rounds.materialize(
+      pv.select(col("node"), col("node").as("seed"),
+        lit(1L).cast("decimal(38,0)").as("sigma"))))
+    var acc = levels.head.select("node", "seed")
+    for (_ <- 1 to rounds) {
+      val relax = und
+        .join(levels.head.select(col("node").as("src"), col("seed"),
+          col("sigma")).hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("node"), col("seed"))
+        .agg(sum("sigma").as("sigma"))
+      val nw = Rounds.materialize(
+        relax.join(acc.hint("shuffle_hash"), Seq("node", "seed"), "left_anti"))
+      levels = nw :: levels
+      acc = Rounds.materialize(acc.unionByName(nw.select("node", "seed")))
+    }
+    // backward: δ at the deepest level is 0; each step accumulates
+    // one level down through the DAG edges (d(w) = d(v) + 1)
+    var deltaUp: DataFrame = null
+    var bc: DataFrame = null
+    for (idx <- 1 until levels.length) {
+      val lvl = levels(idx)       // level R - idx (the v side)
+      val upper = levels(idx - 1) // level R - idx + 1 (the w side)
+      val upperD =
+        if (deltaUp == null)
+          upper.select(col("node"), col("seed"), col("sigma"),
+            lit(0L).cast("decimal(38,0)").as("delta"))
+        else upper.join(deltaUp.hint("shuffle_hash"),
+            Seq("node", "seed"), "left")
+          .select(col("node"), col("seed"), col("sigma"),
+            coalesce(col("delta"), lit(0L).cast("decimal(38,0)"))
+              .as("delta"))
+      val contrib = und
+        .join(upperD.select(col("node").as("dst"), col("seed"),
+          col("sigma").as("sw"), col("delta").as("dw"))
+          .hint("shuffle_hash"), "dst")
+        .select(col("src").as("node"), col("seed"), col("sw"), col("dw"))
+        .join(lvl.select(col("node"), col("seed"),
+          col("sigma").as("sv")).hint("shuffle_hash"), Seq("node", "seed"))
+        .groupBy("node", "seed")
+        .agg(sum(expr("(sv * (1000000 + dw)) div sw")).as("delta"))
+      deltaUp = Rounds.materialize(contrib)
+      bc = if (bc == null) deltaUp
+           else Rounds.materialize(bc.unionByName(deltaUp))
+    }
+    val seen = acc.groupBy("node").agg(count(lit(1)).as("n_seen"))
+    val perNode = bc.filter(col("node") =!= col("seed"))
+      .groupBy("node")
+      .agg(expr("CAST(sum(delta) AS BIGINT)").as("bc_ppm"))
+    nodes
+      .join(seen.hint("shuffle_hash"), Seq("node"), "left")
+      .join(perNode.hint("shuffle_hash"), Seq("node"), "left")
+      .join(broadcast(pv.withColumn("is_pivot", lit(true))),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("is_pivot"), lit(false)).as("is_pivot"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        coalesce(col("bc_ppm"), lit(0L)).as("bc_ppm"))
+  }
+
   /** Bounded-iteration HITS (hubs & authorities) in FIXED-POINT
     * integer arithmetic — the directed-graph complement of
     * [[pageRank]]: on a citation/link/reference graph, authorities

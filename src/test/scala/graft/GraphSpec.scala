@@ -40,6 +40,28 @@ class GraphSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("pr_sum") == 1000000000000L))
   }
 
+  test("betweenness: the path middle brokers its endpoints, diamond splits σ") {
+    import spark.implicits._
+    // path 1—2—3: node 2 carries the one 1↔3 pair from both end
+    // pivots (10⁶ each); the endpoints broker nothing
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val gotP = Graph.betweenness(path).collect()
+      .map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Boolean]("is_pivot"), r.getAs[Long]("n_seen"),
+          r.getAs[Long]("bc_ppm")))).toMap
+    assert(gotP === Map(
+      1L -> ((true, 3L, 0L)), 2L -> ((true, 3L, 2000000L)),
+      3L -> ((true, 3L, 0L))), s"$gotP")
+    // diamond 1-2-4, 1-3-4: two shortest paths per opposite pair, so
+    // each broker inherits σv/σw = 1/2 per pivot — exactly 10⁶ each
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val gotD = Graph.betweenness(diamond).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("bc_ppm")).toMap
+    assert(gotD === Map(1L -> 1000000L, 2L -> 1000000L,
+      3L -> 1000000L, 4L -> 1000000L), s"$gotD")
+  }
+
   test("smoothness: aligned clone-neighborhood reads 1e6, flipped reads " +
     "1e6 with aligned=false, orthogonal reads 0") {
     import spark.implicits._
