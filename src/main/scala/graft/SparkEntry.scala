@@ -180,6 +180,11 @@ object SparkEntry {
     "events_top_paths" -> ((s, d) =>
       graft.ops.Events.topPaths(Tables.events(s, d))
         .orderBy(col("n_sessions").desc, col("path"))),
+    // robotic-regularity audit: k most metronomic users by exact
+    // integer cv² of inter-event gaps (the slow-even-bot detector)
+    "events_metronome" -> ((s, d) =>
+      graft.ops.Events.metronome(Tables.events(s, d))
+        .orderBy("cv2_ppm", "user_id")),
     // time-to-convert: exact discrete p50/p90 of per-user stage gaps
     // via the RankSelect histogram (users never sort)
     "events_funnel_latency" -> ((s, d) =>
@@ -360,6 +365,10 @@ object SparkEntry {
     // the bounded q_bp domain makes the frontier a model frame
     "sample_pareto_front" -> ((s, d) =>
       Sampling.paretoFront(Tables.documents(s, d)).orderBy("doc_id")),
+    // CEM matched controls: per treatment doc, the most length-
+    // similar other-source doc in the same (lang, band) stratum
+    "sample_matched_controls" -> ((s, d) =>
+      Sampling.matchedControls(Tables.documents(s, d)).orderBy("t_doc")),
     // DSIR-flavored selection: hashed-unigram target/raw ratios in
     // integer ppm, top-n most-target-like docs per source
     "sample_dsir" -> ((s, d) =>
@@ -4721,6 +4730,43 @@ object SparkEntry {
         |             / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)
         |         AS boost
         |FROM c ORDER BY source""".stripMargin,
+    // gap moments per user (HUGEINT squares), the population cv²
+    // identity with both engines' floors, ascending heap cut
+    "events_metronome" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |m AS (SELECT user_id, count(*) AS n_gaps,
+        |        CAST(sum(gap) AS BIGINT) AS s,
+        |        sum(CAST(gap AS HUGEINT) * gap) AS ss
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, s // n_gaps AS mean_gap_us,
+        |       CAST((n_gaps * ss - CAST(s AS HUGEINT) * s) * 1000000
+        |            // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_ppm
+        |FROM m WHERE n_gaps >= 5 AND s > 0
+        |ORDER BY cv2_ppm, user_id LIMIT 20""".stripMargin,
+    // CEM replay: stratum hash join, |Δtokens| window rank, left
+    // join keeps unmatched treatments with null controls
+    "sample_matched_controls" ->
+      """WITH sized AS (SELECT doc_id, source, lang,
+        |                 CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n
+        |               FROM documents),
+        |t AS (SELECT doc_id AS t_doc, lang, n // 8 AS band, n AS t_tokens
+        |      FROM sized WHERE source = 'src1'),
+        |c AS (SELECT doc_id AS c_doc, lang, n // 8 AS band, n AS c_tokens
+        |      FROM sized WHERE source <> 'src1'),
+        |cand AS (SELECT t.t_doc, c.c_doc, c.c_tokens,
+        |           abs(t.t_tokens - c.c_tokens) AS len_diff,
+        |           row_number() OVER (PARTITION BY t.t_doc
+        |             ORDER BY abs(t.t_tokens - c.c_tokens), c.c_doc) AS rn
+        |         FROM t JOIN c USING (lang, band))
+        |SELECT t.t_doc, t.lang, t.band, t.t_tokens,
+        |       b.c_doc, b.c_tokens, b.len_diff
+        |FROM t LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b
+        |  ON b.t_doc = t.t_doc
+        |ORDER BY t.t_doc""".stripMargin,
     // skyline replay: per-q_bp group max, strictly-greater suffix max
     // via the inequality self-join, tie-preserving dominance test
     "sample_pareto_front" ->

@@ -1248,6 +1248,43 @@ object Events {
         col("us").as("peak_at_us"), col("event_id").as("peak_event_id"))
   }
 
+  /** METRONOME (robotic-traffic) DETECTION — the k users whose
+    * inter-event gaps are most suspiciously REGULAR: human activity
+    * is bursty (squared coefficient of variation cv² ≈ 1 for
+    * Poisson-ish arrival, higher for sessions), schedulers, retry
+    * loops and scripted scrapers tick (cv² → 0). The complement of
+    * [[rateWindows]]' volume gate: a slow-but-perfectly-even bot
+    * never trips a rate limit and lights up here.
+    *
+    * cv² is exact integer algebra off two moments: per user one
+    * window pass gives the gaps, one aggregate gives (n, Σg, Σg²)
+    * with the square widened at the term (µs gaps square to ~10²⁶ —
+    * far past int64), and cv²·10⁶ = (n·Σg² − (Σg)²)·10⁶ div (Σg)² —
+    * the population-moment identity, floored identically on both
+    * engines. Selection is TakeOrdered on (cv², user): a k-heap,
+    * never a sort of the user dimension.
+    */
+  def metronome(events: DataFrame, k: Int = 20,
+                minGaps: Long = 5L): DataFrame = {
+    require(k > 0 && minGaps >= 2, s"k ($k), minGaps ($minGaps) invalid")
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("s"),
+        sum(expr("CAST(gap AS DECIMAL(38,0)) * gap")).as("ss"))
+      .filter(col("n_gaps") >= minGaps && col("s") > 0)
+      .select(col("user_id"), col("n_gaps"),
+        expr("s div n_gaps").as("mean_gap_us"),
+        expr("CAST((n_gaps * ss - CAST(s AS DECIMAL(38,0)) * s) * 1000000 " +
+          "div (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)").as("cv2_ppm"))
+      .orderBy(col("cv2_ppm").asc, col("user_id").asc)
+      .limit(k)
+  }
+
   /** TOP USER JOURNEYS — the `k` most frequent session paths, a path
     * being the ordered sequence of a session's first `maxSteps` event
     * types (sessionized by the same inactivity rule as

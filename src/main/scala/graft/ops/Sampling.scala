@@ -781,6 +781,41 @@ object Sampling {
       .select("source", "rk", "doc_id", "n_tokens", "score_ppm")
   }
 
+  /** COARSENED-EXACT-MATCHED CONTROLS — for every document of a
+    * treatment source, the most length-similar document from any
+    * OTHER source inside the same (lang, length-band) stratum: the
+    * matched-control design an A/B eval of a data intervention
+    * needs ("did source X's docs score better because of the source
+    * or because they're longer English docs?"). CEM (Iacus et al.)
+    * re-expressed distributed: coarsen covariates into strata
+    * (exact-match keys — ONE hash join, no pairwise corpus
+    * product), rank within stratum by |Δtokens| with the doc-id tie
+    * break, keep the top control on a bounded heap. Unmatched
+    * treatments survive with a null control (the pruning report is
+    * part of the design, never silent).
+    */
+  def matchedControls(documents: DataFrame, treatSource: String = "src1",
+                      bandTokens: Int = 8, k: Int = 1): DataFrame = {
+    require(bandTokens > 0 && k > 0,
+      s"bandTokens ($bandTokens), k ($k) must be positive")
+    val sized = documents.select(col("doc_id"), col("source"), col("lang"),
+      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+    val t = sized.filter(col("source") === treatSource)
+      .select(col("doc_id").as("t_doc"), col("lang"),
+        expr(s"n div $bandTokens").as("band"), col("n").as("t_tokens"))
+    val c = sized.filter(col("source") =!= treatSource)
+      .select(col("doc_id").as("c_doc"), col("lang"),
+        expr(s"n div $bandTokens").as("band"), col("n").as("c_tokens"))
+    val cand = t.join(c.hint("shuffle_hash"), Seq("lang", "band"))
+      .withColumn("len_diff", abs(col("t_tokens") - col("c_tokens")))
+    val best = graft.plans.TopK.perKey(cand, Seq("t_doc"),
+      Seq(col("len_diff").asc, col("c_doc").asc), k)
+    t.join(best.select(col("t_doc"), col("c_doc"), col("c_tokens"),
+        col("len_diff")).hint("shuffle_hash"), Seq("t_doc"), "left")
+      .select(col("t_doc"), col("lang"), col("band"), col("t_tokens"),
+        col("c_doc"), col("c_tokens"), col("len_diff"))
+  }
+
   /** PARETO-FRONT (skyline) SELECTION — the docs no other doc
     * dominates on BOTH criteria (quality basis points AND token
     * mass, maximize each): multi-objective curation without

@@ -747,6 +747,25 @@ class EventsSpec extends SparkSpec {
     assert(top1.length === 1 && top1(0).getString(0) === "a>b>c")
   }
 
+  test("metronome: even ticker reads cv2=0, bursty user scores higher, " +
+    "thin users excluded") {
+    // u1: five exactly-10s gaps → cv² = 0. u2: gaps 10,30,10,30,20s →
+    // moments give exactly 200000 ppm. u3: two gaps only → below floor
+    val events = ev(
+      (1L, 0L, 1L, "a"), (2L, 10L, 1L, "a"), (3L, 20L, 1L, "a"),
+      (4L, 30L, 1L, "a"), (5L, 40L, 1L, "a"), (6L, 50L, 1L, "a"),
+      (11L, 0L, 2L, "a"), (12L, 10L, 2L, "a"), (13L, 40L, 2L, "a"),
+      (14L, 50L, 2L, "a"), (15L, 80L, 2L, "a"), (16L, 100L, 2L, "a"),
+      (21L, 0L, 3L, "a"), (22L, 5L, 3L, "a"), (23L, 9L, 3L, "a"))
+    val got = Events.metronome(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("mean_gap_us"),
+          r.getAs[Long]("cv2_ppm"))))
+    assert(got.toSeq === Seq(
+      1L -> ((5L, 10000000L, 0L)),
+      2L -> ((5L, 20000000L, 200000L))), s"${got.toSeq}")
+  }
+
   test("cohort ltv: integer cents, per-cohort cumulative line, per-signup division") {
     import spark.implicits._
     import java.sql.Timestamp

@@ -550,6 +550,26 @@ class SamplingSpec extends SparkSpec {
     assert(Set(1L, 2L).subsetOf(gotTwins))
   }
 
+  test("matched controls: nearest length in-stratum, id tie-break, " +
+    "cross-band and cross-lang pools never match, unmatched kept null") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10), "en", "src1"),   // treatment, band 1
+      (2L, words(10), "fr", "src1"),   // treatment, no fr pool → null
+      (10L, words(11), "en", "src2"),  // diff 1 — tie, lower id wins
+      (11L, words(9), "en", "src3"),   // diff 1 — tie loser
+      (12L, words(50), "en", "src2"))  // band 6: out of stratum
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Sampling.matchedControls(docs).collect()
+      .map(r => r.getAs[Long]("t_doc") ->
+        ((Option(r.getAs[java.lang.Long]("c_doc")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("len_diff")).map(_.toLong)))).toMap
+    assert(got === Map(
+      1L -> ((Some(10L), Some(1L))),
+      2L -> ((None, None))), s"$got")
+  }
+
   test("unimax waterfill: small languages fully taken, the surplus levels the rest") {
     import spark.implicits._
     // masses: aa=2, bb=6, cc=12 tokens (total 20); budget 50% = 10.
