@@ -128,6 +128,10 @@ object SparkEntry {
     "events_cohort_ltv" -> ((s, d) =>
       graft.ops.Events.cohortValue(Tables.events(s, d))
         .orderBy("cohort_week", "week_offset")),
+    // lifetime ecdf + hazard per observed death day (survival curve)
+    "events_churn_curve" -> ((s, d) =>
+      graft.ops.Events.churnCurve(Tables.events(s, d))
+        .orderBy("lifetime_days")),
     "events_anomaly" -> ((s, d) =>
       graft.ops.Events.anomaly(Tables.events(s, d)).orderBy("event_id")),
     // median/MAD robust outliers: exact order statistics, no sort
@@ -600,6 +604,10 @@ object SparkEntry {
     // candidate list the true neighbor sits, in exact integer ppm
     "sim_mrr" -> ((s, d) =>
       Similarity.mrrAudit(Tables.embeddings(s, d), col("vec_id") < 25)),
+    // cell_balance's semantic twin: is each IVF cell dominated by
+    // one label (coherent) or a mixture (recall needs high nprobe)?
+    "sim_cell_purity" -> ((s, d) =>
+      Similarity.cellPurity(Tables.embeddings(s, d)).orderBy("cell_id")),
     // same-label precision per cosine band over the knn edges — the
     // signal-side calibration next to sim_threshold_plan's null side
     "sim_precision_curve" -> ((s, d) =>
@@ -4730,6 +4738,30 @@ object SparkEntry {
         |             / (CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)), 4)
         |         AS boost
         |FROM c ORDER BY source""".stripMargin,
+    // lifetime histogram, DESC-window suffix sum for the at-risk
+    // line, HUGEINT ratios
+    "events_churn_curve" ->
+      """WITH pu AS (SELECT user_id,
+        |              min(CASE WHEN event_type = 'signup' THEN ts END) AS fs,
+        |              max(ts) AS lt
+        |            FROM events GROUP BY 1),
+        |lts AS (SELECT CAST(CAST(lt AS DATE) - CAST(fs AS DATE) AS BIGINT)
+        |          AS lifetime_days
+        |        FROM pu WHERE fs IS NOT NULL),
+        |h AS (SELECT lifetime_days, count(*) AS churned FROM lts GROUP BY 1),
+        |tot AS (SELECT CAST(sum(churned) AS BIGINT) AS n0 FROM h),
+        |s AS (SELECT *,
+        |        CAST(coalesce(sum(churned) OVER (ORDER BY lifetime_days DESC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |             AS BIGINT) AS above
+        |      FROM h)
+        |SELECT lifetime_days, CAST(above + churned AS BIGINT) AS n_at_risk,
+        |       churned,
+        |       CAST(CAST(churned AS HUGEINT) * 1000000 // (above + churned)
+        |            AS BIGINT) AS hazard_ppm,
+        |       CAST(CAST(above AS HUGEINT) * 1000000 // n0 AS BIGINT)
+        |         AS surviving_ppm
+        |FROM s CROSS JOIN tot ORDER BY lifetime_days""".stripMargin,
     // gap moments per user (HUGEINT squares), the population cv²
     // identity with both engines' floors, ascending heap cut
     "events_metronome" ->
@@ -5270,6 +5302,32 @@ object SparkEntry {
         |       round(CAST(count(i.vec_id) AS DOUBLE) / count(*), 4) AS recall
         |FROM bt b LEFT JOIN ivf i ON i.q_id = b.q_id AND i.vec_id = b.vec_id
         |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin,
+    // the cell-balance assignment replay + per-cell label argmax
+    // (count desc, label tie-break), HUGEINT purity share
+    "sim_cell_purity" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+        |           FROM embeddings),
+        |asg AS (
+        |  SELECT vec_id, label, cell_id,
+        |         row_number() OVER (PARTITION BY vec_id
+        |                            ORDER BY list_cosine_similarity(emb, c_emb) DESC, cell_id) AS rn
+        |  FROM corpus CROSS JOIN cents),
+        |bl AS (SELECT cell_id, label, count(*) AS n
+        |       FROM asg WHERE rn = 1 GROUP BY 1, 2),
+        |tp AS (SELECT cell_id, label AS top_label, n AS top_n,
+        |         row_number() OVER (PARTITION BY cell_id
+        |                            ORDER BY n DESC, label) AS rk
+        |       FROM bl),
+        |sz AS (SELECT cell_id, CAST(sum(n) AS BIGINT) AS n_vecs
+        |       FROM bl GROUP BY 1)
+        |SELECT sz.cell_id, sz.n_vecs, tp.top_label,
+        |       CAST(CAST(tp.top_n AS HUGEINT) * 1000000 // sz.n_vecs
+        |            AS BIGINT) AS purity_ppm
+        |FROM sz JOIN tp ON tp.cell_id = sz.cell_id AND tp.rk = 1
+        |ORDER BY sz.cell_id""".stripMargin,
     // the IVF replay at k=10 + the brute top-1 truth; a miss scores
     // 0 via coalesce, the rr sum runs in HUGEINT
     "sim_mrr" ->

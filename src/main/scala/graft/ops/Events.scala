@@ -1248,6 +1248,47 @@ object Events {
         col("us").as("peak_at_us"), col("event_id").as("peak_event_id"))
   }
 
+  /** CHURN / SURVIVAL CURVE — the discrete lifetime distribution of
+    * signed-up users: for every observed lifetime day `t` (signup →
+    * last event), who is still at risk, who churns exactly there,
+    * the hazard d_t/n_t, and the survival share — [[retention]]
+    * buckets RETURN VISITS per cohort week; this reads LIFETIMES,
+    * which is what a churn model and an LTV horizon actually
+    * consume. (With the synthetic horizon every user's last event is
+    * observed, so the product-limit estimator reduces to this exact
+    * lifetime ecdf — the censoring-free regime.)
+    *
+    * Two corpus aggregates (per-user lifetime, then the ≤calendar
+    * lifetime histogram); the at-risk line is a strictly-above
+    * suffix sum from [[graft.ops.ModelFrames.exclusivePrefixSum]] on
+    * the negated day key; ratios widen per the ppm rule. Rows exist
+    * for death days — hazard is zero everywhere between.
+    */
+  def churnCurve(events: DataFrame): DataFrame = {
+    val lifetimes = events.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts")))
+        .as("fs"), max(col("ts")).as("lt"))
+      .filter(col("fs").isNotNull)
+      .select(expr("datediff(cast(lt as date), cast(fs as date))")
+        .cast("long").as("lifetime_days"))
+    val hist = lifetimes.groupBy("lifetime_days")
+      .agg(count(lit(1)).as("churned"))
+      .withColumn("negt", -col("lifetime_days"))
+      .localCheckpoint() // suffix line, total, and output read it
+    val above = ModelFrames.exclusivePrefixSum(hist, "negt", "churned",
+      "above")
+    val n0 = hist.agg(sum("churned").as("n0"))
+    hist.join(broadcast(above), Seq("negt"))
+      .crossJoin(broadcast(n0))
+      .select(col("lifetime_days"),
+        (col("above") + col("churned")).as("n_at_risk"),
+        col("churned"),
+        expr("CAST(CAST(churned AS DECIMAL(38,0)) * 1000000 " +
+          "div (above + churned) AS BIGINT)").as("hazard_ppm"),
+        expr("CAST(CAST(above AS DECIMAL(38,0)) * 1000000 " +
+          "div n0 AS BIGINT)").as("surviving_ppm"))
+  }
+
   /** METRONOME (robotic-traffic) DETECTION — the k users whose
     * inter-event gaps are most suspiciously REGULAR: human activity
     * is bursty (squared coefficient of variation cv² ≈ 1 for

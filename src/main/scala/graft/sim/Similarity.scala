@@ -869,6 +869,40 @@ object Similarity {
         (col("n_vecs") * col("n_cells") > col("total") * 2).as("hot"))
   }
 
+  /** CELL PURITY — [[cellBalance]]'s semantic twin: balance asks
+    * whether IVF cells are evenly SIZED; purity asks whether they
+    * are semantically COHERENT (each cell dominated by one label).
+    * An index can be perfectly balanced and still useless — cells
+    * that mix labels force high nprobe for any recall. Per cell: the
+    * member count, the dominant label (max count, label tie-break
+    * low), and its share in ppm (DECIMAL-widened). One assignment
+    * pass on the packed model, one (cell, label) aggregate, one
+    * bounded-heap argmax per cell.
+    */
+  def cellPurity(embeddings: DataFrame,
+                 centroidStride: Long = 50L): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      col("label"))
+    val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
+    val assigned = assignPacked(
+      corpus.select(col("vec_id"), col("embedding")),
+      packCentroids(centroids), withResidual = false)
+      .join(corpus.select(col("vec_id"), col("label"))
+        .hint("shuffle_hash"), "vec_id")
+    val byLabel = assigned.groupBy("cell_id", "label")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // cells×labels summary; argmax + sizes read it
+    val top = graft.plans.TopK.perKey(byLabel, Seq("cell_id"),
+      Seq(col("n").desc, col("label").asc), 1)
+    val sizes = byLabel.groupBy("cell_id").agg(sum("n").as("n_vecs"))
+    sizes.join(top.select(col("cell_id"), col("label").as("top_label"),
+        col("n").as("top_n")).hint("shuffle_hash"), Seq("cell_id"))
+      .select(col("cell_id"), col("n_vecs"), col("top_label"),
+        expr("CAST(CAST(top_n AS DECIMAL(38,0)) * 1000000 " +
+          "div n_vecs AS BIGINT)").as("purity_ppm"))
+  }
+
   /** Exact maximum-inner-product top-k (MIPS): the retrieval
     * objective when vector NORMS carry signal (recommendation
     * scores, unnormalized query-document relevance) — cosine top-k

@@ -747,6 +747,23 @@ class EventsSpec extends SparkSpec {
     assert(top1.length === 1 && top1(0).getString(0) === "a>b>c")
   }
 
+  test("churn curve: lifetime ecdf with exact at-risk, hazard and survival lines") {
+    val day = 86400L
+    // u1 churns day 0; u2,u3 churn day 2; u4 never signed up (excluded)
+    val events = ev(
+      (1L, 0L, 1L, "signup"), (2L, 100L, 1L, "click"),
+      (3L, 0L, 2L, "signup"), (4L, 2 * day, 2L, "click"),
+      (5L, 0L, 3L, "signup"), (6L, 2 * day + 5, 3L, "view"),
+      (7L, 0L, 4L, "click"))
+    val got = Events.churnCurve(events).collect()
+      .map(r => r.getAs[Long]("lifetime_days") ->
+        ((r.getAs[Long]("n_at_risk"), r.getAs[Long]("churned"),
+          r.getAs[Long]("hazard_ppm"), r.getAs[Long]("surviving_ppm")))).toMap
+    assert(got === Map(
+      0L -> ((3L, 1L, 333333L, 666666L)),
+      2L -> ((2L, 2L, 1000000L, 0L))), s"$got")
+  }
+
   test("metronome: even ticker reads cv2=0, bursty user scores higher, " +
     "thin users excluded") {
     // u1: five exactly-10s gaps → cv² = 0. u2: gaps 10,30,10,30,20s →

@@ -702,6 +702,24 @@ class SimilaritySpec extends SparkSpec {
       10L -> ((8L, 0L, 0L, 12L, 4L, 333333L))), s"$got")
   }
 
+  test("cell purity: dominant-label share exact, label tie breaks low") {
+    import spark.implicits._
+    // cell 0: labels {0,0,1} → top 0 at 666666 ppm;
+    // cell 50: labels {2,1} → tie at 1 each, lower label 1 wins
+    val vecs = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.98f, 0.02f), 1),
+      (50L, Array(0f, 1f), 2), (51L, Array(0.01f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.cellPurity(vecs).collect()
+      .map(r => r.getAs[Long]("cell_id") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Int]("top_label"),
+          r.getAs[Long]("purity_ppm")))).toMap
+    assert(got === Map(
+      0L -> ((3L, 0, 666666L)),
+      50L -> ((2L, 1, 500000L))), s"$got")
+  }
+
   test("bitext mining: mutual-best only, exact ratio margins, hub suitor excluded") {
     import spark.implicits._
     // a0↔b0 and a1↔b1 are mutual identicals; b2 courts a0 (cos .8)
