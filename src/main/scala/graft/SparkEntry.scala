@@ -373,6 +373,10 @@ object SparkEntry {
     // similar other-source doc in the same (lang, band) stratum
     "sample_matched_controls" -> ((s, d) =>
       Sampling.matchedControls(Tables.documents(s, d)).orderBy("t_doc")),
+    // greedy max-coverage subset: k docs each maximizing marginal
+    // shingle coverage — the (1-1/e) representative-seed selector
+    "sample_coverage_greedy" -> ((s, d) =>
+      Sampling.coverageGreedy(Tables.documents(s, d)).orderBy("rk")),
     // DSIR-flavored selection: hashed-unigram target/raw ratios in
     // integer ppm, top-n most-target-like docs per source
     "sample_dsir" -> ((s, d) =>
@@ -1135,6 +1139,44 @@ object SparkEntry {
 
   private val keepersNearSql: String = keepersNearCte +
     "SELECT doc_id, keep_doc_id, doc_id = keep_doc_id AS is_kept FROM l2 ORDER BY doc_id"
+
+  /** One greedy max-coverage round: marginal gains against the
+    * previous covered set, the (gain DESC, doc) argmax, the covered
+    * union. Round 1 has no predecessor — gains run over the full
+    * shingle frame. */
+  private def cgStepSql(i: Int): String = {
+    val uncFrom =
+      if (i == 1) "FROM sh s"
+      else s"FROM sh s LEFT JOIN c${i - 1} c ON c.shingle = s.shingle " +
+        "WHERE c.shingle IS NULL"
+    val covPrev = if (i == 1) "" else s"SELECT shingle FROM c${i - 1} UNION "
+    s"""u$i AS (SELECT s.doc_id, count(*) AS gain $uncFrom GROUP BY 1),
+       |p$i AS (SELECT CAST($i AS BIGINT) AS rk, doc_id,
+       |          CAST(gain AS BIGINT) AS gain
+       |        FROM u$i ORDER BY gain DESC, doc_id LIMIT 1),
+       |c$i AS MATERIALIZED (${covPrev}SELECT DISTINCT s.shingle
+       |        FROM sh s JOIN p$i ON p$i.doc_id = s.doc_id),
+       |""".stripMargin
+  }
+
+  /** Greedy coverage replay: 8 sequential argmax rounds over the
+    * same shingle frame, cumulative line as a plain window. */
+  private def coverageGreedySql: String =
+    """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+      |              FROM documents),
+      |sh AS MATERIALIZED (SELECT doc_id,
+      |        unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+      |                              for i in range(1, len(toks) - 1)])) AS shingle
+      |      FROM docs WHERE len(toks) >= 3),
+      |""".stripMargin +
+    (1 to 8).map(cgStepSql).mkString +
+    """sel AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+      |         UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+      |         UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6
+      |         UNION ALL SELECT * FROM p7 UNION ALL SELECT * FROM p8)
+      |SELECT rk, doc_id, gain,
+      |       CAST(sum(gain) OVER (ORDER BY rk) AS BIGINT) AS cum_covered
+      |FROM sel ORDER BY rk""".stripMargin
 
   /** The curate scorer's integer-basis-point quality expression over
     * a token-list column — ONE definition shared by every oracle
@@ -4799,6 +4841,7 @@ object SparkEntry {
         |FROM t LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b
         |  ON b.t_doc = t.t_doc
         |ORDER BY t.t_doc""".stripMargin,
+    "sample_coverage_greedy" -> coverageGreedySql,
     // skyline replay: per-q_bp group max, strictly-greater suffix max
     // via the inequality self-join, tie-preserving dominance test
     "sample_pareto_front" ->

@@ -781,6 +781,57 @@ object Sampling {
       .select("source", "rk", "doc_id", "n_tokens", "score_ppm")
   }
 
+  /** GREEDY MAX-COVERAGE SELECTION (submodular subset selection) —
+    * pick `k` documents one at a time, each maximizing the count of
+    * corpus shingles no earlier pick covers: the classic (1−1/e)
+    * greedy for coverage/facility-location objectives, which is how
+    * "small but representative" eval/seed subsets are actually
+    * built (random sampling over-picks the redundant mass; greedy
+    * coverage provably doesn't). Deterministic end to end — argmax
+    * ties break on doc_id, no RNG.
+    *
+    * Inherently sequential in k (each marginal gain depends on all
+    * earlier picks), so the loop runs k [[graft.ops.Rounds]]-
+    * materialized rounds — per round ONE anti-join of the (doc,
+    * shingle) frame against the covered set, one map-side-combined
+    * gain count, one single-row TakeOrdered; k is a model constant
+    * (8), so the sequential depth is fixed while every round's work
+    * stays fully distributed. A doc with zero uncovered shingles
+    * vanishes from the gain frame, so nothing is ever re-picked; if
+    * coverage exhausts before k the remaining rounds emit no row
+    * (the honest regime, spec-pinned). The cumulative-coverage line
+    * is the prefix sum of marginal gains — derived on the ≤k-row
+    * output, never re-counted from the covered set.
+    */
+  def coverageGreedy(documents: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val sh = Rounds.materialize(
+      graft.dedup.Dedup.shingles(documents).select("doc_id", "shingle"))
+    var covered: DataFrame = null
+    var out: DataFrame = null
+    for (i <- 1 to k) {
+      val unc =
+        if (covered == null) sh
+        else sh.join(covered.hint("shuffle_hash"), Seq("shingle"),
+          "left_anti")
+      val pick = Rounds.materialize(
+        unc.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+          .orderBy(col("gain").desc, col("doc_id")).limit(1)
+          .select(lit(i.toLong).as("rk"), col("doc_id"), col("gain")))
+      val newCov = sh.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
+        .select("shingle")
+      covered = Rounds.materialize(
+        if (covered == null) newCov.distinct()
+        else covered.unionByName(newCov).distinct())
+      out = if (out == null) pick else out.unionByName(pick)
+    }
+    val sel = Rounds.materialize(out)
+    sel.join(broadcast(ModelFrames.exclusivePrefixSum(sel, "rk", "gain",
+        "cov_off")), Seq("rk"))
+      .select(col("rk"), col("doc_id"), col("gain"),
+        (col("cov_off") + col("gain")).as("cum_covered"))
+  }
+
   /** COARSENED-EXACT-MATCHED CONTROLS — for every document of a
     * treatment source, the most length-similar document from any
     * OTHER source inside the same (lang, length-band) stratum: the

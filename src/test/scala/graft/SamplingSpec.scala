@@ -550,6 +550,23 @@ class SamplingSpec extends SparkSpec {
     assert(Set(1L, 2L).subsetOf(gotTwins))
   }
 
+  test("coverage greedy: marginal argmax with id tie-break, subsets gain " +
+    "nothing, exhaustion stops emitting") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),  // 3 shingles — round-1 winner
+      (2L, "a b c d"),    // strict subset of doc 1: never picked
+      (3L, "x y z w"),    // 2 fresh shingles — tie with doc 5, id wins
+      (5L, "m n o p"))    // 2 fresh shingles
+      .toDF("doc_id", "text")
+    val got = Sampling.coverageGreedy(docs).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("cum_covered"))).toSeq.sorted
+    // everything is covered after three picks: rounds 4..8 emit no row
+    assert(got === Seq((1L, 1L, 3L, 3L), (2L, 3L, 2L, 5L),
+      (3L, 5L, 2L, 7L)), s"$got")
+  }
+
   test("matched controls: nearest length in-stratum, id tie-break, " +
     "cross-band and cross-lang pools never match, unmatched kept null") {
     import spark.implicits._
