@@ -805,24 +805,23 @@ object Sampling {
     */
   def coverageGreedy(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
-    val sh = Rounds.materialize(
+    // the uncovered frame only SHRINKS: each round anti-joins it
+    // against the single picked doc's shingle set (one doc — always
+    // broadcastable), never against the ever-growing covered union,
+    // so per-round work decreases monotonically and the build side
+    // is a constant at any corpus size
+    var unc = Rounds.materialize(
       graft.dedup.Dedup.shingles(documents).select("doc_id", "shingle"))
-    var covered: DataFrame = null
     var out: DataFrame = null
     for (i <- 1 to k) {
-      val unc =
-        if (covered == null) sh
-        else sh.join(covered.hint("shuffle_hash"), Seq("shingle"),
-          "left_anti")
       val pick = Rounds.materialize(
         unc.groupBy("doc_id").agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
           .select(lit(i.toLong).as("rk"), col("doc_id"), col("gain")))
-      val newCov = sh.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
-        .select("shingle")
-      covered = Rounds.materialize(
-        if (covered == null) newCov.distinct()
-        else covered.unionByName(newCov).distinct())
+      val newCov = unc.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
+        .select("shingle").distinct()
+      unc = Rounds.materialize(
+        unc.join(broadcast(newCov), Seq("shingle"), "left_anti"))
       out = if (out == null) pick else out.unionByName(pick)
     }
     val sel = Rounds.materialize(out)
