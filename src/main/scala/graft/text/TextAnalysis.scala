@@ -642,18 +642,31 @@ object TextAnalysis {
     * regex engine divergence between engines), one low-cardinality
     * aggregate; the dirty ratio widens through DECIMAL(38,0).
     */
-  def encodingAudit(documents: DataFrame): DataFrame = {
-    // the match set is built as a Scala literal, NOT Spark chr():
-    // Spark's chr(n) is mod-256 ASCII (chr(65533) = 'ý'), silently
-    // missing U+FFFD, while DuckDB's chr() is a code point
+  /** Per-document hygiene FLAGS — the projection [[encodingAudit]]
+    * aggregates and [[graft.streaming.TextStreams.hygieneRoute]]
+    * routes on, defined ONCE so the batch audit and the live gate
+    * cannot drift. The match set is a Scala literal, NOT Spark
+    * chr(): Spark's chr(n) is mod-256 ASCII (chr(65533) = 'ý'),
+    * silently missing U+FFFD, while DuckDB's chr() is a code point.
+    * Pure narrow map — streams and pushes down untouched.
+    */
+  def encodingFlags(documents: DataFrame): DataFrame = {
     val cleaned = regexp_replace(
       translate(col("text"), "\u0007\uFFFD", ""), "  ", " ")
     documents
-      .select(col("source"),
-        when(col("text").contains("\uFFFD"), 1L).otherwise(0L).as("r"),
-        when(col("text").contains("\u0007"), 1L).otherwise(0L).as("c"),
-        when(col("text").contains("  "), 1L).otherwise(0L).as("m"),
-        (length(col("text")) - length(cleaned)).cast("long").as("rm"))
+      .withColumn("r",
+        when(col("text").contains("\uFFFD"), 1L).otherwise(0L))
+      .withColumn("c",
+        when(col("text").contains("\u0007"), 1L).otherwise(0L))
+      .withColumn("m",
+        when(col("text").contains("  "), 1L).otherwise(0L))
+      .withColumn("rm",
+        (length(col("text")) - length(cleaned)).cast("long"))
+  }
+
+  def encodingAudit(documents: DataFrame): DataFrame = {
+    encodingFlags(documents)
+      .select(col("source"), col("r"), col("c"), col("m"), col("rm"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("r").as("n_replacement"),

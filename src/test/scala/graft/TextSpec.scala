@@ -509,6 +509,36 @@ class TextSpec extends SparkSpec {
       6L -> ((1L, 3L, 0L, 8L, 3L))), s"$got")
   }
 
+  test("hygiene route: live flags equal the batch classification, dirty split clean") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val rows = Seq(
+      (1L, "good text \uFFFD here", "s1"),
+      (2L, "clean", "s1"),
+      (3L, "bell\u0007ring", "s2"),
+      (4L, "wide   gap", "s2"))
+    val batch = TextAnalysis.encodingFlags(
+      rows.toDF("doc_id", "text", "source")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("r"),
+        r.getAs[Long]("c"), r.getAs[Long]("m"), r.getAs[Long]("rm"))).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = graft.streaming.TextStreams.hygieneRoute(
+      input.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("hyg")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(rows.take(2)); input.addData(rows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM hyg").collect()
+    val streamed = got.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("r"),
+      r.getAs[Long]("c"), r.getAs[Long]("m"), r.getAs[Long]("rm"))).toSet
+    assert(streamed === batch)
+    val dirty = got.filter(_.getAs[Boolean]("is_dirty"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(dirty === Set(1L, 3L, 4L))
+  }
+
   test("encoding audit: each damage class counted once, removal chars exact") {
     import spark.implicits._
     // s1: mojibake doc — dropping the U+FFFD leaves its two flanking
