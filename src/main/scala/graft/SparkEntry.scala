@@ -801,6 +801,11 @@ object SparkEntry {
         .orderBy("media_type")),
     "mm_dedup" -> ((s, d) =>
       Multimodal.binaryDedup(Tables.documents(s, d)).orderBy("media_type", "payload_md5")),
+    // magic-byte sniffing vs the declared container type: the
+    // mislabeled-blob matrix every media ingest gates on
+    "mm_format_sniff" -> ((s, d) =>
+      Multimodal.formatSniff(Tables.documents(s, d))
+        .orderBy("media_type", "sniffed")),
     // oracled: the 4-iteration power method replays exactly in SQL
     // when every inter-iteration vector is REAL-cast (see embPcaSql).
     // persistCentered stays off here: at bench SF the scan is cheap
@@ -4678,6 +4683,41 @@ object SparkEntry {
     // replay, grouped by the derived media type
     // payload bytes == utf8(text), so md5(text) replays md5(payload);
     // the 60-bit digest is the stateDigest nibble-shift replay
+    // the stamped feed rebuilt with blob concatenation, sniffing by
+    // uppercase hex prefixes (identical on both engines)
+    "mm_format_sniff" ->
+      """WITH media AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS media_type,
+        |         encode(text) AS payload
+        |  FROM documents),
+        |fed AS (
+        |  SELECT doc_id, media_type,
+        |         CASE WHEN doc_id % 5 = 0 THEN '\xFF\xD8\xFF'::BLOB || payload
+        |              WHEN doc_id % 5 = 1 THEN '\x89PNG'::BLOB || payload
+        |              WHEN doc_id % 5 = 2 THEN 'GIF89a'::BLOB || payload
+        |              WHEN doc_id % 5 = 3 THEN 'RIFF'::BLOB || payload
+        |              ELSE payload END AS payload
+        |  FROM media),
+        |sn AS (
+        |  SELECT media_type,
+        |         CASE WHEN hex(payload) LIKE 'FFD8FF%' THEN 'jpeg'
+        |              WHEN hex(payload) LIKE '89504E47%' THEN 'png'
+        |              WHEN hex(payload) LIKE '474946383961%' THEN 'gif'
+        |              WHEN hex(payload) LIKE '52494646%' THEN 'riff'
+        |              ELSE 'unknown' END AS sniffed
+        |  FROM fed),
+        |cells AS (SELECT media_type, sniffed, count(*) AS n
+        |          FROM sn GROUP BY 1, 2),
+        |tot AS (SELECT media_type, CAST(sum(n) AS BIGINT) AS type_total
+        |        FROM cells GROUP BY 1)
+        |SELECT c.media_type, c.sniffed, c.n, t.type_total,
+        |       CAST(CAST(c.n AS HUGEINT) * 1000000 // t.type_total
+        |            AS BIGINT) AS share_ppm
+        |FROM cells c JOIN tot t USING (media_type)
+        |ORDER BY c.media_type, c.sniffed""".stripMargin,
     "mm_integrity" ->
       """WITH m AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -65,6 +65,49 @@ object Multimodal {
       (col("doc_id") % 64 + 32).cast("int").as("width"),
       (col("doc_id") % 48 + 24).cast("int").as("height"))
 
+  /** FORMAT SNIFFING — magic-byte detection over binary payloads,
+    * the first gate of every real media ingest (extensions and
+    * declared container types LIE; the leading bytes don't): each
+    * payload's leading bytes classify it as jpeg (FF D8 FF), png
+    * (89 50 4E 47), gif (GIF89a), riff (RIFF — wav/avi/webp), or
+    * unknown, cross-tabulated against the DECLARED media_type with
+    * within-type shares — a hot off-diagonal cell means a feed is
+    * mislabeling its blobs and every downstream decoder pays for
+    * it. The feed is deterministically stamped by doc_id (first
+    * rule wins, the corruptFeed discipline) so the oracle replays
+    * the exact mismatch matrix; sniffing compares HEX prefixes
+    * (uppercase on both engines) — no binary-literal parity risk.
+    * Narrow map + one types×formats aggregate; REAL bytes, no stub.
+    */
+  def formatSniff(documents: DataFrame): DataFrame = {
+    val jpeg = Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte)
+    val png = Array(0x89.toByte, 0x50.toByte, 0x4E.toByte, 0x47.toByte)
+    val fed = attach(documents).withColumn("payload",
+      when(col("doc_id") % 5 === 0, concat(lit(jpeg), col("payload")))
+        .when(col("doc_id") % 5 === 1, concat(lit(png), col("payload")))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("GIF89a".getBytes("UTF-8")), col("payload")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("RIFF".getBytes("UTF-8")), col("payload")))
+        .otherwise(col("payload")))
+    val hx = hex(col("payload"))
+    val cells = fed.withColumn("sniffed",
+        when(hx.startsWith("FFD8FF"), "jpeg")
+          .when(hx.startsWith("89504E47"), "png")
+          .when(hx.startsWith("474946383961"), "gif")
+          .when(hx.startsWith("52494646"), "riff")
+          .otherwise("unknown"))
+      .groupBy("media_type", "sniffed").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // matrix + per-type totals both read it
+    val totals = cells.groupBy("media_type")
+      .agg(sum("n").as("type_total"))
+    cells.join(broadcast(totals), Seq("media_type"))
+      .select(col("media_type"), col("sniffed"), col("n"),
+        col("type_total"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 " +
+          "div type_total AS BIGINT)").as("share_ppm"))
+  }
+
   /** Decode-shard planning: pack payloads into byte-budgeted shards
     * per media type (prefix-sum bucketing over the deterministic
     * doc order) — the batch-shaping step in front of a decode fleet,

@@ -144,4 +144,27 @@ class MultimodalSpec extends SparkSpec {
     assert(mut("video") !== base("video")._4)
     assert(mut("image") === base("image")._4)
   }
+
+  test("format sniff: magic beats metadata — stamped blobs classify by bytes, " +
+    "an unstamped RIFF-leading payload still reads riff") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hello world"),       // jpeg stamp, declared image
+      (1L, "hello"),             // png stamp, declared audio
+      (2L, "x"),                 // gif stamp, declared video
+      (3L, "y"),                 // riff stamp, declared image
+      (4L, "plain"),             // unstamped → unknown, declared audio
+      (9L, "RIFF wave bytes"))   // unstamped but the CONTENT is riff
+      .toDF("doc_id", "text")
+    val got = Multimodal.formatSniff(docs).collect()
+      .map(r => (r.getAs[String]("media_type"), r.getAs[String]("sniffed")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("type_total"),
+          r.getAs[Long]("share_ppm")))).toMap
+    assert(got === Map(
+      ("image", "jpeg") -> ((1L, 3L, 333333L)),
+      ("image", "riff") -> ((2L, 3L, 666666L)),
+      ("audio", "png") -> ((1L, 2L, 500000L)),
+      ("audio", "unknown") -> ((1L, 2L, 500000L)),
+      ("video", "gif") -> ((1L, 1L, 1000000L))), s"$got")
+  }
 }
