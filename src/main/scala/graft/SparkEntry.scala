@@ -256,6 +256,9 @@ object SparkEntry {
     // equal-population buckets with no per-group sort: boundary rows
     // via rank selection, buckets assigned map-side
     "q36_histogram_eqdepth" -> ((s, d) => Relational.q36HistogramEqDepth(s, d)),
+    // Pareto/80-20: revenue share held at/above the p90/p99 customer
+    // (integer cents + RankSelect thresholds — no population sort)
+    "q40_concentration" -> ((s, d) => Relational.revenueConcentration(s, d)),
     "q17_approx_quantiles" -> Relational.q17ApproxQuantiles _,
     "q18_asof_join" -> Relational.q18AsofAttribution _,
     "q19_range_window" -> Relational.q19RangeWindow _,
@@ -463,6 +466,11 @@ object SparkEntry {
       TextAnalysis.encodingAudit(
         TextAnalysis.corruptEncoding(Tables.documents(s, d)))
         .orderBy("source")),
+    // per-source-pair top-k vocabulary overlap: the topical-
+    // redundancy matrix a mixing review reads
+    "text_source_overlap" -> ((s, d) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, d))
+        .orderBy("source_a", "source_b")),
     // distributed BPE: train the merge table / re-segment under it
     "text_bpe_merges" -> ((s, d) => Bpe.mergeTable(bpeFit(s, d, 8))),
     "text_bpe_apply" -> ((s, d) => Bpe.tokenCountsOf(bpeFit(s, d, 8), 30)),
@@ -3715,6 +3723,57 @@ object SparkEntry {
         |            // max(tot.total_occurrences) AS BIGINT) AS coverage_ppm
         |FROM k CROSS JOIN r CROSS JOIN tot
         |GROUP BY k.k ORDER BY k.k""".stripMargin,
+    // per-customer cents, rank thresholds at exact bp ranks over the
+    // ascending order, at-or-above conditional sums in HUGEINT
+    "q40_concentration" ->
+      """WITH c AS (SELECT o_custkey,
+        |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                  AS BIGINT) AS v
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk,
+        |             count(*) OVER () AS n
+        |      FROM c),
+        |th AS (SELECT
+        |         max(CASE WHEN rk = (n - 1) * 9000 // 10000 THEN v END)
+        |           AS p90_cents,
+        |         max(CASE WHEN rk = (n - 1) * 9900 // 10000 THEN v END)
+        |           AS p99_cents
+        |       FROM r)
+        |SELECT count(*) AS n_customers, CAST(sum(v) AS BIGINT) AS total_cents,
+        |       th.p90_cents, th.p99_cents,
+        |       CAST(CAST(sum(CASE WHEN v >= th.p90_cents THEN v ELSE 0 END)
+        |                 AS HUGEINT) * 1000000 // sum(v) AS BIGINT)
+        |         AS top10_share_ppm,
+        |       CAST(CAST(sum(CASE WHEN v >= th.p99_cents THEN v ELSE 0 END)
+        |                 AS HUGEINT) * 1000000 // sum(v) AS BIGINT)
+        |         AS top1_share_ppm
+        |FROM c CROSS JOIN th GROUP BY th.p90_cents, th.p99_cents""".stripMargin,
+    // per-source head ranks, token-keyed self-join, zero-overlap
+    // pairs kept by the grid left join
+    "text_source_overlap" ->
+      """WITH c AS (SELECT source, tok AS token, count(*) AS n
+        |           FROM (SELECT source,
+        |                   unnest(string_split(trim(text), ' ')) AS tok
+        |                 FROM documents)
+        |           GROUP BY 1, 2),
+        |r AS (SELECT source, token,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY n DESC, token) AS rk
+        |      FROM c),
+        |t AS (SELECT source, token FROM r WHERE rk <= 50),
+        |g AS (SELECT a.source AS source_a, b.source AS source_b
+        |      FROM (SELECT DISTINCT source FROM t) a
+        |      JOIN (SELECT DISTINCT source FROM t) b ON a.source < b.source),
+        |sh AS (SELECT x.source AS source_a, y.source AS source_b,
+        |         count(*) AS n_shared
+        |       FROM t x JOIN t y ON y.token = x.token AND x.source < y.source
+        |       GROUP BY 1, 2)
+        |SELECT g.source_a, g.source_b,
+        |       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |       CAST(CAST(coalesce(sh.n_shared, 0) AS HUGEINT) * 1000000 // 50
+        |            AS BIGINT) AS overlap_ppm
+        |FROM g LEFT JOIN sh USING (source_a, source_b)
+        |ORDER BY g.source_a, g.source_b""".stripMargin,
     // the same damage rules by doc_id, then contains/translate/
     // replace probes — chr() keeps the oracle ASCII-only
     "text_encoding_audit" ->

@@ -368,6 +368,53 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** REVENUE CONCENTRATION — the Pareto/80-20 readout: what share
+    * of total order value the customers at or above the p90/p99
+    * per-customer revenue hold ([[keySkewProfile]] profiles COUNT
+    * skew; money concentrates differently, and this is the number a
+    * "whale risk" or account-coverage review quotes). Per-customer
+    * revenue in INTEGER CENTS (the cohortValue discipline — exact
+    * sums in any shuffle order), thresholds selected by the shared
+    * [[RankSelect]] engine at exact integer basis-point ranks (no
+    * whole-population sort), shares as DECIMAL-widened conditional
+    * sums with threshold ties INCLUDED (at-or-above is
+    * deterministic; "exactly 1%" is not under ties).
+    */
+  def revenueConcentration(s: SparkSession, dir: String): DataFrame =
+    revenueConcentration(Tables.orders(s, dir))
+
+  def revenueConcentration(orders: DataFrame): DataFrame = {
+    val bins = 256
+    val cents = orders
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("v"))
+      .select(lit(0L).as("g"), col("v"))
+    val (sel, _) = RankSelect.at(cents, bins, RankSelect.intBin(bins),
+      bounds => bounds
+        .select(col("g"), col("n"),
+          explode(array(lit(9000L), lit(9900L))).as("q_bp"))
+        .select(col("g"), col("q_bp"),
+          expr("(n - 1) * q_bp div 10000").as("r")))
+    val th = sel.groupBy("g").agg(
+      max(when(col("q_bp") === 9000L, col("v"))).as("p90_cents"),
+      max(when(col("q_bp") === 9900L, col("v"))).as("p99_cents"))
+    cents.crossJoin(broadcast(th))
+      .agg(count(lit(1)).as("n_customers"),
+        sum("v").as("total_cents"),
+        sum(when(col("v") >= col("p90_cents"), col("v")).otherwise(0L))
+          .as("t90"),
+        sum(when(col("v") >= col("p99_cents"), col("v")).otherwise(0L))
+          .as("t99"),
+        max("p90_cents").as("p90_cents"),
+        max("p99_cents").as("p99_cents"))
+      .select(col("n_customers"), col("total_cents"),
+        col("p90_cents"), col("p99_cents"),
+        expr("CAST(CAST(t90 AS DECIMAL(38,0)) * 1000000 " +
+          "div total_cents AS BIGINT)").as("top10_share_ppm"),
+        expr("CAST(CAST(t99 AS DECIMAL(38,0)) * 1000000 " +
+          "div total_cents AS BIGINT)").as("top1_share_ppm"))
+  }
+
   /** Per-group EQUI-DEPTH histogram — the optimizer-statistics
     * operator (equal-POPULATION buckets expose where the value mass
     * actually lives; the fixed-width q33 histogram starves dense

@@ -680,6 +680,47 @@ object TextAnalysis {
           "div n_docs AS BIGINT)"))
   }
 
+  /** SOURCE VOCABULARY OVERLAP — the corpus-composition matrix: for
+    * every source pair, how many of each side's top-`k` tokens are
+    * shared (ppm of the k-budget). Two feeds with near-total head
+    * overlap are topically redundant (mixing both buys diversity
+    * only in the tail); near-zero overlap across same-language
+    * feeds usually means one is template/boilerplate-dominated —
+    * either way, the matrix is what a mixing review reads next to
+    * [[graft.ops.Sampling.temperatureMix]]'s size-based weights.
+    * Per-source heads ride bounded TopKPerKey heaps (the vocabulary
+    * is never sorted); the pair matrix is a token-keyed equi-join
+    * of the ≤sources·k head frame against itself — model-sized at
+    * any corpus scale — left-joined onto the full source grid so
+    * zero-overlap pairs report explicitly.
+    */
+  def sourceOverlap(documents: DataFrame, k: Int = 50): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val counts = documents
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val top = graft.plans.TopK.perKey(counts, Seq("source"),
+        Seq(col("n").desc, col("token").asc), k)
+      .select(col("source"), col("token"))
+      .localCheckpoint() // grid + both join sides read it
+    val srcs = top.select("source").distinct()
+    val grid = srcs.select(col("source").as("source_a"))
+      .join(broadcast(srcs.select(col("source").as("source_b"))),
+        col("source_a") < col("source_b"))
+    val shared = top.select(col("source").as("source_a"), col("token"))
+      .join(top.select(col("source").as("source_b"), col("token"))
+        .hint("shuffle_hash"), Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    grid.join(shared.hint("shuffle_hash"),
+        Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("overlap_ppm",
+        expr(s"CAST(CAST(n_shared AS DECIMAL(38,0)) * 1000000 " +
+          s"div $k AS BIGINT)"))
+  }
+
   /** VOCABULARY GROWTH CURVE (Heaps'-law audit) — new token types
     * and token mass per corpus-prefix slice, in ingest-id order: the
     * corpus-health read that says whether vocabulary is still

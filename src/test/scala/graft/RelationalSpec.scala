@@ -341,4 +341,20 @@ class RelationalSpec extends SparkSpec
     assert(got.size === 6) // every purchase present, matched or not
   }
 
+  test("revenue concentration: exact cent thresholds and at-or-above shares") {
+    import spark.implicits._
+    // ten customers at 1..10 dollars; both bp ranks land on the
+    // 0-based rank 8 value (900 cents): shares = 1900/5500
+    val orders = (1 to 10).flatMap { c =>
+      // two orders per customer summing to c dollars — exercises the
+      // per-customer rollup, not just the threshold math
+      Seq((c.toLong, c - 0.75), (c.toLong, 0.75))
+    }.toDF("o_custkey", "o_totalprice")
+    val r = Relational.revenueConcentration(orders).collect()(0)
+    assert((r.getAs[Long]("n_customers"), r.getAs[Long]("total_cents"),
+      r.getAs[Long]("p90_cents"), r.getAs[Long]("p99_cents"),
+      r.getAs[Long]("top10_share_ppm"), r.getAs[Long]("top1_share_ppm")) ===
+      ((10L, 5500L, 900L, 900L, 345454L, 345454L)))
+  }
+
 }

@@ -509,6 +509,21 @@ class TextSpec extends SparkSpec {
       6L -> ((1L, 3L, 0L, 8L, 3L))), s"$got")
   }
 
+  test("source overlap: shared head tokens counted once per pair, " +
+    "zero-overlap pairs reported explicitly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb", "s1"), (2L, "aa cc", "s2"), (3L, "xx yy", "s3"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceOverlap(docs, k = 2).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("overlap_ppm")))).toMap
+    assert(got === Map(
+      ("s1", "s2") -> ((1L, 500000L)),
+      ("s1", "s3") -> ((0L, 0L)),
+      ("s2", "s3") -> ((0L, 0L))), s"$got")
+  }
+
   test("hygiene route: live flags equal the batch classification, dirty split clean") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
