@@ -372,6 +372,11 @@ object SparkEntry {
     // the bounded q_bp domain makes the frontier a model frame
     "sample_pareto_front" -> ((s, d) =>
       Sampling.paretoFront(Tables.documents(s, d)).orderBy("doc_id")),
+    // is the hash split stratified? per (split, source) share vs the
+    // corpus share — the bias audit behind per-source eval numbers
+    "sample_split_balance" -> ((s, d) =>
+      Sampling.splitBalance(Tables.documents(s, d))
+        .orderBy("split", "source")),
     // CEM matched controls: per treatment doc, the most length-
     // similar other-source doc in the same (lang, band) stratum
     "sample_matched_controls" -> ((s, d) =>
@@ -4941,6 +4946,31 @@ object SparkEntry {
         |  ON b.t_doc = t.t_doc
         |ORDER BY t.t_doc""".stripMargin,
     "sample_coverage_greedy" -> coverageGreedySql,
+    // the md5 first-hex-digit split replayed, two share frames
+    // joined, HUGEINT shares, integer abs deviation
+    "sample_split_balance" ->
+      """WITH t AS (SELECT source,
+        |             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+        |                       IN ('0','1','2','3') THEN 'val'
+        |                  ELSE 'train' END AS split
+        |           FROM documents),
+        |cells AS (SELECT split, source, count(*) AS n_docs
+        |          FROM t GROUP BY 1, 2),
+        |st AS (SELECT split, CAST(sum(n_docs) AS BIGINT) AS split_n
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT source,
+        |         CAST(CAST(sum(n_docs) AS HUGEINT) * 1000000
+        |              // (SELECT sum(n_docs) FROM cells) AS BIGINT)
+        |           AS corpus_share_ppm
+        |       FROM cells GROUP BY 1),
+        |j AS (SELECT c.split, c.source, c.n_docs,
+        |        CAST(CAST(c.n_docs AS HUGEINT) * 1000000 // st.split_n
+        |             AS BIGINT) AS split_share_ppm,
+        |        ct.corpus_share_ppm
+        |      FROM cells c JOIN st USING (split) JOIN ct USING (source))
+        |SELECT split, source, n_docs, split_share_ppm, corpus_share_ppm,
+        |       abs(split_share_ppm - corpus_share_ppm) AS dev_ppm
+        |FROM j ORDER BY split, source""".stripMargin,
     // skyline replay: per-q_bp group max, strictly-greater suffix max
     // via the inequality self-join, tie-preserving dominance test
     "sample_pareto_front" ->

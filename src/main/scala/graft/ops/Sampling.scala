@@ -866,6 +866,41 @@ object Sampling {
         col("c_doc"), col("c_tokens"), col("len_diff"))
   }
 
+  /** SPLIT-BALANCE AUDIT — is the hash split actually stratified?
+    * [[hashSplit]] promises composition-preserving randomness-by-
+    * hash; this measures it: per (split, source), the stratum's
+    * share WITHIN its split vs the source's share of the WHOLE
+    * corpus, and the deviation — a high dev_ppm cell means the val
+    * set over/under-represents a source and every per-source eval
+    * number is quietly biased. Two map-side-combined aggregates
+    * (split×source and source), a broadcast join of the two
+    * model-sized share frames, exact integer ppm throughout. The
+    * check generalizes to any categorical covariate; source is the
+    * one the synthetic corpus carries.
+    */
+  def splitBalance(documents: DataFrame): DataFrame = {
+    val tagged = documents.select(col("source"),
+      hashSplit(col("doc_id")).as("split"))
+    val cells = tagged.groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint() // cell shares + split totals read it
+    val splitTot = cells.groupBy("split").agg(sum("n_docs").as("split_n"))
+    val corpusTot = cells.groupBy("source").agg(sum("n_docs").as("src_n"))
+      .crossJoin(broadcast(cells.agg(sum("n_docs").as("corpus_n"))))
+      .select(col("source"),
+        expr("CAST(CAST(src_n AS DECIMAL(38,0)) * 1000000 " +
+          "div corpus_n AS BIGINT)").as("corpus_share_ppm"))
+    cells
+      .join(broadcast(splitTot), Seq("split"))
+      .join(broadcast(corpusTot), Seq("source"))
+      .select(col("split"), col("source"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 " +
+          "div split_n AS BIGINT)").as("split_share_ppm"),
+        col("corpus_share_ppm"))
+      .withColumn("dev_ppm",
+        abs(col("split_share_ppm") - col("corpus_share_ppm")))
+  }
+
   /** PARETO-FRONT (skyline) SELECTION — the docs no other doc
     * dominates on BOTH criteria (quality basis points AND token
     * mass, maximize each): multi-objective curation without

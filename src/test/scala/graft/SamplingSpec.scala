@@ -550,6 +550,35 @@ class SamplingSpec extends SparkSpec {
     assert(Set(1L, 2L).subsetOf(gotTwins))
   }
 
+  test("split balance: shares partition each split, deviation is the exact " +
+    "ppm gap, splits agree with hashSplit") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, s"text $i", if (i % 4 == 0) "sA" else "sB"))
+      .toDF("doc_id", "text", "source")
+    val rows = Sampling.splitBalance(docs).collect()
+    // within each split the source shares sum to ~1e6 (ppm floors)
+    rows.groupBy(_.getAs[String]("split")).values.foreach { cls =>
+      val tot = cls.map(_.getAs[Long]("split_share_ppm")).sum
+      assert(tot > 1000000L - cls.length && tot <= 1000000L, s"$tot")
+    }
+    // dev is exactly |split share − corpus share| on every row
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dev_ppm") ===
+        math.abs(r.getAs[Long]("split_share_ppm") -
+          r.getAs[Long]("corpus_share_ppm")))
+    }
+    // cell counts replay the hashSplit assignment exactly
+    import org.apache.spark.sql.functions.col
+    val expected = docs
+      .select(col("source"), Sampling.hashSplit(col("doc_id")).as("split"))
+      .groupBy("split", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = rows.map(r => (r.getAs[String]("split"),
+      r.getAs[String]("source")) -> r.getAs[Long]("n_docs")).toMap
+    assert(got === expected)
+  }
+
   test("coverage greedy: marginal argmax with id tie-break, subsets gain " +
     "nothing, exhaustion stops emitting") {
     import spark.implicits._
