@@ -1376,7 +1376,13 @@ object SparkEntry {
       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1)
       |SELECT t.src AS node, d.deg, t.dot >= 0 AS aligned,
       |       CASE WHEN na2 > 0 AND ns2 > 0
-      |            THEN CAST(dot * dot * 1000000 // (na2 * ns2) AS BIGINT)
+      |            THEN CASE WHEN abs(dot) < 1000000000000000
+      |                      AND na2 < 100000000000000
+      |                      AND ns2 < 1000000000000000000000000
+      |                 THEN CAST(dot * dot * 1000000 // (na2 * ns2) AS BIGINT)
+      |                 ELSE CAST((abs(dot) // 1048576) * (abs(dot) // 1048576)
+      |                        * 1000000 // (greatest(na2 // 1048576, 1)
+      |                          * greatest(ns2 // 1048576, 1)) AS BIGINT) END
       |       END AS cos2_ppm
       |FROM t JOIN d ON d.src = t.src ORDER BY node""".stripMargin
 
@@ -3238,7 +3244,8 @@ object SparkEntry {
         |pref AS (SELECT string_split(bg, ' ')[1] AS w1,
         |           CAST(sum(c_bg) AS BIGINT) AS c_pref
         |         FROM bgc GROUP BY 1),
-        |ppm AS (SELECT bg, c_bg * 1000000 // c_pref AS ppm
+        |ppm AS (SELECT bg, CAST(CAST(c_bg AS HUGEINT) * 1000000
+        |                        // c_pref AS BIGINT) AS ppm
         |        FROM bgc JOIN pref ON pref.w1 = string_split(bgc.bg, ' ')[1]),
         |sc AS MATERIALIZED (SELECT doc_id, lang,
         |        CAST(sum(k) AS BIGINT) AS n_bigrams,
@@ -3283,7 +3290,8 @@ object SparkEntry {
         |pref AS (SELECT string_split(bg, ' ')[1] AS w1,
         |           CAST(sum(c_bg) AS BIGINT) AS c_pref
         |         FROM bgc GROUP BY 1),
-        |ppm AS (SELECT bg, c_bg * 1000000 // c_pref AS ppm
+        |ppm AS (SELECT bg, CAST(CAST(c_bg AS HUGEINT) * 1000000
+        |                        // c_pref AS BIGINT) AS ppm
         |        FROM bgc JOIN pref ON pref.w1 = string_split(bgc.bg, ' ')[1]),
         |sc0 AS MATERIALIZED (SELECT doc_id,
         |        CAST(sum(k * ppm) AS BIGINT) // CAST(sum(k) AS BIGINT) AS v

@@ -178,11 +178,29 @@ object Graph {
       .agg(sum(expr("CAST(ax AS DECIMAL(38,0)) * sx")).as("dot"),
         sum(expr("CAST(ax AS DECIMAL(38,0)) * ax")).as("na2"),
         sum(expr("CAST(sx AS DECIMAL(38,0)) * sx")).as("ns2"))
+    // cos²·10⁶ = dot²·10⁶ div (na2·ns2). The exact DECIMAL(38,0)
+    // branch holds while dot² ·10⁶ and na2·ns2 stay under 10³⁸ —
+    // |dot| < 10¹⁵, na2 < 10¹⁴, ns2 < 10²⁴ (unit coords at dim 64:
+    // true through deg ≈ 1.5e5). Past that, dot ~ dim·deg·10¹²
+    // squares over DECIMAL(38,0) and Spark's non-ANSI arithmetic
+    // would null silently while the HUGEINT oracle errors, so the
+    // wide branch first downscales all three terms by 2²⁰ (identical
+    // truncating div on both engines in the positive quadrant —
+    // sign rides `aligned`); ≤ ppm-level rounding, good through
+    // deg ≈ 5e7 at dim 64. `greatest(·,1)` pins degenerate
+    // sub-micro norms (na2 < 2²⁰) instead of dividing by zero.
     terms.join(deg.hint("shuffle_hash"), "src")
       .select(col("src").as("node"), col("deg"),
         (col("dot") >= 0).as("aligned"),
         expr("CASE WHEN na2 > 0 AND ns2 > 0 THEN " +
-          "CAST(dot * dot * 1000000 div (na2 * ns2) AS BIGINT) END")
+          "CASE WHEN abs(dot) < 1000000000000000 " +
+          "AND na2 < 100000000000000 " +
+          "AND ns2 < 1000000000000000000000000 THEN " +
+          "CAST(dot * dot * 1000000 div (na2 * ns2) AS BIGINT) " +
+          "ELSE CAST(CAST(abs(dot) div 1048576 AS DECIMAL(38,0)) * " +
+          "(abs(dot) div 1048576) * 1000000 div " +
+          "(CAST(greatest(na2 div 1048576, 1) AS DECIMAL(38,0)) * " +
+          "greatest(ns2 div 1048576, 1)) AS BIGINT) END END")
           .as("cos2_ppm"))
   }
 

@@ -45,9 +45,16 @@ object RankSelect {
 
   /** Integer-exact fixed-width binning for long values: the +1
     * denominator keeps every index inside [0, bins) with no float
-    * edge cases (the curriculum convention). */
+    * edge cases (the curriculum convention). Widened through
+    * DECIMAL(38,0): `(v - lo) * bins` wraps/ANSI-errors int64 once
+    * the group's value RANGE passes ~3.6e16 (RoundsSpec's
+    * ±Long.MaxValue/4 case trips it) — the oracle's HUGEINT widens
+    * automatically, so the Spark side must too; `hi - lo + 1` gets
+    * the same treatment for ranges spanning the full long line.
+    * Values are unchanged wherever the narrow form didn't overflow. */
   def intBin(bins: Int): Column =
-    expr(s"(v - lo) * $bins div (hi - lo + 1)")
+    expr(s"(CAST(v AS DECIMAL(38,0)) - lo) * $bins " +
+      s"div (CAST(hi AS DECIMAL(38,0)) - lo + 1)")
 
   /** Rows of `scored` at the requested per-group ranks.
     *
@@ -111,7 +118,7 @@ object RankSelect {
       // references, the ranks frame, callers' final joins):
       // materialize the groups-sized frame so each reference reads
       // rows, not re-runs the corpus lineage
-      .transform(Rounds.materialize)
+      .transform(Rounds.materialize(_))
     val binned = nn.join(broadcast(bounds), Seq("g"))
       .withColumn("bin", binOf)
     // per-bin min/max ride the SAME map-side-combined aggregate as
@@ -125,9 +132,16 @@ object RankSelect {
     // below is referenced by the pass-2 semi-join, the rank-recovery
     // join AND the point-mass arm. Materialize once; everything
     // downstream of here except pass-2's own bin sort reads rows.
+    // boundedWindowOk: when a single-group caller passes a constant
+    // `g` (q40_concentration's lit(0)), Catalyst folds the partition
+    // key and this cumsum window runs unpartitioned — legitimately:
+    // its input is the (g, bin) AGGREGATE, ≤ `bins` rows per group
+    // by the binOf range contract (RoundsSpec pins bin ∈ [0, bins)
+    // for both conventions), never the corpus. Any other frame
+    // reaching materialize with an unpartitioned window fails fast.
     val cum = Rounds.materialize(hist.withColumn("cb",
       coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L))))
+        lit(0L))), boundedWindowOk = true)
     val ranks = mkRanks(bounds)
     // broadcast the RANKS side — strictly the smaller frame (a
     // handful of rows per group vs cum's groups×bins): left to the

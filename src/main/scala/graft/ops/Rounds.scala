@@ -39,9 +39,31 @@ object Rounds {
   val ReliableConf = "spark.graft.checkpoint.reliable"
 
   /** Truncate lineage and materialize one round's frame, in the
-    * session's configured storage mode. */
-  def materialize(df: DataFrame): DataFrame =
+    * session's configured storage mode.
+    *
+    * Eager materialization EXECUTES a plan the final-plan lint never
+    * sees (PlanLint walks committed query plans; a localCheckpoint
+    * intermediate is already rows by then) — exactly where r13's
+    * residual `WindowExec: No Partition Defined` warnings hid. So the
+    * helper lints HERE: a frame whose plan carries an unpartitioned
+    * window fails fast unless the caller passes
+    * `boundedWindowOk = true`, the explicit allowlist for frames
+    * bounded by construction (a groups×bins histogram cumsum — the
+    * one legitimate shape, see [[RankSelect.at]]; its partition key
+    * folds away when a single-group caller passes a constant `g`).
+    */
+  def materialize(df: DataFrame, boundedWindowOk: Boolean = false): DataFrame = {
+    if (!boundedWindowOk) {
+      val bad = graft.plans.PlanLint.audit(df)
+        .filter(_.rule == "single-partition-window")
+      require(bad.isEmpty,
+        "eager materialization would execute a single-partition window " +
+          "invisible to the final-plan lint; pass boundedWindowOk = true " +
+          "only for frames bounded by construction (summary/model " +
+          s"frames): ${bad.mkString("; ")}")
+    }
     if (reliable(df)) df.checkpoint() else df.localCheckpoint()
+  }
 
   /** [[materialize]] plus the round's CHANGED-ROW COUNT, collected by
     * the same job. `df` must carry a boolean `chg` column marking

@@ -13,6 +13,20 @@ case class LmScore(n_bigrams: Long, score_ppm: Long)
 /** Streaming text-quality operators. */
 object TextStreams {
 
+  /** LIVE HYGIENE ROUTE — [[TextAnalysis.encodingFlags]]' cascade on
+    * the document stream, stateless (the `CdcStreams.dlqRoute`
+    * discipline for text): every arriving doc carries its mojibake /
+    * control-byte / whitespace-run flags, the cleaning-delta char
+    * count, and an `is_dirty` verdict — split on it and the clean
+    * side feeds tokenization while damaged docs land in a quarantine
+    * sink WITH their diagnosis, instead of poisoning downstream
+    * stats. One shared projection with the batch audit, so the two
+    * paths classify identically by construction.
+    */
+  def hygieneRoute(docs: DataFrame): DataFrame =
+    TextAnalysis.encodingFlags(docs)
+      .withColumn("is_dirty", col("r") + col("c") + col("m") > 0)
+
   /** Streaming twin of [[TextAnalysis.lmBuckets]] — the live CCNet
     * quality gate: arriving documents score against a batch-fitted
     * [[TextAnalysis.LmGateModel]] (the anomalyStream refresh
@@ -31,20 +45,6 @@ object TextStreams {
     * the stream needs: a bigram unseen at fit time scores 0 ppm —
     * maximum surprise, the conservative verdict for novel text.
     */
-  /** LIVE HYGIENE ROUTE — [[TextAnalysis.encodingFlags]]' cascade on
-    * the document stream, stateless (the `CdcStreams.dlqRoute`
-    * discipline for text): every arriving doc carries its mojibake /
-    * control-byte / whitespace-run flags, the cleaning-delta char
-    * count, and an `is_dirty` verdict — split on it and the clean
-    * side feeds tokenization while damaged docs land in a quarantine
-    * sink WITH their diagnosis, instead of poisoning downstream
-    * stats. One shared projection with the batch audit, so the two
-    * paths classify identically by construction.
-    */
-  def hygieneRoute(docs: DataFrame): DataFrame =
-    TextAnalysis.encodingFlags(docs)
-      .withColumn("is_dirty", col("r") + col("c") + col("m") > 0)
-
   def lmGateStream(docs: DataFrame, model: TextAnalysis.LmGateModel)
                   (implicit spark: SparkSession): DataFrame = {
     val bPpm = spark.sparkContext.broadcast(model.ppm)

@@ -634,8 +634,11 @@ object TextAnalysis {
   /** ENCODING/CLEANLINESS AUDIT — per source: how many documents
     * carry replacement characters, control characters, or
     * whitespace runs, and how many characters the standard cleaning
-    * pass (drop control + replacement chars, collapse space runs)
-    * would remove. The C4/CCNet-style hygiene gate a corpus ingest
+    * pass (drop control + replacement chars, halve space pairs —
+    * ONE leftmost-non-overlapping replace sweep, so a run of 4
+    * spaces becomes 2, not 1; both engines share the single-pass
+    * semantics, which is why it is the delta of record) would
+    * remove. The C4/CCNet-style hygiene gate a corpus ingest
     * runs BEFORE quality scoring — a source with high dirty_ppm has
     * an extraction problem upstream, not a content problem. Pure
     * scan-side projection (translate + replace + contains — no
@@ -1096,14 +1099,20 @@ object TextAnalysis {
   /** The (bg, ppm, c_bg) conditional-probability table in exact
     * integer ppm: `c(w1 w2)·10⁶ div c(w1 ·)` over corpus counts. The
     * raw count rides along so [[lmFit]]'s top-k cap orders by it
-    * without re-running the vocabulary aggregate. */
+    * without re-running the vocabulary aggregate. `c_bg·10⁶` wraps
+    * int64 once a bigram count passes ~9.2e12 — below a 100 TB
+    * corpus's stop-word-prefix counts — so the product widens
+    * through DECIMAL(38,0) (the coverage_ppm/tokenBudget
+    * discipline); ppm itself is ≤ 10⁶ so the BIGINT alias is safe. */
   private[graft] def lmPpm(docBg: DataFrame): DataFrame = {
     val model = docBg.groupBy("bg").agg(sum("k").as("c_bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
     // conditional denominator: bigram instances sharing the prefix
     val pref = model.groupBy("w1").agg(sum("c_bg").as("c_pref"))
     model.join(pref.hint("shuffle_hash"), "w1")
-      .select(col("bg"), expr("c_bg * 1000000 div c_pref").as("ppm"),
+      .select(col("bg"),
+        expr("CAST(CAST(c_bg AS DECIMAL(38,0)) * 1000000 " +
+          "div c_pref AS BIGINT)").as("ppm"),
         col("c_bg"))
   }
 

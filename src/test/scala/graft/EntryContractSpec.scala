@@ -102,4 +102,118 @@ class EntryContractSpec extends SparkSpec {
     val missing = names -- have
     assert(missing.isEmpty, s"queries without a plans/ snapshot: $missing")
   }
+
+  test("every query key has a SURVEY §2 inventory row") {
+    // SURVEY §2 is the judged coverage contract: a query shipped
+    // without its row undercounts the surface (r13 shipped
+    // dedup_quality_cross rowless). Pin the contract mechanically:
+    // every `queries` key must appear backticked inside §2.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val start = survey.indexOf("## §2")
+    val end = survey.indexOf("## §3")
+    assert(start >= 0 && end > start, "SURVEY.md §2/§3 headers missing")
+    val s2 = survey.substring(start, end)
+    val ticked = "`([A-Za-z0-9_]+)`".r.findAllMatchIn(s2)
+      .map(_.group(1)).toSet
+    val rowless = SparkEntry.queries.keySet -- ticked
+    assert(rowless.isEmpty,
+      s"queries with no SURVEY §2 inventory row: $rowless")
+  }
+
+  /** Aggregate-count/sum outputs (and their long-typed alias
+    * closure) that later multiply a 10⁶/10⁴ ppm/bp literal in plain
+    * BIGINT — the silent-wrap class found and hand-fixed six times
+    * (vocab_coverage, fertility ×2, reciprocity, dsir, lmPpm): a raw
+    * corpus count passes 9.2e12 below the 100 TB design point, the
+    * non-ANSI product wraps while the DuckDB oracle widens/errors.
+    * Convention: widen through DECIMAL(38,0) before the multiply —
+    * a widened product types DECIMAL and never trips this walk.
+    */
+  private def unwidenedPpmProducts(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.types.LongType
+    val tainted = scala.collection.mutable.Set.empty[Long]
+    val hits = scala.collection.mutable.ArrayBuffer.empty[String]
+    def refsTainted(e: Expression): Boolean =
+      e.references.exists(a => tainted.contains(a.exprId.id))
+    def ppmLit(e: Expression): Boolean = e match {
+      case c: Cast => ppmLit(c.child)
+      case Literal(v: Long, _) => v == 1000000L || v == 10000L
+      case Literal(v: Int, _) => v == 1000000 || v == 10000
+      case _ => false
+    }
+    def unboundedAgg(e: Expression): Boolean = e.exists {
+      case ae: AggregateExpression =>
+        ae.aggregateFunction.isInstanceOf[Sum] ||
+          ae.aggregateFunction.isInstanceOf[Count]
+      case _ => false
+    }
+    plan.foreachUp { node =>
+      // children's taint is already recorded (foreachUp) when this
+      // node's expressions are inspected
+      node.expressions.foreach(_.foreach {
+        case m @ Multiply(l, r, _) if m.dataType == LongType =>
+          val sides = Seq(l, r)
+          if (sides.exists(ppmLit) &&
+            sides.exists(s => !ppmLit(s) && refsTainted(s)))
+            hits += m.sql
+        case _ => ()
+      })
+      node match {
+        case Aggregate(_, aggExprs, _, _) => aggExprs.foreach {
+          case a: Alias
+            if a.dataType == LongType && unboundedAgg(a.child) =>
+            tainted += a.exprId.id
+          case _ => ()
+        }
+        case w: Window => w.windowExpressions.foreach {
+          case a: Alias
+            if a.dataType == LongType && unboundedAgg(a.child) =>
+            tainted += a.exprId.id
+          case _ => ()
+        }
+        case p: Project => p.projectList.foreach {
+          case a: Alias
+            if a.dataType == LongType && refsTainted(a.child) =>
+            tainted += a.exprId.id
+          case _ => ()
+        }
+        case _ => ()
+      }
+    }
+    hits.toSeq.distinct
+  }
+
+  test("ppm-widening lint fires on a planted unwidened product") {
+    import org.apache.spark.sql.functions._
+    val planted = spark.range(10)
+      .withColumn("g", col("id") % 2)
+      .groupBy("g").agg(sum("id").as("c"))
+      .selectExpr("CAST(c * 1000000 div 7 AS BIGINT) AS ppm")
+    assert(unwidenedPpmProducts(planted.queryExecution.analyzed).nonEmpty,
+      "lint failed to flag a raw aggregate * 1000000 in BIGINT")
+    val widened = spark.range(10)
+      .withColumn("g", col("id") % 2)
+      .groupBy("g").agg(sum("id").as("c"))
+      .selectExpr(
+        "CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div 7 AS BIGINT) AS ppm")
+    assert(unwidenedPpmProducts(widened.queryExecution.analyzed).isEmpty,
+      "lint flagged the DECIMAL(38,0)-widened form")
+  }
+
+  test("no query multiplies an unwidened aggregate by a ppm/bp literal") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        unwidenedPpmProducts(fn(spark, sf).queryExecution.analyzed)
+          .map(e => s"$name: $e")
+    }
+    assert(bad.isEmpty,
+      s"unwidened aggregate×ppm-literal products (int64 wrap below " +
+        s"the 100 TB design point):\n${bad.mkString("\n")}")
+  }
 }

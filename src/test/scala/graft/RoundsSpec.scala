@@ -92,4 +92,61 @@ class RoundsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(keepers(spark) === keepers(s2))
   }
+
+  test("materialize fails fast on an unpartitioned corpus window") {
+    // the r13 residual: runtime `WindowExec: No Partition Defined`
+    // warnings fired inside eagerly-materialized intermediates the
+    // final-plan lint never walks. materialize now lints the frame
+    // it is about to execute — an unallowlisted single-partition
+    // window is an error, not a log line
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("id")
+    val planted = spark.range(100).toDF("id")
+      .withColumn("rk", row_number().over(w))
+    val ex = intercept[IllegalArgumentException] {
+      Rounds.materialize(planted)
+    }
+    assert(ex.getMessage.contains("single-partition window"))
+    // the allowlist executes the same frame (caller vouches bounded)
+    assert(Rounds.materialize(planted, boundedWindowOk = true)
+      .count() === 100L)
+  }
+
+  test("binOf conventions keep every index inside [0, bins) — the " +
+    "bound behind RankSelect's allowlisted cumsum window") {
+    // the ONE allowlisted single-partition window (RankSelect's cum,
+    // reached when a constant group key folds the partition away —
+    // q40_concentration) runs over the (g, bin) aggregate: ≤ bins
+    // rows per group IFF binOf lands in [0, bins). Pin the range for
+    // both conventions on adversarial values: extremes, point-mass
+    // (lo = hi), negatives, and a value at each edge.
+    val bins = 256
+    def rangeOf(vals: Seq[Long]): (Long, Long) = {
+      val df = vals.toDF("v")
+        .withColumn("lo", lit(vals.min))
+        .withColumn("hi", lit(vals.max))
+      val r = df.select(graft.ops.RankSelect.intBin(bins).as("b"))
+        .agg(min("b"), max("b")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    for (vals <- Seq(Seq(0L, 1L, 255L, 256L, 1000000L),
+      Seq(-500L, -1L, 0L, 499L), Seq(7L, 7L, 7L),
+      Seq(Long.MinValue / 4, 0L, Long.MaxValue / 4))) {
+      val (lo, hi) = rangeOf(vals)
+      assert(lo >= 0L && hi < bins, s"intBin out of range on $vals: [$lo, $hi]")
+    }
+    def floatRange(vals: Seq[Double]): (Long, Long) = {
+      val df = vals.toDF("v")
+        .withColumn("lo", lit(vals.min))
+        .withColumn("hi", lit(vals.max))
+      val r = df.select(graft.ops.RankSelect.floatBin(bins).as("b"))
+        .agg(min("b"), max("b")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    for (vals <- Seq(Seq(0.0, 0.5, 1.0), Seq(-3.25, 0.0, 9.75),
+      Seq(2.5, 2.5), Seq(1e-12, 1e12))) {
+      val (lo, hi) = floatRange(vals)
+      assert(lo >= 0L && hi < bins, s"floatBin out of range on $vals: [$lo, $hi]")
+    }
+  }
 }
