@@ -60,6 +60,10 @@ object SparkEntry {
     "cdc_changelog" -> ((s, d) => changelog(s, d).orderBy("seq")),
     "cdc_fts_route" -> ((s, d) => Changelog.ftsRoute(changelog(s, d)).orderBy("seq")),
     "cdc_fts_messages" -> ((s, d) => Changelog.ftsMessages(changelog(s, d)).orderBy("seq")),
+    "cdc_fts_fuzzy" -> ((s, d) => Changelog.ftsFuzzy(changelog(s, d))
+      .orderBy("field_path", "name_a", "name_b")),
+    "cdc_geo_saveback" -> ((s, d) => Changelog.geoSaveback(changelog(s, d))
+      .orderBy("doc_id")),
     "cdc_geo_route" -> ((s, d) => Changelog.geoRoute(changelog(s, d)).orderBy("seq")),
     "cdc_geo_messages" -> ((s, d) => Changelog.geoMessages(changelog(s, d)).orderBy("seq")),
     "cdc_binary_route" -> ((s, d) => Changelog.binaryRoute(changelog(s, d)).orderBy("seq")),
@@ -867,6 +871,16 @@ object SparkEntry {
       |         props AS payload, value AS amount
       |  FROM events)
       |""".stripMargin
+
+  /** DuckDB replay of `conv(substring(md5(e), start, n), 16, 10)` —
+    * the sample_shards strpos-arithmetic pattern generalized to n
+    * nibbles (used by the geocode stub's 6-nibble coordinates). */
+  private def md5Nibbles(e: String, start: Int, n: Int): String =
+    (0 until n).map { i =>
+      val w = math.pow(16, n - 1 - i).toLong
+      s"$w * (strpos('0123456789abcdef', " +
+        s"substring(md5($e), ${start + i}, 1)) - 1)"
+    }.mkString("(", " + ", ")")
 
   private val contaminationSql: String =
     """WITH docs AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
@@ -2521,6 +2535,76 @@ object SparkEntry {
         |WHERE op = 'RECORD_DELETE' OR op = 'RECORD_INSERT'
         |   OR field_path IN ('firstName','lastName')
         |ORDER BY seq""".stripMargin),
+    // geocode-stub enrichment re-entering the log as field writes at
+    // interleaved seqs (3s originals, 3s+1 latitude, 3s+2 longitude),
+    // then the doc_rebuild replay over the merged log
+    "cdc_geo_saveback" -> (clCte +
+      s""", geo AS (
+        |  SELECT doc_id, seq, payload AS address FROM changelog
+        |  WHERE (op = 'RECORD_INSERT' OR field_path = 'address')
+        |    AND op <> 'RECORD_DELETE'),
+        |enrich AS (
+        |  SELECT doc_id, seq * 3 + unnest([1, 2]) AS seq,
+        |         'RECORD_UPDATE' AS op,
+        |         unnest(['latitude', 'longitude']) AS field_path,
+        |         unnest([
+        |           CAST(CAST(${md5Nibbles("address", 1, 6)} AS BIGINT)
+        |                * 180000001 // 16777216 - 90000000 AS VARCHAR),
+        |           CAST(CAST(${md5Nibbles("address", 7, 6)} AS BIGINT)
+        |                * 360000001 // 16777216 - 180000000 AS VARCHAR)
+        |         ]) AS payload
+        |  FROM geo),
+        |merged AS (
+        |  SELECT doc_id, seq * 3 AS seq, op, field_path, payload
+        |  FROM changelog
+        |  UNION ALL
+        |  SELECT doc_id, seq, op, field_path, payload FROM enrich),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+        |            AS rn
+        |  FROM merged),
+        |alive AS (
+        |  SELECT doc_id FROM ranked WHERE rn = 1 AND op <> 'RECORD_DELETE'),
+        |fr AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, field_path
+        |                               ORDER BY seq DESC) AS rnf
+        |  FROM merged WHERE field_path <> '')
+        |SELECT fr.doc_id, max(fr.seq) AS as_of_seq, count(*) AS n_fields,
+        |       CAST(to_json(list(json_object('f', fr.field_path, 'v', fr.payload)
+        |              ORDER BY fr.field_path)) AS VARCHAR) AS doc_json
+        |FROM fr JOIN alive ON fr.doc_id = alive.doc_id
+        |WHERE fr.rnf = 1
+        |GROUP BY fr.doc_id
+        |ORDER BY fr.doc_id""".stripMargin),
+    // the FTS index replayed to live state (insert writes both name
+    // fields, delete tombstones wipe), then brute all-pairs
+    // levenshtein over the term dictionary — the unfiltered ground
+    // truth certifying the Ed-Join candidate rule lost zero pairs
+    "cdc_fts_fuzzy" -> (clCte +
+      """, routed AS (
+        |  SELECT doc_id AS _id, seq, op, field_path, payload FROM changelog
+        |  WHERE op IN ('RECORD_DELETE', 'RECORD_INSERT')
+        |     OR field_path IN ('firstName', 'lastName')),
+        |writes AS (
+        |  SELECT _id, seq,
+        |         unnest(CASE WHEN op IN ('RECORD_INSERT', 'RECORD_DELETE')
+        |                     THEN ['firstName', 'lastName']
+        |                     ELSE [field_path] END) AS f,
+        |         CASE WHEN op = 'RECORD_DELETE' THEN NULL ELSE payload END AS v
+        |  FROM routed),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY _id, f ORDER BY seq DESC)
+        |               AS rn
+        |      FROM writes),
+        |terms AS (SELECT f AS field_path, v AS term,
+        |            CAST(count(*) AS BIGINT) AS n_docs
+        |          FROM r WHERE rn = 1 AND v IS NOT NULL GROUP BY 1, 2)
+        |SELECT a.field_path, a.term AS name_a, b.term AS name_b,
+        |       CAST(levenshtein(a.term, b.term) AS BIGINT) AS dist,
+        |       a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+        |FROM terms a JOIN terms b
+        |  ON a.field_path = b.field_path AND b.term > a.term
+        |WHERE levenshtein(a.term, b.term) <= 2
+        |ORDER BY a.field_path, name_a, name_b""".stripMargin),
     "cdc_fts_messages" -> (clCte +
       """SELECT doc_id AS _id, seq,
         |  CASE WHEN op = 'RECORD_DELETE'

@@ -128,6 +128,135 @@ object Changelog {
       to_json(struct(col("_id"), col("operation"),
         col("address"))).as("message"))
 
+  /** GEO SAVE-BACK ROUND TRIP — the reference's second service loop
+    * closed end to end (README.md:28-29: the geo service takes each
+    * routed address, gets "the latitude and longitude from the
+    * address and save[s] it back into the MapR-DB document"): every
+    * [[geoRoute]]d message is geocoded and its coordinates re-enter
+    * the changelog as first-class field writes, and the output is
+    * the REBUILT enriched document ([[rebuildDocs]] over the merged
+    * log) — address-bearing docs now carry `latitude`/`longitude`
+    * fields.
+    *
+    * The geocoder is a DETERMINISTIC STUB (the mm-decode discipline,
+    * Multimodal.scala:138 — no geocoding service exists in the test
+    * container, so the lookup is a fake behind a real seam):
+    * micro-degree coordinates derived from the address digest,
+    * `md5(address)` nibbles scaled into [-90e6, 90e6] / [-180e6,
+    * 180e6] — engine-portable (the sample_shards strpos replay) and
+    * stable under re-delivery, so the save-back stays idempotent.
+    *
+    * Seq interleaving: original records ride `3·seq`, the latitude
+    * write `3·seq + 1`, the longitude write `3·seq + 2` — each
+    * coordinate write gets its OWN slot (a shared slot ties doc-level
+    * LWW between the two coordinate rows, which argmax breaks
+    * nondeterministically), the geocode of op s beats everything up
+    * to s, and a delete at s' > s (`3s' > 3s+2`) still tombstones
+    * the doc; no seq ties exist, so LWW is total-order deterministic
+    * on both engines. (`3·seq` wraps only past seq ≈ 3e18 —
+    * beyond any event-id space this engine meets.) One extra
+    * projection + union before the same fieldState aggregation —
+    * the save-back costs no additional shuffle over the rebuild it
+    * feeds.
+    */
+  def geoSaveback(changelog: DataFrame): DataFrame =
+    rebuildDocs(geoSavebackLog(changelog))
+
+  /** The merged save-back LOG itself — original records at `3·seq`
+    * plus the geocode field writes at `3·seq + 1` / `3·seq + 2` —
+    * shared by the
+    * batch rebuild ([[geoSaveback]]) and the STREAMING compaction
+    * path: every expression here is a stateless projection, so the
+    * same transform enriches a live changelog stream feeding
+    * [[graft.streaming.StateTable.compactionSink]] (StateTableSpec
+    * pins stream-materialized ≡ batch-replayed by digest).
+    * `ts_us`/`amount` ride through when present so the output stays
+    * a full ChangeRecord feed; an enrichment write inherits its
+    * triggering record's timestamp.
+    */
+  def geoSavebackLog(changelog: DataFrame): DataFrame = {
+    val extras = Seq("ts_us", "amount").filter(changelog.columns.contains)
+    val geo = changelog.filter(
+      (col("op") === Insert || col("field_path") === "address") &&
+        col("op") =!= Delete)
+    val lat = expr("CAST(conv(substring(md5(payload), 1, 6), 16, 10) " +
+      "AS BIGINT) * 180000001 div 16777216 - 90000000")
+    val lon = expr("CAST(conv(substring(md5(payload), 7, 6), 16, 10) " +
+      "AS BIGINT) * 360000001 div 16777216 - 180000000")
+    val enrich = geo.select(
+      col("doc_id") +: col("seq").as("s0") +: lit(Update).as("op") +:
+        explode(array(
+          struct(lit(1L).as("slot"), lit("latitude").as("f"),
+            lat.cast("string").as("v")),
+          struct(lit(2L).as("slot"), lit("longitude").as("f"),
+            lon.cast("string").as("v")))).as("w") +: extras.map(col): _*)
+      .select(col("doc_id") +:
+        (col("s0") * 3 + col("w.slot")).as("seq") +: col("op") +:
+        col("w.f").as("field_path") +: col("w.v").as("payload") +:
+        extras.map(col): _*)
+    val base = changelog.select(
+      col("doc_id") +: (col("seq") * 3).as("seq") +: col("op") +:
+        col("field_path") +: col("payload") +: extras.map(col): _*)
+    base.unionByName(enrich)
+  }
+
+  /** FUZZY NAME SEARCH over the routed FTS index — the reference's
+    * fts_service topic exists to feed a downstream search service
+    * doing "soundex, fuzzy search" on the name fields (README.md:27);
+    * this materializes that service's core query: which indexed name
+    * TERMS are within Levenshtein ≤ k of each other, with each
+    * term's posting size. The index is the ftsMessages wire
+    * semantics replayed to its live state (insert writes the payload
+    * into BOTH name fields, an update only its field, a winning
+    * delete tombstone drops the doc's postings), then fuzzy matching
+    * runs on the term DICTIONARY — distinct values, not postings —
+    * so ten thousand docs sharing one name cost one dictionary row,
+    * never 10⁸ pairs. The pair join rides [[graft.dedup.Dedup
+    * .editDistance]]'s Ed-Join kernel per field (rarity-ordered
+    * constant-length gram prefixes + length band + banded
+    * `levenshtein(a,b,k)` verify — never dictionary²), which is what
+    * keeps a 100 TB-scale name dictionary joinable. Phonetic
+    * (soundex) matching is deliberately absent: Spark's `soundex`
+    * has no DuckDB twin, so an oracle-certifiable phonetic key would
+    * need a hand replay on both engines — edit distance IS
+    * certifiable and covers the fuzzy half of the promise.
+    */
+  def ftsFuzzy(changelog: DataFrame, k: Int = 2): DataFrame = {
+    val routed = ftsRoute(changelog)
+    // each routed message's index writes: deletes wipe both fields
+    // (null sentinel), inserts set both, updates set their field
+    val writes = routed.select(col("_id"), col("seq"),
+        explode(
+          when(col("operation") === Insert or col("operation") === Delete,
+            array(lit("firstName"), lit("lastName")))
+            .otherwise(array(col("field_path")))).as("f"),
+        when(col("operation") === Delete, lit(null).cast("string"))
+          .otherwise(col("payload")).as("v"))
+    // live index: last writer per (doc, field); arg_max_str keeps a
+    // null at the winning seq (the tombstone), filtered after
+    val idx = writes.groupBy("_id", "f")
+      .agg(arg_max_str(col("v"), col("seq")).as("term"))
+      .filter(col("term").isNotNull)
+    val terms = graft.ops.Rounds.materialize(
+      idx.groupBy(col("f"), col("term"))
+        .agg(count(lit(1)).as("n_docs")))
+    val pairs = Seq("firstName", "lastName").map { f =>
+      val t = terms.filter(col("f") === f)
+        .select(col("term").as("doc_id"), col("term").as("text"))
+      graft.dedup.Dedup.editDistance(t, k, q = 2)
+        .select(lit(f).as("field_path"), col("doc_a").as("name_a"),
+          col("doc_b").as("name_b"), col("dist"))
+    }.reduce(_.unionByName(_))
+    val na = terms.select(col("f").as("field_path"),
+      col("term").as("name_a"), col("n_docs").as("n_docs_a"))
+    val nb = terms.select(col("f").as("field_path"),
+      col("term").as("name_b"), col("n_docs").as("n_docs_b"))
+    pairs.join(na.hint("shuffle_hash"), Seq("field_path", "name_a"))
+      .join(nb.hint("shuffle_hash"), Seq("field_path", "name_b"))
+      .select(col("field_path"), col("name_a"), col("name_b"),
+        col("dist"), col("n_docs_a"), col("n_docs_b"))
+  }
+
   /** Last-writer-wins materialization of current per-document state:
     * the "save it back into MapR-DB" half of the reference's loop.
     * Docs whose latest record is a tombstone are dropped.

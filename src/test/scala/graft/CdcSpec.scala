@@ -298,4 +298,37 @@ class CdcSpec extends SparkSpec
       .select("reason").collect().map(_.getString(0))
     assert(r13.forall(_ == "not_json"), r13.mkString(","))
   }
+
+  test("fts fuzzy: near-miss names pair within k, tombstoned postings " +
+    "vanish, updates move the term, postings count per field") {
+    import spark.implicits._
+    val rows = Seq(
+      // u1/u2: inserted names one edit apart
+      ("u1", 1L, "RECORD_INSERT", "", "john"),
+      ("u2", 2L, "RECORD_INSERT", "", "jon"),
+      // u3: inserted as jane, firstName later updated to joan — the
+      // OLD term must be gone from firstName, jane stays in lastName
+      ("u3", 3L, "RECORD_INSERT", "", "jane"),
+      ("u3", 10L, "RECORD_UPDATE", "firstName", "joan"),
+      // u4: far from everything at k=2
+      ("u4", 4L, "RECORD_INSERT", "", "banana"),
+      // u5: a near-miss of john whose doc is deleted — no pair may
+      // surface from a tombstoned posting
+      ("u5", 5L, "RECORD_INSERT", "", "johm"),
+      ("u5", 20L, "RECORD_DELETE", "", null),
+      // u6: duplicate of u2's name — one dictionary row, n_docs 2
+      ("u6", 6L, "RECORD_INSERT", "", "jon"))
+      .toDF("doc_id", "seq", "op", "field_path", "payload")
+    val got = Changelog.ftsFuzzy(rows, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getAs[Long]("dist"),
+          r.getAs[Long]("n_docs_a"), r.getAs[Long]("n_docs_b")))).toMap
+    assert(got === Map(
+      ("firstName", "joan", "john") -> ((1L, 1L, 1L)),
+      ("firstName", "joan", "jon") -> ((1L, 1L, 2L)),
+      ("firstName", "john", "jon") -> ((1L, 1L, 2L)),
+      // jane–john is distance 3 — outside k, must be absent
+      ("lastName", "jane", "jon") -> ((2L, 1L, 2L)),
+      ("lastName", "john", "jon") -> ((1L, 1L, 2L))), s"$got")
+  }
 }

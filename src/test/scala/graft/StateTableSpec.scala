@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.cdc.Changelog
 import graft.ops.Layout
@@ -58,6 +59,52 @@ class StateTableSpec extends SparkSpec {
     val batchDigest = dig(Changelog.stateDigest(
       Changelog.fromEvents((batch1 ++ batch2).toDF())))
     assert(streamDigest === batchDigest && streamDigest.nonEmpty)
+  }
+
+  test("geo save-back round trip: the enriched stream's materialized " +
+    "state digests equal to the batch replay, coordinates included") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlc = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-geo-state").toString
+    val ckpt = Files.createTempDirectory("graft-geo-ckpt").toString
+    // purchases carry addresses; user2's delete arrives AFTER its
+    // address so the tombstone must beat the interleaved geocode
+    val batch1 = Seq(ev(0, 1, "signup", 0), ev(1, 1, "purchase", 1),
+      ev(2, 2, "signup", 2), ev(3, 2, "purchase", 3))
+    val batch2 = Seq(ev(5, 1, "purchase", 5), ev(7, 2, "error", 7))
+
+    val input = MemoryStream[EventRow]
+    // the SAME stateless projection that the batch operator uses,
+    // applied to the live changelog stream, feeding the LWW sink
+    val enriched = Changelog
+      .geoSavebackLog(CdcStreams.changelog(input.toDF()).toDF())
+      .as[graft.streaming.ChangeRecord]
+    val q = StateTable.compactionSink(enriched, dir, ckpt)
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    def dig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("last_op"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("digest"))).toSet
+    val streamDigest = dig(StateTable.digest(spark, dir))
+    val batchDigest = dig(Changelog.stateDigest(Changelog.geoSavebackLog(
+      Changelog.fromEvents((batch1 ++ batch2).toDF()))))
+    assert(streamDigest === batchDigest && streamDigest.nonEmpty)
+    // the round trip actually lands in the documents: user1's
+    // rebuilt doc carries the coordinates of its LATEST address
+    val doc = Changelog.geoSaveback(
+        Changelog.fromEvents((batch1 ++ batch2).toDF()))
+      .filter(col("doc_id") === "user1").head()
+    val json = doc.getAs[String]("doc_json")
+    assert(json.contains("\"latitude\"") && json.contains("\"longitude\""),
+      json)
+    // user2 was deleted after its address: no enriched doc survives
+    assert(Changelog.geoSaveback(
+        Changelog.fromEvents((batch1 ++ batch2).toDF()))
+      .filter(col("doc_id") === "user2").isEmpty)
   }
 
   test("stateful compaction survives kill + restart from checkpoint") {
