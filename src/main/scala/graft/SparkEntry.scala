@@ -284,6 +284,10 @@ object SparkEntry {
     // Pareto/80-20: revenue share held at/above the p90/p99 customer
     // (integer cents + RankSelect thresholds — no population sort)
     "q40_concentration" -> ((s, d) => Relational.revenueConcentration(s, d)),
+    "q41_rollup" -> ((s, d) => Relational.rollupRevenue(s, d)
+      .orderBy(col("g_year"), col("g_status"),
+        org.apache.spark.sql.functions.expr("coalesce(o_year, -1)"),
+        org.apache.spark.sql.functions.expr("coalesce(o_orderstatus, '')"))),
     "q17_approx_quantiles" -> Relational.q17ApproxQuantiles _,
     "q18_asof_join" -> Relational.q18AsofAttribution _,
     "q19_range_window" -> Relational.q19RangeWindow _,
@@ -593,6 +597,12 @@ object SparkEntry {
     // §2d similarity search
     "sim_brute_topk" -> ((s, d) =>
       Similarity.bruteTopK(Tables.embeddings(s, d), col("vec_id") < 10, 5).orderBy("q_id", "rank")),
+    // filtered-search audit: recall of post-filtered top-k vs the
+    // exact filtered ground truth per candidate budget
+    "sim_postfilter_recall" -> ((s, d) =>
+      Similarity.postfilterRecall(Tables.embeddings(s, d),
+        col("vec_id") < 10, col("label") % 2 === 0, 5, Seq(5, 10, 20))
+        .orderBy("budget")),
     // contrastive-training negatives: banded cross-label top-k
     "sim_hard_negatives" -> ((s, d) =>
       Similarity.hardNegatives(Tables.embeddings(s, d), col("vec_id") < 10, 5)
@@ -832,6 +842,10 @@ object SparkEntry {
     // garbage detector (compressed/encrypted vs padding/stuck)
     "mm_entropy" -> ((s, d) =>
       Multimodal.entropyAudit(Tables.documents(s, d)).orderBy("media_type")),
+    // shot segmentation: per-frame byte-mean signatures over REAL
+    // payload slices, adjacent-frame deltas, cuts past the threshold
+    "mm_scene_cuts" -> ((s, d) =>
+      Multimodal.sceneCuts(Tables.documents(s, d)).orderBy("doc_id")),
     // corrupt-blob sweep: empty payloads, metadata violations, byte
     // totals, commutative per-type payload digest (replica compare)
     "mm_integrity" -> ((s, d) =>
@@ -3841,6 +3855,22 @@ object SparkEntry {
         |            // max(tot.total_occurrences) AS BIGINT) AS coverage_ppm
         |FROM k CROSS JOIN r CROSS JOIN tot
         |GROUP BY k.k ORDER BY k.k""".stripMargin,
+    // ROLLUP grouping sets: per (year, status) + per year + grand
+    // total in one aggregation; grouping() flags + coalesced sort
+    // keys neutralize the engines' NULL-ordering divergence
+    "q41_rollup" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_year, o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |       CAST(grouping(o_year) AS BIGINT) AS g_year,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+        |FROM o
+        |GROUP BY ROLLUP(o_year, o_orderstatus)
+        |ORDER BY g_year, g_status, coalesce(o_year, -1),
+        |         coalesce(o_orderstatus, '')""".stripMargin,
     // per-customer cents, rank thresholds at exact bp ranks over the
     // ascending order, at-or-above conditional sums in HUGEINT
     "q40_concentration" ->
@@ -4262,6 +4292,32 @@ object SparkEntry {
         |           FROM band)
         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5
         |ORDER BY q_id, rank""".stripMargin,
+    // both rankings share one window order; a truth row is recalled
+    // at budget K' iff its unfiltered rank fits the budget
+    "sim_postfilter_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (SELECT q_id, e.vec_id, e.label,
+        |             round(list_cosine_similarity(q_emb,
+        |               CAST(e.embedding AS DOUBLE[])), 6) AS cos
+        |           FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                ORDER BY cos DESC, vec_id) AS rk_all FROM scored),
+        |t AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |                ORDER BY cos DESC, vec_id) AS rk_f
+        |      FROM r WHERE label % 2 = 0),
+        |tr AS (SELECT * FROM t WHERE rk_f <= 5),
+        |per AS (SELECT q_id, b.budget,
+        |          CAST(count(*) FILTER (WHERE rk_all <= b.budget) AS BIGINT)
+        |            AS hits,
+        |          CAST(count(*) AS BIGINT) AS n_truth
+        |        FROM tr CROSS JOIN (SELECT unnest([5, 10, 20]) AS budget) b
+        |        GROUP BY 1, 2)
+        |SELECT CAST(budget AS BIGINT) AS budget, count(*) AS n_queries,
+        |       CAST(CAST(sum(hits) AS HUGEINT) * 1000000
+        |            // CAST(sum(n_truth) AS HUGEINT) AS BIGINT) AS recall_ppm,
+        |       CAST(count(*) FILTER (WHERE hits = n_truth) AS BIGINT) AS n_full
+        |FROM per GROUP BY budget ORDER BY budget""".stripMargin,
     "sim_brute_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
@@ -4918,6 +4974,41 @@ object SparkEntry {
         |       CAST(CAST(sum(hv) AS HUGEINT)
         |            % 4611686018427387904 AS BIGINT) AS digest
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    // frame slices from the real hex payload, exact byte-sum means
+    // in bp (HUGEINT-widened), lag deltas, count over the threshold
+    "mm_scene_cuts" ->
+      """WITH v AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS plen
+        |           FROM documents
+        |           WHERE doc_id % 3 = 2 AND octet_length(encode(text)) >= 1),
+        |m AS (SELECT doc_id, hx, plen, plen % 8 + 1 AS n_frames,
+        |        plen // (plen % 8 + 1) AS flen FROM v),
+        |f AS (SELECT doc_id, hx, n_frames, flen,
+        |        unnest(range(0, n_frames)) AS frame_idx
+        |      FROM m WHERE flen >= 1),
+        |fh AS (SELECT doc_id, n_frames, flen, frame_idx,
+        |         substring(hx, CAST(frame_idx * flen * 2 + 1 AS BIGINT),
+        |           CAST(flen * 2 AS BIGINT)) AS fh
+        |       FROM f),
+        |s AS (SELECT doc_id, n_frames, frame_idx,
+        |        CAST(CAST(list_sum(list_transform(range(1, flen + 1), i ->
+        |            (strpos('0123456789ABCDEF', substring(fh, 2*i - 1, 1)) - 1)
+        |              * 16
+        |            + strpos('0123456789ABCDEF', substring(fh, 2*i, 1)) - 1))
+        |          AS HUGEINT) * 10000 // (flen * 255) AS BIGINT) AS mean_bp
+        |      FROM fh),
+        |d AS (SELECT doc_id, n_frames, frame_idx, mean_bp,
+        |        abs(mean_bp - lag(mean_bp) OVER (PARTITION BY doc_id
+        |          ORDER BY frame_idx)) AS delta_bp
+        |      FROM s)
+        |SELECT doc_id, CAST(max(n_frames) AS BIGINT) AS n_frames,
+        |       CAST(count(*) FILTER (WHERE delta_bp >= 150) AS BIGINT)
+        |         AS n_cuts,
+        |       max(delta_bp) AS max_delta_bp,
+        |       CASE WHEN count(delta_bp) > 0
+        |            THEN CAST(sum(delta_bp) // count(delta_bp) AS BIGINT)
+        |       END AS avg_delta_bp
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_entropy" ->
       """WITH h AS (SELECT doc_id,
         |    CASE WHEN doc_id % 3 = 0 THEN 'image'

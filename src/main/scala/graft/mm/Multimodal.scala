@@ -165,6 +165,70 @@ object Multimodal {
           col("col").cast("string"))), 1, 16).as("frame_fp"))
   }
 
+  /** SCENE-CUT detection over sampled video frames — the shot
+    * segmentation every video-curation pipeline runs before frame
+    * dedup or captioning (a cut boundary is where a new caption
+    * starts; frames within a shot are near-identical and one
+    * representative suffices). Real decoders compare per-frame color
+    * histograms; here the frame slices are REAL payload bytes (the
+    * [[frameSample]] offsets applied to the actual binary, not a
+    * synthetic fingerprint) and the per-frame signature is the mean
+    * byte value in basis points — adjacent-frame mean deltas cross
+    * `cutBp` at content discontinuities. The mean is exact-integer
+    * (sum of bytes via the hex replay, DECIMAL-widened before the
+    * 10⁴ scale — the repo ppm rule), so both engines see identical
+    * deltas and the threshold can never straddle a float.
+    *
+    * Shape: frames explode per input row (no shuffle — the same
+    * row-multiplying stage [[frameSample]] pins), the per-frame fold
+    * runs inside the scan projection, and the ONLY shuffle is the
+    * (doc_id) window for adjacent-frame lag + the per-doc rollup —
+    * at 100 TB that is one exchange keyed by the id the table is
+    * already bucketed on. Single-frame videos stay in the output
+    * with null deltas (the lm 'unscored' discipline — dropping rows
+    * poisons downstream ratios).
+    */
+  def sceneCuts(documents: DataFrame, maxFrames: Int = 8,
+                cutBp: Long = 150L): DataFrame = {
+    val media = attach(documents).filter(col("media_type") === "video")
+      .select(col("doc_id"), upper(hex(col("payload"))).as("hx"),
+        octet_length(col("payload")).cast("long").as("plen"))
+      .filter(col("plen") >= 1)
+      .withColumn("n_frames", (col("plen") % maxFrames + 1).cast("long"))
+    val frames = media
+      .select(col("doc_id"), col("hx"), col("n_frames"),
+        expr("plen div n_frames").as("flen"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)))
+      .select(col("doc_id"), col("hx"), col("n_frames"), col("flen"),
+        col("col").as("frame_idx"),
+        // the frame's hex window: byte [i·flen, (i+1)·flen)
+        expr("substring(hx, CAST(col * flen * 2 + 1 AS INT), " +
+          "CAST(flen * 2 AS INT))").as("fh"))
+      .filter(col("flen") >= 1)
+      .select(col("doc_id"), col("n_frames"), col("flen"), col("frame_idx"),
+        // exact byte sum via the hex fold (conv is the engine-shared
+        // nibble decode); mean in bp of 255 widens before the scale
+        expr("aggregate(sequence(1, CAST(flen AS INT)), 0L, (acc, i) -> " +
+          "acc + CAST(conv(substring(fh, 2*i - 1, 2), 16, 10) AS BIGINT))")
+          .as("s1"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * 10000 " +
+          "div (flen * 255) AS BIGINT)").as("mean_bp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("delta_bp", abs(col("mean_bp") - lag("mean_bp", 1).over(w)))
+      .groupBy("doc_id")
+      .agg(max("n_frames").as("n_frames"),
+        sum(when(col("delta_bp") >= cutBp, 1L).otherwise(0L)).as("n_cuts"),
+        max("delta_bp").as("max_delta_bp"),
+        sum("delta_bp").as("sd"),
+        count(col("delta_bp")).as("nd"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        col("max_delta_bp"),
+        expr("CASE WHEN nd > 0 THEN sd div nd END").as("avg_delta_bp"))
+  }
+
   /** Byte-shingle NEAR-dup over binary payloads: 8-byte windows at a
     * 4-byte stride over the hex encoding become the shingle set, then
     * the same inverted-index equi-join + Jaccard verify as the text

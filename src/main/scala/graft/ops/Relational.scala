@@ -415,6 +415,28 @@ object Relational {
           "div total_cents AS BIGINT)").as("top1_share_ppm"))
   }
 
+  /** ROLLUP revenue cube — the multi-level subtotal shape every OLAP
+    * report ends in (per (year, status), per year, grand total — one
+    * scan, one aggregation): Spark's `rollup` plans an Expand over
+    * the grouping sets feeding ONE hash aggregate, so the three
+    * levels cost one shuffle, not three queries. Money rides integer
+    * cents (the q40 discipline); `grouping()` flags disambiguate a
+    * rollup NULL from a genuine NULL key, and the ORDER BY coalesces
+    * through the flags so both engines sort the subtotal rows
+    * identically (Spark sorts NULL first ascending, DuckDB last —
+    * never let a rollup NULL reach the sort raw).
+    */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .rollup("o_year", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"),
+        grouping(col("o_year")).cast("long").as("g_year"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"))
+
   /** Per-group EQUI-DEPTH histogram — the optimizer-statistics
     * operator (equal-POPULATION buckets expose where the value mass
     * actually lives; the fixed-width q33 histogram starves dense

@@ -33,6 +33,58 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "cos")
   }
 
+  /** POST-FILTERING RECALL AUDIT — the production question behind
+    * METADATA-FILTERED vector search ("nearest neighbors WHERE
+    * label = x"): an index built without the filter serves it by
+    * over-fetching K' unfiltered candidates and filtering after, and
+    * the audit measures what that loses — for each candidate budget
+    * K', the recall of post-filtered-top-k against the exact
+    * FILTERED top-k ground truth, plus how many queries keep full
+    * recall. This is the number that sizes K' before anyone trusts
+    * post-filtering under a selective predicate (at 50% selectivity
+    * K'=k loses ~half the truth; a 1% filter needs K' ≈ 100k — the
+    * curve says so instead of a rule of thumb).
+    *
+    * One brute scored pass over the probe subset (the recall_audit
+    * convention: audits run on bounded probes; the SERVING path is
+    * the IVF/LSH family), then both rankings ride the same window
+    * spec — a truth row is recalled at budget K' iff its UNFILTERED
+    * rank fits the budget, so hits are one conditional count, no
+    * set-intersection join. Output is |budgets| rows.
+    */
+  def postfilterRecall(embeddings: DataFrame, queryFilter: Column,
+                       matchFilter: Column, k: Int,
+                       budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= k),
+      s"budgets ($budgets) must all reach k ($k)")
+    val corpus = embeddings.select(col("vec_id"), col("embedding"),
+      col("label"))
+    val queries = corpus.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(cosine_sim(col("q_emb"), col("embedding")), 6).as("cos"))
+      .withColumn("rk_all", row_number().over(w).cast("long"))
+    val truth = scored.filter(matchFilter)
+      .withColumn("rk_f", row_number().over(w).cast("long"))
+      .filter(col("rk_f") <= k)
+    truth
+      .select(col("q_id"), col("rk_all"),
+        explode(array(budgets.map(b => lit(b.toLong)): _*)).as("budget"))
+      .groupBy("q_id", "budget")
+      .agg(count(when(col("rk_all") <= col("budget"), 1)).as("hits"),
+        count(lit(1)).as("n_truth"))
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_queries"),
+        sum("hits").as("th"), sum("n_truth").as("tt"),
+        count(when(col("hits") === col("n_truth"), 1)).as("n_full"))
+      .select(col("budget"), col("n_queries"),
+        expr("CAST(CAST(th AS DECIMAL(38,0)) * 1000000 div tt AS BIGINT)")
+          .as("recall_ppm"),
+        col("n_full"))
+  }
+
   /** k-nearest-neighbor graph over a bounded node subset: every node
     * gets edges to its k most-cosine-similar peers. Selection runs
     * through the native [[graft.plans.TopK]] operator — bounded

@@ -167,4 +167,26 @@ class MultimodalSpec extends SparkSpec {
       ("audio", "unknown") -> ((1L, 2L, 500000L)),
       ("video", "gif") -> ((1L, 1L, 1000000L))), s"$got")
   }
+
+  test("scene cuts: planted byte step cuts once, single-frame video " +
+    "emits null deltas, sub-frame payloads drop") {
+    import spark.implicits._
+    // doc_id ≡ 2 (mod 3) → video. len 15 → n_frames 8, flen 1: the
+    // first 8 bytes are the frames — one a→z step, delta 981 bp
+    val docs = Seq(
+      (2L, "aaaazzzzaaaaaaa"),  // frames a,a,a,a,z,z,z,z → one cut
+      (5L, "aaaaaaaa"),         // len 8 → 1 frame: no deltas at all
+      (8L, "zz"))               // len 2 → n_frames 3, flen 0: dropped
+      .toDF("doc_id", "text")
+    val got = Multimodal.sceneCuts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          Option(r.getAs[java.lang.Long]("max_delta_bp")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("avg_delta_bp")).map(_.toLong))))
+      .toMap
+    // a=0x61: 97·10⁴ div 255 = 3803; z=0x7A: 122·10⁴ div 255 = 4784
+    assert(got === Map(
+      2L -> ((8L, 1L, Some(981L), Some(981L / 7))),
+      5L -> ((1L, 0L, None, None))), s"$got")
+  }
 }

@@ -357,4 +357,30 @@ class RelationalSpec extends SparkSpec
       ((10L, 5500L, 900L, 900L, 345454L, 345454L)))
   }
 
+
+  test("rollup: subtotal levels reconcile exactly and flags classify them") {
+    val rows = Relational.rollupRevenue(spark, sf).collect()
+      .map(r => (r.getAs[Long]("g_year"), r.getAs[Long]("g_status"),
+        Option(r.getAs[java.lang.Long]("o_year")).map(_.toLong),
+        Option(r.getAs[String]("o_orderstatus")),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents")))
+    val leaves = rows.filter(r => r._1 == 0 && r._2 == 0)
+    val years = rows.filter(r => r._1 == 0 && r._2 == 1)
+    val grand = rows.filter(r => r._1 == 1 && r._2 == 1)
+    // only the three rollup levels exist; exactly one grand total
+    assert(rows.length === leaves.length + years.length + grand.length)
+    assert(grand.length === 1 && grand.head._3.isEmpty && grand.head._4.isEmpty)
+    // every level sums to the one above it, counts and cents alike
+    assert(leaves.map(_._5).sum === grand.head._5)
+    assert(leaves.map(_._6).sum === grand.head._6)
+    assert(years.map(_._5).sum === grand.head._5)
+    for ((gy, gs, y, _, n, cents) <- years) {
+      val mine = leaves.filter(_._3 == y)
+      assert(mine.map(_._5).sum === n && mine.map(_._6).sum === cents,
+        s"year $y does not reconcile")
+    }
+    // rollup NULLs only ever appear with their flag raised
+    assert(rows.forall(r => (r._3.isEmpty) == (r._1 == 1L)))
+    assert(rows.forall(r => (r._4.isEmpty) == (r._2 == 1L)))
+  }
 }

@@ -739,4 +739,27 @@ class SimilaritySpec extends SparkSpec {
       0L -> ((10L, 1000000L, 1666666L, 2000000L)),
       1L -> ((11L, 1000000L, 1875000L, 2000000L))), s"$got")
   }
+
+  test("postfilter recall: a distractor outranking the truth costs " +
+    "exactly the budget it hides behind") {
+    import spark.implicits._
+    // query (1,0); overall ranks: d1 (cos≈.999) > m1 (≈.981) >
+    // d2 (≈.894) > m2 (0). Truth at k=2 = {m1, m2} with unfiltered
+    // ranks 2 and 4 — budget 2 recalls only m1, budget 4 both.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0.05f), 1),
+      (2L, Array(1f, 0.2f), 2),
+      (3L, Array(1f, 0.5f), 3),
+      (4L, Array(0f, 1f), 4))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.postfilterRecall(emb, col("vec_id") === 0,
+        col("label") % 2 === 0, k = 2, budgets = Seq(2, 4)).collect()
+      .map(r => r.getAs[Long]("budget") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("recall_ppm"),
+          r.getAs[Long]("n_full")))).toMap
+    assert(got === Map(
+      2L -> ((1L, 500000L, 0L)),
+      4L -> ((1L, 1000000L, 1L))), s"$got")
+  }
 }
