@@ -179,14 +179,16 @@ object Multimodal {
     * 10⁴ scale — the repo ppm rule), so both engines see identical
     * deltas and the threshold can never straddle a float.
     *
-    * Shape: frames explode per input row (no shuffle — the same
-    * row-multiplying stage [[frameSample]] pins), the per-frame fold
-    * runs inside the scan projection, and the ONLY shuffle is the
-    * (doc_id) window for adjacent-frame lag + the per-doc rollup —
-    * at 100 TB that is one exchange keyed by the id the table is
-    * already bucketed on. Single-frame videos stay in the output
-    * with null deltas (the lm 'unscored' discipline — dropping rows
-    * poisons downstream ratios).
+    * Shape: every frame of a video derives from ONE input row, so
+    * the whole detector is a per-row projection — the frame means
+    * build as an array inside the scan, deltas index the previous
+    * element, and the cut count folds the delta array: ZERO
+    * shuffles, output already per-doc (the first r14 draft exploded
+    * frames and lagged over a doc_id window — a corpus exchange the
+    * data never needed). Stateless, so the same projection gates a
+    * live video stream unchanged. Single-frame videos stay in the
+    * output with null deltas (the lm 'unscored' discipline —
+    * dropping rows poisons downstream ratios).
     */
   def sceneCuts(documents: DataFrame, maxFrames: Int = 8,
                 cutBp: Long = 150L): DataFrame = {
@@ -195,38 +197,33 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("plen"))
       .filter(col("plen") >= 1)
       .withColumn("n_frames", (col("plen") % maxFrames + 1).cast("long"))
-    val frames = media
-      .select(col("doc_id"), col("hx"), col("n_frames"),
-        expr("plen div n_frames").as("flen"),
-        posexplode(sequence(lit(0L), col("n_frames") - 1)))
-      .select(col("doc_id"), col("hx"), col("n_frames"), col("flen"),
-        col("col").as("frame_idx"),
-        // the frame's hex window: byte [i·flen, (i+1)·flen)
-        expr("substring(hx, CAST(col * flen * 2 + 1 AS INT), " +
-          "CAST(flen * 2 AS INT))").as("fh"))
+      .withColumn("flen", expr("plen div n_frames"))
       .filter(col("flen") >= 1)
-      .select(col("doc_id"), col("n_frames"), col("flen"), col("frame_idx"),
-        // exact byte sum via the hex fold (conv is the engine-shared
-        // nibble decode); mean in bp of 255 widens before the scale
-        expr("aggregate(sequence(1, CAST(flen AS INT)), 0L, (acc, i) -> " +
-          "acc + CAST(conv(substring(fh, 2*i - 1, 2), 16, 10) AS BIGINT))")
-          .as("s1"))
-      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
-        expr("CAST(CAST(s1 AS DECIMAL(38,0)) * 10000 " +
-          "div (flen * 255) AS BIGINT)").as("mean_bp"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("frame_idx")
-    frames
-      .withColumn("delta_bp", abs(col("mean_bp") - lag("mean_bp", 1).over(w)))
-      .groupBy("doc_id")
-      .agg(max("n_frames").as("n_frames"),
-        sum(when(col("delta_bp") >= cutBp, 1L).otherwise(0L)).as("n_cuts"),
-        max("delta_bp").as("max_delta_bp"),
-        sum("delta_bp").as("sd"),
-        count(col("delta_bp")).as("nd"))
-      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
-        col("max_delta_bp"),
-        expr("CASE WHEN nd > 0 THEN sd div nd END").as("avg_delta_bp"))
+    // every frame of a video derives from ONE row, so the whole
+    // detector is a per-row projection: the frame means build as an
+    // array (hex-fold byte sums, DECIMAL-widened before the 10^4
+    // scale), deltas index the previous element — no explode, no
+    // window, NO SHUFFLE anywhere; the output is already per-doc
+    media
+      .withColumn("means", expr(
+        "transform(sequence(0, n_frames - 1), f -> " +
+          "CAST(CAST(aggregate(sequence(1, CAST(flen AS INT)), 0L, " +
+          "(acc, i) -> acc + CAST(conv(substring(hx, " +
+          "CAST(f * flen * 2 AS INT) + 2*i - 1, 2), 16, 10) AS BIGINT)) " +
+          "AS DECIMAL(38,0)) * 10000 div (flen * 255) AS BIGINT))"))
+      // sequence(1, 0) DESCENDS in Spark (not empty) — a
+      // single-frame video must take the explicit empty arm
+      .withColumn("deltas", expr(
+        "CASE WHEN n_frames < 2 THEN CAST(array() AS ARRAY<BIGINT>) " +
+          "ELSE transform(sequence(1, n_frames - 1), " +
+          "i -> abs(means[i] - means[i - 1])) END"))
+      .select(col("doc_id"), col("n_frames"),
+        expr(s"CAST(size(filter(deltas, d -> d >= $cutBp)) AS BIGINT)")
+          .as("n_cuts"),
+        expr("array_max(deltas)").as("max_delta_bp"),
+        expr("CASE WHEN size(deltas) > 0 THEN " +
+          "aggregate(deltas, 0L, (a, d) -> a + d) div size(deltas) END")
+          .as("avg_delta_bp"))
   }
 
   /** Byte-shingle NEAR-dup over binary payloads: 8-byte windows at a
