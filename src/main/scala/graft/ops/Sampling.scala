@@ -201,7 +201,15 @@ object Sampling {
     * bit-identical doubles and the 1/16-step cliff cannot diverge.
     * No rounding ever happens before the floor.
     */
-  def temperatureApply(documents: DataFrame, budget: Double = 0.5): DataFrame = {
+  def temperatureApply(documents: DataFrame, budget: Double = 0.5): DataFrame =
+    applyTemperatureRates(documents, temperatureRates(documents, budget))
+
+  /** The fitted per-source RATE TABLE alone (|sources| rows — a
+    * broadcast): the model half of [[temperatureApply]], exposed so
+    * the live ingest gate ([[graft.streaming.SampleStreams
+    * .temperatureGateStream]]) can fit it out-of-band and gate a
+    * stream against it (the lmGateStream refresh contract). */
+  def temperatureRates(documents: DataFrame, budget: Double = 0.5): DataFrame = {
     // the packed sorted model is a SECOND aggregation of the
     // per-source counts attached back by single-row broadcast — same
     // deterministic fold inputs as the old whole-frame window, with
@@ -216,12 +224,17 @@ object Sampling {
       (a, x) => a + x.getField("n_docs"))
     val boost = (sqrt(col("n_docs")) * nTotal.cast("double")) /
       (col("n_docs").cast("double") * sumSqrt)
-    val rates = packed.select(col("source"),
+    packed.select(col("source"),
       least(lit(16), floor(lit(16.0) * lit(budget) * boost).cast("int")).as("rate16"))
+  }
+
+  /** The stateless APPLY half: keep/drop is a pure function of
+    * (rate table, doc_id hash), so the same projection gates a batch
+    * corpus or a live stream (stream-static broadcast join). */
+  def applyTemperatureRates(documents: DataFrame, rates: DataFrame): DataFrame =
     documents.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"), col("rate16"),
         (stratumNibble(col("doc_id")) < col("rate16")).as("kept"))
-  }
 
   /** Embedding-space balanced sample: exact n vectors per
     * PCA-score band — the "cover the semantic space" counterpart of

@@ -189,4 +189,26 @@ class MultimodalSpec extends SparkSpec {
       2L -> ((8L, 1L, Some(981L), Some(981L / 7))),
       5L -> ((1L, 0L, None, None))), s"$got")
   }
+
+  test("scene cuts run unchanged on a live stream (zero-shuffle " +
+    "projection is streaming-legal by construction)") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val rows = Seq((2L, "aaaazzzzaaaaaaa"), (5L, "aaaaaaaa"),
+      (8L, "zz"), (11L, "mmmmmmmmmmmmmmmmmmmmmmm"))
+    val batch = Multimodal.sceneCuts(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Multimodal.sceneCuts(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cuts")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(rows.take(2)); input.addData(rows.drop(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM cuts").collect()
+      .map(_.toSeq).toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
 }

@@ -650,4 +650,39 @@ class SamplingSpec extends SparkSpec {
     assert(got === Map(
       "aa" -> ((2L, false, true)), "bb" -> ((3L, false, true))), s"$got")
   }
+
+  test("temperature gate: live verdicts equal the batch materializer, " +
+    "unfitted sources stay quarantined") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val rows = (1L to 40L).map(i =>
+      (i, s"doc $i", if (i % 4 == 0) "rare" else "common"))
+    val corpus = rows.toDF("doc_id", "text", "source")
+    val batch = graft.ops.Sampling.temperatureApply(corpus).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rate16"),
+        r.getAs[Boolean]("kept"))).toSet
+    // fit out-of-band, gate a live stream against the frozen table
+    val rates = graft.ops.Sampling.temperatureRates(corpus).collect()
+    val ratesDf = rates.map(r =>
+      (r.getAs[String]("source"), r.getAs[Int]("rate16")))
+      .toSeq.toDF("source", "rate16")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = graft.streaming.SampleStreams.temperatureGateStream(
+        input.toDF().toDF("doc_id", "text", "source"), ratesDf)
+      .writeStream.format("memory").queryName("tgate")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    try {
+      input.addData(rows.take(15))
+      // a source the fit never saw arrives mid-stream
+      input.addData(Seq((99L, "novel", "unseen")) ++ rows.drop(15))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.sql("SELECT * FROM tgate").collect()
+    val streamed = got.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Int]("rate16"), r.getAs[Boolean]("kept"))).toSet
+    assert(streamed === batch)
+    assert(!got.exists(_.getAs[Long]("doc_id") == 99L),
+      "unfitted source must not pass the gate")
+  }
 }
