@@ -240,13 +240,29 @@ object Changelog {
     val terms = graft.ops.Rounds.materialize(
       idx.groupBy(col("f"), col("term"))
         .agg(count(lit(1)).as("n_docs")))
-    val pairs = Seq("firstName", "lastName").map { f =>
-      val t = terms.filter(col("f") === f)
-        .select(col("term").as("doc_id"), col("term").as("text"))
-      graft.dedup.Dedup.editDistance(t, k, q = 2)
-        .select(lit(f).as("field_path"), col("doc_a").as("name_a"),
-          col("doc_b").as("name_b"), col("dist"))
-    }.reduce(_.unionByName(_))
+    // ONE Ed-Join pass over field-PREFIXED terms instead of one per
+    // field (halves the pipeline's fixed materialization cost): an
+    // identical prefix contributes zero edits, so a same-field
+    // pair's distance is EXACTLY the term distance; a cross-field
+    // candidate can survive banded verification (term content can
+    // absorb prefix differences: "firstName\u0001Q" vs
+    // "lastName\u0001meQ" is 5 edits), so pairs are kept by an
+    // explicit same-field filter, never by an assumed prefix bound.
+    // SOH separates field from term (the digestOfState discipline:
+    // boundaries cannot collide; payloads are JSON text, no control
+    // bytes).
+    val sep = "\u0001"
+    val tagged = terms
+      .select(concat(col("f"), lit(sep), col("term")).as("doc_id"))
+      .withColumn("text", col("doc_id"))
+    val pairs = graft.dedup.Dedup.editDistance(tagged, k, q = 2)
+      .filter(substring_index(col("doc_a"), sep, 1) ===
+        substring_index(col("doc_b"), sep, 1))
+      .select(
+        substring_index(col("doc_a"), sep, 1).as("field_path"),
+        substring_index(col("doc_a"), sep, -1).as("name_a"),
+        substring_index(col("doc_b"), sep, -1).as("name_b"),
+        col("dist"))
     val na = terms.select(col("f").as("field_path"),
       col("term").as("name_a"), col("n_docs").as("n_docs_a"))
     val nb = terms.select(col("f").as("field_path"),
