@@ -557,6 +557,8 @@ object SparkEntry {
     // candidates — the valley is where the dedup threshold belongs
     "dedup_jaccard_hist" -> ((s, d) =>
       Dedup.jaccardHistogram(Tables.documents(s, d)).orderBy("bin")),
+    "dedup_simhash_hist" -> ((s, d) =>
+      Dedup.simhashHammingHist(Tables.documents(s, d)).orderBy("hamming")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), 3).orderBy("doc_a", "doc_b")),
     "dedup_embed" -> ((s, d) =>
@@ -916,6 +918,54 @@ object SparkEntry {
       s"$w * (strpos('0123456789abcdef', " +
         s"substring(md5($e), ${start + i}, 1)) - 1)"
     }.mkString("(", " + ", ")")
+
+  /** Shared HUGEINT replay of the 64-bit SimHash pipeline up to the
+    * banded candidate pairs (signatures + chunk join, radius
+    * UNfiltered) — consumed by both the dedup_simhash radius filter
+    * and the dedup_simhash_hist calibration histogram. */
+  private val simhashCandCte: String =
+    """WITH RECURSIVE p(b, v) AS (
+        |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b+1, v*2 FROM p WHERE b < 63),
+        |toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |hexed AS (SELECT doc_id, upper(hex(encode(tok))) AS hx,
+        |                 octet_length(encode(tok)) AS n FROM toks),
+        |bytes AS (SELECT doc_id, list_transform(range(1, n + 1),
+        |            i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
+        |               + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bs FROM hexed),
+        |fnv AS (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
+        |          (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), x)) * 435
+        |                     + ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), x)) % 16777216) * 1099511627776)
+        |                    % 18446744073709551616) AS h0 FROM bytes),
+        |mixed AS (SELECT doc_id,
+        |  CAST(xor(CAST(h0 // 4294967296 AS BIGINT), CAST((h0 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+        |    + CAST(xor(CAST(h0 % 4294967296 AS BIGINT), CAST((h0 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT) AS s1,
+        |  ((s1 % 4294967296) * 3981806797
+        |    + (((s1 % 4294967296) * 4283543511 + (s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296
+        |   ) % 18446744073709551616 AS m1,
+        |  CAST(xor(CAST(m1 // 4294967296 AS BIGINT), CAST((m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+        |    + CAST(xor(CAST(m1 % 4294967296 AS BIGINT), CAST((m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT) AS s2,
+        |  ((s2 % 4294967296) * 444984403
+        |    + (((s2 % 4294967296) * 3301882366 + (s2 // 4294967296) * 444984403) % 4294967296) * 4294967296
+        |   ) % 18446744073709551616 AS m2,
+        |  CAST(xor(CAST(m2 // 4294967296 AS BIGINT), CAST((m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
+        |    + CAST(xor(CAST(m2 % 4294967296 AS BIGINT), CAST((m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT) AS h64
+        |  FROM fnv),
+        |votes AS (SELECT doc_id, b, v, sum(CASE WHEN (h64 // v) % 2 = 1 THEN 1 ELSE -1 END) AS vote
+        |          FROM mixed CROSS JOIN p GROUP BY doc_id, b, v),
+        |sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN v ELSE CAST(0 AS HUGEINT) END) AS sig
+        |        FROM votes GROUP BY doc_id),
+        |chunked AS (SELECT doc_id, sig, c,
+        |              (sig // (CASE c WHEN 0 THEN 1 WHEN 1 THEN 65536
+        |                              WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS cv
+        |            FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS c)),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+        |          FROM chunked a JOIN chunked b
+        |            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |, ham AS (SELECT doc_a, doc_b,
+      |  CAST(bit_count(xor(CAST(sig_a // 4294967296 AS BIGINT), CAST(sig_b // 4294967296 AS BIGINT)))
+        |     + bit_count(xor(CAST(sig_a % 4294967296 AS BIGINT), CAST(sig_b % 4294967296 AS BIGINT))) AS BIGINT) AS hamming
+      |  FROM pairs)
+      |""".stripMargin
 
   private val contaminationSql: String =
     """WITH docs AS (SELECT doc_id, source, string_split(trim(text), ' ') AS toks
@@ -4110,48 +4160,13 @@ object SparkEntry {
     // over UTF-8 bytes (prime 2^40+435 split keeps products < 2^74),
     // murmur fmix via 32-bit limb multiplies mod 2^64, per-bit votes,
     // 4x16-bit chunk banding, hamming via split bit_count
-    "dedup_simhash" ->
-      """WITH RECURSIVE p(b, v) AS (
-        |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b+1, v*2 FROM p WHERE b < 63),
-        |toks AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok FROM documents),
-        |hexed AS (SELECT doc_id, upper(hex(encode(tok))) AS hx,
-        |                 octet_length(encode(tok)) AS n FROM toks),
-        |bytes AS (SELECT doc_id, list_transform(range(1, n + 1),
-        |            i -> (strpos('0123456789ABCDEF', substring(hx, 2*i-1, 1)) - 1) * 16
-        |               + (strpos('0123456789ABCDEF', substring(hx, 2*i, 1)) - 1)) AS bs FROM hexed),
-        |fnv AS (SELECT doc_id, list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bs),
-        |          (acc, x) -> ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), x)) * 435
-        |                     + ((acc - (acc % 256) + xor(CAST(acc % 256 AS BIGINT), x)) % 16777216) * 1099511627776)
-        |                    % 18446744073709551616) AS h0 FROM bytes),
-        |mixed AS (SELECT doc_id,
-        |  CAST(xor(CAST(h0 // 4294967296 AS BIGINT), CAST((h0 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
-        |    + CAST(xor(CAST(h0 % 4294967296 AS BIGINT), CAST((h0 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT) AS s1,
-        |  ((s1 % 4294967296) * 3981806797
-        |    + (((s1 % 4294967296) * 4283543511 + (s1 // 4294967296) * 3981806797) % 4294967296) * 4294967296
-        |   ) % 18446744073709551616 AS m1,
-        |  CAST(xor(CAST(m1 // 4294967296 AS BIGINT), CAST((m1 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
-        |    + CAST(xor(CAST(m1 % 4294967296 AS BIGINT), CAST((m1 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT) AS s2,
-        |  ((s2 % 4294967296) * 444984403
-        |    + (((s2 % 4294967296) * 3301882366 + (s2 // 4294967296) * 444984403) % 4294967296) * 4294967296
-        |   ) % 18446744073709551616 AS m2,
-        |  CAST(xor(CAST(m2 // 4294967296 AS BIGINT), CAST((m2 // 8589934592) // 4294967296 AS BIGINT)) AS HUGEINT) * 4294967296
-        |    + CAST(xor(CAST(m2 % 4294967296 AS BIGINT), CAST((m2 // 8589934592) % 4294967296 AS BIGINT)) AS HUGEINT) AS h64
-        |  FROM fnv),
-        |votes AS (SELECT doc_id, b, v, sum(CASE WHEN (h64 // v) % 2 = 1 THEN 1 ELSE -1 END) AS vote
-        |          FROM mixed CROSS JOIN p GROUP BY doc_id, b, v),
-        |sig AS (SELECT doc_id, sum(CASE WHEN vote > 0 THEN v ELSE CAST(0 AS HUGEINT) END) AS sig
-        |        FROM votes GROUP BY doc_id),
-        |chunked AS (SELECT doc_id, sig, c,
-        |              (sig // (CASE c WHEN 0 THEN 1 WHEN 1 THEN 65536
-        |                              WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536 AS cv
-        |            FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS c)),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
-        |          FROM chunked a JOIN chunked b
-        |            ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  CAST(bit_count(xor(CAST(sig_a // 4294967296 AS BIGINT), CAST(sig_b // 4294967296 AS BIGINT)))
-        |     + bit_count(xor(CAST(sig_a % 4294967296 AS BIGINT), CAST(sig_b % 4294967296 AS BIGINT))) AS BIGINT) AS hamming
-        |FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" -> (simhashCandCte +
+      """SELECT doc_a, doc_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+    // the calibration twin: unfiltered candidate hamming histogram
+    "dedup_simhash_hist" -> (simhashCandCte +
+      """SELECT hamming, count(*) AS n_pairs, hamming <= 3 AS within_radius
+        |FROM ham GROUP BY hamming ORDER BY hamming""".stripMargin),
     "dedup_keepers" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,

@@ -317,7 +317,15 @@ object Dedup {
     * least one chunk (pigeonhole), so the bucket join on (chunk,
     * value) is lossless for the verify filter `bit_count(xor) <= h`.
     */
-  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidates(documents, maxHamming)
+      .filter(col("hamming") <= maxHamming)
+
+  /** The UNFILTERED banded candidate pairs with their exact hamming
+    * distance — [[simhashPairs]] before its radius filter, shared
+    * with the calibration histogram below. */
+  private[graft] def simhashCandidates(documents: DataFrame,
+                                       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32,
       "need at least 2 bits per chunk over a 64-bit signature")
     val nChunks = maxHamming + 1
@@ -340,8 +348,25 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= maxHamming)
   }
+
+  /** HAMMING-DISTANCE CALIBRATION histogram — [[jaccardHistogram]]'s
+    * SimHash twin, completing the τ-calibration family: the
+    * distribution of exact signature hamming over the banded
+    * candidate pairs. The default radius 3 is a convention, not a
+    * measurement — this is the measurement: near-dup mass sits at
+    * low hamming, chunk-collision noise spreads high, and the valley
+    * between them is where the radius belongs (the banding stays
+    * pigeonhole-lossless only for pairs ≤ maxHamming, so mass
+    * hugging the radius from below argues for MORE chunks, not just
+    * a bigger radius). Cost: exactly [[simhashPairs]]' candidate
+    * stage plus one ≤65-row aggregate.
+    */
+  def simhashHammingHist(documents: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashCandidates(documents, maxHamming)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_radius", col("hamming") <= maxHamming)
 
   /** Exact-duplicate keeper assignment: every doc mapped to the
     * lowest doc_id sharing its content hash. The "drop duplicates,

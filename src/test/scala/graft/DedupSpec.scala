@@ -622,4 +622,25 @@ class DedupSpec extends SparkSpec {
     val matrixDocs = rows.map(_.getAs[Long]("n_docs")).sum
     assert(matrixDocs === bands.length)
   }
+
+  test("simhash hamming histogram: clones land at zero, mass reconciles " +
+    "with the radius-filtered pairs, flags split at the radius") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // clone → hamming 0
+      (3L, "alpha beta gamma delta epsilon eta"),  // near: one token
+      (4L, "totally different content entirely here now"))
+      .toDF("doc_id", "text")
+    val hist = Dedup.simhashHammingHist(docs).collect()
+      .map(r => r.getAs[Long]("hamming") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Boolean]("within_radius"))))
+      .toMap
+    assert(hist.get(0L).exists(_._1 >= 1L), s"clone pair missing: $hist")
+    assert(hist.forall { case (h, (_, w)) => w == (h <= 3L) }, s"$hist")
+    // the histogram is the unfiltered candidate mass: its ≤radius
+    // slice must reconcile exactly with the production pair count
+    val within = hist.collect { case (h, (n, _)) if h <= 3 => n }.sum
+    assert(within === Dedup.simhashPairs(docs).count(), s"$hist")
+  }
 }
