@@ -867,6 +867,12 @@ object SparkEntry {
     // the knob pays off when the input re-read dominates
     "emb_pca" -> ((s, d) =>
       Similarity.pcaTopComponent(Tables.embeddings(s, d)).orderBy("dim_idx")),
+    // representation health: top-component variance share + mean
+    // offset, riding the cached PcaModel (one shuffle-free scan)
+    "emb_isotropy" -> ((s, d) =>
+      Similarity.isotropyAudit(Tables.embeddings(s, d),
+        pcaModelCache.computeIfAbsent(d, dir =>
+          Similarity.pcaFitModel(Tables.embeddings(s, dir))))),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.embeddings(s, d)).orderBy("vec_id")),
     // application half of emb_pca: the fitted PcaModel is memoized
@@ -5919,6 +5925,22 @@ object SparkEntry {
     "sim_ivfpq" -> simIvfpqSql,
     "sim_ivfpq_kmeans" -> simIvfpqKmeansSql,
     "sim_ivfpq_full" -> simIvfpqFullSql,
+    "emb_isotropy" -> (embPcaCte +
+      """, cd AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, 65), i -> c.x[i] * c.x[i])),
+        |        (acc, y) -> acc + y), 6) AS dd
+        |      FROM cent c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |        round(avg(dd), 4) AS total_var FROM cd),
+        |mn AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(range(1, 65), i -> m.mu[i] * m.mu[i])),
+        |         (acc, y) -> acc + y), 6) AS mean_sq_norm
+        |       FROM mean m)
+        |SELECT t.n_vecs, CAST(64 AS BIGINT) AS dim,
+        |       round(s.rayleigh, 6) AS top_eigenvalue, t.total_var,
+        |       round(round(s.rayleigh, 6) / t.total_var, 4) AS top_share,
+        |       mn.mean_sq_norm
+        |FROM t CROSS JOIN signed s CROSS JOIN mn""".stripMargin),
     "emb_pca" -> embPcaSql,
     "emb_project" -> embProjectSql,
     // REAL-cast centroid + sequential squared-distance fold (the

@@ -554,6 +554,43 @@ object Similarity {
         fLit(model.loadings)), 6).as("proj"))
   }
 
+  /** EMBEDDING ISOTROPY AUDIT — the representation-health number
+    * behind "are these embeddings collapsing?": the share of total
+    * variance held by the top principal component (a healthy
+    * encoder spreads variance; a collapsing or over-templated one
+    * concentrates it in one dominant direction), plus the squared
+    * mean-vector norm (a large common offset is the classic
+    * anisotropy smell — cosine similarity degrades to "how aligned
+    * with the mean are you"). Rides the fitted [[PcaModel]]
+    * (fit-once/apply-many — the emb_project cache), so the audit
+    * itself is ONE shuffle-free scan: per-row centered squared
+    * norms through the same float-level `vec_sub`/`dot_ff` kernels
+    * the projection uses (6dp-rounded per row, the emb_stats
+    * discipline), one global aggregate. The share divides the
+    * ROUNDED eigenvalue by the ROUNDED total variance so both
+    * engines divide identical operands.
+    */
+  def isotropyAudit(embeddings: DataFrame, model: PcaModel): DataFrame = {
+    def fLit(xs: Array[Double]) = array(xs.map(x => lit(x.toFloat)): _*)
+    val c = vec_sub(col("embedding"), fLit(model.mean))
+    // the FLOAT-cast mean is what both the apply kernel and the
+    // oracle's REAL-cast replay see — square those, not the raw
+    // doubles; sequential fold over 0..d-1 on both engines
+    val muSq = model.mean.map { m =>
+      val f = m.toFloat.toDouble; f * f
+    }.sum
+    embeddings
+      .select(round(dot_ff(c, c), 6).as("d2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("d2"), 4).as("total_var"))
+      .select(col("n_vecs"), lit(model.mean.length.toLong).as("dim"),
+        round(lit(model.eigenvalue), 6).as("top_eigenvalue"),
+        col("total_var"),
+        round(round(lit(model.eigenvalue), 6) / col("total_var"), 4)
+          .as("top_share"),
+        round(lit(muSq), 6).as("mean_sq_norm"))
+  }
+
   /** Projection of every embedding onto the fitted top component —
     * [[pcaFitModel]] + [[pcaApply]] in one call for the
     * fit-and-project-now case (score = x̄ · v).

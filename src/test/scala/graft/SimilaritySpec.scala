@@ -762,4 +762,24 @@ class SimilaritySpec extends SparkSpec {
       2L -> ((1L, 500000L, 0L)),
       4L -> ((1L, 1000000L, 1L))), s"$got")
   }
+
+  test("isotropy audit: a one-axis corpus reads share 1.0, centered " +
+    "mean reads zero offset") {
+    import spark.implicits._
+    // all variance on the x axis, mean exactly the origin: the top
+    // component holds everything (share 1.0), no common offset
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(-1f, 0f), 1),
+      (2L, Array(2f, 0f), 0), (3L, Array(-2f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val model = Similarity.pcaFitModel(emb, iters = 4, dim = 2)
+    val r = Similarity.isotropyAudit(emb, model).head()
+    assert(r.getAs[Long]("n_vecs") === 4L)
+    assert(r.getAs[Double]("mean_sq_norm") === 0.0)
+    // avg squared norm = (1 + 1 + 4 + 4) / 4 = 2.5 — all of it on
+    // the top component
+    assert(r.getAs[Double]("total_var") === 2.5)
+    assert(r.getAs[Double]("top_eigenvalue") === 2.5)
+    assert(r.getAs[Double]("top_share") === 1.0)
+  }
 }
