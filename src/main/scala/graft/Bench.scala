@@ -23,6 +23,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarning()
 
     // warmup: one flagship run + touch every table's scan path
     Seq("region", "nation", "customer", "supplier", "part", "orders",

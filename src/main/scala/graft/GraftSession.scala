@@ -9,6 +9,22 @@ import org.apache.spark.sql.SparkSession
   * is keyed to `local[*]` except the master URL itself.
   */
 object GraftSession {
+
+  /** Demote WindowExec's "No Partition Defined" runtime warning to
+    * ERROR. The repo's coverage of this failure mode is now STRICTER
+    * than the log line: PlanLint errors on any unpartitioned window
+    * in a committed plan, and [[graft.ops.Rounds.materialize]] fails
+    * fast on any eagerly-executed one — the single allowlisted site
+    * (RankSelect's groups×bins cumsum under a constant group key,
+    * q40_concentration) is spec-pinned bounded (RoundsSpec), so the
+    * only thing the log line still produced was noise in every bench
+    * and verify run. A NEW offending window throws, never warns.
+    */
+  def quietBoundedWindowWarning(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
               shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       : SparkSession.Builder =

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.quietBoundedWindowWarning()
     new java.io.File(outDir).mkdirs()
     val failures = new java.util.concurrent.ConcurrentHashMap[String, String]()
     // queries run on a small worker pool: Spark schedules concurrent
