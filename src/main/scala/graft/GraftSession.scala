@@ -19,6 +19,16 @@ object GraftSession {
     * q40_concentration) is spec-pinned bounded (RoundsSpec), so the
     * only thing the log line still produced was noise in every bench
     * and verify run. A NEW offending window throws, never warns.
+    *
+    * Residual gap, stated rather than hidden: an eager execution that
+    * neither commits a plan nor goes through `Rounds.materialize`
+    * (model-fit collects such as pcaFit's dimAvgs or labelDrift's
+    * centroid rows) is silenced too — those sites are all bounded
+    * model-sized aggregates today, but the lint does not SEE them.
+    * The demotion is deliberately scoped to the Bench/Verify entry
+    * points (library users keep the warning), and `WarnAudit`
+    * intentionally does NOT call this, so the serial audit runner
+    * still surfaces every WindowExec warning with attribution.
     */
   def quietBoundedWindowWarning(): Unit =
     org.apache.logging.log4j.core.config.Configurator.setLevel(

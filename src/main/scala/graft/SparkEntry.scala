@@ -69,11 +69,66 @@ object SparkEntry {
   private val knnEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def knnEdges(s: SparkSession, d: String): DataFrame =
-    knnEdgeCache.computeIfAbsent(s.sparkContext.applicationId + ":" + d,
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    // evict entries from OTHER applications on access: a long-lived
+    // JVM recycling SparkSessions would otherwise retain frames
+    // referencing stopped contexts (stale checkpoint blocks) for the
+    // JVM lifetime — entries are keyed by applicationId precisely so
+    // staleness is detectable (ADVICE r14)
+    val app = s.sparkContext.applicationId
+    knnEdgeCache.keySet.removeIf(k => !k.startsWith(app + ":"))
+    knnEdgeCache.computeIfAbsent(app + ":" + d,
       _ => graft.ops.Rounds.materialize(
         Similarity.knnGraph(Tables.embeddings(s, d),
           col("vec_id") % 7 === 0, 3)))
+  }
+
+  /** Load-once cache for the PERSISTED ANN serving models, keyed by
+    * (application, part, sf dir): the first access fits the IVF
+    * centroid set and its Lloyd-refined k-means sibling, publishes
+    * BOTH as one versioned artifact through [[Similarity.saveIndex]]
+    * (the VersionedStore commit skips when the version already
+    * exists — fits are deterministic, so a prior session's artifact
+    * is byte-equivalent), and reads the requested part back; every
+    * consumer then serves from the LOADED artifact. This is the
+    * production posture the r14 verdict asked for: a deployment
+    * serves yesterday's published index, it does not re-run Lloyd
+    * over the corpus per query — Verify's single pass pays
+    * fit+publish once, the bench's repeat executions price the
+    * apply-only path. The artifact dir carries the model-spec token
+    * (stride/iters/dim) so a parameter change can never silently
+    * serve a stale fit.
+    */
+  private val annIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  // the dir token names the part set + fit spec: a parameter or
+  // part-set change can never silently serve a stale artifact (the
+  // versioned commit SKIPS existing versions by design)
+  private def annIndexDir(d: String): String =
+    sys.props("java.io.tmpdir") +
+      "/graft_ann_index_5part_stride50_lloyd1_dim64/" +
+      d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  private def publishAnnIndex(s: SparkSession, d: String): Unit = {
+    val emb = Tables.embeddings(s, d)
+    val (ipCents, ipCb) = Similarity.fitIvfPq(emb)
+    Similarity.saveIndex(s, annIndexDir(d), 1L, Seq(
+      "ivf_centroids" -> Similarity.fitIvf(emb),
+      "kmeans_centroids" -> Similarity.fitIvf(emb, kmeansIters = 1),
+      "pq_codebook" -> Similarity.fitPq(emb),
+      "ivfpq_centroids" -> ipCents,
+      "ivfpq_codebook" -> ipCb))
+    : Unit
+  }
+
+  private def loadedIndexPart(s: SparkSession, d: String,
+                              part: String): DataFrame =
+    annIndexCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + part + ":" + d, _ => {
+        publishAnnIndex(s, d)
+        Similarity.loadIndexPart(s, annIndexDir(d), part, Some(1L))
+      })
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -82,6 +137,10 @@ object SparkEntry {
     "cdc_fts_route" -> ((s, d) => Changelog.ftsRoute(changelog(s, d)).orderBy("seq")),
     "cdc_fts_messages" -> ((s, d) => Changelog.ftsMessages(changelog(s, d)).orderBy("seq")),
     "cdc_fts_fuzzy" -> ((s, d) => Changelog.ftsFuzzy(changelog(s, d))
+      .orderBy("field_path", "name_a", "name_b")),
+    // the soundex half of the same README.md:27 service promise:
+    // dictionary terms sharing an engine-portable phonetic key
+    "cdc_fts_phonetic" -> ((s, d) => Changelog.ftsPhonetic(changelog(s, d))
       .orderBy("field_path", "name_a", "name_b")),
     "cdc_geo_saveback" -> ((s, d) => Changelog.geoSaveback(changelog(s, d))
       .orderBy("doc_id")),
@@ -628,6 +687,18 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, d) =>
       Similarity.annIvf(Tables.embeddings(s, d), col("vec_id") < 10, 5,
         kmeansIters = 1).orderBy("q_id", "rank")),
+    // the PERSISTED-model serving path: same IVF retrieval riding
+    // centroids published once via saveIndex and read back from the
+    // versioned artifact — results identical to sim_ivf by fit
+    // determinism (same oracle), cost = the apply-only scan
+    "sim_ivf_loaded" -> ((s, d) =>
+      Similarity.serveIvf(Tables.embeddings(s, d), col("vec_id") < 10, 5,
+        loadedIndexPart(s, d, "ivf_centroids")).orderBy("q_id", "rank")),
+    // per-cell cohesion audit over the SAVED+LOADED Lloyd-refined
+    // k-means model — clustering served as a first-class artifact
+    "emb_kmeans_model" -> ((s, d) =>
+      Similarity.clusterAssignAudit(Tables.embeddings(s, d),
+        loadedIndexPart(s, d, "kmeans_centroids")).orderBy("cell_id")),
     "emb_stats" -> ((s, d) => Similarity.embStats(Tables.embeddings(s, d)).orderBy("label")),
     // fixed-point PageRank over the knn graph: prototype centrality
     "graph_pagerank" -> ((s, d) =>
@@ -834,6 +905,16 @@ object SparkEntry {
     "sim_ivfpq_full" -> ((s, d) =>
       Similarity.annIvfPq(Tables.embeddings(s, d), col("vec_id") < 10, 5,
         codebookIters = 1, trainOnFull = true).orderBy("q_id", "rank")),
+    // PQ / IVF-PQ served from the persisted artifacts (codebooks and
+    // centroids published once, read back, broadcast) — byte-equal to
+    // the fitting runs, so each certifies against its fit's oracle
+    "sim_pq_loaded" -> ((s, d) =>
+      Similarity.servePq(Tables.embeddings(s, d), col("vec_id") < 10, 5,
+        loadedIndexPart(s, d, "pq_codebook")).orderBy("q_id", "rank")),
+    "sim_ivfpq_loaded" -> ((s, d) =>
+      Similarity.serveIvfPq(Tables.embeddings(s, d), col("vec_id") < 10, 5,
+        loadedIndexPart(s, d, "ivfpq_centroids"),
+        loadedIndexPart(s, d, "ivfpq_codebook")).orderBy("q_id", "rank")),
     // §2f multimodal
     "mm_pipeline" -> ((s, d) => Multimodal.featureFrame(s, Tables.documents(s, d)).orderBy("doc_id")),
     "mm_frames" -> ((s, d) =>
@@ -2302,6 +2383,36 @@ object SparkEntry {
       |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, cos
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** k-means assignment-audit replay: the simIvfKmeansSql Lloyd-1
+    * CTE prefix (stride seed → assign → REAL-cast per-dim means),
+    * then every vector's winning (cell, 6dp cosine) rolled up to
+    * per-cell count / 4dp mean / min — the served-model audit's
+    * ground truth (the Spark side rides the SAVED+LOADED centroids,
+    * which are byte-equal to this replay's by fit determinism). */
+  private val embKmeansModelSql: String =
+    """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |seed AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
+      |asg0 AS (SELECT vec_id, cell_id, emb FROM (
+      |           SELECT c.vec_id, n.cell_id, c.emb,
+      |                  row_number() OVER (PARTITION BY c.vec_id
+      |                    ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |           FROM corpus c CROSS JOIN seed n) WHERE rn = 1),
+      |js AS (SELECT unnest(range(1, 65)) AS j),
+      |cents AS (SELECT cell_id, list(cm ORDER BY j) AS c_emb FROM (
+      |            SELECT a.cell_id, j.j,
+      |                   CAST(CAST(avg(a.emb[j.j]) AS REAL) AS DOUBLE) AS cm
+      |            FROM asg0 a CROSS JOIN js j GROUP BY a.cell_id, j.j)
+      |          GROUP BY cell_id),
+      |asg AS (SELECT vec_id, cell_id, cos FROM (
+      |          SELECT c.vec_id, n.cell_id,
+      |                 round(list_cosine_similarity(c.emb, n.c_emb), 6) AS cos,
+      |                 row_number() OVER (PARTITION BY c.vec_id
+      |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
+      |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1)
+      |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       round(avg(cos), 4) AS avg_cos, min(cos) AS min_cos
+      |FROM asg GROUP BY cell_id ORDER BY cell_id""".stripMargin
+
   // fmix64 building blocks in HUGEINT limb arithmetic (same replay
   // family as the MinHash oracle): xorshift-33 and 64x64 multiply
   // mod 2^64 via 32-bit limbs.
@@ -2695,6 +2806,57 @@ object SparkEntry {
         |FROM terms a JOIN terms b
         |  ON a.field_path = b.field_path AND b.term > a.term
         |WHERE levenshtein(a.term, b.term) <= 2
+        |ORDER BY a.field_path, name_a, name_b""".stripMargin),
+    // the same live-dictionary CTEs as cdc_fts_fuzzy, then the
+    // hand-rolled 4-rule soundex replayed step for step (translate +
+    // explicit dd+ collapses — RE2 has no pattern backreferences) and
+    // the (field, key) self-join; 'g' flags because DuckDB
+    // regexp_replace is first-match-only by default
+    "cdc_fts_phonetic" -> (clCte +
+      """, routed AS (
+        |  SELECT doc_id AS _id, seq, op, field_path, payload FROM changelog
+        |  WHERE op IN ('RECORD_DELETE', 'RECORD_INSERT')
+        |     OR field_path IN ('firstName', 'lastName')),
+        |writes AS (
+        |  SELECT _id, seq,
+        |         unnest(CASE WHEN op IN ('RECORD_INSERT', 'RECORD_DELETE')
+        |                     THEN ['firstName', 'lastName']
+        |                     ELSE [field_path] END) AS f,
+        |         CASE WHEN op = 'RECORD_DELETE' THEN NULL ELSE payload END AS v
+        |  FROM routed),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY _id, f ORDER BY seq DESC)
+        |               AS rn
+        |      FROM writes),
+        |terms AS (SELECT f AS field_path, v AS term,
+        |            CAST(count(*) AS BIGINT) AS n_docs
+        |          FROM r WHERE rn = 1 AND v IS NOT NULL GROUP BY 1, 2),
+        |lett AS (SELECT field_path, term, n_docs,
+        |           upper(regexp_replace(term, '[^A-Za-z]', '', 'g')) AS l
+        |         FROM terms),
+        |cod AS (SELECT field_path, term, n_docs, substring(l, 1, 1) AS fst,
+        |          translate(substring(l, 1, 1)
+        |              || translate(substring(l, 2), 'HW', ''),
+        |            'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |            '01230120022455012623010202') AS c
+        |        FROM lett WHERE l <> ''),
+        |col1 AS (SELECT field_path, term, n_docs, fst,
+        |           regexp_replace(regexp_replace(regexp_replace(
+        |             regexp_replace(regexp_replace(regexp_replace(
+        |               regexp_replace(c, '00+', '0', 'g'), '11+', '1', 'g'),
+        |               '22+', '2', 'g'), '33+', '3', 'g'), '44+', '4', 'g'),
+        |             '55+', '5', 'g'), '66+', '6', 'g') AS cc
+        |         FROM cod),
+        |keyed AS (SELECT field_path,
+        |            fst || rpad(substring(
+        |              translate(substring(cc, 2), '0', ''), 1, 3), 3, '0')
+        |              AS soundex_key,
+        |            term, n_docs
+        |          FROM col1)
+        |SELECT a.field_path, a.soundex_key, a.term AS name_a,
+        |       b.term AS name_b, a.n_docs AS n_docs_a, b.n_docs AS n_docs_b
+        |FROM keyed a JOIN keyed b
+        |  ON a.field_path = b.field_path
+        | AND a.soundex_key = b.soundex_key AND b.term > a.term
         |ORDER BY a.field_path, name_a, name_b""".stripMargin),
     "cdc_fts_messages" -> (clCte +
       """SELECT doc_id AS _id, seq,
@@ -5655,6 +5817,11 @@ object SparkEntry {
         |WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "sim_ann_lsh" -> simAnnLshSql,
     "sim_ivf" -> simIvfSql,
+    // the loaded-model path is byte-equal to the fitting run by
+    // construction (deterministic fit + exact parquet float
+    // round-trip), so it certifies against the SAME replay
+    "sim_ivf_loaded" -> simIvfSql,
+    "emb_kmeans_model" -> embKmeansModelSql,
     "sim_cell_balance" -> simCellBalanceSql,
     "sim_mips_ivf" -> simMipsIvfSql,
     // the IVF replay's top-k left-joined under the brute ground truth
@@ -5922,7 +6089,9 @@ object SparkEntry {
         |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin,
     "sim_ivf_kmeans" -> simIvfKmeansSql,
     "sim_pq" -> simPqSql,
+    "sim_pq_loaded" -> simPqSql,
     "sim_ivfpq" -> simIvfpqSql,
+    "sim_ivfpq_loaded" -> simIvfpqSql,
     "sim_ivfpq_kmeans" -> simIvfpqKmeansSql,
     "sim_ivfpq_full" -> simIvfpqFullSql,
     "emb_isotropy" -> (embPcaCte +
@@ -5938,7 +6107,9 @@ object SparkEntry {
         |       FROM mean m)
         |SELECT t.n_vecs, CAST(64 AS BIGINT) AS dim,
         |       round(s.rayleigh, 6) AS top_eigenvalue, t.total_var,
-        |       round(round(s.rayleigh, 6) / t.total_var, 4) AS top_share,
+        |       CASE WHEN t.total_var > 0
+        |            THEN round(round(s.rayleigh, 6) / t.total_var, 4)
+        |       END AS top_share,
         |       mn.mean_sq_norm
         |FROM t CROSS JOIN signed s CROSS JOIN mn""".stripMargin),
     "emb_pca" -> embPcaSql,

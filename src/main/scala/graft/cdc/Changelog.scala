@@ -153,8 +153,10 @@ object Changelog {
     * nondeterministically), the geocode of op s beats everything up
     * to s, and a delete at s' > s (`3s' > 3s+2`) still tombstones
     * the doc; no seq ties exist, so LWW is total-order deterministic
-    * on both engines. (`3·seq` wraps only past seq ≈ 3e18 —
-    * beyond any event-id space this engine meets.) One extra
+    * on both engines. (`3·seq` would wrap past seq ≈ 3.07e18 —
+    * beyond any event-id space this engine meets, and a runtime
+    * guard raise_errors rather than silently diverging from the
+    * HUGEINT-widened oracle.) One extra
     * projection + union before the same fieldState aggregation —
     * the save-back costs no additional shuffle over the rebuild it
     * feeds.
@@ -176,7 +178,21 @@ object Changelog {
     */
   def geoSavebackLog(changelog: DataFrame): DataFrame = {
     val extras = Seq("ts_us", "amount").filter(changelog.columns.contains)
-    val geo = changelog.filter(
+    // runtime guard on the tripling bound: Spark's non-ANSI long
+    // arithmetic WRAPS seq·3 silently past seq ≈ 3.07e18 while the
+    // oracle widens through HUGEINT — a silent-divergence failure
+    // mode, so out-of-band seqs fail loudly instead (the
+    // nearDupKeepersBest doc_id-packing discipline); negatives are
+    // rejected too, since slot interleaving assumes the positive
+    // quadrant
+    val seqOk = when(
+      col("seq") >= 0L && col("seq") <= lit(Long.MaxValue / 3 - 1),
+      col("seq"))
+      .otherwise(raise_error(concat(
+        lit("geoSavebackLog: seq outside triplable [0, 2^63/3): "),
+        col("seq").cast("string"))))
+    val guarded = changelog.withColumn("seq", seqOk)
+    val geo = guarded.filter(
       (col("op") === Insert || col("field_path") === "address") &&
         col("op") =!= Delete)
     val lat = expr("CAST(conv(substring(md5(payload), 1, 6), 16, 10) " +
@@ -194,7 +210,7 @@ object Changelog {
         (col("s0") * 3 + col("w.slot")).as("seq") +: col("op") +:
         col("w.f").as("field_path") +: col("w.v").as("payload") +:
         extras.map(col): _*)
-    val base = changelog.select(
+    val base = guarded.select(
       col("doc_id") +: (col("seq") * 3).as("seq") +: col("op") +:
         col("field_path") +: col("payload") +: extras.map(col): _*)
     base.unionByName(enrich)
@@ -215,13 +231,23 @@ object Changelog {
     * .editDistance]]'s Ed-Join kernel per field (rarity-ordered
     * constant-length gram prefixes + length band + banded
     * `levenshtein(a,b,k)` verify — never dictionary²), which is what
-    * keeps a 100 TB-scale name dictionary joinable. Phonetic
-    * (soundex) matching is deliberately absent: Spark's `soundex`
-    * has no DuckDB twin, so an oracle-certifiable phonetic key would
-    * need a hand replay on both engines — edit distance IS
-    * certifiable and covers the fuzzy half of the promise.
+    * keeps a 100 TB-scale name dictionary joinable. The phonetic
+    * (soundex) half of the same README promise is [[ftsPhonetic]] —
+    * an engine-portable hand-rolled key, since Spark's builtin
+    * `soundex` has no DuckDB twin.
     */
-  def ftsFuzzy(changelog: DataFrame, k: Int = 2): DataFrame = {
+  /** The live FTS term DICTIONARY — the ftsMessages wire semantics
+    * replayed to per-(doc, field) LWW state (insert writes both name
+    * fields, an update only its field, a winning delete tombstone
+    * drops the doc's postings), aggregated to distinct (field, term)
+    * rows with posting sizes. Shared by BOTH downstream search
+    * services of README.md:27 ([[ftsFuzzy]] edit-distance,
+    * [[ftsPhonetic]] soundex): matching always runs on the
+    * dictionary, never the postings — 10⁴ docs sharing a name cost
+    * one row. Materialized because every consumer reads it at least
+    * twice (pair sides + posting joins).
+    */
+  def ftsTermDictionary(changelog: DataFrame): DataFrame = {
     val routed = ftsRoute(changelog)
     // each routed message's index writes: deletes wipe both fields
     // (null sentinel), inserts set both, updates set their field
@@ -237,9 +263,13 @@ object Changelog {
     val idx = writes.groupBy("_id", "f")
       .agg(arg_max_str(col("v"), col("seq")).as("term"))
       .filter(col("term").isNotNull)
-    val terms = graft.ops.Rounds.materialize(
+    graft.ops.Rounds.materialize(
       idx.groupBy(col("f"), col("term"))
         .agg(count(lit(1)).as("n_docs")))
+  }
+
+  def ftsFuzzy(changelog: DataFrame, k: Int = 2): DataFrame = {
+    val terms = ftsTermDictionary(changelog)
     // ONE Ed-Join pass over field-PREFIXED terms instead of one per
     // field (halves the pipeline's fixed materialization cost): an
     // identical prefix contributes zero edits, so a same-field
@@ -271,6 +301,66 @@ object Changelog {
       .join(nb.hint("shuffle_hash"), Seq("field_path", "name_b"))
       .select(col("field_path"), col("name_a"), col("name_b"),
         col("dist"), col("n_docs_a"), col("n_docs_b"))
+  }
+
+  /** AMERICAN SOUNDEX of a term, hand-rolled from the 4 classic
+    * rules so BOTH engines replay the identical construction
+    * (Spark's builtin `soundex` has no DuckDB twin — the r14 reason
+    * phonetic matching stayed un-shipped): (1) letters only,
+    * uppercased, first letter kept; (2) H/W are TRANSPARENT — same
+    * consonant codes across them collapse — so they are deleted from
+    * the tail before coding (a leading H/W survives as the key's
+    * letter); (3) consonants map to their code digit, vowels to the
+    * run-breaking '0' (same codes across a vowel are kept BOTH);
+    * (4) runs of one digit collapse (7 explicit `dd+` regexes —
+    * DuckDB's RE2 has no pattern backreferences), the first coded
+    * char (the first letter's own slot, already merged with any
+    * same-code successors) drops, zeros strip, and the first 3
+    * digits pad to `L###`. Null for letterless terms. Verified
+    * against the classic published values (Robert→R163,
+    * Ashcraft→A261, Tymczak→T522, Pfister→P236, Honeyman→H555).
+    */
+  private[graft] def soundexKey(term: Column): Column = {
+    val letters = upper(regexp_replace(term, "[^A-Za-z]", ""))
+    val first = substring(letters, 1, 1)
+    val coded = translate(
+      concat(first, translate(letters.substr(lit(2), length(letters)),
+        "HW", "")),
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    val collapsed = (0 to 6).map(_.toString).foldLeft(coded)((c, d) =>
+      regexp_replace(c, d + d + "+", d))
+    val digits = translate(
+      collapsed.substr(lit(2), length(collapsed)), "0", "")
+    when(length(letters) === 0, lit(null).cast("string"))
+      .otherwise(concat(first, rpad(substring(digits, 1, 3), 3, "0")))
+  }
+
+  /** PHONETIC NAME SEARCH over the routed FTS index — the soundex
+    * half of README.md:27's "soundex, fuzzy search" service promise
+    * ([[ftsFuzzy]] is the other half): all DICTIONARY term pairs
+    * sharing a [[soundexKey]] within the same field, with posting
+    * sizes — "Smith" finds "Smyth" at zero edit-distance budget.
+    * The equi-join on (field, key) IS the phonetic index: bucket
+    * sizes are bounded by homophone-family size (soundex has ~9k
+    * possible keys and real name distributions spread them), the
+    * dictionary is distinct values so postings never pair, and the
+    * whole pipeline is the one LWW index replay + a hash join —
+    * nothing corpus-scale shuffles beyond the shared dictionary
+    * build.
+    */
+  def ftsPhonetic(changelog: DataFrame): DataFrame = {
+    val keyed = ftsTermDictionary(changelog)
+      .select(col("f").as("field_path"), soundexKey(col("term")).as("soundex_key"),
+        col("term"), col("n_docs"))
+      .filter(col("soundex_key").isNotNull)
+    val a = keyed.select(col("field_path"), col("soundex_key"),
+      col("term").as("name_a"), col("n_docs").as("n_docs_a"))
+    val b = keyed.select(col("field_path"), col("soundex_key"),
+      col("term").as("name_b"), col("n_docs").as("n_docs_b"))
+    a.join(b.hint("shuffle_hash"), Seq("field_path", "soundex_key"))
+      .filter(col("name_b") > col("name_a"))
+      .select(col("field_path"), col("soundex_key"), col("name_a"),
+        col("name_b"), col("n_docs_a"), col("n_docs_b"))
   }
 
   /** Last-writer-wins materialization of current per-document state:

@@ -235,6 +235,39 @@ object HashOps {
     e
   }
 
+  /** Per-frame mean byte value in BASIS POINTS over `nFrames` equal
+    * slices of `bytes` (the scene-cut signature kernel): frame f
+    * covers bytes [f·flen, f·flen+flen) with flen = len/nFrames
+    * (trailing remainder ignored), mean = sum·10⁴ div (flen·255) —
+    * exact integer truncation in the positive quadrant, so both
+    * engines see the identical value. One pass over the payload, no
+    * index array ever materialized (the r14 HOF formulation built a
+    * `sequence(1, flen)` Int array PER FRAME before folding — a
+    * multi-million-element allocation per frame on real MB
+    * payloads). Overflow-free by construction: a JVM byte array is
+    * < 2³¹ bytes, so sum ≤ 255·2³¹ ≈ 5.5e11 and sum·10⁴ ≈ 5.5e15
+    * < 2⁶³ — the DECIMAL widening the hex replay needed is not
+    * needed here, and there is no INT offset to wrap (the ADVICE r14
+    * substring-offset hazard).
+    */
+  def frameMeans(bytes: Array[Byte], nFrames: Long): ArrayData = {
+    val n = nFrames.toInt
+    if (n <= 0 || bytes.length / n == 0)
+      return new GenericArrayData(Array.emptyLongArray)
+    val flen = bytes.length / n
+    val out = new Array[Long](n)
+    var f = 0
+    while (f < n) {
+      var s = 0L
+      var i = f * flen
+      val end = i + flen
+      while (i < end) { s += bytes(i) & 0xff; i += 1 }
+      out(f) = s * 10000L / (flen.toLong * 255L)
+      f += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash (base 31, mod 2^61-1) over UTF-8 bytes —
     * the classic Rabin-Karp document fingerprint.
     */

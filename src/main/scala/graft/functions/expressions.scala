@@ -117,6 +117,23 @@ object expressions {
     override def prettyName: String = "bin_entropy"
   }
 
+  /** frame_means(payload, n_frames): per-frame mean byte value in
+    * basis points over n equal payload slices — the scene-cut
+    * signature, one codegen'd pass over the bytes with no index-array
+    * materialization (see [[HashOps.frameMeans]]).
+    */
+  case class FrameMeans(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(p: Any, n: Any): Any =
+      HashOps.frameMeans(p.asInstanceOf[Array[Byte]], n.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (p, n) => s"$ops.frameMeans($p, $n)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): FrameMeans =
+      copy(left = l, right = r)
+    override def prettyName: String = "frame_means"
+  }
+
   /** cosine_sim(a, b) over float vectors, double accumulation. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -293,6 +310,9 @@ object expressions {
     GraftBridge.column(ByteEntropy(GraftBridge.expression(c)))
   def bin_entropy(c: Column): Column =
     GraftBridge.column(BinEntropy(GraftBridge.expression(c)))
+  def frame_means(payload: Column, nFrames: Column): Column =
+    GraftBridge.column(FrameMeans(GraftBridge.expression(payload),
+      GraftBridge.expression(nFrames)))
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot_ff(a: Column, b: Column): Column =

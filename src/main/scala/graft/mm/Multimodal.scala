@@ -175,9 +175,10 @@ object Multimodal {
     * synthetic fingerprint) and the per-frame signature is the mean
     * byte value in basis points — adjacent-frame mean deltas cross
     * `cutBp` at content discontinuities. The mean is exact-integer
-    * (sum of bytes via the hex replay, DECIMAL-widened before the
-    * 10⁴ scale — the repo ppm rule), so both engines see identical
-    * deltas and the threshold can never straddle a float.
+    * (sum·10⁴ div (flen·255), truncating in the positive quadrant —
+    * the DuckDB oracle replays the same sum through its hex
+    * encoding), so both engines see identical deltas and the
+    * threshold can never straddle a float.
     *
     * Shape: every frame of a video derives from ONE input row, so
     * the whole detector is a per-row projection — the frame means
@@ -193,24 +194,27 @@ object Multimodal {
   def sceneCuts(documents: DataFrame, maxFrames: Int = 8,
                 cutBp: Long = 150L): DataFrame = {
     val media = attach(documents).filter(col("media_type") === "video")
-      .select(col("doc_id"), upper(hex(col("payload"))).as("hx"),
+      .select(col("doc_id"), col("payload"),
         octet_length(col("payload")).cast("long").as("plen"))
       .filter(col("plen") >= 1)
       .withColumn("n_frames", (col("plen") % maxFrames + 1).cast("long"))
       .withColumn("flen", expr("plen div n_frames"))
       .filter(col("flen") >= 1)
     // every frame of a video derives from ONE row, so the whole
-    // detector is a per-row projection: the frame means build as an
-    // array (hex-fold byte sums, DECIMAL-widened before the 10^4
-    // scale), deltas index the previous element — no explode, no
-    // window, NO SHUFFLE anywhere; the output is already per-doc
+    // detector is a per-row projection: the frame means come from ONE
+    // codegen'd pass over the raw bytes ([[graft.functions.HashOps
+    // .frameMeans]] — the r14 HOF formulation materialized a
+    // sequence(1, flen) Int array PER FRAME before folding, a
+    // multi-million-element allocation per frame on real MB payloads,
+    // with INT substring offsets that wrapped past ~1.2 GB; the
+    // kernel indexes the byte array directly with no allocation and
+    // no offset to wrap — a JVM payload is < 2³¹ bytes, so the long
+    // sum·10⁴ is exact with no widening), deltas index the previous
+    // element — no explode, no window, NO SHUFFLE anywhere; the
+    // output is already per-doc
     media
-      .withColumn("means", expr(
-        "transform(sequence(0, n_frames - 1), f -> " +
-          "CAST(CAST(aggregate(sequence(1, CAST(flen AS INT)), 0L, " +
-          "(acc, i) -> acc + CAST(conv(substring(hx, " +
-          "CAST(f * flen * 2 AS INT) + 2*i - 1, 2), 16, 10) AS BIGINT)) " +
-          "AS DECIMAL(38,0)) * 10000 div (flen * 255) AS BIGINT))"))
+      .withColumn("means", graft.functions.expressions.frame_means(
+        col("payload"), col("n_frames")))
       // sequence(1, 0) DESCENDS in Spark (not empty) — a
       // single-frame video must take the explicit empty arm
       .withColumn("deltas", expr(

@@ -300,21 +300,45 @@ object Similarity {
     */
   def annPq(embeddings: DataFrame, queryFilter: Column, k: Int,
             m: Int = 8, dim: Int = 64, codebookStride: Long = 50L,
-            nCodes: Int = 16, nCandidates: Int = 50): DataFrame = {
+            nCodes: Int = 16, nCandidates: Int = 50): DataFrame =
+    servePq(embeddings, queryFilter, k,
+      fitPq(embeddings, m, dim, codebookStride, nCodes), m, dim,
+      nCandidates)
+
+  /** FIT the PQ codebook — the model half of [[annPq]], exposed so a
+    * deployment fits once, [[saveIndex]]es the (s, code, c_sub)
+    * frame, and serves every query run through [[servePq]] on the
+    * loaded artifact instead of refitting from the corpus.
+    * Per-subspace codebooks come from a deterministic stride sample,
+    * capped at `nCodes` entries: codebook size is a model parameter —
+    * it must NOT grow with the corpus, or encode cost scales
+    * superlinearly. Code ids are the sample's rank within the
+    * subspace.
+    */
+  def fitPq(embeddings: DataFrame, m: Int = 8, dim: Int = 64,
+            codebookStride: Long = 50L, nCodes: Int = 16): DataFrame = {
     val sub = dim / m
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
-    // per-subspace codebooks from the stride sample, capped at
-    // `nCodes` entries: codebook size is a model parameter — it must
-    // NOT grow with the corpus, or encode cost scales superlinearly.
-    // Code ids are the sample's rank within the subspace.
     val wCode = Window.partitionBy("s").orderBy("cb_vec")
-    val codebook = corpus.filter(col("vec_id") % codebookStride === 0)
+    corpus.filter(col("vec_id") % codebookStride === 0)
       .select(col("vec_id").as("cb_vec"),
         posexplode(subvectors(col("embedding"), m, sub)))
       .select(col("cb_vec"), col("pos").as("s"), col("col").as("c_sub"))
       .withColumn("code", row_number().over(wCode))
       .filter(col("code") <= nCodes)
       .select("s", "code", "c_sub")
+  }
+
+  /** SERVE PQ top-k from a fitted (s, code, c_sub) codebook — the
+    * apply-only half of [[annPq]] (loaded-model-first: the codebook
+    * is bounded by construction, so it re-enters the plan as a
+    * broadcast regardless of where it came from).
+    */
+  def servePq(embeddings: DataFrame, queryFilter: Column, k: Int,
+              codebook: DataFrame, m: Int = 8, dim: Int = 64,
+              nCandidates: Int = 50): DataFrame = {
+    val sub = dim / m
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
     // encode: ONE fused pass per vector against the packed broadcast
     // codebook — no per-(vector, subspace) explode, no ×codes join
     // fan-out, no argmin re-aggregation shuffle
@@ -376,16 +400,28 @@ object Similarity {
                nCodes: Int = 16, nCandidates: Int = 50,
                codebookIters: Int = 0,
                trainOnFull: Boolean = false): DataFrame = {
+    val (centroids, codebook) = fitIvfPq(embeddings, centroidStride, m,
+      dim, codeStride, nCodes, codebookIters, trainOnFull)
+    serveIvfPq(embeddings, queryFilter, k, centroids, codebook, nProbe,
+      m, dim, nCandidates)
+  }
+
+  /** FIT the IVF-PQ model — coarse centroids plus per-cell residual
+    * codebooks, the two bounded artifacts a deployment persists via
+    * [[saveIndex]] and serves through [[serveIvfPq]] without ever
+    * refitting (centroid selection, residual sampling, and Lloyd
+    * refinement are all deterministic, so a reload is byte-equal to
+    * the fitting run).
+    */
+  def fitIvfPq(embeddings: DataFrame, centroidStride: Long = 50L,
+               m: Int = 8, dim: Int = 64, codeStride: Long = 5L,
+               nCodes: Int = 16, codebookIters: Int = 0,
+               trainOnFull: Boolean = false): (DataFrame, DataFrame) = {
     val sub = dim / m
-    val l2 = graft.functions.expressions.l2_sq _
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
     val centroids = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    // coarse assignment + residual: fused argmax on the packed model —
-    // one corpus scan, ZERO shuffle (the window formulation shuffled
-    // corpus×cells exploded rows)
     val packed = packCentroids(centroids)
-    val assigned = assignPacked(corpus, packed, withResidual = true)
     // per-cell residual codebooks from a deterministic stride sample:
     // assignment is per-vector, so assigning ONLY the sample here is
     // result-identical and keeps the codebook branch off the full
@@ -414,12 +450,36 @@ object Similarity {
       if (codebookIters > 0) {
         val train =
           if (trainOnFull)
-            assigned
+            // full-corpus residual assignment — one extra scan per
+            // Lloyd pass, lazily built only on this branch
+            assignPacked(corpus, packed, withResidual = true)
               .select(col("cell_id"), posexplode(subvectors(col("residual"), m, sub)))
               .select(col("cell_id"), col("pos").as("s"), col("col").as("r_sub"))
           else samples.select("cell_id", "s", "r_sub")
         refineCodebook(train, seedCodebook, codebookIters, sub)
       } else seedCodebook
+    (centroids, codebook)
+  }
+
+  /** SERVE IVF-PQ top-k from fitted (centroids, per-cell codebook)
+    * artifacts — the apply-only half of [[annIvfPq]]: coarse
+    * assignment + residual on the packed broadcast model (one corpus
+    * scan, zero shuffles), fused per-cell PQ encode, nProbe query
+    * probing, broadcast LUTs, ADC scoring through the bounded
+    * TopKPerKey heaps, exact rerank of the survivors.
+    */
+  def serveIvfPq(embeddings: DataFrame, queryFilter: Column, k: Int,
+                 centroids: DataFrame, codebook: DataFrame,
+                 nProbe: Int = 2, m: Int = 8, dim: Int = 64,
+                 nCandidates: Int = 50): DataFrame = {
+    val sub = dim / m
+    val l2 = graft.functions.expressions.l2_sq _
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
+    // coarse assignment + residual: fused argmax on the packed model —
+    // one corpus scan, ZERO shuffle (the window formulation shuffled
+    // corpus×cells exploded rows)
+    val packed = packCentroids(centroids)
+    val assigned = assignPacked(corpus, packed, withResidual = true)
     // encode: one fused argmin pass per vector against its cell's
     // packed codebook (broadcast hash join on cell_id, fan-out 1)
     val cbPacked = codebook.groupBy("cell_id")
@@ -543,6 +603,85 @@ object Similarity {
       row.getDouble(row.fieldIndex("eigenvalue")))
   }
 
+  /** Persist fitted ANN index parts (IVF centroids, PQ / IVF-PQ
+    * codebooks, the MIPS augmentation bound — any bounded model
+    * frame) as ONE versioned artifact: each named part is a parquet
+    * subdir of `dir/v=<version>`, the whole version published by the
+    * [[graft.ops.VersionedStore]] atomic-rename commit shared with
+    * PcaModel / KeeperModel / bloom artifacts. Fits are
+    * deterministic, so a lost publish race or a replay's
+    * recomputation is byte-equivalent — exactly the immutable-version
+    * contract the store implements. Returns true when this call
+    * published.
+    */
+  def saveIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                version: Long, parts: Seq[(String, DataFrame)]): Boolean = {
+    require(parts.nonEmpty, "saveIndex: no parts to publish")
+    graft.ops.VersionedStore.commit(spark, dir, s"v=$version") { staging =>
+      parts.foreach { case (name, df) =>
+        // model-sized by construction (centroids / codebooks / one-row
+        // bounds) — one file per part keeps the artifact readable
+        df.coalesce(1).write.parquet(
+          new org.apache.hadoop.fs.Path(staging, name).toString)
+      }
+    }
+  }
+
+  /** Load one named part of a persisted ANN index (latest version
+    * unless pinned) — the read half of [[saveIndex]]. The returned
+    * frame is a plain bounded parquet scan, so every serving
+    * consumer ([[serveIvf]], [[servePq]], [[serveIvfPq]],
+    * [[assignKmeans]]) packs or broadcasts it exactly as it would
+    * the just-fitted frame.
+    */
+  def loadIndexPart(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    part: String, version: Option[Long] = None): DataFrame = {
+    val v = version
+      .orElse(graft.ops.VersionedStore.listVersions(spark, dir, "v=")
+        .maxOption)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no ann index under $dir"))
+    spark.read.parquet(s"$dir/v=$v/$part")
+  }
+
+  /** APPLY a fitted k-means / IVF centroid model: assign every
+    * vector to its nearest-cosine centroid on the packed broadcast
+    * model — one shuffle-free corpus scan, the serving shape of
+    * clustering-based curation (cluster labels feeding
+    * curate-by-cluster, balanced sampling, or per-cell routing).
+    * Emits the assignment's cosine (6dp — the engine-portable
+    * rounding ladder) so downstream audits price assignment quality
+    * without a second scan. Ties break to the smaller cell_id.
+    */
+  def assignKmeans(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val packed = packCentroids(centroids)
+    val idx = nearest_idx(col("embedding"), col("cents")) + 1
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(packed))
+      .withColumn("__i", idx)
+      .select(col("vec_id"),
+        element_at(col("cell_ids"), col("__i")).as("cell_id"),
+        round(cosine_sim(col("embedding"),
+          element_at(col("cents"), col("__i"))), 6).as("cos"))
+  }
+
+  /** Per-cell ASSIGNMENT AUDIT over a fitted (usually loaded)
+    * k-means model: member count plus cohesion stats (mean / min
+    * member-to-centroid cosine, per-row 6dp then 4dp mean — the
+    * emb_stats rounding discipline). The report a served clustering
+    * publishes next to cell_balance/purity: a cell whose min cosine
+    * craters is a junk attractor; one whose mean sags needs a split
+    * or a re-fit. One [[assignKmeans]] scan, one |cells|-row
+    * aggregate — nothing corpus-sized shuffles.
+    */
+  def clusterAssignAudit(embeddings: DataFrame,
+                         centroids: DataFrame): DataFrame =
+    assignKmeans(embeddings, centroids)
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("cos"), 4).as("avg_cos"),
+        min("cos").as("min_cos"))
+
   /** Apply a fitted [[PcaModel]]: the model re-enters the plan as
     * literals, so application is one codegen'd scan with no shuffle
     * at all — the 100 TB shape of "apply the reducer you fit once".
@@ -586,7 +725,12 @@ object Similarity {
       .select(col("n_vecs"), lit(model.mean.length.toLong).as("dim"),
         round(lit(model.eigenvalue), 6).as("top_eigenvalue"),
         col("total_var"),
-        round(round(lit(model.eigenvalue), 6) / col("total_var"), 4)
+        // null share on a degenerate corpus (every vector equals the
+        // mean ⇒ total_var = 0): the engines' float div-by-zero
+        // behaviors diverge (Infinity vs setting-dependent), so the
+        // ratio takes the guarded arm like every ratio output here
+        when(col("total_var") > 0d,
+          round(round(lit(model.eigenvalue), 6) / col("total_var"), 4))
           .as("top_share"),
         round(lit(muSq), 6).as("mean_sq_norm"))
   }
@@ -1031,9 +1175,24 @@ object Similarity {
     * MIPS posture — are unaffected). Spec pins rank-equivalence of
     * augmented-cosine retrieval with [[mipsTopK]].
     */
-  def mipsAugment(embeddings: DataFrame, queryFilter: Column): DataFrame = {
+  def mipsAugment(embeddings: DataFrame, queryFilter: Column): DataFrame =
+    mipsAugmentWith(embeddings, queryFilter, fitMipsBound(embeddings))
+
+  /** FIT the MIPS augmentation bound — the one-row (max_sq) frame
+    * the asymmetric transform is built around, exposed so a serving
+    * deployment persists it via [[saveIndex]] next to its centroids
+    * instead of re-scanning the corpus for the max norm on every
+    * run (the bound must be the FITTING corpus's — recomputing it on
+    * a grown corpus silently re-scales every augmented coordinate).
+    */
+  def fitMipsBound(embeddings: DataFrame): DataFrame =
+    embeddings.agg(max(dot_ff(col("embedding"), col("embedding")))
+      .as("max_sq"))
+
+  /** [[mipsAugment]] against a FITTED (possibly loaded) bound. */
+  def mipsAugmentWith(embeddings: DataFrame, queryFilter: Column,
+                      maxSq: DataFrame): DataFrame = {
     val normSq = dot_ff(col("embedding"), col("embedding"))
-    val maxSq = embeddings.agg(max(normSq).as("max_sq"))
     embeddings
       .crossJoin(broadcast(maxSq))
       .select(col("vec_id"),
@@ -1045,13 +1204,38 @@ object Similarity {
 
   def annIvf(embeddings: DataFrame, queryFilter: Column, k: Int,
              centroidStride: Long = 50L, nProbe: Int = 2,
+             kmeansIters: Int = 0, dim: Int = 64): DataFrame =
+    serveIvf(embeddings, queryFilter, k,
+      fitIvf(embeddings, centroidStride, kmeansIters, dim), nProbe)
+
+  /** FIT the IVF coarse quantizer — the model half of [[annIvf]]:
+    * a deterministic stride seed, optionally Lloyd-refined via
+    * [[kmeansCentroids]]. The (cell_id, c_emb) frame is the bounded
+    * artifact a deployment [[saveIndex]]es once and serves forever
+    * through [[serveIvf]] / [[assignKmeans]] — refitting Lloyd from
+    * the corpus on every serving run is the production seam this
+    * closes. Doubles as the first-class k-means fit (`fitKmeans` in
+    * spirit): the refined centroids ARE the cluster model, and
+    * [[assignKmeans]] is its apply half.
+    */
+  def fitIvf(embeddings: DataFrame, centroidStride: Long = 50L,
              kmeansIters: Int = 0, dim: Int = 64): DataFrame = {
     val corpus = embeddings.select(col("vec_id"), col("embedding"))
     val seed = corpus.filter(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"))
-    val centroids =
-      if (kmeansIters > 0) kmeansCentroids(corpus, seed, kmeansIters, dim)
-      else seed
+    if (kmeansIters > 0) kmeansCentroids(corpus, seed, kmeansIters, dim)
+    else seed
+  }
+
+  /** SERVE IVF top-k from a fitted (cell_id, c_emb) centroid set —
+    * the apply-only half of [[annIvf]], loaded-model-first: the
+    * model is bounded by construction, so it re-enters the plan as
+    * a 1-row packed broadcast whether it was just fitted or read
+    * back by [[loadIndexPart]].
+    */
+  def serveIvf(embeddings: DataFrame, queryFilter: Column, k: Int,
+               centroids: DataFrame, nProbe: Int = 2): DataFrame = {
+    val corpus = embeddings.select(col("vec_id"), col("embedding"))
     // fused packed-model assignment and probing: one scan per side,
     // no corpus×cells explode, no per-vector window shuffle
     val packed = packCentroids(centroids)

@@ -331,4 +331,57 @@ class CdcSpec extends SparkSpec
       ("lastName", "jane", "jon") -> ((2L, 1L, 2L)),
       ("lastName", "john", "jon") -> ((1L, 1L, 2L))), s"$got")
   }
+
+  test("soundex key reproduces the classic published values, " +
+    "including the H/W-transparent and vowel-separator rules") {
+    import spark.implicits._
+    val got = Seq("Smith", "Smyth", "Robert", "Rupert", "Ashcraft",
+      "Tymczak", "Pfister", "Honeyman", "Hwang", "Williams", "Ahmed",
+      "x", "42", "")
+      .toDF("t")
+      .select(col("t"), Changelog.soundexKey(col("t")).as("k"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(
+      "Smith" -> Some("S530"), "Smyth" -> Some("S530"),
+      "Robert" -> Some("R163"), "Rupert" -> Some("R163"),
+      // S,C across the transparent H collapse to one 2
+      "Ashcraft" -> Some("A261"),
+      // C,Z across the separator vowel A are BOTH kept
+      "Tymczak" -> Some("T522"),
+      // leading same-code run P,F collapses into the letter slot
+      "Pfister" -> Some("P236"),
+      "Honeyman" -> Some("H555"), "Hwang" -> Some("H520"),
+      "Williams" -> Some("W452"), "Ahmed" -> Some("A530"),
+      "x" -> Some("X000"),
+      // letterless terms key to null (filtered from the index)
+      "42" -> None, "" -> None), s"$got")
+  }
+
+  test("fts phonetic: homophones pair on the shared key, tombstoned " +
+    "postings vanish, cross-field names never pair") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", 1L, "RECORD_INSERT", "", "Smith"),
+      ("u2", 2L, "RECORD_INSERT", "", "Smyth"),
+      // u3: firstName updated AWAY from a homophone — old term gone
+      ("u3", 3L, "RECORD_INSERT", "", "Smijth"),
+      ("u3", 10L, "RECORD_UPDATE", "firstName", "Robert"),
+      // u4: Rupert pairs with Robert on R163 in firstName only after
+      // u3's update put Robert there
+      ("u4", 4L, "RECORD_INSERT", "", "Rupert"),
+      // u5: a homophone whose doc is tombstoned — no pair survives
+      ("u5", 5L, "RECORD_INSERT", "", "Smythe"),
+      ("u5", 20L, "RECORD_DELETE", "", null))
+      .toDF("doc_id", "seq", "op", "field_path", "payload")
+    val got = Changelog.ftsPhonetic(rows).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    // u3's lastName stays Smijth, which keys S523 (M,I,J,T →
+    // 5,0,2,3 — the J code splits it from S530), so the lastName
+    // bucket pairs exactly Smith/Smyth
+    assert(got === Set(
+      ("firstName", "R163", "Robert", "Rupert"),
+      ("firstName", "S530", "Smith", "Smyth"),
+      ("lastName", "S530", "Smith", "Smyth")), s"$got")
+  }
 }

@@ -44,6 +44,27 @@ class ExpressionsSpec extends SparkSpec {
     assert(e("é") == 1.0)
   }
 
+  test("frameMeans: exact truncating basis-point means per frame, " +
+    "remainder bytes ignored, degenerate shapes empty") {
+    def means(bytes: Array[Byte], n: Long): Seq[Long] =
+      HashOps.frameMeans(bytes, n).toLongArray().toSeq
+    // 2 frames of 3 bytes + 1 remainder byte (ignored)
+    val b = Array[Byte](10, 20, 30, 100, 110, 120, 127)
+    // frame sums 60 and 330: 60·10⁴/(3·255)=784, 330·10⁴/(3·255)=4313
+    assert(means(b, 2) === Seq(784L, 4313L))
+    // unsigned bytes: -1 reads as 255 → mean exactly 10000 bp
+    assert(means(Array[Byte](-1, -1), 1) === Seq(10000L))
+    // n_frames exceeding length ⇒ flen 0 ⇒ empty (caller filters too)
+    assert(means(Array[Byte](1, 2), 3) === Seq.empty)
+    assert(means(Array.emptyByteArray, 1) === Seq.empty)
+    // codegen path agrees with the interpreted kernel
+    import spark.implicits._
+    val got = Seq(("x", b)).toDF("k", "p")
+      .select(frame_means(col("p"), lit(2L)).as("m"))
+      .head().getSeq[Long](0)
+    assert(got.toSeq === Seq(784L, 4313L))
+  }
+
   test("simhash: identical token sets collide, disjoint sets don't") {
     val a = strArray("alpha", "beta", "gamma", "delta")
     val b = strArray("alpha", "beta", "gamma", "delta")

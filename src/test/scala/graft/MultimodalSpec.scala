@@ -190,6 +190,30 @@ class MultimodalSpec extends SparkSpec {
       5L -> ((1L, 0L, None, None))), s"$got")
   }
 
+  test("scene cuts: multi-MB payload stresses the byte-fold kernel " +
+    "(no per-frame index-array materialization)") {
+    import spark.implicits._
+    // 4 MB + 6 → video (doc_id ≡ 2 mod 3), n_frames = len % 8 + 1 = 7,
+    // flen ≈ 599k: the r14 HOF built a flen-element Int array per
+    // frame; the kernel folds the bytes directly. Content: frame-
+    // aligned blocks of 'a' and 'z' so expected means are closed-form.
+    val len = 4 * 1024 * 1024 + 6
+    val nFrames = len % 8 + 1 // 7
+    val flen = len / nFrames
+    val sb = new StringBuilder(len)
+    (0 until len).foreach(i => sb.append(if ((i / flen) % 2 == 0) 'a' else 'z'))
+    val got = Multimodal.sceneCuts(Seq((2L, sb.toString)).toDF("doc_id", "text"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    // a=0x61 → 3803 bp, z=0x7A → 4784 bp; frames alternate ⇒ every
+    // adjacent delta is 981 bp ⇒ 6 cuts at the 150 bp threshold
+    assert(r.getAs[Long]("n_frames") == nFrames)
+    assert(r.getAs[Long]("n_cuts") == (nFrames - 1).toLong, r.toString)
+    assert(r.getAs[Long]("max_delta_bp") == 981L)
+    assert(r.getAs[Long]("avg_delta_bp") == 981L)
+  }
+
   test("scene cuts run unchanged on a live stream (zero-shuffle " +
     "projection is streaming-legal by construction)") {
     import spark.implicits._

@@ -98,6 +98,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted ANN index: every part round-trips byte-equal and " +
+    "serving the loaded model equals the fitting run") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ann-index").toString
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.map {
+        case a: Seq[_] => a.toList
+        case x => x
+      }).toSet
+    val ivf = Similarity.fitIvf(embeddings, kmeansIters = 1)
+    val pq = Similarity.fitPq(embeddings)
+    val (ipCents, ipCb) = Similarity.fitIvfPq(embeddings, codebookIters = 1)
+    val mips = Similarity.fitMipsBound(embeddings)
+    assert(Similarity.saveIndex(spark, dir, 1L, Seq(
+      "ivf" -> ivf, "pq" -> pq, "ivfpq_cents" -> ipCents,
+      "ivfpq_cb" -> ipCb, "mips" -> mips)))
+    // immutable versions: a second publish of v=1 is a no-op
+    assert(!Similarity.saveIndex(spark, dir, 1L, Seq("ivf" -> ivf)))
+    def loaded(part: String) =
+      Similarity.loadIndexPart(spark, dir, part) // latest-version path
+    // byte-equality of the round trip (floats survive parquet exactly)
+    assert(rows(loaded("ivf")) === rows(ivf))
+    assert(rows(loaded("pq")) === rows(pq))
+    assert(rows(loaded("ivfpq_cents")) === rows(ipCents))
+    assert(rows(loaded("ivfpq_cb")) === rows(ipCb))
+    assert(rows(loaded("mips")) === rows(mips))
+    // serving from the LOADED artifacts reproduces the fitting run
+    val q = col("vec_id") < 5
+    assert(rows(Similarity.serveIvf(embeddings, q, 5, loaded("ivf"))) ===
+      rows(Similarity.annIvf(embeddings, q, 5, kmeansIters = 1)))
+    assert(rows(Similarity.servePq(embeddings, q, 5, loaded("pq"))) ===
+      rows(Similarity.annPq(embeddings, q, 5)))
+    assert(rows(Similarity.serveIvfPq(embeddings, q, 5,
+        loaded("ivfpq_cents"), loaded("ivfpq_cb"))) ===
+      rows(Similarity.annIvfPq(embeddings, q, 5, codebookIters = 1)))
+    assert(rows(Similarity.mipsAugmentWith(embeddings, q, loaded("mips"))) ===
+      rows(Similarity.mipsAugment(embeddings, q)))
+  }
+
+  test("kmeans assignment audit: every vector lands in exactly one " +
+    "cell and a planted tight cluster reads cohesive") {
+    val cents = Similarity.fitIvf(embeddings, kmeansIters = 1)
+    val audit = Similarity.clusterAssignAudit(embeddings, cents).collect()
+    val n = embeddings.count()
+    assert(audit.map(_.getAs[Long]("n_vecs")).sum == n)
+    audit.foreach { r =>
+      val avg = r.getAs[Double]("avg_cos")
+      val mn = r.getAs[Double]("min_cos")
+      assert(avg >= mn && avg <= 1.0, r.toString)
+    }
+    // assignment emits one row per vector with the winning cosine
+    val asg = Similarity.assignKmeans(embeddings, cents)
+    assert(asg.count() == n)
+    assert(asg.select("vec_id").distinct().count() == n)
+  }
+
   test("embedding stats report full dimensionality and positive norms") {
     val rows = Similarity.embStats(embeddings).collect()
     assert(rows.map(_.getAs[Int]("label")).toSet == (0 until 10).toSet)

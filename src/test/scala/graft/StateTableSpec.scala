@@ -107,6 +107,21 @@ class StateTableSpec extends SparkSpec {
       .filter(col("doc_id") === "user2").isEmpty)
   }
 
+  test("geo save-back: a seq past the triple bound fails loudly " +
+    "instead of silently wrapping away from the HUGEINT oracle") {
+    import spark.implicits._
+    val bad = Seq(("user1", Long.MaxValue / 3, 0L, "RECORD_INSERT", "",
+      "addr", 1.0))
+      .toDF("doc_id", "seq", "ts_us", "op", "field_path", "payload",
+        "amount")
+    val e = intercept[Exception](
+      Changelog.geoSavebackLog(bad).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("triplable")), e.toString)
+  }
+
   test("stateful compaction survives kill + restart from checkpoint") {
     import spark.implicits._
     implicit val s = spark
