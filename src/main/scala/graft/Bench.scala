@@ -54,29 +54,47 @@ object Bench {
     // match) — single-query profiling without a 197-query sweep
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
-      .map { case (name, fn) =>
-      def attempt(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
-        ((System.nanoTime() - t0) / 1e9, err)
+    // SPARK_GRAFT_BENCH_RUNS=N (default 1) executes the WHOLE suite N
+    // times in this JVM and keeps each query's best across runs — the
+    // r14 verdict's bench-protocol hardening: the host swings ±26% on
+    // an identical tree, so the close-of-round artifact records the
+    // run count and every run's total IN the JSON (runs / run_totals /
+    // best_run_total) instead of leaving variance to §7 prose
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .map(_.toInt).getOrElse(1).max(1)
+    def suite(): Seq[(String, Double, Option[String], Boolean)] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only.exists(name.contains) }
+        .map { case (name, fn) =>
+        def attempt(): (Double, Option[String]) = {
+          val t0 = System.nanoTime()
+          val err = try { fn(spark, sfDir).count(); None }
+            catch { case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+          ((System.nanoTime() - t0) / 1e9, err)
+        }
+        val base = (1 to 2).map(_ => attempt())
+        val needThird = base.collect { case (t, None) => t } match {
+          case ok if ok.nonEmpty => ok.min > 1.0
+          case _ => false
+        }
+        val attempts = if (needThird) base :+ attempt() else base
+        // a query is failed only if ALL attempts fail — a transient flake
+        // on one of the two runs still yields a valid best-of time, and
+        // its error is surfaced in the errors array without negating it
+        val ok = attempts.collect { case (t, None) => t }
+        val err = attempts.flatMap(_._2).headOption
+        (name, if (ok.nonEmpty) ok.min else -attempts.map(_._1).min,
+          err, ok.isEmpty)
       }
-      val base = (1 to 2).map(_ => attempt())
-      val needThird = base.collect { case (t, None) => t } match {
-        case ok if ok.nonEmpty => ok.min > 1.0
-        case _ => false
-      }
-      val attempts = if (needThird) base :+ attempt() else base
-      // a query is failed only if ALL attempts fail — a transient flake
-      // on one of the two runs still yields a valid best-of time, and
-      // its error is surfaced in the errors array without negating it
-      val ok = attempts.collect { case (t, None) => t }
-      val err = attempts.flatMap(_._2).headOption
-      (name, if (ok.nonEmpty) ok.min else -attempts.map(_._1).min,
-        err, ok.isEmpty)
-    }
+    val runs = (1 to nRuns).map(_ => suite())
+    val runTotals = runs.map(_.collect { case (_, v, _, false) => v }.sum)
+    // per-query best across runs; failed only if failed in EVERY run
+    val results = runs.transpose.map { rs =>
+      val ok = rs.collect { case (_, v, _, false) => v }
+      (rs.head._1,
+        if (ok.nonEmpty) ok.min else rs.map(_._2).max,
+        rs.flatMap(_._3).headOption, ok.isEmpty)
+    }.toSeq
     // fully-failed queries get a negative time so they can't read as
     // fast; the headline total sums SUCCESSFUL queries only (consistent
     // with sum(max(t, 0)) over the entries — a broken run never
@@ -99,7 +117,9 @@ object Bench {
     // summary line (total + the 10 slowest queries) whose length is
     // asserted so this contract can never regress silently.
     val loadAfter = loadavg()
-    val fullLine = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}"""
+    val runsJson = runTotals.map(dp3).mkString("[", ",", "]")
+    val bestRun = dp3(runTotals.min)
+    val fullLine = s"""{"metric":"total","value":${dp3(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","runs":$nRuns,"run_totals":$runsJson,"best_run_total":$bestRun,"load_before":$loadBefore,"load_after":$loadAfter}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
@@ -114,7 +134,7 @@ object Bench {
       val slowest = results.filterNot(_._4).sortBy(-_._2).take(k)
         .map { case (n, v, _, _) => "\"" + n + "\":" + dp2(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$slowest,"n":${results.size},"failed":$nFailed,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}"""
+      s"""{"metric":"total","value":${dp2(total)},"unit":"sec","queries":$slowest,"n":${results.size},"failed":$nFailed,"runs":$nRuns,"sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter}"""
     }
     val summary = (10 to 0 by -1).view.map(summaryLine)
       .find(_.length < 1800).getOrElse(summaryLine(0))
