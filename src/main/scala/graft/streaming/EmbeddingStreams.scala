@@ -12,6 +12,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EmbeddingStreams {
 
+  /** Streaming twin of [[graft.sim.Similarity.assignKmeans]] — LIVE
+    * CLUSTER ROUTING on a SERVED model: every arriving embedding is
+    * assigned to its nearest centroid of a fitted (usually
+    * [[graft.sim.Similarity.loadIndexPart]]-loaded) k-means/IVF
+    * model. The assignment is a stateless per-row projection against
+    * the 1-row packed broadcast model, so it is streaming-legal by
+    * construction (no state, no watermark) and the spec pins
+    * stream-emitted ≡ batch-assigned row for row. This is the ingest
+    * shape of clustering-based curation at 100 TB: the model is
+    * published once by the fit job; the router only scans. Model
+    * refresh is the anomalyStream contract — restart the query on
+    * the new version, out-of-band.
+    */
+  def clusterRouteStream(vectors: DataFrame,
+                         centroids: DataFrame): DataFrame =
+    graft.sim.Similarity.assignKmeans(vectors, centroids)
+
   /** Per-label running centroid state: count + per-dimension sums. */
   case class LabelCentroid(n: Long, sums: Seq[Double])
 

@@ -791,6 +791,41 @@ class StreamingSpec extends SparkSpec {
     assert(fin(1).centroid_dist > 0.5)
   }
 
+  test("streaming cluster routing on a loaded model equals the batch " +
+    "assignment row for row") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf).limit(40)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding"))))
+    // fit + publish + load: the router must ride the LOADED artifact
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-route-model").toString
+    val cents = graft.sim.Similarity.fitIvf(
+      Tables.embeddings(spark, sf), centroidStride = 13L, kmeansIters = 1)
+    graft.sim.Similarity.saveIndex(spark, dir, 1L, Seq("km" -> cents))
+    val loaded = graft.sim.Similarity.loadIndexPart(spark, dir, "km")
+    val batch = graft.sim.Similarity.assignKmeans(
+      emb.toSeq.toDF("vec_id", "embedding"), loaded)
+      .collect().map(_.toSeq).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val q = EmbeddingStreams.clusterRouteStream(
+        input.toDF().toDF("vec_id", "embedding"), loaded)
+      .writeStream.format("memory").queryName("route")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(emb.take(25).toSeq); q.processAllAvailable()
+      input.addData(emb.drop(25).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("route").collect().map(_.toSeq).toSet
+    assert(streamed === batch && batch.nonEmpty)
+    // every routed row carries a cell of the model
+    val cells = loaded.select("cell_id").collect().map(_.getLong(0)).toSet
+    assert(spark.table("route").collect()
+      .forall(r => cells.contains(r.getAs[Long]("cell_id"))))
+  }
+
   test("streaming attribution emissions aggregate to the batch totals") {
     import spark.implicits._
     implicit val s = spark
