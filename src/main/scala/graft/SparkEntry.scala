@@ -347,6 +347,12 @@ object SparkEntry {
       .orderBy(col("g_year"), col("g_status"),
         org.apache.spark.sql.functions.expr("coalesce(o_year, -1)"),
         org.apache.spark.sql.functions.expr("coalesce(o_orderstatus, '')"))),
+    // the full lattice: CUBE adds the status-only marginal (cross-tab
+    // column totals) the ROLLUP hierarchy skips — still one aggregate
+    "q42_cube" -> ((s, d) => Relational.cubeRevenue(s, d)
+      .orderBy(col("g_year"), col("g_status"),
+        org.apache.spark.sql.functions.expr("coalesce(o_year, -1)"),
+        org.apache.spark.sql.functions.expr("coalesce(o_orderstatus, '')"))),
     "q17_approx_quantiles" -> Relational.q17ApproxQuantiles _,
     "q18_asof_join" -> Relational.q18AsofAttribution _,
     "q19_range_window" -> Relational.q19RangeWindow _,
@@ -954,6 +960,13 @@ object SparkEntry {
       Similarity.isotropyAudit(Tables.embeddings(s, d),
         pcaModelCache.computeIfAbsent(d, dir =>
           Similarity.pcaFitModel(Tables.embeddings(s, dir))))),
+    // per-label All-but-the-Top share: where removing the dominant
+    // direction buys cosine back — one scan on the cached PcaModel
+    "emb_abtt" -> ((s, d) =>
+      Similarity.abttAudit(Tables.embeddings(s, d),
+        pcaModelCache.computeIfAbsent(d, dir =>
+          Similarity.pcaFitModel(Tables.embeddings(s, dir))))
+        .orderBy("label")),
     "emb_quantize" -> ((s, d) =>
       Similarity.quantizeAudit(Tables.embeddings(s, d)).orderBy("vec_id")),
     // application half of emb_pca: the fitted PcaModel is memoized
@@ -4089,6 +4102,21 @@ object SparkEntry {
         |GROUP BY ROLLUP(o_year, o_orderstatus)
         |ORDER BY g_year, g_status, coalesce(o_year, -1),
         |         coalesce(o_orderstatus, '')""".stripMargin,
+    // CUBE grouping sets: the rollup levels + the status-only
+    // marginal, same flags-and-coalesce NULL discipline
+    "q42_cube" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |             o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_year, o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |       CAST(grouping(o_year) AS BIGINT) AS g_year,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status
+        |FROM o
+        |GROUP BY CUBE(o_year, o_orderstatus)
+        |ORDER BY g_year, g_status, coalesce(o_year, -1),
+        |         coalesce(o_orderstatus, '')""".stripMargin,
     // per-customer cents, rank thresholds at exact bp ranks over the
     // ascending order, at-or-above conditional sums in HUGEINT
     "q40_concentration" ->
@@ -6114,6 +6142,31 @@ object SparkEntry {
         |FROM t CROSS JOIN signed s CROSS JOIN mn""".stripMargin),
     "emb_pca" -> embPcaSql,
     "emb_project" -> embProjectSql,
+    // per-label ABTT share on the shared power-iteration replay:
+    // centered-norm + projection folds per row, micro-unit ladder,
+    // HUGEINT term-widened sums, one ppm division at the end
+    "emb_abtt" -> (embPcaCte +
+      """, pv AS (SELECT e.label,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i ->
+        |        CAST(CAST(CAST(e.embedding AS DOUBLE[])[i] - m.mu[i] AS REAL) AS DOUBLE)
+        |        * CAST(CAST(CAST(e.embedding AS DOUBLE[])[i] - m.mu[i] AS REAL) AS DOUBLE))),
+        |      (acc, y) -> acc + y), 6) AS d26,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 65), i ->
+        |        CAST(CAST(CAST(e.embedding AS DOUBLE[])[i] - m.mu[i] AS REAL) AS DOUBLE)
+        |        * CAST(CAST(s.v[i] AS REAL) AS DOUBLE))),
+        |      (acc, y) -> acc + y), 6) AS p6
+        |  FROM embeddings e CROSS JOIN mean m CROSS JOIN signed s),
+        |u AS (SELECT label, CAST(round(d26 * 1000000) AS BIGINT) AS du,
+        |             CAST(round(p6 * 1000000) AS BIGINT) AS pu
+        |      FROM pv)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CASE WHEN sum(CAST(du AS HUGEINT)) > 0
+        |            THEN CAST(sum(CAST(pu AS HUGEINT) * pu)
+        |                      // sum(CAST(du AS HUGEINT)) AS BIGINT)
+        |       END AS top_share_ppm
+        |FROM u GROUP BY label ORDER BY label""".stripMargin),
     // REAL-cast centroid + sequential squared-distance fold (the
     // l2_sq kernel's exact arithmetic); top-k on the raw d2
     "emb_outliers" ->

@@ -437,6 +437,26 @@ object Relational {
         grouping(col("o_year")).cast("long").as("g_year"),
         grouping(col("o_orderstatus")).cast("long").as("g_status"))
 
+  /** CUBE revenue — [[rollupRevenue]]'s full-lattice sibling: CUBE
+    * adds the status-only marginal the ROLLUP hierarchy skips
+    * ("revenue per status across all years" — the cross-tab column
+    * totals a pivoted report needs), still as ONE Expand-fed hash
+    * aggregate: four grouping sets, one shuffle. Same integer-cents
+    * money, same grouping() flags disambiguating a cube NULL from a
+    * genuine NULL key, same coalesced sort (the engines disagree on
+    * raw NULL ordering).
+    */
+  def cubeRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .cube("o_year", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"),
+        grouping(col("o_year")).cast("long").as("g_year"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"))
+
   /** Per-group EQUI-DEPTH histogram — the optimizer-statistics
     * operator (equal-POPULATION buckets expose where the value mass
     * actually lives; the fixed-width q33 histogram starves dense

@@ -735,6 +735,48 @@ object Similarity {
         round(lit(muSq), 6).as("mean_sq_norm"))
   }
 
+  /** PER-LABEL anisotropy share — the ALL-BUT-THE-TOP audit (Mu &
+    * Viswanath 2018, "All-but-the-Top: Simple and Effective
+    * Postprocessing for Word Representations"): how much of each
+    * stratum's centered variance lies along the corpus's dominant
+    * direction, the number that decides WHERE removing the top
+    * component(s) is worth applying. [[isotropyAudit]] answers the
+    * corpus-level "are we collapsing"; this is its per-label
+    * decomposition — a stratum whose share dwarfs the corpus's is
+    * riding the common direction (templated/over-encoded content)
+    * and is exactly where the ABTT correction buys cosine back.
+    *
+    * Rides the fitted [[PcaModel]] (fit-once/apply-many), so the
+    * audit is ONE shuffle-free scan: per row, the centered squared
+    * norm and the top-component projection through the same
+    * float-level `vec_sub`/`dot_ff` kernels as the serving
+    * projection, both quantized to exact integer micro-units
+    * (round-6 double → round → BIGINT, the engine-portable ladder);
+    * sums widen at the term (pu² ≈ 10¹⁴ per row — the diversity
+    * discipline, HUGEINT oracle-side) and ONE integer division lands
+    * at the end: share_ppm = Σpu² div Σdu (the µ-unit scales cancel
+    * to ppm exactly). Null share for a stratum with zero centered
+    * mass.
+    */
+  def abttAudit(embeddings: DataFrame, model: PcaModel): DataFrame = {
+    def fLit(xs: Array[Double]) = array(xs.map(x => lit(x.toFloat)): _*)
+    val c = vec_sub(col("embedding"), fLit(model.mean))
+    embeddings
+      .select(col("label"),
+        round(dot_ff(c, c), 6).as("d26"),
+        round(dot_ff(c, fLit(model.loadings)), 6).as("p6"))
+      .select(col("label"),
+        expr("CAST(round(d26 * 1000000) AS BIGINT)").as("du"),
+        expr("CAST(round(p6 * 1000000) AS BIGINT)").as("pu"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(du AS DECIMAL(38,0))")).as("sdu"),
+        sum(expr("CAST(pu * pu AS DECIMAL(38,0))")).as("spu2"))
+      .select(col("label"), col("n_vecs"),
+        expr("CASE WHEN sdu > 0 THEN CAST(spu2 div sdu AS BIGINT) END")
+          .as("top_share_ppm"))
+  }
+
   /** Projection of every embedding onto the fitted top component —
     * [[pcaFitModel]] + [[pcaApply]] in one call for the
     * fit-and-project-now case (score = x̄ · v).

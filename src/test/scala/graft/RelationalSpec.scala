@@ -383,4 +383,32 @@ class RelationalSpec extends SparkSpec
     assert(rows.forall(r => (r._3.isEmpty) == (r._1 == 1L)))
     assert(rows.forall(r => (r._4.isEmpty) == (r._2 == 1L)))
   }
+
+  test("cube: adds exactly the status-only marginal over rollup and " +
+    "every lattice level reconciles to the grand total") {
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("g_year"), r.getAs[Long]("g_status"),
+        Option(r.getAs[java.lang.Long]("o_year")).map(_.toLong),
+        Option(r.getAs[String]("o_orderstatus")),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("revenue_cents")))
+    val cube = shape(Relational.cubeRevenue(spark, sf))
+    val rollup = shape(Relational.rollupRevenue(spark, sf))
+    // the cube is the rollup plus the (year-marginal, status-kept) set
+    val marginals = cube.filter(r => r._1 == 1 && r._2 == 0)
+    assert(cube.toSet === rollup.toSet ++ marginals.toSet)
+    assert(marginals.nonEmpty && marginals.forall(r =>
+      r._3.isEmpty && r._4.nonEmpty))
+    // the new marginals reconcile to the grand total like every level
+    val grand = cube.filter(r => r._1 == 1 && r._2 == 1)
+    assert(grand.length === 1)
+    assert(marginals.map(_._5).sum === grand.head._5)
+    assert(marginals.map(_._6).sum === grand.head._6)
+    // and each status marginal equals the sum of its leaves
+    val leaves = cube.filter(r => r._1 == 0 && r._2 == 0)
+    for ((_, _, _, st, n, cents) <- marginals) {
+      val mine = leaves.filter(_._4 == st)
+      assert(mine.map(_._5).sum === n && mine.map(_._6).sum === cents,
+        s"status $st does not reconcile")
+    }
+  }
 }

@@ -154,6 +154,46 @@ class SimilaritySpec extends SparkSpec {
     assert(asg.select("vec_id").distinct().count() == n)
   }
 
+  test("abtt audit: a one-axis corpus reads full share per label, " +
+    "an orthogonal stratum reads zero") {
+    import spark.implicits._
+    // labels 0/1 vary ONLY on axis 0 (the top component); label 2
+    // varies only on axis 1, orthogonal to it. Every stratum is
+    // centered AT the global mean (zero) — a stratum whose MEAN is
+    // offset along v would legitimately read a high share (the
+    // offset IS common-direction mass ABTT removes), which is not
+    // the orthogonality this plant isolates.
+    def vec(axis: Int, x: Float): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = x; a.toSeq
+    }
+    val ax0 = Seq(-4f, -3f, -2f, -1f, 1f, 2f, 3f, 4f)
+    val ax1 = Seq(-0.2f, -0.1f, 0.1f, 0.2f)
+    val rows = ax0.zipWithIndex.map { case (x, i) =>
+      ((i + 1).toLong, vec(0, x), i % 2) } ++
+      ax1.zipWithIndex.map { case (x, i) =>
+        ((i + 9).toLong, vec(1, x), 2) }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val model = graft.sim.Similarity.pcaFitModel(df)
+    val got = Similarity.abttAudit(df, model).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"),
+          Option(r.getAs[java.lang.Long]("top_share_ppm")).map(_.toLong))))
+      .toMap
+    assert(got(0)._1 == 4L && got(1)._1 == 4L && got(2)._1 == 4L)
+    // the on-axis strata hold ~all their centered mass on the top
+    // component; micro-unit quantization leaves ppm-scale slack
+    assert(got(0)._2.exists(_ > 999000L), s"$got")
+    assert(got(1)._2.exists(_ > 999000L), s"$got")
+    assert(got(2)._2.exists(_ < 1000L), s"$got")
+    // the real corpus: shares are valid ppm and strata are non-empty
+    val real = Similarity.abttAudit(embeddings,
+      graft.sim.Similarity.pcaFitModel(embeddings)).collect()
+    assert(real.nonEmpty && real.forall { r =>
+      val s = Option(r.getAs[java.lang.Long]("top_share_ppm"))
+      s.forall(v => v >= 0L && v <= 1000000L)
+    })
+  }
+
   test("embedding stats report full dimensionality and positive norms") {
     val rows = Similarity.embStats(embeddings).collect()
     assert(rows.map(_.getAs[Int]("label")).toSet == (0 until 10).toSet)
