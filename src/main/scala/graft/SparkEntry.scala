@@ -40,6 +40,23 @@ object SparkEntry {
     keeperModelCache.computeIfAbsent(s.sparkContext.applicationId + ":" + d,
       _ => Dedup.fitKeepers(Tables.documents(s, d), 0.9, 2))
 
+  /** The keeper model through its PERSISTED round trip (fit → publish
+    * → load), memoized like the ANN index: the dedup family's
+    * loaded-model-first serving path. The dir token carries the fit
+    * spec — the annIndexDir stale-artifact discipline. */
+  private val loadedKeeperCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.KeeperModel]()
+
+  private def loadedKeeperModel(s: SparkSession, d: String): Dedup.KeeperModel =
+    loadedKeeperCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + d, _ => {
+        val dir = sys.props("java.io.tmpdir") +
+          "/graft_keeper_model_tau0.9_iters2_k64_b16/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        Dedup.saveKeepers(keeperModel(s, d), dir, 1L)
+        Dedup.loadKeepers(s, dir, Some(1L))
+      })
+
   /** Fit-once cache for the BPE training recurrence, keyed by
     * (application, sf dir, steps): text_bpe_apply otherwise re-runs
     * the full K-round fit that text_bpe_merges just trained. The fit
@@ -53,6 +70,26 @@ object SparkEntry {
     bpeFitCache.computeIfAbsent(
       s.sparkContext.applicationId + ":" + d + ":" + steps,
       _ => Bpe.fit(Tables.documents(s, d), steps))
+
+  /** The fitted BPE tokenizer through its PERSISTED round trip — the
+    * text family's loaded-model-first path: the merge table + final
+    * segmented vocabulary publish as one versioned artifact (what a
+    * tokenizer-training job ships), and consumers read the loaded
+    * parts. Same memoization + dir-token discipline as the ANN
+    * index. */
+  private val loadedBpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def loadedBpe(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    loadedBpeCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + d, _ => {
+        val dir = sys.props("java.io.tmpdir") + "/graft_bpe_model_steps8/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val (m, v) = bpeFit(s, d, 8)
+        Similarity.saveIndex(s, dir, 1L, Seq("merges" -> m, "vocab" -> v))
+        (Similarity.loadIndexPart(s, dir, "merges", Some(1L)),
+          Similarity.loadIndexPart(s, dir, "vocab", Some(1L)))
+      })
 
   /** Materialize-once cache for the shared knn EDGE frame (the
     * %7-sampled k=3 graph every graph_* consumer reads), keyed by
@@ -573,6 +610,10 @@ object SparkEntry {
     // distributed BPE: train the merge table / re-segment under it
     "text_bpe_merges" -> ((s, d) => Bpe.mergeTable(bpeFit(s, d, 8))),
     "text_bpe_apply" -> ((s, d) => Bpe.tokenCountsOf(bpeFit(s, d, 8), 30)),
+    // the segmentation read from the PUBLISHED tokenizer artifact
+    // (merge table + segmented vocab as versioned parts) — the text
+    // family's loaded-model path, same oracle by fit determinism
+    "text_bpe_loaded" -> ((s, d) => Bpe.tokenCountsOf(loadedBpe(s, d), 30)),
     // sliding-window substring-duplication audit (tile-blind copies)
     // MOSS winnowing: ~2/(w+1) of grams stored, guaranteed detection
     // of shared runs >= w+q-1 tokens — the budget-bounded dup index
@@ -600,6 +641,13 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")),
     "dedup_keepers" -> ((s, d) => Dedup.exactKeepers(Tables.documents(s, d)).orderBy("doc_id")),
     "dedup_keepers_near" -> ((s, d) => Dedup.nearDupKeepers(keeperModel(s, d)).orderBy("doc_id")),
+    // the keeper mapping served from the PERSISTED model — the dedup
+    // twin of sim_ivf_loaded: saveKeepers publishes the fitted model
+    // once (flattening merge segments), tomorrow's job loads it and
+    // reads keepers at one-projection cost; same oracle as the
+    // fitting path by fit determinism
+    "dedup_keepers_loaded" -> ((s, d) =>
+      Dedup.nearDupKeepers(loadedKeeperModel(s, d)).orderBy("doc_id")),
     // incremental maintenance: fit on 3/4 of the corpus (cached — the
     // standing model a production pipeline already has), absorb the
     // rest as a delta batch — the oracle replays the FULL-corpus fit,
@@ -5695,6 +5743,7 @@ object SparkEntry {
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "text_bpe_merges" -> bpeMergesSql(8),
     "text_bpe_apply" -> bpeApplySql(8, 30),
+    "text_bpe_loaded" -> bpeApplySql(8, 30),
     "text_bpe_fertility" -> bpeFertilitySql(8),
     "text_dup_spans" -> dupSpansSql,
     "text_winnow" -> winnowSql,
@@ -5719,6 +5768,9 @@ object SparkEntry {
         |       round(min(jaccard), 4) AS lo, round(max(jaccard), 4) AS hi
         |FROM jac GROUP BY 1 ORDER BY bin""".stripMargin),
     "dedup_keepers_near" -> keepersNearSql,
+    // the loaded-model path is byte-equal to the fitting run (fit
+    // determinism + parquet round-trip) — same replay certifies it
+    "dedup_keepers_loaded" -> keepersNearSql,
     // the incremental path must land exactly where the one-shot
     // full-corpus fit lands — same replay, no weaker oracle
     "dedup_incremental" -> keepersNearSql,
