@@ -753,6 +753,15 @@ object SparkEntry {
     "emb_kmeans_model" -> ((s, d) =>
       Similarity.clusterAssignAudit(Tables.embeddings(s, d),
         loadedIndexPart(s, d, "kmeans_centroids")).orderBy("cell_id")),
+    // delta-ingest audit on the served model: does the published
+    // index still fit a new batch (vec_id % 10 as the delta feed)?
+    "sim_ivf_delta" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.deltaIngestAudit(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        loadedIndexPart(s, d, "kmeans_centroids")).orderBy("cell_id")
+    }),
     "emb_stats" -> ((s, d) => Similarity.embStats(Tables.embeddings(s, d)).orderBy("label")),
     // fixed-point PageRank over the knn graph: prototype centrality
     "graph_pagerank" -> ((s, d) =>
@@ -2450,7 +2459,7 @@ object SparkEntry {
     * per-cell count / 4dp mean / min — the served-model audit's
     * ground truth (the Spark side rides the SAVED+LOADED centroids,
     * which are byte-equal to this replay's by fit determinism). */
-  private val embKmeansModelSql: String =
+  private val embKmeansCte: String =
     """WITH corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |seed AS (SELECT vec_id AS cell_id, emb AS c_emb FROM corpus WHERE vec_id % 50 = 0),
       |asg0 AS (SELECT vec_id, cell_id, emb FROM (
@@ -2470,7 +2479,10 @@ object SparkEntry {
       |                 row_number() OVER (PARTITION BY c.vec_id
       |                   ORDER BY list_cosine_similarity(c.emb, n.c_emb) DESC, n.cell_id) AS rn
       |          FROM corpus c CROSS JOIN cents n) WHERE rn = 1)
-      |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+      |""".stripMargin
+
+  private val embKmeansModelSql: String = embKmeansCte +
+    """SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
       |       round(avg(cos), 4) AS avg_cos, min(cos) AS min_cos
       |FROM asg GROUP BY cell_id ORDER BY cell_id""".stripMargin
 
@@ -5902,6 +5914,31 @@ object SparkEntry {
     // round-trip), so it certifies against the SAME replay
     "sim_ivf_loaded" -> simIvfSql,
     "emb_kmeans_model" -> embKmeansModelSql,
+    // the Lloyd-1 replay's assignment, tagged by subset and rolled
+    // up per cell with HUGEINT-widened ppm shares + the drift flag
+    "sim_ivf_delta" -> (embKmeansCte +
+      """, tag AS (SELECT cell_id,
+        |            CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS dl
+        |          FROM asg),
+        |ca AS (SELECT cell_id,
+        |         CAST(count(*) FILTER (WHERE dl = 0) AS BIGINT) AS n_base,
+        |         CAST(count(*) FILTER (WHERE dl = 1) AS BIGINT) AS n_delta
+        |       FROM tag GROUP BY cell_id),
+        |tot AS (SELECT CAST(sum(n_base) AS HUGEINT) AS tb,
+        |               CAST(sum(n_delta) AS HUGEINT) AS td FROM ca)
+        |SELECT cell_id, n_base, n_delta,
+        |       CASE WHEN tb > 0 THEN
+        |         CAST(CAST(n_base AS HUGEINT) * 1000000 // tb AS BIGINT)
+        |       END AS base_share_ppm,
+        |       CASE WHEN td > 0 THEN
+        |         CAST(CAST(n_delta AS HUGEINT) * 1000000 // td AS BIGINT)
+        |       END AS delta_share_ppm,
+        |       CASE WHEN tb > 0 AND td > 0 THEN
+        |         abs(CAST(CAST(n_base AS HUGEINT) * 1000000 // tb AS BIGINT)
+        |           - CAST(CAST(n_delta AS HUGEINT) * 1000000 // td AS BIGINT))
+        |           > 200000
+        |       END AS drifted
+        |FROM ca CROSS JOIN tot ORDER BY cell_id""".stripMargin),
     "sim_cell_balance" -> simCellBalanceSql,
     "sim_mips_ivf" -> simMipsIvfSql,
     // the IVF replay's top-k left-joined under the brute ground truth

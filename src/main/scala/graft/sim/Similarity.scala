@@ -682,6 +682,47 @@ object Similarity {
         round(avg("cos"), 4).as("avg_cos"),
         min("cos").as("min_cos"))
 
+  /** INDEX DELTA-INGEST audit — the maintenance question behind a
+    * SERVED IVF / k-means index: when a new batch arrives, does the
+    * published coarse model still fit it, or has the distribution
+    * moved enough to warrant a re-fit? (An index is fit once and
+    * served — [[saveIndex]]/[[loadIndexPart]] — so freshness is a
+    * measured decision, not a per-batch refit.) Both corpora assign
+    * on the SAME loaded model ([[assignKmeans]] — one shuffle-free
+    * scan each); per cell: base/delta counts, exact-integer ppm
+    * shares (DECIMAL-widened — the cellPurity discipline), and a
+    * drift flag when the delta's cell share deviates from the base's
+    * by more than `driftPpm` — a flagged cell means the new batch
+    * concentrates where the old corpus didn't (cell split / re-Lloyd
+    * territory), and a never-flagged sweep certifies the model for
+    * another ingest cycle. Cells empty on one side survive the full
+    * join with zero counts (their absence IS the signal). Shares are
+    * null (never a flag) when a side is empty — the engines' div
+    * behaviors must not decide a verdict.
+    */
+  def deltaIngestAudit(base: DataFrame, delta: DataFrame,
+                       centroids: DataFrame,
+                       driftPpm: Long = 200000L): DataFrame = {
+    require(driftPpm > 0, s"driftPpm ($driftPpm) must be positive")
+    def cells(df: DataFrame, as: String) =
+      assignKmeans(df, centroids).groupBy("cell_id")
+        .agg(count(lit(1)).as(as))
+    val merged = cells(base, "nb")
+      .join(cells(delta, "nd").hint("shuffle_hash"), Seq("cell_id"), "full")
+      .na.fill(0L, Seq("nb", "nd"))
+    val tot = merged.agg(sum("nb").as("tb"), sum("nd").as("td"))
+    merged.crossJoin(broadcast(tot))
+      .select(col("cell_id"), col("nb").as("n_base"), col("nd").as("n_delta"),
+        expr("CASE WHEN tb > 0 THEN CAST(CAST(nb AS DECIMAL(38,0)) " +
+          "* 1000000 div tb AS BIGINT) END").as("base_share_ppm"),
+        expr("CASE WHEN td > 0 THEN CAST(CAST(nd AS DECIMAL(38,0)) " +
+          "* 1000000 div td AS BIGINT) END").as("delta_share_ppm"),
+        expr(s"CASE WHEN tb > 0 AND td > 0 THEN " +
+          s"abs(CAST(CAST(nb AS DECIMAL(38,0)) * 1000000 div tb AS BIGINT) " +
+          s"- CAST(CAST(nd AS DECIMAL(38,0)) * 1000000 div td AS BIGINT)) " +
+          s"> $driftPpm END").as("drifted"))
+  }
+
   /** Apply a fitted [[PcaModel]]: the model re-enters the plan as
     * literals, so application is one codegen'd scan with no shuffle
     * at all — the 100 TB shape of "apply the reducer you fit once".

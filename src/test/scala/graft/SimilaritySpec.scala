@@ -194,6 +194,33 @@ class SimilaritySpec extends SparkSpec {
     })
   }
 
+  test("delta-ingest audit flags cells where the delta concentrates " +
+    "and nulls its verdict when a side is empty") {
+    import spark.implicits._
+    def vec(axis: Int): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = 1.0f; a.toSeq
+    }
+    val cents = Seq((0L, vec(0)), (1L, vec(1))).toDF("cell_id", "c_emb")
+    // base splits 50/50 across the cells; the delta all lands in cell 1
+    val base = (1 to 10).map(i => (i.toLong, vec(i % 2)))
+      .toDF("vec_id", "embedding")
+    val delta = (11 to 14).map(i => (i.toLong, vec(1)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.deltaIngestAudit(base, delta, cents).collect()
+      .map(r => r.getAs[Long]("cell_id") ->
+        ((r.getAs[Long]("n_base"), r.getAs[Long]("n_delta"),
+          r.getAs[Long]("base_share_ppm"), r.getAs[Long]("delta_share_ppm"),
+          r.getAs[Boolean]("drifted")))).toMap
+    assert(got === Map(
+      0L -> ((5L, 0L, 500000L, 0L, true)),
+      1L -> ((5L, 4L, 500000L, 1000000L, true))), s"$got")
+    // an empty delta must null shares and verdicts, never flag
+    val none = Similarity.deltaIngestAudit(base,
+      delta.filter(lit(false)), cents).collect()
+    assert(none.forall(r => r.isNullAt(r.fieldIndex("delta_share_ppm")) &&
+      r.isNullAt(r.fieldIndex("drifted"))), none.mkString(","))
+  }
+
   test("embedding stats report full dimensionality and positive norms") {
     val rows = Similarity.embStats(embeddings).collect()
     assert(rows.map(_.getAs[Int]("label")).toSet == (0 until 10).toSet)
