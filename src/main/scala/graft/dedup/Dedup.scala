@@ -33,6 +33,31 @@ object Dedup {
     documents.select(col("doc_id"),
       explode(shingleArray(col("text"), n)).as("shingle"))
 
+  /** Shingle DOCUMENT-FREQUENCY histogram — the inverted-index COST
+    * calibration artifact next to [[jaccardHistogram]]'s similarity
+    * one: shingles bucketed by power-of-two df (bucket =
+    * `length(bin(df))`, integer-exact on both engines), with the
+    * posting mass and the Σdf² SELF-JOIN COST each bucket
+    * contributes. Every set-similarity join here pays candidate work
+    * proportional to Σ df² — this histogram says which df stratum
+    * drives that bill (a fat high-df tail is boilerplate: exactly
+    * the mass [[prefixFilterJaccard]]'s rarity ordering pushes out
+    * of the join, and the number that justifies a stopword-shingle
+    * cutoff before anyone runs the plain inverted-index join at
+    * 100 TB). Two map-side-combined aggregations; output bounded by
+    * log₂(max df), never the shingle count. Σdf² widens at the term
+    * through DECIMAL(38,0) — a boilerplate shingle's df² alone can
+    * pass int64 at corpus scale.
+    */
+  def dfHistogram(documents: DataFrame, n: Int = 3): DataFrame =
+    shingles(documents, n)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .groupBy(length(bin(col("df"))).cast("long").as("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum("df").as("postings"),
+        expr("CAST(sum(CAST(df AS DECIMAL(38,0)) * df) AS BIGINT)")
+          .as("join_cost_sq"))
+
   /** Exact dedup: group identical texts by content hash, keep the
     * lowest doc_id. Output is the deduplicated keeper set with
     * multiplicity — one map-side-combined shuffle on the hash.

@@ -268,6 +268,22 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** nibble_hist(payload): counts of the 16 HIGH-NIBBLE values over
+    * a payload's bytes — the byte-value histogram kernel: one pass,
+    * no hex encoding, no per-byte explode, no allocation beyond the
+    * fixed 16-slot output (the [[frameMeans]] discipline). Counts
+    * are longs, so no payload length can overflow a slot.
+    */
+  def nibbleHist(bytes: Array[Byte]): ArrayData = {
+    val out = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) {
+      out((bytes(i) & 0xff) >>> 4) += 1
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Polynomial rolling hash (base 31, mod 2^61-1) over UTF-8 bytes —
     * the classic Rabin-Karp document fingerprint.
     */

@@ -134,6 +134,21 @@ object expressions {
     override def prettyName: String = "frame_means"
   }
 
+  /** nibble_hist(payload): 16 high-nibble byte-value counts over a
+    * BINARY payload — one codegen'd pass, no hex encoding, no
+    * per-byte explode (see [[HashOps.nibbleHist]]).
+    */
+  case class NibbleHist(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.nibbleHist(v.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.nibbleHist($c)")
+    override protected def withNewChildInternal(c: Expression): NibbleHist = copy(child = c)
+    override def prettyName: String = "nibble_hist"
+  }
+
   /** cosine_sim(a, b) over float vectors, double accumulation. */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -313,6 +328,8 @@ object expressions {
   def frame_means(payload: Column, nFrames: Column): Column =
     GraftBridge.column(FrameMeans(GraftBridge.expression(payload),
       GraftBridge.expression(nFrames)))
+  def nibble_hist(payload: Column): Column =
+    GraftBridge.column(NibbleHist(GraftBridge.expression(payload)))
   def cosine_sim(a: Column, b: Column): Column =
     GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
   def dot_ff(a: Column, b: Column): Column =

@@ -336,4 +336,92 @@ object Multimodal {
       .select(col("media_type"), col("n_items"), col("n_empty"),
         col("n_bad_meta"), col("total_bytes"),
         expr("CAST(hs % 4611686018427387904 AS BIGINT)").as("digest"))
+
+  /** PERCEPTUAL near-dup pairs over binary payloads — the
+    * STRUCTURAL twin of [[binaryNearDup]]'s content-shingle path (a
+    * pHash-style brightness-layout signature: two payloads whose
+    * byte n-grams differ everywhere still pair when their coarse
+    * intensity profile matches — re-encoded/re-containered media,
+    * the regime content shingles are blind to): each payload's 64
+    * equal slices reduce to integer slice means through the ONE-pass
+    * codegen'd [[graft.functions.HashOps.frameMeans]] kernel (no
+    * allocation, bytes never leave the scan), bit i of the 64-bit
+    * signature is `64·mean_i > Σ means` (strictly-above-average
+    * slice — integer-exact, no division anywhere), and near-dups are
+    * signature pairs within hamming `radius`. Candidate generation
+    * is PIGEONHOLE-LOSSLESS banding — 4 bands of 16 bits; hamming ≤
+    * radius < 4 forces at least one identical band, so the (band,
+    * value) equi-join loses nothing (the [[graft.dedup.Dedup]]
+    * simhash discipline pointed at bytes) — then exact
+    * `bit_count(xor)` verification on the candidate pairs; never
+    * all-pairs, and only (doc_id, 64-bit sig) rows ever shuffle.
+    */
+  def phashPairs(documents: DataFrame, radius: Int = 3): DataFrame = {
+    require(radius >= 0 && radius < 4,
+      s"radius ($radius) must stay below the band count (4) for lossless banding")
+    val slices = 64
+    val sigs = attach(documents)
+      .select(col("doc_id"), col("payload"))
+      .filter(octet_length(col("payload")) >= slices)
+      .select(col("doc_id"), graft.functions.expressions.frame_means(
+        col("payload"), lit(slices.toLong)).as("means"))
+      // bounded 64-element folds — no explode, no shuffle: the bit
+      // test multiplies instead of dividing so both engines compare
+      // exact integers
+      .select(col("doc_id"),
+        expr("aggregate(means, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("msum"), col("means"))
+      .select(col("doc_id"),
+        expr(s"aggregate(zip_with(means, sequence(0, ${slices - 1}), " +
+          s"(v, i) -> IF(v * $slices > msum, shiftleft(CAST(1 AS BIGINT), i), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)").as("sig"))
+    // 4 × 16-bit bands; shiftrightunsigned so bit 63 can never smear
+    // sign bits into a band value
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bv", expr("shiftrightunsigned(sig, b * 16) % 65536"))
+    bands.as("x")
+      .join(bands.as("y"), col("x.b") === col("y.b") &&
+        col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .distinct() // a pair may collide in several bands — emit once
+      .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
+  }
+
+  /** Corpus BYTE-VALUE histogram per media type — the one-glance
+    * distribution report for an opaque binary column (a spike at
+    * 0x00 is padding, mass confined to 0x20–0x7E is text
+    * masquerading as media, near-uniform mass corroborates the
+    * [[entropyAudit]] compressed/encrypted verdict — and the
+    * histogram says WHERE the mass sits, which the scalar entropy
+    * cannot): per payload the 16 high-nibble counts come from ONE
+    * codegen'd pass over the raw bytes
+    * ([[graft.functions.HashOps.nibbleHist]] — no hex encoding, no
+    * per-byte explode; bytes never leave the scan), the bounded
+    * 16-element array explodes AFTER the kernel, and per-(type,
+    * nibble) sums are map-side-combined — what shuffles is ≤ 16
+    * longs per payload, collapsing to types × 16 rows. Share in
+    * exact integer ppm (DECIMAL-widened — byte totals at 100 TB
+    * exceed int64×10⁶), every nibble present for every type (a
+    * zero count IS the report), window over the bounded types × 16
+    * summary only.
+    */
+  def byteHistogram(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perType = attach(documents)
+      .select(col("media_type"), posexplode(
+        graft.functions.expressions.nibble_hist(col("payload")))
+        .as(Seq("nibble", "cnt")))
+      .groupBy(col("media_type"), col("nibble").cast("long").as("nibble"))
+      .agg(sum("cnt").as("n_bytes"))
+    val w = Window.partitionBy("media_type")
+    perType
+      .withColumn("tot", sum("n_bytes").over(w))
+      .select(col("media_type"), col("nibble"), col("n_bytes"),
+        expr("CASE WHEN tot > 0 THEN CAST(CAST(n_bytes AS DECIMAL(38,0)) " +
+          "* 1000000 div tot AS BIGINT) END").as("share_ppm"))
+  }
 }

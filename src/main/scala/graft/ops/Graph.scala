@@ -336,7 +336,22 @@ object Graph {
     * Nodes appear via their edges (isolated nodes are not counted —
     * the edge-list formulation). Output is `|distinct sizes|` rows.
     */
-  def componentSizes(edges: DataFrame, iters: Int = 6): DataFrame = {
+  def componentSizes(edges: DataFrame, iters: Int = 6): DataFrame =
+    sizeHistogram(componentLabels(edges, iters))
+
+  private def sizeHistogram(labels: DataFrame): DataFrame =
+    labels.groupBy("lab").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+
+  /** Connected-component LABELS (node → min-node-id of its
+    * component) — the fit half of [[componentSizes]], exposed so the
+    * label frame itself can be persisted and incrementally
+    * maintained ([[mergeComponentLabels]]) the way the keeper model
+    * is: at 100 TB the component fit runs once per corpus build and
+    * each ingest batch merges into it, never re-propagates the whole
+    * graph. */
+  def componentLabels(edges: DataFrame, iters: Int = 6): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     val nodes = e.select(col("src").as("node"))
@@ -379,10 +394,60 @@ object Graph {
       converged = changed == 0L
       labels = next
     }
-    labels.groupBy("lab").agg(count(lit(1)).as("sz"))
-      .groupBy(col("sz").as("component_size"))
-      .agg(count(lit(1)).as("n_components"))
+    labels
   }
+
+  /** INCREMENTAL component maintenance — absorb a delta edge batch
+    * into fitted component labels without re-propagating the base
+    * graph (the [[graft.dedup.Dedup.mergeKeepers]] discipline for
+    * graphs): every delta edge CONTRACTS through the base labels
+    * (`endpoint → its component label`, a new node passing through
+    * as itself — label ids are min node ids, so the two id spaces
+    * can never collide), components run on the CONTRACTED quotient
+    * graph — delta-sized, never corpus-sized — and base labels remap
+    * through the quotient roots with one broadcast join (untouched
+    * labels pass through byte-identical). Components of the quotient
+    * of base-components by delta edges ARE the components of
+    * base ∪ delta, so the merge is exact, not an approximation —
+    * spec-pinned `merge(fit(base), delta) ≡ fit(base ∪ delta)`.
+    */
+  def mergeComponentLabels(baseLabels: DataFrame, deltaEdges: DataFrame,
+                           iters: Int = 6): DataFrame = {
+    val d = deltaEdges.select(col("src"), col("dst"))
+    val contracted = componentLabels(
+      d.join(baseLabels.select(col("node").as("src"), col("lab").as("ls"))
+          .hint("shuffle_hash"), Seq("src"), "left")
+        .join(baseLabels.select(col("node").as("dst"), col("lab").as("ld"))
+          .hint("shuffle_hash"), Seq("dst"), "left")
+        .select(coalesce(col("ls"), col("src")).as("src"),
+          coalesce(col("ld"), col("dst")).as("dst")), iters)
+    // quotient roots are delta-bounded — broadcast them to the
+    // corpus-sized base label frame; a label the delta never touched
+    // is absent from the quotient and passes through unchanged
+    val roots = contracted
+      .select(col("node").as("k"), col("lab").as("root"))
+    val remappedBase = baseLabels
+      .join(broadcast(roots), col("lab") === col("k"), "left")
+      .select(col("node"), coalesce(col("root"), col("lab")).as("lab"))
+    // quotient vertices that are NOT base nodes are the delta's new
+    // nodes (label ids are base node ids, so the anti-join is exact)
+    val newNodes = roots
+      .join(baseLabels.select(col("node").as("k")).hint("shuffle_hash"),
+        Seq("k"), "left_anti")
+      .select(col("k").as("node"), col("root").as("lab"))
+    remappedBase.union(newNodes)
+  }
+
+  /** [[componentSizes]] through the incremental path: fit on the
+    * base edges, merge the delta batch, histogram the merged labels
+    * — certified against the FULL-graph fit's own oracle by the
+    * quotient equivalence. */
+  def componentSizesIncremental(baseEdges: DataFrame,
+                                deltaEdges: DataFrame,
+                                iters: Int = 6): DataFrame =
+    sizeHistogram(
+      mergeComponentLabels(componentLabels(baseEdges, iters), deltaEdges,
+        iters))
 
   /** Link prediction by neighbor overlap: for every NON-adjacent node
     * pair sharing at least one neighbor, the Jaccard similarity of

@@ -457,6 +457,56 @@ object Relational {
         grouping(col("o_year")).cast("long").as("g_year"),
         grouping(col("o_orderstatus")).cast("long").as("g_status"))
 
+  /** Calendar DENSIFICATION + LOCF gap-fill — the time-series
+    * reshaping operator every reporting layer needs and no aggregate
+    * provides: monthly revenue per status with MISSING months
+    * materialized (an empty month must appear as a row — its absence
+    * from a GROUP BY output silently breaks every
+    * trend/lag/moving-average consumer downstream, which is exactly
+    * why [[graft.ops.Events.dailySeries]] zero-fills its day grid)
+    * and gaps carried forward by last-observation (LOCF — the
+    * reporting convention for "balance as of month end"; months
+    * before a status's first observation stay NULL, a carry from
+    * nothing would be invented data, and `is_observed` keeps
+    * fill-vs-fact distinguishable downstream). Shape: ONE
+    * map-side-combined monthly aggregate is the only corpus pass;
+    * the calendar derives from the aggregate's own (min, max) — a
+    * 1-row frame exploded through `sequence(lo, hi, interval 1
+    * month)`, never a corpus scan; the status × month grid is
+    * calendar-sized, the fill window partitions by status over the
+    * bounded month axis (partitions are |months| rows regardless of
+    * corpus size — the window never sees a corpus row). Integer
+    * cents, DATE month keys (both engines truncate months
+    * identically).
+    */
+  def gapFillMonthly(orders: DataFrame): DataFrame = {
+    // statuses × months rows — materialized once (localCheckpoint)
+    // because three consumers read it (calendar bounds, the status
+    // set, the join's right side): per-branch column pruning makes
+    // their exchanges non-identical, so exchange reuse can't
+    // collapse the three corpus scans the lazy frame would pay
+    val monthly = orders
+      .groupBy(col("o_orderstatus"),
+        trunc(col("o_orderdate"), "month").as("month"))
+      .agg(expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) " +
+        "AS BIGINT)").as("rev_cents"))
+      .localCheckpoint()
+    val cal = monthly.agg(min("month").as("lo"), max("month").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 month)")).as("month"))
+    val grid = cal.crossJoin(
+      broadcast(monthly.select("o_orderstatus").distinct()))
+    val w = Window.partitionBy("o_orderstatus").orderBy("month")
+    grid.join(monthly.hint("shuffle_hash"), Seq("o_orderstatus", "month"),
+        "left")
+      .withColumn("is_observed", col("rev_cents").isNotNull)
+      .withColumn("rev_cents",
+        last("rev_cents", ignoreNulls = true).over(w))
+      .select("o_orderstatus", "month", "rev_cents", "is_observed")
+  }
+
+  def q43GapFill(s: SparkSession, dir: String): DataFrame =
+    gapFillMonthly(Tables.orders(s, dir))
+
   /** Per-group EQUI-DEPTH histogram — the optimizer-statistics
     * operator (equal-POPULATION buckets expose where the value mass
     * actually lives; the fixed-width q33 histogram starves dense

@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
 
 /** Shared primitives for versioned on-disk artifacts (state-table
   * snapshots, keeper models, PCA models): immutable `<prefix>N`
@@ -33,6 +34,42 @@ import org.apache.spark.sql.SparkSession
 object VersionedStore {
 
   private val StagingMark = ".staging-"
+
+  /** Content-derived VERSION NUMBER for a fitted artifact: a
+    * non-negative mix of (a) an order-independent fingerprint of the
+    * fitting dataset — row count + the wrap-sum of per-row
+    * `xxhash64` over every column — and (b) a caller-supplied
+    * code-spec marker naming the fit logic. Publishing under
+    * `v=fingerprintVersion(...)` closes the stale-artifact seam the
+    * skip-existing commit leaves open (ADVICE r15): regenerating the
+    * dataset at the same path, or changing fit code and bumping its
+    * codeSpec, lands on a NEW version instead of silently serving
+    * the previous publish; an unchanged dataset re-derives the same
+    * number and hits the immutable version as before. One cheap
+    * map-side-combined aggregate scan per derivation — callers
+    * memoize it per (application, dataset), the same discipline as
+    * the fit caches. The wrap-sum is commutative, so partition order
+    * and shuffle nondeterminism can never change the version; Java
+    * `String.hashCode` is a specified algorithm, so the codeSpec mix
+    * is stable across JVMs.
+    */
+  def fingerprintVersion(df: DataFrame, codeSpec: String): Long = {
+    val r = df
+      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"),
+        // DECIMAL(38,0) sum: exact and order-independent; folded to
+        // a long below (the fold may wrap — it is a fingerprint)
+        sum(col("h").cast("decimal(38,0)")).as("s"))
+      .head()
+    val n = r.getLong(0)
+    val s =
+      if (r.isNullAt(1)) BigInt(0)
+      else BigInt(r.getDecimal(1).toBigInteger)
+    val folded = s.mod(BigInt(Long.MaxValue)).toLong
+    val mixed = folded ^ java.lang.Long.rotateLeft(n, 17) ^
+      java.lang.Long.rotateLeft(codeSpec.hashCode.toLong, 41)
+    mixed & Long.MaxValue // version dirs are `v=<digits>` — keep it non-negative
+  }
 
   def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)

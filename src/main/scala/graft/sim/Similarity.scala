@@ -812,7 +812,11 @@ object Similarity {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(expr("CAST(du AS DECIMAL(38,0))")).as("sdu"),
-        sum(expr("CAST(pu * pu AS DECIMAL(38,0))")).as("spu2"))
+        // widen BEFORE the multiply: pu * pu in LongType wraps
+        // silently past |pu| ~ 3.04e9 (|p6| > ~3037) while the
+        // DuckDB oracle multiplies in HUGEINT — the term itself
+        // must be the widened product (ADVICE r15)
+        sum(expr("CAST(pu AS DECIMAL(38,0)) * pu")).as("spu2"))
       .select(col("label"), col("n_vecs"),
         expr("CASE WHEN sdu > 0 THEN CAST(spu2 div sdu AS BIGINT) END")
           .as("top_share_ppm"))

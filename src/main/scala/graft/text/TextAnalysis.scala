@@ -697,6 +697,52 @@ object TextAnalysis {
     * any corpus scale — left-joined onto the full source grid so
     * zero-overlap pairs report explicitly.
     */
+  /** Per-source TOKEN-DISTRIBUTION drift — exact TOTAL-VARIATION
+    * distance between each source's unigram distribution and the
+    * corpus's: TV(p_s, p) = ½ Σ_t |p_s(t) − p(t)|, the
+    * mixture-weighting diagnostic next to [[sourceOverlap]]'s
+    * head-vocabulary view (overlap compares top-k type SETS; TV
+    * weighs the FULL distributions — a source can share every head
+    * token and still be distributionally alien in the tail, which is
+    * exactly what DSIR-style reweighting and temperature mixing react
+    * to; TV ≈ 0 says the source is redundant with the mixture,
+    * TV → 1 says it is a disjoint register).
+    *
+    * Exact rational arithmetic, no per-type rounding: the absent-type
+    * mass folds CLOSED-FORM — Σ_{t∉s} c_t·T_s = (T − Σ_{t∈s} c_t)·T_s
+    * — so only (source, PRESENT-type) rows are ever scored (one
+    * equi-join of the per-source counts against the corpus counts;
+    * no source × full-vocabulary fan-out, no union-of-types frame),
+    * terms widen through DECIMAL(38,0) at the multiply (c·T ≈ 10¹⁷
+    * per term at 100 TB scale — HUGEINT oracle-side), and ONE
+    * integer division lands the ppm at the end, in the positive
+    * quadrant where `div` and `//` agree. Two map-side-combined
+    * aggregations over the token stream + model-sized broadcasts.
+    */
+  def sourceTvDrift(documents: DataFrame): DataFrame = {
+    val st = documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val t = st.groupBy("tok").agg(sum("c_st").as("c_t"))
+    val ts = st.groupBy("source").agg(sum("c_st").as("t_s"))
+    val tot = t.agg(sum("c_t").as("t_all"))
+    st.join(t.hint("shuffle_hash"), Seq("tok"))
+      .join(broadcast(ts), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        max("t_s").as("t_s"),
+        max("t_all").as("t_all"),
+        sum(expr("abs(CAST(c_st AS DECIMAL(38,0)) * t_all " +
+          "- CAST(c_t AS DECIMAL(38,0)) * t_s)")).as("sterm"),
+        sum("c_t").as("cov"))
+      .select(col("source"), col("n_types"),
+        col("t_s").as("n_tokens"),
+        expr("CAST((sterm + CAST(t_all - cov AS DECIMAL(38,0)) * t_s) " +
+          "* 1000000 div (2 * CAST(t_s AS DECIMAL(38,0)) * t_all) " +
+          "AS BIGINT)").as("tv_ppm"))
+  }
+
   def sourceOverlap(documents: DataFrame, k: Int = 50): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
     val counts = documents

@@ -24,6 +24,29 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.getAs[Long]("keep_doc_id") == 1L)
   }
 
+  test("df histogram: buckets by power-of-two df, postings and the " +
+    "Σdf² join cost attribute to the right stratum") {
+    import spark.implicits._
+    // "a b c" appears in 3 docs (df=3, bucket 2); every other
+    // shingle is unique (df=1, bucket 1); the two-token doc emits
+    // no shingles at all
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "a b c e"),   // shingles: "a b c", "b c e"
+      (3L, "a b c"),     // shingle:  "a b c"
+      (4L, "x y")        // too short — no 3-shingle
+    ).toDF("doc_id", "text")
+    val got = Dedup.dfHistogram(docs).collect()
+      .map(r => r.getAs[Long]("df_bucket") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("postings"),
+          r.getAs[Long]("join_cost_sq")))).toMap
+    // df=1: "b c d", "b c e" → 2 shingles, 2 postings, cost 2·1²
+    assert(got(1L) == ((2L, 2L, 2L)), s"$got")
+    // df=3: "a b c" → 1 shingle, 3 postings, cost 3² = 9
+    assert(got(2L) == ((1L, 3L, 9L)), s"$got")
+    assert(got.size == 2)
+  }
+
   test("ngram jaccard finds exact and near duplicates, skips short docs") {
     val pairs = Dedup.ngramJaccard(corpus, 0.4, lit(true))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -115,6 +115,58 @@ class GraphSpec extends SparkSpec {
     assert(got == expected, s"got $got vs exact $expected")
   }
 
+  test("incremental components: a delta edge bridges base components, " +
+    "new-node chains attach, untouched labels pass through byte-identical, " +
+    "merge(fit(base), delta) == fit(base ∪ delta)") {
+    import spark.implicits._
+    // base: {1,2}, {3,4}, {9,10} — three 2-components
+    val base = Seq((1L, 2L), (3L, 4L), (9L, 10L)).toDF("src", "dst")
+    // delta: bridge 2–3 (merges the first two), chain brand-new 5–6
+    // onto 4, and an all-new pair 7–8; {9,10} untouched
+    val delta = Seq((2L, 3L), (4L, 5L), (5L, 6L), (7L, 8L))
+      .toDF("src", "dst")
+    val baseLabels = Graph.componentLabels(base)
+    val merged = Graph.mergeComponentLabels(baseLabels, delta).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    // {1,2,3,4,5,6} one component rooted at 1; {7,8} at 7; {9,10}
+    // untouched — still the base fit's own label
+    assert((1L to 6L).forall(merged(_) == 1L), s"$merged")
+    assert(merged(7L) == 7L && merged(8L) == 7L, s"$merged")
+    assert(merged(9L) == 9L && merged(10L) == 9L, s"$merged")
+    assert(merged.size == 10)
+    // histogram equivalence against the full one-shot fit
+    val inc = Graph.componentSizesIncremental(base, delta).collect()
+      .map(r => r.getAs[Long]("component_size") ->
+        r.getAs[Long]("n_components")).toMap
+    val full = Graph.componentSizes(base.union(delta)).collect()
+      .map(r => r.getAs[Long]("component_size") ->
+        r.getAs[Long]("n_components")).toMap
+    assert(inc == full && inc == Map(6L -> 1L, 2L -> 2L), s"$inc vs $full")
+    // an EMPTY delta is a pure pass-through
+    val noop = Graph.mergeComponentLabels(baseLabels,
+      Seq.empty[(Long, Long)].toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    val orig = baseLabels.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    assert(noop == orig)
+  }
+
+  test("incremental components match the one-shot fit on the real knn " +
+    "graph under a hash-split delta") {
+    val e = graft.sim.Similarity.knnGraph(
+      Tables.embeddings(spark, sf), col("vec_id") % 7 === 0, 3)
+      .select("src", "dst").localCheckpoint()
+    val isDelta = (col("src") + col("dst")) % 5 === 0
+    val inc = Graph.componentSizesIncremental(
+      e.filter(!isDelta), e.filter(isDelta)).collect()
+      .map(r => r.getAs[Long]("component_size") ->
+        r.getAs[Long]("n_components")).toMap
+    val full = Graph.componentSizes(e).collect()
+      .map(r => r.getAs[Long]("component_size") ->
+        r.getAs[Long]("n_components")).toMap
+    assert(inc == full && inc.nonEmpty, s"$inc vs $full")
+  }
+
   test("triangles: K4 corners count 3 each, chain and star count zero") {
     import spark.implicits._
     // K4 {1,2,3,4} (4 triangles, each node on 3), a 3-chain {10,11,12}

@@ -99,6 +99,59 @@ class MultimodalSpec extends SparkSpec {
     assert(near == Set((5L, 6L)), s"got $near")
   }
 
+  test("phash: identical payloads pair at hamming 0, k flipped slices " +
+    "read hamming k, past-radius pairs are cut, short payloads drop") {
+    import spark.implicits._
+    // 64 slices × 2 ASCII chars: '~' (126) slices sit far above the
+    // payload mean, ' ' (32) far below — flipping a slice flips
+    // exactly its signature bit (the mean shift can never flip a
+    // neighbor's verdict at this contrast)
+    def payload(flips: Set[Int]): String =
+      (0 until 64).map { i =>
+        val hi = (i % 2 == 0) ^ flips.contains(i)
+        if (hi) "~~" else "  "
+      }.mkString
+    val docs = Seq(
+      (1L, payload(Set.empty)),
+      (2L, payload(Set.empty)),          // identical → hamming 0
+      (3L, payload(Set(0, 20, 40))),     // 3 flips → hamming 3 (kept)
+      (4L, payload(Set(1, 17, 33, 49))), // 4 flips spread over all 4 bands → cut
+      (5L, "short")                      // < 64 bytes → excluded
+    ).toDF("doc_id", "text")
+    val got = Multimodal.phashPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(got.get((1L, 2L)).contains(0L), s"$got")
+    assert(got.get((1L, 3L)).contains(3L), s"$got")
+    assert(got.get((2L, 3L)).contains(3L), s"$got")
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"$got")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L), s"$got")
+    // banding losslessness at the radius: a hamming-3 pair flipping
+    // bits in THREE different bands still collides in the fourth
+    val spread = Seq((1L, payload(Set.empty)),
+      (2L, payload(Set(0, 16, 32)))).toDF("doc_id", "text")
+    val sp = Multimodal.phashPairs(spread).collect()
+    assert(sp.length == 1 && sp.head.getAs[Long]("hamming") == 3L)
+  }
+
+  test("byte histogram: nibble counts, every nibble present per type, " +
+    "exact ppm shares") {
+    import spark.implicits._
+    // doc 3 → image ('!' = 0x21 → nibble 2); doc 4 → audio mixing
+    // 'A' (0x41 → 4) and 'a' (0x61 → 6)
+    val docs = Seq((3L, "!!!!"), (4L, "AAab")).toDF("doc_id", "text")
+    val got = Multimodal.byteHistogram(docs).collect()
+      .map(r => (r.getAs[String]("media_type"), r.getAs[Long]("nibble")) ->
+        ((r.getAs[Long]("n_bytes"),
+          Option(r.getAs[java.lang.Long]("share_ppm")).map(_.toLong))))
+      .toMap
+    assert(got.size == 32) // 2 types × all 16 nibbles, zeros included
+    assert(got(("image", 2L)) == ((4L, Some(1000000L))), s"$got")
+    assert(got(("image", 6L)) == ((0L, Some(0L))), s"$got")
+    assert(got(("audio", 4L)) == ((2L, Some(500000L))), s"$got")
+    assert(got(("audio", 6L)) == ((2L, Some(500000L))), s"$got")
+  }
+
   test("entropy audit flags uniform payloads low and diverse payloads high") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -411,4 +411,33 @@ class RelationalSpec extends SparkSpec
         s"status $st does not reconcile")
     }
   }
+
+  test("gap-fill: missing months materialize, LOCF carries the last " +
+    "observation, pre-first months stay NULL, fills are flagged") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // status A: observed Jan + Apr (Feb, Mar are gaps → carry Jan);
+    // status B: first observed Mar (Jan, Feb stay NULL — no carry
+    // from nothing); the calendar spans Jan..Apr from the data itself
+    val orders = Seq(
+      ("A", ts("2024-01-10"), 10.00),
+      ("A", ts("2024-01-20"), 5.00),
+      ("A", ts("2024-04-05"), 7.00),
+      ("B", ts("2024-03-15"), 3.00))
+      .toDF("o_orderstatus", "o_orderdate", "o_totalprice")
+    val got = Relational.gapFillMonthly(orders).collect()
+      .map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[java.sql.Date]("month").toString) ->
+        ((Option(r.getAs[java.lang.Long]("rev_cents")).map(_.toLong),
+          r.getAs[Boolean]("is_observed")))).toMap
+    assert(got.size == 8) // 2 statuses × 4 calendar months
+    assert(got(("A", "2024-01-01")) == ((Some(1500L), true)), s"$got")
+    assert(got(("A", "2024-02-01")) == ((Some(1500L), false)), s"$got")
+    assert(got(("A", "2024-03-01")) == ((Some(1500L), false)), s"$got")
+    assert(got(("A", "2024-04-01")) == ((Some(700L), true)), s"$got")
+    assert(got(("B", "2024-01-01")) == ((None, false)), s"$got")
+    assert(got(("B", "2024-02-01")) == ((None, false)), s"$got")
+    assert(got(("B", "2024-03-01")) == ((Some(300L), true)), s"$got")
+    assert(got(("B", "2024-04-01")) == ((Some(300L), false)), s"$got")
+  }
 }

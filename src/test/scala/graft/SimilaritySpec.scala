@@ -137,6 +137,20 @@ class SimilaritySpec extends SparkSpec {
       rows(Similarity.mipsAugment(embeddings, q)))
   }
 
+  test("entry-level loaded serving: sim_mips_loaded and emb_pca_loaded " +
+    "equal their fit twins row-for-row through the published artifact") {
+    def rows(k: String): Seq[Seq[Any]] =
+      SparkEntry.queries(k)(spark, sf).collect().toSeq.map(_.toSeq.map {
+        case a: Seq[_] => a.toList
+        case x => x
+      })
+    // the loaded MIPS bound reproduces the refit augmentation's
+    // retrieval exactly (deterministic fit + exact float round-trip)
+    assert(rows("sim_mips_loaded") == rows("sim_mips_ivf"))
+    // the loaded PcaModel reproduces the in-session projection
+    assert(rows("emb_pca_loaded") == rows("emb_project"))
+  }
+
   test("kmeans assignment audit: every vector lands in exactly one " +
     "cell and a planted tight cluster reads cohesive") {
     val cents = Similarity.fitIvf(embeddings, kmeansIters = 1)
@@ -192,6 +206,27 @@ class SimilaritySpec extends SparkSpec {
       val s = Option(r.getAs[java.lang.Long]("top_share_ppm"))
       s.forall(v => v >= 0L && v <= 1000000L)
     })
+  }
+
+  test("abtt audit survives |pu| past the int64 product wrap " +
+    "(term widens BEFORE the multiply — ADVICE r15)") {
+    import spark.implicits._
+    // projection magnitude 4000 → pu = 4e9 → pu² = 1.6e19 > 2⁶³−1:
+    // a LongType pu*pu wraps NEGATIVE and the share craters; the
+    // DECIMAL-widened term keeps the exact value. One-axis corpus
+    // centered at zero → every stratum's share must read ~10⁶ ppm.
+    def vec(x: Float): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(0) = x; a.toSeq
+    }
+    val rows = Seq(-4000f, -2000f, 2000f, 4000f).zipWithIndex
+      .map { case (x, i) => ((i + 1).toLong, vec(x), 0) }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val model = graft.sim.Similarity.pcaFitModel(df)
+    val got = Similarity.abttAudit(df, model).collect()
+    assert(got.length == 1)
+    val share = Option(got.head.getAs[java.lang.Long]("top_share_ppm"))
+    assert(share.exists(s => s > 999000L && s <= 1000001L),
+      s"wrapped or wrong: $share")
   }
 
   test("delta-ingest audit flags cells where the delta concentrates " +

@@ -235,6 +235,44 @@ class StateTableSpec extends SparkSpec {
     assert(!orphan.exists() && live.exists())
   }
 
+  test("fingerprint version: order-independent, data-sensitive, " +
+    "code-spec-sensitive, non-negative (ADVICE r15)") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "t")
+    val shuffled = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "t")
+      .repartition(3)
+    val changed = Seq((1L, "x"), (2L, "y"), (3L, "Z")).toDF("id", "t")
+    val grown = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, "w"))
+      .toDF("id", "t")
+    val va = graft.ops.VersionedStore.fingerprintVersion(a, "spec1")
+    // same content in any partitioning/order → same version
+    assert(graft.ops.VersionedStore.fingerprintVersion(shuffled, "spec1") == va)
+    // one changed value, one added row, or a bumped code spec → new version
+    assert(graft.ops.VersionedStore.fingerprintVersion(changed, "spec1") != va)
+    assert(graft.ops.VersionedStore.fingerprintVersion(grown, "spec1") != va)
+    assert(graft.ops.VersionedStore.fingerprintVersion(a, "spec2") != va)
+    // version dirs are `v=<digits>` — the number must be non-negative,
+    // including on an empty dataset
+    assert(va >= 0L)
+    assert(graft.ops.VersionedStore.fingerprintVersion(
+      a.filter(col("id") < 0), "spec1") >= 0L)
+  }
+
+  test("app-keyed cache eviction sweeps other applications' entries " +
+    "and keeps the current app's (ADVICE r15)") {
+    val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    m.put("app-old:dir1", "stale")
+    m.put("app-old:dir2", "stale")
+    m.put("app-new:dir1", "live")
+    SparkEntry.evictOtherApps(m, "app-new")
+    assert(m.size() == 1 && m.containsKey("app-new:dir1"))
+    // prefix discipline: an app id that merely PREFIXES another must
+    // not keep the longer app's keys alive
+    m.put("app-newer:dir1", "stale")
+    SparkEntry.evictOtherApps(m, "app-new")
+    assert(m.size() == 1 && m.containsKey("app-new:dir1"))
+  }
+
   test("day-partitioned writes prune partitions under a date filter") {
     val dir = Files.createTempDirectory("graft-part").toString
     Layout.writePartitionedByDay(Tables.events(spark, sf), "ts", dir)

@@ -524,6 +524,42 @@ class TextSpec extends SparkSpec {
       ("s2", "s3") -> ((0L, 0L))), s"$got")
   }
 
+  test("source TV drift: a corpus-identical source reads 0, disjoint " +
+    "equal-mass registers read exactly half, tail drift registers") {
+    import spark.implicits._
+    // s1 and s2 are all-"x" / all-"y" with equal mass: each source's
+    // distribution is a point mass, the corpus is the 50/50 mixture,
+    // so TV = ½ for both — 500000 ppm EXACTLY (integer arithmetic,
+    // no rounding slack to tolerate)
+    val disjoint = Seq(
+      (1L, "x x x", "s1"), (2L, "y y y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val d = TextAnalysis.sourceTvDrift(disjoint).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_types"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("tv_ppm")))).toMap
+    assert(d === Map("s1" -> ((1L, 3L, 500000L)),
+      "s2" -> ((1L, 3L, 500000L))), s"$d")
+    // two sources with the SAME distribution: both TV 0 — the
+    // absent-type closed form contributes nothing when nothing is
+    // absent
+    val same = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val s = TextAnalysis.sourceTvDrift(same).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tv_ppm")).toMap
+    assert(s === Map("s1" -> 0L, "s2" -> 0L), s"$s")
+    // tail-only drift: sources share the head token but one carries a
+    // private tail type — TV strictly between 0 and ½, exact value
+    // 2/8 = 250000 ppm: p_s1 = {a:1}, p = {a:¾, b:¼} → TV = ¼
+    val tail = Seq(
+      (1L, "a a", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val t = TextAnalysis.sourceTvDrift(tail).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tv_ppm")).toMap
+    assert(t === Map("s1" -> 250000L, "s2" -> 250000L), s"$t")
+  }
+
   test("hygiene route: live flags equal the batch classification, dirty split clean") {
     import spark.implicits._
     implicit val sqlc = spark.sqlContext
