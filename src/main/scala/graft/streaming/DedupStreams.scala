@@ -94,4 +94,41 @@ object DedupStreams {
     state.update(seen.toSeq)
     out.result().iterator
   }
+
+  /** LIVE keeper-model INGEST GATE — the [[nearDupCandidates]]
+    * guard's served-model sibling, and the streaming consumer of the
+    * persisted [[graft.dedup.Dedup.KeeperModel]] (saveKeepers →
+    * loadKeepers — the lmGateStream/temperatureGateStream refresh
+    * contract applied to dedup): every arriving doc bands with the
+    * SAME fused signature expression as the batch pipeline, at the
+    * loaded model's own (k, bands), and probes the model's
+    * materialized band index by a stream-static equi-join — a
+    * collision routes the doc to its candidate keeper CLUSTER
+    * (`keep_doc_id` rides the join through the label frame), feeding
+    * quarantine / exact-verify / the nightly
+    * [[graft.dedup.Dedup.mergeKeepers]] reconciliation; a clean doc
+    * emits nothing (candidates-only, the nearDupCandidates
+    * discipline — absence IS the clean verdict, and the conservative
+    * failure mode is a false candidate that verification discards).
+    * Fully STATELESS: no state store, restarts free, exact under
+    * at-least-once replay (output is a pure function of (model,
+    * doc)); the static side is the model's skinny banded×label
+    * frame, sharded by the band equi-key — never texts, never
+    * all-pairs. Collisions against different base docs of one
+    * cluster emit per (band, base doc): the fan-out is bounded by
+    * the banding bucket sizes exactly as the batch candidate stage
+    * is.
+    */
+  def keeperGateStream(docs: DataFrame,
+                       model: graft.dedup.Dedup.KeeperModel): DataFrame = {
+    val bandIndex = model.banded
+      .join(model.labels, Seq("doc_id"))
+      .select(col("band").as("b"), col("band_hash").as("h"),
+        col("doc_id").as("base_doc_id"), col("keep_doc_id"))
+    Dedup.bandedSignatures(docs, model.k, model.bands)
+      .join(bandIndex,
+        col("band") === col("b") && col("band_hash") === col("h"))
+      .select(col("doc_id"), col("band"), col("base_doc_id"),
+        col("keep_doc_id"))
+  }
 }

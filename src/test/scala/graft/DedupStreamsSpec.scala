@@ -81,4 +81,42 @@ class DedupStreamsSpec extends SparkSpec {
     assert(missed.isEmpty,
       s"merge-confirmed pairs the stream never surfaced: $missed")
   }
+
+  test("keeper gate: live docs probe the LOADED model's band index — " +
+    "stream rows equal the batch replay, near-dups route to their " +
+    "cluster keeper, novel docs stay silent") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    // base corpus: a near-dup cluster {1,2} (keeper 1) + a loner 3
+    val base = Seq(
+      DocRow(1L, "the quick brown fox jumps over the lazy dog again"),
+      DocRow(2L, "the quick brown fox jumps over the lazy dog again"),
+      DocRow(3L, "completely different words appear in this base doc"))
+    // publish → load: the gate must serve the PERSISTED artifact
+    val dir = s"/tmp/graft-test-keeper-gate-${System.nanoTime()}"
+    Dedup.saveKeepers(Dedup.fitKeepers(base.toDF(), 0.5, 2), dir, 1L)
+    val model = Dedup.loadKeepers(spark, dir, Some(1L))
+    // live batch: 10 near-dups doc 1's cluster, 11 is novel
+    val b1 = Seq(DocRow(10L,
+      "the quick brown fox jumps over the lazy dog again"))
+    val b2 = Seq(DocRow(11L, "nothing here resembles any base document"))
+    val input = MemoryStream[DocRow]
+    val name = s"kg${System.nanoTime()}"
+    val q = DedupStreams.keeperGateStream(input.toDF(), model)
+      .writeStream.format("memory").queryName(name).start()
+    try Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("base_doc_id"), r.getAs[Long]("keep_doc_id"))).toSet
+    // row-for-row equal to the batch replay of the same projection
+    val batch = DedupStreams.keeperGateStream((b1 ++ b2).toDF(), model)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band"),
+        r.getAs[Long]("base_doc_id"), r.getAs[Long]("keep_doc_id"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the near-dup routes to cluster keeper 1 (via base docs 1 AND 2)
+    assert(streamed.filter(_._1 == 10L).forall(_._4 == 1L))
+    assert(streamed.map(_._1) == Set(10L)) // the novel doc is silent
+  }
 }
