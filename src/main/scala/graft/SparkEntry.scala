@@ -194,6 +194,29 @@ object SparkEntry {
           col("vec_id") % 7 === 0, 3)))
   }
 
+  /** Component labels through their PERSISTED round trip — the graph
+    * family's loaded-first serving path: `Graph.saveLabels` publishes
+    * the fitted label TABLE once under the fingerprint version (the
+    * StateTable multi-file discipline — labels are corpus-sized, not
+    * model-sized), audits and ingest merges read the LOADED table.
+    * Integer labels round-trip parquet exactly. */
+  private val loadedLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def loadedComponentLabels(s: SparkSession, d: String): DataFrame = {
+    evictOtherApps(loadedLabelsCache, s.sparkContext.applicationId)
+    loadedLabelsCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + d, _ => {
+        val dir = sys.props("java.io.tmpdir") +
+          "/graft_comp_labels_knn7k3_iters6/" +
+          d.replaceAll("[^A-Za-z0-9.]", "_")
+        val v = artifactVersion(s, d, "embeddings")
+        graft.ops.Graph.saveLabels(graft.ops.Graph.componentLabels(
+          knnEdges(s, d).select("src", "dst")), dir, v)
+        graft.ops.Graph.loadLabels(s, dir, Some(v))
+      })
+  }
+
   /** Load-once cache for the PERSISTED ANN serving models, keyed by
     * (application, part, sf dir): the first access fits the IVF
     * centroid set and its Lloyd-refined k-means sibling, publishes
@@ -765,6 +788,11 @@ object SparkEntry {
     // inverted-index join bill (the boilerplate-cutoff calibration)
     "dedup_df_hist" -> ((s, d) =>
       Dedup.dfHistogram(Tables.documents(s, d)).orderBy("df_bucket")),
+    // the actionable twin: per df-cutoff, recall kept vs Σdf² cost —
+    // one pass prices every cutoff via per-pair min shared-shingle df
+    "dedup_prune_curve" -> ((s, d) =>
+      Dedup.dfPruneCurve(Tables.documents(s, d), 0.5, col("doc_id") < 300)
+        .orderBy("cutoff")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), 3).orderBy("doc_a", "doc_b")),
     "dedup_embed" -> ((s, d) =>
@@ -807,6 +835,11 @@ object SparkEntry {
     "mm_phash" -> ((s, d) =>
       graft.mm.Multimodal.phashPairs(Tables.documents(s, d))
         .orderBy("doc_a", "doc_b")),
+    // the perceptual radius calibration: unfiltered candidate
+    // hamming histogram over the same banded stage
+    "mm_phash_hist" -> ((s, d) =>
+      graft.mm.Multimodal.phashHammingHist(Tables.documents(s, d))
+        .orderBy("hamming")),
     // corpus byte-value histogram per media type: one codegen'd
     // nibble-count pass, zero-count nibbles kept, exact ppm shares
     "mm_nibble_hist" -> ((s, d) =>
@@ -924,6 +957,12 @@ object SparkEntry {
       graft.ops.Graph.componentSizes(
         knnEdges(s, d)
           .select("src", "dst")).orderBy("component_size")),
+    // the size audit read from the PERSISTED label table (saveLabels
+    // → loadLabels under the fingerprint version) — byte-equal to
+    // the fitting run, the full-graph replay's own oracle
+    "graph_components_loaded" -> ((s, d) =>
+      graft.ops.Graph.componentSizesLoaded(loadedComponentLabels(s, d))
+        .orderBy("component_size")),
     // INCREMENTAL component maintenance: fit labels on 4/5 of the
     // edges, merge the held-out 1/5 as the ingest batch through the
     // label-contracted quotient graph — the quotient equivalence
@@ -2933,6 +2972,45 @@ object SparkEntry {
   /** DuckDB-runnable oracle per query (same column names, same
     * rounding, explicit ORDER BY).
     */
+  /** Shared 64-slice phash replay: signatures, banding, unfiltered
+    * candidate pairs with exact hamming (`ham`). */
+  private val mmPhashCandCte: String =
+      """WITH v AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS plen
+        |           FROM documents
+        |           WHERE octet_length(encode(text)) >= 64),
+        |m AS (SELECT doc_id, hx, plen // 64 AS flen FROM v),
+        |f AS (SELECT doc_id, hx, flen, unnest(range(0, 64)) AS i FROM m),
+        |s AS (SELECT doc_id, i,
+        |        CAST(CAST(list_sum(list_transform(range(1, flen + 1), k ->
+        |            (strpos('0123456789ABCDEF',
+        |               substring(hx, CAST((i * flen + k - 1) * 2 + 1 AS BIGINT), 1)) - 1) * 16
+        |            + strpos('0123456789ABCDEF',
+        |               substring(hx, CAST((i * flen + k - 1) * 2 + 2 AS BIGINT), 1)) - 1))
+        |          AS HUGEINT) * 10000 // (flen * 255) AS BIGINT) AS mean
+        |      FROM f),
+        |sg AS (SELECT doc_id, sum(mean) AS msum FROM s GROUP BY 1),
+        |sig AS (SELECT s.doc_id,
+        |          sum(CASE WHEN s.mean * 64 > g.msum
+        |                   THEN 1::HUGEINT << CAST(s.i AS INTEGER)
+        |                   ELSE 0::HUGEINT END) AS sigh
+        |        FROM s JOIN sg g USING (doc_id) GROUP BY 1),
+        |bv AS (SELECT doc_id, sigh, b,
+        |         CAST((sigh >> CAST(b * 16 AS INTEGER)) % 65536 AS BIGINT) AS bval
+        |       FROM (SELECT doc_id, sigh, unnest(range(0, 4)) AS b FROM sig)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |           x.sigh AS sa, y.sigh AS sb
+        |         FROM bv x JOIN bv y
+        |           ON y.b = x.b AND y.bval = x.bval AND x.doc_id < y.doc_id),
+        |ham AS (SELECT doc_a, doc_b, sa, sb,
+        |          CAST(bit_count(xor(CAST(sa // 4294967296 AS BIGINT),
+        |                             CAST(sb // 4294967296 AS BIGINT)))
+        |             + bit_count(xor(CAST(sa % 4294967296 AS BIGINT),
+        |                             CAST(sb % 4294967296 AS BIGINT)))
+        |            AS BIGINT) AS hamming
+        |        FROM cand)
+        |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "cdc_changelog" -> (clCte + "SELECT * FROM changelog ORDER BY seq"),
     "cdc_fts_route" -> (clCte +
@@ -4621,6 +4699,57 @@ object SparkEntry {
         |       CAST(sum(df) AS BIGINT) AS postings,
         |       CAST(sum(CAST(df AS HUGEINT) * df) AS BIGINT) AS join_cost_sq
         |FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-pair min shared-shingle df decides survival at every
+    // cutoff; both curves read off bounded (min_df / df) rollups
+    // crossed with the cutoff list — HUGEINT terms, one division
+    "dedup_prune_curve" ->
+      """WITH docs AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |              FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id,
+        |         unnest(list_distinct([array_to_string(list_slice(toks, i, i + 2), ' ')
+        |                               for i in range(1, len(toks) - 1)])) AS shingle
+        |       FROM docs WHERE len(toks) >= 3),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |shdf AS (SELECT s.doc_id, s.shingle, d.df FROM sh s JOIN df d USING (shingle)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        count(*) AS common, min(a.df) AS min_df
+        |      FROM shdf a JOIN shdf b
+        |        ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |tp AS (SELECT p.min_df FROM p
+        |       JOIN sizes sa ON sa.doc_id = p.doc_a
+        |       JOIN sizes sb ON sb.doc_id = p.doc_b
+        |       WHERE round(CAST(p.common AS DOUBLE)
+        |             / (sa.sz + sb.sz - p.common), 4) >= 0.5),
+        |pm AS (SELECT min_df, count(*) AS n FROM tp GROUP BY 1),
+        |dfm AS (SELECT df, count(*) AS n_sh FROM df GROUP BY 1),
+        |cut AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+        |                      1024]) AS cutoff),
+        |tot AS (SELECT count(*) AS n_total FROM tp),
+        |fc AS (SELECT sum(CAST(df AS HUGEINT) * df * n_sh) AS cost_total
+        |       FROM dfm),
+        |k AS (SELECT c.cutoff,
+        |        coalesce(sum(CASE WHEN pm.min_df <= c.cutoff
+        |                          THEN pm.n ELSE 0 END), 0) AS n_kept
+        |      FROM cut c LEFT JOIN pm ON true GROUP BY 1),
+        |cc AS (SELECT c.cutoff,
+        |         coalesce(sum(CASE WHEN dfm.df <= c.cutoff
+        |                  THEN CAST(dfm.df AS HUGEINT) * dfm.df * dfm.n_sh
+        |                  ELSE 0::HUGEINT END), 0::HUGEINT) AS cost_kept
+        |       FROM cut c LEFT JOIN dfm ON true GROUP BY 1)
+        |SELECT CAST(k.cutoff AS BIGINT) AS cutoff,
+        |       CAST(k.n_kept AS BIGINT) AS n_pairs_kept,
+        |       CASE WHEN tot.n_total > 0
+        |            THEN CAST(CAST(k.n_kept AS HUGEINT) * 1000000
+        |                      // tot.n_total AS BIGINT)
+        |       END AS recall_ppm,
+        |       CASE WHEN fc.cost_total > 0
+        |            THEN CAST(cc.cost_kept * 1000000 // fc.cost_total
+        |                      AS BIGINT)
+        |       END AS cost_ppm
+        |FROM k JOIN cc USING (cutoff) CROSS JOIN tot CROSS JOIN fc
+        |ORDER BY cutoff""".stripMargin,
     "dedup_keepers" ->
       """SELECT doc_id,
         |       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_doc_id,
@@ -4686,6 +4815,9 @@ object SparkEntry {
     // merge(fit(base), delta) is exact by the quotient equivalence,
     // so the incremental path replays the FULL-graph oracle
     "graph_components_delta" -> graphComponentsSql,
+    // integer labels round-trip parquet exactly — the loaded audit
+    // replays the full-graph oracle byte-for-byte
+    "graph_components_loaded" -> graphComponentsSql,
     "graph_mutual_components" -> graphMutualComponentsSql,
     "graph_label_prop" -> graphLabelPropSql,
     "graph_conductance" -> graphConductanceSql,
@@ -5450,42 +5582,8 @@ object SparkEntry {
     // construction (bit 63 needs 2⁶⁴ headroom), banding + hamming via
     // the simhash split-bit_count convention; signed BIGINT remap of
     // the sig columns matches Spark's long
-    "mm_phash" ->
-      """WITH v AS (SELECT doc_id, upper(hex(encode(text))) AS hx,
-        |             CAST(octet_length(encode(text)) AS BIGINT) AS plen
-        |           FROM documents
-        |           WHERE octet_length(encode(text)) >= 64),
-        |m AS (SELECT doc_id, hx, plen // 64 AS flen FROM v),
-        |f AS (SELECT doc_id, hx, flen, unnest(range(0, 64)) AS i FROM m),
-        |s AS (SELECT doc_id, i,
-        |        CAST(CAST(list_sum(list_transform(range(1, flen + 1), k ->
-        |            (strpos('0123456789ABCDEF',
-        |               substring(hx, CAST((i * flen + k - 1) * 2 + 1 AS BIGINT), 1)) - 1) * 16
-        |            + strpos('0123456789ABCDEF',
-        |               substring(hx, CAST((i * flen + k - 1) * 2 + 2 AS BIGINT), 1)) - 1))
-        |          AS HUGEINT) * 10000 // (flen * 255) AS BIGINT) AS mean
-        |      FROM f),
-        |sg AS (SELECT doc_id, sum(mean) AS msum FROM s GROUP BY 1),
-        |sig AS (SELECT s.doc_id,
-        |          sum(CASE WHEN s.mean * 64 > g.msum
-        |                   THEN 1::HUGEINT << CAST(s.i AS INTEGER)
-        |                   ELSE 0::HUGEINT END) AS sigh
-        |        FROM s JOIN sg g USING (doc_id) GROUP BY 1),
-        |bv AS (SELECT doc_id, sigh, b,
-        |         CAST((sigh >> CAST(b * 16 AS INTEGER)) % 65536 AS BIGINT) AS bval
-        |       FROM (SELECT doc_id, sigh, unnest(range(0, 4)) AS b FROM sig)),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-        |           x.sigh AS sa, y.sigh AS sb
-        |         FROM bv x JOIN bv y
-        |           ON y.b = x.b AND y.bval = x.bval AND x.doc_id < y.doc_id),
-        |ham AS (SELECT doc_a, doc_b, sa, sb,
-        |          CAST(bit_count(xor(CAST(sa // 4294967296 AS BIGINT),
-        |                             CAST(sb // 4294967296 AS BIGINT)))
-        |             + bit_count(xor(CAST(sa % 4294967296 AS BIGINT),
-        |                             CAST(sb % 4294967296 AS BIGINT)))
-        |            AS BIGINT) AS hamming
-        |        FROM cand)
-        |SELECT doc_a, doc_b,
+    "mm_phash" -> (mmPhashCandCte +
+      """SELECT doc_a, doc_b,
         |       CAST(CASE WHEN sa >= 9223372036854775808
         |                 THEN sa - 18446744073709551616 ELSE sa END
         |            AS BIGINT) AS sig_a,
@@ -5493,7 +5591,11 @@ object SparkEntry {
         |                 THEN sb - 18446744073709551616 ELSE sb END
         |            AS BIGINT) AS sig_b,
         |       hamming
-        |FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+        |FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin),
+    // radius calibration: the same candidate stage, binned
+    "mm_phash_hist" -> (mmPhashCandCte +
+      """SELECT hamming, count(*) AS n_pairs, hamming <= 3 AS within_radius
+        |FROM ham GROUP BY hamming ORDER BY hamming""".stripMargin),
     // per-byte high-nibble replay over the hex payload, full
     // types × 16 grid (a zero count IS the report), HUGEINT ppm
     "mm_nibble_hist" ->

@@ -58,6 +58,76 @@ object Dedup {
         expr("CAST(sum(CAST(df AS DECIMAL(38,0)) * df) AS BIGINT)")
           .as("join_cost_sq"))
 
+  /** DF-CUTOFF PRUNING curve — the ACTIONABLE twin of
+    * [[dfHistogram]]: what an inverted-index df-cutoff (drop
+    * shingles with df > D from the INDEX — the standard
+    * stopword-shingle defense against the Σdf² join bill) actually
+    * costs in recall and buys in join work, measured per candidate
+    * cutoff BEFORE anyone runs a pruned dedup at 100 TB. Pruning
+    * touches only candidate GENERATION (verification still scores
+    * full sets), so a true pair survives cutoff D iff it shares at
+    * least one shingle with df ≤ D — per pair that is ONE number,
+    * its min shared-shingle df, so a single pass prices every
+    * cutoff: the exact-Jaccard join carries df alongside the
+    * intersection count, per-pair `min_df` rides the same
+    * aggregation, and both curves then read off BOUNDED frames
+    * (pairs grouped by min_df, shingles grouped by df) crossed with
+    * the |cutoffs| model frame — never a per-cutoff corpus pass.
+    * Probe-subset bounded like [[lshRecall]] (calibration runs on a
+    * probe, the verdict transfers); exact integer ppm, Σdf² widened
+    * at the term.
+    */
+  def dfPruneCurve(documents: DataFrame, tau: Double, docFilter: Column,
+                   cutoffs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L, 64L,
+                     128L, 256L, 512L, 1024L),
+                   n: Int = 3): DataFrame = {
+    require(cutoffs.nonEmpty, "dfPruneCurve: no cutoffs")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val sh = shingles(documents.filter(docFilter), n).localCheckpoint()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shdf = sh.join(df.hint("shuffle_hash"), Seq("shingle"))
+    val pairs = shdf.as("a")
+      .join(shdf.as("b").hint("shuffle_hash"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"), min(col("a.df")).as("min_df"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .filter(round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 4) >= tau)
+    val pm = pairs.groupBy("min_df").agg(count(lit(1)).as("n"))
+    val dfm = df.groupBy("df").agg(count(lit(1)).as("n_sh"))
+    val cut = cutoffs.toDF("cutoff")
+    // left joins (not crossJoin) so every cutoff row survives an
+    // empty pair set — a zero curve is a report, not a missing one
+    val kept = cut.join(broadcast(pm), expr("true"), "left")
+      .groupBy("cutoff")
+      .agg(coalesce(sum(when(col("min_df") <= col("cutoff"), col("n"))
+        .otherwise(0L)), lit(0L)).as("n_pairs_kept"))
+    val cost = cut.join(broadcast(dfm), expr("true"), "left")
+      .groupBy("cutoff")
+      .agg(sum(when(col("df") <= col("cutoff"),
+          expr("CAST(df AS DECIMAL(38,0)) * df * n_sh"))
+        .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("cost_kept"))
+    kept.join(cost, Seq("cutoff"))
+      .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_total"))))
+      .crossJoin(broadcast(dfm.agg(
+        sum(expr("CAST(df AS DECIMAL(38,0)) * df * n_sh"))
+          .as("cost_total"))))
+      .select(col("cutoff"), col("n_pairs_kept"),
+        expr("CASE WHEN n_total > 0 THEN CAST(CAST(n_pairs_kept " +
+          "AS DECIMAL(38,0)) * 1000000 div n_total AS BIGINT) END")
+          .as("recall_ppm"),
+        expr("CASE WHEN cost_total > 0 THEN CAST(cost_kept * 1000000 " +
+          "div cost_total AS BIGINT) END").as("cost_ppm"))
+  }
+
   /** Exact dedup: group identical texts by content hash, keep the
     * lowest doc_id. Output is the deduplicated keeper set with
     * multiplicity — one map-side-combined shuffle on the hash.

@@ -359,6 +359,31 @@ object Multimodal {
   def phashPairs(documents: DataFrame, radius: Int = 3): DataFrame = {
     require(radius >= 0 && radius < 4,
       s"radius ($radius) must stay below the band count (4) for lossless banding")
+    phashCandidates(documents)
+      .filter(col("hamming") <= radius)
+      .select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
+  }
+
+  /** HAMMING CALIBRATION histogram for the perceptual signature —
+    * [[phashPairs]]' measurement twin (the `dedup_simhash_hist`
+    * discipline pointed at bytes): the exact hamming distribution
+    * over the UNFILTERED banded candidates. The radius-3 default is
+    * a convention; this is the measurement — near-dup mass low,
+    * band-collision noise high, the valley between them is where the
+    * radius belongs, and mass hugging the radius from below argues
+    * the 16-bit bands are recruiting too loosely. Exactly the
+    * candidate stage plus a ≤65-row aggregate.
+    */
+  def phashHammingHist(documents: DataFrame, radius: Int = 3): DataFrame =
+    phashCandidates(documents)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_radius", col("hamming") <= radius)
+
+  /** Shared candidate stage of [[phashPairs]] / [[phashHammingHist]]:
+    * signatures → 4×16-bit banding → distinct colliding pairs with
+    * their exact hamming, UNFILTERED. */
+  private def phashCandidates(documents: DataFrame): DataFrame = {
     val slices = 64
     val sigs = attach(documents)
       .select(col("doc_id"), col("payload"))
@@ -375,11 +400,13 @@ object Multimodal {
         expr(s"aggregate(zip_with(means, sequence(0, ${slices - 1}), " +
           s"(v, i) -> IF(v * $slices > msum, shiftleft(CAST(1 AS BIGINT), i), " +
           "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)").as("sig"))
-    // 4 × 16-bit bands; shiftrightunsigned so bit 63 can never smear
-    // sign bits into a band value
+    // 4 × 16-bit bands; shiftrightunsigned + an AND mask — `% 65536`
+    // would go NEGATIVE on the unshifted b=0 band whenever bit 63 is
+    // set (Spark % keeps the dividend's sign), silently losing every
+    // cross-sign collision the unsigned oracle finds
     val bands = sigs
       .select(col("doc_id"), col("sig"), explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("bv", expr("shiftrightunsigned(sig, b * 16) % 65536"))
+      .withColumn("bv", expr("shiftrightunsigned(sig, b * 16) & 65535"))
     bands.as("x")
       .join(bands.as("y"), col("x.b") === col("y.b") &&
         col("x.bv") === col("y.bv") && col("x.doc_id") < col("y.doc_id"))
@@ -387,8 +414,6 @@ object Multimodal {
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .distinct() // a pair may collide in several bands — emit once
       .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS BIGINT)"))
-      .filter(col("hamming") <= radius)
-      .select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
   }
 
   /** Corpus BYTE-VALUE histogram per media type — the one-glance

@@ -449,6 +449,39 @@ object Graph {
       mergeComponentLabels(componentLabels(baseEdges, iters), deltaEdges,
         iters))
 
+  /** Persist a fitted component-label frame as a versioned artifact
+    * — the publish half of graph serving: unlike the model-sized
+    * ANN/PCA/bloom parts, the label frame is CORPUS-sized (one row
+    * per node), so it writes as a plain multi-file parquet TABLE
+    * under the same [[VersionedStore]] atomic-rename commit (the
+    * StateTable discipline, not the saveIndex coalesce-to-one), and
+    * every consumer — [[sizeHistogram]] audits,
+    * [[mergeComponentLabels]] ingest merges, label joins — reads the
+    * LOADED table instead of re-propagating the graph.
+    */
+  def saveLabels(labels: DataFrame, dir: String, version: Long): Unit =
+    VersionedStore.commit(labels.sparkSession, dir, s"v=$version") {
+      staging => labels.write.parquet(staging.toString)
+    }: Unit
+
+  /** Load a persisted component-label frame (latest version unless
+    * pinned) — the read half of [[saveLabels]]. */
+  def loadLabels(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 version: Option[Long] = None): DataFrame = {
+    val v = version
+      .orElse(VersionedStore.listVersions(spark, dir, "v=").maxOption)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no component labels under $dir"))
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** The component-size audit read from PERSISTED labels — integer
+    * labels round-trip parquet exactly, so the loaded histogram is
+    * byte-equal to the fitting run and certifies against the
+    * full-graph oracle. */
+  def componentSizesLoaded(labels: DataFrame): DataFrame =
+    sizeHistogram(labels)
+
   /** Link prediction by neighbor overlap: for every NON-adjacent node
     * pair sharing at least one neighbor, the Jaccard similarity of
     * their neighbor sets — the top pairs are the edges the graph is

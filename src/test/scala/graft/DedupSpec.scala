@@ -47,6 +47,36 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("df-prune curve: per-cutoff recall follows each pair's min " +
+    "shared-shingle df, cost follows Σdf², empty pair set nulls recall") {
+    import spark.implicits._
+    // pair (1,2): exact dups, every shared shingle df=2 → survives
+    // cutoff ≥ 2; pair (5,6): shares ONLY "h i j", which docs 7/8
+    // also carry (df=4) → survives only cutoff ≥ 4; (5,7)/(7,8)/…
+    // fall under τ=0.3
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (5L, "h i j k"), (6L, "h i j l"),
+      (7L, "m n o h i j"), (8L, "q r s h i j")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dfPruneCurve(docs, 0.3, lit(true), Seq(1L, 2L, 4L))
+      .collect()
+      .map(r => r.getAs[Long]("cutoff") ->
+        ((r.getAs[Long]("n_pairs_kept"), r.getAs[Long]("recall_ppm"),
+          r.getAs[Long]("cost_ppm")))).toMap
+    // df² mass: 8 shingles at df=1 (8), 3 at df=2 (12), 1 at df=4
+    // (16) → total 36; exact integer ppm
+    assert(got(1L) == ((0L, 0L, 8L * 1000000 / 36)), s"$got")
+    assert(got(2L) == ((1L, 500000L, 20L * 1000000 / 36)), s"$got")
+    assert(got(4L) == ((2L, 1000000L, 1000000L)), s"$got")
+    // a pairless corpus keeps the cutoff rows with NULL recall
+    val lone = Seq((1L, "only one document here")).toDF("doc_id", "text")
+    val empty = Dedup.dfPruneCurve(lone, 0.3, lit(true), Seq(2L)).collect()
+    assert(empty.length == 1 &&
+      empty.head.isNullAt(empty.head.fieldIndex("recall_ppm")) &&
+      empty.head.getAs[Long]("n_pairs_kept") == 0L)
+  }
+
   test("ngram jaccard finds exact and near duplicates, skips short docs") {
     val pairs = Dedup.ngramJaccard(corpus, 0.4, lit(true))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

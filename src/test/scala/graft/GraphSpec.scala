@@ -151,6 +151,31 @@ class GraphSpec extends SparkSpec {
     assert(noop == orig)
   }
 
+  test("persisted component labels: publish → load round-trips " +
+    "byte-equal, the loaded audit equals the fitting run, republish " +
+    "is a no-op") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val labels = Graph.componentLabels(edges)
+    val dir = s"/tmp/graft-test-complabels-${System.nanoTime()}"
+    Graph.saveLabels(labels, dir, 1L)
+    Graph.saveLabels(labels, dir, 1L) // immutable version: no-op
+    val loaded = Graph.loadLabels(spark, dir) // latest-version path
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    assert(rows(loaded) == rows(labels))
+    val hist = Graph.componentSizesLoaded(loaded).collect()
+      .map(r => r.getAs[Long]("component_size") ->
+        r.getAs[Long]("n_components")).toMap
+    assert(hist == Map(3L -> 1L, 2L -> 1L), s"$hist")
+    // the loaded frame feeds the incremental merge unchanged
+    val merged = Graph.mergeComponentLabels(loaded,
+      Seq((3L, 10L)).toDF("src", "dst")).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 1L, 11L -> 1L), s"$merged")
+  }
+
   test("incremental components match the one-shot fit on the real knn " +
     "graph under a hash-split delta") {
     val e = graft.sim.Similarity.knnGraph(

@@ -134,6 +134,39 @@ class MultimodalSpec extends SparkSpec {
     assert(sp.length == 1 && sp.head.getAs[Long]("hamming") == 3L)
   }
 
+  test("phash hamming histogram reconciles with the pair query at the " +
+    "radius, and a band-0 cross-sign collision is not lost") {
+    import spark.implicits._
+    def payload(flips: Set[Int]): String =
+      (0 until 64).map { i =>
+        val hi = (i % 2 == 0) ^ flips.contains(i)
+        if (hi) "~~" else "  "
+      }.mkString
+    // A carries bit 63 (signed-negative signature), B does not; they
+    // share ONLY band 0 (bits 0–15) — the exact collision a
+    // `% 65536` band value loses to Spark's sign-keeping remainder
+    // (bands 1–3 all differ, so nothing else recruits the pair)
+    val docs = Seq(
+      (1L, payload(Set(63))),
+      (2L, payload(Set(17, 33, 49))),
+      (3L, payload(Set.empty)),
+      (4L, payload(Set.empty))).toDF("doc_id", "text")
+    val hist = Multimodal.phashHammingHist(docs).collect()
+      .map(r => r.getAs[Long]("hamming") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Boolean]("within_radius"))))
+      .toMap
+    // the cross-sign pair (1,2) has hamming 4 — present iff band 0
+    // collided; (3,4) identical at 0; (1,3)/(1,4) hamming 1,
+    // (2,3)/(2,4) hamming 3
+    assert(hist.get(4L).exists(_._1 >= 1L), s"cross-sign pair lost: $hist")
+    assert(hist(0L) == ((1L, true)) && hist(1L) == ((2L, true)) &&
+      hist(3L) == ((2L, true)), s"$hist")
+    assert(hist(4L)._2 == false)
+    // the ≤radius slice reconciles exactly with the pair query
+    val pairCount = Multimodal.phashPairs(docs).count()
+    assert(hist.filter(_._2._2).values.map(_._1).sum == pairCount)
+  }
+
   test("byte histogram: nibble counts, every nibble present per type, " +
     "exact ppm shares") {
     import spark.implicits._
