@@ -302,6 +302,10 @@ object SparkEntry {
     }),
     // anti-entropy replica digest: commutative 60-bit-md5 sum over
     // the live state, mod 2^62 — shards digest independently
+    // topic-partition skew: engine-portable md5 placement, traffic
+    // share + hot-doc share per partition — the consumer sizing read
+    "cdc_partition_skew" -> ((s, d) =>
+      Changelog.partitionSkew(changelog(s, d)).orderBy("partition")),
     "cdc_state_digest" -> ((s, d) =>
       Changelog.stateDigest(changelog(s, d)).orderBy("last_op")),
     // dead-letter routing over a deterministically CORRUPTED feed
@@ -1177,6 +1181,10 @@ object SparkEntry {
       Similarity.pcaTopComponent(Tables.embeddings(s, d)).orderBy("dim_idx")),
     // representation health: top-component variance share + mean
     // offset, riding the cached PcaModel (one shuffle-free scan)
+    // centroid-approximated silhouette: per label, own-centroid vs
+    // best-other-centroid cosine + the crosser (mislabel) count
+    "emb_silhouette" -> ((s, d) =>
+      Similarity.silhouetteAudit(Tables.embeddings(s, d)).orderBy("label")),
     "emb_isotropy" -> ((s, d) =>
       Similarity.isotropyAudit(Tables.embeddings(s, d),
         pcaModelCache.computeIfAbsent(d, dir =>
@@ -3377,6 +3385,22 @@ object SparkEntry {
         |ORDER BY doc_id, field_path, valid_from""".stripMargin),
     // the live-state rows re-hashed nibble by nibble (15 hex digits =
     // 60 bits as shifted HUGEINT terms), summed, mod 2^62
+    // md5-nibble placement replay, HUGEINT ppm shares; "partition"
+    // is a DuckDB keyword — quoted in the final alias only
+    "cdc_partition_skew" -> (clCte +
+      s""", pd AS (SELECT ${md5Nibbles("doc_id", 1, 4)} % 8 AS pt,
+         |        doc_id, count(*) AS n
+         |      FROM changelog GROUP BY 1, 2),
+         |pp AS (SELECT pt, CAST(sum(n) AS BIGINT) AS n_msgs,
+         |         count(*) AS n_docs, CAST(max(n) AS BIGINT) AS max_doc_msgs
+         |       FROM pd GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_msgs) AS BIGINT) AS total FROM pp)
+         |SELECT CAST(pt AS BIGINT) AS "partition", n_msgs, n_docs,
+         |       CAST(CAST(n_msgs AS HUGEINT) * 1000000 // total
+         |            AS BIGINT) AS share_ppm,
+         |       CAST(CAST(max_doc_msgs AS HUGEINT) * 1000000 // n_msgs
+         |            AS BIGINT) AS hot_doc_ppm
+         |FROM pp CROSS JOIN tt ORDER BY 1""".stripMargin),
     "cdc_state_digest" -> (clCte +
       """, ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -6597,6 +6621,31 @@ object SparkEntry {
     "sim_ivfpq_loaded" -> simIvfpqSql,
     "sim_ivfpq_kmeans" -> simIvfpqKmeansSql,
     "sim_ivfpq_full" -> simIvfpqFullSql,
+    // float-cast label centroids, full (row x centroid) cosine grid,
+    // self vs best-other split, 4dp means + exact crosser count
+    "emb_silhouette" ->
+      """WITH corpus AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |                FROM embeddings),
+        |js AS (SELECT unnest(range(1, 65)) AS j),
+        |cent AS (SELECT c_label, list(cm ORDER BY j) AS c_emb FROM (
+        |           SELECT c.label AS c_label, j.j AS j,
+        |                  CAST(CAST(avg(c.emb[j.j]) AS REAL) AS DOUBLE) AS cm
+        |           FROM corpus c CROSS JOIN js j GROUP BY 1, 2)
+        |         GROUP BY 1),
+        |sc AS (SELECT c.vec_id, c.label, n.c_label,
+        |         round(list_cosine_similarity(c.emb, n.c_emb), 6) AS cos
+        |       FROM corpus c CROSS JOIN cent n),
+        |slf AS (SELECT vec_id, label, cos AS self_cos FROM sc
+        |        WHERE label = c_label),
+        |oth AS (SELECT vec_id, max(cos) AS other_cos FROM sc
+        |        WHERE label <> c_label GROUP BY 1)
+        |SELECT s.label, count(*) AS n_vecs,
+        |       round(avg(s.self_cos), 4) AS avg_self_cos,
+        |       round(avg(o.other_cos), 4) AS avg_other_cos,
+        |       CAST(sum(CASE WHEN o.other_cos >= s.self_cos
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers
+        |FROM slf s JOIN oth o USING (vec_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "emb_isotropy" -> (embPcaCte +
       """, cd AS (SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |        list_transform(range(1, 65), i -> c.x[i] * c.x[i])),

@@ -637,6 +637,44 @@ object Changelog {
       .select(col("last_op"), col("n_docs"),
         expr("CAST(hs % 4611686018427387904 AS BIGINT)").as("digest"))
 
+  /** Topic-PARTITION skew audit — the consumer-parallelism sizing
+    * read for the changelog's transport (the reference consumes a
+    * partitioned stream; one hot partition caps the whole pipeline's
+    * throughput at a single consumer's rate no matter how wide the
+    * group is, and a partition dominated by ONE document serializes
+    * its compaction/LWW path behind a single key): documents hash to
+    * `partitions` buckets by an ENGINE-PORTABLE md5-nibble hash (the
+    * sample_shards discipline — both engines derive the identical
+    * placement, so the audit is the placement a deployment would
+    * actually get from key-hash partitioning), and per partition the
+    * report carries message count, distinct-document count, the
+    * partition's share of all traffic, and the HOT-DOC share (the
+    * largest single document's fraction of the partition — ppm,
+    * DECIMAL-widened). Two map-side-combined aggregations; only
+    * (partition, doc_id) rows ever shuffle, and the final join reads
+    * a localCheckpoint'd |partitions|-row frame, never a second
+    * corpus pass.
+    */
+  def partitionSkew(changelog: DataFrame, partitions: Int = 8): DataFrame = {
+    require(partitions > 0, s"partitions ($partitions) must be positive")
+    val part = expr(
+      s"CAST(conv(substring(md5(doc_id), 1, 4), 16, 10) AS BIGINT) % $partitions")
+    val perPart = changelog
+      .select(part.as("partition"), col("doc_id"))
+      .groupBy("partition", "doc_id").agg(count(lit(1)).as("n"))
+      .groupBy("partition")
+      .agg(sum("n").as("n_msgs"), count(lit(1)).as("n_docs"),
+        max("n").as("max_doc_msgs"))
+      .localCheckpoint()
+    perPart
+      .crossJoin(broadcast(perPart.agg(sum("n_msgs").as("total"))))
+      .select(col("partition"), col("n_msgs"), col("n_docs"),
+        expr("CAST(CAST(n_msgs AS DECIMAL(38,0)) * 1000000 div total " +
+          "AS BIGINT)").as("share_ppm"),
+        expr("CAST(CAST(max_doc_msgs AS DECIMAL(38,0)) * 1000000 " +
+          "div n_msgs AS BIGINT)").as("hot_doc_ppm"))
+  }
+
   /** Changelog audit: operation counts + amount totals per op type. */
   def opCounts(changelog: DataFrame): DataFrame =
     changelog.groupBy("op")

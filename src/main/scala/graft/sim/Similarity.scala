@@ -750,6 +750,53 @@ object Similarity {
     * ROUNDED eigenvalue by the ROUNDED total variance so both
     * engines divide identical operands.
     */
+  /** Per-label CENTROID-MARGIN audit (centroid-approximated
+    * silhouette) — the label-geometry eval next to
+    * [[clusterAssignAudit]]'s per-cell cohesion and knnLabelVote's
+    * neighborhood accuracy: for every vector, cosine to its OWN
+    * label's centroid vs the best OTHER label's centroid; per label,
+    * the two means and the CROSSER count (vectors sitting closer to
+    * a foreign centroid — the mislabel/overlap mass that poisons
+    * label-stratified sampling, curation-by-label and
+    * dedup-within-label cells). A full silhouette is all-pairs;
+    * centroids make it ONE corpus scan fanned out by the bounded
+    * label count: driver-held per-label mean vectors (labels × dim,
+    * the pcaFit dimAvgs discipline — float-cast so both engines see
+    * the identical model), a broadcast cross join scores every (row,
+    * centroid) through the codegen'd cosine kernel at 6dp, and two
+    * map-side-combined aggregations land the |labels|-row report
+    * (4dp means — the clusterAssignAudit rounding ladder). Requires
+    * ≥ 2 labels (the "best other" of a single-label corpus does not
+    * exist; output is empty, on both engines, by the same inner
+    * join).
+    */
+  def silhouetteAudit(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val aggCols = (0 until dim).map(j => avg(col("embedding")(j)).as(s"c$j"))
+    val centRows = embeddings.groupBy("label")
+      .agg(aggCols.head, aggCols.tail: _*).collect()
+    val centDf = centRows.toSeq
+      .map(r => (r.getAs[Int]("label"),
+        (0 until dim).map(j => r.getDouble(j + 1).toFloat)))
+      .toDF("c_label", "c_emb")
+    val scored = embeddings
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        round(cosine_sim(col("embedding"), col("c_emb")), 6).as("cos"))
+    val self = scored.filter(col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"), col("cos").as("self_cos"))
+    val other = scored.filter(col("label") =!= col("c_label"))
+      .groupBy("vec_id").agg(max("cos").as("other_cos"))
+    self.join(other.hint("shuffle_hash"), Seq("vec_id"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg("self_cos"), 4).as("avg_self_cos"),
+        round(avg("other_cos"), 4).as("avg_other_cos"),
+        sum(when(col("other_cos") >= col("self_cos"), 1L).otherwise(0L))
+          .as("n_crossers"))
+  }
+
   def isotropyAudit(embeddings: DataFrame, model: PcaModel): DataFrame = {
     def fLit(xs: Array[Double]) = array(xs.map(x => lit(x.toFloat)): _*)
     val c = vec_sub(col("embedding"), fLit(model.mean))

@@ -27,6 +27,38 @@ class CdcSpec extends SparkSpec
     }
   }
 
+  test("partition skew: md5 placement matches a driver-side replay, " +
+    "totals conserve, a dominated partition reads its hot-doc share") {
+    import spark.implicits._
+    // driver-side ground truth of the same md5-nibble placement
+    def part(doc: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(doc.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 8
+    }
+    // docA floods its partition (9 msgs); three loners get 1 each
+    val msgs = Seq.fill(9)("docA") ++ Seq("docB", "docC", "docD")
+    val log = msgs.zipWithIndex
+      .map { case (doc, i) => (doc, i.toLong) }.toDF("doc_id", "seq")
+    val got = Changelog.partitionSkew(log).collect()
+      .map(r => r.getAs[Long]("partition") ->
+        ((r.getAs[Long]("n_msgs"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("share_ppm"), r.getAs[Long]("hot_doc_ppm")))).toMap
+    // exact expected aggregates from the driver replay
+    val byPart = msgs.groupBy(part).map { case (p, ds) =>
+      val byDoc = ds.groupBy(identity).view.mapValues(_.size).toMap
+      p -> ((ds.size.toLong, byDoc.size.toLong,
+        ds.size.toLong * 1000000L / msgs.size,
+        byDoc.values.max.toLong * 1000000L / ds.size))
+    }
+    assert(got == byPart, s"got $got expected $byPart")
+    assert(got.values.map(_._1).sum == msgs.size)
+    // docA's partition is fully dominated unless a loner shares it
+    val pa = got(part("docA"))
+    assert(pa._4 >= 9000000L / pa._1, s"$pa")
+  }
+
   test("snapshot diff classifies added/removed/changed between states") {
     import spark.implicits._
     // d1: inserted before A, updated between → CHANGED

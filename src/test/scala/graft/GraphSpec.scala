@@ -151,6 +151,33 @@ class GraphSpec extends SparkSpec {
     assert(noop == orig)
   }
 
+  test("streaming component merge: batch-folded label versions land " +
+    "where the one-shot fit lands, one immutable version per batch") {
+    import spark.implicits._
+    implicit val sqlc = spark.sqlContext
+    val dir = s"/tmp/graft-test-complabels-stream-${System.nanoTime()}"
+    val ckpt = s"$dir-ckpt"
+    val b1 = Seq((1L, 2L), (3L, 4L), (9L, 10L))
+    val b2 = Seq((2L, 3L), (4L, 5L), (7L, 8L)) // bridge + chain + new pair
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.GraphStreams.componentMergeSink(
+      input.toDF().toDF("src", "dst"), dir, ckpt)
+    try Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    finally q.stop()
+    // one version per batch, latest == the one-shot fit of the union
+    assert(graft.streaming.GraphStreams.latestVersion(spark, dir)
+      .contains(2L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("lab")).toMap
+    val streamed = rows(Graph.loadLabels(spark, dir, Some(2L)))
+    val oneShot = rows(Graph.componentLabels((b1 ++ b2).toDF("src", "dst")))
+    assert(streamed == oneShot && streamed.nonEmpty)
+    // the intermediate version is exactly batch 1's fit
+    assert(rows(Graph.loadLabels(spark, dir, Some(1L))) ==
+      rows(Graph.componentLabels(b1.toDF("src", "dst"))))
+  }
+
   test("persisted component labels: publish → load round-trips " +
     "byte-equal, the loaded audit equals the fitting run, republish " +
     "is a no-op") {

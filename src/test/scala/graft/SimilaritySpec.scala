@@ -168,6 +168,38 @@ class SimilaritySpec extends SparkSpec {
     assert(asg.select("vec_id").distinct().count() == n)
   }
 
+  test("silhouette: orthogonal clusters read clean margins, a planted " +
+    "mislabel is the one crosser, a single-label corpus is empty") {
+    import spark.implicits._
+    def vec(axis: Int, x: Float): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); a(axis) = x; a.toSeq
+    }
+    // label 0 lives on axis 0, label 1 on axis 1 — orthogonal; vec 99
+    // is labeled 0 but sits on label 1's axis (the mislabel)
+    val rows = Seq(
+      (1L, vec(0, 1.0f), 0), (2L, vec(0, 2.0f), 0), (3L, vec(0, 3.0f), 0),
+      (11L, vec(1, 1.0f), 1), (12L, vec(1, 2.0f), 1), (13L, vec(1, 3.0f), 1),
+      (99L, vec(1, 2.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.silhouetteAudit(rows).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("avg_self_cos"),
+          r.getAs[Double]("avg_other_cos"), r.getAs[Long]("n_crossers"))))
+      .toMap
+    assert(got(0)._1 == 4L && got(1)._1 == 3L)
+    // the pure label-1 cluster: self = 1 (centroid on its own axis),
+    // best-other well below (only the planted mislabel drags label
+    // 0's centroid off the orthogonal axis: cos = .625/1.625 ≈ .385),
+    // zero crossers
+    assert(got(1)._2 > 0.99 && got(1)._3 < 0.5 && got(1)._4 == 0L, s"$got")
+    // label 0 carries exactly the one planted crosser (vec 99 is
+    // closer to label 1's centroid than to its own)
+    assert(got(0)._4 == 1L, s"$got")
+    // single-label corpus: "best other" does not exist — empty report
+    assert(Similarity.silhouetteAudit(
+      rows.filter(col("label") === 0)).count() == 0L)
+  }
+
   test("abtt audit: a one-axis corpus reads full share per label, " +
     "an orthogonal stratum reads zero") {
     import spark.implicits._
