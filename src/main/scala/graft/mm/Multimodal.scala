@@ -356,11 +356,17 @@ object Multimodal {
     * `bit_count(xor)` verification on the candidate pairs; never
     * all-pairs, and only (doc_id, 64-bit sig) rows ever shuffle.
     */
-  def phashPairs(documents: DataFrame, radius: Int = 3): DataFrame = {
+  def phashPairs(documents: DataFrame, radius: Int = 3): DataFrame =
+    phashPairsOf(phashCandidates(documents), radius)
+
+  /** [[phashPairs]] on an ALREADY-BUILT candidate frame — the
+    * fit-once sharing seam: the pair query and the calibration
+    * histogram read one materialized candidate stage instead of each
+    * re-running signatures + banding (the knn-edge discipline). */
+  def phashPairsOf(cands: DataFrame, radius: Int = 3): DataFrame = {
     require(radius >= 0 && radius < 4,
       s"radius ($radius) must stay below the band count (4) for lossless banding")
-    phashCandidates(documents)
-      .filter(col("hamming") <= radius)
+    cands.filter(col("hamming") <= radius)
       .select("doc_a", "doc_b", "sig_a", "sig_b", "hamming")
   }
 
@@ -375,15 +381,18 @@ object Multimodal {
     * candidate stage plus a ≤65-row aggregate.
     */
   def phashHammingHist(documents: DataFrame, radius: Int = 3): DataFrame =
-    phashCandidates(documents)
-      .groupBy("hamming")
+    phashHistOf(phashCandidates(documents), radius)
+
+  /** [[phashHammingHist]] on an already-built candidate frame. */
+  def phashHistOf(cands: DataFrame, radius: Int = 3): DataFrame =
+    cands.groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("within_radius", col("hamming") <= radius)
 
   /** Shared candidate stage of [[phashPairs]] / [[phashHammingHist]]:
     * signatures → 4×16-bit banding → distinct colliding pairs with
     * their exact hamming, UNFILTERED. */
-  private def phashCandidates(documents: DataFrame): DataFrame = {
+  private[graft] def phashCandidates(documents: DataFrame): DataFrame = {
     val slices = 64
     val sigs = attach(documents)
       .select(col("doc_id"), col("payload"))
