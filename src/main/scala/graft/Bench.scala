@@ -17,6 +17,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // AQE coalescing floor — see GraftSession.builder: the 1m
+      // default serializes compute-dense model-sized shuffles onto
+      // 1-2 tasks; 64k restores parallelism exactly there and large
+      // shuffles keep their parallelism-first targets
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -45,6 +45,21 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing floor (default 1m): with parallelismFirst (the
+      // default) the post-shuffle target size is max(bytes ∕ default
+      // parallelism, THIS FLOOR), so a compute-dense model-sized
+      // shuffle — a candidate self-join, a verify stage, a banded
+      // aggregate over a few MB — collapses to 1-2 tasks and
+      // serializes seconds of CPU while the rest of the executor
+      // sits idle (measured: dedup_editdist's candidate+verify
+      // stages ran 1-task for 5.0 of its 5.2s; 64k → 1.66s total).
+      // Scale-safe by construction: the floor only binds when
+      // bytes ∕ parallelism is below it, i.e. exactly the small-
+      // bytes-heavy-CPU regime, at any cluster size; large shuffles
+      // keep their parallelism-first targets. Env-overridable for
+      // deployments whose small shuffles are NOT compute-dense.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")

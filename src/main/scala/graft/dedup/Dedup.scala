@@ -255,19 +255,30 @@ object Dedup {
     // widen by the full rounding half-width — the prefix only ever
     // gets longer, and over-generation is verified away
     val tauEff = math.max(tau - 1e-4, 1e-6)
-    // the shingle frame feeds the df aggregation, the rarity ranking,
-    // and both sides of the verification join; materialize it once —
-    // recomputing the shingling scan 4-6x dominates the job
-    // otherwise. (At cluster scale this is the recompute-vs-persist
-    // knob: the exploded frame is ~n× the corpus, and a preemptible
-    // fleet may prefer re-scanning parquet; locally the blocks win.)
-    val sh = shingles(documents, n).localCheckpoint()
+    // the shingle frame feeds the df aggregation and the rarity
+    // ranking; materialize it once — recomputing the shingling scan
+    // dominates the job otherwise. (At cluster scale this is the
+    // recompute-vs-persist knob: the exploded frame is ~n× the
+    // corpus, and a preemptible fleet may prefer re-scanning
+    // parquet; locally the blocks win.) The set size rides the
+    // explode (`size` of the distinct shingle array) so the ranking
+    // window does ONE pass — the former count-over-partition second
+    // window pass is an aggregate the generator already knows.
+    // hash-repartition BEFORE the shingling explode — the editDistance
+    // discipline: parallelism is established on the 1×-corpus side of
+    // the generator (one cheap shuffle of (doc_id, text)) instead of
+    // inheriting the input split count (one task per parquet file
+    // locally; a straggler per oversized split at scale)
+    val sh = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), shingleArray(col("text"), n).as("arr"))
+      .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
+        explode(col("arr")).as("shingle"))
+      .localCheckpoint()
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val wdoc = Window.partitionBy("doc_id")
     val ranked = sh.join(freq, "shingle")
       .withColumn("rk",
         row_number().over(wdoc.orderBy(col("df"), col("shingle"))))
-      .withColumn("sz", count(lit(1)).over(wdoc))
     // prefix is joined as both candidate sides: materialize so the
     // scan+agg+join+window subtree above runs once, not twice
     val prefix = ranked
@@ -292,19 +303,15 @@ object Dedup {
             col("pb.sz") - col("pb.rk")) >=
             ceil(lit(tauEff) * greatest(col("pa.sz"), col("pb.sz"))
               - lit(1e-9)))
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
-        col("pa.sz").as("sz_a"), col("pb.sz").as("sz_b"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")),
-        Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")), 4).as("jaccard"))
-      .filter(col("jaccard") >= tau)
+    // verification through the shared candidate-bounded kernel path
+    // (semi-join text fetch + fused one-pass `jaccard_sim`) instead
+    // of re-joining the corpus-wide inverted index twice by doc id:
+    // the pair count is candidate-bounded, so the arrays it fetches
+    // and the one shuffle it pays are too — the minhashLsh /
+    // mergeKeepers verification discipline
+    verifyCandidates(cand, documents, tau, n)
   }
 
   /** Banded MinHash signatures as a skinny (doc_id, band, band_hash)
@@ -1060,19 +1067,18 @@ object Dedup {
     *
     * Ed-Join candidate rule (the [[prefixJaccard]] discipline moved
     * from set overlap to edit operations): one edit touches at most
-    * q positional q-grams, so two strings within distance k share
-    * at least max(|G_a|, |G_b|) − k·q gram OCCURRENCES — elements
-    * are (gram, occurrence-index) so repeats can't double-match
-    * (shared count per gram is min of the two multiplicities, which
-    * the survivor argument bounds) — and under ANY shared total
-    * order two sets with overlap c collide inside their first
-    * sz − c + 1 elements: prefix length k·q + 1, a CONSTANT. Rarity
-    * order (df asc) makes the joined prefix grams the corpus's
-    * coldest keys, so hot boilerplate grams never drive the join's
-    * Σ df². The length band |len_a − len_b| ≤ k rides the join
-    * (ed ≥ length difference). Candidates verify with the built-in
-    * banded `levenshtein(a, b, k)` kernel (O(k·len) per pair, −1
-    * past the threshold — never the full DP matrix).
+    * q positional q-grams, so it can destroy at most q DISTINCT
+    * grams from a string's q-gram set — two strings within distance
+    * k therefore share at least max(|A'|, |B'|) − k·q DISTINCT
+    * grams — and under ANY shared total order two sets with overlap
+    * c collide inside their first sz − c + 1 elements: prefix
+    * length k·q + 1, a CONSTANT. Rarity order (df asc) makes the
+    * joined prefix grams the corpus's coldest keys, so hot
+    * boilerplate grams never drive the join's Σ df². The length
+    * band |len_a − len_b| ≤ k rides the join (ed ≥ length
+    * difference). Candidates verify with the built-in banded
+    * `levenshtein(a, b, k)` kernel (O(k·len) per pair, −1 past the
+    * threshold — never the full DP matrix).
     *
     * Strings too short for the gram machinery (threshold
     * max(len) − (q−1) − k·q ≤ 0 admits everything) take an explicit
@@ -1098,36 +1104,58 @@ object Dedup {
       .select(col("doc_id"), length(col("text")).as("len"))
       .localCheckpoint()
     val txt = documents.select(col("doc_id"), col("text"))
-    // positional q-grams computed INSIDE the generator lambda — the
+    // DISTINCT q-grams from the one-pass char_gram_set kernel — the
     // text never rides the exploded frame (the dup_spans discipline)
-    val grams = txt.withColumn("len", length(col("text")))
+    // and no per-(doc, gram) occurrence index is ever materialized:
+    // the candidate rule works on distinct-gram SETS. One edit
+    // destroys at most q gram OCCURRENCES, hence at most q DISTINCT
+    // grams from either side's set, so ed(a,b) ≤ k implies
+    // |A'∩B'| ≥ max(|A'|,|B'|) − k·q — and under ANY shared total
+    // order two sets with overlap c collide inside their first
+    // sz − c + 1 elements: prefix length k·q + 1, the same constant
+    // as the multiset rule, without the per-(doc, gram) occurrence
+    // window (a full corpus-frame sort shuffle) the multiset
+    // elements required. When max − k·q ≤ 0 both prefixes hold the
+    // WHOLE sets and the multiset count bound (> 0 in the gram arm,
+    // where max occurrences > k·q) still forces a shared VALUE, so
+    // the rule stays lossless in the degenerate repeat-heavy regime
+    // (spec-pinned). Over-generation relative to the multiset rule
+    // is verified away by the banded levenshtein like every other
+    // candidate.
+    // hash-repartition BEFORE the explode: the gram pipeline's
+    // parallelism is set here, on the 1×-corpus side of the
+    // generator, where a shuffle is cheapest (guide §8: move the
+    // light rows, not the exploded ones) — without it the explode,
+    // the df partial aggregation and the per-doc heaps all run at
+    // the incidental parallelism of the input split count (ONE task
+    // for a single parquet file locally; a straggler per oversized
+    // split at scale). Partition count follows
+    // spark.sql.shuffle.partitions — conf-scaled, not hard-coded.
+    val gramsD = txt.repartition(col("doc_id"))
+      .withColumn("len", length(col("text")))
       .filter(col("len") >= q)
       .select(col("doc_id"), col("len"),
-        explode(expr(s"transform(sequence(1, len - $q + 1), " +
-          s"i -> struct(i AS p, substring(text, i, $q) AS g))")).as("pg"))
-      .select(col("doc_id"), col("len"),
-        col("pg.p").as("p"), col("pg.g").as("g"))
-    // occurrence index per (doc, gram): the element key (g, occ) —
-    // per-task window work bounded by one document's repeats
-    val elems = grams.withColumn("occ",
-      row_number().over(Window.partitionBy("doc_id", "g").orderBy("p")))
-      .drop("p")
-      // the df aggregate and the rarity-ranking join both read it —
-      // the explode + occurrence window is the heaviest pre-join
-      // stage and must not run twice
+        explode(graft.functions.expressions.char_gram_set(col("text"), q))
+          .as("g"))
+      // the df aggregate and the rarity-ranking join both read it
       .localCheckpoint()
-    val freq = elems.groupBy("g", "occ").agg(count(lit(1)).as("df"))
-    // rank by global rarity, keep the constant k·q+1 prefix; both
-    // candidate sides read it — materialize the scan+agg+join+window
-    val prefix = elems.join(freq.hint("shuffle_hash"), Seq("g", "occ"))
-      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
-        .orderBy(col("df"), col("g"), col("occ"))))
-      .filter(col("rk") <= k * q + 1)
-      .select("doc_id", "len", "g", "occ")
+    // df over distinct-gram postings; the q-gram vocabulary is
+    // alphabet-bounded (≤ |Σ|^q — a model-sized frame by
+    // construction, NOT corpus-scale), so the rarity table
+    // broadcasts at any corpus size and the ranking join never
+    // shuffles the gram frame
+    val freq = gramsD.groupBy("g").agg(count(lit(1)).as("df"))
+    // keep the constant k·q+1 rarest grams per doc on the native
+    // top-k heaps — the window formulation sorted every doc's full
+    // gram set per partition; both candidate sides read the result
+    val prefix = graft.plans.TopK.perKey(
+        gramsD.join(broadcast(freq), Seq("g")),
+        Seq("doc_id"), Seq(col("df").asc, col("g").asc), k * q + 1)
+      .select("doc_id", "len", "g")
       .localCheckpoint()
     val gramCand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.occ") === col("b.occ") &&
+        col("a.g") === col("b.g") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= k &&
           // pairs entirely inside the short regime belong to the

@@ -81,6 +81,39 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Distinct character q-grams in one pass over the UTF-8 bytes —
+    * the Ed-Join candidate alphabet. Semantics identical to
+    * `array_distinct(transform(sequence(1, length(text) − q + 1),
+    * i -> substring(text, i, q)))` (SQL substring counts CHARACTERS,
+    * so the walk tracks codepoint start offsets), but a single O(L)
+    * pass: no index array, no per-window substring allocation churn,
+    * and no array_distinct's quadratic non-primitive fallback.
+    * Output order is first occurrence — deterministic; downstream
+    * explodes into joins, so order never matters semantically.
+    */
+  def charGramSet(text: UTF8String, q: Int): ArrayData = {
+    val bytes = text.getBytes
+    // char start byte offsets (UTF-8 continuation bytes are 10xxxxxx)
+    val starts = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) starts.add(i)
+      i += 1
+    }
+    val nCh = starts.size()
+    if (nCh < q) return new GenericArrayData(Array.empty[Any])
+    starts.add(bytes.length)
+    val out = new java.util.LinkedHashSet[Any]()
+    var c = 0
+    while (c + q <= nCh) {
+      val from = starts.get(c)
+      val len = starts.get(c + q) - from
+      out.add(UTF8String.fromBytes(bytes, from, len))
+      c += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Non-distinct variant of [[shingleSet]]: every window in stream
     * order (needed when downstream counts occurrences, e.g. the
     * repeated-bigram quality signal).

@@ -42,6 +42,18 @@ object expressions {
     override def prettyName: String = "shingle_set"
   }
 
+  /** char_gram_set(text, q): distinct character q-grams, one pass. */
+  case class CharGramSet(child: Expression, q: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.charGramSet(v.asInstanceOf[UTF8String], q)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.charGramSet($c, $q)")
+    override protected def withNewChildInternal(c: Expression): CharGramSet = copy(child = c)
+    override def prettyName: String = "char_gram_set"
+  }
+
   /** shingle_list(text, n): all word n-grams, duplicates kept. */
   case class ShingleList(child: Expression, n: Int)
       extends UnaryExpression {
@@ -315,6 +327,8 @@ object expressions {
     GraftBridge.column(MinHashBands(GraftBridge.expression(c), k, bands))
   def shingle_set(c: Column, n: Int): Column =
     GraftBridge.column(ShingleSet(GraftBridge.expression(c), n))
+  def char_gram_set(c: Column, q: Int): Column =
+    GraftBridge.column(CharGramSet(GraftBridge.expression(c), q))
   def shingle_list(c: Column, n: Int): Column =
     GraftBridge.column(ShingleList(GraftBridge.expression(c), n))
   def simhash64(c: Column): Column =

@@ -818,23 +818,35 @@ object Sampling {
     */
   def coverageGreedy(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
-    // the uncovered frame only SHRINKS: each round anti-joins it
-    // against the single picked doc's shingle set (one doc — always
-    // broadcastable), never against the ever-growing covered union,
-    // so per-round work decreases monotonically and the build side
-    // is a constant at any corpus size
-    var unc = Rounds.materialize(
+    // the (doc, shingle) frame is materialized ONCE and never
+    // rewritten: each round anti-joins it against the BROADCAST
+    // covered set — the union of the ≤ i picked docs' shingle sets,
+    // bounded by k documents' shingles (a model-sized frame at any
+    // corpus size), never the corpus. The former loop re-
+    // materialized the corpus-scale uncovered remainder every round
+    // (k full-frame writes, the dominant cost of the operator both
+    // locally and at 100 TB); gains are identical either way —
+    // |sh(d) \ covered| — because anti-joining the fixed frame
+    // against the accumulated covered set equals anti-joining the
+    // shrunken remainder against each round's increment
+    val sh = Rounds.materialize(
       graft.dedup.Dedup.shingles(documents).select("doc_id", "shingle"))
+    var covered: DataFrame = null // distinct shingles of the picks so far
     var out: DataFrame = null
     for (i <- 1 to k) {
+      val unc = if (covered == null) sh
+        else sh.join(broadcast(covered), Seq("shingle"), "left_anti")
       val pick = Rounds.materialize(
         unc.groupBy("doc_id").agg(count(lit(1)).as("gain"))
           .orderBy(col("gain").desc, col("doc_id")).limit(1)
           .select(lit(i.toLong).as("rk"), col("doc_id"), col("gain")))
-      val newCov = unc.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
-        .select("shingle").distinct()
-      unc = Rounds.materialize(
-        unc.join(broadcast(newCov), Seq("shingle"), "left_anti"))
+      // the pick's shingles are distinct within the doc (shingle_set),
+      // so only the cross-pick union needs a distinct
+      val pickSh = sh.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
+        .select("shingle")
+      covered = Rounds.materialize(
+        if (covered == null) pickSh
+        else covered.unionByName(pickSh).distinct())
       out = if (out == null) pick else out.unionByName(pick)
     }
     val sel = Rounds.materialize(out)

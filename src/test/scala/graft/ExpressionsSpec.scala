@@ -89,6 +89,29 @@ class ExpressionsSpec extends SparkSpec {
     assert(HashOps.cosineFF(a, a) > 1.0 - 1e-12)
   }
 
+  test("charGramSet equals the SQL array_distinct/substring formulation, " +
+    "incl. multi-byte codepoints and the sub-q regime") {
+    import spark.implicits._
+    val texts = Seq("abcabcab", "aaaaaa", "ab", "", "héllo wörld héllo",
+      "日本語のテキスト日本", "x y x y x", "abc")
+    for (q <- Seq(2, 3)) {
+      val df = texts.toDF("text")
+      val got = df.select(
+          graft.functions.expressions.char_gram_set(col("text"), q).as("g"))
+        .collect().map(_.getAs[Seq[String]]("g").toSet)
+      val want = df.select(expr(
+          s"CASE WHEN length(text) >= $q THEN " +
+            s"array_distinct(transform(sequence(1, length(text) - $q + 1), " +
+            s"i -> substring(text, i, $q))) " +
+            s"ELSE CAST(array() AS ARRAY<STRING>) END").as("g"))
+        .collect().map(_.getAs[Seq[String]]("g").toSet)
+      assert(got.toSeq == want.toSeq, s"q=$q")
+    }
+    // direct kernel sanity: "abcabcab" q=3 → windows abc bca cab ×2
+    assert(HashOps.charGramSet(UTF8String.fromString("abcabcab"), 3)
+      .numElements() == 3)
+  }
+
   test("expressions run inside dataframe plans (codegen path)") {
     import spark.implicits._
     val df = Seq(("a b c a", Array(1.0f, 2.0f)), ("d e f g", Array(2.0f, 4.0f)))
