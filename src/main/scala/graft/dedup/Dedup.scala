@@ -305,6 +305,10 @@ object Dedup {
               - lit(1e-9)))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
+      // pair-bounded frame with THREE verifyCandidates readers (both
+      // endpoint sides + the join) — materialize so the prefix
+      // self-join runs once, not per reference
+      .localCheckpoint()
     // verification through the shared candidate-bounded kernel path
     // (semi-join text fetch + fused one-pass `jaccard_sim`) instead
     // of re-joining the corpus-wide inverted index twice by doc id:
@@ -928,8 +932,12 @@ object Dedup {
     // checkpoints there is no single plan left for exchange reuse to
     // dedupe the (expensive) candidate-generation lineage across
     // rounds — without this the LSH pipeline re-executes per round
-    // (measured 6x on the keeper bench entries)
-    val e = graft.ops.Rounds.materialize(edges)
+    // (measured 6x on the keeper bench entries). Pre-partitioned on
+    // doc_b — every round's propagate join key — so no round
+    // re-exchanges the edge frame (the componentLabels discipline;
+    // checkpoint preserves partitioning, count follows
+    // spark.sql.shuffle.partitions)
+    val e = graft.ops.Rounds.materialize(edges.repartition(col("doc_b")))
     // checkpointed init keeps each round a join of materialized frames
     var labels = graft.ops.Rounds.materialize(init)
     var converged = false

@@ -81,6 +81,35 @@ object HashOps {
     new GenericArrayData(out.toArray)
   }
 
+  /** Per-document word n-gram OCCURRENCE COUNTS in one pass — the
+    * map-side pre-aggregation of `explode(shingle_list) → groupBy
+    * (doc, gram) count` (guide: aggregate before you shuffle, here
+    * before the frame even exists): one (gram, k) struct per
+    * DISTINCT gram, k its in-document multiplicity, first-occurrence
+    * order. Downstream per-(doc, gram) frames start distinct-keyed,
+    * so the corpus-wide count exchange the groupBy needed is gone.
+    */
+  def shingleCounts(text: UTF8String, n: Int): ArrayData = {
+    val all = shingleList(text, n)
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long]()
+    var i = 0
+    while (i < all.numElements()) {
+      val g = all.getUTF8String(i)
+      val c = m.get(g)
+      m.put(g, if (c == null) 1L else c.longValue + 1L)
+      i += 1
+    }
+    val out = new Array[Any](m.size())
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.longValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct character q-grams in one pass over the UTF-8 bytes —
     * the Ed-Join candidate alphabet. Semantics identical to
     * `array_distinct(transform(sequence(1, length(text) − q + 1),

@@ -42,6 +42,22 @@ object expressions {
     override def prettyName: String = "shingle_set"
   }
 
+  /** shingle_counts(text, n): per-doc word n-gram occurrence counts
+    * as (g, k) structs — the map-side pre-aggregation of
+    * `explode(shingle_list) → groupBy(doc, gram) count`, one pass. */
+  case class ShingleCounts(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("k", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      HashOps.shingleCounts(v.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$ops.shingleCounts($c, $n)")
+    override protected def withNewChildInternal(c: Expression): ShingleCounts = copy(child = c)
+    override def prettyName: String = "shingle_counts"
+  }
+
   /** char_gram_set(text, q): distinct character q-grams, one pass. */
   case class CharGramSet(child: Expression, q: Int)
       extends UnaryExpression {
@@ -329,6 +345,8 @@ object expressions {
     GraftBridge.column(ShingleSet(GraftBridge.expression(c), n))
   def char_gram_set(c: Column, q: Int): Column =
     GraftBridge.column(CharGramSet(GraftBridge.expression(c), q))
+  def shingle_counts(c: Column, n: Int): Column =
+    GraftBridge.column(ShingleCounts(GraftBridge.expression(c), n))
   def shingle_list(c: Column, n: Int): Column =
     GraftBridge.column(ShingleList(GraftBridge.expression(c), n))
   def simhash64(c: Column): Column =

@@ -353,7 +353,16 @@ object Graph {
     * graph. */
   def componentLabels(edges: DataFrame, iters: Int = 6): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    // the mirrored edge frame is every round's probe side, always
+    // joined on src: materialize it ONCE, pre-partitioned on the
+    // join key (checkpoint preserves partitioning), so no round ever
+    // re-exchanges the edges — at 100 TB that is a corpus-scale
+    // shuffle saved per round (guide §2.4: establish the
+    // partitioning once); partition count follows
+    // spark.sql.shuffle.partitions, never a constant
+    val und = Rounds.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // checkpointed so each round reads a materialized frame instead
@@ -694,8 +703,11 @@ object Graph {
     require(rounds >= 1, s"rounds ($rounds) must be positive")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // pre-partitioned on the per-round join key — the componentLabels
+    // discipline: no round re-exchanges the edge frame
     val und = Rounds.materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("src")))
     val nodes = und.select(col("src").as("node")).distinct()
     var dist = Rounds.materialize(nodes
       .join(seeds.select(col("node")).distinct()
@@ -759,8 +771,10 @@ object Graph {
     require(rounds >= 1, s"rounds ($rounds) must be positive")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // pre-partitioned on the per-round join key (componentLabels)
     val und = Rounds.materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("src")))
     val lm = und.select(col("src").as("node")).distinct()
       .orderBy("node").limit(k)
     var dist = Rounds.materialize(
@@ -828,8 +842,12 @@ object Graph {
       s"pivots ($pivots) and rounds ($rounds) must be positive")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // pre-partitioned on src — the forward rounds' join key (the
+    // backward rounds join on dst and pay their exchange; a second
+    // dst-partitioned copy would double edge storage for 4 joins)
     val und = Rounds.materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("src")))
     val nodes = und.select(col("src").as("node")).distinct()
     val pv = nodes.orderBy("node").limit(pivots)
     // forward: one frame per BFS level, most recent first
@@ -846,7 +864,12 @@ object Graph {
       val nw = Rounds.materialize(
         relax.join(acc.hint("shuffle_hash"), Seq("node", "seed"), "left_anti"))
       levels = nw :: levels
-      acc = Rounds.materialize(acc.unionByName(nw.select("node", "seed")))
+      // LAZY union of already-materialized level frames: every leaf
+      // is a checkpoint, so lineage grows one leaf per round (linear,
+      // never the 2^rounds doubling the per-round materialize
+      // guards against) and the union needs no job of its own —
+      // previously each round paid a full acc rewrite
+      acc = acc.unionByName(nw.select("node", "seed"))
     }
     // backward: δ at the deepest level is 0; each step accumulates
     // one level down through the DAG edges (d(w) = d(v) + 1)
@@ -874,8 +897,9 @@ object Graph {
         .groupBy("node", "seed")
         .agg(sum(expr("(sv * (1000000 + dw)) div sw")).as("delta"))
       deltaUp = Rounds.materialize(contrib)
-      bc = if (bc == null) deltaUp
-           else Rounds.materialize(bc.unionByName(deltaUp))
+      // lazy union of materialized per-level delta frames (same
+      // linear-lineage argument as the forward accumulator)
+      bc = if (bc == null) deltaUp else bc.unionByName(deltaUp)
     }
     val seen = acc.groupBy("node").agg(count(lit(1)).as("n_seen"))
     val perNode = bc.filter(col("node") =!= col("seed"))
@@ -987,8 +1011,10 @@ object Graph {
     require(iters >= 1, s"iters ($iters) must be positive")
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst"))
+    // pre-partitioned on the per-round join key (componentLabels)
     val und = Rounds.materialize(
-      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+      e.union(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        .repartition(col("src")))
     val nodes = und.select(col("src").as("node")).distinct()
     var labels = Rounds.materialize(
       nodes.select(col("node"), col("node").as("lab")))

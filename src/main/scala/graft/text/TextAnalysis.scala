@@ -1135,12 +1135,17 @@ object TextAnalysis {
     * build and the scoring join. Repeats ride the integer weight k
     * so the corpus-side join carries distinct keys per doc. */
   private[graft] def lmDocBg(documents: DataFrame): DataFrame =
+    // per-doc counts fold INSIDE the generator (shingle_counts kernel
+    // — guide §2.3 "aggregate before you shuffle"): the exploded
+    // frame is born distinct-keyed per (doc, bg), so the corpus-wide
+    // groupBy(doc, lang, bg) exchange the explode+count formulation
+    // paid is gone entirely
     documents
       .select(col("doc_id"), col("lang"),
-        explode(graft.functions.expressions.shingle_list(col("text"), 2))
-          .as("bg"))
-      .groupBy(col("doc_id"), col("lang"), col("bg"))
-      .agg(count(lit(1)).as("k"))
+        explode(graft.functions.expressions.shingle_counts(col("text"), 2))
+          .as("s"))
+      .select(col("doc_id"), col("lang"),
+        col("s.g").as("bg"), col("s.k").as("k"))
 
   /** The (bg, ppm, c_bg) conditional-probability table in exact
     * integer ppm: `c(w1 w2)·10⁶ div c(w1 ·)` over corpus counts. The

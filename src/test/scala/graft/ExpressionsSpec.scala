@@ -112,6 +112,25 @@ class ExpressionsSpec extends SparkSpec {
       .numElements() == 3)
   }
 
+  test("shingleCounts equals explode+group counts of shingle_list") {
+    import spark.implicits._
+    val texts = Seq("a b a b a", "x", "", "  a  b ", "w1 w2 w3 w1 w2")
+    for (n <- Seq(1, 2)) {
+      val df = texts.toDF("text")
+      val got = df.select(
+          graft.functions.expressions.shingle_counts(col("text"), n).as("s"))
+        .select(explode(col("s")).as("s"))
+        .groupBy(col("s.g").as("g")).agg(sum(col("s.k")).as("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      val want = df.select(
+          explode(graft.functions.expressions.shingle_list(col("text"), n))
+            .as("g"))
+        .groupBy("g").agg(count(lit(1)).as("k"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"n=$n")
+    }
+  }
+
   test("expressions run inside dataframe plans (codegen path)") {
     import spark.implicits._
     val df = Seq(("a b c a", Array(1.0f, 2.0f)), ("d e f g", Array(2.0f, 4.0f)))
