@@ -327,7 +327,10 @@ object Dedup {
   private[graft] def bandedSignatures(documents: DataFrame, k: Int,
                                       bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    documents
+    // repartition BEFORE the k-hash signature kernel — the heaviest
+    // per-doc compute in the family must not run at input-split
+    // parallelism (the editDistance discipline)
+    documents.repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(minhash_bands(shingleArray(col("text")), k, bands)))
       .withColumnRenamed("pos", "band")
@@ -368,7 +371,10 @@ object Dedup {
   def minhashLsh(documents: DataFrame, tau: Double, k: Int = 64,
                  bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val docs = documents.select(col("doc_id"), shingleArray(col("text")).as("sh"))
+    // repartition before the shingle+signature kernels (editDistance
+    // discipline: parallelism set on the 1×-corpus side)
+    val docs = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), shingleArray(col("text")).as("sh"))
     // band join stays skinny — (doc_id, band, band_hash) only; the
     // shingle arrays never ride the exploded x`bands` shuffle, and
     // the fused signature+banding expression runs exactly once per
@@ -436,8 +442,11 @@ object Dedup {
       "need at least 2 bits per chunk over a 64-bit signature")
     val nChunks = maxHamming + 1
     val width = 64 / nChunks // remainder bits join the last chunk
-    val sigs = documents.select(col("doc_id"),
-      simhash64(tokens(col("text"))).as("sig"))
+    // repartition BEFORE the signature kernel: per-doc hashing
+    // parallelizes on the corpus side instead of inheriting the
+    // input split count (the editDistance discipline)
+    val sigs = documents.repartition(col("doc_id"))
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until nChunks).map { c =>
         val hi = if (c == nChunks - 1) 64 else (c + 1) * width

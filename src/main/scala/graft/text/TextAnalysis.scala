@@ -515,25 +515,33 @@ object TextAnalysis {
       .select(col("doc_id"),
         greatest(lit(0L), (size(col("t")) - (q - 1)).cast("long"))
           .as("n_grams"), col("t"))
-    val grams = base.filter(col("n_grams") >= 1)
-      .select(col("doc_id"), col("n_grams"), explode(expr(
-        s"transform(sequence(1, size(t) - ${q - 1}), i -> named_struct(" +
-          s"'pos', CAST(i AS BIGINT), " +
-          s"'h', CAST(conv(substring(md5(concat_ws(' ', slice(t, i, $q))), " +
-          s"1, 15), 16, 10) AS BIGINT)))")).as("p"))
-      .select(col("doc_id"), col("n_grams"),
-        col("p.pos").as("pos"), col("p.h").as("h"))
-    val wWin = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(0, w - 1)
-    val fps = grams
-      .withColumn("key",
-        expr("CAST(h AS DECIMAL(38,0)) * 1099511627776 + " +
-          "(1099511627775 - pos)"))
-      .withColumn("sel", min("key").over(wWin))
-      // valid window starts only; a doc with < w grams keeps its one
-      // short window at pos 1
-      .filter(col("pos") <= greatest(lit(1L), col("n_grams") - (w - 1)))
-      .select(col("doc_id"), col("sel")).distinct()
+    // winnowing is PER-DOCUMENT by construction, so the whole
+    // selection runs in the array domain inside one generator chain:
+    // packed keys once per gram (the md5 is the expensive term —
+    // never recomputed per window), each window start takes
+    // array_min over its w-slice, array_distinct collapses repeats —
+    // and only the selected ~2/(w+1) fingerprints ever explode.
+    // The former formulation exploded EVERY gram and paid a full
+    // per-doc sort exchange for a rowsBetween window min; this one
+    // shuffles nothing until the (doc, fingerprint) frame — the
+    // embarrassingly-parallel shape MOSS has on paper. Selection is
+    // bit-identical: same packed `h·2⁴⁰ + (2⁴⁰−1−pos)` key, same
+    // valid window starts (a doc with < w grams keeps its one short
+    // window — `slice` truncates at the array end), same distinct.
+    // hash-repartition BEFORE the per-doc selection: the md5-per-gram
+    // work parallelizes on the 1×-corpus side of the generator
+    // instead of inheriting the input split count (the editDistance
+    // discipline)
+    val fps = base.filter(col("n_grams") >= 1)
+      .repartition(col("doc_id"))
+      .withColumn("keys", expr(
+        s"transform(sequence(1, size(t) - ${q - 1}), i -> " +
+          s"CAST(conv(substring(md5(concat_ws(' ', slice(t, i, $q))), " +
+          s"1, 15), 16, 10) AS DECIMAL(38,0)) * 1099511627776 + " +
+          s"(1099511627775 - CAST(i AS BIGINT)))"))
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, greatest(1, size(keys) - ${w - 1})), " +
+          s"s -> array_min(slice(keys, s, $w))))")).as("sel"))
       .select(col("doc_id"),
         expr("CAST(sel div 1099511627776 AS BIGINT)").as("h"))
       // feeds the shared-hash aggregate, the semi-join probe, and
