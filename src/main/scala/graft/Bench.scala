@@ -23,6 +23,11 @@ object Bench {
       // shuffles keep their parallelism-first targets
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+      // scan split floor — see GraftSession.builder: the 4m default
+      // serializes small-input scans (and the per-row kernels on
+      // them) onto 1-2 tasks at any core count
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -61,6 +61,19 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // scan split sizing (default 4m): openCostInBytes FLOORS the
+      // computed split size — max(openCost, bytes ∕ defaultParallelism)
+      // — so any input whose total bytes ∕ cores is below 4 MB scans
+      // on a handful of tasks regardless of cluster size, and the
+      // per-row generator/parse kernels that sit directly on the scan
+      // serialize onto them (measured: cdc_malformed ran its whole
+      // parse on ONE task from a single-file input). 128 KiB keeps
+      // large-scan split sizing untouched (bytes ∕ cores dominates
+      // once inputs exceed ~4 MB × cores) and still packs genuinely
+      // tiny files; deployments with million-tiny-file tables can
+      // raise it back via the env override.
+      .config("spark.sql.files.openCostInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

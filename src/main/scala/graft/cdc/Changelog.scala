@@ -906,11 +906,14 @@ object Changelog {
     require(bands > 0, s"bands ($bands) must be positive")
     val s = changelog.select(col("seq"))
     val bounds = s.agg(min("seq").as("s0"), max("seq").as("s1"))
+    // NOT materialized: the in-band window and the band summary each
+    // re-derive it from the column-pruned seq scan — two cheap scans
+    // beat writing a corpus-sized checkpoint whose only job is to be
+    // read twice (the bounds broadcast is shared between the
+    // subtrees by exchange reuse)
     val banded = s.crossJoin(broadcast(bounds))
       .withColumn("bw", expr(s"(s1 - s0) div $bands + 1"))
       .withColumn("band", expr("(seq - s0) div bw"))
-      // the in-band window and the band summary both read it
-      .localCheckpoint()
     val inBand = banded
       .withColumn("nxt", lead(col("seq"), 1)
         .over(Window.partitionBy("band").orderBy("seq")))

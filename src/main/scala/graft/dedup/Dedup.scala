@@ -587,17 +587,27 @@ object Dedup {
     // duplicate its band rows and verified pairs in the model — fail
     // loudly instead (the nearDupKeepersBest packing-guard
     // discipline); the check is one |delta|-bounded semi-join probe
-    // of the skinny label frame
-    val overlap = model.labels
+    // of the skinny label frame. It runs CONCURRENTLY with the delta
+    // signature checkpoint (guide §2.6: overlap independent jobs —
+    // the two share no inputs, and Spark schedules driver-thread
+    // jobs side by side); the require still fires before any result
+    // derived from the merge is returned, so the fail-loudly
+    // contract is intact — a failing merge merely wastes the
+    // signature job it would have paid anyway on the happy path.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val overlapF = Future(model.labels
       .join(delta.select("doc_id").hint("shuffle_hash"),
         Seq("doc_id"), "left_semi")
-      .limit(1).collect()
+      .limit(1).collect())
+    val deltaBanded = bandedSignatures(delta, model.k, model.bands)
+      .localCheckpoint()
+    val overlap = Await.result(overlapF, Duration.Inf)
     require(overlap.isEmpty,
       s"mergeKeepers: delta re-delivers base doc_id ${overlap.head.get(0)}" +
         " — deltas must be new docs (dedupe upstream or diff against" +
         " the model's labels first)")
-    val deltaBanded = bandedSignatures(delta, model.k, model.bands)
-      .localCheckpoint()
     val banded = model.banded.unionByName(deltaBanded)
     // probe side is delta-only: every candidate touches the delta.
     // The hint marks the hash-join BUILD side — it must sit on the
@@ -616,19 +626,26 @@ object Dedup {
     // baseDocs, or verifyCandidates' text join would silently DROP
     // the pair (a merge run against a partial corpus slice would
     // quietly diverge from the full fit) — candidate-bounded check
-    val uncovered = cand.select(col("doc_a").as("doc_id"))
+    // same overlap discipline as the re-delivery probe: the coverage
+    // check and the verification job both read only the materialized
+    // `cand` frame (plus their own side inputs), so they run side by
+    // side; the require fires before the verified pairs are used, so
+    // a partial-corpus call still fails loudly before the model can
+    // silently diverge
+    val uncoveredF = Future(cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(baseDocs.select("doc_id").hint("shuffle_hash"),
         Seq("doc_id"), "left_anti")
-      .limit(1).collect()
+      .limit(1).collect())
+    val newPairs = verifyCandidates(cand, baseDocs.unionByName(delta),
+        model.tau)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val uncovered = Await.result(uncoveredF, Duration.Inf)
     require(uncovered.isEmpty,
       s"mergeKeepers: baseDocs is missing candidate endpoint doc_id " +
         s"${uncovered.head.get(0)} — pass the full accumulated corpus," +
         " not a slice")
-    val newPairs = verifyCandidates(cand, baseDocs.unionByName(delta),
-        model.tau)
-      .select("doc_a", "doc_b").localCheckpoint()
     // banded/pairs stay LAZY unions over immutable checkpointed
     // segments (base frames + this delta's) — re-checkpointing the
     // union would rewrite the full corpus-scale signature index on

@@ -952,14 +952,28 @@ object Graph {
     // raw score = Σ scale-sized partners ≈ scale·degree: both the
     // SUM and the rescale product run in DECIMAL(38,0) (DuckDB
     // replays them in HUGEINT) — an int64 sum wraps/errors at hub
-    // in-degree ≈ 9·10⁶; floor-divide lands back in exact int64
-    def renorm(df: DataFrame, c: String): DataFrame =
-      Rounds.materialize(
-        df.crossJoin(broadcast(df.agg(max(col(c)).as("mx"))))
-          .select(col("node"),
-            when(col("mx") > 0,
-              expr(s"CAST(($c * $scale) div mx AS BIGINT)"))
-              .otherwise(lit(0L)).as(c)))
+    // in-degree ≈ 9·10⁶; floor-divide lands back in exact int64.
+    // The L∞ norm rides the RAW frame's checkpoint as an observed
+    // metric (the materializeChanged discipline — zero extra
+    // actions), so each half-round runs its corpus-scale join+agg
+    // lineage ONCE: the former crossJoin(broadcast(df.agg(max)))
+    // executed that lineage twice per half-round (once building the
+    // broadcast max, once for the projection), and the rescale is now
+    // a literal division over checkpointed rows.
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val obs = org.apache.spark.sql.Observation()
+      val raw = Rounds.materialize(df.observe(obs, max(col(c)).as("mx")))
+      val mx = obs.get.getOrElse("mx", null) match {
+        case d: java.math.BigDecimal => d.toBigInteger.toString
+        case n: Number => n.toString
+        case _ => "0"
+      }
+      if (BigInt(mx) > 0)
+        raw.select(col("node"),
+          expr(s"CAST(($c * $scale) div CAST('$mx' AS DECIMAL(38,0)) " +
+            "AS BIGINT)").as(c))
+      else raw.select(col("node"), lit(0L).as(c))
+    }
     var hub = nodes.select(col("node"), lit(scale).as("h"))
     var auth = nodes.select(col("node"), lit(0L).as("a"))
     for (_ <- 0 until iters) {

@@ -104,7 +104,10 @@ object RankSelect {
     *                fence structurally).
     * @return (selected, bounds): `selected` has one row per `mkRanks`
     *         row — `(g, v, tie..., r, riders...)`; `bounds` is the
-    *         materialized `(g, lo, hi, n)` frame for downstream use
+    *         `(g, lo, hi, n)` frame for downstream use — derived from
+    *         the materialized groups×bins summary (never re-runs
+    *         corpus lineage, costs one summary aggregate per
+    *         reference)
     */
   def at(scored: DataFrame, bins: Int, binOf: Column,
          mkRanks: DataFrame => DataFrame,
@@ -112,14 +115,15 @@ object RankSelect {
          materialize: Boolean = true): (DataFrame, DataFrame) = {
     require(bins > 0, s"bins ($bins) must be positive")
     val nn = scored.filter(col("v").isNotNull)
-    val bounds = nn.groupBy("g")
+    // pass-1 bounds are NOT materialized on their own: their corpus
+    // aggregation executes as the broadcast-exchange build INSIDE the
+    // cum materialization job below — one barrier where there were
+    // two. Every later consumer reads `bounds`, which is re-derived
+    // from the materialized groups×bins summary (see below) and so
+    // never re-runs corpus lineage.
+    val boundsLineage = nn.groupBy("g")
       .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-      // ONE corpus aggregation with many consumers (both binned
-      // references, the ranks frame, callers' final joins):
-      // materialize the groups-sized frame so each reference reads
-      // rows, not re-runs the corpus lineage
-      .transform(Rounds.materialize(_))
-    val binned = nn.join(broadcast(bounds), Seq("g"))
+    val binned = nn.join(broadcast(boundsLineage), Seq("g"))
       .withColumn("bin", binOf)
     // per-bin min/max ride the SAME map-side-combined aggregate as
     // the counts — they are what detects a point-mass bin for free
@@ -139,9 +143,35 @@ object RankSelect {
     // by the binOf range contract (RoundsSpec pins bin ∈ [0, bins)
     // for both conventions), never the corpus. Any other frame
     // reaching materialize with an unpartitioned window fails fast.
-    val cum = Rounds.materialize(hist.withColumn("cb",
-      coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L))), boundedWindowOk = true)
+    // the materialized summary carries the cumulative histogram AND
+    // one bounds row per group (bin = −1: bn = n, bmin = lo,
+    // bmax = hi — exactly the pass-1 values, since every non-null v
+    // lands in some bin). Both branches aggregate the SAME binned
+    // corpus exchange (reused within the job), so the bounds rows
+    // cost one summary-sized aggregate — and every downstream bounds
+    // reference is a FILTER over checkpointed rows, not a shuffle
+    // (the first 2-barrier cut re-aggregated cum inside each
+    // broadcast build, which re-added a small exchange job per
+    // reference and measurably hurt the multi-reference callers).
+    val cumAll = Rounds.materialize(
+      hist.withColumn("cb",
+        coalesce(sum("bn").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .unionByName(hist.groupBy("g").agg(
+          sum("bn").as("bn"), min("bmin").as("bmin"),
+          max("bmax").as("bmax"))
+          .select(col("g"), lit(-1L).as("bin"), col("bn"),
+            col("bmin"), col("bmax"), lit(0L).as("cb"))),
+      boundedWindowOk = true)
+    val cum = cumAll.filter(col("bin") >= 0L)
+    val bounds = cumAll.filter(col("bin") === -1L)
+      .select(col("g"), col("bmin").as("lo"), col("bmax").as("hi"),
+        col("bn").as("n"))
+    // pass-2's binning joins the DERIVED bounds (same values, summary
+    // lineage) — re-using `binned` would re-run the pass-1 corpus
+    // aggregate inside this job's broadcast build
+    val binned2 = nn.join(broadcast(bounds), Seq("g"))
+      .withColumn("bin", binOf)
     val ranks = mkRanks(bounds)
     // broadcast the RANKS side — strictly the smaller frame (a
     // handful of rows per group vs cum's groups×bins): left to the
@@ -162,7 +192,7 @@ object RankSelect {
     // only rows of located NON-point-mass bins ever reach the window
     // sort — the bmin =!= bmax filter above is a structural guarantee
     // (PointMassSpec pins it in the plan), not a runtime fast path
-    val sorted = binned
+    val sorted = binned2
       .join(broadcast(locSort.select("g", "bin").distinct()), Seq("g", "bin"))
       .withColumn("rib", row_number().over(wb).cast("long") - 1L)
       .join(broadcast(locSort), Seq("g", "bin"))

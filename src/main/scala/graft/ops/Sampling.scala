@@ -804,17 +804,22 @@ object Sampling {
     * ties break on doc_id, no RNG.
     *
     * Inherently sequential in k (each marginal gain depends on all
-    * earlier picks), so the loop runs k [[graft.ops.Rounds]]-
-    * materialized rounds — per round ONE anti-join of the (doc,
-    * shingle) frame against the covered set, one map-side-combined
-    * gain count, one single-row TakeOrdered; k is a model constant
-    * (8), so the sequential depth is fixed while every round's work
-    * stays fully distributed. A doc with zero uncovered shingles
-    * vanishes from the gain frame, so nothing is ever re-picked; if
-    * coverage exhausts before k the remaining rounds emit no row
-    * (the honest regime, spec-pinned). The cumulative-coverage line
-    * is the prefix sum of marginal gains — derived on the ≤k-row
-    * output, never re-counted from the covered set.
+    * earlier picks), so the loop runs k rounds over the ONE
+    * materialized (doc, shingle) frame — per round one anti-join
+    * against the broadcast covered set, one map-side-combined gain
+    * count, one single-row TakeOrdered collect, plus one bounded
+    * collect of the pick's shingles; k is a model constant (8), so
+    * the sequential depth is fixed while every round's scan stays
+    * fully distributed. The covered set (≤ k docs' shingles — model-
+    * sized at any corpus size) lives on the driver and re-enters as
+    * a broadcast LocalRelation, so no round materializes state or
+    * executes lineage inside a broadcast build. A doc with zero
+    * uncovered shingles vanishes from the gain frame, so nothing is
+    * ever re-picked; if coverage exhausts before k the remaining
+    * rounds emit no row (the honest regime, spec-pinned). The
+    * cumulative-coverage line is the prefix sum of marginal gains —
+    * derived on the ≤k collected picks, never re-counted from the
+    * covered set.
     */
   def coverageGreedy(documents: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
@@ -829,31 +834,42 @@ object Sampling {
     // |sh(d) \ covered| — because anti-joining the fixed frame
     // against the accumulated covered set equals anti-joining the
     // shrunken remainder against each round's increment
+    val spark = documents.sparkSession
     val sh = Rounds.materialize(
       graft.dedup.Dedup.shingles(documents).select("doc_id", "shingle"))
-    var covered: DataFrame = null // distinct shingles of the picks so far
-    var out: DataFrame = null
-    for (i <- 1 to k) {
-      val unc = if (covered == null) sh
-        else sh.join(broadcast(covered), Seq("shingle"), "left_anti")
-      val pick = Rounds.materialize(
-        unc.groupBy("doc_id").agg(count(lit(1)).as("gain"))
-          .orderBy(col("gain").desc, col("doc_id")).limit(1)
-          .select(lit(i.toLong).as("rk"), col("doc_id"), col("gain")))
-      // the pick's shingles are distinct within the doc (shingle_set),
-      // so only the cross-pick union needs a distinct
-      val pickSh = sh.join(broadcast(pick.select("doc_id")), Seq("doc_id"))
-        .select("shingle")
-      covered = Rounds.materialize(
-        if (covered == null) pickSh
-        else covered.unionByName(pickSh).distinct())
-      out = if (out == null) pick else out.unionByName(pick)
+    // the covered set IS model-sized — the union of ≤ k picked docs'
+    // shingle sets, bounded by k documents at ANY corpus size — so it
+    // lives on the DRIVER (the capped-collect class every model fit
+    // here uses) and re-enters each round as a broadcast
+    // LocalRelation: the anti-join's build side has NO lineage, so a
+    // round is two small collect jobs over the one materialized
+    // (doc, shingle) frame — no per-round checkpoint barrier, no
+    // sub-jobs inside broadcast builds (both earlier formulations —
+    // a materialized covered frame, then covered-as-lineage — paid
+    // one of those two costs every round)
+    import spark.implicits._
+    var covered = Set.empty[String]
+    var picks = Vector.empty[(Long, Long, Long)] // (rk, doc_id, gain)
+    var exhausted = false
+    for (i <- 1 to k if !exhausted) {
+      val unc = if (covered.isEmpty) sh
+        else sh.join(broadcast(covered.toSeq.sorted.toDF("shingle")),
+          Seq("shingle"), "left_anti")
+      val top = unc.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc_id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true // spec-pinned honest regime
+      else {
+        val (doc, gain) = (top.head.getLong(0), top.head.getLong(1))
+        picks :+= ((i.toLong, doc, gain))
+        covered ++= sh.filter(col("doc_id") === doc)
+          .select("shingle").collect().map(_.getString(0))
+      }
     }
-    val sel = Rounds.materialize(out)
-    sel.join(broadcast(ModelFrames.exclusivePrefixSum(sel, "rk", "gain",
-        "cov_off")), Seq("rk"))
-      .select(col("rk"), col("doc_id"), col("gain"),
-        (col("cov_off") + col("gain")).as("cum_covered"))
+    // prefix-sum of marginal gains over the ≤ k collected picks
+    val rows = picks.scanLeft((0L, 0L, 0L, 0L)) {
+      case ((_, _, _, cum), (rk, doc, gain)) => (rk, doc, gain, cum + gain)
+    }.drop(1)
+    rows.toDF("rk", "doc_id", "gain", "cum_covered")
   }
 
   /** COARSENED-EXACT-MATCHED CONTROLS — for every document of a
