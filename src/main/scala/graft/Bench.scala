@@ -17,17 +17,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // AQE coalescing floor — see GraftSession.builder: the 1m
-      // default serializes compute-dense model-sized shuffles onto
-      // 1-2 tasks; 64k restores parallelism exactly there and large
-      // shuffles keep their parallelism-first targets
+      // both floors at Spark defaults — see GraftSession.builder: the
+      // r16 64k/128k floors multiplied task counts suite-wide and the
+      // 32-core A/B (and the r16 driver run) showed a net loss;
+      // compute-dense stages parallelize via explicit repartition now
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
-      // scan split floor — see GraftSession.builder: the 4m default
-      // serializes small-input scans (and the per-row kernels on
-      // them) onto 1-2 tasks at any core count
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -45,35 +45,26 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE coalescing floor (default 1m): with parallelismFirst (the
-      // default) the post-shuffle target size is max(bytes ∕ default
-      // parallelism, THIS FLOOR), so a compute-dense model-sized
-      // shuffle — a candidate self-join, a verify stage, a banded
-      // aggregate over a few MB — collapses to 1-2 tasks and
-      // serializes seconds of CPU while the rest of the executor
-      // sits idle (measured: dedup_editdist's candidate+verify
-      // stages ran 1-task for 5.0 of its 5.2s; 64k → 1.66s total).
-      // Scale-safe by construction: the floor only binds when
-      // bytes ∕ parallelism is below it, i.e. exactly the small-
-      // bytes-heavy-CPU regime, at any cluster size; large shuffles
-      // keep their parallelism-first targets. Env-overridable for
-      // deployments whose small shuffles are NOT compute-dense.
+      // AQE coalescing floor: back at the Spark DEFAULT (1m). The r16
+      // round lowered it to 64k so compute-dense model-sized shuffles
+      // (candidate self-joins, verify stages) kept their parallelism —
+      // but the 32-core full-suite A/B showed the floor TAXES the
+      // other ~270 queries more than it pays the 2-3 it helps
+      // (16 × more tasks per small stage: +16.3s suite-wide locally,
+      // and the r16 driver run inverted 49% on a loaded box). The
+      // compute-dense stages that need parallelism now get it
+      // explicitly (repartition(n, key) at the operator — AQE leaves
+      // user-specified counts alone); everything else coalesces.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // scan split sizing (default 4m): openCostInBytes FLOORS the
-      // computed split size — max(openCost, bytes ∕ defaultParallelism)
-      // — so any input whose total bytes ∕ cores is below 4 MB scans
-      // on a handful of tasks regardless of cluster size, and the
-      // per-row generator/parse kernels that sit directly on the scan
-      // serialize onto them (measured: cdc_malformed ran its whole
-      // parse on ONE task from a single-file input). 128 KiB keeps
-      // large-scan split sizing untouched (bytes ∕ cores dominates
-      // once inputs exceed ~4 MB × cores) and still packs genuinely
-      // tiny files; deployments with million-tiny-file tables can
-      // raise it back via the env override.
+      // scan split sizing: back at the Spark DEFAULT (4m) for the
+      // same reason — the 128k floor split every small scan 32 ways
+      // and the per-stage overhead outweighed the parallelism on the
+      // few scan-resident kernels (which now parallelize via explicit
+      // repartition on the 1×-corpus side instead).
       .config("spark.sql.files.openCostInBytes",
-        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "131072"))
+        sys.env.getOrElse("SPARK_GRAFT_OPEN_COST", "4194304"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

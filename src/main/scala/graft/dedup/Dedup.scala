@@ -268,8 +268,12 @@ object Dedup {
     // discipline: parallelism is established on the 1×-corpus side of
     // the generator (one cheap shuffle of (doc_id, text)) instead of
     // inheriting the input split count (one task per parquet file
-    // locally; a straggler per oversized split at scale)
-    val sh = documents.repartition(col("doc_id"))
+    // locally; a straggler per oversized split at scale). Explicit
+    // AQE-exempt count (Rounds.cpuPartitions): the shingling kernel is
+    // small-bytes/heavy-CPU, the shape byte-targeted coalescing
+    // serializes onto one task.
+    val cpuPar = graft.ops.Rounds.cpuPartitions(documents)
+    val sh = documents.repartition(cpuPar, col("doc_id"))
       .select(col("doc_id"), shingleArray(col("text"), n).as("arr"))
       .select(col("doc_id"), size(col("arr")).cast("long").as("sz"),
         explode(col("arr")).as("shingle"))
@@ -281,10 +285,16 @@ object Dedup {
         row_number().over(wdoc.orderBy(col("df"), col("shingle"))))
     // prefix is joined as both candidate sides: materialize so the
     // scan+agg+join+window subtree above runs once, not twice
+    // checkpointed ALREADY PARTITIONED on the join key `shingle` with
+    // an explicit (AQE-exempt) count — both candidate sides below
+    // reuse the stored partitioning (no exchange) and the self-join's
+    // fan-out + partial-distinct, the operator's hottest CPU, runs at
+    // cpuPar tasks (the editDistance discipline)
     val prefix = ranked
       .filter(col("rk") <=
         col("sz") - ceil(lit(tauEff) * col("sz") - lit(1e-9)) + 1)
       .select("doc_id", "shingle", "sz", "rk")
+      .repartition(cpuPar, col("shingle"))
       .localCheckpoint()
     // POSITIONAL filter (the PPJoin upgrade to the plain prefix
     // rule): a collision at rarity positions (ra, rb) bounds the
@@ -304,6 +314,10 @@ object Dedup {
             ceil(lit(tauEff) * greatest(col("pa.sz"), col("pb.sz"))
               - lit(1e-9)))
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      // explicit-count repartition ON the distinct keys: the distinct
+      // reuses it (no extra exchange) and the jaccard verification
+      // downstream inherits cpuPar tasks (the editDistance discipline)
+      .repartition(cpuPar, col("doc_a"), col("doc_b"))
       .distinct()
       // pair-bounded frame with THREE verifyCandidates readers (both
       // endpoint sides + the join) — materialize so the prefix
@@ -329,7 +343,12 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     // repartition BEFORE the k-hash signature kernel — the heaviest
     // per-doc compute in the family must not run at input-split
-    // parallelism (the editDistance discipline)
+    // parallelism (the editDistance discipline). Count deliberately
+    // NOT pinned: the kernel is cheap per doc (measured ~0.1s on the
+    // local corpus), so AQE coalescing small inputs onto few tasks is
+    // correct — pinning 32 tasks here taxed every |delta|-bounded
+    // mergeKeepers stage (dedup_incremental 3.5 → 6.2s); at corpus
+    // scale the frame's bytes keep the stage parallel anyway.
     documents.repartition(col("doc_id"))
       .select(col("doc_id"),
         posexplode(minhash_bands(shingleArray(col("text")), k, bands)))
@@ -372,7 +391,9 @@ object Dedup {
                  bands: Int = 16): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     // repartition before the shingle+signature kernels (editDistance
-    // discipline: parallelism set on the 1×-corpus side)
+    // discipline: parallelism set on the 1×-corpus side). Count NOT
+    // pinned — see bandedSignatures: the kernel is cheap per doc and
+    // pinned tasks taxed the small-corpus path more than they paid.
     val docs = documents.repartition(col("doc_id"))
       .select(col("doc_id"), shingleArray(col("text")).as("sh"))
     // band join stays skinny — (doc_id, band, band_hash) only; the
@@ -444,7 +465,9 @@ object Dedup {
     val width = 64 / nChunks // remainder bits join the last chunk
     // repartition BEFORE the signature kernel: per-doc hashing
     // parallelizes on the corpus side instead of inheriting the
-    // input split count (the editDistance discipline)
+    // input split count (the editDistance discipline). Count NOT
+    // pinned — see bandedSignatures: the kernel is cheap per doc and
+    // pinned tasks taxed the small-corpus path more than they paid.
     val sigs = documents.repartition(col("doc_id"))
       .select(col("doc_id"), simhash64(tokens(col("text"))).as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
@@ -1163,9 +1186,12 @@ object Dedup {
     // the df partial aggregation and the per-doc heaps all run at
     // the incidental parallelism of the input split count (ONE task
     // for a single parquet file locally; a straggler per oversized
-    // split at scale). Partition count follows
-    // spark.sql.shuffle.partitions — conf-scaled, not hard-coded.
-    val gramsD = txt.repartition(col("doc_id"))
+    // split at scale). The count is EXPLICIT (Rounds.cpuPartitions —
+    // conf-scaled, not hard-coded): AQE coalesces by BYTES, and this
+    // stage is small-bytes/heavy-CPU, exactly the shape byte-targeted
+    // coalescing serializes onto one task.
+    val cpuPar = graft.ops.Rounds.cpuPartitions(documents)
+    val gramsD = txt.repartition(cpuPar, col("doc_id"))
       .withColumn("len", length(col("text")))
       .filter(col("len") >= q)
       .select(col("doc_id"), col("len"),
@@ -1182,10 +1208,17 @@ object Dedup {
     // keep the constant k·q+1 rarest grams per doc on the native
     // top-k heaps — the window formulation sorted every doc's full
     // gram set per partition; both candidate sides read the result
+    // the prefix frame is checkpointed ALREADY PARTITIONED on the
+    // join key `g` with an explicit (AQE-exempt) count: both sides
+    // of the candidate self-join below then reuse the stored
+    // partitioning — no exchange, and the join's 5-6× fan-out +
+    // partial-distinct (the operator's hottest CPU) runs at cpuPar
+    // tasks instead of the 1-2 a byte-targeted coalesce gives it
     val prefix = graft.plans.TopK.perKey(
         gramsD.join(broadcast(freq), Seq("g")),
         Seq("doc_id"), Seq(col("df").asc, col("g").asc), k * q + 1)
       .select("doc_id", "len", "g")
+      .repartition(cpuPar, col("g"))
       .localCheckpoint()
     val gramCand = prefix.as("a")
       .join(prefix.as("b"),
@@ -1196,6 +1229,11 @@ object Dedup {
           // short arm — keeps the two arms disjoint
           greatest(col("a.len"), col("b.len")) > shortMax)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // explicit-count repartition ON the distinct keys: the final
+      // distinct reuses it (no extra exchange) and the banded
+      // levenshtein verify downstream — the other CPU-dense stage —
+      // inherits cpuPar tasks instead of a 1-task coalesced exchange
+      .repartition(cpuPar, col("doc_a"), col("doc_b"))
       .distinct()
     // short arm: exploded length keys manufacture the band equi-join
     // (each left doc emits len−k..len+k; the right key len is unique

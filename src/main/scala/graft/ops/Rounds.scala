@@ -38,6 +38,22 @@ object Rounds {
   /** The reliable-mode session flag; default stays executor-local. */
   val ReliableConf = "spark.graft.checkpoint.reliable"
 
+  /** Explicit partition count for COMPUTE-DENSE small-byte stages
+    * (gram/signature kernels, candidate self-joins, banded verify):
+    * AQE's coalescing targets BYTES — max(bytes ∕ parallelism,
+    * minPartitionSize) — so a stage that is small in bytes but heavy
+    * in CPU collapses onto 1-2 tasks while the rest of the executor
+    * idles. An explicit `repartition(n, key)` is exempt from AQE
+    * coalescing, so pinning THIS count at the operator restores
+    * parallelism exactly where it pays, without the session-wide
+    * floor the r16 round tried (which multiplied task counts across
+    * all ~276 query paths and lost more than it won). The value is
+    * the session's shuffle parallelism — deployment-tuned at cluster
+    * scale, cores in local mode — never a hard-coded constant.
+    */
+  def cpuPartitions(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+
   /** Truncate lineage and materialize one round's frame, in the
     * session's configured storage mode.
     *

@@ -531,9 +531,10 @@ object TextAnalysis {
     // hash-repartition BEFORE the per-doc selection: the md5-per-gram
     // work parallelizes on the 1×-corpus side of the generator
     // instead of inheriting the input split count (the editDistance
-    // discipline)
+    // discipline). Explicit AQE-exempt count — byte-targeted
+    // coalescing would serialize this small-bytes/heavy-CPU stage.
     val fps = base.filter(col("n_grams") >= 1)
-      .repartition(col("doc_id"))
+      .repartition(graft.ops.Rounds.cpuPartitions(documents), col("doc_id"))
       .withColumn("keys", expr(
         s"transform(sequence(1, size(t) - ${q - 1}), i -> " +
           s"CAST(conv(substring(md5(concat_ws(' ', slice(t, i, $q))), " +
